@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are contributed by per-area objects under `graft.queries`;
+  * this object merges them and guarantees the session is prepared
+  * (graft functions registered, MySQL-flavored settings applied) no
+  * matter who created the SparkSession.
+  */
 object SparkEntry {
+
+  private def areas: Seq[QueryArea] = Seq(
+    _root_.graft.queries.Tpch)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    areas.flatMap(_.queries).map { case (name, fn) =>
+      name -> ((spark: SparkSession, dir: String) => { Session.prepare(spark); fn(spark, dir) })
+    }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = areas.flatMap(_.oracles).toMap
+}
+
+/** A contributable group of queries + DuckDB oracles. */
+trait QueryArea {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+/** Runtime session normalization for externally created sessions
+  * (the driver's Verify/Bench mains build their own SparkSession). */
+object Session {
+  def prepare(spark: SparkSession): SparkSession = {
+    // runtime-settable knobs; static ones (memory, master) stay as built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    functions.Registry.registerAll(spark)
+    spark
+  }
 }

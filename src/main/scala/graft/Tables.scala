@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the graft engine.
+  *
+  * The reference's catalog (`fe/fe-core/.../catalog/OlapTable.java`)
+  * resolves a table name to partitioned/bucketed tablet storage; here a
+  * table name resolves to a parquet directory/file under a scale-factor
+  * dir. Parquet row groups play the reference's segment role
+  * (zone maps ≈ min/max stats, dictionary pages ≈ global dict) — see
+  * SURVEY.md §2.1.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables worth broadcasting in joins at any scale. */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier", "part", "customer")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view named after the table. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

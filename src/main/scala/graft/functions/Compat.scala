@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** MySQL-flavored compat functions the reference exposes that Spark
+  * lacks by name (SURVEY.md §2.8; reference registry
+  * `gensrc/script/functions.py`, kernels under `be/src/exprs/`).
+  *
+  * Each alias is built from existing Catalyst expressions (directly or
+  * via `UnresolvedFunction`, resolved by the analyzer), so everything
+  * stays inside whole-stage codegen — no UDF boxing on the hot path.
+  */
+object Compat {
+
+  /** Compose a call to an existing (possibly builtin) function. */
+  private def call(name: String, args: Expression*): Expression =
+    UnresolvedFunction(FunctionIdentifier(name), args, isDistinct = false)
+
+  private def lit(v: Any): Expression = Literal(v)
+
+  private def neg(e: Expression): Expression = UnaryMinus(e)
+
+  /** Seconds per unit for time_slice on sub-day units. */
+  private val unitSeconds: Map[String, Long] =
+    Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L, "day" -> 86400L, "week" -> 604800L)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    // --- date/time (reference: be/src/exprs/time_functions.cpp) ---
+    f("dayname") { es => call("date_format", es.head, lit("EEEE")) }
+    f("monthname") { es => call("date_format", es.head, lit("MMMM")) }
+    // N-unit add/sub keeping datetime type (reference months_add etc.)
+    for ((g, unit) <- Seq("years" -> "YEAR", "months" -> "MONTH", "weeks" -> "WEEK",
+        "days" -> "DAY", "hours" -> "HOUR", "minutes" -> "MINUTE", "seconds" -> "SECOND")) {
+      f(s"${g}_add") { es => call("timestampadd", lit(unit), es(1), es(0)) }
+      f(s"${g}_sub") { es => call("timestampadd", lit(unit), neg(es(1)), es(0)) }
+    }
+    // time_slice(ts, n, unit[, 'floor'|'ceil']) — align to n-unit buckets
+    // from epoch (reference time_functions.cpp time_slice).
+    f("time_slice") { es =>
+      val ts = es.head
+      val n = es(1)
+      val unit = es(2) match {
+        case Literal(u, StringType) => String.valueOf(u).toLowerCase
+        case _ => throw new IllegalArgumentException("time_slice unit must be a literal")
+      }
+      val ceil = es.length > 3 && (es(3) match {
+        case Literal(b, StringType) => String.valueOf(b).equalsIgnoreCase("ceil")
+        case _ => false
+      })
+      unitSeconds.get(unit) match {
+        case Some(secs) =>
+          val width = Multiply(Cast(n, LongType), lit(secs))
+          val epoch = Cast(call("unix_timestamp", ts), LongType)
+          val bucket = Multiply(call("floor", Divide(Cast(epoch, DoubleType), Cast(width, DoubleType))), width)
+          val aligned = if (ceil) Add(bucket, width) else bucket
+          call("timestamp_seconds", aligned)
+        case None =>
+          // month/quarter/year slices align via month arithmetic
+          val monthsPer = unit match {
+            case "month" => 1; case "quarter" => 3; case "year" => 12
+            case u => throw new IllegalArgumentException(s"time_slice unit: $u")
+          }
+          val width = Multiply(Cast(n, IntegerType), lit(monthsPer))
+          val monthsSinceEpoch = Add(
+            Multiply(Subtract(call("year", ts), lit(1970)), lit(12)),
+            Subtract(call("month", ts), lit(1)))
+          val bucket = Multiply(Cast(call("floor",
+            Divide(Cast(monthsSinceEpoch, DoubleType), Cast(width, DoubleType))), IntegerType), width)
+          val aligned = if (ceil) Add(bucket, width) else bucket
+          call("add_months", Cast(lit("1970-01-01"), TimestampType), aligned)
+      }
+    }
+    // str_to_date(str, mysql_fmt) — translate MySQL % patterns to java.time
+    f("str_to_date") { es =>
+      es(1) match {
+        case Literal(fmt, StringType) =>
+          call("to_timestamp", es.head, lit(mysqlToJavaFormat(String.valueOf(fmt))))
+        case _ => throw new IllegalArgumentException("str_to_date format must be a literal")
+      }
+    }
+    f("str2date") { es =>
+      es(1) match {
+        case Literal(fmt, StringType) =>
+          call("to_date", es.head, lit(mysqlToJavaFormat(String.valueOf(fmt))))
+        case _ => throw new IllegalArgumentException("str2date format must be a literal")
+      }
+    }
+
+    // --- string (reference: be/src/exprs/string_functions.cpp) ---
+    f("strcmp") { es =>
+      CaseWhen(Seq(
+        (LessThan(es.head, es(1)), lit(-1)),
+        (EqualTo(es.head, es(1)), lit(0))), lit(1))
+    }
+    f("money_format") { es => call("format_number", Cast(es.head, DoubleType), lit(2)) }
+    f("strleft") { es => call("left", es: _*) }
+    f("strright") { es => call("right", es: _*) }
+    f("lcase") { es => call("lower", es: _*) }
+    f("ucase") { es => call("upper", es: _*) }
+    f("char_length") { es => call("length", es: _*) }
+    f("ends_with") { es => call("endswith", es: _*) }
+    f("starts_with") { es => call("startswith", es: _*) }
+    f("null_or_empty") { es => Or(IsNull(es.head), EqualTo(es.head, lit(""))) }
+    f("append_trailing_char_if_absent") { es =>
+      If(call("endswith", es.head, es(1)), es.head, Concat(Seq(es.head, es(1))))
+    }
+
+    // --- hash / crypto (reference: be/src/exprs/hash_functions.cpp) ---
+    f("murmur_hash3_32") { es => call("hash", es: _*) }
+    f("xx_hash3_64") { es => call("xxhash64", es: _*) }
+
+    // --- math / bit (reference: math_functions.cpp, bit_functions.cpp) ---
+    f("bitand") { es => BitwiseAnd(es.head, es(1)) }
+    f("bitor") { es => BitwiseOr(es.head, es(1)) }
+    f("bitxor") { es => BitwiseXor(es.head, es(1)) }
+    f("bitnot") { es => BitwiseNot(es.head) }
+    f("bitshiftleft") { es => ShiftLeft(es.head, Cast(es(1), IntegerType)) }
+    f("bitshiftright") { es => ShiftRight(es.head, Cast(es(1), IntegerType)) }
+    f("dround") { es => call("round", es: _*) }
+    f("dlog10") { es => call("log10", es: _*) }
+    f("dsqrt") { es => call("sqrt", es: _*) }
+    f("dexp") { es => call("exp", es: _*) }
+    f("truncate") { es =>
+      // truncate(x, d): toward zero at d decimals (MySQL semantics)
+      val scale = call("power", lit(10.0d), Cast(es(1), DoubleType))
+      Divide(Cast(If(GreaterThanOrEqual(es.head, lit(0.0d)),
+        call("floor", Multiply(Cast(es.head, DoubleType), scale)),
+        call("ceil", Multiply(Cast(es.head, DoubleType), scale))), DoubleType), scale)
+    }
+
+    // --- conditional (reference: condition_expr.cpp) ---
+    // Spark already ships if/ifnull/nullif/coalesce with matching
+    // semantics; nothing to add.
+
+    // --- vector distance (reference: functions.py:62-72) ---
+    f("cosine_similarity") { es => graft.functions.CosineSimilarity(es.head, es(1)) }
+    f("l2_distance") { es => graft.functions.L2Distance(es.head, es(1)) }
+    f("dot_product") { es => graft.functions.DotProduct(es.head, es(1)) }
+  }
+
+  /** Translate a MySQL date-format string (%Y-%m-%d …) to java.time. */
+  def mysqlToJavaFormat(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'c' => sb.append("M")
+          case 'd' => sb.append("dd")
+          case 'e' => sb.append("d")
+          case 'H' => sb.append("HH")
+          case 'k' => sb.append("H")
+          case 'h' | 'I' => sb.append("hh")
+          case 'i' => sb.append("mm")
+          case 's' | 'S' => sb.append("ss")
+          case 'f' => sb.append("SSSSSS")
+          case 'p' => sb.append("a")
+          case 'b' => sb.append("MMM")
+          case 'M' => sb.append("MMMM")
+          case 'a' => sb.append("EEE")
+          case 'W' => sb.append("EEEE")
+          case 'j' => sb.append("DDD")
+          case 'T' => sb.append("HH:mm:ss")
+          case '%' => sb.append('%')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else {
+        // quote literal letters so java.time doesn't interpret them
+        if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TPC-H-shaped relational queries over the synthetic star schema.
+  *
+  * These mirror the reference's own benchmark surface
+  * (`docs/en/benchmarking/TPC-H_Benchmarking.md`, golden plans
+  * `fe/fe-core/src/test/resources/sql/tpch/`): scan → filter →
+  * two-phase agg, multi-way joins with broadcast dims, top-n.
+  *
+  * Float determinism: money sums go through DECIMAL(18,6) so Spark and
+  * the DuckDB oracle produce bit-identical doubles regardless of
+  * partial-agg ordering (SURVEY.md §7.4 "semantics drift").
+  */
+object Tpch extends graft.QueryArea {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1: pricing summary — scan → filter → two-phase hash agg → sort.
+    "q1_pricing_summary" -> ((spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // TPC-H Q6: selective filter + single-row agg (tests pushdown).
+    "q6_forecast_revenue" -> ((spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+      li.filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    }),
+    // TPC-H Q3-shaped: customer ⋈ orders ⋈ lineitem, agg, top-n by revenue.
+    "q3_shipping_priority" -> ((spark, dir) => {
+      val cust = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q5-shaped: 5-way join through region→nation→customer/supplier.
+    "q5_local_supplier_volume" -> ((spark, dir) => {
+      val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(spark, dir, "nation")
+      val cust = Tables.load(spark, dir, "customer")
+      val supp = Tables.load(spark, dir, "supplier")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      val li = Tables.load(spark, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    // TPC-H Q10-shaped: returned-item ranking, join + group + topn.
+    "q10_returned_items" -> ((spark, dir) => {
+      val cust = Tables.load(spark, dir, "customer")
+      val nation = Tables.load(spark, dir, "nation")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1993-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1994-01-01").cast("timestamp"))
+      val li = Tables.load(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q18-shaped: large-quantity orders — agg subquery + semi join + topn.
+    "q18_large_volume_customer" -> ((spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders")
+      val cust = Tables.load(spark, dir, "customer")
+      val bigOrders = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+        .select(col("l_orderkey").as("big_orderkey"))
+      ord.join(bigOrders, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1993-10-01'
+        |  AND o_orderdate < TIMESTAMP '1994-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the same parquet tables, compare to the Spark result
+parquet dumped by graft.Verify (columns sorted by name, rows sorted,
+values compared with exact match for non-floats / tiny-eps for floats).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY rows={len(spark_df)}"
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        results[name] = compare(spark_df, duck_df)
+    ok = sum(1 for v in results.values() if v == "OK" or str(v).startswith("ROWS_ONLY"))
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v=='OK' or str(v).startswith('ROWS_ONLY') else 'FAIL':4} {name}: {v}")
+    print(f"\n{ok}/{len(results)} pass")
+    return 0 if ok == len(results) else 1
+
+def compare(a, b):
+    a = a.reindex(sorted(a.columns), axis=1)
+    b = b.reindex(sorted(b.columns), axis=1)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA_MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWCOUNT spark={len(a)} duck={len(b)}"
+    a = a.sort_values(by=list(a.columns), ignore_index=True)
+    b = b.sort_values(by=list(b.columns), ignore_index=True)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                avn = av.astype(float).to_numpy()
+                bvn = bv.astype(float).to_numpy()
+                both_nan = np.isnan(avn) & np.isnan(bvn)
+                close = np.isclose(avn, bvn, rtol=1e-9, atol=1e-12, equal_nan=True)
+                if not np.all(close | both_nan):
+                    i = int(np.argmin(close))
+                    return f"VALUE_MISMATCH col={c} row={i} spark={avn[i]} duck={bvn[i]}"
+            else:
+                if not av.astype(str).equals(bv.astype(str)):
+                    neq = (av.astype(str) != bv.astype(str))
+                    i = int(neq.idxmax())
+                    return f"VALUE_MISMATCH col={c} row={i} spark={av[i]!r} duck={bv[i]!r}"
+        except Exception as e:
+            return f"COMPARE_ERROR col={c}: {e}"
+    return "OK"
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
