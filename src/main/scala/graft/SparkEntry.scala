@@ -12,7 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def areas: Seq[QueryArea] = Seq(
-    _root_.graft.queries.Tpch)
+    _root_.graft.queries.Tpch,
+    _root_.graft.queries.Relational,
+    _root_.graft.queries.Windows,
+    _root_.graft.queries.Aggregates)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -44,6 +47,7 @@ object Session {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.Registry.registerAll(spark)
     spark
   }

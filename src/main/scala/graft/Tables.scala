@@ -19,8 +19,18 @@ object Tables {
   /** Small dimension tables worth broadcasting in joins at any scale. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long
+    // (spark.sql.legacy.parquet.nanosAsLong) — normalize to µs
+    // TimestampType (values are µs-aligned, so this is lossless).
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast(org.apache.spark.sql.types.LongType)))
+      case None => df
+    }
+  }
 
   /** Register every table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import util._
+
+/** Built-in aggregate surface — reference kernels `be/src/exprs/agg/`
+  * (sum/avg/count/minmax/maxmin_by/any_value/variance/covariance/
+  * group_concat/array_agg/percentile), multi-distinct rewrites
+  * (`RewriteMultiDistinctRule.java`), grouping sets / rollup / cube
+  * (`be/src/exec/repeat_node.cpp`, REPEAT_NODE), two-phase hash agg
+  * (`SplitAggregateRule.java` → Spark partial+final HashAggregateExec,
+  * automatic).
+  *
+  * Type alignment with the DuckDB oracle: Spark SUM(int)→long matches
+  * DuckDB CAST(... AS BIGINT); DuckDB SUM(INTEGER) natively returns
+  * HUGEINT, so oracles cast. GROUPING id is cast to INT on both sides.
+  */
+object Aggregates extends graft.QueryArea {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rollup" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      c.rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+    }),
+    "agg_cube" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "agg_grouping_sets" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+    "agg_multi_distinct" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_pair"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "agg_stats" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+          round(stddev_pop(col("l_discount")), 6).as("sdp_disc"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"),
+          round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("covp_pq"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "agg_minmax_by" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+          max(col("o_totalprice")).as("best_price"),
+          min(col("o_totalprice")).as("worst_price"))
+        .orderBy(col("o_custkey"))
+    }),
+    "agg_group_concat" -> ((spark, dir) => {
+      val n = t(spark, dir, "nation")
+      val c = t(spark, dir, "customer").filter(col("c_acctbal") > 9900)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+        .orderBy(col("n_name"))
+    }),
+    "agg_array_agg_sorted" -> ((spark, dir) => {
+      val s = t(spark, dir, "supplier")
+      s.groupBy(col("s_nationkey"))
+        .agg(array_sort(collect_list(col("s_suppkey"))).as("supp_keys"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    }),
+    "agg_percentiles" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_linestatus"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("median(l_extendedprice)"), 4).as("med"))
+        .orderBy(col("l_linestatus"))
+    }),
+    "agg_any_value" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      c.groupBy(col("c_custkey"))
+        .agg(any_value(col("c_name")).as("name"), first(col("c_mktsegment")).as("seg"))
+        .orderBy(col("c_custkey"))
+    }),
+    "agg_bool_bit" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(
+          bool_or(col("o_totalprice") > 150000).as("has_big"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bit_and(col("o_orderkey")).as("band"),
+          bit_or(col("o_orderkey")).as("bor"),
+          bit_xor(col("o_orderkey")).as("bxor"))
+        .orderBy(col("o_custkey"))
+    }),
+    "agg_count_if" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(count_if(col("l_discount") > 0.05).as("n_discounted"),
+          count_if(col("l_tax") === 0.0).as("n_taxfree"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // approx_count_distinct (reference hll_ndv.h) — approximate, so no
+    // DuckDB value oracle; ScalaTest asserts relative error vs exact.
+    "agg_approx_count_distinct" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd"),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "agg_global_no_groups" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+        min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_orderkey")).as("nd_orders"))
+    }),
+    "agg_distinct_rows" -> ((spark, dir) => {
+      t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "agg_rollup" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+        |  CAST(GROUPING(c_mktsegment, c_nationkey) AS INT) AS gid
+        |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  count(DISTINCT (l_partkey, l_suppkey)) AS nd_pair,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_extendedprice), 4) AS var_price,
+        |  round(stddev_pop(l_discount), 6) AS sdp_disc,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
+        |  round(covar_pop(l_extendedprice, l_quantity), 4) AS covp_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT o_custkey,
+        |  max_by(o_orderkey, o_totalprice) AS best_order,
+        |  min_by(o_orderkey, o_totalprice) AS worst_order,
+        |  max(o_totalprice) AS best_price,
+        |  min(o_totalprice) AS worst_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_group_concat" ->
+      """SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9900
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_array_agg_sorted" ->
+      """SELECT s_nationkey, list_sort(list(s_suppkey)) AS supp_keys, count(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_linestatus,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(median(l_extendedprice), 4) AS med
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_any_value" ->
+      """SELECT c_custkey, any_value(c_name) AS name, any_value(c_mktsegment) AS seg
+        |FROM customer GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "agg_bool_bit" ->
+      """SELECT o_custkey,
+        |  bool_or(o_totalprice > 150000) AS has_big,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bit_and(o_orderkey) AS band,
+        |  bit_or(o_orderkey) AS bor,
+        |  bit_xor(o_orderkey) AS bxor
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_count_if" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  count(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_global_no_groups" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        |  CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+        |  CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship,
+        |  count(DISTINCT l_orderkey) AS nd_orders
+        |FROM lineitem""".stripMargin,
+    "agg_distinct_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}

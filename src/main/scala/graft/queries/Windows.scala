@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import util._
+
+/** Window (analytic) functions — reference executor
+  * `be/src/exec/analytor.cpp`, function kernels
+  * `be/src/exprs/agg/window.h` (row_number:156, rank:183,
+  * dense_rank:224, cume_dist:261, percent_rank:301, ntile:365,
+  * first/last_value:417/476, lead/lag:546, session_number:788).
+  * Frames per `TAnalyticWindow` (PlanNodes.thrift:1093-1145): ROWS and
+  * RANGE with UNBOUNDED/N PRECEDING/FOLLOWING/CURRENT ROW.
+  *
+  * All map to Spark's WindowExec; ranking top-n filters additionally
+  * plan WindowGroupLimit (Catalyst InferWindowGroupLimit), the
+  * equivalent of the reference's partition-topn pushdown
+  * (`PushDownLimitRankingWindowRule.java`).
+  */
+object Windows extends graft.QueryArea {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // top-3 orders per customer — ranking window + filter (partition topn)
+    "win_partition_topn" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    // rank/dense_rank with real ties (order key is a truncated date)
+    "win_rank_dense" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(year(col("o_orderdate")))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"), dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    "win_ntile_cume" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      o.select(col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "win_lead_lag" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.select(col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          lag(col("value"), 2, -1.0).over(w).as("prev2_or_default"))
+        .orderBy(col("event_id"))
+    }),
+    "win_first_last" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      o.select(col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "win_running_sum" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+            .cast("double").as("running_total"),
+          count(lit(1)).over(w).as("running_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // sliding ROWS frame: 2 preceding .. current
+    "win_sliding_rows" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      o.select(col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+            .cast("double").as("windowed_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // RANGE frame with a numeric offset
+    "win_range_frame" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT s_suppkey,
+        |  count(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+        |                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+    // plain aggregate over an unordered partition window
+    "win_agg_over_partition" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      val w = Window.partitionBy(col("c_nationkey"))
+      c.select(col("c_custkey"),
+          count(lit(1)).over(w).as("nation_n"),
+          round(avg(col("c_acctbal")).over(w), 4).as("nation_avg_bal"))
+        .orderBy(col("c_custkey"))
+    }),
+    // sessionization: session_number ≈ running sum of gap>30min flags
+    // (reference window.h:788 session_number; same pattern the FE
+    // plans for sessionize)
+    "win_session_number" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = when(
+        col("ts").cast("long") - lag(col("ts"), 1).over(wOrd).cast("long") > 1800, 1)
+        .otherwise(0)
+      e.withColumn("gap_flag", gap)
+        .withColumn("session_no",
+          sum(col("gap_flag")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("session_no").cast("long").as("session_no"))
+        .orderBy(col("event_id"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "win_partition_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_rank_dense" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_ntile_cume" ->
+      """SELECT o_orderkey, ntile(4) OVER w AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  round(percent_rank() OVER w, 6) AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_lead_lag" ->
+      """SELECT event_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  lag(value, 2, -1.0) OVER w AS prev2_or_default
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_total,
+        |  count(*) OVER w AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_sliding_rows" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS windowed_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT s_suppkey,
+        |  count(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+        |                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "win_agg_over_partition" ->
+      """SELECT c_custkey,
+        |  count(*) OVER w AS nation_n,
+        |  round(avg(c_acctbal) OVER w, 4) AS nation_avg_bal
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "win_session_number" ->
+      """SELECT event_id, user_id,
+        |  sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_no
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |         THEN 1 ELSE 0 END AS gap_flag
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin)
+}

@@ -44,9 +44,16 @@ def main(sf_dir, out_dir):
     print(f"\n{ok}/{len(results)} pass")
     return 0 if ok == len(results) else 1
 
+def _destructure(df):
+    # array/list columns aren't hashable/sortable in pandas — stringify
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            df[c] = df[c].map(lambda v: json.dumps(np.asarray(v).tolist()) if v is not None else None)
+    return df
+
 def compare(a, b):
-    a = a.reindex(sorted(a.columns), axis=1)
-    b = b.reindex(sorted(b.columns), axis=1)
+    a = _destructure(a.reindex(sorted(a.columns), axis=1))
+    b = _destructure(b.reindex(sorted(b.columns), axis=1))
     if list(a.columns) != list(b.columns):
         return f"SCHEMA_MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
     if len(a) != len(b):
