@@ -15,7 +15,9 @@ object SparkEntry {
     _root_.graft.queries.Tpch,
     _root_.graft.queries.Relational,
     _root_.graft.queries.Windows,
-    _root_.graft.queries.Aggregates)
+    _root_.graft.queries.Aggregates,
+    _root_.graft.queries.Scalars,
+    _root_.graft.queries.Nested)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -39,8 +39,8 @@ object Compat {
     // N-unit add/sub keeping datetime type (reference months_add etc.)
     for ((g, unit) <- Seq("years" -> "YEAR", "months" -> "MONTH", "weeks" -> "WEEK",
         "days" -> "DAY", "hours" -> "HOUR", "minutes" -> "MINUTE", "seconds" -> "SECOND")) {
-      f(s"${g}_add") { es => call("timestampadd", lit(unit), es(1), es(0)) }
-      f(s"${g}_sub") { es => call("timestampadd", lit(unit), neg(es(1)), es(0)) }
+      f(s"${g}_add") { es => TimestampAdd(unit, es(1), Cast(es(0), TimestampType)) }
+      f(s"${g}_sub") { es => TimestampAdd(unit, neg(es(1)), Cast(es(0), TimestampType)) }
     }
     // time_slice(ts, n, unit[, 'floor'|'ceil']) — align to n-unit buckets
     // from epoch (reference time_functions.cpp time_slice).

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import util._
+
+/** Nested types + table functions — reference ARRAY/MAP/STRUCT/JSON
+  * columns (`be/src/column/{array,map,struct}_column.h`,
+  * `be/src/types/json_value.h`), array kernels
+  * (`be/src/exprs/array_functions.cpp`, lambdas
+  * `be/src/exprs/array_map_expr.cpp`), map kernels
+  * (`map_functions.cpp`), JSON (`json_functions.cpp`), and the TVF
+  * surface (`be/src/exprs/table_function/`: unnest, generate_series,
+  * json_each).
+  *
+  * Spark: arrays/maps/structs are native column types; lambdas map to
+  * higher-order functions (transform/filter/aggregate — codegen'd);
+  * unnest ≡ explode/posexplode (Generate operator); generate_series ≡
+  * sequence() + explode.
+  */
+object Nested extends graft.QueryArea {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "arr_basics" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents")
+      d.withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          array_contains(col("words"), "spark").as("has_spark"),
+          array_join(array_sort(array_distinct(col("words"))), ",").as("vocab"),
+          slice(col("words"), 2, 3).as("w2_4"),
+          element_at(col("words"), 1).as("first_w"),
+          element_at(col("words"), -1).as("last_w"),
+          arrays_overlap(col("words"), array(lit("join"), lit("scan"))).as("has_join_scan"),
+          array_join(array_sort(array_intersect(col("words"), array(lit("join"), lit("scan"), lit("sort")))), ",").as("ops_used"),
+          array_position(col("words"), "data").cast("long").as("pos_data"))
+        .orderBy(col("doc_id")).limit(300)
+    }),
+    "arr_higher_order" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents")
+      d.withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          expr("transform(words, w -> length(w))").as("lens"),
+          expr("filter(words, w -> length(w) > 4)").as("long_words"),
+          expr("aggregate(words, 0, (acc, w) -> acc + length(w))").cast("long").as("total_chars"),
+          expr("exists(words, w -> w = 'spark')").as("any_spark"),
+          expr("forall(words, w -> length(w) > 1)").as("all_gt1"),
+          expr("size(filter(words, w -> w like '%a%'))").cast("long").as("n_with_a"))
+        .orderBy(col("doc_id")).limit(300)
+    }),
+    // unnest: one row per word (LEFT JOIN semantics via explode_outer)
+    "tvf_explode_words" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents")
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(30)
+    }),
+    "tvf_posexplode" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents")
+      d.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos1"), col("col").as("word"))
+        .filter(col("pos1") <= 3)
+        .orderBy(col("doc_id"), col("pos1"))
+        .limit(600)
+    }),
+    "tvf_generate_series" -> ((spark, dir) => {
+      // events per day over a generated date spine (empty days kept)
+      val e = t(spark, dir, "events")
+      val spine = spark.range(1).select(explode(sequence(
+        lit("2024-01-01").cast("date"), lit("2024-01-31").cast("date"),
+        expr("interval 1 day"))).as("day"))
+      val daily = e.groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day").cast("timestamp").as("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("day"))
+    }),
+    "map_functions" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents")
+      d.withColumn("m", expr("str_to_map(concat('lang:', lang, ',src:', source, ',len:', n_chars), ',', ':')"))
+        .select(
+          col("doc_id"),
+          map_keys(col("m")).as("ks"),
+          element_at(col("m"), "lang").as("m_lang"),
+          element_at(col("m"), "missing").as("m_missing"),
+          size(col("m")).cast("long").as("m_size"),
+          expr("map_contains_key(m, 'src')").as("has_src"))
+        .orderBy(col("doc_id")).limit(300)
+    }),
+    "struct_functions" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      c.select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("s"))
+        .select(
+          col("c_custkey"),
+          col("s.name").as("sname"),
+          col("s.bal").as("sbal"),
+          to_json(col("s")).as("sjson"))
+        .orderBy(col("c_custkey")).limit(500)
+    }),
+    "json_functions" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      e.select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).getItem("k").cast("long").as("k_via_map"),
+          get_json_object(col("props"), "$.nope").as("missing"),
+          to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("built"))
+        .orderBy(col("event_id")).limit(1000)
+    }),
+    // json_each ≡ explode the parsed map (reference json_each TVF)
+    "tvf_json_each" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      e.select(col("event_id"), explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))))
+        .select(col("event_id"), col("key"), col("value").cast("long").as("value"))
+        .orderBy(col("event_id"), col("key")).limit(1000)
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "arr_basics" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab,
+        |  string_split(text, ' ')[2:4] AS w2_4,
+        |  string_split(text, ' ')[1] AS first_w,
+        |  string_split(text, ' ')[-1] AS last_w,
+        |  list_has_any(string_split(text, ' '), ['join', 'scan']) AS has_join_scan,
+        |  COALESCE(array_to_string(list_sort(list_intersect(string_split(text, ' '), ['join','scan','sort'])), ','), '') AS ops_used,
+        |  CAST(COALESCE(list_position(string_split(text, ' '), 'data'), 0) AS BIGINT) AS pos_data
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "arr_higher_order" ->
+      """SELECT doc_id,
+        |  list_transform(string_split(text, ' '), w -> CAST(length(w) AS INT)) AS lens,
+        |  list_filter(string_split(text, ' '), w -> length(w) > 4) AS long_words,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars,
+        |  len(list_filter(string_split(text, ' '), w -> w = 'spark')) > 0 AS any_spark,
+        |  len(list_filter(string_split(text, ' '), w -> length(w) <= 1)) = 0 AS all_gt1,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w LIKE '%a%')) AS BIGINT) AS n_with_a
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "tvf_explode_words" ->
+      """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 30""".stripMargin,
+    "tvf_posexplode" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS pos1, string_split(text, ' ')[i] AS word
+        |FROM documents, unnest(generate_series(1, len(string_split(text, ' ')))) AS u(i)
+        |WHERE i <= 3
+        |ORDER BY doc_id, pos1 LIMIT 600""".stripMargin,
+    "tvf_generate_series" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)) AS day),
+        |daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT CAST(spine.day AS TIMESTAMP) AS day, COALESCE(daily.n, 0) AS n
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY spine.day""".stripMargin,
+    "map_functions" ->
+      """SELECT doc_id,
+        |  ['lang', 'src', 'len'] AS ks,
+        |  lang AS m_lang,
+        |  NULL AS m_missing,
+        |  CAST(3 AS BIGINT) AS m_size,
+        |  true AS has_src
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "struct_functions" ->
+      """SELECT c_custkey,
+        |  c_name AS sname,
+        |  c_acctbal AS sbal,
+        |  concat('{"name":"', c_name, '","bal":', CAST(c_acctbal AS VARCHAR), '}') AS sjson
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "json_functions" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_map,
+        |  json_extract_string(props, '$.nope') AS missing,
+        |  concat('{"t":"', event_type, '","u":', CAST(user_id AS VARCHAR), '}') AS built
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+    "tvf_json_each" ->
+      """SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+        |FROM events ORDER BY event_id, key LIMIT 1000""".stripMargin)
+}

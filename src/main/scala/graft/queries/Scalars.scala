@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import util._
+
+/** Scalar function surface — reference `gensrc/script/functions.py`
+  * (993 signatures): string (`be/src/exprs/string_functions.cpp`),
+  * date/time (`time_functions.cpp`), math (`math_functions.cpp`),
+  * conditional (`condition_expr.cpp`, `case_expr.cpp`), cast
+  * (`cast_expr.cpp` — MySQL-lenient: bad input → NULL, mirrored by
+  * DuckDB TRY_CAST in the oracles), hash/crypto
+  * (`hash_functions.cpp`, `encryption_functions.cpp`).
+  *
+  * Trig/irrational outputs are rounded on both sides: Java Math and
+  * C libm may differ in the last ulp.
+  */
+object Scalars extends graft.QueryArea {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_functions" -> ((spark, dir) => {
+      val p = t(spark, dir, "part")
+      p.select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub"),
+          substring(col("p_name"), -4, 4).as("sub_neg"),
+          length(col("p_name")).cast("long").as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "#").as("rp"),
+          trim(lit("  pad  ")).as("tr"),
+          reverse(col("p_brand")).as("rev"),
+          repeat(col("p_brand"), 2).as("rep"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
+          instr(col("p_name"), "a").cast("long").as("pos_a"),
+          translate(col("p_brand"), "#", "_").as("transl"),
+          initcap(col("p_type")).as("icap"),
+          ascii(col("p_brand")).cast("long").as("asc"),
+          replace(col("p_type"), lit(" "), lit("-")).as("repl"))
+        .orderBy(col("p_partkey")).limit(500)
+    }),
+    "str_regexp" -> ((spark, dir) => {
+      val p = t(spark, dir, "part")
+      p.select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_token"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          col("p_name").rlike("^[a-m]").as("starts_early"),
+          col("p_type").like("%BRASS%").as("is_brass"),
+          col("p_type").startsWith("STANDARD").as("is_std"),
+          col("p_type").endsWith("TIN").as("is_tin"))
+        .orderBy(col("p_partkey")).limit(500)
+    }),
+    "date_functions" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      o.select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow0"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          date_trunc("month", col("o_orderdate")).as("mstart"),
+          last_day(col("o_orderdate")).cast("timestamp").as("mend"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("timestamp").as("plus30"),
+          add_months(col("o_orderdate").cast("date"), 2).cast("timestamp").as("plus2m"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_end"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"))
+        .orderBy(col("o_orderkey")).limit(1000)
+    }),
+    "date_compat" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT o_orderkey,
+        |  dayname(o_orderdate) AS dname,
+        |  monthname(o_orderdate) AS mname,
+        |  months_add(o_orderdate, 3) AS m3,
+        |  days_sub(o_orderdate, 10) AS d10,
+        |  hours_add(o_orderdate, 5) AS h5,
+        |  time_slice(o_orderdate, 7, 'day') AS slice7d,
+        |  str_to_date('2024-03-05 10:20:30', '%Y-%m-%d %H:%i:%s') AS parsed
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+    "math_functions" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("ad"),
+          round(col("l_extendedprice") * 0.137, 6).as("r1"),
+          round(col("l_extendedprice"), -2).as("rm2"),
+          ceil(col("l_quantity") / 7).cast("long").as("c7"),
+          floor(col("l_quantity") / 7).cast("long").as("f7"),
+          round(sqrt(col("l_extendedprice")), 6).as("sq"),
+          round(ln(col("l_extendedprice") + 1), 6).as("lg"),
+          round(log10(col("l_extendedprice") + 1), 6).as("l10"),
+          round(exp(col("l_discount")), 6).as("ex"),
+          round(pow(col("l_quantity"), 1.5), 4).as("pw"),
+          round(sin(col("l_discount")), 8).as("sn"),
+          round(cos(col("l_discount")), 8).as("cs"),
+          round(atan(col("l_discount")), 8).as("at"),
+          signum(col("l_discount") - 0.05).as("sg"),
+          greatest(col("l_tax"), col("l_discount")).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("ls"),
+          pmod(col("l_orderkey"), lit(97)).as("pm"),
+          (col("l_orderkey") % 97).as("md"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(2000)
+    }),
+    "bit_functions" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT o_orderkey,
+        |  bitand(o_orderkey, 255) AS ba,
+        |  bitor(o_orderkey, 16) AS bo,
+        |  bitxor(o_orderkey, 85) AS bx,
+        |  bitnot(o_orderkey) AS bn,
+        |  bitshiftleft(o_orderkey, 2) AS bsl,
+        |  bitshiftright(o_orderkey, 3) AS bsr
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+    "conditional_functions" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      c.select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high").as("bal_class"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg_or"),
+          expr("if(c_acctbal > 0, 'pos', 'nonpos')").as("if_bal"),
+          expr("ifnull(nullif(c_nationkey, 3), -1)").cast("long").as("ifn"),
+          expr("nvl2(nullif(c_nationkey, 3), 'set', 'null')").as("nvl2"))
+        .orderBy(col("c_custkey"))
+    }),
+    "cast_lenient" -> ((spark, dir) => {
+      val p = t(spark, dir, "part")
+      p.select(
+          col("p_partkey"),
+          concat(lit("x"), col("p_size")).cast("int").as("bad_int"),
+          col("p_size").cast("string").as("as_str"),
+          col("p_retailprice").cast("int").as("trunc_int"),
+          lit("2024-02-30").cast("date").as("bad_date"),
+          lit("123.5").cast("double").as("good_double"),
+          col("p_size").cast("double").as("i2d"))
+        .orderBy(col("p_partkey")).limit(500)
+    }),
+    "hash_crypto" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      c.select(
+          col("c_custkey"),
+          md5(col("c_name")).as("m5"),
+          sha2(col("c_name"), 256).as("s256"),
+          base64(col("c_name").cast("binary")).as("b64"),
+          unbase64(base64(col("c_name").cast("binary"))).cast("string").as("roundtrip"))
+        .orderBy(col("c_custkey")).limit(500)
+    }),
+    "str_money_strcmp" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT c_custkey,
+        |  money_format(c_acctbal) AS money,
+        |  strcmp(c_mktsegment, 'HOUSEHOLD') AS cmp,
+        |  strleft(c_name, 8) AS l8,
+        |  strright(c_name, 4) AS r4,
+        |  null_or_empty(c_name) AS empty1,
+        |  append_trailing_char_if_absent(c_mktsegment, 'G') AS atc
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin)))
+
+  def oracles: Map[String, String] = Map(
+    "str_functions" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_name, 1, 5) AS sub,
+        |  CASE WHEN length(p_name) >= 4 THEN substring(p_name, length(p_name)-3, 4) ELSE substring(p_name, greatest(length(p_name)+(-4)+1,1), 4) END AS sub_neg,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  concat_ws('|', p_brand, p_type) AS cw,
+        |  lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '#') AS rp,
+        |  trim('  pad  ') AS tr, reverse(p_brand) AS rev,
+        |  repeat(p_brand, 2) AS rep,
+        |  split_part(p_type, ' ', 1) AS first_word,
+        |  CAST(instr(p_name, 'a') AS BIGINT) AS pos_a,
+        |  replace(p_brand, '#', '_') AS transl,
+        |  array_to_string(list_transform(string_split(p_type, ' '),
+        |    w -> concat(upper(w[1:1]), lower(w[2:]))), ' ') AS icap,
+        |  CAST(ascii(p_brand) AS BIGINT) AS asc,
+        |  replace(p_type, ' ', '-') AS repl
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+    "str_regexp" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_token,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  regexp_matches(p_name, '^[a-m]') AS starts_early,
+        |  p_type LIKE '%BRASS%' AS is_brass,
+        |  starts_with(p_type, 'STANDARD') AS is_std,
+        |  ends_with(p_type, 'TIN') AS is_tin
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+    "date_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS mend,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS plus30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+    "date_compat" ->
+      """SELECT o_orderkey,
+        |  dayname(o_orderdate) AS dname,
+        |  monthname(o_orderdate) AS mname,
+        |  o_orderdate + INTERVAL 3 MONTH AS m3,
+        |  o_orderdate - INTERVAL 10 DAY AS d10,
+        |  o_orderdate + INTERVAL 5 HOUR AS h5,
+        |  make_timestamp(CAST(floor(epoch(o_orderdate) / (7*86400)) * 7*86400*1000000 AS BIGINT)) AS slice7d,
+        |  TIMESTAMP '2024-03-05 10:20:30' AS parsed
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+    "math_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS ad,
+        |  round(l_extendedprice * 0.137, 6) AS r1,
+        |  round(l_extendedprice, -2) AS rm2,
+        |  CAST(ceil(l_quantity / 7) AS BIGINT) AS c7,
+        |  CAST(floor(l_quantity / 7) AS BIGINT) AS f7,
+        |  round(sqrt(l_extendedprice), 6) AS sq,
+        |  round(ln(l_extendedprice + 1), 6) AS lg,
+        |  round(log10(l_extendedprice + 1), 6) AS l10,
+        |  round(exp(l_discount), 6) AS ex,
+        |  round(pow(l_quantity, 1.5), 4) AS pw,
+        |  round(sin(l_discount), 8) AS sn,
+        |  round(cos(l_discount), 8) AS cs,
+        |  round(atan(l_discount), 8) AS at,
+        |  CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sg,
+        |  greatest(l_tax, l_discount) AS gr,
+        |  least(l_tax, l_discount) AS ls,
+        |  l_orderkey % 97 AS pm,
+        |  l_orderkey % 97 AS md
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000""".stripMargin,
+    "bit_functions" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS ba,
+        |  o_orderkey | 16 AS bo,
+        |  xor(o_orderkey, 85) AS bx,
+        |  ~o_orderkey AS bn,
+        |  o_orderkey << 2 AS bsl,
+        |  o_orderkey >> 3 AS bsr
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+    "conditional_functions" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_class,
+        |  COALESCE(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg_or,
+        |  CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS if_bal,
+        |  CAST(COALESCE(nullif(c_nationkey, 3), -1) AS BIGINT) AS ifn,
+        |  CASE WHEN nullif(c_nationkey, 3) IS NOT NULL THEN 'set' ELSE 'null' END AS nvl2
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "cast_lenient" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(concat('x', p_size) AS INT) AS bad_int,
+        |  CAST(p_size AS VARCHAR) AS as_str,
+        |  CAST(trunc(p_retailprice) AS INT) AS trunc_int,
+        |  TRY_CAST('2024-02-30' AS DATE) AS bad_date,
+        |  CAST('123.5' AS DOUBLE) AS good_double,
+        |  CAST(p_size AS DOUBLE) AS i2d
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+    "hash_crypto" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS m5,
+        |  sha256(c_name) AS s256,
+        |  to_base64(CAST(c_name AS BLOB)) AS b64,
+        |  c_name AS roundtrip
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "str_money_strcmp" ->
+      """SELECT c_custkey,
+        |  concat(CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END,
+        |    format('{:,}', CAST(floor(abs(c_acctbal)) AS BIGINT)), '.',
+        |    lpad(CAST(CAST(round((abs(c_acctbal) - floor(abs(c_acctbal))) * 100) AS BIGINT) AS VARCHAR), 2, '0')) AS money,
+        |  CASE WHEN c_mktsegment < 'HOUSEHOLD' THEN -1 WHEN c_mktsegment = 'HOUSEHOLD' THEN 0 ELSE 1 END AS cmp,
+        |  c_name[1:8] AS l8,
+        |  c_name[-4:] AS r4,
+        |  (c_name IS NULL OR c_name = '') AS empty1,
+        |  CASE WHEN ends_with(c_mktsegment, 'G') THEN c_mktsegment ELSE c_mktsegment || 'G' END AS atc
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin)
+}

@@ -72,6 +72,9 @@ def compare(a, b):
                     i = int(np.argmin(close))
                     return f"VALUE_MISMATCH col={c} row={i} spark={avn[i]} duck={bvn[i]}"
             else:
+                # normalize nulls (None/NaT/NaN stringify differently)
+                av = av.map(lambda v: "<NULL>" if v is None or (isinstance(v, float) and np.isnan(v)) or str(v) in ("NaT", "nan") else str(v))
+                bv = bv.map(lambda v: "<NULL>" if v is None or (isinstance(v, float) and np.isnan(v)) or str(v) in ("NaT", "nan") else str(v))
                 if not av.astype(str).equals(bv.astype(str)):
                     neq = (av.astype(str) != bv.astype(str))
                     i = int(neq.idxmax())
