@@ -140,6 +140,32 @@ object Compat {
     // Spark already ships if/ifnull/nullif/coalesce with matching
     // semantics; nothing to add.
 
+    // --- bitmap (reference: bitmap_functions.cpp, agg/bitmap_union.h) ---
+    f("to_bitmap") { es => graft.functions.agg.ToBitmap(es.head) }
+    f("bitmap_count") { es => graft.functions.agg.BitmapCount(es.head) }
+    f("bitmap_to_array") { es => graft.functions.agg.BitmapToArray(es.head) }
+    f("bitmap_and") { es => graft.functions.agg.BitmapAnd(es.head, es(1)) }
+    f("bitmap_or") { es => graft.functions.agg.BitmapOr(es.head, es(1)) }
+    f("bitmap_xor") { es => graft.functions.agg.BitmapXor(es.head, es(1)) }
+    f("bitmap_union") { es => graft.functions.agg.BitmapUnionAgg(es.head) }
+    // --- sketch aggregates (reference: agg/window_funnel.h, approx_top_k.h) ---
+    f("window_funnel") { es =>
+      val (win, steps) = (es.head, es(3)) match {
+        case (Literal(w, _), Literal(n, _)) =>
+          (w.asInstanceOf[Number].longValue(), n.asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "window_funnel(windowSeconds, ts, step, numSteps): window and numSteps must be literals")
+      }
+      graft.functions.agg.WindowFunnelAgg(Literal(win), es(1), es(2), steps)
+    }
+    f("approx_top_k") { es =>
+      val k = es(1) match {
+        case Literal(n, _) => n.asInstanceOf[Number].intValue()
+        case _ => throw new IllegalArgumentException("approx_top_k k must be a literal")
+      }
+      graft.functions.agg.ApproxTopKAgg(es.head, k)
+    }
+
     // --- vector distance (reference: functions.py:62-72) ---
     f("cosine_similarity") { es => graft.functions.CosineSimilarity(es.head, es(1)) }
     f("l2_distance") { es => graft.functions.L2Distance(es.head, es(1)) }

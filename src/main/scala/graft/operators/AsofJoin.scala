@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ASOF (temporal) join — for each left row, the nearest right row by
+  * time within the same keys.
+  *
+  * Reference: ASOF_INNER / ASOF_LEFT_OUTER join types
+  * (`gensrc/thrift/PlanNodes.thrift:844-845`, hash-map impl
+  * `be/src/exec/join/join_hash_map_asof_inst.cpp`, FE rule
+  * `PushDownAsofJoinTemporalExpressionToChildProject.java`).
+  *
+  * Spark has no built-in ASOF join; a naive range-join would plan a
+  * nested-loop. This implementation is the union+window formulation:
+  * tag both sides, union, then one window pass per key ordered by
+  * (time, side) carrying the last (backward) / next (forward) right
+  * payload to each left row.
+  *
+  * Scale: exactly ONE shuffle (hash by keys) + per-partition sort —
+  * the same cost as a sort-merge join, no quadratic probe. Skewed hot
+  * keys are handled by AQE; tolerance filtering happens post-match so
+  * it's a cheap map.
+  */
+object AsofJoin {
+
+  /** direction = "backward": latest right.ts <= left.ts;
+    * "forward": earliest right.ts >= left.ts.
+    * joinType = "inner" | "left".
+    * toleranceSeconds: optional max |left.ts - right.ts|.
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      direction: String = "backward",
+      joinType: String = "left",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward").contains(direction), s"direction: $direction")
+    require(Seq("inner", "left").contains(joinType), s"joinType: $joinType")
+
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq.filterNot(on.contains)
+
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType(right, rightCols)))
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(rightCols.map(col): _*))
+      .drop(rightCols.filterNot(leftCols.contains): _*)
+
+    val unioned = lTagged.select((on.map(col) ++ leftCols.filterNot(on.contains).map(col) ++
+        Seq(col("__t"), col("__side"), col("__payload"))): _*)
+      .unionByName(
+        rTagged.select((on.map(col) ++ Seq(col("__t"), col("__side"), col("__payload"))): _*),
+        allowMissingColumns = true)
+
+    // backward: right rows sort BEFORE left at equal ts (side 0 < 1) so
+    // ts_right == ts_left matches; forward symmetric with side flipped.
+    val w = direction match {
+      case "backward" =>
+        Window.partitionBy(on.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      case "forward" =>
+        Window.partitionBy(on.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    }
+    val matchFn = if (direction == "backward") last(col("__payload"), ignoreNulls = true)
+      else first(col("__payload"), ignoreNulls = true)
+
+    val matched = unioned.withColumn("__m", matchFn.over(w))
+      .filter(col("__side") === 1)
+
+    val withTol = toleranceSeconds match {
+      case Some(tol) =>
+        val dt = abs(col("__t").cast("long") - col("__m").getField(rightTime).cast("long"))
+        matched.withColumn("__m", when(dt <= tol, col("__m")))
+      case None => matched
+    }
+
+    val out = withTol.select(
+      leftCols.map(col) ++
+        rightCols.map(c => col("__m").getField(c).as(c)): _*)
+
+    if (joinType == "inner") out.filter(col(rightCols.head).isNotNull.or(
+      rightCols.map(c => col(c).isNotNull).reduce(_ || _)))
+    else out
+  }
+
+  private def payloadType(right: DataFrame, cols: Seq[String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(cols.map(c => right.schema(c)))
+}

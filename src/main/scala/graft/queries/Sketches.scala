@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, Ops}
+import util._
+
+/** Custom aggregate + temporal operator surface: window_funnel,
+  * retention, approx_top_k, bitmap_*, sum_map, histogram, ASOF join,
+  * Mann-Whitney U (reference kernels cited in the implementing
+  * classes; MW: `be/src/exprs/agg/mann_whitney.h`).
+  */
+object Sketches extends graft.QueryArea {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // funnel signup → purchase → share within 7 days, per user; then
+    // distribution of depths
+    "funnel_events" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val step = when(col("event_type") === "signup", 0)
+        .when(col("event_type") === "click", 1)
+        .when(col("event_type") === "purchase", 2)
+        .otherwise(-1)
+      e.groupBy(col("user_id"))
+        .agg(Ops.windowFunnel(7L * 86400, col("ts"), step, 3).as("depth"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("depth"))
+    }),
+    "retention_events" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      e.groupBy(col("user_id"))
+        .agg(Ops.retention(Seq(
+          col("event_type") === "signup",
+          col("event_type") === "purchase",
+          col("event_type") === "error")).as("r"))
+        .select(col("user_id"), col("r")(0).as("r0"), col("r")(1).as("r1"), col("r")(2).as("r2"))
+        .orderBy(col("user_id"))
+    }),
+    "approx_top_k_words" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents")
+      d.select(explode(split(col("text"), " ")).as("word"))
+        .agg(Ops.approxTopK(col("word"), 10, 4096).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+    "bitmap_distinct" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(Ops.bitmapUnionCount(col("l_partkey")).as("nd_part_bitmap"),
+          countDistinct(col("l_partkey")).as("nd_part_exact"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "bitmap_ops" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val byFlag = li.groupBy(col("l_returnflag"))
+        .agg(Ops.bitmapUnion(col("l_partkey")).as("bm"))
+      val a = byFlag.filter(col("l_returnflag") === "A").select(col("bm").as("bm_a"))
+      val r = byFlag.filter(col("l_returnflag") === "R").select(col("bm").as("bm_r"))
+      a.crossJoin(r).select(
+        Ops.bitmapCount(Ops.bitmapAnd(col("bm_a"), col("bm_r"))).as("n_and"),
+        Ops.bitmapCount(Ops.bitmapOr(col("bm_a"), col("bm_r"))).as("n_or"),
+        Ops.bitmapCount(Ops.bitmapXor(col("bm_a"), col("bm_r"))).as("n_xor"))
+    }),
+    "sum_map_events" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val mapped = e.select(col("user_id"),
+        map(col("event_type"), col("value").cast("decimal(18,6)")).as("m"))
+      Ops.sumMap(mapped, Seq("user_id"), "m")
+        .select(col("user_id"),
+          to_json(transform_values(col("sum_map"), (_, v) => v.cast("double"))).as("sums"))
+        .orderBy(col("user_id"))
+    }),
+    "histogram_prices" -> ((spark, dir) => {
+      Ops.histogram(t(spark, dir, "orders"), "o_totalprice", 10, 0.0, 400000.0)
+        .select(col("bucket"), col("n"), col("bucket_lo"),
+          col("lo_seen"), col("hi_seen"))
+    }),
+    // ASOF backward: each purchase matched to the user's latest prior signup
+    "asof_backward" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
+      AsofJoin.asof(purchases, signups, Seq("user_id"), "ts", "signup_ts",
+          direction = "backward", joinType = "left")
+        .select(col("event_id"), col("user_id"), col("signup_id"))
+        .orderBy(col("event_id"))
+    }),
+    // ASOF forward: each signup matched to the user's next error event
+    "asof_forward" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+      AsofJoin.asof(signups, errors, Seq("user_id"), "ts", "err_ts",
+          direction = "forward", joinType = "left")
+        .select(col("event_id"), col("user_id"), col("err_id"))
+        .orderBy(col("event_id"))
+    }),
+    // Mann-Whitney U (composed from rank windows; reference
+    // be/src/exprs/agg/mann_whitney.h) comparing prices of returnflag
+    // A vs R
+    "mann_whitney_u" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH pool AS (
+        |  SELECT l_extendedprice AS v, CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS grp
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |ranked AS (
+        |  SELECT grp, CAST(rank() OVER (ORDER BY v) AS DOUBLE)
+        |    + (CAST(count(*) OVER (PARTITION BY v) AS DOUBLE) - 1) / 2.0 AS r
+        |  FROM pool)
+        |SELECT
+        |  round(sum(CASE WHEN grp = 1 THEN r ELSE 0 END)
+        |    - (sum(grp) * (sum(grp) + 1)) / 2.0, 4) AS u1,
+        |  sum(grp) AS n1, count(*) - sum(grp) AS n2
+        |FROM ranked""".stripMargin)))
+
+  def oracles: Map[String, String] = Map(
+    // greedy-chain funnel mirrored in SQL (see WindowFunnelAgg scaladoc)
+    "funnel_events" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(ts) AS ts0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id, min(e.ts) AS ts1 FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t0.ts0
+        |    AND e.ts <= t0.ts0 + INTERVAL 7 DAY GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+        |  JOIN t0 ON e.user_id = t0.user_id JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t1.ts1
+        |    AND e.ts <= t0.ts0 + INTERVAL 7 DAY GROUP BY e.user_id),
+        |depths AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t2.user_id IS NOT NULL THEN 3
+        |         WHEN t1.user_id IS NOT NULL THEN 2
+        |         WHEN t0.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN t0 ON u.user_id = t0.user_id
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id)
+        |SELECT CAST(depth AS INT) AS depth, count(*) AS n_users FROM depths
+        |GROUP BY depth ORDER BY depth""".stripMargin,
+    "retention_events" ->
+      """SELECT user_id,
+        |  bool_or(event_type = 'signup') AS r0,
+        |  bool_or(event_type = 'signup') AND bool_or(event_type = 'purchase') AS r1,
+        |  bool_or(event_type = 'signup') AND bool_or(event_type = 'error') AS r2
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "approx_top_k_words" ->
+      """SELECT word AS item, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+    "bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part_bitmap,
+        |  count(DISTINCT l_partkey) AS nd_part_exact
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "bitmap_ops" ->
+      """WITH a AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+        |     r AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT
+        |  (SELECT count(*) FROM a JOIN r USING (k)) AS n_and,
+        |  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS n_or,
+        |  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r))
+        |    - (SELECT count(*) FROM a JOIN r USING (k)) AS n_xor""".stripMargin,
+    "sum_map_events" ->
+      """SELECT user_id,
+        |  concat('{"', string_agg(concat(event_type, '":', CAST(CAST(s AS DOUBLE) AS VARCHAR)), ',"' ORDER BY event_type), '}') AS sums
+        |FROM (
+        |  SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(18,6))) AS s
+        |  FROM events GROUP BY user_id, event_type)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "histogram_prices" ->
+      """SELECT CAST(floor(o_totalprice / 40000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(floor(o_totalprice / 40000.0) AS BIGINT) * 40000.0 AS bucket_lo,
+        |  min(o_totalprice) AS lo_seen, max(o_totalprice) AS hi_seen
+        |FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 400000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "asof_backward" ->
+      """SELECT p.event_id, p.user_id, s.signup_id
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+        |                FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_forward" ->
+      """SELECT s.event_id, s.user_id, e.err_id
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, event_id AS err_id
+        |                FROM events WHERE event_type = 'error') e
+        |ON s.user_id = e.user_id AND s.ts <= e.err_ts
+        |ORDER BY s.event_id""".stripMargin,
+    "mann_whitney_u" ->
+      """WITH pool AS (
+        |  SELECT l_extendedprice AS v, CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS grp
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |ranked AS (
+        |  SELECT grp, CAST(rank() OVER (ORDER BY v) AS DOUBLE)
+        |    + (CAST(count(*) OVER (PARTITION BY v) AS DOUBLE) - 1) / 2.0 AS r
+        |  FROM pool)
+        |SELECT
+        |  round(sum(CASE WHEN grp = 1 THEN r ELSE 0 END)
+        |    - (sum(grp) * (sum(grp) + 1)) / 2.0, 4) AS u1,
+        |  CAST(sum(grp) AS BIGINT) AS n1,
+        |  CAST(count(*) - sum(grp) AS BIGINT) AS n2
+        |FROM ranked""".stripMargin)
+}
