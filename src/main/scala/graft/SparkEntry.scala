@@ -18,7 +18,8 @@ object SparkEntry {
     _root_.graft.queries.Aggregates,
     _root_.graft.queries.Scalars,
     _root_.graft.queries.Nested,
-    _root_.graft.queries.Sketches)
+    _root_.graft.queries.Sketches,
+    _root_.graft.queries.Pipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

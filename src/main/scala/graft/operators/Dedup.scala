@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * The reference's dedup surface is PRIMARY/UNIQUE key tables
+  * (`fe/fe-parser/.../KeysType.java`) — exact dedup at ingest. The
+  * fuzzy family (MinHash/SimHash/n-gram Jaccard/embedding cosine) is
+  * the standard LLM-corpus extension built on the same engine
+  * primitives (hash, groupBy, join).
+  *
+  * Scale design: every method is shuffle-bounded —
+  *  - exact: one hash aggregation on the dedup key;
+  *  - minhash-LSH: signatures are computed scan-side (codegen'd
+  *    higher-order functions, no UDF), candidates only materialize
+  *    within LSH bands (shuffle keyed by (band, signature) — skew-safe
+  *    because a band bucket caps at near-duplicate cluster size);
+  *  - simhash: 64-bit signature, banded by 16-bit chunks;
+  *  - embedding: cosine pairs restricted to LSH buckets (see
+  *    Similarity) or exact hash of quantized vectors.
+  * Nothing does an all-pairs cross join.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per key (lowest orderBy value) —
+    * equivalent to reading a PRIMARY KEY table merge-on-read. */
+  def exact(df: DataFrame, keys: Seq[String], orderBy: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderBy))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MinHash signature: for seed i, min over shingles of
+    * xxhash64(seed_i, shingle). All codegen'd — no UDF. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash + LSH near-duplicate PAIRS: returns (id_a, id_b,
+    * n_shared_bands) for candidates sharing >= 1 band, with ids
+    * ordered a < b. bands * rowsPerBand must == numHashes. */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    val sig = df.select(col(idCol).as("__id"),
+      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes).as("__sig"))
+    // explode band signatures: band index + hash of that band's slice
+    val banded = sig.select(col("__id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col("__sig")(b * rowsPerBand + r)): _*))
+      }: _*))).withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bandsig")
+    val l = banded.select(col("__band"), col("__bandsig"), col("__id").as("id_a"))
+    val r = banded.select(col("__band"), col("__bandsig"), col("__id").as("id_b"))
+    l.join(r, Seq("__band", "__bandsig"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Word n-gram shingles joined back to strings (helper). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    array_distinct(filter(
+      transform(words, (_, i) =>
+        when(i <= size(words) - n,
+          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
+        .otherwise(null)),
+      c => c.isNotNull))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (verify stage
+    * after LSH): |A ∩ B| / |A ∪ B| over word n-grams. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** MinHash-LSH dedup end to end: candidates → Jaccard verify →
+    * keep the lowest id of each near-duplicate group. */
+  def minhashDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    val sh = df.select(col(idCol).as("__vid"), wordShingles(col(textCol), shingleSize).as("__sh"))
+    val verified = pairs
+      .join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))
+      .filter(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // drop every id that has a smaller near-duplicate partner
+    val losers = verified.select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash from word hashes — weighted sign aggregation over
+    * the 64 bit positions, composed from higher-order functions.
+    * (ShiftRight/ShiftLeft built directly as Catalyst expressions —
+    * the Scala functions API only exposes Int shifts.) */
+  def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+    import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+    def shr(a: Column, b: Column) = C(ShiftRight(E(a), E(b.cast("int"))))
+    def shl(a: Column, b: Column) = C(ShiftLeft(E(a), E(b.cast("int"))))
+    val words = split(text, "\\s+")
+    val hashes = transform(words, w => xxhash64(w))
+    // for each bit: sum(+1/-1) over words; bit set if sum > 0
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0, 1L)
+        .otherwise(0L))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => shl(bit, i)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup candidate pairs: band the 64-bit signature into
+    * 4 × 16-bit chunks; pairs sharing any chunk are candidates, then
+    * verified by Hamming distance <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+    val banded = sigs.select(col("__id"), col("__sig"), posexplode(array(
+      (0 until 4).map(b => shiftright(col("__sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")
+    val l = banded.select(col("__band"), col("__chunk"), col("__id").as("id_a"), col("__sig").as("__sig_a"))
+    val r = banded.select(col("__band"), col("__chunk"), col("__id").as("id_b"), col("__sig").as("__sig_b"))
+    l.join(r, Seq("__band", "__chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicates: exact duplicates via quantized-vector
+    * hash, near-duplicates via cosine >= threshold within LSH buckets
+    * (delegates to Similarity.lshBuckets). */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val bucketed = Similarity.withLshBucket(df, vecCol, planes, seed)
+    val l = bucketed.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__v_a"))
+    val r = bucketed.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__v_b"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine_similarity(col("__v_a"), col("__v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

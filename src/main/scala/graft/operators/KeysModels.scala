@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table keys models + DML rewrites.
+  *
+  * Reference: `fe/fe-parser/.../sql/ast/KeysType.java` — DUP_KEYS
+  * (append), PRIMARY/UNIQUE_KEYS (upsert), AGG_KEYS (fold on ingest);
+  * DML planners `InsertPlanner`/`UpdatePlanner`/`DeletePlanner`/
+  * `MergeIntoPlanner` (`sql/StatementPlanner.java:169-177`).
+  *
+  * Spark mapping: tables are parquet directories. PRIMARY KEY reads
+  * are merge-on-read (latest version per key wins — one window, one
+  * shuffle); AGG KEYS fold is a groupBy on write. UPDATE/DELETE/MERGE
+  * rewrite the affected files (read → transform → atomic directory
+  * swap), which is exactly the copy-on-write lake pattern.
+  */
+object KeysModels {
+
+  /** Merge-on-read view of a PRIMARY KEY table: latest version per
+    * key; rows whose latest version has deleteCol=true are dropped. */
+  def upsertView(df: DataFrame, keys: Seq[String], versionCol: String,
+      deleteCol: Option[String] = None): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    val latest = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    deleteCol.map(d => latest.filter(!col(d)).drop(d)).getOrElse(latest)
+  }
+
+  /** AGG KEYS fold: collapse rows to one per key with the given
+    * aggregate exprs (applied at ingest for an AGG table). */
+  def aggFold(df: DataFrame, keys: Seq[String],
+      aggs: Map[String, String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(aggs)
+
+  /** UPDATE table_dir SET (via rewrite): returns the new DataFrame;
+    * caller persists with atomicOverwrite. */
+  def update(df: DataFrame, condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    assignments.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, when(condition, v).otherwise(col(c)))
+    }
+
+  /** DELETE via rewrite. */
+  def delete(df: DataFrame, condition: org.apache.spark.sql.Column): DataFrame =
+    df.filter(!condition)
+
+  /** MERGE INTO target USING source ON keys: source rows upsert
+    * (update-on-match, insert-on-no-match). Both sides must share the
+    * schema; `versionCol` breaks ties (source wins). */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val tagged = target.withColumn("__src", lit(0))
+      .unionByName(source.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
+  /** Atomic directory swap write: write to tmp, swap — the poor-man's
+    * txn commit matching the reference's publish-version step
+    * (`transaction/` 2PC → visible version). */
+  def atomicOverwrite(df: DataFrame, dir: String): Unit = {
+    val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak-" + System.nanoTime())
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (fs.exists(bak)) fs.delete(bak, true)
+  }
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, KeysModels, Similarity, TextAnalysis}
+import util._
+
+/** Training-data pipeline surface: dedup family, similarity search,
+  * text analysis, keys-model upsert/merge (operators under
+  * `graft.operators`; reference anchors cited there).
+  *
+  * Near-dup queries plant duplicates by unioning mutated copies of
+  * `documents`, so the operators have real work at every SF.
+  */
+object Pipeline extends graft.QueryArea {
+
+  /** documents ∪ mutated copies (id+100000, first word swapped) ∪
+    * exact copies (id+200000). */
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("zzz "), col("text")).as("text"))
+    val exact = d.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    d.unionByName(near).unionByName(exact)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((spark, dir) => {
+      val docs = plantedDocs(spark, dir)
+      Dedup.exact(docs, Seq("text"), "doc_id")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_fingerprint_pairs" -> ((spark, dir) => {
+      // equal-fingerprint pairs == equal normalized-text pairs
+      val docs = plantedDocs(spark, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val l = docs.select(col("fp"), col("doc_id").as("id_a"))
+      val r = docs.select(col("fp"), col("doc_id").as("id_b"))
+      l.join(r, Seq("fp")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // LSH candidates verified by n-gram Jaccard — emits surviving ids.
+    // Hash-dependent candidate generation → rows-only driver check;
+    // quality asserted in ScalaTest (planted dups must be removed).
+    "dedup_minhash" -> ((spark, dir) => {
+      val docs = plantedDocs(spark, dir)
+      Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    "dedup_simhash_pairs" -> ((spark, dir) => {
+      val docs = plantedDocs(spark, dir)
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // candidate pairs from a SQL-expressible blocking key, verified by
+    // exact 3-gram Jaccard — fully oracle-checked
+    "dedup_ngram_jaccard" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents")
+        .withColumn("sh", Dedup.wordShingles(col("text"), 3))
+        .select(col("doc_id"), col("lang"), col("source"), col("sh"))
+      val l = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      l.join(r, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b") && col("id_b") - col("id_a") < 40)
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "sim_bruteforce_topk" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          queriesDf, "qid", "qvec", k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+    // approximate ANN — rows-only for the driver; recall vs brute
+    // force asserted in ScalaTest
+    "sim_lsh_topk" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          queriesDf, "qid", "qvec", k = 5, planes = 8, tables = 4)
+        .orderBy(col("qid"), col("rk"))
+    }),
+    "sim_l2_pairs" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      val a = emb.filter(col("vec_id") < 20).select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.filter(col("vec_id").between(20, 39)).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b)
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.VectorFunctions.l2_distance(col("va"), col("vb")), 5).as("l2"),
+          round(graft.functions.VectorFunctions.dot_product(col("va"), col("vb")), 5).as("dot"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "text_profile" -> ((spark, dir) => {
+      TextAnalysis.profile(t(spark, dir, "documents"), "doc_id", "text")
+        .drop("fp")
+        .orderBy(col("doc_id"))
+    }),
+    "keys_primary_upsert" -> ((spark, dir) => {
+      // simulate a PRIMARY KEY table: base orders (v1) + price updates
+      // (v2) for odd keys + delete markers (v3) for keys % 100 == 0
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val base = o.withColumn("v", lit(1)).withColumn("del", lit(false))
+      val updates = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+        .withColumn("v", lit(2)).withColumn("del", lit(false))
+      val deletes = o.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("v", lit(3)).withColumn("del", lit(true))
+      KeysModels.upsertView(base.unionByName(updates).unionByName(deletes),
+          Seq("o_orderkey"), "v", deleteCol = Some("del"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("v"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "keys_merge_into" -> ((spark, dir) => {
+      val target = t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val source = t(spark, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 1000).as("c_acctbal"))
+        .unionByName(spark.createDataFrame(Seq((9999999L, 42.0))).toDF("c_custkey", "c_acctbal"))
+      KeysModels.mergeInto(target, source, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }))
+
+  def oracles: Map[String, String] = {
+    val planted =
+      """planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, concat('zzz ', text) FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 1)""".stripMargin
+    Map(
+    "dedup_exact" ->
+      s"""WITH $planted
+        |SELECT min(doc_id) AS doc_id FROM planted GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_fingerprint_pairs" ->
+      s"""WITH $planted,
+        |norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM planted)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM norm a JOIN norm b ON a.nt = b.nt AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |      i -> concat(string_split(text, ' ')[i], ' ',
+        |                  string_split(text, ' ')[i+1], ' ',
+        |                  string_split(text, ' ')[i+2]))) AS g
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jac
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+        |  AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id < 40
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM c CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, round(cos, 6) AS cos, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "sim_l2_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS l2,
+        |  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS dot
+        |FROM embeddings a CROSS JOIN embeddings b
+        |WHERE a.vec_id < 20 AND b.vec_id BETWEEN 20 AND 39
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_profile" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, text,
+        |    string_split(lower(trim(text)), ' ') AS lw,
+        |    string_split(trim(text), ' ') AS tw
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, tw,
+        |    list_sort([
+        |      struct_pack(h := len(list_intersect(lw, ${sqlList(TextAnalysis.stopwords("de"))})), l := 'de'),
+        |      struct_pack(h := len(list_intersect(lw, ${sqlList(TextAnalysis.stopwords("en"))})), l := 'en'),
+        |      struct_pack(h := len(list_intersect(lw, ${sqlList(TextAnalysis.stopwords("es"))})), l := 'es'),
+        |      struct_pack(h := len(list_intersect(lw, ${sqlList(TextAnalysis.stopwords("fr"))})), l := 'fr')
+        |    ])[-1] AS best,
+        |    len(list_intersect(lw, ${sqlList(TextAnalysis.stopwords("en"))})) AS en_hits
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN best.h > 0 THEN best.l ELSE 'und' END AS lang_detected,
+        |  round(least(greatest(
+        |    least(len(tw) / 64.0, 1.0) * 0.3
+        |    + (CASE WHEN length(text) * 1.0 / greatest(len(tw), 1) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / greatest(length(text), 1) * 0.3
+        |    + least(en_hits * 1.0 / greatest(len(tw), 1) * 5.0, 1.0) * 0.2,
+        |    0.0), 1.0), 6) AS quality,
+        |  CAST(len(tw) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9'']+'), p -> p != ''))
+        |    + length(regexp_replace(text, '[A-Za-z0-9''\\s]', '', 'g'))
+        |    + list_sum(list_transform(tw, x -> CAST(greatest(ceil((length(x) - 6) / 6.0), 0) AS BIGINT)))
+        |    AS BIGINT) AS n_tokens_bpe
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "keys_primary_upsert" ->
+      """WITH versions AS (
+        |  SELECT o_orderkey, o_totalprice, 1 AS v, false AS del FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, 2, false FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 3, true FROM orders WHERE o_orderkey % 100 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+        |  FROM versions)
+        |SELECT o_orderkey, o_totalprice, v FROM latest WHERE rn = 1 AND NOT del
+        |ORDER BY o_orderkey""".stripMargin,
+    "keys_merge_into" ->
+      """WITH source AS (
+        |  SELECT c_custkey, c_acctbal + 1000 AS c_acctbal FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL SELECT 9999999, 42.0),
+        |merged AS (
+        |  SELECT c_custkey, c_acctbal, 0 AS src FROM customer
+        |  UNION ALL SELECT c_custkey, c_acctbal, 1 FROM source),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY src DESC) AS rn FROM merged)
+        |SELECT c_custkey, c_acctbal FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin)
+  }
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+}
