@@ -13,13 +13,16 @@ object SparkEntry {
 
   private def areas: Seq[QueryArea] = Seq(
     _root_.graft.queries.Tpch,
+    _root_.graft.queries.Tpch2,
     _root_.graft.queries.Relational,
     _root_.graft.queries.Windows,
     _root_.graft.queries.Aggregates,
     _root_.graft.queries.Scalars,
     _root_.graft.queries.Nested,
     _root_.graft.queries.Sketches,
-    _root_.graft.queries.Pipeline)
+    _root_.graft.queries.Pipeline,
+    _root_.graft.queries.StreamingQ,
+    _root_.graft.queries.MultimodalQ)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

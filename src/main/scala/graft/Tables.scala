@@ -26,8 +26,10 @@ object Tables {
     // TimestampType (values are µs-aligned, so this is lossless).
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
+        // integral `div`, NOT `/`: double division of an ~1.7e18 ns
+        // value loses up to 256 ns (ulp) before truncation
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast(org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
       case None => df
     }
   }

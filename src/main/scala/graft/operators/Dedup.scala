@@ -35,7 +35,15 @@ object Dedup {
   }
 
   /** MinHash signature: for seed i, min over shingles of
-    * xxhash64(seed_i, shingle). All codegen'd — no UDF. */
+    * xxhash64(seed_i, shingle).
+    *
+    * PERFORMANCE: higher-order functions run interpreted (no codegen),
+    * and an interpreted lambda re-evaluates any non-attribute subtree
+    * it closes over PER ELEMENT. Pass an *attribute* (a projected
+    * column), never an inline `wordShingles(...)` expression — the
+    * expression would be duplicated `numHashes` times and re-computed
+    * per hash. Single pass here: one transform to per-shingle hash
+    * seeds, then numHashes array_mins over that attribute-sized array. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
@@ -49,8 +57,11 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes).as("__sig"))
+    // layered projections: shingles materialize once per row, the
+    // signature reads the attribute (see minhashSignature perf note)
+    val sig = df
+      .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleSize).as("__sh"))
+      .select(col("__id"), minhashSignature(col("__sh"), numHashes).as("__sig"))
     // explode band signatures: band index + hash of that band's slice
     val banded = sig.select(col("__id"), posexplode(
       array((0 until bands).map { b =>
@@ -65,15 +76,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** Word n-gram shingles joined back to strings (helper). */
+  /** Word n-gram shingles joined back to strings (helper).
+    *
+    * Built as a chain of `zip_with(acc, slice(words, k, ...), concat)`
+    * sliding windows: every `split`/`slice` is a CHILD of a
+    * higher-order function (evaluated once per row), never inside a
+    * lambda body (which interpreted HOFs re-evaluate per element —
+    * the naive `element_at(words, i+j)` formulation costs O(len)
+    * regex splits per row). zip_with pads the shorter side with null
+    * and `concat` null-propagates, so trailing partial windows drop
+    * out in the final filter. */
   def wordShingles(text: Column, n: Int): Column = {
     val words = split(text, "\\s+")
-    array_distinct(filter(
-      transform(words, (_, i) =>
-        when(i <= size(words) - n,
-          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
-        .otherwise(null)),
-      c => c.isNotNull))
+    val grams = (2 to n).foldLeft(words) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k), greatest(size(words) - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(grams, c => c.isNotNull))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs (verify stage
@@ -105,20 +124,27 @@ object Dedup {
   /** 64-bit SimHash from word hashes — weighted sign aggregation over
     * the 64 bit positions, composed from higher-order functions.
     * (ShiftRight/ShiftLeft built directly as Catalyst expressions —
-    * the Scala functions API only exposes Int shifts.) */
+    * the Scala functions API only exposes Int shifts.)
+    *
+    * Single pass over the words: fold word hashes into a 64-wide
+    * counter array (`zip_with` inside the fold touches only lambda
+    * variables), then collapse signs to bits. The per-bit formulation
+    * (64 aggregates, each closing over the hash array expression)
+    * re-evaluates split+xxhash 64× per row under interpreted HOFs. */
   def simhash64(text: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
     import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
     def shr(a: Column, b: Column) = C(ShiftRight(E(a), E(b.cast("int"))))
     def shl(a: Column, b: Column) = C(ShiftLeft(E(a), E(b.cast("int"))))
-    val words = split(text, "\\s+")
-    val hashes = transform(words, w => xxhash64(w))
-    // for each bit: sum(+1/-1) over words; bit set if sum > 0
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0, 1L)
-        .otherwise(0L))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => shl(bit, i)),
+    val hashes = transform(split(text, "\\s+"), w => xxhash64(w))
+    val zeros = array_repeat(lit(0L), 64)
+    val bitIdx = sequence(lit(0L), lit(63L))
+    // counts[b] = Σ over words of (+1 if bit b set else -1)
+    val counts = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, transform(bitIdx, b =>
+          when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (a, d) => a + d))
+    aggregate(zip_with(counts, bitIdx, (c, i) => when(c > 0, shl(lit(1L), i)).otherwise(0L)),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 

@@ -63,17 +63,28 @@ object Similarity {
   }
 
   /** LSH ANN top-k: like bruteForceTopK but only pairs sharing an LSH
-    * bucket are scored. Multi-probe via `tables` independent
-    * hash tables to boost recall. */
+    * bucket are scored. Recall comes from two knobs: `tables`
+    * independent hash tables, and `probes` — multi-probe LSH (Lv et
+    * al., VLDB'07): each QUERY also probes the buckets within Hamming
+    * distance <= probes of its signature. Probing expands only the
+    * broadcast query side ((1 + planes) rows per query at probes=1);
+    * the corpus keeps exactly one bucket per row per table, so the
+    * 100 TB side is still scanned/bucketed once. */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, planes: Int = 10, tables: Int = 3, seed: Long = 42L): DataFrame = {
+      k: Int, planes: Int = 10, tables: Int = 3, probes: Int = 1,
+      seed: Long = 42L): DataFrame = {
     val scored = (0 until tables).map { t =>
       val cb = withLshBucket(corpus, corpusVec, planes, seed + t)
         .select(col("__bucket"), col(corpusId), col(corpusVec))
-      val qb = withLshBucket(queries, queryVec, planes, seed + t)
-        .select(col("__bucket"), col(queryId), col(queryVec))
+      val qb0 = withLshBucket(queries, queryVec, planes, seed + t)
+      val probeBuckets =
+        if (probes <= 0) array(col("__bucket"))
+        else array(col("__bucket") +:
+          (0 until planes).map(b => col("__bucket").bitwiseXOR(lit(1L << b))): _*)
+      val qb = qb0
+        .select(explode(probeBuckets).as("__bucket"), col(queryId), col(queryVec))
       cb.join(broadcast(qb), Seq("__bucket"))
         .select(col(queryId), col(corpusId),
           cosine_similarity(col(corpusVec), col(queryVec)).as("cos"))

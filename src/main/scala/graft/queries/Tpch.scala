@@ -40,8 +40,8 @@ object Tpch extends graft.QueryArea {
     // TPC-H Q6: selective filter + single-row agg (tests pushdown).
     "q6_forecast_revenue" -> ((spark, dir) => {
       val li = Tables.load(spark, dir, "lineitem")
-      li.filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+      li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
     }),
@@ -49,9 +49,9 @@ object Tpch extends graft.QueryArea {
     "q3_shipping_priority" -> ((spark, dir) => {
       val cust = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.load(spark, dir, "orders")
-        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
       val li = Tables.load(spark, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -66,8 +66,8 @@ object Tpch extends graft.QueryArea {
       val cust = Tables.load(spark, dir, "customer")
       val supp = Tables.load(spark, dir, "supplier")
       val ord = Tables.load(spark, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       val li = Tables.load(spark, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -84,8 +84,8 @@ object Tpch extends graft.QueryArea {
       val cust = Tables.load(spark, dir, "customer")
       val nation = Tables.load(spark, dir, "nation")
       val ord = Tables.load(spark, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1993-10-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1994-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       val li = Tables.load(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -129,15 +129,15 @@ object Tpch extends graft.QueryArea {
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
-        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-03-15'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier_volume" ->
@@ -149,8 +149,8 @@ object Tpch extends graft.QueryArea {
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1994-01-01'
-        |  AND o_orderdate < TIMESTAMP '1995-01-01'
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
@@ -159,8 +159,8 @@ object Tpch extends graft.QueryArea {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1993-10-01'
-        |  AND o_orderdate < TIMESTAMP '1994-01-01'
+        |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q18_large_volume_customer" ->

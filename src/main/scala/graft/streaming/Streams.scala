@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Streaming ingest + incremental computation.
+  *
+  * Reference surface (SURVEY.md §2.10): Routine Load (continuous
+  * Kafka → table micro-batches, `load/routineload/KafkaRoutineLoadJob
+  * .java`), Stream Load (batch HTTP ingest), incremental MV refresh
+  * (`catalog/MaterializedView.java:199-212`, STREAM_AGG plan nodes).
+  *
+  * Spark mapping: Structured Streaming end to end —
+  *  - routine load ≡ `readStream` (kafka/file source) → `writeStream`
+  *    into a parquet table with checkpointing (exactly-once to files);
+  *  - incremental MV ≡ a streaming agg writing an AGG-keys table in
+  *    update mode;
+  *  - event-time windows + late data ≡ `window()`/`session_window()`
+  *    with `withWatermark`.
+  * These helpers keep the transforms identical between batch and
+  * stream (same Column exprs), which is what makes the batch oracles
+  * in `queries.Streaming` meaningful for the streaming path (tested in
+  * StreamingSpec with Trigger.AvailableNow).
+  */
+object Streams {
+
+  /** File-based routine-load: watch a directory of parquet drops. */
+  def readTableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/${table}_stream/")
+  }
+
+  /** Tumbling-window event counts + value sums (event time, 1h). */
+  def tumblingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming dedup on a key with watermark (PRIMARY-key-table
+    * ingest semantics: first write wins within the watermark). */
+  def streamingDedup(df: DataFrame, keys: Seq[String], watermark: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermark).dropDuplicates(keys :+ "ts")
+
+  /** Incremental-MV writer: stream an aggregation into a parquet dir
+    * in append mode per completed window (the Structured-Streaming
+    * equivalent of an ASYNC incremental MV refresh). */
+  def mvWriter(agg: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+}

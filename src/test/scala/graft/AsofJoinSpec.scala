@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 10:05:00"), 101.0),
+    ("A", ts("2024-01-01 10:10:00"), 102.0),
+    ("B", ts("2024-01-01 10:02:00"), 50.0)
+  ).toDF("sym", "qts", "price")
+
+  private val trades = Seq(
+    ("A", ts("2024-01-01 10:03:00"), 1L),  // matches 10:00 quote
+    ("A", ts("2024-01-01 10:05:00"), 2L),  // equal ts matches 10:05
+    ("A", ts("2024-01-01 09:59:00"), 3L),  // before any quote → null
+    ("B", ts("2024-01-01 11:00:00"), 4L),  // matches B 10:02
+    ("C", ts("2024-01-01 10:00:00"), 5L)   // no right key → null
+  ).toDF("sym", "tts", "trade_id")
+
+  test("backward asof picks latest earlier-or-equal right row") {
+    val r = AsofJoin.asof(trades, quotes, Seq("sym"), "tts", "qts")
+      .select($"trade_id", $"price").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(r(1L) === 100.0)
+    assert(r(2L) === 101.0)
+    assert(r(3L) == null)
+    assert(r(4L) === 50.0)
+    assert(r(5L) == null)
+  }
+
+  test("forward asof picks earliest later-or-equal right row") {
+    val r = AsofJoin.asof(trades, quotes, Seq("sym"), "tts", "qts", direction = "forward")
+      .select($"trade_id", $"price").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(r(1L) === 101.0)   // next quote at 10:05
+    assert(r(2L) === 101.0)   // equal ts
+    assert(r(3L) === 100.0)   // first quote after 09:59
+    assert(r(4L) == null)     // no B quote after 11:00
+  }
+
+  test("tolerance nulls out matches outside the window") {
+    val r = AsofJoin.asof(trades, quotes, Seq("sym"), "tts", "qts",
+        toleranceSeconds = Some(120))
+      .select($"trade_id", $"price").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(r(1L) == null)     // 10:03 vs 10:00 = 180s > 120s
+    assert(r(2L) === 101.0)   // exact match, 0s
+    assert(r(4L) == null)     // 58 min away
+  }
+
+  test("inner drops unmatched left rows") {
+    val n = AsofJoin.asof(trades, quotes, Seq("sym"), "tts", "qts", joinType = "inner").count()
+    assert(n === 3)
+  }
+
+  test("left row count is always preserved for left join") {
+    val n = AsofJoin.asof(trades, quotes, Seq("sym"), "tts", "qts").count()
+    assert(n === trades.count())
+  }
+
+  test("duplicate right timestamps: one match per left row") {
+    val dupQuotes = quotes.union(Seq(("A", ts("2024-01-01 10:00:00"), 999.0)).toDF("sym", "qts", "price"))
+    val n = AsofJoin.asof(trades, dupQuotes, Seq("sym"), "tts", "qts").count()
+    assert(n === trades.count())
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CompatFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(sql: String): Any = spark.sql(s"SELECT $sql").head.get(0)
+
+  test("dayname / monthname") {
+    assert(one("dayname(timestamp '2024-01-01')") === "Monday")
+    assert(one("monthname(timestamp '2024-03-15')") === "March")
+  }
+
+  test("date unit add/sub keep timestamp type") {
+    assert(one("months_add(timestamp '2024-01-31', 1)").toString.startsWith("2024-02-29"))
+    assert(one("days_sub(timestamp '2024-03-01', 1)").toString.startsWith("2024-02-29"))
+    assert(one("hours_add(timestamp '2024-01-01 23:30:00', 2)").toString.startsWith("2024-01-02 01:30"))
+  }
+
+  test("time_slice aligns to buckets from epoch") {
+    assert(one("time_slice(timestamp '2024-01-01 10:17:00', 15, 'minute')").toString
+      .startsWith("2024-01-01 10:15"))
+    assert(one("time_slice(timestamp '2024-01-01 10:17:00', 15, 'minute', 'ceil')").toString
+      .startsWith("2024-01-01 10:30"))
+    assert(one("time_slice(timestamp '2024-05-20', 3, 'month')").toString
+      .startsWith("2024-04-01"))
+  }
+
+  test("str_to_date parses MySQL formats") {
+    assert(one("str_to_date('2024-03-05 10:20:30', '%Y-%m-%d %H:%i:%s')").toString
+      === "2024-03-05 10:20:30.0")
+    assert(one("str2date('05/03/2024', '%d/%m/%Y')").toString === "2024-03-05")
+  }
+
+  test("strcmp") {
+    assert(one("strcmp('a', 'b')") === -1)
+    assert(one("strcmp('b', 'b')") === 0)
+    assert(one("strcmp('c', 'b')") === 1)
+  }
+
+  test("money_format groups thousands") {
+    assert(one("money_format(1234567.891)") === "1,234,567.89")
+    assert(one("money_format(-999.5)") === "-999.50")
+  }
+
+  test("bit compat functions") {
+    assert(one("bitand(12, 10)") === 8)
+    assert(one("bitor(12, 10)") === 14)
+    assert(one("bitxor(12, 10)") === 6)
+    assert(one("bitshiftleft(1, 4)") === 16)
+  }
+
+  test("truncate is toward-zero at given scale") {
+    assert(one("truncate(3.789, 1)") === 3.7)
+    assert(one("truncate(-3.789, 1)") === -3.7)
+  }
+
+  test("null_or_empty / append_trailing_char_if_absent") {
+    assert(one("null_or_empty('')") === true)
+    assert(one("null_or_empty('x')") === false)
+    assert(one("append_trailing_char_if_absent('abc', 'c')") === "abc")
+    assert(one("append_trailing_char_if_absent('ab', 'c')") === "abc")
+  }
+
+  test("hash aliases map to Spark kernels") {
+    assert(one("murmur_hash3_32('abc')") === one("hash('abc')"))
+    assert(one("xx_hash3_64('abc')") === one("xxhash64('abc')"))
+  }
+
+  test("mysqlToJavaFormat translation table") {
+    import graft.functions.Compat.mysqlToJavaFormat
+    assert(mysqlToJavaFormat("%Y-%m-%d") === "yyyy-MM-dd")
+    assert(mysqlToJavaFormat("%H:%i:%s") === "HH:mm:ss")
+    assert(mysqlToJavaFormat("%d/%b/%Y") === "dd/MMM/yyyy")
+  }
+
+  test("property: strcmp is antisymmetric and consistent with ordering") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(50)((rnd.alphanumeric.take(rnd.nextInt(10)).mkString,
+      rnd.alphanumeric.take(rnd.nextInt(10)).mkString))
+    val rows = samples.toDF("a", "b")
+      .selectExpr("a", "b", "strcmp(a, b) AS ab", "strcmp(b, a) AS ba").collect()
+    rows.foreach { r =>
+      val (a, b, ab, ba) = (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+      assert(ab === -ba || (ab === 0 && ba === 0))
+      assert((ab < 0) === (a < b))
+    }
+  }
+
+  test("property: time_slice floor is idempotent") {
+    val rnd = new scala.util.Random(42)
+    val epochs = Seq.fill(50)(math.abs(rnd.nextLong()) % 1700000000L)
+    val rows = epochs.toDF("e")
+      .selectExpr("time_slice(timestamp_seconds(e), 7, 'hour') AS s")
+      .selectExpr("s", "time_slice(s, 7, 'hour') AS s2").collect()
+    rows.foreach(r => assert(r.get(0) === r.get(1)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = table("documents").select($"doc_id", $"text")
+  private lazy val planted = {
+    val exact = docs.filter($"doc_id" % 10 === 1)
+      .select(($"doc_id" + 200000).as("doc_id"), $"text")
+    val near = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), concat(lit("zzz "), $"text").as("text"))
+    docs.unionByName(exact).unionByName(near)
+  }
+
+  test("exact dedup keeps lowest id per text") {
+    val out = Dedup.exact(planted, Seq("text"), "doc_id")
+    assert(out.count() === docs.count() + planted.filter($"doc_id" >= 100000 && $"doc_id" < 200000).count())
+    // no planted exact copy survives
+    assert(out.filter($"doc_id" >= 200000).count() === 0)
+  }
+
+  test("minhash dedup removes planted exact and near duplicates") {
+    val out = Dedup.minhashDedup(planted, "doc_id", "text", threshold = 0.7)
+    // all exact copies gone
+    assert(out.filter($"doc_id" >= 200000).count() === 0)
+    // most near copies gone (prepended word keeps jaccard high)
+    val nearTotal = planted.filter($"doc_id".between(100000, 199999)).count()
+    val nearLeft = out.filter($"doc_id".between(100000, 199999)).count()
+    assert(nearLeft < nearTotal * 0.3, s"minhash missed too many near-dups: $nearLeft of $nearTotal")
+    // originals may only disappear if the corpus GENUINELY contains a
+    // near-duplicate with a smaller id (the synthetic docs table has ~24
+    // such rows at j>=0.7) — compute ground truth by exact all-pairs
+    // jaccard (fine at test scale) and check dropped ⊆ genuine.
+    val sh = docs.select($"doc_id", Dedup.wordShingles($"text", 3).as("s"))
+    val genuineLosers = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .filter(Dedup.jaccard($"a.s", $"b.s") >= 0.7)
+      .select($"b.doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val surviving = out.filter($"doc_id" < 100000).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dropped = docs.select($"doc_id").collect().map(_.getLong(0)).toSet -- surviving
+    assert(dropped.subsetOf(genuineLosers),
+      s"originals dropped without a genuine near-dup partner: ${dropped -- genuineLosers}")
+    assert(dropped.size >= (genuineLosers.size * 0.8).toInt,
+      s"minhash recall on genuine original near-dups too low: ${dropped.size}/${genuineLosers.size}")
+  }
+
+  test("simhash pairs detect planted near duplicates") {
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3)
+      .filter($"id_b" === $"id_a" + 100000 || $"id_b" === $"id_a" + 200000)
+    val planted_n = planted.filter($"doc_id" >= 100000).count()
+    assert(pairs.count() > planted_n * 0.5, "simhash found too few planted pairs")
+  }
+
+  test("jaccard of identical shingle sets is 1, disjoint is 0") {
+    val df = Seq(
+      (Seq("a b c", "b c d"), Seq("a b c", "b c d")),
+      (Seq("a b c"), Seq("x y z"))
+    ).toDF("a", "b").select(Dedup.jaccard($"a", $"b").as("j"))
+    val r = df.collect().map(_.getDouble(0))
+    assert(r(0) === 1.0 && r(1) === 0.0)
+  }
+
+  test("embedding dup pairs finds planted identical vectors") {
+    val emb = table("embeddings").select($"vec_id", $"embedding")
+    val copies = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val pairs = Dedup.embeddingDupPairs(emb.unionByName(copies), "vec_id", "embedding",
+      threshold = 0.999)
+    val found = pairs.filter($"id_b" === $"id_a" + 10000).count()
+    assert(found === 20, s"expected all 20 planted vector dups, found $found")
+  }
+}

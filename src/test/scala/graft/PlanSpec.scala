@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the analogue of the reference's FE
+  * golden-plan tests (`fe/fe-core/src/test/resources/sql/tpch/`,
+  * SURVEY.md §5 layer 2): the plan SHAPE is the scale contract.
+  * These catch regressions like a filter not reaching the parquet
+  * scan, a broadcast turning into a shuffle, or partial aggregation
+  * disappearing — all invisible to value-correctness tests at small
+  * SF but fatal at 100 TB.
+  */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan string AFTER execution — with AQE on, codegen spans (the
+    * `*(n)` markers on WholeStageCodegenExec) only appear in the
+    * finalized adaptive plan. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed into the parquet scan (Q6)") {
+    val plan = planOf(SparkEntry.queries("q6_forecast_revenue")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(plan.contains("l_shipdate"), "shipdate filter not pushed")
+  }
+
+  test("column pruning reaches the scan: Q6 reads only needed columns") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans.contains("ReadSchema"), "no ReadSchema in scan")
+    // only 4 referenced columns may be read — never the full lineitem
+    assert(!scans.contains("l_returnflag"), "unreferenced column read from parquet")
+    assert(!scans.contains("l_orderkey"), "unreferenced column read from parquet")
+  }
+
+  test("dimension joins broadcast (Q5 has no shuffle join on dims)") {
+    val plan = planOf(SparkEntry.queries("q5_local_supplier_volume")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "dims not broadcast")
+  }
+
+  test("aggregation is two-phase (partial + final hash agg)") {
+    val plan = planOf(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(plan.contains("HashAggregate"), "no hash aggregate")
+    assert(plan.contains("partial_"), "no partial (map-side) aggregation phase")
+  }
+
+  test("order by + limit plans TakeOrderedAndProject, not global sort") {
+    val plan = planOf(SparkEntry.queries("q3_shipping_priority")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"limit not fused into sort")
+  }
+
+  test("ranking window + filter plans WindowGroupLimit (partition topn pushdown)") {
+    val plan = planOf(SparkEntry.queries("win_partition_topn")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), "rank filter not pushed into window")
+  }
+
+  test("whole-stage codegen covers the Q1 pipeline") {
+    val plan = finalPlanOf(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(plan.contains("*("), s"no whole-stage codegen spans:\n$plan")
+  }
+
+  test("vector distance expressions stay inside codegen (no fallback)") {
+    val df = table("embeddings").limit(10)
+      .select(graft.functions.VectorFunctions.cosine_similarity($"embedding", $"embedding").as("c"))
+    val plan = finalPlanOf(df)
+    assert(plan.contains("*("), s"cosine expr broke codegen:\n$plan")
+  }
+
+  test("asof join is one shuffle + window, not a nested loop") {
+    val e = table("events")
+    val l = e.filter($"event_type" === "purchase").select($"user_id", $"ts", $"event_id")
+    val r = e.filter($"event_type" === "signup").select($"user_id", $"ts".as("sts"), $"event_id".as("sid"))
+    val plan = planOf(graft.operators.AsofJoin.asof(l, r, Seq("user_id"), "ts", "sts"))
+    assert(!plan.contains("NestedLoopJoin"), "asof degraded to nested loop")
+    assert(plan.contains("Window"), "asof missing window")
+    // exactly one exchange keyed by the join keys feeds the window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"asof join shuffles too much: $exchanges exchanges\n")
+  }
+
+  test("minhash LSH pairs: signatures computed scan-side, join is hash-based") {
+    val plan = planOf(graft.operators.Dedup.minhashLshPairs(
+      table("documents"), "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"), "LSH pair generation went quadratic")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH pair generation went quadratic")
+  }
+
+  test("AQE is enabled and coalesces shuffle partitions") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") === "true")
+  }
+
+  test("semi join planned for Q18 big-orders filter") {
+    val plan = planOf(SparkEntry.queries("q18_large_volume_customer")(spark, sf))
+    assert(plan.contains("LeftSemi"), "IN-subquery not planned as semi join")
+  }
+
+  test("null-aware anti join planned for NOT IN") {
+    val plan = planOf(SparkEntry.queries("join_null_aware_anti")(spark, sf))
+    assert(plan.toLowerCase.contains("anti"), "NOT IN not planned as anti join")
+  }
+}

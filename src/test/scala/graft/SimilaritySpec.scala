@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = table("embeddings")
+  private lazy val corpus = emb.filter($"vec_id" >= 10)
+  private lazy val queries = emb.filter($"vec_id" < 10)
+    .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+
+  test("brute force top-k: self-similarity ranks first when query in corpus") {
+    val all = emb.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      .filter($"qid" < 3)
+    val r = Similarity.bruteForceTopK(emb, "vec_id", "embedding", all, "qid", "qvec", 1)
+      .collect()
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1),
+      "nearest neighbor of a vector must be itself"))
+  }
+
+  test("brute force top-k returns exactly k rows per query, ranked") {
+    val r = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 5)
+    val counts = r.groupBy($"qid").count().collect()
+    assert(counts.forall(_.getLong(1) === 5))
+    // cosine non-increasing within each query
+    val rows = r.orderBy($"qid", $"rk").collect()
+    rows.grouped(5).foreach { g =>
+      val cs = g.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall@5 >= 0.5 vs brute force") {
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // synthetic embeddings are near-random (median pairwise cosine ~0),
+    // so recall needs multi-probe: planes=6, tables=8, Hamming-1 probing
+    val approx = Similarity.lshTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 5,
+        planes = 6, tables = 8, probes = 1)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("LSH bucketing is deterministic across invocations") {
+    val b1 = Similarity.withLshBucket(emb, "embedding", 8, 42L)
+      .select($"vec_id", $"__bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = Similarity.withLshBucket(emb, "embedding", 8, 42L)
+      .select($"vec_id", $"__bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 === b2)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Ops
+
+class SketchAggsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("window_funnel: full chain, partial chain, window cut-off") {
+    val events = Seq(
+      // user 1: full funnel inside window
+      (1L, ts("2024-01-01 10:00:00"), 0),
+      (1L, ts("2024-01-01 10:10:00"), 1),
+      (1L, ts("2024-01-01 10:20:00"), 2),
+      // user 2: step1 outside 1h window
+      (2L, ts("2024-01-01 10:00:00"), 0),
+      (2L, ts("2024-01-01 11:30:00"), 1),
+      // user 3: steps out of order only
+      (3L, ts("2024-01-01 10:00:00"), 1),
+      (3L, ts("2024-01-01 10:10:00"), 0),
+      // user 4: no step 0
+      (4L, ts("2024-01-01 10:00:00"), 2)
+    ).toDF("uid", "ts", "step")
+    val r = events.groupBy($"uid")
+      .agg(Ops.windowFunnel(3600, $"ts", $"step", 3).as("d"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r(1L) === 3)
+    assert(r(2L) === 1)
+    assert(r(3L) === 1)  // step0 at 10:10 starts a chain of depth 1
+    assert(r(4L) === 0)
+  }
+
+  test("window_funnel equal timestamps don't satisfy strict order") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0),
+      (1L, ts("2024-01-01 10:00:00"), 1)
+    ).toDF("uid", "ts", "step")
+    val r = events.groupBy($"uid")
+      .agg(Ops.windowFunnel(3600, $"ts", $"step", 2).as("d")).head.getInt(1)
+    assert(r === 1)
+  }
+
+  test("retention composes bool_or correctly") {
+    val events = Seq(
+      (1L, "signup"), (1L, "purchase"),
+      (2L, "purchase"),
+      (3L, "signup")
+    ).toDF("uid", "et")
+    val r = events.groupBy($"uid")
+      .agg(Ops.retention(Seq($"et" === "signup", $"et" === "purchase")).as("r"))
+      .select($"uid", $"r" (0), $"r" (1)).collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(1), x.getBoolean(2))).toMap
+    assert(r(1L) === (true, true))
+    assert(r(2L) === (false, false)) // no signup → second cond false too
+    assert(r(3L) === (true, false))
+  }
+
+  test("approx_top_k is exact below map size and ordered") {
+    val words = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++ Seq("d")
+    val r = words.toDF("w").agg(Ops.approxTopK($"w", 3).as("t"))
+      .select(explode($"t")).select($"col.item", $"col.count")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq === Seq(("a", 50L), ("b", 30L), ("c", 20L)))
+  }
+
+  test("bitmap union/count/ops round-trip") {
+    val df = Seq(1L, 2L, 3L, 2L, 1L).toDF("v")
+    val cnt = df.agg(Ops.bitmapUnionCount($"v")).head.getLong(0)
+    assert(cnt === 3)
+
+    val a = Seq(1L, 2L, 3L).toDF("v").agg(Ops.bitmapUnion($"v").as("bm"))
+    val b = Seq(2L, 3L, 4L).toDF("v").agg(Ops.bitmapUnion($"v").as("bm"))
+    val joined = a.select($"bm".as("a")).crossJoin(b.select($"bm".as("b")))
+    val r = joined.select(
+      Ops.bitmapCount(Ops.bitmapAnd($"a", $"b")),
+      Ops.bitmapCount(Ops.bitmapOr($"a", $"b")),
+      Ops.bitmapCount(Ops.bitmapXor($"a", $"b")),
+      Ops.bitmapToArray(Ops.bitmapAnd($"a", $"b"))).head
+    assert(r.getLong(0) === 2)
+    assert(r.getLong(1) === 4)
+    assert(r.getLong(2) === 2)
+    assert(r.getSeq[Long](3) === Seq(2L, 3L))
+  }
+
+  test("bitmap SQL functions registered") {
+    val r = spark.sql(
+      "SELECT bitmap_count(bitmap_union(to_bitmap(v))) FROM VALUES (1), (2), (2), (5) AS t(v)")
+      .head.getLong(0)
+    assert(r === 3)
+  }
+
+  test("approx_count_distinct within 5% of exact on lineitem") {
+    val r = table("lineitem")
+      .agg(approx_count_distinct($"l_partkey").as("a"), countDistinct($"l_partkey").as("e"))
+      .head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+  }
+
+  test("hll sketch agg (Spark builtin, DataSketches) union + estimate") {
+    val h = table("lineitem").limit(1000)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("nd"),
+        countDistinct($"l_partkey").as("e")).head
+    val (a, e) = (h.getLong(0).toDouble, h.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.1)
+  }
+}

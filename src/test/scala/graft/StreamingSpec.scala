@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+/** Structured Streaming behaves like batch on the same transforms —
+  * the incremental-MV / routine-load story (SURVEY.md §2.10): file
+  * drops consumed with AvailableNow, watermarked windows, streaming
+  * dedup, and an incremental-MV parquet writer. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  /** Copy the events table into a stream-watch dir as two "drops". */
+  private def stage(dir: String): Unit = {
+    val e = Tables.load(spark, sf, "events")
+    e.filter($"event_id" % 2 === 0).write.parquet(s"$dir/drop1")
+    e.filter($"event_id" % 2 === 1).write.parquet(s"$dir/drop2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // flatten parquet part files into the watch dir
+    Seq("drop1", "drop2").foreach { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$d"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$dir/$d-$i.parquet"))
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true)
+    }
+  }
+
+  private def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val dir = tmp()
+    stage(dir)
+    val schema = Tables.load(spark, sf, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName("stream_out_" + System.nanoTime())
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(q.name)
+  }
+
+  test("streaming tumbling agg equals batch tumbling agg") {
+    val streamed = runStream(df => Streams.tumblingAgg(df), "append")
+      .orderBy($"wstart", $"event_type")
+    val batch = Streams.tumblingAgg(Tables.load(spark, sf, "events"))
+      .orderBy($"wstart", $"event_type")
+    // append mode with watermark emits only windows closed by the
+    // final watermark; every emitted row must match batch exactly
+    val b = batch.collect().map(_.toString).toSet
+    val s = streamed.collect().map(_.toString).toSet
+    assert(s.nonEmpty, "stream emitted nothing")
+    assert(s.subsetOf(b), s"stream rows not in batch: ${s -- b}")
+    // and it must cover all but the last watermark-open hour(s)
+    assert(s.size >= b.size - 25, s"stream emitted ${s.size} of ${b.size} windows")
+  }
+
+  test("streaming session windows emit closed sessions matching batch") {
+    val streamed = runStream(df => Streams.sessionAgg(df), "append")
+    val batch = Streams.sessionAgg(Tables.load(spark, sf, "events"))
+    val b = batch.collect().map(_.toString).toSet
+    val s = streamed.collect().map(_.toString).toSet
+    assert(s.nonEmpty)
+    assert(s.subsetOf(b), s"stream session rows not in batch: ${(s -- b).take(3)}")
+  }
+
+  test("streaming dedup drops duplicate keys") {
+    val dir = tmp()
+    stage(dir)
+    // duplicate the drops → every event appears twice
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new org.apache.hadoop.fs.Path(dir + "/copy-" + f.getPath.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    val schema = Tables.load(spark, sf, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.streamingDedup(stream, Seq("event_id")).writeStream
+      .format("memory").queryName("dedup_out_" + System.nanoTime())
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table(q.name).count()
+    assert(n === Tables.load(spark, sf, "events").count())
+  }
+
+  test("incremental MV writer produces a queryable parquet table") {
+    val dir = tmp()
+    stage(dir)
+    val out = tmp() + "/mv"
+    val ckpt = tmp() + "/ckpt"
+    val schema = Tables.load(spark, sf, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.mvWriter(Streams.tumblingAgg(stream), out, ckpt).start()
+    q.awaitTermination(120000)
+    val mv = spark.read.parquet(out)
+    assert(mv.count() > 0)
+    assert(mv.columns.toSet === Set("wstart", "event_type", "n", "total"))
+  }
+}
