@@ -22,7 +22,8 @@ object SparkEntry {
     _root_.graft.queries.Sketches,
     _root_.graft.queries.Pipeline,
     _root_.graft.queries.StreamingQ,
-    _root_.graft.queries.MultimodalQ)
+    _root_.graft.queries.MultimodalQ,
+    _root_.graft.queries.Advanced)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

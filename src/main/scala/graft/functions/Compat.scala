@@ -166,6 +166,39 @@ object Compat {
       graft.functions.agg.ApproxTopKAgg(es.head, k)
     }
 
+    // --- HLL sketches (reference: hyperloglog_functions.cpp, agg/hll_ndv.h)
+    // Storable/mergeable sketches ride on Spark's DataSketches builtins;
+    // only the reference's names are added. ---
+    f("hll_raw_agg") { es => call("hll_sketch_agg", es: _*) }
+    f("hll_cardinality") { es => call("hll_sketch_estimate", es: _*) }
+    // hll_union(binary, binary) and hll_union_agg(binary) exist in Spark
+    // under the same names — nothing to register.
+
+    // --- geo (reference: geo_functions.cpp st_point/st_x/st_y/
+    // st_distance_sphere; full geometry (st_contains on polygons) is
+    // out of scope — box containment covers the partition-pruning use) ---
+    f("st_point") { es => CreateNamedStruct(Seq(lit("x"), es.head, lit("y"), es(1))) }
+    f("st_x") { es => GetStructField(es.head, 0, Some("x")) }
+    f("st_y") { es => GetStructField(es.head, 1, Some("y")) }
+    // st_distance_sphere(lon1, lat1, lon2, lat2) → meters (haversine,
+    // R=6371000; matches the MySQL-compatible surface)
+    f("st_distance_sphere") { es =>
+      val Seq(lon1, lat1, lon2, lat2) = es.take(4).map(e => Cast(e, DoubleType))
+      def rad(e: Expression) = call("radians", e)
+      val dLat = Divide(Subtract(rad(lat2), rad(lat1)), lit(2.0d))
+      val dLon = Divide(Subtract(rad(lon2), rad(lon1)), lit(2.0d))
+      val a = Add(
+        Multiply(call("sin", dLat), call("sin", dLat)),
+        Multiply(Multiply(call("cos", rad(lat1)), call("cos", rad(lat2))),
+          Multiply(call("sin", dLon), call("sin", dLon))))
+      Multiply(lit(2.0d * 6371000.0d), call("asin", call("sqrt", a)))
+    }
+    f("st_within_box") { es =>
+      val Seq(x, y, xmin, ymin, xmax, ymax) = es.take(6)
+      And(And(GreaterThanOrEqual(x, xmin), LessThanOrEqual(x, xmax)),
+        And(GreaterThanOrEqual(y, ymin), LessThanOrEqual(y, ymax)))
+    }
+
     // --- vector distance (reference: functions.py:62-72) ---
     f("cosine_similarity") { es => graft.functions.CosineSimilarity(es.head, es(1)) }
     f("l2_distance") { es => graft.functions.L2Distance(es.head, es(1)) }

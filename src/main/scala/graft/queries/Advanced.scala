@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AiQuery, MaterializedViews}
+import util._
+
+/** MV refresh, ai_query batch inference, geo functions, HLL sketches —
+  * the remaining SURVEY.md §2 surfaces, each oracle-checked.
+  */
+object Advanced extends graft.QueryArea {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SYNC MV: define → full refresh (parquet write) → read back. The
+    // oracle recomputes the definition directly; matching results
+    // prove the materialization round-trip is lossless.
+    "mv_full_refresh" -> ((spark, dir) => {
+      val mv = MaterializedViews.MvDef("daily_revenue", o =>
+        o.groupBy(date_trunc("day", col("o_orderdate")).as("d"), col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_mv_${dir.replaceAll("[^0-9a-z]", "_")}"
+      MaterializedViews.refreshFull(t(spark, dir, "orders"), mv, base)
+      MaterializedViews.read(spark, base, "daily_revenue")
+        .orderBy(col("d"), col("o_orderpriority"))
+    }),
+    // ai_query: batched inference over documents (deterministic stub —
+    // the oracle mirrors the stub's arithmetic on text length).
+    "ai_query_labels" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      AiQuery.aiQuery(docs, "text", "ai_response")
+        .groupBy(col("ai_response"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("ai_response"))
+    }),
+    // geo scalar surface: synthetic lon/lat from custkey; distance to a
+    // fixed point + box containment.
+    "geo_functions" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+        .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+        .withColumn("lat", (col("c_custkey") % 170 - 85).cast("double") + 0.25)
+      c.select(col("c_custkey"),
+          round(expr("st_distance_sphere(lon, lat, 2.35, 48.85)"), 3).as("dist_m"),
+          expr("st_within_box(lon, lat, -10.0, 35.0, 30.0, 60.0)").as("in_europe_box"),
+          expr("st_x(st_point(lon, lat))").as("px"))
+        .orderBy(col("c_custkey"))
+    }),
+    // HLL sketch lifecycle: per-nation customer sketches (partial agg
+    // state), merged up to regions via hll_union_agg, estimated with
+    // hll_cardinality. Cardinalities stay far below the sketch's exact
+    // regime so the DuckDB exact count matches.
+    "hll_sketch_union" -> ((spark, dir) => {
+      val nation = t(spark, dir, "nation")
+      val region = t(spark, dir, "region")
+      val perNation = t(spark, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(expr("hll_raw_agg(c_custkey % 300)").as("sk"))
+      perNation
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("hll_cardinality(hll_union_agg(sk))").as("approx_keys"))
+        .orderBy(col("r_name"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "mv_full_refresh" ->
+      """SELECT date_trunc('day', o_orderdate) AS d, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY d, o_orderpriority""".stripMargin,
+    "ai_query_labels" ->
+      """SELECT 'label_' || CAST((length(text) * 31) % 5 AS VARCHAR) AS ai_response,
+        |  count(*) AS n, min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1 ORDER BY ai_response""".stripMargin,
+    "geo_functions" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |    CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.25 AS lat
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  round(2 * 6371000 * asin(sqrt(
+        |    sin(radians(48.85 - lat) / 2) * sin(radians(48.85 - lat) / 2) +
+        |    cos(radians(lat)) * cos(radians(48.85)) *
+        |    sin(radians(2.35 - lon) / 2) * sin(radians(2.35 - lon) / 2))), 3) AS dist_m,
+        |  (lon BETWEEN -10.0 AND 30.0) AND (lat BETWEEN 35.0 AND 60.0) AS in_europe_box,
+        |  lon AS px
+        |FROM pts ORDER BY c_custkey""".stripMargin,
+    "hll_sketch_union" ->
+      """SELECT r_name, count(DISTINCT c_custkey % 300) AS approx_keys
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+}

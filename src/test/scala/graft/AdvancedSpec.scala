@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{AiQuery, MaterializedViews}
+
+/** MV incremental-refresh semantics and ai_query batching invariants
+  * (the parts the DuckDB oracle can't see). */
+class AdvancedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-adv").toString
+
+  test("incremental MV refresh processes only new drops via checkpoint") {
+    val watch = tmp(); val base = tmp(); val ckpt = tmp()
+    val e = Tables.load(spark, sf, "events")
+    // append-safe (map-only) definition: purchases with derived column
+    val mv = MaterializedViews.MvDef("purchases", df =>
+      df.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", ($"value" * 2).as("v2")))
+
+    e.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$watch/d1")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def flatten(d: String): Unit = {
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$watch/$d"))
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$watch/$d-$i.parquet")) }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$watch/$d"), true)
+    }
+    flatten("d1")
+    def stream = spark.readStream.schema(e.schema).parquet(watch)
+    MaterializedViews.refreshIncremental(stream, mv, base, ckpt).awaitTermination(120000)
+    val afterFirst = MaterializedViews.read(spark, base, "purchases").count()
+
+    e.filter($"event_id" % 2 === 1).coalesce(1).write.parquet(s"$watch/d2")
+    flatten("d2")
+    MaterializedViews.refreshIncremental(stream, mv, base, ckpt).awaitTermination(120000)
+    val mvDf = MaterializedViews.read(spark, base, "purchases")
+
+    val expected = mv.define(e)
+    assert(mvDf.count() === expected.count(), "incremental MV missed or duplicated rows")
+    assert(afterFirst < mvDf.count(), "second refresh added nothing")
+    // spot-check content equality
+    def total(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum($"v2".cast("decimal(18,6)"))).head.getDecimal(0)
+    assert(total(mvDf) === total(expected))
+  }
+
+  test("ai_query output is independent of batch size and covers every row") {
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    val r1 = AiQuery.aiQuery(docs, "text", batchSize = 1)
+      .select($"doc_id", $"ai_response").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val r32 = AiQuery.aiQuery(docs, "text", batchSize = 32)
+      .select($"doc_id", $"ai_response").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r1 === r32, "batch size changed responses")
+    assert(r1.size === docs.count(), "missing rows")
+    assert(r1.values.forall(_.startsWith("label_")))
+  }
+}
