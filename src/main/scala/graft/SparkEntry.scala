@@ -23,7 +23,8 @@ object SparkEntry {
     _root_.graft.queries.Pipeline,
     _root_.graft.queries.StreamingQ,
     _root_.graft.queries.MultimodalQ,
-    _root_.graft.queries.Advanced)
+    _root_.graft.queries.Advanced,
+    _root_.graft.queries.SourcesQ)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

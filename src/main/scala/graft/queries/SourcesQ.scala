@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.KeysModels
+import graft.sources.{Formats, InformationSchema}
+import util._
+
+/** Format ingestion round-trips, information_schema, and the
+  * remaining keys-model DML (AGG fold, UPDATE/DELETE rewrite).
+  */
+object SourcesQ extends graft.QueryArea {
+
+  private val relTables = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  private def tmpDir(dir: String, tag: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^0-9a-z]", "_")}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV round trip: parquet → csv → read with schema → aggregate;
+    // equality with the direct-parquet oracle proves the parse layer
+    // (header, timestamps, quoting) is lossless for these types.
+    "src_csv_roundtrip" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      val out = tmpDir(dir, "csv")
+      Formats.writeCsv(e, out)
+      Formats.readCsv(spark, out, e.schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
+    "src_json_roundtrip" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      val out = tmpDir(dir, "json")
+      Formats.writeJson(e, out)
+      Formats.readJson(spark, out, e.schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
+    "src_info_schema" -> ((spark, dir) => {
+      InformationSchema.columns(spark, dir, relTables)
+        .orderBy(col("table_name"), col("column_name"))
+    }),
+    // AGG KEYS table: fold at ingest — one row per key with aggregated
+    // value columns (the reference's third table model).
+    "keys_agg_fold" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)").as("rev"))
+      KeysModels.aggFold(li, Seq("l_orderkey"),
+          Map("l_quantity" -> "sum", "rev" -> "sum"))
+        .select(col("l_orderkey"),
+          col("sum(l_quantity)").as("sum_qty"),
+          col("sum(rev)").cast("double").as("sum_rev"))
+        .orderBy(col("l_orderkey"))
+    }),
+    // UPDATE + DELETE rewrite on a PRIMARY-key table image.
+    "keys_update_delete" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val updated = KeysModels.update(c, col("c_mktsegment") === "BUILDING",
+        Map("c_acctbal" -> (col("c_acctbal") + 100)))
+      KeysModels.delete(updated, col("c_acctbal") < 0)
+        .orderBy(col("c_custkey"))
+    }))
+
+  def oracles: Map[String, String] = {
+    val eventsAgg =
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    Map(
+    "src_csv_roundtrip" -> eventsAgg,
+    "src_json_roundtrip" -> eventsAgg,
+    "src_info_schema" ->
+      """SELECT * FROM (
+        |  SELECT 'region' AS table_name, column_name, lower(column_type) AS data_type FROM (DESCRIBE SELECT * FROM region)
+        |  UNION ALL SELECT 'nation', column_name, lower(column_type) FROM (DESCRIBE SELECT * FROM nation)
+        |  UNION ALL SELECT 'customer', column_name, lower(column_type) FROM (DESCRIBE SELECT * FROM customer)
+        |  UNION ALL SELECT 'supplier', column_name, lower(column_type) FROM (DESCRIBE SELECT * FROM supplier)
+        |  UNION ALL SELECT 'part', column_name, lower(column_type) FROM (DESCRIBE SELECT * FROM part)
+        |  UNION ALL SELECT 'orders', column_name, lower(column_type) FROM (DESCRIBE SELECT * FROM orders)
+        |  UNION ALL SELECT 'lineitem', column_name, lower(column_type) FROM (DESCRIBE SELECT * FROM lineitem)
+        |) ORDER BY table_name, column_name""".stripMargin,
+    "keys_agg_fold" ->
+      """SELECT l_orderkey, SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_rev
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "keys_update_delete" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |WHERE (CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100 ELSE c_acctbal END) >= 0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+}
