@@ -132,20 +132,28 @@ object Dedup {
     * (64 aggregates, each closing over the hash array expression)
     * re-evaluates split+xxhash 64× per row under interpreted HOFs. */
   def simhash64(text: Column): Column = {
+    val hashes = transform(split(text, "\\s+"), w => xxhash64(w))
+    simhashFromHashes(hashes)
+  }
+
+  /** SimHash from a word-hash array. For the fast path pass an
+    * ATTRIBUTE column (projected `transform(split(..), xxhash64)`),
+    * so the 64 per-bit folds below each iterate a materialized array
+    * of longs — pure shift/add per element, no per-element array
+    * allocation. (An inline expression argument would be re-evaluated
+    * by every fold: interpreted-HOF rule, see minhashSignature.) */
+  def simhashFromHashes(hashes: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
     import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
-    def shr(a: Column, b: Column) = C(ShiftRight(E(a), E(b.cast("int"))))
-    def shl(a: Column, b: Column) = C(ShiftLeft(E(a), E(b.cast("int"))))
-    val hashes = transform(split(text, "\\s+"), w => xxhash64(w))
-    val zeros = array_repeat(lit(0L), 64)
-    val bitIdx = sequence(lit(0L), lit(63L))
-    // counts[b] = Σ over words of (+1 if bit b set else -1)
-    val counts = aggregate(hashes, zeros, (acc, h) =>
-      zip_with(acc, transform(bitIdx, b =>
-          when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (a, d) => a + d))
-    aggregate(zip_with(counts, bitIdx, (c, i) => when(c > 0, shl(lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    def shr(a: Column, b: Int) = C(ShiftRight(E(a), E(lit(b))))
+    // bit b set in result iff words-with-bit > words-without: the fold
+    // counts +1/-1 per word with plain long arithmetic
+    val bits = (0 until 64).map { b =>
+      val cnt = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(cnt > 0, lit(1L << b)).otherwise(0L)
+    }
+    bits.reduce((a, v) => a.bitwiseOR(v))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit signature into
@@ -153,7 +161,10 @@ object Dedup {
     * verified by Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        transform(split(col(textCol), "\\s+"), w => xxhash64(w)).as("__h"))
+      .select(col("__id"), simhashFromHashes(col("__h")).as("__sig"))
     val banded = sigs.select(col("__id"), col("__sig"), posexplode(array(
       (0 until 4).map(b => shiftright(col("__sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")

@@ -63,6 +63,32 @@ object Sketches extends graft.QueryArea {
         Ops.bitmapCount(Ops.bitmapOr(col("bm_a"), col("bm_r"))).as("n_or"),
         Ops.bitmapCount(Ops.bitmapXor(col("bm_a"), col("bm_r"))).as("n_xor"))
     }),
+    // unnest_bitmap / subdivide_bitmap TVFs (reference:
+    // be/src/exprs/table_function/unnest_bitmap.h, subdivide_bitmap.h):
+    // bitmap → rows via bitmap_to_array + explode; subdivide = bucket
+    // elements into fixed-size chunks scan-side.
+    "tvf_unnest_bitmap" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+      li.groupBy(col("l_returnflag"))
+        .agg(Ops.bitmapUnion(col("l_partkey")).as("bm"))
+        .select(col("l_returnflag"), explode(expr("bitmap_to_array(bm)")).as("pk"))
+        .orderBy(col("l_returnflag"), col("pk"))
+    }),
+    "tvf_subdivide_bitmap" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+      li.groupBy(col("l_returnflag"))
+        .agg(Ops.bitmapUnion(col("l_partkey")).as("bm"))
+        // arr projected as an attribute so the chunking lambda doesn't
+        // re-decode the bitmap per chunk (interpreted-HOF rule)
+        .select(col("l_returnflag"), expr("bitmap_to_array(bm)").as("arr"))
+        .select(col("l_returnflag"),
+          posexplode(expr("transform(sequence(0, cast(ceil(size(arr) / 100.0) as int) - 1), " +
+            "i -> slice(arr, i * 100 + 1, 100))")))
+        .select(col("l_returnflag"), col("pos").as("chunk_idx"),
+          size(col("col")).as("chunk_size"),
+          col("col")(0).as("first_pk"))
+        .orderBy(col("l_returnflag"), col("chunk_idx"))
+    }),
     "sum_map_events" -> ((spark, dir) => {
       val e = t(spark, dir, "events")
       val mapped = e.select(col("user_id"),
@@ -166,6 +192,20 @@ object Sketches extends graft.QueryArea {
         |  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS n_or,
         |  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r))
         |    - (SELECT count(*) FROM a JOIN r USING (k)) AS n_xor""".stripMargin,
+    "tvf_unnest_bitmap" ->
+      """SELECT l_returnflag, pk FROM (
+        |  SELECT DISTINCT l_returnflag, l_partkey AS pk FROM lineitem WHERE l_orderkey % 97 = 0)
+        |ORDER BY l_returnflag, pk""".stripMargin,
+    "tvf_subdivide_bitmap" ->
+      """WITH arrs AS (
+        |  SELECT l_returnflag, list_sort(list_distinct(list(l_partkey))) AS arr
+        |  FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_returnflag),
+        |chunks AS (
+        |  SELECT l_returnflag, i AS chunk_idx, arr[i*100+1 : i*100+100] AS chunk
+        |  FROM arrs, unnest(generate_series(0, CAST(ceil(len(arr) / 100.0) AS INT) - 1)) AS u(i))
+        |SELECT l_returnflag, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(chunk) AS INT) AS chunk_size, chunk[1] AS first_pk
+        |FROM chunks ORDER BY l_returnflag, chunk_idx""".stripMargin,
     "sum_map_events" ->
       """SELECT user_id,
         |  concat('{"', string_agg(concat(event_type, '":', CAST(CAST(s AS DOUBLE) AS VARCHAR)), ',"' ORDER BY event_type), '}') AS sums

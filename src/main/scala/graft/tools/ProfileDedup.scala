@@ -26,6 +26,7 @@ object ProfileDedup {
     val n = time("lsh pairs count") { pairs.count() }
     println(s"[profile] candidate pairs: $n")
     time("full dedup count") { Dedup.minhashDedup(d, "doc_id", "text", threshold = 0.7).count() }
+    time("simhash pairs count") { Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).count() }
     spark.stop()
   }
 }
