@@ -105,4 +105,34 @@ class PlanSpec extends SparkSuite {
     val plan = planOf(SparkEntry.queries("join_null_aware_anti")(spark, sf))
     assert(plan.toLowerCase.contains("anti"), "NOT IN not planned as anti join")
   }
+
+  test("Q21 double correlation plans one semi + one anti join, no nested loop") {
+    val plan = planOf(SparkEntry.queries("q21_waiting_supplier")(spark, sf))
+    assert(plan.contains("LeftSemi"), "EXISTS not a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS not an anti join")
+    assert(!plan.contains("CartesianProduct"), "Q21 went quadratic")
+  }
+
+  test("Q2 correlated max subquery stays broadcast, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q2_best_supplier")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "Q2 dims/best not broadcast")
+    assert(!plan.contains("CartesianProduct"), "Q2 went quadratic")
+  }
+
+  test("Q17 per-part avg guard is a hash join, not a per-row subquery") {
+    val plan = planOf(SparkEntry.queries("q17_small_quantity_revenue")(spark, sf))
+    assert(plan.contains("HashJoin"), "correlated avg not decorrelated to a join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("multi-probe LSH corpus side has no explode (bucketed once)") {
+    val emb = table("embeddings")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val plan = planOf(graft.operators.Similarity.lshTopK(
+      emb, "vec_id", "embedding", q, "qid", "qvec", 5, planes = 6, tables = 2, probes = 1))
+    // explode (probe expansion) must appear exactly once per table —
+    // on the broadcast query side — never on the corpus scan side
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 2, s"expected 2 probe explodes (1/table), got $generates")
+  }
 }
