@@ -87,7 +87,9 @@ object Dedup {
     * and `concat` null-propagates, so trailing partial windows drop
     * out in the final filter. */
   def wordShingles(text: Column, n: Int): Column = {
-    val words = split(text, "\\s+")
+    // empty-string words appear when text is empty or has edge
+    // whitespace (split semantics) — drop them before shingling
+    val words = filter(split(text, "\\s+"), w => w =!= "")
     val grams = (2 to n).foldLeft(words) { (acc, k) =>
       zip_with(acc, slice(words, lit(k), greatest(size(words) - (k - 1), lit(0))),
         (a, b) => concat(a, lit(" "), b))

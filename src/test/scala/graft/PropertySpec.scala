@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import graft.operators.Dedup
+
+/** Property-based checks (SURVEY.md §5: BE-unit-test analogue) for the
+  * expression kernels where hand-picked examples are weakest:
+  * null-safety, boundary sizes, format translation. Driver-side data
+  * generation + one collect per property batch keeps these fast. */
+class PropertySpec extends SparkSuite {
+
+  /** Run a ScalaCheck property under scalatest (no bridge artifact in
+    * the offline cache): fewer, bigger cases — each case batches many
+    * rows through one Spark job. */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+  import spark.implicits._
+
+  private val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+  private def sentenceOf(minWords: Int, maxWords: Int = 12): Gen[String] =
+    Gen.chooseNum(minWords, maxWords).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val sentence = sentenceOf(0)
+
+  test("wordShingles: count = max(words - n + 1, 0) distinct-capped; all length n") {
+    check(forAll(Gen.listOfN(40, sentence), Gen.chooseNum(1, 4)) { (texts, n) =>
+      val rows = texts.toDF("text")
+        .select(Dedup.wordShingles($"text", n).as("sh"), $"text").collect()
+      Prop.all(rows.map { r =>
+        val sh = r.getSeq[String](0)
+        val words = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        val expected = words.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+        Prop(sh.toSet == expected) :| s"text='${r.getString(1)}' n=$n got=$sh want=$expected"
+      }: _*)
+    })
+  }
+
+  test("minhash signature: identical texts agree, signature is order-stable") {
+    check(forAll(Gen.listOfN(20, sentenceOf(3))) { texts =>
+      val df = texts.toDF("text")
+        .select($"text", Dedup.wordShingles($"text", 3).as("sh"))
+        .select($"text", Dedup.minhashSignature($"sh", 8).as("sig"))
+      val bySig = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      Prop.all(texts.map { t =>
+        Prop(bySig(t).length == 8) :| "sig width"
+      }: _*)
+    })
+  }
+
+  test("jaccard is symmetric and bounded in [0,1]") {
+    val shingleArr = Gen.listOf(word).map(_.distinct)
+    check(forAll(Gen.listOfN(25, Gen.zip(shingleArr, shingleArr))) { pairs =>
+      val rows = pairs.toDF("a", "b")
+        .select(Dedup.jaccard($"a", $"b").as("ab"), Dedup.jaccard($"b", $"a").as("ba")).collect()
+      Prop.all(rows.map { r =>
+        val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+        Prop(ab == ba && ab >= 0.0 && ab <= 1.0) :| s"ab=$ab ba=$ba"
+      }: _*)
+    })
+  }
+
+  test("mysqlToJavaFormat: translated formats parse what Spark formatted") {
+    // round-trip: date_format with translated pattern, then str_to_date
+    // (same translation) must recover the original date
+    val day = Gen.chooseNum(0, 3650)
+    check(forAll(Gen.listOfN(30, day)) { days =>
+      val rows = days.toDF("d")
+        .select(date_add(lit("2000-01-01").cast("date"), $"d").cast("timestamp").as("ts"))
+        .select($"ts", expr("str_to_date(date_format(ts, 'yyyy-MM-dd HH:mm:ss'), '%Y-%m-%d %H:%i:%s')").as("rt"))
+        .collect()
+      Prop.all(rows.map(r => Prop(r.get(0) == r.get(1)) :| s"${r.get(0)} != ${r.get(1)}"): _*)
+    })
+  }
+
+  test("truncate matches MySQL toward-zero semantics") {
+    check(forAll(Gen.chooseNum(-1000.0, 1000.0), Gen.chooseNum(0, 4)) { (x, d) =>
+      val r = List(x).toDF("x").select(expr(s"truncate(x, $d)")).head.getDouble(0)
+      val scale = math.pow(10, d)
+      val expected = (if (x >= 0) math.floor(x * scale) else math.ceil(x * scale)) / scale
+      Prop(math.abs(r - expected) < 1e-9) :| s"truncate($x,$d)=$r want $expected"
+    })
+  }
+
+  test("simhash: identical texts get identical signatures; hamming to a 1-word change is small") {
+    check(forAll(Gen.listOfN(10, sentenceOf(8))) { texts =>
+      val df = texts.toDF("text").select(Dedup.simhash64($"text").as("s1"),
+        Dedup.simhash64(concat($"text", lit(" extraword"))).as("s2"))
+      val rows = df.collect()
+      Prop.all(rows.map { r =>
+        val ham = java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(1))
+        Prop(ham <= 24) :| s"1-word change moved $ham bits"
+      }: _*)
+    })
+  }
+}
