@@ -166,6 +166,10 @@ object Compat {
       graft.functions.agg.ApproxTopKAgg(es.head, k)
     }
 
+    // --- TVF-ish (reference: generate_series.h; used as
+    // explode(generate_series(a, b[, step])) on the Spark side) ---
+    f("generate_series") { es => call("sequence", es: _*) }
+
     // --- HLL sketches (reference: hyperloglog_functions.cpp, agg/hll_ndv.h)
     // Storable/mergeable sketches ride on Spark's DataSketches builtins;
     // only the reference's names are added. ---

@@ -87,11 +87,14 @@ object Aggregates extends graft.QueryArea {
     }),
     "agg_percentiles" -> ((spark, dir) => {
       val li = t(spark, dir, "lineitem")
+      // one percentile state shared across quantiles (3 separate
+      // percentile()/median() aggs would each buffer every value)
       li.groupBy(col("l_linestatus"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("median(l_extendedprice)"), 4).as("med"))
+        .agg(expr("percentile(l_extendedprice, array(0.5d, 0.9d, 0.5d))").as("ps"))
+        .select(col("l_linestatus"),
+          round(col("ps")(0), 4).as("p50"),
+          round(col("ps")(1), 4).as("p90"),
+          round(col("ps")(2), 4).as("med"))
         .orderBy(col("l_linestatus"))
     }),
     "agg_any_value" -> ((spark, dir) => {
