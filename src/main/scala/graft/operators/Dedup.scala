@@ -134,7 +134,7 @@ object Dedup {
     * (64 aggregates, each closing over the hash array expression)
     * re-evaluates split+xxhash 64× per row under interpreted HOFs. */
   def simhash64(text: Column): Column = {
-    val hashes = transform(split(text, "\\s+"), w => xxhash64(w))
+    val hashes = transform(filter(split(text, "\\s+"), w => w =!= ""), w => xxhash64(w))
     simhashFromHashes(hashes)
   }
 
@@ -158,15 +158,35 @@ object Dedup {
     bits.reduce((a, v) => a.bitwiseOR(v))
   }
 
+  /** SimHash signatures as a DataFrame op: explode words, hash, then
+    * 64 codegen'd conditional sums in one hash aggregation — the whole
+    * computation stays inside whole-stage codegen (the Column
+    * formulations above run interpreted). Scale shape: partial
+    * aggregation collapses each document's words map-side before any
+    * shuffle, so the exchange carries one 64-column row per doc. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol).as("__id"), explode(split(col(textCol), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col("__id"), xxhash64(col("__w")).as("__h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"__b$b")
+    }
+    val folded = words.groupBy(col("__id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__id"),
+        (0 until 64).map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("__sig"))
+    // docs with no words (empty text) have the all-zero signature
+    df.select(col(idCol).as("__id")).join(folded, Seq("__id"), "left_outer")
+      .select(col("__id"), coalesce(col("__sig"), lit(0L)).as("__sig"))
+  }
+
   /** SimHash near-dup candidate pairs: band the 64-bit signature into
     * 4 × 16-bit chunks; pairs sharing any chunk are candidates, then
     * verified by Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("__id"),
-        transform(split(col(textCol), "\\s+"), w => xxhash64(w)).as("__h"))
-      .select(col("__id"), simhashFromHashes(col("__h")).as("__sig"))
+    val sigs = simhashSignatures(df, idCol, textCol)
     val banded = sigs.select(col("__id"), col("__sig"), posexplode(array(
       (0 until 4).map(b => shiftright(col("__sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")

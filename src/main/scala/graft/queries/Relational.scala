@@ -70,6 +70,18 @@ object Relational extends graft.QueryArea {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }),
+    // LATERAL correlated subquery (top-2 orders per customer) —
+    // Catalyst decorrelates to a ranked window, not a per-row loop
+    "join_lateral_topn" -> ((spark, dir) => {
+      sqlq(spark, dir)(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM customer,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+          |WHERE c_custkey < 500
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
     // NOT IN over a subquery that contains NULLs: null-aware anti join
     // (reference NULL_AWARE_LEFT_ANTI_JOIN) — must return 0 rows, where
     // a plain anti join would return many.
@@ -193,6 +205,14 @@ object Relational extends graft.QueryArea {
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
         |ORDER BY c_custkey""".stripMargin,
+    "join_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS l
+        |WHERE c_custkey < 500
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "join_null_aware_anti" ->
       """SELECT c_custkey FROM customer
         |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 1) FROM orders)

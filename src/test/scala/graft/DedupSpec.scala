@@ -55,6 +55,14 @@ class DedupSpec extends SparkSuite {
     assert(pairs.count() > planted_n * 0.5, "simhash found too few planted pairs")
   }
 
+  test("simhash DataFrame path equals the Column formulation") {
+    val byCol = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDf = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCol === byDf)
+  }
+
   test("jaccard of identical shingle sets is 1, disjoint is 0") {
     val df = Seq(
       (Seq("a b c", "b c d"), Seq("a b c", "b c d")),
