@@ -151,6 +151,20 @@ object Scalars extends graft.QueryArea {
           unbase64(base64(col("c_name").cast("binary"))).cast("string").as("roundtrip"))
         .orderBy(col("c_custkey")).limit(500)
     }),
+    // URL functions (reference: url_functions.cpp / url_coding):
+    // synthesize a URL per customer, then parse it back apart
+    "url_functions" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+        .withColumn("url", concat(lit("https://shop.example.com/seg/"),
+          col("c_mktsegment"), lit("/item?cust="), col("c_custkey"), lit("&tier=gold")))
+      c.select(
+          col("c_custkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("cust")).as("q_cust"),
+          url_decode(url_encode(col("url"))).as("roundtrip"))
+        .orderBy(col("c_custkey")).limit(500)
+    }),
     "str_money_strcmp" -> ((spark, dir) => sqlq(spark, dir)(
       """SELECT c_custkey,
         |  money_format(c_acctbal) AS money,
@@ -270,6 +284,18 @@ object Scalars extends graft.QueryArea {
         |  to_base64(CAST(c_name AS BLOB)) AS b64,
         |  c_name AS roundtrip
         |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "url_functions" ->
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    concat('https://shop.example.com/seg/', c_mktsegment,
+        |           '/item?cust=', CAST(c_custkey AS VARCHAR), '&tier=gold') AS url
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '://[^/]+([^?]*)', 1) AS path,
+        |  regexp_extract(url, 'cust=([^&]*)', 1) AS q_cust,
+        |  url AS roundtrip
+        |FROM u ORDER BY c_custkey LIMIT 500""".stripMargin,
     "str_money_strcmp" ->
       """SELECT c_custkey,
         |  concat(CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END,

@@ -61,6 +61,21 @@ object SourcesQ extends graft.QueryArea {
           col("sum(rev)").cast("double").as("sum_rev"))
         .orderBy(col("l_orderkey"))
     }),
+    // AGG-keys table with a mergeable sketch column (the reference's
+    // agg-state combinator pattern, be/src/exprs/agg/combinator/):
+    // ingest folds events into per-(day, type) HLL state; reads merge
+    // state further (here: to per-type uniques) without re-scanning
+    // raw data.
+    "keys_agg_sketch_table" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val aggTable = e.groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(expr("hll_raw_agg(user_id % 256)").as("users_state"),
+          count(lit(1)).as("n"))
+      aggTable.groupBy(col("event_type"))
+        .agg(expr("hll_cardinality(hll_union_agg(users_state))").as("approx_users"),
+          sum(col("n")).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
     // UPDATE + DELETE rewrite on a PRIMARY-key table image.
     "keys_update_delete" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
@@ -94,6 +109,11 @@ object SourcesQ extends graft.QueryArea {
       """SELECT l_orderkey, SUM(l_quantity) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_rev
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "keys_agg_sketch_table" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id % 256) AS approx_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "keys_update_delete" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
