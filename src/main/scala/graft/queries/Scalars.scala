@@ -84,7 +84,10 @@ object Scalars extends graft.QueryArea {
         |  str_to_date('2024-03-05 10:20:30', '%Y-%m-%d %H:%i:%s') AS parsed
         |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
     "math_functions" -> ((spark, dir) => {
+      // top-k on raw sort keys FIRST: guarantees the 18 computed
+      // columns are evaluated for 2000 rows, not the whole scan
       val li = t(spark, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(2000)
       li.select(
           col("l_orderkey"), col("l_linenumber"),
           abs(col("l_discount") - 0.05).as("ad"),

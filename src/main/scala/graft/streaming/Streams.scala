@@ -55,6 +55,31 @@ object Streams {
   def streamingDedup(df: DataFrame, keys: Seq[String], watermark: String = "1 hour"): DataFrame =
     df.withWatermark("ts", watermark).dropDuplicates(keys :+ "ts")
 
+  /** Retractable per-key min/max/count via explicit state — the
+    * Structured-Streaming form of the reference's IVM retractable agg
+    * states (`be/src/exprs/agg/stream/retract_maxmin.h`, STREAM_AGG
+    * plan nodes): each micro-batch emits an UPDATED row per changed
+    * key, so a downstream MV can overwrite by key rather than append.
+    * State is bounded by key cardinality, not input size. */
+  def retractableMinMax(events: DataFrame, keyCol: String, valueCol: String):
+      org.apache.spark.sql.Dataset[(Long, Double, Double, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col(keyCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double, Long), (Long, Double, Double, Long)](
+        OM.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Double, Double, Long)]) =>
+          val (mn0, mx0, n0) = state.getOption.getOrElse((Double.MaxValue, Double.MinValue, 0L))
+          var (mn, mx, n) = (mn0, mx0, n0)
+          rows.foreach { case (_, v) => mn = math.min(mn, v); mx = math.max(mx, v); n += 1 }
+          if (n != n0) { state.update((mn, mx, n)); Iterator((key, mn, mx, n)) }
+          else Iterator.empty
+      }
+  }
+
   /** Incremental-MV writer: stream an aggregation into a parquet dir
     * in append mode per completed window (the Structured-Streaming
     * equivalent of an ASYNC incremental MV refresh). */

@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSuite {
     assert(n === Tables.load(spark, sf, "events").count())
   }
 
+  test("retractable min/max state: final updates match batch min/max per key") {
+    val dir = tmp()
+    stage(dir)
+    val schema = Tables.load(spark, sf, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.retractableMinMax(stream, "user_id", "value")
+      .toDF("user_id", "mn", "mx", "n")
+      .writeStream.format("memory").queryName("retract_out_" + System.nanoTime())
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // latest update per key (state evolves across micro-batches; the
+    // memory sink keeps every update — last one wins)
+    val latest = spark.table(q.name)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"n".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"mn", $"mx", $"n")
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy($"user_id".cast("long").as("user_id"))
+      .agg(min($"value").as("mn"), max($"value").as("mx"), count(lit(1)).as("n"))
+    val l = latest.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val b = batch.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(l.keySet === b.keySet)
+    assert(l === b, "stateful min/max diverged from batch")
+  }
+
   test("incremental MV writer produces a queryable parquet table") {
     val dir = tmp()
     stage(dir)

@@ -58,8 +58,11 @@ class VectorExpressionsSpec extends SparkSuite {
   }
 
   test("interpreted eval matches codegen") {
-    val df = table("embeddings").limit(50).select($"embedding".as("a"))
-      .crossJoin(table("embeddings").limit(3).select($"embedding".as("b")))
+    // deterministic row choice: the test materializes df twice (codegen
+    // job + driver-side recompute), and a bare limit() may pick
+    // different rows per job
+    val df = table("embeddings").orderBy($"vec_id").limit(50).select($"embedding".as("a"))
+      .crossJoin(table("embeddings").orderBy($"vec_id").limit(3).select($"embedding".as("b")))
     val viaCodegen = df.select(cosine_similarity($"a", $"b").as("c")).collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
     val viaInterp = df.collect().map { r =>
       val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
