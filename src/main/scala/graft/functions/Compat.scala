@@ -28,10 +28,12 @@ object Compat {
   private val unitSeconds: Map[String, Long] =
     Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L, "day" -> 86400L, "week" -> 604800L)
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** (name, builder) pairs — consumed by both session-level `register`
+    * and the `GraftExtensions` SparkSessionExtensions entry point. */
+  lazy val injections: Seq[(String, Seq[Expression] => Expression)] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, Seq[Expression] => Expression)]
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      buf += (name -> builder)
 
     // --- date/time (reference: be/src/exprs/time_functions.cpp) ---
     f("dayname") { es => call("date_format", es.head, lit("EEEE")) }
@@ -207,6 +209,14 @@ object Compat {
     f("cosine_similarity") { es => graft.functions.CosineSimilarity(es.head, es(1)) }
     f("l2_distance") { es => graft.functions.L2Distance(es.head, es(1)) }
     f("dot_product") { es => graft.functions.DotProduct(es.head, es(1)) }
+    buf.toList
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    injections.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Translate a MySQL date-format string (%Y-%m-%d …) to java.time. */

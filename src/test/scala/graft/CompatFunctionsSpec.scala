@@ -96,4 +96,20 @@ class CompatFunctionsSpec extends SparkSuite {
       .selectExpr("s", "time_slice(s, 7, 'hour') AS s2").collect()
     rows.foreach(r => assert(r.get(0) === r.get(1)))
   }
+
+  test("GraftExtensions: injections list powers the extensions entry point") {
+    // reflection-instantiable (how spark.sql.extensions loads it) …
+    val ext = Class.forName("graft.GraftExtensions").getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+    // … and the injected builders evaluate standalone
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val byName = graft.functions.Compat.injections.toMap
+    assert(byName.size >= 40, s"expected a broad registry, got ${byName.size}")
+    val band = spark.range(1)
+      .select(ColumnBridge.column(byName("bitand")(Seq(Literal(12), Literal(10)))))
+      .head.get(0)
+    assert(band === 8)
+  }
 }
