@@ -58,6 +58,7 @@ object Session {
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.Registry.registerAll(spark)
+    plans.MvRewrite.install(spark) // no-op until an MV registers
     spark
   }
 }

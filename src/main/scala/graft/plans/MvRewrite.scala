@@ -1,0 +1,117 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Materialized-view auto-rewrite.
+  *
+  * Reference: transparent MV rewrite
+  * (`fe/fe-core/.../sql/optimizer/rule/transformation/materialization/`,
+  * `MvRewritePreprocessor.java` — SURVEY.md §4.1 last row, deferred
+  * there as "needs custom Catalyst rule"). This is that rule, scoped
+  * to exact-semantics matches: when any subtree of a query plan
+  * computes the same result as a registered MV definition
+  * (`LogicalPlan.sameResult`, i.e. canonicalized-plan equality), the
+  * subtree is replaced by a scan of the materialized parquet, with a
+  * Project restoring the original output attribute ids.
+  *
+  * Scale rationale: at 100 TB the win is not planning cleverness but
+  * not re-scanning the fact table — a matching dashboard query hits
+  * the MV's pre-aggregated parquet (typically 1e3–1e6× smaller).
+  * Roll-up rewrites (query groups coarser than the MV) are future
+  * work; exact matches are the common dashboard/repeat-query case.
+  */
+object MvRewrite {
+
+  /** name → (optimized definition plan, analyzed scan of the
+    * materialization). The scan is resolved at register time so the
+    * rule never lists files mid-optimization (and a refresh must
+    * re-register, keeping the file index current). */
+  private val registry = TrieMap.empty[String, (LogicalPlan, LogicalPlan)]
+
+  /** Register an MV: materialize `definition` to `path` (overwrite)
+    * and remember its optimized plan for rewriting. */
+  def register(spark: SparkSession, name: String, definition: DataFrame, path: String): Unit = {
+    definition.write.mode("overwrite").parquet(path)
+    registry.put(name,
+      (definition.queryExecution.optimizedPlan,
+        spark.read.parquet(path).queryExecution.analyzed))
+  }
+
+  def deregister(name: String): Unit = registry.remove(name)
+  def clear(): Unit = registry.clear()
+  def registered: Seq[String] = registry.keys.toSeq
+
+  /** The optimizer rule. Installed by [[install]] (idempotent). */
+  final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      if (registry.isEmpty) return plan
+      plan.transformDown {
+        case sub if !sub.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
+          registry.values.flatMap { case (mvPlan, scan) =>
+            exactMatch(sub, mvPlan, scan).orElse(prunedAggregateMatch(sub, mvPlan, scan))
+          }.headOption.getOrElse(sub)
+      }
+    }
+
+    /** Whole-subtree equality (`sameResult`): replace with the scan,
+      * mapping attributes positionally (parquet column order is the
+      * definition's output order). */
+    private def exactMatch(sub: LogicalPlan, mvPlan: LogicalPlan,
+        scan: LogicalPlan): Option[LogicalPlan] =
+      if (sub.sameResult(mvPlan))
+        Some(Project(sub.output.zip(scan.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId): NamedExpression
+        }, scan))
+      else None
+
+    /** Containment after column pruning: the optimizer prunes unused
+      * MV outputs from a consuming query's inner Aggregate, breaking
+      * exact equality. Match when the subtree is an Aggregate with the
+      * SAME child and grouping as the MV definition but a SUBSET of
+      * its output expressions, and project just those MV columns. */
+    private def prunedAggregateMatch(sub: LogicalPlan, mvPlan: LogicalPlan,
+        scan: LogicalPlan): Option[LogicalPlan] = (sub, mvPlan) match {
+      case (s: Aggregate, m: Aggregate) if s.child.sameResult(m.child) =>
+        // rewrite MV exprs onto the subtree's child attribute ids
+        // (children are sameResult ⇒ outputs align positionally)
+        val idMap = m.child.output.zip(s.child.output)
+          .map { case (mo, so) => mo.exprId -> so }.toMap
+        def norm(e: Expression): Expression = e.transform {
+          case a: AttributeReference => idMap.getOrElse(a.exprId, a)
+        }
+        def unalias(e: Expression): Expression = e match {
+          case Alias(c, _) => c
+          case x => x
+        }
+        val mGroups = m.groupingExpressions.map(norm)
+        val groupsMatch = s.groupingExpressions.length == mGroups.length &&
+          s.groupingExpressions.forall(g => mGroups.exists(_.semanticEquals(g)))
+        if (!groupsMatch) return None
+        val mOutputs = m.aggregateExpressions.map(e => unalias(norm(e)))
+        val mapping = s.aggregateExpressions.map { se =>
+          mOutputs.indexWhere(_.semanticEquals(unalias(se))) match {
+            case -1 => None
+            case i => Some(i)
+          }
+        }
+        if (mapping.exists(_.isEmpty)) None
+        else Some(Project(
+          s.aggregateExpressions.zip(mapping.map(_.get)).map { case (out, i) =>
+            Alias(scan.output(i), out.name)(exprId = out.exprId): NamedExpression
+          }, scan))
+      case _ => None
+    }
+  }
+
+  /** Install the rule into a session's extra optimizations (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[Rewrite]))
+      spark.experimental.extraOptimizations = existing :+ new Rewrite(spark)
+  }
+}
