@@ -24,6 +24,34 @@ object Advanced extends graft.QueryArea {
       MaterializedViews.read(spark, base, "daily_revenue")
         .orderBy(col("d"), col("o_orderpriority"))
     }),
+    // Transparent MV rewrite: register the MV, then run the SAME
+    // definition — the optimizer substitutes the materialized scan
+    // (plans.MvRewrite); matching the oracle proves the rewrite is
+    // semantics-preserving end to end.
+    "mv_auto_rewrite" -> ((spark, dir) => {
+      import graft.plans.MvRewrite
+      val definition = t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvrw_${dir.replaceAll("[^0-9a-z]", "_")}/prio_revenue"
+      MvRewrite.register(spark, "prio_revenue", definition, path)
+      MvRewrite.install(spark)
+      val q = t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+      assert(scans.exists(_.contains("prio_revenue")), "MV rewrite did not engage")
+      q
+    }),
     // ai_query: batched inference over documents (deterministic stub —
     // the oracle mirrors the stub's arithmetic on text length).
     "ai_query_labels" -> ((spark, dir) => {
@@ -69,6 +97,11 @@ object Advanced extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY d, o_orderpriority""".stripMargin,
+    "mv_auto_rewrite" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "ai_query_labels" ->
       """SELECT 'label_' || CAST((length(text) * 31) % 5 AS VARCHAR) AS ai_response,
         |  count(*) AS n, min(doc_id) AS min_doc
