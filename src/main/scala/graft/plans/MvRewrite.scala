@@ -34,8 +34,15 @@ object MvRewrite {
   private val registry = TrieMap.empty[String, (LogicalPlan, LogicalPlan)]
 
   /** Register an MV: materialize `definition` to `path` (overwrite)
-    * and remember its optimized plan for rewriting. */
+    * and remember its optimized plan for rewriting.
+    *
+    * Re-registration drops the old entry FIRST — otherwise the
+    * definition's own refresh write would be rewritten to read from
+    * the very MV it is overwriting (self-reference: a refresh cycle
+    * and a read-while-overwrite error). Pass a freshly built
+    * DataFrame, not one whose QueryExecution already ran. */
   def register(spark: SparkSession, name: String, definition: DataFrame, path: String): Unit = {
+    registry.remove(name)
     definition.write.mode("overwrite").parquet(path)
     registry.put(name,
       (definition.queryExecution.optimizedPlan,

@@ -71,6 +71,13 @@ class MvRewriteSpec extends SparkSuite with BeforeAndAfterAll {
     assert(!scanPaths(q).exists(_.contains("daily_revenue")), "unrelated query hijacked by MV")
   }
 
+  test("re-register (refresh) while the rule is installed does not self-reference") {
+    MvRewrite.register(spark, "daily_revenue", dailyRevenue, mvPath)
+    MvRewrite.register(spark, "daily_revenue", dailyRevenue, mvPath) // refresh cycle
+    assert(scanPaths(dailyRevenue).exists(_.contains("daily_revenue")))
+    assert(spark.read.parquet(mvPath).count() > 0, "refresh clobbered the MV data")
+  }
+
   test("deregister stops rewriting") {
     MvRewrite.deregister("daily_revenue")
     assert(!scanPaths(dailyRevenue).exists(_.contains("daily_revenue")))
