@@ -3,7 +3,8 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -60,7 +61,9 @@ object MvRewrite {
       plan.transformDown {
         case sub if !sub.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
           registry.values.flatMap { case (mvPlan, scan) =>
-            exactMatch(sub, mvPlan, scan).orElse(prunedAggregateMatch(sub, mvPlan, scan))
+            exactMatch(sub, mvPlan, scan)
+              .orElse(prunedAggregateMatch(sub, mvPlan, scan))
+              .orElse(rollupMatch(sub, mvPlan, scan))
           }.headOption.getOrElse(sub)
       }
     }
@@ -111,6 +114,99 @@ object MvRewrite {
           s.aggregateExpressions.zip(mapping.map(_.get)).map { case (out, i) =>
             Alias(scan.output(i), out.name)(exprId = out.exprId): NamedExpression
           }, scan))
+      case _ => None
+    }
+
+    /** Roll-up: the query groups COARSER than the MV (its grouping
+      * expressions are a strict subset), and every aggregate is
+      * re-aggregable over the MV's stored partials:
+      * sum→sum, min→min, max→max, count→sum(count). avg and distinct
+      * aggregates are not decomposable this way and fall through. The
+      * rewrite replaces a base-table scan + wide aggregation with a
+      * (typically orders-of-magnitude smaller) MV scan + re-agg. */
+    private def rollupMatch(sub: LogicalPlan, mvPlan: LogicalPlan,
+        scan: LogicalPlan): Option[LogicalPlan] = (sub, mvPlan) match {
+      case (s: Aggregate, m: Aggregate)
+          if s.groupingExpressions.length < m.groupingExpressions.length =>
+        // the two aggregates' children are independently column-pruned
+        // Projects over the same base — strip them and inline their
+        // alias definitions so expressions compare on base attributes
+        def strip(p: LogicalPlan): (LogicalPlan, Map[Long, Expression]) = p match {
+          case Project(list, child) =>
+            (child, list.map {
+              case a: Alias => a.exprId.id -> a.child
+              case ar: AttributeReference => ar.exprId.id -> (ar: Expression)
+            }.toMap)
+          case other => (other, Map.empty[Long, Expression])
+        }
+        val (sBase, sDefs) = strip(s.child)
+        val (mBase, mDefs) = strip(m.child)
+        if (!sBase.sameResult(mBase)) return None
+        val idMap = mBase.output.zip(sBase.output)
+          .map { case (mo, so) => mo.exprId -> so }.toMap
+        def inline(e: Expression, defs: Map[Long, Expression]): Expression = e.transform {
+          case a: AttributeReference if defs.contains(a.exprId.id) => defs(a.exprId.id)
+        }
+        def norm(e: Expression): Expression = inline(e, mDefs).transform {
+          case a: AttributeReference => idMap.getOrElse(a.exprId, a)
+        }
+        def snorm(e: Expression): Expression = inline(e, sDefs)
+        def unalias(e: Expression): Expression = e match {
+          case Alias(c, _) => c
+          case x => x
+        }
+        val mGroups = m.groupingExpressions.map(norm)
+        val sGroups = s.groupingExpressions.map(snorm)
+        // query groups ⊂ MV groups
+        if (!sGroups.forall(g => mGroups.exists(_.semanticEquals(g)))) return None
+        val mOutputs = m.aggregateExpressions.map(e => (unalias(norm(e)), e))
+        // an MV output column for expression e, as the scan attribute
+        def scanColFor(e: Expression): Option[AttributeReference] =
+          mOutputs.zipWithIndex.collectFirst {
+            case ((me, _), i) if me.semanticEquals(e) =>
+              scan.output(i).asInstanceOf[AttributeReference]
+          }
+        // grouping keys must be stored MV columns
+        val groupCols = sGroups.map(scanColFor)
+        if (groupCols.exists(_.isEmpty)) return None
+        // Rebuild each output over the MV partials. The stored column
+        // is matched against the WHOLE output expression (e.g.
+        // `cast(sum(x) as double)` — the cast is baked into the stored
+        // values); the re-aggregation operator comes from the aggregate
+        // function inside: sum/min/max→same over the stored column,
+        // count→sum of stored counts.
+        def reAgg(out: NamedExpression): Option[NamedExpression] = {
+          val e = snorm(unalias(out))
+          def finish(re: Expression): Option[NamedExpression] =
+            // type must match exactly — sum(decimal) widens precision on
+            // re-agg, which would corrupt downstream attribute types
+            if (re.dataType == out.dataType) Some(Alias(re, out.name)(exprId = out.exprId))
+            else None
+          def rollupOf(ae: AggregateExpression): Option[NamedExpression] = {
+            if (ae.isDistinct || ae.filter.isDefined) return None
+            scanColFor(e).flatMap { c =>
+              val re = ae.aggregateFunction match {
+                case _: Sum => Some(AggregateExpression(new Sum(c), Complete, isDistinct = false))
+                case _: Min => Some(AggregateExpression(Min(c), Complete, isDistinct = false))
+                case _: Max => Some(AggregateExpression(Max(c), Complete, isDistinct = false))
+                case _: Count => Some(AggregateExpression(new Sum(c), Complete, isDistinct = false))
+                case _ => None
+              }
+              re.flatMap(finish)
+            }
+          }
+          e match {
+            case ae: AggregateExpression => rollupOf(ae)
+            case c: Cast if c.child.isInstanceOf[AggregateExpression] =>
+              rollupOf(c.child.asInstanceOf[AggregateExpression])
+            case g if sGroups.exists(_.semanticEquals(g)) =>
+              scanColFor(g).flatMap(finish)
+            case _ => None
+          }
+        }
+        val reAggs = s.aggregateExpressions.map(reAgg)
+        if (reAggs.exists(_.isEmpty)) None
+        else Some(Aggregate(groupCols.map(_.get), reAggs.map(_.get), scan))
       case _ => None
     }
   }
