@@ -125,6 +125,34 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("partition pruning: year-partitioned table reads only matching partitions") {
+    // the reference's RANGE partitioning + partition prune
+    // (PartitionPruneRule) ≡ write partitionBy + scan-time pruning
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/orders_by_year"
+    table("orders").withColumn("o_year", year($"o_orderdate"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"o_year" === 1997)
+      .agg(count(lit(1)))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_year"), s"no partition filter:\n$scan")
+    // only the 1997 partition's files are selected (7 year partitions
+    // exist; the scan metric must show a strict subset). AQE wraps
+    // subtrees in query stages whose children are hidden — unwrap
+    // recursively to reach the scan node.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val numFiles = scans(q.queryExecution.executedPlan).map(_.metrics("numFiles").value)
+    val totalFiles = spark.read.parquet(dir).inputFiles.length
+    assert(numFiles.nonEmpty && numFiles.head > 0 && numFiles.head < totalFiles,
+      s"partition pruning ineffective: read ${numFiles.headOption} of $totalFiles files")
+  }
+
   test("multi-probe LSH corpus side has no explode (bucketed once)") {
     val emb = table("embeddings")
     val q = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
