@@ -96,7 +96,25 @@ object Compat {
       }
     }
 
+    // convert_tz(ts, from_tz, to_tz) — MySQL arg order; Spark's
+    // convert_timezone takes (from, to, ts)
+    f("convert_tz") { es => call("convert_timezone", es(1), es(2), es.head) }
+    // to_days / from_days — days since year 0 (MySQL epoch offset:
+    // to_days('1970-01-01') = 719528)
+    f("to_days") { es =>
+      Add(call("datediff", Cast(es.head, DateType), Cast(lit("1970-01-01"), DateType)),
+        lit(719528))
+    }
+    f("from_days") { es =>
+      call("date_add", Cast(lit("1970-01-01"), DateType), Subtract(Cast(es.head, IntegerType), lit(719528)))
+    }
+
     // --- string (reference: be/src/exprs/string_functions.cpp) ---
+    // field(x, v1, v2, ...) — 1-based index of x in the list, 0 if absent
+    f("field") { es =>
+      CaseWhen(es.tail.zipWithIndex.map { case (v, i) =>
+        (EqualTo(es.head, v), lit(i + 1)) }, lit(0))
+    }
     f("strcmp") { es =>
       CaseWhen(Seq(
         (LessThan(es.head, es(1)), lit(-1)),

@@ -97,6 +97,23 @@ class CompatFunctionsSpec extends SparkSuite {
     rows.foreach(r => assert(r.get(0) === r.get(1)))
   }
 
+  test("convert_tz, to_days/from_days, field") {
+    val r = spark.sql(
+      """SELECT
+        |  convert_tz(timestamp'2024-06-01 12:00:00', 'UTC', 'America/New_York') AS ny,
+        |  to_days(date'1970-01-01') AS d0,
+        |  to_days(date'2024-01-01') AS d1,
+        |  from_days(719528) AS epoch_day,
+        |  field('b', 'a', 'b', 'c') AS f2,
+        |  field('z', 'a', 'b', 'c') AS f0""".stripMargin).head
+    assert(r.getAs[java.time.LocalDateTime]("ny") ===
+      java.time.LocalDateTime.of(2024, 6, 1, 8, 0, 0))
+    assert(r.getAs[Int]("d0") === 719528)
+    assert(r.getAs[Int]("d1") === 719528 + 19723)
+    assert(r.getAs[java.sql.Date]("epoch_day").toString === "1970-01-01")
+    assert(r.getAs[Int]("f2") === 2 && r.getAs[Int]("f0") === 0)
+  }
+
   test("GraftExtensions: injections list powers the extensions entry point") {
     // reflection-instantiable (how spark.sql.extensions loads it) …
     val ext = Class.forName("graft.GraftExtensions").getDeclaredConstructor().newInstance()
