@@ -116,7 +116,12 @@ object Compat {
         (EqualTo(es.head, v), lit(i + 1)) }, lit(0))
     }
     f("strcmp") { es =>
+      // MySQL strcmp is NULL on NULL input — without the explicit guard
+      // a NULL comparison falls through both CaseWhen branches to the
+      // else literal 1
       CaseWhen(Seq(
+        (Or(IsNull(es.head), IsNull(es(1))),
+          Literal.create(null, IntegerType)),
         (LessThan(es.head, es(1)), lit(-1)),
         (EqualTo(es.head, es(1)), lit(0))), lit(1))
     }

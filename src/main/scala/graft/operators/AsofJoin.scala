@@ -29,6 +29,8 @@ object AsofJoin {
     * "forward": earliest right.ts >= left.ts.
     * joinType = "inner" | "left".
     * toleranceSeconds: optional max |left.ts - right.ts|.
+    * rightSuffix: appended to right payload columns whose name collides
+    * with a left column (SQL join semantics: both survive, disambiguated).
     */
   def asof(
       left: DataFrame,
@@ -38,7 +40,8 @@ object AsofJoin {
       rightTime: String,
       direction: String = "backward",
       joinType: String = "left",
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      rightSuffix: String = "_r"): DataFrame = {
     require(Seq("backward", "forward").contains(direction), s"direction: $direction")
     require(Seq("inner", "left").contains(joinType), s"joinType: $joinType")
 
@@ -55,10 +58,15 @@ object AsofJoin {
       .withColumn("__payload", struct(rightCols.map(col): _*))
       .drop(rightCols.filterNot(leftCols.contains): _*)
 
+    // SQL join semantics: a NULL key matches nothing. partitionBy groups
+    // NULLs together, so drop right rows with null keys pre-union (left
+    // rows keep flowing and simply find no payload in their partition).
+    val rValid = on.foldLeft(rTagged)((df, k) => df.filter(col(k).isNotNull))
+
     val unioned = lTagged.select((on.map(col) ++ leftCols.filterNot(on.contains).map(col) ++
         Seq(col("__t"), col("__side"), col("__payload"))): _*)
       .unionByName(
-        rTagged.select((on.map(col) ++ Seq(col("__t"), col("__side"), col("__payload"))): _*),
+        rValid.select((on.map(col) ++ Seq(col("__t"), col("__side"), col("__payload"))): _*),
         allowMissingColumns = true)
 
     // backward: right rows sort BEFORE left at equal ts (side 0 < 1) so
@@ -86,13 +94,18 @@ object AsofJoin {
       case None => matched
     }
 
-    val out = withTol.select(
-      leftCols.map(col) ++
-        rightCols.map(c => col("__m").getField(c).as(c)): _*)
+    // __m is the whole right-payload struct: struct(...) is non-null for
+    // every real right row even when all its fields are NULL, so
+    // __m IS NOT NULL is exactly "matched" (fixes the all-NULL-payload
+    // inner-join drop). Filter BEFORE projecting __m away.
+    val kept = if (joinType == "inner") withTol.filter(col("__m").isNotNull) else withTol
 
-    if (joinType == "inner") out.filter(col(rightCols.head).isNotNull.or(
-      rightCols.map(c => col(c).isNotNull).reduce(_ || _)))
-    else out
+    kept.select(
+      leftCols.map(col) ++
+        rightCols.map { c =>
+          val name = if (leftCols.contains(c)) c + rightSuffix else c
+          col("__m").getField(c).as(name)
+        }: _*)
   }
 
   private def payloadType(right: DataFrame, cols: Seq[String]): org.apache.spark.sql.types.StructType =

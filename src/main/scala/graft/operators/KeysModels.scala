@@ -43,9 +43,11 @@ object KeysModels {
       acc.withColumn(c, when(condition, v).otherwise(col(c)))
     }
 
-  /** DELETE via rewrite. */
+  /** DELETE via rewrite. SQL DELETE removes only rows where the
+    * predicate is TRUE — rows where it evaluates NULL are KEPT, so the
+    * keep-filter is NOT(cond) OR cond IS NULL, not plain NOT(cond). */
   def delete(df: DataFrame, condition: org.apache.spark.sql.Column): DataFrame =
-    df.filter(!condition)
+    df.filter(coalesce(!condition, lit(true)))
 
   /** MERGE INTO target USING source ON keys: source rows upsert
     * (update-on-match, insert-on-no-match). Both sides must share the

@@ -30,9 +30,19 @@ object MaterializedViews {
 
   private def path(baseDir: String, name: String) = s"$baseDir/$name"
 
-  /** Full (SYNC-style) refresh: recompute and atomically replace. */
-  def refreshFull(source: DataFrame, mv: MvDef, baseDir: String): Unit =
-    mv.define(source).write.mode("overwrite").parquet(path(baseDir, mv.name))
+  /** Full (SYNC-style) refresh: recompute and atomically replace.
+    * If the MV is registered for auto-rewrite, refresh THROUGH
+    * [[graft.plans.MvRewrite.register]]: it deregisters first (so the
+    * refresh write is not itself rewritten to read the path it
+    * overwrites) and re-registers with a fresh scan of the new files —
+    * otherwise rewrites would silently serve stale data. */
+  def refreshFull(source: DataFrame, mv: MvDef, baseDir: String): Unit = {
+    val out = mv.define(source)
+    if (graft.plans.MvRewrite.registered.contains(mv.name))
+      graft.plans.MvRewrite.register(out.sparkSession, mv.name, out, path(baseDir, mv.name))
+    else
+      out.write.mode("overwrite").parquet(path(baseDir, mv.name))
+  }
 
   /** Incremental (ASYNC-style) refresh: apply the same definition to a
     * streaming source; only new files since the checkpoint are read.

@@ -3,6 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
@@ -60,12 +61,21 @@ object MvRewrite {
       if (registry.isEmpty) return plan
       plan.transformDown {
         case sub if !sub.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
-          registry.values.flatMap { case (mvPlan, scan) =>
+          registry.values.flatMap { case (mvPlan, scan0) =>
+            // a FRESH scan instance (new exprIds) per substitution —
+            // substituting the one cached plan at two match sites
+            // (self-join/union over the MV) would duplicate exprIds
+            // across two leaves of one optimized plan
+            val scan = freshInstance(scan0)
             exactMatch(sub, mvPlan, scan)
               .orElse(prunedAggregateMatch(sub, mvPlan, scan))
               .orElse(rollupMatch(sub, mvPlan, scan))
           }.headOption.getOrElse(sub)
       }
+    }
+
+    private def freshInstance(scan: LogicalPlan): LogicalPlan = scan.transform {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
     }
 
     /** Whole-subtree equality (`sameResult`): replace with the scan,

@@ -81,7 +81,7 @@ object Aggregates extends graft.QueryArea {
     "agg_array_agg_sorted" -> ((spark, dir) => {
       val s = t(spark, dir, "supplier")
       s.groupBy(col("s_nationkey"))
-        .agg(array_sort(collect_list(col("s_suppkey"))).as("supp_keys"),
+        .agg(array_join(array_sort(collect_list(col("s_suppkey"))).cast("array<string>"), ",").as("supp_keys"),
           count(lit(1)).as("n"))
         .orderBy(col("s_nationkey"))
     }),
@@ -193,7 +193,7 @@ object Aggregates extends graft.QueryArea {
         |WHERE c_acctbal > 9900
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_array_agg_sorted" ->
-      """SELECT s_nationkey, list_sort(list(s_suppkey)) AS supp_keys, count(*) AS n
+      """SELECT s_nationkey, array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys, count(*) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_linestatus,

@@ -29,7 +29,7 @@ object Nested extends graft.QueryArea {
           size(col("words")).cast("long").as("n_words"),
           array_contains(col("words"), "spark").as("has_spark"),
           array_join(array_sort(array_distinct(col("words"))), ",").as("vocab"),
-          slice(col("words"), 2, 3).as("w2_4"),
+          array_join(slice(col("words"), 2, 3), ",").as("w2_4"),
           element_at(col("words"), 1).as("first_w"),
           element_at(col("words"), -1).as("last_w"),
           arrays_overlap(col("words"), array(lit("join"), lit("scan"))).as("has_join_scan"),
@@ -42,8 +42,8 @@ object Nested extends graft.QueryArea {
       d.withColumn("words", split(col("text"), " "))
         .select(
           col("doc_id"),
-          expr("transform(words, w -> length(w))").as("lens"),
-          expr("filter(words, w -> length(w) > 4)").as("long_words"),
+          expr("array_join(transform(words, w -> cast(length(w) as string)), ',')").as("lens"),
+          expr("array_join(filter(words, w -> length(w) > 4), ',')").as("long_words"),
           expr("aggregate(words, 0, (acc, w) -> acc + length(w))").cast("long").as("total_chars"),
           expr("exists(words, w -> w = 'spark')").as("any_spark"),
           expr("forall(words, w -> length(w) > 1)").as("all_gt1"),
@@ -84,7 +84,7 @@ object Nested extends graft.QueryArea {
       d.withColumn("m", expr("str_to_map(concat('lang:', lang, ',src:', source, ',len:', n_chars), ',', ':')"))
         .select(
           col("doc_id"),
-          map_keys(col("m")).as("ks"),
+          array_join(map_keys(col("m")), ",").as("ks"),
           element_at(col("m"), "lang").as("m_lang"),
           element_at(col("m"), "missing").as("m_missing"),
           size(col("m")).cast("long").as("m_size"),
@@ -131,7 +131,7 @@ object Nested extends graft.QueryArea {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab,
-        |  string_split(text, ' ')[2:4] AS w2_4,
+        |  array_to_string(string_split(text, ' ')[2:4], ',') AS w2_4,
         |  string_split(text, ' ')[1] AS first_w,
         |  string_split(text, ' ')[-1] AS last_w,
         |  list_has_any(string_split(text, ' '), ['join', 'scan']) AS has_join_scan,
@@ -140,8 +140,8 @@ object Nested extends graft.QueryArea {
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
     "arr_higher_order" ->
       """SELECT doc_id,
-        |  list_transform(string_split(text, ' '), w -> CAST(length(w) AS INT)) AS lens,
-        |  list_filter(string_split(text, ' '), w -> length(w) > 4) AS long_words,
+        |  array_to_string(list_transform(string_split(text, ' '), w -> CAST(length(w) AS VARCHAR)), ',') AS lens,
+        |  array_to_string(list_filter(string_split(text, ' '), w -> length(w) > 4), ',') AS long_words,
         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars,
         |  len(list_filter(string_split(text, ' '), w -> w = 'spark')) > 0 AS any_spark,
         |  len(list_filter(string_split(text, ' '), w -> length(w) <= 1)) = 0 AS all_gt1,
@@ -166,7 +166,7 @@ object Nested extends graft.QueryArea {
         |ORDER BY spine.day""".stripMargin,
     "map_functions" ->
       """SELECT doc_id,
-        |  ['lang', 'src', 'len'] AS ks,
+        |  'lang,src,len' AS ks,
         |  lang AS m_lang,
         |  NULL AS m_missing,
         |  CAST(3 AS BIGINT) AS m_size,

@@ -50,10 +50,13 @@ object Streams {
         col("session_window.end").as("send"),
         col("user_id"), col("n_events"), col("session_value"))
 
-  /** Streaming dedup on a key with watermark (PRIMARY-key-table
-    * ingest semantics: first write wins within the watermark). */
+  /** Streaming dedup on the key alone with watermark-bounded state
+    * (PRIMARY-key-table ingest semantics: first write wins within the
+    * watermark). dropDuplicatesWithinWatermark keys on the PK only —
+    * the same key at two different event times is still one row —
+    * and evicts state once the watermark passes. */
   def streamingDedup(df: DataFrame, keys: Seq[String], watermark: String = "1 hour"): DataFrame =
-    df.withWatermark("ts", watermark).dropDuplicates(keys :+ "ts")
+    df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
   /** Retractable per-key min/max/count via explicit state — the
     * Structured-Streaming form of the reference's IVM retractable agg

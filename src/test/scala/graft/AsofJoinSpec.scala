@@ -70,4 +70,48 @@ class AsofJoinSpec extends SparkSuite {
     val n = AsofJoin.asof(trades, dupQuotes, Seq("sym"), "tts", "qts").count()
     assert(n === trades.count())
   }
+
+  test("inner keeps matched rows whose right payload is all NULL") {
+    // right row exists (qts matches) but its only payload value is NULL —
+    // regression for the any-non-null match inference that dropped these
+    val nullQuotes = Seq(("A", ts("2024-01-01 10:00:00"), Option.empty[Double]))
+      .toDF("sym", "qts", "price")
+    val r = AsofJoin.asof(trades.filter($"sym" === "A"), nullQuotes,
+      Seq("sym"), "tts", "qts", joinType = "inner")
+    // trades at 10:03 and 10:05 match the 10:00 quote (null price); 09:59 doesn't
+    assert(r.count() === 2)
+    assert(r.select($"price").collect().forall(_.isNullAt(0)))
+  }
+
+  test("null join keys match nothing (SQL semantics, not partition-grouping)") {
+    val lNull = Seq((Option.empty[String], ts("2024-01-01 10:05:00"), 7L))
+      .toDF("sym", "tts", "trade_id")
+    val rNull = Seq((Option.empty[String], ts("2024-01-01 10:00:00"), 77.0))
+      .toDF("sym", "qts", "price")
+    val left = AsofJoin.asof(lNull, quotes.union(rNull), Seq("sym"), "tts", "qts")
+    assert(left.count() === 1 && left.select($"price").head.isNullAt(0))
+    val inner = AsofJoin.asof(lNull, quotes.union(rNull), Seq("sym"), "tts", "qts",
+      joinType = "inner")
+    assert(inner.count() === 0)
+  }
+
+  test("tolerance boundary is inclusive") {
+    // trade at 10:03, quote at 10:00 → exactly 180 s
+    val one = trades.filter($"trade_id" === 1L)
+    val atBoundary = AsofJoin.asof(one, quotes, Seq("sym"), "tts", "qts",
+      toleranceSeconds = Some(180)).select($"price").head
+    assert(atBoundary.getDouble(0) === 100.0)
+    val justUnder = AsofJoin.asof(one, quotes, Seq("sym"), "tts", "qts",
+      toleranceSeconds = Some(179)).select($"price").head
+    assert(justUnder.isNullAt(0))
+  }
+
+  test("colliding right column names get the rightSuffix") {
+    val qSame = quotes.withColumnRenamed("qts", "tts")
+    val r = AsofJoin.asof(trades, qSame, Seq("sym"), "tts", "tts")
+    assert(r.columns.count(_ == "tts") === 1)
+    assert(r.columns.contains("tts_r"))
+    val row = r.filter($"trade_id" === 1L).select($"tts_r").head
+    assert(row.getTimestamp(0) === ts("2024-01-01 10:00:00"))
+  }
 }
