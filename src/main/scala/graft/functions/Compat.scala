@@ -190,6 +190,37 @@ object Compat {
       }
       graft.functions.agg.ApproxTopKAgg(es.head, k)
     }
+    def litInt(e: Expression, what: String): Int = e match {
+      case Literal(n, _) => n.asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(s"$what must be a literal")
+    }
+    // map_agg(k, v) (reference: be/src/exprs/agg/map_agg.h) — composed
+    // from builtins so it stays two-phase/codegen; entries sorted by key
+    // for deterministic map ordering across partitionings
+    f("map_agg") { es =>
+      call("map_from_entries", call("array_sort",
+        call("collect_list", CreateStruct(Seq(es.head, es(1))))))
+    }
+    // min_n/max_n (reference: be/src/exprs/agg/minmax_n.h) — bounded heap
+    f("min_n") { es => graft.functions.agg.MinMaxNAgg(es.head, litInt(es(1), "min_n n"), isMax = false) }
+    f("max_n") { es => graft.functions.agg.MinMaxNAgg(es.head, litInt(es(1), "max_n n"), isMax = true) }
+    // intersect_count (reference: be/src/exprs/agg/intersect_count.h)
+    f("intersect_count") { es =>
+      graft.functions.agg.IntersectCountAgg(es.head, es(1), es.drop(2))
+    }
+    // theta sketches (reference: be/src/exprs/agg/ds_theta_count_distinct.h)
+    f("ds_theta_count_distinct") { es => graft.functions.agg.ThetaSketchAgg(es.head, "count") }
+    f("ds_theta_sketch_agg") { es => graft.functions.agg.ThetaSketchAgg(es.head, "sketch") }
+    f("ds_theta_union_agg") { es => graft.functions.agg.ThetaSketchAgg(es.head, "union") }
+    f("ds_theta_estimate") { es => graft.functions.agg.ThetaEstimate(es.head) }
+    f("ds_theta_union") { es => graft.functions.agg.ThetaUnionOp(es.head, es(1)) }
+    f("ds_theta_intersect") { es => graft.functions.agg.ThetaIntersectOp(es.head, es(1)) }
+    f("ds_theta_diff") { es => graft.functions.agg.ThetaDiffOp(es.head, es(1)) }
+    // storable percentile state (reference: be/src/types/tdigest.h,
+    // be/src/exprs/agg/percentile_approx.h)
+    f("percentile_agg") { es => graft.functions.agg.TDigestAgg(es.head, isUnion = false) }
+    f("percentile_union") { es => graft.functions.agg.TDigestAgg(es.head, isUnion = true) }
+    f("percentile_approx_raw") { es => graft.functions.agg.TDigestQuantile(es.head, es(1)) }
 
     // --- TVF-ish (reference: generate_series.h; used as
     // explode(generate_series(a, b[, step])) on the Spark side) ---

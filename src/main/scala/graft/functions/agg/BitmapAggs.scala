@@ -82,6 +82,98 @@ case class BitmapUnionAgg(
     copy(child = newChildren(0))
 }
 
+/** intersect_count(bitmap, filter_col, v1, v2, ...) — cardinality of
+  * the intersection of the per-filter-value bitmap unions: "users who
+  * did v1 AND v2 AND ..." in one pass (reference
+  * `be/src/exprs/agg/intersect_count.h`, the audience-overlap kernel).
+  *
+  * Buffer = one bitmap per filter value; update ORs the row's bitmap
+  * (or long) into every slot whose value matches the row's filter
+  * column; eval ANDs the slots. Mergeable → two-phase agg applies.
+  */
+case class IntersectCountAgg(
+    bitmap: Expression,
+    filterCol: Expression,
+    filterValues: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Roaring64NavigableMap]] {
+
+  require(filterValues.nonEmpty && filterValues.forall(_.foldable),
+    "intersect_count: filter values must be literals")
+
+  override def children: Seq[Expression] = bitmap +: filterCol +: filterValues
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count"
+
+  @transient private lazy val targets: Array[Any] =
+    filterValues.map(_.eval(InternalRow.empty)).toArray
+
+  override def createAggregationBuffer(): Array[Roaring64NavigableMap] =
+    Array.fill(filterValues.size)(new Roaring64NavigableMap())
+
+  override def update(buf: Array[Roaring64NavigableMap], input: InternalRow): Array[Roaring64NavigableMap] = {
+    val fv = filterCol.eval(input)
+    if (fv != null) {
+      var i = 0
+      while (i < targets.length) {
+        if (targets(i) == fv) {
+          val v = bitmap.eval(input)
+          if (v != null) bitmap.dataType match {
+            case BinaryType => buf(i).or(BitmapCodec.deserialize(v.asInstanceOf[Array[Byte]]))
+            case _ => buf(i).addLong(v.asInstanceOf[Number].longValue())
+          }
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Roaring64NavigableMap], b: Array[Roaring64NavigableMap]): Array[Roaring64NavigableMap] = {
+    var i = 0
+    while (i < a.length) { a(i).or(b(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Roaring64NavigableMap]): Any = {
+    val acc = BitmapCodec.deserialize(BitmapCodec.serialize(buf(0)))
+    var i = 1
+    while (i < buf.length) { acc.and(buf(i)); i += 1 }
+    acc.getLongCardinality
+  }
+
+  override def serialize(buf: Array[Roaring64NavigableMap]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { bm =>
+      val bytes = BitmapCodec.serialize(bm)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Roaring64NavigableMap] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    Array.fill(in.readInt()) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      BitmapCodec.deserialize(b)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): IntersectCountAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): IntersectCountAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(bitmap = newChildren(0), filterCol = newChildren(1), filterValues = newChildren.drop(2))
+}
+
 /** to_bitmap(long) → single-element bitmap (reference
   * `be/src/exprs/bitmap_functions.cpp` to_bitmap). */
 case class ToBitmap(child: Expression) extends UnaryExpression with CodegenFallback {

@@ -142,6 +142,26 @@ object Aggregates extends graft.QueryArea {
         .select(col("l_returnflag"), col("l_linestatus"))
         .distinct()
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // map_agg (reference be/src/exprs/agg/map_agg.h): entries sorted by
+    // key → deterministic to_json for the hash compare
+    "agg_map_agg" -> ((spark, dir) => {
+      val n = t(spark, dir, "nation")
+      n.groupBy(col("n_regionkey"))
+        .agg(to_json(expr("map_agg(n_name, n_nationkey)")).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    }),
+    // min_n/max_n (reference be/src/exprs/agg/minmax_n.h): bounded-heap
+    // top-n values per group WITHOUT a window or full collect
+    "agg_min_max_n" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          expr("array_join(cast(min_n(o_orderkey, 5) as array<string>), ',')").as("min5"),
+          expr("array_join(cast(max_n(o_orderkey, 3) as array<string>), ',')").as("max3"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -227,5 +247,16 @@ object Aggregates extends graft.QueryArea {
         |FROM lineitem""".stripMargin,
     "agg_distinct_rows" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_map_agg" ->
+      """SELECT n_regionkey,
+        |  concat('{', string_agg(concat('"', n_name, '":', CAST(n_nationkey AS VARCHAR)), ',' ORDER BY n_name), '}') AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "agg_min_max_n" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS min5,
+        |  array_to_string(list_sort(list(o_orderkey), 'DESC')[1:3], ',') AS max3,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -127,6 +127,69 @@ object Sketches extends graft.QueryArea {
         .select(col("event_id"), col("user_id"), col("err_id"))
         .orderBy(col("event_id"))
     }),
+    // intersect_count (reference be/src/exprs/agg/intersect_count.h):
+    // audience overlap — customers with BOTH an O and an F order — in
+    // one aggregation pass over per-status bitmaps
+    "agg_intersect_count" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      o.agg(
+        expr("intersect_count(o_custkey, o_orderstatus, 'O', 'F')").as("n_both"),
+        expr("intersect_count(o_custkey, o_orderstatus, 'O', 'F', 'P')").as("n_all3"))
+    }),
+    // theta sketch distinct counts (reference
+    // be/src/exprs/agg/ds_theta_count_distinct.h). lgK=14 ⇒ exact mode
+    // at gate cardinalities, so the count(DISTINCT) oracle hash-matches.
+    "agg_theta_distinct" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      c.groupBy(col("c_mktsegment"))
+        .agg(expr("ds_theta_count_distinct(c_nationkey)").as("nd_nation"),
+          expr("ds_theta_count_distinct(c_custkey)").as("nd_cust"),
+          countDistinct(col("c_custkey")).as("nd_cust_exact"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // theta set algebra — union/intersection/difference over stored
+    // sketches (difference is what HLL cannot do), plus a union_agg
+    // roll-up of per-nation sketches to a global count
+    "theta_sketch_ops" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val sk = o.agg(
+        expr("ds_theta_sketch_agg(CASE WHEN o_orderstatus = 'O' THEN o_custkey END)").as("sk_o"),
+        expr("ds_theta_sketch_agg(CASE WHEN o_orderstatus = 'F' THEN o_custkey END)").as("sk_f"))
+      sk.select(
+        expr("ds_theta_estimate(ds_theta_union(sk_o, sk_f))").as("n_union"),
+        expr("ds_theta_estimate(ds_theta_intersect(sk_o, sk_f))").as("n_inter"),
+        expr("ds_theta_estimate(ds_theta_diff(sk_o, sk_f))").as("n_only_o"))
+    }),
+    "theta_union_rollup" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+      // per-nation sketches stored as an AGG table would store them,
+      // then re-merged — the two-level ingest/query split
+      c.groupBy(col("c_nationkey"))
+        .agg(expr("ds_theta_sketch_agg(c_custkey)").as("sk"))
+        .agg(expr("ds_theta_estimate(ds_theta_union_agg(sk))").as("nd_total"))
+    }),
+    // storable t-digest percentile state (reference be/src/types/
+    // tdigest.h): partial digests per (flag, status) merged up to flag
+    // via percentile_union — the AGG-table percentile column flow. The
+    // gate pins the exact median AND asserts the digest median falls
+    // inside the exact [q0.47, q0.53] band (t-digest bounds RANK error,
+    // so that is the principled check for an approximate value).
+    "percentile_tdigest" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val partial = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("percentile_agg(l_extendedprice)").as("pstate"))
+      val merged = partial.groupBy(col("l_returnflag"))
+        .agg(expr("percentile_approx_raw(percentile_union(pstate), 0.5d)").as("p50_td"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.47d, 0.5d, 0.53d))").as("qs"))
+        .select(col("l_returnflag"), col("qs")(0).as("q_lo"),
+          col("qs")(1).as("p50_exact"), col("qs")(2).as("q_hi"))
+      merged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("p50_exact"), 4).as("p50_exact"),
+          (col("p50_td") >= col("q_lo") && col("p50_td") <= col("q_hi")).as("p50_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
     // Mann-Whitney U (composed from rank windows; reference
     // be/src/exprs/agg/mann_whitney.h) comparing prices of returnflag
     // A vs R
@@ -234,6 +297,34 @@ object Sketches extends graft.QueryArea {
         |                FROM events WHERE event_type = 'error') e
         |ON s.user_id = e.user_id AND s.ts <= e.err_ts
         |ORDER BY s.event_id""".stripMargin,
+    "agg_intersect_count" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('O','F')
+        |    GROUP BY o_custkey HAVING count(DISTINCT o_orderstatus) = 2)) AS n_both,
+        |  (SELECT count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('O','F','P')
+        |    GROUP BY o_custkey HAVING count(DISTINCT o_orderstatus) = 3)) AS n_all3""".stripMargin,
+    "agg_theta_distinct" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_nationkey) AS nd_nation,
+        |  count(DISTINCT c_custkey) AS nd_cust,
+        |  count(DISTINCT c_custkey) AS nd_cust_exact
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "theta_sketch_ops" ->
+      """WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |     f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT k FROM o UNION SELECT k FROM f)) AS n_union,
+        |  (SELECT count(*) FROM o JOIN f USING (k)) AS n_inter,
+        |  (SELECT count(*) FROM o WHERE k NOT IN (SELECT k FROM f)) AS n_only_o""".stripMargin,
+    "theta_union_rollup" ->
+      """SELECT count(DISTINCT c_custkey) AS nd_total FROM customer""".stripMargin,
+    "percentile_tdigest" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  true AS p50_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "mann_whitney_u" ->
       """WITH pool AS (
         |  SELECT l_extendedprice AS v, CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS grp

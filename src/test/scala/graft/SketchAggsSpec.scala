@@ -107,4 +107,76 @@ class SketchAggsSpec extends SparkSuite {
     val (a, e) = (h.getLong(0).toDouble, h.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.1)
   }
+
+  test("min_n/max_n: bounded heap, sorted output, null skip, repartition merge") {
+    val df = (1 to 1000).map(i => (i % 7, (i * 131) % 997))
+      .toDF("g", "v").union(Seq((0, null.asInstanceOf[Integer])).toDF("g", "v"))
+      .repartition(8) // force partial buffers through serialize/merge
+    val r = df.groupBy($"g")
+      .agg(expr("min_n(v, 3)").as("lo"), expr("max_n(v, 3)").as("hi"))
+      .collect().map(x => x.getInt(0) -> (x.getSeq[Int](1), x.getSeq[Int](2))).toMap
+    val byG = (1 to 1000).map(i => (i % 7, (i * 131) % 997)).groupBy(_._1)
+    byG.foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      assert(r(g)._1 === sorted.take(3), s"min_n group $g")
+      assert(r(g)._2 === sorted.reverse.take(3), s"max_n group $g")
+    }
+  }
+
+  test("min_n on strings keeps lexicographic order") {
+    val r = Seq("pear", "apple", "fig", "kiwi", "banana").toDF("s")
+      .repartition(4)
+      .agg(expr("min_n(s, 2)")).head.getSeq[String](0)
+    assert(r === Seq("apple", "banana"))
+  }
+
+  test("map_agg builds a key-sorted map") {
+    val r = Seq(("b", 2), ("a", 1), ("c", 3)).toDF("k", "v")
+      .agg(to_json(expr("map_agg(k, v)"))).head.getString(0)
+    assert(r === """{"a":1,"b":2,"c":3}""")
+  }
+
+  test("intersect_count: overlap across filter values") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (3L, "y"), (4L, "x"), (4L, "y"), (4L, "z")
+    ).toDF("uid", "tag").repartition(4)
+    val r = df.agg(
+      expr("intersect_count(uid, tag, 'x', 'y')").as("xy"),
+      expr("intersect_count(uid, tag, 'x', 'y', 'z')").as("xyz"),
+      expr("intersect_count(uid, tag, 'x', 'nope')").as("xn")).head
+    assert(r.getLong(0) === 2)  // uids 1 and 4
+    assert(r.getLong(1) === 1)  // uid 4
+    assert(r.getLong(2) === 0)
+  }
+
+  test("theta: exact at low cardinality, <5% error at 100k, set algebra") {
+    val exact = spark.range(1000).toDF("v")
+      .agg(expr("ds_theta_count_distinct(v)")).head.getLong(0)
+    assert(exact === 1000)
+    val big = spark.range(100000).toDF("v")
+      .agg(expr("ds_theta_count_distinct(v)")).head.getLong(0)
+    assert(math.abs(big - 100000.0) / 100000.0 < 0.05, s"theta estimate $big")
+    // A = 0..599, B = 400..999 → |A∪B|=1000, |A∩B|=200, |A\B|=400
+    val ops = spark.range(1000).toDF("v").agg(
+      expr("ds_theta_sketch_agg(CASE WHEN v < 600 THEN v END)").as("a"),
+      expr("ds_theta_sketch_agg(CASE WHEN v >= 400 THEN v END)").as("b"))
+      .select(
+        expr("ds_theta_estimate(ds_theta_union(a, b))"),
+        expr("ds_theta_estimate(ds_theta_intersect(a, b))"),
+        expr("ds_theta_estimate(ds_theta_diff(a, b))")).head
+    assert(ops.getLong(0) === 1000)
+    assert(ops.getLong(1) === 200)
+    assert(ops.getLong(2) === 400)
+  }
+
+  test("tdigest: storable state, union of partials, bounded rank error") {
+    val df = spark.range(1, 100001).toDF("v")
+      .withColumn("part", $"v" % 10)
+    val partials = df.groupBy($"part").agg(expr("percentile_agg(v)").as("st"))
+    val merged = partials.agg(
+      expr("percentile_approx_raw(percentile_union(st), 0.5d)").as("p50"),
+      expr("percentile_approx_raw(percentile_union(st), 0.99d)").as("p99")).head
+    assert(math.abs(merged.getDouble(0) - 50000.0) / 50000.0 < 0.02)
+    assert(math.abs(merged.getDouble(1) - 99000.0) / 99000.0 < 0.02)
+  }
 }
