@@ -44,6 +44,22 @@ object SourcesQ extends graft.QueryArea {
           max(col("ts")).as("max_ts"))
         .orderBy(col("event_type"))
     }),
+    // External JDBC connector scan (reference ConnectorScanNode +
+    // be/src/connector/jdbc/): seed an in-process Derby table from
+    // parquet, read it back as a PARTITIONED range-split jdbc scan
+    // with a pushed filter, and join to a parquet dim — the mixed
+    // internal/external-table query shape.
+    "src_jdbc_roundtrip" -> ((spark, dir) => {
+      val n = t(spark, dir, "nation")
+      graft.sources.Jdbc.loadTable(n, "NATION_EXT")
+      val ext = graft.sources.Jdbc.readPartitioned(spark, "NATION_EXT",
+          "n_nationkey", 0L, 24L, 4)
+        .filter(col("n_regionkey") >= 2)
+      val r = t(spark, dir, "region")
+      ext.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    }),
     "src_info_schema" -> ((spark, dir) => {
       InformationSchema.columns(spark, dir, relTables)
         .orderBy(col("table_name"), col("column_name"))
@@ -95,6 +111,10 @@ object SourcesQ extends graft.QueryArea {
     Map(
     "src_csv_roundtrip" -> eventsAgg,
     "src_json_roundtrip" -> eventsAgg,
+    "src_jdbc_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin,
     "src_info_schema" ->
       """SELECT * FROM (
         |  SELECT 'region' AS table_name, column_name, lower(column_type) AS data_type FROM (DESCRIBE SELECT * FROM region)

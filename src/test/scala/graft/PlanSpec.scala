@@ -163,4 +163,20 @@ class PlanSpec extends SparkSuite {
     val generates = "Generate explode".r.findAllIn(plan).length
     assert(generates == 2, s"expected 2 probe explodes (1/table), got $generates")
   }
+
+  test("jdbc connector scan: filter pushed to the external DB, range-split read") {
+    val n = table("nation")
+    graft.sources.Jdbc.loadTable(n, "NATION_PLAN")
+    val ext = graft.sources.Jdbc.readPartitioned(spark, "NATION_PLAN",
+        "n_nationkey", 0L, 24L, 4)
+      .filter($"n_regionkey" >= 2)
+      .select($"n_nationkey", $"n_name")
+    val plan = planOf(ext)
+    // RowDataSourceScan advertises the filters shipped into the remote
+    // SQL — absence means Spark fetched the whole table and filtered
+    // locally, the exact failure ConnectorScanNode pushdown prevents
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"filter not pushed into jdbc scan:\n$plan")
+    assert(ext.rdd.getNumPartitions === 4, "range split did not produce 4 parallel reads")
+  }
 }
