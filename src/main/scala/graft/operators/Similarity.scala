@@ -88,7 +88,88 @@ object Similarity {
       cb.join(broadcast(qb), Seq("__bucket"))
         .select(col(queryId), col(corpusId),
           cosine_similarity(col(corpusVec), col(queryVec)).as("cos"))
-    }.reduce(_ unionByName _).distinct()
+    }.reduce(_ unionByName _)
+      // a pair colliding in several tables/probes appears once per
+      // collision; aggregate by pair (cos is identical across tables)
+      // instead of distinct() — same single shuffle, but hash-agg
+      // combines map-side and never compares full rows on a double
+      .groupBy(col(queryId), col(corpusId)).agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), round(col("cos"), 6).as("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** Nearest-centroid cell id for a vector: argmax over C codegen'd
+    * cosine kernels against literal centroids (C is small — tens to a
+    * few hundred — so this stays a scan-side expression). */
+  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val cos = centroids.map(ct => cosine_similarity(vec, typedlit(ct)))
+    val arr = array(cos: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** Top-`nprobe` cells for a query vector, as an exploded column of
+    * structs sorted by descending centroid cosine. */
+  private def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val entries = centroids.indices.map { i =>
+      struct(cosine_similarity(vec, typedlit(centroids(i))).as("c"), lit(i).as("i"))
+    }
+    explode(slice(reverse(array_sort(array(entries: _*))), 1, nprobe))
+  }
+
+  /** Train coarse IVF centroids: deterministic hash-ordered sample of
+    * `sampleN` corpus vectors, `c` seeds, then `iters` distributed
+    * Lloyd iterations (scan-side assignment + per-dimension average).
+    * Returns C×dim doubles to the driver — KBs, independent of corpus
+    * size; at 100 TB only the bounded sample is ever shuffled. */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, c: Int,
+      iters: Int = 2, sampleN: Int = 10000, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
+      .orderBy(col("__h")).limit(sampleN)
+      .select(col("__v")).cache()
+    var centroids: Array[Array[Double]] =
+      sample.limit(c).collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val updated = sample
+        .select(nearestCell(col("__v"), centroids).as("__cell"), posexplode(col("__v")))
+        .groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("__cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    sample.unpersist()
+    centroids
+  }
+
+  /** IVF ANN top-k — the large-query-set regime where per-query
+    * brute force is too expensive and LSH bucket collisions are too
+    * random: corpus is assigned ONCE to its nearest of `c` learned
+    * centroids (scan-side, no shuffle), each query probes its
+    * `nprobe` closest cells, and only intra-cell pairs are scored.
+    * Each corpus row lives in exactly one cell, so a (query, corpus)
+    * pair is scored at most once — no post-union dedup needed. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, c: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val cents = trainIvfCentroids(corpus, corpusVec, c, iters, seed = seed)
+    val cb = corpus.select(nearestCell(col(corpusVec), cents).as("__cell"),
+      col(corpusId), col(corpusVec))
+    val qb = queries.select(probeCells(col(queryVec), cents, nprobe).as("__probe"),
+        col(queryId), col(queryVec))
+      .select(col("__probe.i").as("__cell"), col(queryId), col(queryVec))
+    val scored = cb.join(broadcast(qb), Seq("__cell"))
+      .select(col(queryId), col(corpusId),
+        cosine_similarity(col(corpusVec), col(queryVec)).as("cos"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -91,6 +91,33 @@ object Pipeline extends graft.QueryArea {
           queriesDf, "qid", "qvec", k = 5, planes = 8, tables = 4)
         .orderBy(col("qid"), col("rk"))
     }),
+    // Embedding near-dup pairs, FULLY oracle-checked: planted dups are
+    // scaled copies (x2 — exact same direction ⇒ cosine 1.0 and the
+    // identical LSH bucket, so recall is deterministically 1), and the
+    // corpus has no real pair near the 0.95 threshold (max ~0.5), so
+    // the bucketed result equals the brute-force oracle.
+    "dedup_embedding" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Dedup.embeddingDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // IVF ANN — learned coarse cells; rows-only for the driver (cell
+    // assignment depends on the trained centroids), recall asserted in
+    // SimilaritySpec
+    "sim_ivf_topk" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          queriesDf, "qid", "qvec", k = 5, c = 16, nprobe = 8)
+        .orderBy(col("qid"), col("rk"))
+    }),
     "sim_l2_pairs" -> ((spark, dir) => {
       val emb = t(spark, dir, "embeddings")
       val a = emb.filter(col("vec_id") < 20).select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -178,6 +205,18 @@ object Pipeline extends graft.QueryArea {
         |  FROM scored)
         |SELECT qid, vec_id, round(cos, 6) AS cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "dedup_embedding" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM planted a JOIN planted b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cos FROM pairs
+        |WHERE c >= 0.95 ORDER BY id_a, id_b""".stripMargin,
     "sim_l2_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS l2,

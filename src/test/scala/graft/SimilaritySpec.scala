@@ -44,6 +44,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k: scaled-copy queries find their originals at rank 1") {
+    // a scaled copy keeps every centroid cosine, so it lands in the
+    // same cell as its original and scores cosine 1.0 with it —
+    // deterministic recall 1 at any nprobe >= 1
+    val planted = corpus.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" + 1000000).as("qid"),
+        transform($"embedding", x => x * lit(2.0f)).as("qvec"))
+    val r = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        planted, "qid", "qvec", k = 1, c = 8, nprobe = 1)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(1) === row.getLong(0) - 1000000,
+      s"expected original of ${row.getLong(0)}, got ${row.getLong(1)}"))
+  }
+
+  test("IVF top-k recall@5 >= 0.5 vs brute force at nprobe = c/2") {
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 5,
+        c = 16, nprobe = 8)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("LSH bucketing is deterministic across invocations") {
     val b1 = Similarity.withLshBucket(emb, "embedding", 8, 42L)
       .select($"vec_id", $"__bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
