@@ -43,7 +43,11 @@ object Bench {
     // global warm-up: JVM, shuffle machinery
     run("q1_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> warmAvg(n))
+    // optional arg (local dev only): comma-separated query-name filter
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(n => n -> warmAvg(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -14,6 +14,7 @@ object SparkEntry {
   private def areas: Seq[QueryArea] = Seq(
     _root_.graft.queries.Tpch,
     _root_.graft.queries.Tpch2,
+    _root_.graft.queries.Ssb,
     _root_.graft.queries.Relational,
     _root_.graft.queries.Windows,
     _root_.graft.queries.Aggregates,

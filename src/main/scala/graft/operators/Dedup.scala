@@ -133,6 +133,8 @@ object Dedup {
     * variables), then collapse signs to bits. The per-bit formulation
     * (64 aggregates, each closing over the hash array expression)
     * re-evaluates split+xxhash 64× per row under interpreted HOFs. */
+  @deprecated("interpreted-HOF formulation kept as a tested reference; " +
+    "use simhashSignatures (codegen'd explode+sum) on anything big", "0.2")
   def simhash64(text: Column): Column = {
     val hashes = transform(filter(split(text, "\\s+"), w => w =!= ""), w => xxhash64(w))
     simhashFromHashes(hashes)

@@ -60,11 +60,16 @@ object TextAnalysis {
     * deterministic proxy for tokenizer budgeting (≈ GPT-style
     * "words + punct + long-word splits"). */
   def tokenCountBpe(text: Column): Column = {
-    val pieces = size(filter(split(text, "[^A-Za-z0-9']+"), p => p =!= "")).cast("long")
+    // counting alnum runs directly ≡ size(filter(split(...), _ != ""))
+    // without the interpreted HOF
+    val pieces = regexp_count(text, lit("[A-Za-z0-9']+")).cast("long")
     val punct = length(regexp_replace(text, "[A-Za-z0-9'\\s]", "")).cast("long")
-    // long words cost extra subword pieces (~1 per 6 chars beyond 6)
-    val longExtra = aggregate(words(text), lit(0L),
-      (acc, wrd) => acc + greatest(ceil((length(wrd) - 6).cast("double") / 6.0), lit(0.0)).cast("long"))
+    // long words cost extra subword pieces: a word of length L adds
+    // ceil((L-6)/6) = floor((L-1)/6) = the number of 6-char runs still
+    // followed by a word char. One regex pass per row replaces the
+    // per-word aggregate() lambda (higher-order functions run
+    // interpreted and re-evaluate the split per element).
+    val longExtra = regexp_count(text, lit("[^\\s]{6}(?=[^\\s])")).cast("long")
     pieces + punct + longExtra
   }
 

@@ -164,6 +164,17 @@ class PlanSpec extends SparkSuite {
     assert(generates == 2, s"expected 2 probe explodes (1/table), got $generates")
   }
 
+  test("ssb star: all dims broadcast, exactly one fact-fact join shuffles") {
+    val plan = planOf(SparkEntry.queries("ssb_q4_1")(spark, sf))
+    // cust/supp/part dims must all ride broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"SSB dims not broadcast:\n$plan")
+    // the only non-broadcast join is lineitem⋈orders
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(shuffleJoins <= 1, s"more than one shuffled join in SSB star:\n$plan")
+  }
+
   test("jdbc connector scan: filter pushed to the external DB, range-split read") {
     val n = table("nation")
     graft.sources.Jdbc.loadTable(n, "NATION_PLAN")
