@@ -61,6 +61,20 @@ object KeysModels {
       .drop("__rn", "__src")
   }
 
+  /** Version-aware MERGE: highest versionCol wins per key; the source
+    * row wins a version tie (the conditional-update mode of a PRIMARY
+    * table with a sequence column, vs plain mergeInto's source-wins). */
+  def mergeIntoVersioned(target: DataFrame, source: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val tagged = target.withColumn("__src", lit(0))
+      .unionByName(source.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
   /** Atomic directory swap write: write to tmp, swap — the poor-man's
     * txn commit matching the reference's publish-version step
     * (`transaction/` 2PC → visible version). */

@@ -92,6 +92,24 @@ object SourcesQ extends graft.QueryArea {
           sum(col("n")).as("n_events"))
         .orderBy(col("event_type"))
     }),
+    // Colocate join (reference bucket-shuffle/colocate,
+    // Partitions.thrift TABLET_BUCKET_SHUFFLE): both sides bucketed on
+    // the join key with equal bucket counts ⇒ the join plans with no
+    // Exchange on either input (asserted in PlanSpec).
+    "join_colocated" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val base = tmpDir(dir, "bucket")
+      graft.operators.Colocate.saveBucketed(o, "orders_colo_q", s"$base/o", Seq("o_custkey"), 8)
+      graft.operators.Colocate.saveBucketed(c, "cust_colo_q", s"$base/c", Seq("c_custkey"), 8)
+      spark.table("orders_colo_q")
+        .join(spark.table("cust_colo_q"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
     // UPDATE + DELETE rewrite on a PRIMARY-key table image.
     "keys_update_delete" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
@@ -125,6 +143,11 @@ object SourcesQ extends graft.QueryArea {
         |  UNION ALL SELECT 'orders', column_name, lower(column_type) FROM (DESCRIBE SELECT * FROM orders)
         |  UNION ALL SELECT 'lineitem', column_name, lower(column_type) FROM (DESCRIBE SELECT * FROM lineitem)
         |) ORDER BY table_name, column_name""".stripMargin,
+    "join_colocated" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "keys_agg_fold" ->
       """SELECT l_orderkey, SUM(l_quantity) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_rev

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming ingest + incremental computation.
   *
@@ -81,6 +81,47 @@ object Streams {
           if (n != n0) { state.update((mn, mx, n)); Iterator((key, mn, mx, n)) }
           else Iterator.empty
       }
+  }
+
+  /** Routine-load → PRIMARY-keys table: continuous upsert sink with
+    * exactly-once EFFECTIVE semantics across restarts.
+    *
+    * Reference: `load/routineload/KafkaRoutineLoadJob.java` — offsets
+    * commit atomically with data so a replayed batch cannot double
+    * apply. Spark shape: `foreachBatch` + checkpoint gives
+    * at-least-once batch delivery with STABLE batch ids; the merge is
+    * keyed (latest version per key wins), so re-applying the same
+    * batch is a no-op — idempotent merge ⇒ exactly-once table state,
+    * the same end guarantee as offsets-in-transaction. Batch rows are
+    * deduped to one per key by versionCol before the merge.
+    *
+    * Scale: each micro-batch rewrites via copy-on-write merge (one
+    * shuffle keyed on the PK); a real deployment partitions the table
+    * so only touched partitions rewrite. */
+  def upsertSink(stream: DataFrame, keys: Seq[String], versionCol: String,
+      tableDir: String, checkpoint: String): StreamingQuery = {
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+        val deduped = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val existing = fs.exists(new org.apache.hadoop.fs.Path(tableDir))
+        val merged =
+          if (existing)
+            graft.operators.KeysModels.mergeIntoVersioned(
+              spark.read.parquet(tableDir), deduped, keys, versionCol)
+          else deduped
+        graft.operators.KeysModels.atomicOverwrite(merged, tableDir)
+        ()
+      }
+      .start()
   }
 
   /** Incremental-MV writer: stream an aggregation into a parquet dir

@@ -175,6 +175,32 @@ class PlanSpec extends SparkSuite {
     assert(shuffleJoins <= 1, s"more than one shuffled join in SSB star:\n$plan")
   }
 
+  test("colocate join: same-key same-count bucketed tables join with no exchange") {
+    val o = table("orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val c = table("customer").select($"c_custkey", $"c_mktsegment")
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    graft.operators.Colocate.saveBucketed(o, "orders_colo", s"$base/o", Seq("o_custkey"), 8)
+    graft.operators.Colocate.saveBucketed(c, "cust_colo", s"$base/c", Seq("c_custkey"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val j = spark.table("orders_colo")
+        .join(spark.table("cust_colo"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a keyed join:\n$plan")
+      // the colocation contract: neither join input re-shuffles
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+        !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join still exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_colo")
+      spark.sql("DROP TABLE IF EXISTS cust_colo")
+    }
+  }
+
   test("jdbc connector scan: filter pushed to the external DB, range-split read") {
     val n = table("nation")
     graft.sources.Jdbc.loadTable(n, "NATION_PLAN")

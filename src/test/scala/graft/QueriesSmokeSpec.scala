@@ -13,7 +13,7 @@ class QueriesSmokeSpec extends SparkSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // approximate/hash-dependent results can't have a DuckDB oracle
     val allowed = Set("agg_approx_count_distinct", "dedup_minhash",
-      "dedup_simhash_pairs", "sim_lsh_topk")
+      "dedup_simhash_pairs", "sim_lsh_topk", "sim_ivf_topk")
     assert(noOracle.subsetOf(allowed), s"queries missing oracle: ${noOracle -- allowed}")
   }
 

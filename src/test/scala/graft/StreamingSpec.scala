@@ -130,4 +130,54 @@ class StreamingSpec extends SparkSuite {
     assert(mv.count() > 0)
     assert(mv.columns.toSet === Set("wstart", "event_type", "n", "total"))
   }
+
+  test("upsert sink: routine load into a PRIMARY table, exactly-once across restart") {
+    val watch = tmp()
+    val tableDir = tmp() + "/pk_table"
+    val ckpt = tmp() + "/ckpt"
+    val e = Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id".as("v"), $"value")
+    val schema = e.schema
+
+    // drop 1: first half of events
+    e.filter($"v" % 2 === 0).coalesce(1).write.parquet(s"$watch/d1")
+    def flatten(): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(watch))
+        .filter(_.isDirectory).foreach { d =>
+          fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+                s"$watch/${d.getPath.getName}-$i.parquet"))
+            }
+          fs.delete(d.getPath, true)
+        }
+    }
+    flatten()
+    def runOnce(): Unit = {
+      val q = Streams.upsertSink(
+        spark.readStream.schema(schema).parquet(watch),
+        Seq("user_id"), "v", tableDir, ckpt)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(tableDir).count()
+    assert(afterFirst > 0)
+
+    // RESTART with the same checkpoint and no new files → no change
+    runOnce()
+    assert(spark.read.parquet(tableDir).count() === afterFirst, "replay was not idempotent")
+
+    // drop 2: the other half (overlapping keys — upsert, latest v wins)
+    e.filter($"v" % 2 === 1).coalesce(1).write.parquet(s"$watch/d2")
+    flatten()
+    runOnce()
+
+    val got = spark.read.parquet(tableDir)
+      .select($"user_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = e.groupBy($"user_id").agg(max($"v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, "upsert table diverged from batch latest-version-per-key")
+  }
 }
