@@ -253,6 +253,8 @@ object Compat {
           Multiply(call("sin", dLon), call("sin", dLon))))
       Multiply(lit(2.0d * 6371000.0d), call("asin", call("sqrt", a)))
     }
+    f("st_polygon") { es => StPolygon(es.head) }
+    f("st_contains") { es => StContains(es.head, es(1)) }
     f("st_within_box") { es =>
       val Seq(x, y, xmin, ymin, xmax, ymax) = es.take(6)
       And(And(GreaterThanOrEqual(x, xmin), LessThanOrEqual(x, xmax)),

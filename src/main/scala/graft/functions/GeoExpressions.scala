@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Polygon geometry — the st_polygon / st_contains pair.
+  *
+  * Reference: `be/src/exprs/geo_functions.cpp` (st_polygon parses WKT,
+  * st_contains point-in-shape). The polygon is carried as a
+  * struct(xs ARRAY<DOUBLE>, ys ARRAY<DOUBLE>) column — a plain nested
+  * type, so it broadcasts/shuffles like any other column. Containment
+  * is the standard even-odd ray cast: O(vertices) per row, scan-side,
+  * no shuffle. Points exactly on an edge are boundary-undefined (same
+  * caveat as the reference's float geometry).
+  */
+object GeoTypes {
+  val polygonType: StructType = StructType(Seq(
+    StructField("xs", ArrayType(DoubleType, containsNull = false)),
+    StructField("ys", ArrayType(DoubleType, containsNull = false))))
+}
+
+/** st_polygon('POLYGON ((x y, x y, ...))') → polygon struct. */
+case class StPolygon(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GeoTypes.polygonType
+  override def prettyName: String = "st_polygon"
+
+  override def nullSafeEval(v: Any): Any = {
+    val wkt = v.toString.trim
+    val inner = wkt
+      .replaceAll("(?i)^POLYGON\\s*\\(\\(", "")
+      .replaceAll("\\)\\)$", "")
+    val pts = inner.split(",").map(_.trim.split("\\s+"))
+    if (pts.exists(_.length < 2)) return null
+    val xs = pts.map(_(0).toDouble)
+    val ys = pts.map(_(1).toDouble)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(xs), new GenericArrayData(ys)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_contains(polygon, point) → even-odd point-in-polygon. */
+case class StContains(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_contains"
+
+  override def nullSafeEval(poly: Any, point: Any): Any = {
+    val p = poly.asInstanceOf[InternalRow]
+    val xs = p.getArray(0).toDoubleArray()
+    val ys = p.getArray(1).toDoubleArray()
+    val pt = point.asInstanceOf[InternalRow]
+    val x = pt.getDouble(0)
+    val y = pt.getDouble(1)
+    var inside = false
+    var i = 0
+    var j = xs.length - 1
+    while (i < xs.length) {
+      if ((ys(i) > y) != (ys(j) > y) &&
+          x < (xs(j) - xs(i)) * (y - ys(i)) / (ys(j) - ys(i)) + xs(i)) {
+        inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

@@ -73,6 +73,19 @@ object Advanced extends graft.QueryArea {
           expr("st_x(st_point(lon, lat))").as("px"))
         .orderBy(col("c_custkey"))
     }),
+    // polygon containment (st_polygon WKT + even-odd st_contains). The
+    // diamond (0,-40),(60,0),(0,40),(-60,0) has a closed-form oracle:
+    // inside ⇔ 2|x| + 3|y| < 120; point coords (offset .5/.25) can
+    // never land exactly on the boundary.
+    "geo_polygon_contains" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+        .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+        .withColumn("lat", (col("c_custkey") % 170 - 85).cast("double") + 0.25)
+      c.select(col("c_custkey"),
+          expr("st_contains(st_polygon('POLYGON ((0 -40, 60 0, 0 40, -60 0, 0 -40))'), " +
+            "st_point(lon, lat))").as("in_diamond"))
+        .orderBy(col("c_custkey"))
+    }),
     // HLL sketch lifecycle: per-nation customer sketches (partial agg
     // state), merged up to regions via hll_union_agg, estimated with
     // hll_cardinality. Cardinalities stay far below the sketch's exact
@@ -120,6 +133,11 @@ object Advanced extends graft.QueryArea {
         |  (lon BETWEEN -10.0 AND 30.0) AND (lat BETWEEN 35.0 AND 60.0) AS in_europe_box,
         |  lon AS px
         |FROM pts ORDER BY c_custkey""".stripMargin,
+    "geo_polygon_contains" ->
+      """SELECT c_custkey,
+        |  (2 * abs(CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5)
+        |   + 3 * abs(CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.25)) < 120 AS in_diamond
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "hll_sketch_union" ->
       """SELECT r_name, count(DISTINCT c_custkey % 300) AS approx_keys
         |FROM customer

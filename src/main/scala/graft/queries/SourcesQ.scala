@@ -44,6 +44,18 @@ object SourcesQ extends graft.QueryArea {
           max(col("ts")).as("max_ts"))
         .orderBy(col("event_type"))
     }),
+    "src_orc_roundtrip" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      val out = tmpDir(dir, "orc")
+      Formats.writeOrc(e, out)
+      Formats.readOrc(spark, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
     // External JDBC connector scan (reference ConnectorScanNode +
     // be/src/connector/jdbc/): seed an in-process Derby table from
     // parquet, read it back as a PARTITIONED range-split jdbc scan
@@ -129,6 +141,7 @@ object SourcesQ extends graft.QueryArea {
     Map(
     "src_csv_roundtrip" -> eventsAgg,
     "src_json_roundtrip" -> eventsAgg,
+    "src_orc_roundtrip" -> eventsAgg,
     "src_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

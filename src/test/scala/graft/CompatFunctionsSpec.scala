@@ -114,6 +114,20 @@ class CompatFunctionsSpec extends SparkSuite {
     assert(r.getAs[Int]("f2") === 2 && r.getAs[Int]("f0") === 0)
   }
 
+  test("st_polygon + st_contains: convex, non-convex, outside") {
+    val r = spark.sql(
+      """SELECT
+        |  st_contains(st_polygon('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), st_point(5.0d, 5.0d)) AS sq_in,
+        |  st_contains(st_polygon('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), st_point(15.0d, 5.0d)) AS sq_out,
+        |  st_contains(st_polygon('POLYGON ((0 0, 10 0, 5 4, 10 10, 0 10, 0 0))'), st_point(8.0d, 5.0d)) AS notch_out,
+        |  st_contains(st_polygon('POLYGON ((0 0, 10 0, 5 4, 10 10, 0 10, 0 0))'), st_point(2.0d, 5.0d)) AS notch_in
+        |""".stripMargin).head
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+    assert(r.getBoolean(2) === false) // inside the concave notch = outside the polygon
+    assert(r.getBoolean(3) === true)
+  }
+
   test("GraftExtensions: injections list powers the extensions entry point") {
     // reflection-instantiable (how spark.sql.extensions loads it) …
     val ext = Class.forName("graft.GraftExtensions").getDeclaredConstructor().newInstance()
