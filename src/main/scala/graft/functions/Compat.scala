@@ -173,6 +173,12 @@ object Compat {
     f("bitmap_or") { es => graft.functions.agg.BitmapOr(es.head, es(1)) }
     f("bitmap_xor") { es => graft.functions.agg.BitmapXor(es.head, es(1)) }
     f("bitmap_union") { es => graft.functions.agg.BitmapUnionAgg(es.head) }
+    f("bitmap_andnot") { es => graft.functions.agg.BitmapAndNot(es.head, es(1)) }
+    f("bitmap_min") { es => graft.functions.agg.BitmapExtreme(es.head, isMax = false) }
+    f("bitmap_max") { es => graft.functions.agg.BitmapExtreme(es.head, isMax = true) }
+    f("bitmap_contains") { es => graft.functions.agg.BitmapContains(es.head, es(1)) }
+    f("bitmap_has_any") { es => graft.functions.agg.BitmapHasAny(es.head, es(1)) }
+    f("sub_bitmap") { es => graft.functions.agg.SubBitmap(es.head, es(1), es(2)) }
     // --- sketch aggregates (reference: agg/window_funnel.h, approx_top_k.h) ---
     f("window_funnel") { es =>
       val (win, steps) = (es.head, es(3)) match {
@@ -253,6 +259,11 @@ object Compat {
           Multiply(call("sin", dLon), call("sin", dLon))))
       Multiply(lit(2.0d * 6371000.0d), call("asin", call("sqrt", a)))
     }
+    // --- array numeric kernels (reference: array_functions.cpp) ---
+    f("array_sum") { es => ArraySumAvg(es.head, isAvg = false) }
+    f("array_avg") { es => ArraySumAvg(es.head, isAvg = true) }
+    f("array_length") { es => call("size", es.head) }
+    f("cardinality") { es => call("size", es.head) }
     f("st_polygon") { es => StPolygon(es.head) }
     f("st_contains") { es => StContains(es.head, es(1)) }
     f("st_within_box") { es =>

@@ -42,6 +42,43 @@ case class StPolygon(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** array_sum / array_avg over numeric arrays (reference
+  * `be/src/exprs/array_functions.cpp` — Spark has array_min/max/size
+  * builtins but no sum/avg short of an interpreted HOF). Null
+  * elements are skipped, like the reference kernels. */
+case class ArraySumAvg(child: Expression, isAvg: Boolean)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (isAvg) "array_avg" else "array_sum"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val elem = child.dataType.asInstanceOf[ArrayType].elementType
+    var sum = 0.0
+    var n = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        sum += (elem match {
+          case FloatType => arr.getFloat(i).toDouble
+          case DoubleType => arr.getDouble(i)
+          case IntegerType => arr.getInt(i).toDouble
+          case LongType => arr.getLong(i).toDouble
+          case ShortType => arr.getShort(i).toDouble
+          case ByteType => arr.getByte(i).toDouble
+          case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+          case other => throw new IllegalArgumentException(s"$prettyName: $other")
+        })
+        n += 1
+      }
+      i += 1
+    }
+    if (isAvg) { if (n == 0) null else sum / n } else sum
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** st_contains(polygon, point) → even-odd point-in-polygon. */
 case class StContains(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {

@@ -205,6 +205,71 @@ case class BitmapToArray(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** bitmap_min / bitmap_max → smallest/largest member, null if empty. */
+case class BitmapExtreme(child: Expression, isMax: Boolean)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (isMax) "bitmap_max" else "bitmap_min"
+  override def nullSafeEval(v: Any): Any = {
+    val bm = BitmapCodec.deserialize(v.asInstanceOf[Array[Byte]])
+    if (bm.isEmpty) null else if (isMax) bm.getReverseLongIterator.next() else bm.getLongIterator.next()
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** bitmap_contains(bm, v). */
+case class BitmapContains(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bitmap_contains"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    BitmapCodec.deserialize(l.asInstanceOf[Array[Byte]])
+      .contains(r.asInstanceOf[Number].longValue())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** bitmap_has_any(a, b) — non-empty intersection. */
+case class BitmapHasAny(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bitmap_has_any"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = BitmapCodec.deserialize(l.asInstanceOf[Array[Byte]])
+    a.and(BitmapCodec.deserialize(r.asInstanceOf[Array[Byte]]))
+    !a.isEmpty
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** sub_bitmap(bm, offset, len): `len` members starting at sorted
+  * position `offset` (negative offset counts from the end), as a new
+  * bitmap — reference bitmap_functions.cpp sub_bitmap. */
+case class SubBitmap(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sub_bitmap"
+  override def nullSafeEval(v: Any, off: Any, len: Any): Any = {
+    val bm = BitmapCodec.deserialize(v.asInstanceOf[Array[Byte]])
+    val n = bm.getLongCardinality
+    val offset0 = off.asInstanceOf[Number].longValue()
+    val count = len.asInstanceOf[Number].longValue()
+    val start = if (offset0 < 0) n + offset0 else offset0
+    if (start < 0 || start >= n || count <= 0) return null
+    val out = new Roaring64NavigableMap()
+    val it = bm.getLongIterator
+    var i = 0L
+    while (it.hasNext && i < start + count) {
+      val x = it.next()
+      if (i >= start) out.addLong(x)
+      i += 1
+    }
+    BitmapCodec.serialize(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
 abstract class BitmapBinaryOp extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   protected def op(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap
@@ -228,5 +293,10 @@ case class BitmapOr(left: Expression, right: Expression) extends BitmapBinaryOp 
 case class BitmapXor(left: Expression, right: Expression) extends BitmapBinaryOp {
   override def prettyName: String = "bitmap_xor"
   override protected def op(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = { a.xor(b); a }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class BitmapAndNot(left: Expression, right: Expression) extends BitmapBinaryOp {
+  override def prettyName: String = "bitmap_andnot"
+  override protected def op(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = { a.andNot(b); a }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }

@@ -91,6 +91,19 @@ object Nested extends graft.QueryArea {
           expr("map_contains_key(m, 'src')").as("has_src"))
         .orderBy(col("doc_id")).limit(300)
     }),
+    // numeric array kernels over embeddings (array_sum/avg are custom
+    // expressions; min/max/size are Spark builtins under the same names)
+    "arr_numeric" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+      e.select(col("vec_id"),
+          round(expr("array_sum(embedding)"), 4).as("s"),
+          round(expr("array_avg(embedding)"), 4).as("m"),
+          round(array_min(col("embedding")).cast("double"), 4).as("mn"),
+          round(array_max(col("embedding")).cast("double"), 4).as("mx"),
+          size(col("embedding")).as("n"))
+        .orderBy(col("vec_id"))
+    }),
     "struct_functions" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
       c.select(col("c_custkey"),
@@ -172,6 +185,14 @@ object Nested extends graft.QueryArea {
         |  CAST(3 AS BIGINT) AS m_size,
         |  true AS has_src
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "arr_numeric" ->
+      """SELECT vec_id,
+        |  round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS s,
+        |  round(list_avg(CAST(embedding AS DOUBLE[])), 4) AS m,
+        |  round(list_min(CAST(embedding AS DOUBLE[])), 4) AS mn,
+        |  round(list_max(CAST(embedding AS DOUBLE[])), 4) AS mx,
+        |  CAST(len(embedding) AS INT) AS n
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
     "struct_functions" ->
       """SELECT c_custkey,
         |  c_name AS sname,

@@ -63,6 +63,22 @@ object Sketches extends graft.QueryArea {
         Ops.bitmapCount(Ops.bitmapOr(col("bm_a"), col("bm_r"))).as("n_or"),
         Ops.bitmapCount(Ops.bitmapXor(col("bm_a"), col("bm_r"))).as("n_xor"))
     }),
+    // bitmap scalar extensions (reference bitmap_functions.cpp:
+    // sub_bitmap, bitmap_min/max/contains, bitmap_andnot)
+    "bitmap_scalar_ops" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(Ops.bitmapUnion(col("l_partkey")).as("bm"))
+        .select(col("l_returnflag"),
+          expr("bitmap_min(bm)").as("mn"),
+          expr("bitmap_max(bm)").as("mx"),
+          expr("bitmap_contains(bm, 1)").as("has1"),
+          expr("bitmap_count(sub_bitmap(bm, 0, 100))").as("first100"),
+          expr("bitmap_count(sub_bitmap(bm, -50, 50))").as("last50"),
+          expr("bitmap_count(bitmap_andnot(bm, bm))").as("self_diff"),
+          expr("bitmap_has_any(bm, bm)").as("self_any"))
+        .orderBy(col("l_returnflag"))
+    }),
     // unnest_bitmap / subdivide_bitmap TVFs (reference:
     // be/src/exprs/table_function/unnest_bitmap.h, subdivide_bitmap.h):
     // bitmap → rows via bitmap_to_array + explode; subdivide = bucket
@@ -255,6 +271,17 @@ object Sketches extends graft.QueryArea {
         |  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS n_or,
         |  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r))
         |    - (SELECT count(*) FROM a JOIN r USING (k)) AS n_xor""".stripMargin,
+    "bitmap_scalar_ops" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey AS pk FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(min(pk) AS BIGINT) AS mn,
+        |  CAST(max(pk) AS BIGINT) AS mx,
+        |  bool_or(pk = 1) AS has1,
+        |  CAST(least(count(*), 100) AS BIGINT) AS first100,
+        |  CAST(least(count(*), 50) AS BIGINT) AS last50,
+        |  CAST(0 AS BIGINT) AS self_diff,
+        |  true AS self_any
+        |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "tvf_unnest_bitmap" ->
       """SELECT l_returnflag, pk FROM (
         |  SELECT DISTINCT l_returnflag, l_partkey AS pk FROM lineitem WHERE l_orderkey % 97 = 0)

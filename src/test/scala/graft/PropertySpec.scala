@@ -95,4 +95,57 @@ class PropertySpec extends SparkSuite {
       }: _*)
     })
   }
+
+  test("min_n/max_n equal sort-and-take on arbitrary grouped data") {
+    check(forAll(Gen.listOfN(200, Gen.zip(Gen.choose(0, 5), Gen.choose(-1000, 1000))),
+        Gen.choose(1, 7)) { (pairs, n) =>
+      if (pairs.isEmpty) Prop.passed
+      else {
+        val rows = pairs.toDF("g", "v").repartition(4)
+          .groupBy($"g")
+          .agg(expr(s"min_n(v, $n)").as("lo"), expr(s"max_n(v, $n)").as("hi"))
+          .collect().map(r => r.getInt(0) -> ((r.getSeq[Int](1), r.getSeq[Int](2)))).toMap
+        Prop.all(pairs.groupBy(_._1).map { case (g, vs) =>
+          val sorted = vs.map(_._2).sorted
+          Prop(rows(g)._1 == sorted.take(n) && rows(g)._2 == sorted.reverse.take(n)) :|
+            s"g=$g n=$n got=${rows(g)} want=(${sorted.take(n)}, ${sorted.reverse.take(n)})"
+        }.toSeq: _*)
+      }
+    })
+  }
+
+  test("theta count-distinct is exact on arbitrary small sets; union ≡ distinct of concat") {
+    check(forAll(Gen.listOf(Gen.choose(0L, 500L)), Gen.listOf(Gen.choose(0L, 500L))) { (a, b) =>
+      if (a.isEmpty || b.isEmpty) Prop.passed
+      else {
+        val r = a.toDF("v").agg(expr("ds_theta_sketch_agg(v)").as("sa"))
+          .crossJoin(b.toDF("v").agg(expr("ds_theta_sketch_agg(v)").as("sb")))
+          .select(
+            expr("ds_theta_estimate(sa)"),
+            expr("ds_theta_estimate(ds_theta_union(sa, sb))")).head
+        Prop(r.getLong(0) == a.distinct.size.toLong &&
+          r.getLong(1) == (a ++ b).distinct.size.toLong) :|
+          s"got (${r.getLong(0)}, ${r.getLong(1)}), want (${a.distinct.size}, ${(a ++ b).distinct.size})"
+      }
+    })
+  }
+
+  test("tdigest quantiles are monotone in rank and bounded by min/max") {
+    check(forAll(Gen.listOfN(300, Gen.choose(-1e6, 1e6))) { xs =>
+      if (xs.isEmpty) Prop.passed
+      else {
+        val qs = xs.toDF("v").repartition(3)
+          .agg(expr("percentile_agg(v)").as("st"))
+          .select(
+            expr("percentile_approx_raw(st, 0.0d)"),
+            expr("percentile_approx_raw(st, 0.25d)"),
+            expr("percentile_approx_raw(st, 0.5d)"),
+            expr("percentile_approx_raw(st, 0.75d)"),
+            expr("percentile_approx_raw(st, 1.0d)")).head
+        val v = (0 until 5).map(qs.getDouble)
+        Prop(v.zip(v.tail).forall { case (x, y) => x <= y } &&
+          v.head == xs.min && v.last == xs.max) :| s"quantiles $v for n=${xs.size}"
+      }
+    })
+  }
 }
