@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.types._
 
 /** MySQL-flavored compat functions the reference exposes that Spark
@@ -23,6 +24,12 @@ object Compat {
   private def lit(v: Any): Expression = Literal(v)
 
   private def neg(e: Expression): Expression = UnaryMinus(e)
+
+  /** Require a foldable string argument (unit names and the like). */
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) => String.valueOf(s)
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
 
   /** Seconds per unit for time_slice on sub-day units. */
   private val unitSeconds: Map[String, Long] =
@@ -259,11 +266,179 @@ object Compat {
           Multiply(call("sin", dLon), call("sin", dLon))))
       Multiply(lit(2.0d * 6371000.0d), call("asin", call("sqrt", a)))
     }
-    // --- array numeric kernels (reference: array_functions.cpp) ---
+    // --- array kernels + aliases (reference: array_functions.cpp/.h) ---
     f("array_sum") { es => ArraySumAvg(es.head, isAvg = false) }
     f("array_avg") { es => ArraySumAvg(es.head, isAvg = true) }
     f("array_length") { es => call("size", es.head) }
     f("cardinality") { es => call("size", es.head) }
+    f("array_cum_sum") { es => ArrayCumSum(es.head) }
+    f("array_difference") { es => ArrayDifference(es.head) }
+    f("array_contains_all") { es => ArrayContainsAll(es.head, es(1)) }
+    f("array_concat") { es => call("concat", es: _*) }
+    f("array_slice") { es => call("slice", es: _*) }
+    f("array_generate") { es => call("sequence", es: _*) }
+    f("array_flatten") { es => call("flatten", es: _*) }
+    // lambda args must bind to a HigherOrderFunction node directly —
+    // routing them through UnresolvedFunction breaks lambda resolution
+    f("array_map") { es => ArrayTransform(es.head, es(1)) }
+    f("array_filter") { es => ArrayFilter(es.head, es(1)) }
+    f("all_match") { es => ArrayForAll(es.head, es(1)) }
+    f("any_match") { es => ArrayExists(es.head, es(1)) }
+
+    // --- date/time diff + alias family (reference time_functions.cpp:
+    // {unit}s_diff = truncated micros difference of (end, start)) ---
+    def microsDiffDiv(es: Seq[Expression], unitMicros: Long): Expression =
+      Cast(Divide(
+        Cast(Subtract(call("unix_micros", Cast(es.head, TimestampType)),
+          call("unix_micros", Cast(es(1), TimestampType))), DoubleType),
+        lit(unitMicros.toDouble)), LongType)
+    f("seconds_diff") { es => microsDiffDiv(es, 1000000L) }
+    f("minutes_diff") { es => microsDiffDiv(es, 60L * 1000000) }
+    f("hours_diff") { es => microsDiffDiv(es, 3600L * 1000000) }
+    f("days_diff") { es => microsDiffDiv(es, 86400L * 1000000) }
+    f("weeks_diff") { es => microsDiffDiv(es, 7L * 86400 * 1000000) }
+    f("months_diff") { es =>
+      Cast(call("months_between", Cast(es.head, TimestampType), Cast(es(1), TimestampType)), LongType)
+    }
+    f("quarters_diff") { es =>
+      Cast(Divide(Cast(Cast(call("months_between", Cast(es.head, TimestampType),
+        Cast(es(1), TimestampType)), LongType), DoubleType), lit(3.0d)), LongType)
+    }
+    f("years_diff") { es =>
+      Cast(Divide(Cast(Cast(call("months_between", Cast(es.head, TimestampType),
+        Cast(es(1), TimestampType)), LongType), DoubleType), lit(12.0d)), LongType)
+    }
+    f("adddate") { es => call("date_add", es: _*) }
+    f("subdate") { es => call("date_sub", es: _*) }
+    f("quarters_add") { es => call("add_months", es.head, Multiply(Cast(es(1), IntegerType), lit(3))) }
+    f("quarters_sub") { es => call("add_months", es.head, Multiply(Cast(es(1), IntegerType), lit(-3))) }
+    f("week") { es => call("weekofyear", es.head) }
+    f("week_iso") { es => call("weekofyear", es.head) }
+    f("dayofweek_iso") { es =>
+      Add(Pmod(Add(call("dayofweek", es.head), lit(5)), lit(7)), lit(1))
+    }
+    f("makedate") { es =>
+      call("date_add", call("make_date", es.head, lit(1), lit(1)),
+        Cast(Subtract(es(1), lit(1)), IntegerType))
+    }
+    f("from_unixtime_ms") { es => call("timestamp_millis", Cast(es.head, LongType)) }
+    f("hour_from_unixtime") { es => call("hour", call("from_unixtime", es: _*)) }
+    f("utc_timestamp") { _ => call("current_timestamp") }
+    f("to_datetime") { es => call("to_timestamp", es: _*) }
+    // timestampadd/timestampdiff are Spark builtins (unquoted unit
+    // keyword, same as MySQL) — only the {unit}s_add/sub names need aliases
+    f("milliseconds_add") { es => new TimestampAdd("MILLISECOND", es(1), es.head) }
+    f("milliseconds_sub") { es => new TimestampAdd("MILLISECOND", UnaryMinus(es(1)), es.head) }
+    f("microseconds_add") { es => new TimestampAdd("MICROSECOND", es(1), es.head) }
+    f("microseconds_sub") { es => new TimestampAdd("MICROSECOND", UnaryMinus(es(1)), es.head) }
+
+    // --- string/hash aliases ---
+    f("ltrim_string") { es => call("ltrim", es: _*) }
+    f("rtrim_string") { es => call("rtrim", es: _*) }
+    f("trim_string") { es => call("trim", es: _*) }
+    f("substitute") { es => call("replace", es: _*) }
+    f("md5sum") { es => call("md5", call("concat_ws", (lit("") +: es): _*)) }
+    f("crc32_hash") { es => call("crc32", es: _*) }
+    f("xx_hash64") { es => call("xxhash64", es: _*) }
+    f("to_base64") { es => call("base64", es: _*) }
+    f("from_base64") { es => call("unbase64", es: _*) }
+
+    // --- arithmetic-by-name + math aliases ---
+    f("add") { es => Add(es.head, es(1)) }
+    f("subtract") { es => Subtract(es.head, es(1)) }
+    f("multiply") { es => Multiply(es.head, es(1)) }
+    f("divide") { es => Divide(Cast(es.head, DoubleType), Cast(es(1), DoubleType)) }
+    f("square") { es => Multiply(es.head, es.head) }
+    f("fmod") { es => Remainder(Cast(es.head, DoubleType), Cast(es(1), DoubleType)) }
+    f("dceil") { es => call("ceil", es: _*) }
+    f("dfloor") { es => call("floor", es: _*) }
+    f("dpow") { es => call("pow", es: _*) }
+    f("dexp") { es => call("exp", es: _*) }
+
+    // --- JSON compat (reference json_functions.cpp typed getters) ---
+    f("get_json_string") { es => call("get_json_object", es: _*) }
+    f("get_json_int") { es => Cast(call("get_json_object", es: _*), LongType) }
+    f("get_json_double") { es => Cast(call("get_json_object", es: _*), DoubleType) }
+    f("get_json_bool") { es => Cast(call("get_json_object", es: _*), BooleanType) }
+    f("json_exists") { es => IsNotNull(call("get_json_object", es: _*)) }
+    f("json_query") { es => call("get_json_object", es: _*) }
+    f("json_length") { es =>
+      Coalesce(Seq(
+        call("json_array_length", es.head),
+        call("size", call("json_object_keys", es.head)),
+        If(IsNotNull(es.head), lit(1), Literal.create(null, IntegerType))))
+    }
+    f("json_object") { es => call("to_json", CreateNamedStruct(es)) }
+    f("json_array") { es => call("to_json", CreateArray(es)) }
+
+    // --- aggregate aliases / exact-distinct kernels ---
+    f("ndv") { es => call("approx_count_distinct", es: _*) }
+    f("boolor_agg") { es => call("bool_or", es: _*) }
+    f("variance_pop") { es => call("var_pop", es: _*) }
+    f("variance_samp") { es => call("var_samp", es: _*) }
+    f("multi_distinct_count") { es =>
+      Cast(Size(aggregate.CollectSet(es.head).toAggregateExpression()), LongType)
+    }
+    f("multi_distinct_sum") { es =>
+      aggregate.Sum(es.head).toAggregateExpression(isDistinct = true)
+    }
+    f("group_concat") { es =>
+      val sep = if (es.length > 1) es(1) else lit(",")
+      call("array_join", call("array_sort",
+        call("collect_list", Cast(es.head, StringType))), sep)
+    }
+    f("ds_hll_count_distinct") { es => call("approx_count_distinct", es: _*) }
+    f("ds_hll_accumulate") { es => call("hll_sketch_agg", es: _*) }
+    f("ds_hll_combine") { es => call("hll_union_agg", es: _*) }
+    f("ds_hll_estimate") { es => call("hll_sketch_estimate", es: _*) }
+
+    // --- bitmap constructors / text round-trip / intersect agg ---
+    f("bitmap_agg") { es => graft.functions.agg.BitmapUnionAgg(es.head) }
+    f("bitmap_union_count") { es =>
+      graft.functions.agg.BitmapCount(
+        graft.functions.agg.BitmapUnionAgg(es.head).toAggregateExpression())
+    }
+    f("bitmap_union_int") { es =>
+      graft.functions.agg.BitmapCount(
+        graft.functions.agg.BitmapUnionAgg(es.head).toAggregateExpression())
+    }
+    f("bitmap_intersect") { es => graft.functions.agg.BitmapIntersectAgg(es.head) }
+    f("array_to_bitmap") { es => graft.functions.agg.ArrayToBitmap(es.head) }
+    f("bitmap_from_string") { es => graft.functions.agg.BitmapFromString(es.head) }
+    f("bitmap_to_string") { es => graft.functions.agg.BitmapToString(es.head) }
+    f("bitmap_remove") { es => graft.functions.agg.BitmapRemove(es.head, es(1)) }
+    f("bitmap_empty") { _ => graft.functions.agg.BitmapFromString(lit("")) }
+    f("bitmap_hash") { es => graft.functions.agg.ToBitmap(call("xxhash64", es: _*)) }
+
+    // --- shifts, session info, leftover aliases ---
+    f("bit_shift_left") { es => call("shiftleft", es: _*) }
+    f("bit_shift_right") { es => call("shiftright", es: _*) }
+    f("bit_shift_right_logical") { es => call("shiftrightunsigned", es: _*) }
+    f("date_floor") { es => call("time_slice", es: _*) }
+    f("date_slice") { es => call("time_slice", es: _*) }
+    f("curtime") { _ => call("current_timestamp") }
+    f("localtime") { _ => call("current_timestamp") }
+    f("utc_time") { _ => call("current_timestamp") }
+    f("database") { _ => call("current_database") }
+    f("schema") { _ => call("current_database") }
+    f("catalog") { _ => call("current_catalog") }
+    f("map_size") { es => call("size", es: _*) }
+    f("max_by_v2") { es => call("max_by", es: _*) }
+    f("min_by_v2") { es => call("min_by", es: _*) }
+    f("array_agg_distinct") { es =>
+      call("array_sort", call("collect_set", es: _*))
+    }
+    f("array_unique_agg") { es =>
+      call("array_sort", call("collect_set", es: _*))
+    }
+
+    // --- geo WKT aliases ---
+    f("st_geometryfromtext") { es => StPolygon(es.head) }
+    f("st_geomfromtext") { es => StPolygon(es.head) }
+    f("st_polygonfromtext") { es => StPolygon(es.head) }
+    f("st_polyfromtext") { es => StPolygon(es.head) }
+    f("st_astext") { es => StAsText(es.head) }
+    f("st_aswkt") { es => StAsText(es.head) }
     f("st_polygon") { es => StPolygon(es.head) }
     f("st_contains") { es => StContains(es.head, es(1)) }
     f("st_within_box") { es =>

@@ -42,6 +42,39 @@ case class StPolygon(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_astext / st_aswkt: WKT of a point or polygon struct. */
+case class StAsText(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_astext"
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val text = child.dataType match {
+      case s: StructType if s.fieldNames.sameElements(Array("xs", "ys")) =>
+        val xs = row.getArray(0).toDoubleArray()
+        val ys = row.getArray(1).toDoubleArray()
+        xs.zip(ys).map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
+          .mkString("POLYGON ((", ", ", "))")
+      case s: StructType if s.length == 2 =>
+        val x = s.fields(0).dataType match {
+          case DoubleType => row.getDouble(0)
+          case _ => row.get(0, s.fields(0).dataType).asInstanceOf[Number].doubleValue()
+        }
+        val y = s.fields(1).dataType match {
+          case DoubleType => row.getDouble(1)
+          case _ => row.get(1, s.fields(1).dataType).asInstanceOf[Number].doubleValue()
+        }
+        s"POINT (${fmt(x)} ${fmt(y)})"
+      case other => throw new IllegalArgumentException(s"st_astext: $other")
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** array_sum / array_avg over numeric arrays (reference
   * `be/src/exprs/array_functions.cpp` — Spark has array_min/max/size
   * builtins but no sum/avg short of an interpreted HOF). Null

@@ -205,7 +205,129 @@ case class BitmapToArray(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-/** bitmap_min / bitmap_max → smallest/largest member, null if empty. */
+/** bitmap_intersect: AND of the group's bitmaps (vs bitmap_union's OR)
+  * — reference `be/src/exprs/agg/bitmap_intersect.h`. The buffer needs
+  * a "not yet seeded" marker: AND-identity is the full set, which is
+  * unrepresentable, so the first input seeds the accumulator. */
+final class BitmapIntersectAcc(var bm: Roaring64NavigableMap, var seeded: Boolean)
+
+case class BitmapIntersectAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapIntersectAcc] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_intersect"
+
+  override def createAggregationBuffer(): BitmapIntersectAcc =
+    new BitmapIntersectAcc(new Roaring64NavigableMap(), seeded = false)
+
+  override def update(buf: BitmapIntersectAcc, input: InternalRow): BitmapIntersectAcc = {
+    val v = child.eval(input)
+    if (v != null) {
+      val in = BitmapCodec.deserialize(v.asInstanceOf[Array[Byte]])
+      if (!buf.seeded) { buf.bm.or(in); buf.seeded = true }
+      else buf.bm.and(in)
+    }
+    buf
+  }
+
+  override def merge(a: BitmapIntersectAcc, b: BitmapIntersectAcc): BitmapIntersectAcc =
+    if (!b.seeded) a
+    else if (!a.seeded) b
+    else { a.bm.and(b.bm); a }
+
+  override def eval(buf: BitmapIntersectAcc): Any = BitmapCodec.serialize(buf.bm)
+
+  override def serialize(buf: BitmapIntersectAcc): Array[Byte] = {
+    val bytes = BitmapCodec.serialize(buf.bm)
+    val out = new Array[Byte](bytes.length + 1)
+    out(0) = if (buf.seeded) 1 else 0
+    System.arraycopy(bytes, 0, out, 1, bytes.length)
+    out
+  }
+  override def deserialize(bytes: Array[Byte]): BitmapIntersectAcc =
+    new BitmapIntersectAcc(
+      BitmapCodec.deserialize(java.util.Arrays.copyOfRange(bytes, 1, bytes.length)),
+      bytes(0) == 1)
+
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapIntersectAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapIntersectAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** array_to_bitmap(array<integral>) → bitmap. */
+case class ArrayToBitmap(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "array_to_bitmap"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val elem = child.dataType.asInstanceOf[ArrayType].elementType
+    val bm = new Roaring64NavigableMap()
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) bm.addLong(elem match {
+        case LongType => arr.getLong(i)
+        case IntegerType => arr.getInt(i).toLong
+        case ShortType => arr.getShort(i).toLong
+        case other => throw new IllegalArgumentException(s"array_to_bitmap: $other")
+      })
+      i += 1
+    }
+    BitmapCodec.serialize(bm)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** bitmap_from_string('1,3,5') / bitmap_to_string(bm) — reference
+  * bitmap_functions.cpp text round-trip. */
+case class BitmapFromString(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_from_string"
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString.trim
+    val bm = new Roaring64NavigableMap()
+    if (s.nonEmpty) {
+      try s.split(",").foreach(t => bm.addLong(t.trim.toLong))
+      catch { case _: NumberFormatException => return null }
+    }
+    BitmapCodec.serialize(bm)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class BitmapToString(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bitmap_to_string"
+  override def nullSafeEval(v: Any): Any = {
+    val bm = BitmapCodec.deserialize(v.asInstanceOf[Array[Byte]])
+    val sb = new StringBuilder
+    val it = bm.getLongIterator
+    while (it.hasNext) { if (sb.nonEmpty) sb.append(','); sb.append(it.next()) }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** bitmap_remove(bm, v). */
+case class BitmapRemove(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_remove"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val bm = BitmapCodec.deserialize(l.asInstanceOf[Array[Byte]])
+    bm.removeLong(r.asInstanceOf[Number].longValue())
+    BitmapCodec.serialize(bm)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class BitmapExtreme(child: Expression, isMax: Boolean)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType

@@ -91,6 +91,19 @@ object Nested extends graft.QueryArea {
           expr("map_contains_key(m, 'src')").as("has_src"))
         .orderBy(col("doc_id")).limit(300)
     }),
+    // custom array kernels (array_cum_sum / array_difference /
+    // array_contains_all) + reference-named aliases, on a fixed
+    // 3-wide array so the oracle is explicit arithmetic
+    "arr_kernels" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT o_orderkey,
+        |  array_join(cast(array_cum_sum(array(o_orderkey % 10, o_orderkey % 7, o_orderkey % 3)) as array<bigint>), ',') AS cs,
+        |  array_join(cast(array_difference(array(o_orderkey % 10, o_orderkey % 7, o_orderkey % 3)) as array<bigint>), ',') AS df,
+        |  array_contains_all(array(o_orderkey % 10, o_orderkey % 7), array(o_orderkey % 10)) AS ca_t,
+        |  array_contains_all(array(o_orderkey % 10, o_orderkey % 7), array(11L)) AS ca_f,
+        |  array_join(array_concat(array(o_orderkey % 10), array(99L)), ',') AS cc,
+        |  all_match(array(o_orderkey % 10, o_orderkey % 7), x -> x >= 0) AS am,
+        |  any_match(array(o_orderkey % 10, o_orderkey % 7), x -> x > 8) AS nm
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin)),
     // numeric array kernels over embeddings (array_sum/avg are custom
     // expressions; min/max/size are Spark builtins under the same names)
     "arr_numeric" -> ((spark, dir) => {
@@ -185,6 +198,19 @@ object Nested extends graft.QueryArea {
         |  CAST(3 AS BIGINT) AS m_size,
         |  true AS has_src
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "arr_kernels" ->
+      """SELECT o_orderkey,
+        |  concat(CAST(o_orderkey % 10 AS VARCHAR), ',',
+        |         CAST(o_orderkey % 10 + o_orderkey % 7 AS VARCHAR), ',',
+        |         CAST(o_orderkey % 10 + o_orderkey % 7 + o_orderkey % 3 AS VARCHAR)) AS cs,
+        |  concat('0,', CAST(o_orderkey % 7 - o_orderkey % 10 AS VARCHAR), ',',
+        |         CAST(o_orderkey % 3 - o_orderkey % 7 AS VARCHAR)) AS df,
+        |  true AS ca_t,
+        |  false AS ca_f,
+        |  concat(CAST(o_orderkey % 10 AS VARCHAR), ',99') AS cc,
+        |  true AS am,
+        |  (o_orderkey % 10 > 8) AS nm
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin,
     "arr_numeric" ->
       """SELECT vec_id,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS s,

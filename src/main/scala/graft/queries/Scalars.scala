@@ -176,9 +176,72 @@ object Scalars extends graft.QueryArea {
         |  strright(c_name, 4) AS r4,
         |  null_or_empty(c_name) AS empty1,
         |  append_trailing_char_if_absent(c_mktsegment, 'G') AS atc
-        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin)))
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin)),
+    // round-2 compat batch: {unit}s_diff family, adddate/makedate/week,
+    // timestampadd/timestampdiff, arithmetic-by-name, base64, md5sum
+    "compat_datetime_math" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT o_orderkey,
+        |  CAST(adddate(o_orderdate, 10) AS TIMESTAMP) AS d_add,
+        |  CAST(subdate(o_orderdate, 3) AS TIMESTAMP) AS d_sub,
+        |  days_diff(o_orderdate, timestamp'1995-01-01 00:00:00') AS dd,
+        |  hours_diff(o_orderdate, timestamp'1995-01-01 00:00:00') AS hd,
+        |  weeks_diff(o_orderdate, timestamp'1995-01-01 00:00:00') AS wd,
+        |  months_diff(o_orderdate, timestamp'1995-01-01 00:00:00') AS md,
+        |  timestampadd(DAY, 5, o_orderdate) AS ts_add,
+        |  timestampdiff(HOUR, timestamp'1995-01-01 00:00:00', o_orderdate) AS ts_diff,
+        |  CAST(makedate(1995, o_orderkey % 300 + 1) AS TIMESTAMP) AS mk,
+        |  week(o_orderdate) AS wk,
+        |  dayofweek_iso(o_orderdate) AS dow_iso,
+        |  round(square(o_totalprice), 2) AS sq,
+        |  round(fmod(o_totalprice, 97.0), 4) AS fm,
+        |  md5sum(o_orderstatus, o_orderpriority) AS m5,
+        |  to_base64(o_orderpriority) AS b64,
+        |  CAST(from_base64(to_base64(o_orderstatus)) AS STRING) AS b64rt
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin)),
+    "compat_json_agg" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT user_id,
+        |  group_concat(DISTINCT_PLACEHOLDER) AS types,
+        |  multi_distinct_count(event_type) AS ndt,
+        |  CAST(multi_distinct_sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |  max(get_json_int(props, '$.k')) AS mk,
+        |  bool_or(json_exists(props, '$.k')) AS has_k,
+        |  bool_or(json_exists(props, '$.nope')) AS has_nope,
+        |  max(json_length(props)) AS jlen,
+        |  min(json_object('t', event_type, 'u', user_id)) AS jobj
+        |FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replace("DISTINCT_PLACEHOLDER", "event_type, '|'"))))
 
   def oracles: Map[String, String] = Map(
+    "compat_datetime_math" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 10 DAY AS TIMESTAMP) AS d_add,
+        |  CAST(o_orderdate - INTERVAL 3 DAY AS TIMESTAMP) AS d_sub,
+        |  CAST(floor((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 86400) AS BIGINT) AS dd,
+        |  CAST(floor((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 3600) AS BIGINT) AS hd,
+        |  CAST(floor((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 604800) AS BIGINT) AS wd,
+        |  CAST((year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS BIGINT) AS md,
+        |  o_orderdate + INTERVAL 5 DAY AS ts_add,
+        |  CAST(floor((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 3600) AS BIGINT) AS ts_diff,
+        |  CAST(DATE '1995-01-01' + CAST(o_orderkey % 300 AS INT) AS TIMESTAMP) AS mk,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS wk,
+        |  CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+        |  round(o_totalprice * o_totalprice, 2) AS sq,
+        |  round(o_totalprice - 97.0 * CAST(trunc(o_totalprice / 97.0) AS BIGINT), 4) AS fm,
+        |  md5(concat(o_orderstatus, o_orderpriority)) AS m5,
+        |  to_base64(CAST(o_orderpriority AS BLOB)) AS b64,
+        |  o_orderstatus AS b64rt
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin,
+    "compat_json_agg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, '|' ORDER BY event_type) AS types,
+        |  count(DISTINCT event_type) AS ndt,
+        |  CAST(SUM(DISTINCT CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mk,
+        |  bool_or(json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+        |  bool_or(json_extract_string(props, '$.nope') IS NOT NULL) AS has_nope,
+        |  CAST(1 AS INT) AS jlen,
+        |  min(concat('{"t":"', event_type, '","u":', CAST(user_id AS VARCHAR), '}')) AS jobj
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "str_functions" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_brand) AS lo,

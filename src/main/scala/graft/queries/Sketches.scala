@@ -79,6 +79,18 @@ object Sketches extends graft.QueryArea {
           expr("bitmap_has_any(bm, bm)").as("self_any"))
         .orderBy(col("l_returnflag"))
     }),
+    // bitmap text round-trip + intersect agg (reference
+    // bitmap_functions.cpp from/to_string, agg/bitmap_intersect.h)
+    "bitmap_text_roundtrip" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH per AS (
+        |  SELECT o_orderstatus, bitmap_union(to_bitmap(o_custkey)) AS bm
+        |  FROM orders GROUP BY 1)
+        |SELECT
+        |  bitmap_count(bitmap_intersect(bm)) AS n_all_status,
+        |  bitmap_to_string(bitmap_remove(bitmap_from_string('1,2,3,4,5'), 3)) AS removed,
+        |  bitmap_count(array_to_bitmap(array(1L, 2L, 3L, 2L))) AS arr_cnt,
+        |  bitmap_count(bitmap_empty()) AS empty_cnt
+        |FROM per""".stripMargin)),
     // unnest_bitmap / subdivide_bitmap TVFs (reference:
     // be/src/exprs/table_function/unnest_bitmap.h, subdivide_bitmap.h):
     // bitmap → rows via bitmap_to_array + explode; subdivide = bucket
@@ -271,6 +283,15 @@ object Sketches extends graft.QueryArea {
         |  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS n_or,
         |  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r))
         |    - (SELECT count(*) FROM a JOIN r USING (k)) AS n_xor""".stripMargin,
+    "bitmap_text_roundtrip" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |    SELECT o_custkey FROM orders GROUP BY o_custkey
+        |    HAVING count(DISTINCT o_orderstatus) =
+        |      (SELECT count(DISTINCT o_orderstatus) FROM orders))) AS n_all_status,
+        |  '1,2,4,5' AS removed,
+        |  CAST(3 AS BIGINT) AS arr_cnt,
+        |  CAST(0 AS BIGINT) AS empty_cnt""".stripMargin,
     "bitmap_scalar_ops" ->
       """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey AS pk FROM lineitem)
         |SELECT l_returnflag,
