@@ -44,6 +44,27 @@ object SourcesQ extends graft.QueryArea {
           max(col("ts")).as("max_ts"))
         .orderBy(col("event_type"))
     }),
+    // tolerant load under max_filter_ratio (reference LoadStmt
+    // MAX_FILTER_RATIO): planted malformed rows are dropped because
+    // they stay under the declared tolerance; the clean-row aggregate
+    // must equal the direct-parquet oracle exactly
+    "src_csv_tolerant" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      val out = tmpDir(dir, "csvtol")
+      Formats.writeCsv(e, out)
+      val nBad = math.max(2, (e.count() / 200).toInt)
+      // header=true consumes the first line per file — pad with one extra
+      val badLines = (0 to nBad).map(i => s"not_a_long_$i,junk,,bad,").mkString("\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/zz-bad.csv"), badLines)
+      Formats.readCsvTolerant(spark, out, e.schema, maxFilterRatio = 0.05)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
     "src_orc_roundtrip" -> ((spark, dir) => {
       val e = t(spark, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
@@ -142,6 +163,7 @@ object SourcesQ extends graft.QueryArea {
     "src_csv_roundtrip" -> eventsAgg,
     "src_json_roundtrip" -> eventsAgg,
     "src_orc_roundtrip" -> eventsAgg,
+    "src_csv_tolerant" -> eventsAgg,
     "src_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -43,4 +43,35 @@ object Formats {
 
   def readOrc(spark: SparkSession, dir: String): DataFrame =
     spark.read.orc(dir)
+
+  /** Tolerant CSV load with the reference's max_filter_ratio contract
+    * (`docs/.../loading/`, FE `LoadStmt` MAX_FILTER_RATIO): malformed
+    * rows are dropped, but if they exceed `maxFilterRatio` of the
+    * input the whole load FAILS — silent data loss above the declared
+    * tolerance is an error, matching StarRocks load semantics.
+    *
+    * One pass: PERMISSIVE parse keeps the corrupt record in a marker
+    * column; the ratio check aggregates the cached parse, then clean
+    * rows flow on. Scale: the cache is the loaded batch itself (the
+    * same data any load materializes); no second file read. */
+  def readCsvTolerant(spark: SparkSession, dir: String, schema: StructType,
+      maxFilterRatio: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    val parsed = spark.read.options(csvOptions)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).csv(dir)
+      .cache()
+    val total = parsed.count()
+    val bad = parsed.filter(col("_corrupt_record").isNotNull).count()
+    if (total > 0 && bad.toDouble / total > maxFilterRatio) {
+      parsed.unpersist()
+      throw new IllegalStateException(
+        s"load aborted: $bad/$total malformed rows exceeds max_filter_ratio=$maxFilterRatio")
+    }
+    parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
 }

@@ -131,6 +131,52 @@ class StreamingSpec extends SparkSuite {
     assert(mv.columns.toSet === Set("wstart", "event_type", "n", "total"))
   }
 
+  test("stream-stream join: watermarked purchase⋈signup equals batch join") {
+    // reference STREAM_JOIN node (PlanNodes.thrift STREAM_JOIN_NODE):
+    // two event streams joined on key within a time bound
+    val dir = tmp()
+    stage(dir)
+    val schema = Tables.load(spark, sf, "events").schema
+    def side(df: org.apache.spark.sql.DataFrame, kind: String, idAs: String) =
+      df.filter($"event_type" === kind)
+        .select($"user_id".as(s"${idAs}_uid"), $"ts".as(s"${idAs}_ts"), $"event_id".as(idAs))
+        .withWatermark(s"${idAs}_ts", "1 hour")
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val joined = side(stream, "purchase", "p")
+      .join(side(stream, "signup", "s"),
+        expr("p_uid = s_uid AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 DAY"))
+    val q = joined.select($"p", $"s").writeStream
+      .format("memory").queryName("ssj_out_" + System.nanoTime())
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(q.name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val e = Tables.load(spark, sf, "events")
+    val batch = side(e, "purchase", "p").join(side(e, "signup", "s"),
+      expr("p_uid = s_uid AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 DAY"))
+      .select($"p", $"s").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "stream-stream join emitted nothing")
+    // append-mode stream join may hold back pairs near the final
+    // watermark; everything it DID emit must be correct, and coverage
+    // must be essentially complete
+    assert(got.subsetOf(batch), s"stream join produced wrong pairs: ${(got -- batch).take(3)}")
+    assert(got.size >= (batch.size * 0.9).toInt, s"stream join too incomplete: ${got.size}/${batch.size}")
+  }
+
+  test("tolerant CSV load fails above max_filter_ratio") {
+    val e = Tables.load(spark, sf, "events").limit(100)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+    val out = tmp() + "/csv"
+    graft.sources.Formats.writeCsv(e, out)
+    // 30+ malformed rows on ~100 good ones >> 5% tolerance
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/zz-bad.csv"),
+      (0 to 30).map(i => s"bad_$i,x,,,").mkString("\n"))
+    val ex = intercept[IllegalStateException] {
+      graft.sources.Formats.readCsvTolerant(spark, out, e.schema, maxFilterRatio = 0.05).count()
+    }
+    assert(ex.getMessage.contains("max_filter_ratio"))
+  }
+
   test("upsert sink: routine load into a PRIMARY table, exactly-once across restart") {
     val watch = tmp()
     val tableDir = tmp() + "/pk_table"
