@@ -175,6 +175,17 @@ class PlanSpec extends SparkSuite {
     assert(shuffleJoins <= 1, s"more than one shuffled join in SSB star:\n$plan")
   }
 
+  test("query profile exposes per-operator runtime metrics (EXPLAIN ANALYZE parity)") {
+    val q = table("lineitem").groupBy($"l_returnflag").count()
+    val ops = graft.plans.QueryProfile.profile(q)
+    val agg = ops.filter(_.node.contains("HashAggregate"))
+    assert(agg.nonEmpty, s"no HashAggregate in profile:\n${ops.map(_.node)}")
+    assert(agg.exists(_.rows.exists(_ > 0)), "aggregate reported no output rows")
+    val scan = ops.filter(_.node.toLowerCase.contains("scan"))
+    assert(scan.exists(_.rows.exists(_ > 0)), "scan reported no output rows")
+    assert(graft.plans.QueryProfile.profileString(q).contains("rows="))
+  }
+
   test("colocate join: same-key same-count bucketed tables join with no exchange") {
     val o = table("orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
     val c = table("customer").select($"c_custkey", $"c_mktsegment")
