@@ -84,9 +84,25 @@ object KeysModels {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
+    recoverFromBackup(fs, dst)
     val bak = new org.apache.hadoop.fs.Path(dir + ".bak-" + System.nanoTime())
     if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
     if (fs.exists(bak)) fs.delete(bak, true)
+  }
+
+  /** Crash window: a failure between the two renames above leaves the
+    * table only as its .bak-* sibling. Restore the newest backup when
+    * the table dir is missing — readers/writers that land here first
+    * then see the pre-crash version, never an absent table. */
+  private def recoverFromBackup(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst)) return
+    val parent = dst.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = dst.getName + ".bak-"
+    val baks = fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+    if (baks.nonEmpty) fs.rename(baks.maxBy(_.getName), dst)
   }
 }

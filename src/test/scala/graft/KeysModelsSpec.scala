@@ -45,6 +45,23 @@ class KeysModelsSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() === 2)
   }
 
+  test("atomicOverwrite recovers a table stranded as .bak by a crash") {
+    val base = Files.createTempDirectory("graft-recover").toString
+    val dir = s"$base/t"
+    val v1 = Seq((1L, "a")).toDF("id", "v")
+    KeysModels.atomicOverwrite(v1, dir)
+    // simulate a crash between the two renames: dst gone, only .bak left
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".bak-simulated"))
+    // the next write must first restore, then swap in the new version
+    val v2 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    KeysModels.atomicOverwrite(v2, dir)
+    assert(spark.read.parquet(dir).count() === 2)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .exists(_.getPath.getName.contains(".bak")), "stale backup left behind")
+  }
+
   test("INSERT INTO SELECT via SQL on a temp table dir") {
     val dir = Files.createTempDirectory("graft-ins").toString + "/t"
     table("nation").write.parquet(dir)
