@@ -175,6 +175,32 @@ class PlanSpec extends SparkSuite {
     assert(shuffleJoins <= 1, s"more than one shuffled join in SSB star:\n$plan")
   }
 
+  test("AQE splits a skewed join partition (skew=true in final plan)") {
+    // one hot key holding ~all rows vs a tiny advisory partition size —
+    // the runtime re-plan the engine relies on instead of manual salting
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = conf.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      val left = spark.range(200000)
+        .select((when($"id" % 100 === 0, $"id").otherwise(lit(7L))).as("k"),
+          concat(lit("padpadpadpadpadpadpadpad-"), $"id").as("payload"))
+      val right = spark.range(5000).select($"id".as("k"), ($"id" * 2).as("v"))
+      // aggregate on payload so the (incompressible) column rides the
+      // shuffle — all-constant keys alone compress below the threshold
+      val j = left.join(right, "k").agg(max(length($"payload")))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark/split the skewed join:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("query profile exposes per-operator runtime metrics (EXPLAIN ANALYZE parity)") {
     val q = table("lineitem").groupBy($"l_returnflag").count()
     val ops = graft.plans.QueryProfile.profile(q)
