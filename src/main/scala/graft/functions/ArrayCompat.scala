@@ -69,6 +69,57 @@ case class ArrayDifference(child: Expression) extends UnaryExpression with Codeg
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** array_sortby(arr, keys): arr reordered by ascending keys (the
+  * reference's two-array form; ties keep first-seen order). */
+case class ArraySortBy(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "array_sortby"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val keys = r.asInstanceOf[ArrayData]
+    if (arr.numElements() != keys.numElements()) return null
+    val elemL = left.dataType.asInstanceOf[ArrayType].elementType
+    val elemR = right.dataType.asInstanceOf[ArrayType].elementType
+    val ord = org.apache.spark.sql.catalyst.types.PhysicalDataType.ordering(elemR)
+      .asInstanceOf[Ordering[Any]]
+    val nullsFirst = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else ord.compare(a, b)
+    }
+    val idx = (0 until arr.numElements()).sortBy(i =>
+      if (keys.isNullAt(i)) null else keys.get(i, elemR))(nullsFirst)
+    new GenericArrayData(idx.map(i =>
+      if (arr.isNullAt(i)) null else arr.get(i, elemL)).toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** ngram_search(haystack, needle, n): fraction of the needle's
+  * character n-grams present in the haystack — the reference's fuzzy
+  * match score in [0, 1] (`be/src/exprs/ngram.cpp`). */
+case class NgramSearch(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_search"
+  override def nullSafeEval(hay: Any, needle: Any, n: Any): Any = {
+    val g = n.asInstanceOf[Number].intValue()
+    if (g <= 0) return null
+    val h = hay.toString
+    val q = needle.toString
+    if (q.length < g) return null
+    val hayGrams = (0 to h.length - g).map(i => h.substring(i, i + g)).toSet
+    val qGrams = (0 to q.length - g).map(i => q.substring(i, i + g))
+    qGrams.count(hayGrams.contains).toDouble / qGrams.size
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
 /** array_contains_all(haystack, needles). */
 case class ArrayContainsAll(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {

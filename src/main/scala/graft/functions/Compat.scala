@@ -274,6 +274,11 @@ object Compat {
     f("array_cum_sum") { es => ArrayCumSum(es.head) }
     f("array_difference") { es => ArrayDifference(es.head) }
     f("array_contains_all") { es => ArrayContainsAll(es.head, es(1)) }
+    f("array_sortby") { es => ArraySortBy(es.head, es(1)) }
+    f("ngram_search") { es => NgramSearch(es.head, es(1), es(2)) }
+    f("ngram_search_case_insensitive") { es =>
+      NgramSearch(call("lower", es.head), call("lower", es(1)), es(2))
+    }
     f("array_concat") { es => call("concat", es: _*) }
     f("array_slice") { es => call("slice", es: _*) }
     f("array_generate") { es => call("sequence", es: _*) }

@@ -102,7 +102,11 @@ object Nested extends graft.QueryArea {
         |  array_contains_all(array(o_orderkey % 10, o_orderkey % 7), array(11L)) AS ca_f,
         |  array_join(array_concat(array(o_orderkey % 10), array(99L)), ',') AS cc,
         |  all_match(array(o_orderkey % 10, o_orderkey % 7), x -> x >= 0) AS am,
-        |  any_match(array(o_orderkey % 10, o_orderkey % 7), x -> x > 8) AS nm
+        |  any_match(array(o_orderkey % 10, o_orderkey % 7), x -> x > 8) AS nm,
+        |  array_join(array_sortby(array(o_orderstatus, o_orderpriority), array(2, 1)), ',') AS sb,
+        |  round(ngram_search(o_orderpriority, o_orderpriority, 3), 4) AS ng_self,
+        |  round(ngram_search('abcdef', 'abcx', 3), 4) AS ng_half,
+        |  round(ngram_search('abcdef', 'xyz', 3), 4) AS ng_none
         |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin)),
     // numeric array kernels over embeddings (array_sum/avg are custom
     // expressions; min/max/size are Spark builtins under the same names)
@@ -209,7 +213,11 @@ object Nested extends graft.QueryArea {
         |  false AS ca_f,
         |  concat(CAST(o_orderkey % 10 AS VARCHAR), ',99') AS cc,
         |  true AS am,
-        |  (o_orderkey % 10 > 8) AS nm
+        |  (o_orderkey % 10 > 8) AS nm,
+        |  concat(o_orderpriority, ',', o_orderstatus) AS sb,
+        |  1.0 AS ng_self,
+        |  0.5 AS ng_half,
+        |  0.0 AS ng_none
         |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin,
     "arr_numeric" ->
       """SELECT vec_id,
