@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import util._
+
+/** Dashboard/report query shapes beyond the TPC-H/SSB flights — the
+  * patterns the reference's TPC-DS golden-plan suite exercises that
+  * the other flights don't (`fe/fe-core/src/test/resources/sql/tpcds/`):
+  * CASE-pivot, share-of-total via window over aggregate, top-n per
+  * group with ties, year-over-year deltas, conditional ratio reports,
+  * and EXISTS/NOT-EXISTS composition.
+  *
+  * Scale notes: each is one scan + one agg shuffle (+ a window over
+  * the already-aggregated rows where noted) — the windows run over
+  * group-count-sized inputs, never raw facts.
+  */
+object Reports extends graft.QueryArea {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CASE pivot: one row per year, one column per order status
+    "rpt_pivot_status" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS filled_rev
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin)),
+    // share of total: window over the aggregate, not the fact
+    "rpt_share_of_total" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH seg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, rev,
+        |  round(rev / sum(rev) OVER (), 6) AS share
+        |FROM seg ORDER BY c_mktsegment""".stripMargin)),
+    // top 3 parts per brand by revenue, rank() keeps ties
+    "rpt_topn_per_group" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH pr AS (
+        |  SELECT p_brand, l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_partkey)
+        |SELECT p_brand, l_partkey, rev FROM (
+        |  SELECT *, rank() OVER (PARTITION BY p_brand ORDER BY rev DESC) AS rk FROM pr)
+        |WHERE rk <= 3 ORDER BY p_brand, rev DESC, l_partkey""".stripMargin)),
+    // year-over-year revenue delta via lag over the yearly aggregate
+    "rpt_yoy_delta" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH yearly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, rev,
+        |  round(rev - lag(rev) OVER (ORDER BY yr), 4) AS delta,
+        |  round((rev - lag(rev) OVER (ORDER BY yr))
+        |    / lag(rev) OVER (ORDER BY yr), 6) AS pct
+        |FROM yearly ORDER BY yr""".stripMargin)),
+    // customers with big orders but NO pending ones (EXISTS ∧ NOT EXISTS)
+    "rpt_exists_combo" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)),
+    // conditional ratios: per-nation return rate and discount-heavy rate
+    "rpt_cond_ratios" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT s_nationkey,
+        |  round(CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS return_rate,
+        |  round(CAST(count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS disc_rate,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
+
+  def oracles: Map[String, String] = Map(
+    "rpt_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS filled_rev
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "rpt_share_of_total" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, rev,
+        |  round(rev / sum(rev) OVER (), 6) AS share
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+    "rpt_topn_per_group" ->
+      """WITH pr AS (
+        |  SELECT p_brand, l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_partkey)
+        |SELECT p_brand, l_partkey, rev FROM (
+        |  SELECT *, rank() OVER (PARTITION BY p_brand ORDER BY rev DESC) AS rk FROM pr)
+        |WHERE rk <= 3 ORDER BY p_brand, rev DESC, l_partkey""".stripMargin,
+    "rpt_yoy_delta" ->
+      """WITH yearly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, rev,
+        |  round(rev - lag(rev) OVER (ORDER BY yr), 4) AS delta,
+        |  round((rev - lag(rev) OVER (ORDER BY yr))
+        |    / lag(rev) OVER (ORDER BY yr), 6) AS pct
+        |FROM yearly ORDER BY yr""".stripMargin,
+    "rpt_exists_combo" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "rpt_cond_ratios" ->
+      """SELECT s_nationkey,
+        |  round(CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS return_rate,
+        |  round(CAST(count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS disc_rate,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+}
