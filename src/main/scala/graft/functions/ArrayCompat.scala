@@ -74,6 +74,7 @@ case class ArrayDifference(child: Expression) extends UnaryExpression with Codeg
 case class ArraySortBy(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = left.dataType
+  override def nullable: Boolean = true // null on length mismatch
   override def prettyName: String = "array_sortby"
   override def nullSafeEval(l: Any, r: Any): Any = {
     val arr = l.asInstanceOf[ArrayData]

@@ -25,9 +25,10 @@ object GeoTypes {
 /** st_polygon('POLYGON ((x y, x y, ...))') → polygon struct. */
 case class StPolygon(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = GeoTypes.polygonType
+  override def nullable: Boolean = true // null on malformed WKT
   override def prettyName: String = "st_polygon"
 
-  override def nullSafeEval(v: Any): Any = {
+  override def nullSafeEval(v: Any): Any = try {
     val wkt = v.toString.trim
     val inner = wkt
       .replaceAll("(?i)^POLYGON\\s*\\(\\(", "")
@@ -38,6 +39,9 @@ case class StPolygon(child: Expression) extends UnaryExpression with CodegenFall
     val ys = pts.map(_(1).toDouble)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](new GenericArrayData(xs), new GenericArrayData(ys)))
+  } catch {
+    // MySQL-lenient surface: malformed geometry text → NULL, not a crash
+    case _: NumberFormatException => null
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

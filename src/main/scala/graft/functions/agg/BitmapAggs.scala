@@ -370,6 +370,7 @@ case class BitmapHasAny(left: Expression, right: Expression)
 case class SubBitmap(first: Expression, second: Expression, third: Expression)
   extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // null on out-of-range offset/len
   override def prettyName: String = "sub_bitmap"
   override def nullSafeEval(v: Any, off: Any, len: Any): Any = {
     val bm = BitmapCodec.deserialize(v.asInstanceOf[Array[Byte]])

@@ -75,6 +75,7 @@ case class TDigestAgg(
 case class TDigestQuantile(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on an empty digest
   override def prettyName: String = "percentile_approx_raw"
   override def nullSafeEval(state: Any, rank: Any): Any = {
     val td = TDigestDouble.heapify(Memory.wrap(state.asInstanceOf[Array[Byte]]))

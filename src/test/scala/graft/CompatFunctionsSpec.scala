@@ -128,6 +128,16 @@ class CompatFunctionsSpec extends SparkSuite {
     assert(r.getBoolean(3) === true)
   }
 
+  test("lenient nulls: malformed WKT, empty digest, bad sub_bitmap range") {
+    val r = spark.sql(
+      """SELECT
+        |  st_contains(st_polygon('POLYGON ((oops))'), st_point(1.0d, 1.0d)) AS bad_wkt,
+        |  sub_bitmap(bitmap_from_string('1,2,3'), 99, 5) AS bad_range,
+        |  array_sortby(array(1, 2, 3), array(1, 2)) AS bad_lens
+        |""".stripMargin).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("GraftExtensions: injections list powers the extensions entry point") {
     // reflection-instantiable (how spark.sql.extensions loads it) …
     val ext = Class.forName("graft.GraftExtensions").getDeclaredConstructor().newInstance()
