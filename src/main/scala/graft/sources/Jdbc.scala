@@ -28,7 +28,6 @@ object Jdbc {
     * one process under local[*]; a real cluster would point at a real
     * network-reachable RDBMS instead). */
   val url = "jdbc:derby:memory:graftext;create=true"
-  private val driverClass = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
   def props: Properties = {
     val p = new Properties()
