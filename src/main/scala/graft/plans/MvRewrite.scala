@@ -4,8 +4,9 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -194,15 +195,39 @@ object MvRewrite {
             else None
           def rollupOf(ae: AggregateExpression): Option[NamedExpression] = {
             if (ae.isDistinct || ae.filter.isDefined) return None
-            scanColFor(e).flatMap { c =>
-              val re = ae.aggregateFunction match {
-                case _: Sum => Some(AggregateExpression(new Sum(c), Complete, isDistinct = false))
-                case _: Min => Some(AggregateExpression(Min(c), Complete, isDistinct = false))
-                case _: Max => Some(AggregateExpression(Max(c), Complete, isDistinct = false))
-                case _: Count => Some(AggregateExpression(new Sum(c), Complete, isDistinct = false))
-                case _ => None
-              }
-              re.flatMap(finish)
+            ae.aggregateFunction match {
+              // avg is not itself re-aggregable, but decomposes when the
+              // MV stores BOTH sum(x) (possibly cast to double) and
+              // count(x): avg = sum(stored sums) / sum(stored counts).
+              // count(1) only substitutes for count(x) when x can't be
+              // null — otherwise the denominators differ.
+              case avg: Average =>
+                def sumAgg(c: Expression) =
+                  AggregateExpression(new Sum(c), Complete, isDistinct = false)
+                val storedSum = scanColFor(sumAgg(avg.child))
+                  .orElse(scanColFor(Cast(sumAgg(avg.child), DoubleType)))
+                val storedCnt = scanColFor(
+                  AggregateExpression(Count(Seq(avg.child)), Complete, isDistinct = false))
+                  .orElse(if (!avg.child.nullable)
+                    scanColFor(AggregateExpression(Count(Seq(Literal(1))), Complete,
+                      isDistinct = false))
+                  else None)
+                (storedSum, storedCnt) match {
+                  case (Some(s), Some(cnt)) =>
+                    finish(Divide(Cast(sumAgg(s), DoubleType), Cast(sumAgg(cnt), DoubleType)))
+                  case _ => None
+                }
+              case _ =>
+                scanColFor(e).flatMap { c =>
+                  val re = ae.aggregateFunction match {
+                    case _: Sum => Some(AggregateExpression(new Sum(c), Complete, isDistinct = false))
+                    case _: Min => Some(AggregateExpression(Min(c), Complete, isDistinct = false))
+                    case _: Max => Some(AggregateExpression(Max(c), Complete, isDistinct = false))
+                    case _: Count => Some(AggregateExpression(new Sum(c), Complete, isDistinct = false))
+                    case _ => None
+                  }
+                  re.flatMap(finish)
+                }
             }
           }
           e match {

@@ -104,12 +104,47 @@ class MvRewriteSpec extends SparkSuite with BeforeAndAfterAll {
     }
   }
 
-  test("roll-up does not fire for non-decomposable aggregates (avg, distinct)") {
+  test("roll-up does not fire for non-decomposable aggregates (distinct)") {
     val q = table("orders")
       .groupBy($"o_orderpriority")
       .agg(countDistinct($"o_custkey").as("nd"))
     assert(!scanPaths(q).exists(_.contains("daily_revenue")),
       "distinct aggregate must not roll up from partials")
+  }
+
+  test("roll-up decomposes avg over stored sum(x) + count(x) partials") {
+    val avgMvPath = Files.createTempDirectory("graft-mvavg").toString + "/avg_mv"
+    val avgMv = table("orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("d"), $"o_orderpriority")
+      .agg(sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as("s"),
+        count($"o_totalprice".cast("decimal(18,6)")).as("c"))
+    MvRewrite.register(spark, "avg_mv", avgMv, avgMvPath)
+    try {
+      def q = table("orders")
+        .groupBy($"o_orderpriority")
+        .agg(avg($"o_totalprice".cast("decimal(18,6)")).cast("double").as("a"))
+        .orderBy($"o_orderpriority")
+      assert(scanPaths(q).exists(_.contains("avg_mv")),
+        s"avg roll-up not rewritten:\n${q.queryExecution.optimizedPlan}")
+      val viaMv = q.collect()
+      MvRewrite.deregister("avg_mv")
+      val direct = q.collect()
+      viaMv.zip(direct).foreach { case (m, d) =>
+        assert(m.getString(0) === d.getString(0))
+        assert(math.abs(m.getDouble(1) - d.getDouble(1)) < 1e-6,
+          s"avg drift: ${m.getDouble(1)} vs ${d.getDouble(1)}")
+      }
+    } finally MvRewrite.deregister("avg_mv")
+  }
+
+  test("avg roll-up does NOT fire when the MV only stores count(1) of a nullable column") {
+    // daily_revenue stores sum + count(1); o_totalprice is nullable in
+    // the schema, so count(1) is not a valid avg denominator
+    val q = table("orders")
+      .groupBy($"o_orderpriority")
+      .agg(avg($"o_totalprice".cast("decimal(18,6)")).cast("double").as("a"))
+    assert(!scanPaths(q).exists(_.contains("daily_revenue")),
+      "avg must not decompose over a row count when the child is nullable")
   }
 
   test("re-register (refresh) while the rule is installed does not self-reference") {
