@@ -175,6 +175,23 @@ class PlanSpec extends SparkSuite {
     assert(shuffleJoins <= 1, s"more than one shuffled join in SSB star:\n$plan")
   }
 
+  test("clickbench shape: single scan, join-free, top-n fused into sort") {
+    // cb_top_users is the canonical ClickBench group-by-top-N: the plan
+    // must be scan → partial agg → one exchange → final agg →
+    // TakeOrderedAndProject. At 100 TB the whole cost is scan bandwidth
+    // plus ONE shuffle of the (already aggregated) group keys.
+    val plan = planOf(SparkEntry.queries("cb_top_users")(spark, sf))
+    assert(!plan.contains("Join"), s"ClickBench query must be join-free:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N not fused into sort:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"no map-side partial aggregation:\n$plan")
+    // prune: only user_id + value may be read from the events scan
+    val scans = SparkEntry.queries("cb_top_users")(spark, sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scans.contains("props"), "unreferenced props column read from parquet")
+  }
+
   test("AQE splits a skewed join partition (skew=true in final plan)") {
     // one hot key holding ~all rows vs a tiny advisory partition size —
     // the runtime re-plan the engine relies on instead of manual salting
