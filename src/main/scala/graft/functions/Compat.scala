@@ -456,7 +456,7 @@ object Compat {
     f("cosine_similarity") { es => graft.functions.CosineSimilarity(es.head, es(1)) }
     f("l2_distance") { es => graft.functions.L2Distance(es.head, es(1)) }
     f("dot_product") { es => graft.functions.DotProduct(es.head, es(1)) }
-    buf.toList
+    buf.toList ++ CompatExtra.injections
   }
 
   def register(spark: SparkSession): Unit = {

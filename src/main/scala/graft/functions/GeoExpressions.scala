@@ -20,6 +20,48 @@ object GeoTypes {
   val polygonType: StructType = StructType(Seq(
     StructField("xs", ArrayType(DoubleType, containsNull = false)),
     StructField("ys", ArrayType(DoubleType, containsNull = false))))
+  // distinct field names discriminate the shape for StAsText
+  val lineType: StructType = StructType(Seq(
+    StructField("lxs", ArrayType(DoubleType, containsNull = false)),
+    StructField("lys", ArrayType(DoubleType, containsNull = false))))
+  val circleType: StructType = StructType(Seq(
+    StructField("cx", DoubleType), StructField("cy", DoubleType),
+    StructField("cr", DoubleType)))
+}
+
+/** st_linefromtext / st_linestringfromtext ('LINESTRING (x y, x y)')
+  * → line struct (reference `be/src/geo/geo_types.cpp:326`
+  * GeoLine::as_wkt for the format). */
+case class StLine(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GeoTypes.lineType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_linefromtext"
+  override def nullSafeEval(v: Any): Any = try {
+    val inner = v.toString.trim
+      .replaceAll("(?i)^LINESTRING\\s*\\(", "").replaceAll("\\)$", "")
+    val pts = inner.split(",").map(_.trim.split("\\s+"))
+    if (pts.length < 2 || pts.exists(_.length < 2)) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(pts.map(_(0).toDouble)),
+      new GenericArrayData(pts.map(_(1).toDouble))))
+  } catch { case _: NumberFormatException => null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_circle(lng, lat, radius) → circle struct (reference
+  * `be/src/geo/geo_types.cpp:499` GeoCircle::as_wkt). */
+case class StCircle(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = GeoTypes.circleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_circle"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      vs.map(v => Double.box(v.asInstanceOf[Number].doubleValue())).toArray[Any])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
 }
 
 /** st_polygon('POLYGON ((x y, x y, ...))') → polygon struct. */
@@ -62,6 +104,13 @@ case class StAsText(child: Expression) extends UnaryExpression with CodegenFallb
         val ys = row.getArray(1).toDoubleArray()
         xs.zip(ys).map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
           .mkString("POLYGON ((", ", ", "))")
+      case s: StructType if s.fieldNames.sameElements(Array("lxs", "lys")) =>
+        val xs = row.getArray(0).toDoubleArray()
+        val ys = row.getArray(1).toDoubleArray()
+        xs.zip(ys).map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
+          .mkString("LINESTRING (", ", ", ")")
+      case s: StructType if s.fieldNames.sameElements(Array("cx", "cy", "cr")) =>
+        s"CIRCLE ((${fmt(row.getDouble(0))} ${fmt(row.getDouble(1))}), ${fmt(row.getDouble(2))})"
       case s: StructType if s.length == 2 =>
         val x = s.fields(0).dataType match {
           case DoubleType => row.getDouble(0)

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact percentile_cont over huge groups, computed by histogram
+  * refinement instead of value buffering.
+  *
+  * Spark's builtin `percentile` (like the reference's exact
+  * PERCENTILE_CONT, `be/src/exprs/agg/percentile_cont.h`) buffers
+  * every distinct value with counts in the aggregation state. With
+  * FEW groups over a HUGE fact (the classic "median per status" on a
+  * 100 TB lineitem), that state is O(distinct values) per group, the
+  * merge runs on one reducer core per group, and the partial buffers
+  * dominate the shuffle — measured 8+ s at sf0.1 vs <1 s for every
+  * other aggregate, and unbounded memory at scale.
+  *
+  * This formulation is the distributed selection classic:
+  *   1. per-group min/max/count                      (tiny agg)
+  *   2. equi-width bucket counts                     (agg, ≤B rows/group)
+  *   3. cumulative bucket ranks → which bucket holds each target rank
+  *   4. re-scan ONLY the rows in target buckets (≈N/B per group),
+  *      rank within bucket, pick the interpolation neighbors
+  * Every step is a full-parallelism scan or a broadcast join of
+  * kilobyte-sized side tables; per-task memory is O(1). Exactness:
+  * bucket boundaries only partition the sort order — the selected
+  * global ranks are exact, and interpolation matches
+  * percentile_cont: v = v_lo + (pos − ⌊pos⌋)·(v_hi − v_lo),
+  * pos = (n−1)·p over non-null values.
+  *
+  * Three scans of the fact instead of one is the deliberate trade:
+  * scans parallelize; giant single-reducer merges do not.
+  */
+object ExactPercentile {
+
+  /** @param ps (outputColumn, fraction) pairs, fractions in [0, 1].
+    * @return one row per group: keys ++ ps columns (double). */
+  def percentiles(
+      df: DataFrame,
+      keys: Seq[String],
+      value: String,
+      ps: Seq[(String, Double)],
+      buckets: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
+    val kCols = keys.map(col)
+    val v = col(value).cast("double")
+    val rows = df.select(kCols :+ v.as("__v"): _*).filter(col("__v").isNotNull)
+
+    // 1. per-group envelope
+    val stats = rows.groupBy(kCols: _*).agg(
+      min("__v").as("__mn"), max("__v").as("__mx"), count("__v").as("__cnt"))
+
+    // 2. equi-width bucket counts (mn==mx degenerates to bucket 0)
+    val width = (col("__mx") - col("__mn")) / lit(buckets)
+    val bucketOf = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(lit(buckets - 1),
+        floor((col("__v") - col("__mn")) / width).cast("int")))
+    val bucketed = rows.join(broadcast(stats), keys).withColumn("__b", bucketOf)
+    val hist = bucketed.groupBy(kCols :+ col("__b"): _*).agg(count(lit(1)).as("__bc"))
+
+    // 3. cumulative ranks per bucket: [__cumStart, __cumEnd] are the
+    //    0-based global sort ranks covered by the bucket. ≤B rows per
+    //    group — the window is over the tiny histogram, not the fact.
+    val wCum = Window.partitionBy(kCols: _*).orderBy(col("__b"))
+    val cum = hist
+      .withColumn("__cumEnd", sum(col("__bc")).over(wCum) - 1)
+      .withColumn("__cumStart", col("__cumEnd") - col("__bc") + 1)
+      .select(kCols ++ Seq(col("__b"), col("__cumStart"), col("__cumEnd")): _*)
+
+    // target ranks: lo/hi neighbor per requested fraction
+    val pStructs = array(ps.map { case (name, p) =>
+      struct(lit(name).as("name"), lit(p).as("p"))
+    }: _*)
+    val targets = stats
+      .select(kCols ++ Seq(col("__cnt"), explode(pStructs).as("__ps")): _*)
+      .withColumn("__pos", (col("__cnt") - 1) * col("__ps.p"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+      .select(kCols ++ Seq(col("__ps.name").as("__pname"), col("__pos"),
+        col("__lo"), col("__hi")): _*)
+    val ranks = targets
+      .select(kCols :+ explode(array(col("__lo"), col("__hi"))).as("__r"): _*)
+      .distinct()
+
+    // which bucket holds each rank (both sides are kilobyte-scale)
+    val rankBuckets = ranks.join(broadcast(cum), keys)
+      .filter(col("__r").between(col("__cumStart"), col("__cumEnd")))
+      .select(kCols ++ Seq(col("__r"), col("__b"), col("__cumStart")): _*)
+
+    // 4. candidate rows: only the buckets that contain a target rank
+    val neededBuckets = rankBuckets
+      .select(kCols :+ col("__b"): _*).distinct()
+    val cands = bucketed.join(broadcast(neededBuckets), keys :+ "__b")
+    val wInBucket = Window.partitionBy(kCols :+ col("__b"): _*).orderBy(col("__v"))
+    val rankedVals = cands
+      .withColumn("__rn", row_number().over(wInBucket) - 1)
+      .join(broadcast(rankBuckets), keys :+ "__b")
+      .filter(col("__rn") === col("__r") - col("__cumStart"))
+      .select(kCols ++ Seq(col("__r"), col("__v").as("__rv")): _*)
+
+    // interpolate and pivot back to one column per fraction
+    val interp = targets
+      .join(rankedVals.withColumnsRenamed(Map("__r" -> "__lo", "__rv" -> "__vlo")),
+        keys :+ "__lo")
+      .join(rankedVals.withColumnsRenamed(Map("__r" -> "__hi", "__rv" -> "__vhi")),
+        keys :+ "__hi")
+      .withColumn("__pv",
+        col("__vlo") + (col("__pos") - col("__lo")) * (col("__vhi") - col("__vlo")))
+
+    val pivoted = interp.groupBy(kCols: _*)
+      .pivot("__pname", ps.map(_._1))
+      .agg(first(col("__pv")))
+    // restore requested column order
+    pivoted.select(kCols ++ ps.map { case (name, _) => col(name) }: _*)
+  }
+}

@@ -87,14 +87,18 @@ object Aggregates extends graft.QueryArea {
     }),
     "agg_percentiles" -> ((spark, dir) => {
       val li = t(spark, dir, "lineitem")
-      // one percentile state shared across quantiles (3 separate
-      // percentile()/median() aggs would each buffer every value)
-      li.groupBy(col("l_linestatus"))
-        .agg(expr("percentile(l_extendedprice, array(0.5d, 0.9d, 0.5d))").as("ps"))
+      // distributed selection (ExactPercentile): builtin percentile()
+      // buffers every value per group and merges on ONE reducer core
+      // per group — 8+ s at sf0.1 with 2 groups, unbounded at 100 TB.
+      // Histogram refinement gives the same exact values from 3
+      // full-parallelism scans with O(1) task memory.
+      graft.operators.ExactPercentile.percentiles(
+        li, Seq("l_linestatus"), "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "med" -> 0.5))
         .select(col("l_linestatus"),
-          round(col("ps")(0), 4).as("p50"),
-          round(col("ps")(1), 4).as("p90"),
-          round(col("ps")(2), 4).as("med"))
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          round(col("med"), 4).as("med"))
         .orderBy(col("l_linestatus"))
     }),
     "agg_any_value" -> ((spark, dir) => {

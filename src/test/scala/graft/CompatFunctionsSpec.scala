@@ -7,6 +7,113 @@ class CompatFunctionsSpec extends SparkSuite {
 
   private def one(sql: String): Any = spark.sql(s"SELECT $sql").head.get(0)
 
+  test("xx_hash32 matches the published XXH32 spec vectors") {
+    assert(one("xx_hash32('')") === 0x02CC5D05)
+    assert(one("xx_hash32('a')") === 0x550D7456)
+    assert(one("xx_hash32('abc')") === 0x32D153FF)
+    // >=16 bytes exercises the 4-lane stripe loop
+    assert(one("xx_hash32('Nobody inspects the spammish repetition')") === 0xE2293B2F)
+  }
+
+  test("hll_hash sketches union with agg-built sketches without double counting") {
+    // same values via hll_hash-per-row-then-union vs hll_raw_agg must
+    // estimate identically, or AGG-table seeding would inflate NDV
+    val viaHash = spark.sql(
+      "SELECT hll_sketch_estimate(hll_union_agg(h)) FROM " +
+        "(SELECT hll_hash(c) AS h FROM VALUES ('x'),('y'),('x') AS t(c))").head.getLong(0)
+    val viaAgg = spark.sql(
+      "SELECT hll_sketch_estimate(hll_raw_agg(c)) FROM VALUES ('x'),('y'),('x') AS t(c)")
+      .head.getLong(0)
+    assert(viaHash === 2L && viaAgg === 2L)
+    // merged: still 2 distinct, not 4
+    val merged = spark.sql(
+      "SELECT hll_sketch_estimate(hll_union(hll_raw_agg(c), hll_union_agg(hll_hash(c)))) " +
+        "FROM VALUES ('x'),('y') AS t(c)").head.getLong(0)
+    assert(merged === 2L)
+    // hll_empty is the union identity
+    val withEmpty = spark.sql(
+      "SELECT hll_sketch_estimate(hll_union(hll_empty(), hll_hash('z')))").head.getLong(0)
+    assert(withEmpty === 1L)
+  }
+
+  test("percentile sketch constructors merge with percentile_union") {
+    val q = spark.sql(
+      "SELECT percentile_approx_raw(percentile_union(p), 0.5d) FROM " +
+        "(SELECT percentile_hash(c) AS p FROM VALUES (1.0),(2.0),(3.0) AS t(c))")
+      .head.getDouble(0)
+    assert(q === 2.0)
+  }
+
+  test("json editing kernels: set/remove/contains/pretty edge cases") {
+    assert(one("""json_set('{"a":1}', '$.b[0]', 1)""") === """{"a":1}""") // missing parent: unchanged
+    assert(one("""json_set('[1,2]', '$[2]', 9)""") === "[1,2,9]") // append at end
+    assert(one("""json_remove('{"a":{"b":1,"c":2}}', '$.a.b')""") === """{"a":{"c":2}}""")
+    assert(one("""json_remove('{"a":1}', '$.zzz')""") === """{"a":1}""") // missing: unchanged
+    assert(one("""json_contains('[1,2,3]', '2')""") === true)
+    assert(one("""json_contains('{"a":1,"b":2}', '{"a":1}')""") === true)
+    assert(one("""json_contains('{"a":1}', '{"a":2}')""") === false)
+    assert(one("""is_json_scalar('not json {')""") === null)
+    assert(one("""json_pretty('nope[')""") === null)
+  }
+
+  test("retention and sum_map aggregate kernels") {
+    val r = spark.sql(
+      "SELECT retention(array(c = 'a', c = 'b', c = 'z')) FROM VALUES ('a'),('b') AS t(c)")
+      .head.getSeq[Boolean](0)
+    assert(r === Seq(true, true, false))
+    // no first-step event → later steps are false even if their conds fired
+    val r2 = spark.sql(
+      "SELECT retention(array(c = 'nope', c = 'b', c = 'z')) FROM VALUES ('a'),('b') AS t(c)")
+      .head.getSeq[Boolean](0)
+    assert(r2 === Seq(false, false, false))
+    val m = spark.sql(
+      "SELECT sum_map(map(k, v)) FROM VALUES ('a', 1.0),('b', 2.0),('a', 3.0) AS t(k, v)")
+      .head.getMap[String, Double](0)
+    assert(m === Map("a" -> 4.0, "b" -> 2.0))
+  }
+
+  test("array_contains_seq: contiguity, empties, strings") {
+    assert(one("array_contains_seq(array(1,2,3,4), array(3,4))") === true)
+    assert(one("array_contains_seq(array(1,2,3,4), array(1,3))") === false)
+    assert(one("array_contains_seq(array('x','y'), array('y'))") === true)
+    assert(one("array_contains_seq(CAST(array() AS ARRAY<INT>), CAST(array() AS ARRAY<INT>))") === true)
+  }
+
+  test("geo line/circle constructors round-trip through st_astext") {
+    assert(one("st_astext(st_linefromtext('LINESTRING (1 1, 2 2, 3 3)'))") ===
+      "LINESTRING (1 1, 2 2, 3 3)")
+    assert(one("st_astext(st_circle(111, 64, 10000))") === "CIRCLE ((111 64), 10000)")
+    assert(one("st_linefromtext('LINESTRING (1 1)')") === null) // <2 points
+    assert(one("st_linefromtext('garbage')") === null)
+  }
+
+  test("session metadata and utility names resolve") {
+    assert(one("current_version()").toString.startsWith("graft-"))
+    assert(one("host_name()").toString.nonEmpty)
+    assert(one("session_id()").toString.nonEmpty)
+    assert(one("connection_id()").asInstanceOf[Long] >= 0L)
+    assert(one("query_id()").toString.length === 36)
+    assert(one("last_query_id()") === null)
+    assert(one("alignment_timestamp('hour', 3725)") === 3600L)
+    assert(one("to_tera_date('2024-01-15', 'yyyy-mm-dd')").toString === "2024-01-15")
+    val t0 = System.nanoTime()
+    assert(one("sleep(0.05)") === true)
+    assert(System.nanoTime() - t0 >= 50 * 1000 * 1000L)
+  }
+
+  test("time rendering kernels") {
+    assert(one("sec_to_time(3661)") === "01:01:01")
+    assert(one("sec_to_time(-90)") === "-00:01:30")
+    assert(one("time_to_sec('01:01:01')") === 3661L)
+    assert(one("time_to_sec('-00:01:30')") === -90L)
+    assert(one("timediff(timestamp '2024-01-02 00:00:00', timestamp '2024-01-01 12:30:00')") === "11:30:00")
+    assert(one("format_bytes(0)") === "0 B")
+    assert(one("format_bytes(1536)") === "1.50 KB")
+    assert(one("format_bytes(-1)") === null)
+    assert(one("previous_day(date '2024-01-10', 'Wednesday')") // 2024-01-10 IS a Wednesday
+      .toString === "2024-01-03")
+  }
+
   test("dayname / monthname") {
     assert(one("dayname(timestamp '2024-01-01')") === "Monday")
     assert(one("monthname(timestamp '2024-03-15')") === "March")

@@ -114,6 +114,31 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("ExactPercentile equals builtin percentile on arbitrary grouped data") {
+    check(forAll(Gen.listOfN(300, Gen.zip(Gen.choose(0, 3), Gen.choose(-10000, 10000)))) { pairs =>
+      if (pairs.isEmpty) Prop.passed
+      else {
+        val df = pairs.toDF("g", "v").repartition(4)
+        // duplicates, tiny groups, and a degenerate all-equal group
+        // are all covered by the generator over a small int domain
+        val ours = graft.operators.ExactPercentile.percentiles(
+          df, Seq("g"), "v", Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99),
+          buckets = 16) // tiny bucket count stresses the refinement path
+          .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+        val ref = df.groupBy($"g")
+          .agg(expr("percentile(v, array(0.25d, 0.5d, 0.99d))").as("ps"))
+          .collect().map(r => r.getInt(0) ->
+            ((r.getSeq[Double](1)(0), r.getSeq[Double](1)(1), r.getSeq[Double](1)(2)))).toMap
+        Prop.all(ref.map { case (g, want) =>
+          val got = ours(g)
+          def eq(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+          Prop(eq(got._1, want._1) && eq(got._2, want._2) && eq(got._3, want._3)) :|
+            s"g=$g got=$got want=$want"
+        }.toSeq: _*)
+      }
+    })
+  }
+
   test("theta count-distinct is exact on arbitrary small sets; union ≡ distinct of concat") {
     check(forAll(Gen.listOf(Gen.choose(0L, 500L)), Gen.listOf(Gen.choose(0L, 500L))) { (a, b) =>
       if (a.isEmpty || b.isEmpty) Prop.passed
