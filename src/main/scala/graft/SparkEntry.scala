@@ -16,6 +16,7 @@ object SparkEntry {
     _root_.graft.queries.Tpch2,
     _root_.graft.queries.Ssb,
     _root_.graft.queries.ClickBench,
+    _root_.graft.queries.TpcdsFlavor,
     _root_.graft.queries.CompatKernels,
     _root_.graft.queries.Reports,
     _root_.graft.queries.Relational,

@@ -208,10 +208,12 @@ object Sketches extends graft.QueryArea {
         .agg(expr("percentile_agg(l_extendedprice)").as("pstate"))
       val merged = partial.groupBy(col("l_returnflag"))
         .agg(expr("percentile_approx_raw(percentile_union(pstate), 0.5d)").as("p50_td"))
-      val exact = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.47d, 0.5d, 0.53d))").as("qs"))
-        .select(col("l_returnflag"), col("qs")(0).as("q_lo"),
-          col("qs")(1).as("p50_exact"), col("qs")(2).as("q_hi"))
+      // exact baseline via distributed selection (ExactPercentile) —
+      // builtin percentile() would re-introduce the one-reducer
+      // value-buffering this sketch exists to avoid
+      val exact = graft.operators.ExactPercentile.percentiles(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq("q_lo" -> 0.47, "p50_exact" -> 0.5, "q_hi" -> 0.53))
       merged.join(exact, "l_returnflag")
         .select(col("l_returnflag"),
           round(col("p50_exact"), 4).as("p50_exact"),
