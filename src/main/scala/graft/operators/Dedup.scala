@@ -217,4 +217,55 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  /** Connected components over a duplicate-pair graph → (id, comp)
+    * where comp is the MINIMUM id in the component. This is the step
+    * between pair discovery (minhash/simhash/embedding *Pairs above)
+    * and corpus dedup: near-dup relations are not transitive-closed
+    * by the pair emitters, so "keep one per pair" under-deletes — the
+    * pipeline needs one representative per CLUSTER.
+    *
+    * Algorithm: iterative min-label propagation (each round every
+    * node takes the min label among itself and its neighbors — the
+    * standard MapReduce CC, same family as large/small-star). One
+    * join + one aggregation shuffle per round; rounds = graph
+    * diameter. Near-dup graphs are dense clique-ish clusters, so
+    * 2-3 rounds typical; maxIter caps adversarial chains.
+    * localCheckpoint truncates the per-round lineage so the plan
+    * doesn't grow with iterations. The per-round `count` is a
+    * convergence ACTION on aggregated counts, not a driver-side
+    * collect of data rows.
+    */
+  def connectedComponents(
+      edges: DataFrame, src: String, dst: String, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+      .union(edges.select(col(dst).cast("long").as("s"), col(src).cast("long").as("d")))
+    var labels = sym.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "s"), "s")
+        .groupBy(col("d").as("id")).agg(min("comp").as("nbrComp"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("comp") < col("old")).count()
+      labels = stepped.select("id", "comp")
+      i += 1
+    }
+    labels
+  }
+
+  /** Corpus dedup by cluster: one representative (min id) per
+    * connected component of the pair graph; rows not in any pair are
+    * kept as their own representative. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, srcCol, dstCol)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
 }

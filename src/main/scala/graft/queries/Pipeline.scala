@@ -133,6 +133,27 @@ object Pipeline extends graft.QueryArea {
         .drop("fp")
         .orderBy(col("doc_id"))
     }),
+    // connected components over a chain-structured pair graph (runs of
+    // 5 consecutive doc_ids; diameter 4 forces multi-round label
+    // propagation) — the pairs→clusters step of corpus dedup
+    "dedup_cluster_reps" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 1000)
+      val edges = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      Dedup.connectedComponents(edges, "src", "dst")
+        .select(col("id"), col("comp"))
+        .orderBy(col("id"))
+    }),
+    // full pipeline step: cluster the pair graph, keep one
+    // representative per component, profile what survives
+    "dedup_corpus_clean" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 1000)
+      val edges = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      Dedup.dedupByPairs(docs, "doc_id", edges, "src", "dst")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
     "keys_primary_upsert" -> ((spark, dir) => {
       // simulate a PRIMARY KEY table: base orders (v1) + price updates
       // (v2) for odd keys + delete markers (v3) for keys % 100 == 0
@@ -224,6 +245,13 @@ object Pipeline extends graft.QueryArea {
         |FROM embeddings a CROSS JOIN embeddings b
         |WHERE a.vec_id < 20 AND b.vec_id BETWEEN 20 AND 39
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cluster_reps" ->
+      """SELECT doc_id AS id, doc_id - (doc_id % 5) AS comp
+        |FROM documents WHERE doc_id < 1000 ORDER BY id""".stripMargin,
+    "dedup_corpus_clean" ->
+      """SELECT lang, count(*) AS n
+        |FROM documents WHERE doc_id < 1000 AND doc_id % 5 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_profile" ->
       s"""WITH w AS (
         |  SELECT doc_id, text,

@@ -81,4 +81,40 @@ class DedupSpec extends SparkSuite {
     val found = pairs.filter($"id_b" === $"id_a" + 10000).count()
     assert(found === 20, s"expected all 20 planted vector dups, found $found")
   }
+
+  test("connectedComponents matches local union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // local union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      // min-id canonicalization: map each root to the min member id
+      val minOfRoot = want.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val canonical = want.map { case (x, r) => x -> minOfRoot(r) }
+
+      val got = Dedup.connectedComponents(
+        edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === canonical, s"trial $trial")
+    }
+  }
+
+  test("dedupByPairs keeps exactly one representative per cluster plus unpaired rows") {
+    val docs = (0L to 9L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    // clusters {0,1,2} and {5,6}; 3,4,7,8,9 unpaired
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs, "a", "b")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(0L, 3L, 4L, 5L, 7L, 8L, 9L))
+  }
 }
