@@ -49,6 +49,27 @@ object Dedup {
       array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
     }: _*)
 
+  /** MinHash signatures via explode + min-aggregation — the codegen
+    * path (same rewrite simhashSignatures got): per (id, shingle) row
+    * the numHashes xxhash64 calls are ordinary codegen'd projections,
+    * and the per-id mins combine map-side before one shuffle on id.
+    * The `minhashSignature` Column formulation above runs numHashes
+    * interpreted `transform` lambdas per row instead — identical
+    * values (asserted in DedupSpec), ~3× slower end to end.
+    * explode_outer + the isNotNull guard preserve the all-null
+    * signature that empty documents get from array_min(empty). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("__id"),
+      explode_outer(wordShingles(col(textCol), shingleSize)).as("__s"))
+    val mins = (0 until numHashes).map(i =>
+      min(when(col("__s").isNotNull, xxhash64(lit(i), col("__s")))).as(s"__m$i"))
+    exploded.groupBy(col("__id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("__id"), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
+  }
+
   /** MinHash + LSH near-duplicate PAIRS: returns (id_a, id_b,
     * n_shared_bands) for candidates sharing >= 1 band, with ids
     * ordered a < b. bands * rowsPerBand must == numHashes. */
@@ -57,11 +78,7 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    // layered projections: shingles materialize once per row, the
-    // signature reads the attribute (see minhashSignature perf note)
-    val sig = df
-      .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleSize).as("__sh"))
-      .select(col("__id"), minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val sig = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
     // explode band signatures: band index + hash of that band's slice
     val banded = sig.select(col("__id"), posexplode(
       array((0 until bands).map { b =>

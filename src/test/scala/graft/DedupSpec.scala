@@ -82,6 +82,20 @@ class DedupSpec extends SparkSuite {
     assert(found === 20, s"expected all 20 planted vector dups, found $found")
   }
 
+  test("minhashSignatures (explode+agg) equals the Column formulation, empty docs included") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, ""), (4L, "   "), (5L, "one two")).toDF("id", "text")
+    val viaColumn = docs
+      .select($"id", Dedup.wordShingles($"text", 3).as("sh"))
+      .select($"id", Dedup.minhashSignature($"sh", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Long](1)).toMap
+    val viaAgg = Dedup.minhashSignatures(docs, "id", "text", 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Long](1)).toMap
+    assert(viaAgg === viaColumn)
+  }
+
   test("connectedComponents matches local union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
