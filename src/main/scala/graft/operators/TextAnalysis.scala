@@ -88,4 +88,62 @@ object TextAnalysis {
       tokenCountWs(col(textCol)).as("n_tokens_ws"),
       tokenCountBpe(col(textCol)).as("n_tokens_bpe"),
       fingerprint(col(textCol)).as("fp"))
+
+  /** Split documents into overlapping token-window chunks — the
+    * context-window prep step of an LLM training pipeline. Chunk i
+    * covers whitespace tokens [i·stride, i·stride + chunkTokens),
+    * stride = chunkTokens − overlapTokens; the last chunk may be
+    * short; an empty document yields zero chunks.
+    *
+    * Scale: pure scan-side row expansion (explode over a computed
+    * index range) — no shuffle, no state; expansion factor is
+    * ~nTokens/stride, the same data inflation any chunker pays.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = df.select(col(idCol), filter(words(col(textCol)), w => w =!= "").as("__t"))
+      .withColumn("__n", size(col("__t")))
+    // ceil((n - overlap) / stride) chunks; 0 for empty docs
+    val nChunks = when(col("__n") <= lit(0), lit(0))
+      .otherwise(ceil((col("__n") - lit(overlapTokens)).cast("double") / lit(stride)).cast("int"))
+    toks.withColumn("__nc", greatest(nChunks, when(col("__n") > 0, lit(1))))
+      .filter(col("__nc") > 0)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__t"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("__t"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Capacity-quantized sequence packing: assign ordered chunks to
+    * training sequences of ~maxTokens by bucketing the running token
+    * total — seq_id = ⌊exclusive-cumsum / maxTokens⌋ over a
+    * deterministic order WITHIN each partition (shard). This is the
+    * SQL-parallel stand-in for greedy first-fit packing (inherently
+    * sequential): bins can overshoot by at most one chunk and average
+    * ≥ maxTokens − chunk size of fill.
+    *
+    * Scale: the window partitions by `partitionCols` (shard key —
+    * lang, source, date...), so each cumsum is an independent sorted
+    * partition; a GLOBAL cumsum (empty partitionCols) would funnel
+    * every row through one task and is only for small inputs. The
+    * training-sequence key is (partitionCols..., seq_id).
+    */
+  def packSequences(chunks: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[String], tokenCol: String, maxTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = if (partitionCols.nonEmpty)
+      Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    else Window.orderBy(orderCols.map(col): _*)
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("__before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("__before") / lit(maxTokens)))
+      .drop("__before")
+  }
 }

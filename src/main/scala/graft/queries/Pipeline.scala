@@ -144,6 +144,24 @@ object Pipeline extends graft.QueryArea {
         .select(col("id"), col("comp"))
         .orderBy(col("id"))
     }),
+    // context-window chunking: overlapping token windows per document
+    "chunk_documents" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 300)
+      TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 40, overlapTokens = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    // sequence packing: chunks → ~512-token training sequences,
+    // partition-parallel by lang shard
+    "pack_sequences" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 300)
+      val chunks = TextAnalysis.chunk(docs, "doc_id", "text", 40, 8)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.packSequences(chunks, Seq("lang"), Seq("doc_id", "chunk_idx"),
+        "n_tokens", maxTokens = 512)
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"), col("seq_id"))
+    }),
     // full pipeline step: cluster the pair graph, keep one
     // representative per component, profile what survives
     "dedup_corpus_clean" -> ((spark, dir) => {
@@ -245,6 +263,40 @@ object Pipeline extends graft.QueryArea {
         |FROM embeddings a CROSS JOIN embeddings b
         |WHERE a.vec_id < 20 AND b.vec_id BETWEEN 20 AND 39
         |ORDER BY id_a, id_b""".stripMargin,
+    "chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |sized AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) <= 0 THEN 0
+        |      ELSE greatest(CAST(ceil((len(t) - 8) / 32.0) AS INT), 1) END AS nc
+        |  FROM toks)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(t[i * 32 + 1 : i * 32 + 40], ' ') AS chunk_text,
+        |  len(t[i * 32 + 1 : i * 32 + 40]) AS n_tokens
+        |FROM sized, range(0, 64) r(i) WHERE i < nc
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |sized AS (
+        |  SELECT doc_id, lang, t,
+        |    CASE WHEN len(t) <= 0 THEN 0
+        |      ELSE greatest(CAST(ceil((len(t) - 8) / 32.0) AS INT), 1) END AS nc
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, lang, CAST(i AS INT) AS chunk_idx,
+        |    len(t[i * 32 + 1 : i * 32 + 40]) AS n_tokens
+        |  FROM sized, range(0, 64) r(i) WHERE i < nc),
+        |packed AS (
+        |  SELECT lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id
+        |  FROM chunks)
+        |SELECT lang, seq_id, count(*) AS n_chunks, sum(n_tokens) AS total_tokens
+        |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
     "dedup_cluster_reps" ->
       """SELECT doc_id AS id, doc_id - (doc_id % 5) AS comp
         |FROM documents WHERE doc_id < 1000 ORDER BY id""".stripMargin,

@@ -123,6 +123,44 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("chunk: overlap reconstruction, short and empty documents") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "only three words"),                        // < chunk size
+      (3L, ""), (4L, "   ")                            // no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 40, overlapTokens = 8)
+      .orderBy($"doc_id", $"chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // stride 32: chunks start at 0,32,64 (64+40 ≥ 100) → 3 chunks
+    assert(d1.length === 3)
+    assert(d1.map(_.getLong(3)).toSeq === Seq(40L, 40L, 36L))
+    // consecutive chunks overlap by exactly 8 tokens
+    val c0 = d1(0).getString(2).split(" ")
+    val c1 = d1(1).getString(2).split(" ")
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq)
+    // every token of the doc appears in some chunk (coverage)
+    assert(d1.flatMap(_.getString(2).split(" ")).distinct.length === 100)
+    assert(out.count(_.getLong(0) == 2L) === 1)
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+  }
+
+  test("packSequences: bins respect capacity quantization per partition") {
+    import graft.operators.TextAnalysis
+    val chunks = Seq(
+      ("en", 1L, 0, 300L), ("en", 1L, 1, 300L), ("en", 2L, 0, 300L),
+      ("de", 3L, 0, 600L), ("de", 4L, 0, 100L)
+    ).toDF("lang", "doc_id", "chunk_idx", "n_tokens")
+    val packed = TextAnalysis.packSequences(
+      chunks, Seq("lang"), Seq("doc_id", "chunk_idx"), "n_tokens", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(4))).toSet
+    // en: cum-before 0,300,600 → seqs 0,0,1 ; de: 0,600 → seqs 0,1
+    assert(packed === Set(
+      ("en", 1L, 0, 0L), ("en", 1L, 1, 0L), ("en", 2L, 0, 1L),
+      ("de", 3L, 0, 0L), ("de", 4L, 0, 1L)))
+  }
+
   test("dedupByPairs keeps exactly one representative per cluster plus unpaired rows") {
     val docs = (0L to 9L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     // clusters {0,1,2} and {5,6}; 3,4,7,8,9 unpaired
