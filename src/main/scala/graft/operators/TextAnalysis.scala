@@ -120,6 +120,30 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Deterministic train/val/test split: assign each row a split
+    * label from a stable hash of its id — reproducible across runs,
+    * machines, and data order (the property random() sampling lacks),
+    * and stable under corpus growth: an id keeps its split when new
+    * data arrives. weights are relative (e.g. 98/1/1).
+    *
+    * Scale: one scan-side hash + threshold compare, no shuffle, no
+    * state. Pass a custom `hashCol` (e.g. a modulo for oracle tests,
+    * or a salted hash to decorrelate from another split). */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], hashCol: Option[Column] = None): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val total = splits.map(_._2).sum
+    val buckets = 1000000L
+    val h = hashCol.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets)))
+    // cumulative thresholds over [0, buckets)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(f => (f * buckets).toLong)
+    val label = splits.zipWithIndex.foldRight(lit(splits.last._1)) {
+      case (((name, _), i), alt) => when(h < cuts(i + 1), lit(name)).otherwise(alt)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Capacity-quantized sequence packing: assign ordered chunks to
     * training sequences of ~maxTokens by bucketing the running token
     * total — seq_id = ⌊exclusive-cumsum / maxTokens⌋ over a

@@ -144,6 +144,32 @@ object Pipeline extends graft.QueryArea {
         .select(col("id"), col("comp"))
         .orderBy(col("id"))
     }),
+    // deterministic corpus split (hashCol = modulo so DuckDB can
+    // recompute; production default is a stable xxhash64 of the id)
+    "corpus_split" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      TextAnalysis.assignSplit(docs, "doc_id",
+        Seq("train" -> 98.0, "val" -> 1.0, "test" -> 1.0),
+        hashCol = Some(pmod(col("doc_id") * 7919L, lit(1000000L))))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))
+    }),
+    // flagship end-to-end corpus prep: length filter → exact dedup on
+    // normalized fingerprint → chunk → pack → per-lang sequence stats
+    "pipeline_end_to_end" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("n_chars") >= 200)
+      val withFp = docs.withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      val kept = Dedup.exact(withFp, Seq("__fp"), "doc_id").drop("__fp")
+      val chunks = TextAnalysis.chunk(kept, "doc_id", "text", 40, 8)
+        .join(kept.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.packSequences(chunks, Seq("lang"), Seq("doc_id", "chunk_idx"),
+        "n_tokens", maxTokens = 512)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("seq_id")).as("n_sequences"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
     // context-window chunking: overlapping token windows per document
     "chunk_documents" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").filter(col("doc_id") < 300)
@@ -263,6 +289,40 @@ object Pipeline extends graft.QueryArea {
         |FROM embeddings a CROSS JOIN embeddings b
         |WHERE a.vec_id < 20 AND b.vec_id BETWEEN 20 AND 39
         |ORDER BY id_a, id_b""".stripMargin,
+    "corpus_split" ->
+      """SELECT CASE WHEN (doc_id * 7919) % 1000000 < 980000 THEN 'train'
+        |  WHEN (doc_id * 7919) % 1000000 < 990000 THEN 'val'
+        |  ELSE 'test' END AS split, count(*) AS n
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "pipeline_end_to_end" ->
+      """WITH filtered AS (
+        |  SELECT * FROM documents WHERE n_chars >= 200),
+        |kept AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM kept),
+        |sized AS (
+        |  SELECT doc_id, lang, t,
+        |    CASE WHEN len(t) <= 0 THEN 0
+        |      ELSE greatest(CAST(ceil((len(t) - 8) / 32.0) AS INT), 1) END AS nc
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, lang, CAST(i AS INT) AS chunk_idx,
+        |    len(t[i * 32 + 1 : i * 32 + 40]) AS n_tokens
+        |  FROM sized, range(0, 64) r(i) WHERE i < nc),
+        |packed AS (
+        |  SELECT lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id
+        |  FROM chunks)
+        |SELECT lang, count(DISTINCT seq_id) AS n_sequences,
+        |  count(*) AS n_chunks, sum(n_tokens) AS total_tokens
+        |FROM packed GROUP BY lang ORDER BY lang""".stripMargin,
     "chunk_documents" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

@@ -146,6 +146,26 @@ class DedupSpec extends SparkSuite {
     assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
   }
 
+  test("assignSplit: deterministic, exhaustive, roughly proportional") {
+    import graft.operators.TextAnalysis
+    val ids = (1L to 10000L).toDF("id")
+    val splits = Seq("train" -> 90.0, "val" -> 5.0, "test" -> 5.0)
+    val a = TextAnalysis.assignSplit(ids, "id", splits)
+      .groupBy($"split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TextAnalysis.assignSplit(ids.orderBy($"id".desc), "id", splits)
+      .groupBy($"split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b) // order-independent determinism
+    assert(a.values.sum === 10000L) // every row gets exactly one split
+    assert(a("train") > 8500 && a("train") < 9500) // hash-proportional
+    assert(a("val") > 250 && a("val") < 750)
+    // an id keeps its split when the corpus grows
+    val before = TextAnalysis.assignSplit(ids.filter($"id" <= 100), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = TextAnalysis.assignSplit(ids, "id", splits)
+      .filter($"id" <= 100).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === after)
+  }
+
   test("packSequences: bins respect capacity quantization per partition") {
     import graft.operators.TextAnalysis
     val chunks = Seq(
