@@ -58,6 +58,56 @@ object Ops {
         .as("sum_map"))
   }
 
+  /** Equi-HEIGHT histogram (the reference's ANALYZE-stats histogram,
+    * `be/src/exprs/agg/histogram.h`): ~n/buckets rows per bucket,
+    * emitted as (bucket, lower, upper, cnt, cum_count, upper_repeats)
+    * — the same per-bucket facts the reference packs into its bucket
+    * JSON (lower/upper/cumulative count/upper repeats).
+    *
+    * Distributed formulation: the reference walks every (sampled)
+    * value sequentially in one buffer; here bucket CUTS are the
+    * k/buckets quantiles from ExactPercentile's histogram-refinement
+    * selection (full-parallelism scans, O(1) task memory), bucket
+    * assignment is a scan-side compare against the broadcast cuts,
+    * and per-bucket stats are one hash aggregation. Boundary law
+    * differs from the reference's "close at >= bucket_size" walk —
+    * both are valid equi-height quantizations; this one is
+    * deterministic and recomputable in plain SQL (the gate's DuckDB
+    * oracle proves it).
+    */
+  def equiHeightHistogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    val keyed = df.withColumn("__g", lit(0))
+    val cutNames = (1 until buckets).map(k => s"c$k")
+    val cuts = ExactPercentile.percentiles(
+      keyed, Seq("__g"), c, cutNames.zip((1 until buckets).map(_.toDouble / buckets)))
+      .select(cutNames.map(col): _*)
+      .head() // 1 row × (buckets-1) cut scalars — driver-side by design
+    val cutVals = (0 until buckets - 1).map(cuts.getDouble)
+    val v = col(c).cast("double")
+    // bucket = number of cuts strictly below v (upper-inclusive buckets)
+    val bucketExpr = cutVals.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(v > lit(cut), 1).otherwise(0)
+    }
+    val perBucket = df.filter(v.isNotNull)
+      .withColumn("bucket", bucketExpr)
+      .groupBy(col("bucket"))
+      .agg(min(v).as("lower"), max(v).as("upper"), count(lit(1)).as("cnt"))
+    // upper_repeats needs the bucket max first: join the per-bucket
+    // upper back and count equal rows (broadcast of <= buckets rows)
+    val uppers = perBucket.select(col("bucket"), col("upper"))
+    val repeats = df.filter(v.isNotNull).withColumn("bucket", bucketExpr)
+      .join(broadcast(uppers), "bucket")
+      .filter(v === col("upper"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("upper_repeats"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket")) // window over <= buckets summary rows
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.join(repeats, "bucket")
+      .withColumn("cum_count", sum(col("cnt")).over(wCum))
+      .orderBy(col("bucket"))
+  }
+
   /** Equi-width histogram over a numeric column (reference
     * `be/src/exprs/agg/histogram.h` — the reference's is equi-height
     * for the optimizer; this library op is the user-facing analogue).

@@ -101,6 +101,15 @@ object Aggregates extends graft.QueryArea {
           round(col("med"), 4).as("med"))
         .orderBy(col("l_linestatus"))
     }),
+    "histogram_equi_height" -> ((spark, dir) => {
+      // ANALYZE-stats histogram: ~n/8 rows per bucket, quantile cuts
+      graft.operators.Ops.equiHeightHistogram(
+        t(spark, dir, "lineitem"), "l_extendedprice", buckets = 8)
+        .select(col("bucket"), round(col("lower"), 4).as("lower"),
+          round(col("upper"), 4).as("upper"), col("cnt"),
+          col("cum_count"), col("upper_repeats"))
+        .orderBy(col("bucket"))
+    }),
     "agg_any_value" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
       c.groupBy(col("c_custkey"))
@@ -225,6 +234,28 @@ object Aggregates extends graft.QueryArea {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(median(l_extendedprice), 4) AS med
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "histogram_equi_height" -> {
+      val terms = (1 to 7).map(k => s"(CASE WHEN v > q[$k] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH c AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_extendedprice AS v, $terms AS bucket
+        |  FROM lineitem, c),
+        |pb AS (
+        |  SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS cnt
+        |  FROM b GROUP BY bucket),
+        |rep AS (
+        |  SELECT b.bucket, count(*) AS upper_repeats
+        |  FROM b JOIN pb ON b.bucket = pb.bucket AND b.v = pb.hi
+        |  GROUP BY b.bucket)
+        |SELECT pb.bucket, round(lo, 4) AS lower, round(hi, 4) AS upper, cnt,
+        |  sum(cnt) OVER (ORDER BY pb.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_count,
+        |  upper_repeats
+        |FROM pb JOIN rep ON pb.bucket = rep.bucket
+        |ORDER BY pb.bucket""".stripMargin
+    },
     "agg_any_value" ->
       """SELECT c_custkey, any_value(c_name) AS name, any_value(c_mktsegment) AS seg
         |FROM customer GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,

@@ -192,6 +192,29 @@ class PlanSpec extends SparkSuite {
     assert(!scans.contains("props"), "unreferenced props column read from parquet")
   }
 
+  test("chunking is scan-side: no shuffle below the Generate") {
+    // the chunk explode must ride the scan — an Exchange underneath it
+    // would shuffle the full corpus before expansion
+    val plan = planOf(SparkEntry.queries("chunk_documents")(spark, sf))
+    val gen = plan.indexOf("Generate")
+    assert(gen >= 0, s"no Generate in chunk plan:\n$plan")
+    assert(!plan.substring(gen).contains("Exchange"),
+      s"shuffle below the chunk Generate:\n$plan")
+  }
+
+  test("exact percentile runs as distributed selection, not value buffering") {
+    val df = SparkEntry.queries("agg_percentiles")(spark, sf)
+    val plan = planOf(df)
+    // no builtin percentile aggregate (the per-group value-buffer state)
+    assert(!plan.contains("percentile("), s"value-buffering percentile in plan:\n$plan")
+    // windows only over (keys, bucket) — never an empty partition spec
+    // (which would funnel the fact through one task)
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toSeq
+    assert(windowSpecs.forall(s => s.contains("__b") || s.contains("l_linestatus")),
+      s"window with suspicious partitioning:\n$plan")
+  }
+
   test("AQE splits a skewed join partition (skew=true in final plan)") {
     // one hot key holding ~all rows vs a tiny advisory partition size —
     // the runtime re-plan the engine relies on instead of manual salting
