@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 /** Materialized views: precomputed results with full or incremental
@@ -61,4 +62,85 @@ object MaterializedViews {
     * rewrite a matching query to). */
   def read(spark: SparkSession, baseDir: String, name: String): DataFrame =
     spark.read.parquet(path(baseDir, name))
+
+  final case class PctReport(refreshed: Seq[String], removed: Seq[String], unchanged: Int)
+
+  /** Partition-change-tracking (PCT) refresh — the reference's
+    * partitioned async-MV refresh (`MaterializedView.java`
+    * partition-based refresh; only base partitions whose version
+    * changed are recomputed). Spark-native shape:
+    *
+    *  - base table is directory-partitioned parquet
+    *    (`basePath/partCol=v/…`);
+    *  - a manifest under the MV path records a fingerprint (file
+    *    name+length+mtime set) per base partition;
+    *  - refresh recomputes ONLY stale/new partitions — the source is
+    *    filtered on partCol (partition-pruned scan, nothing else is
+    *    read) and written with dynamic partition overwrite, so
+    *    untouched MV partitions keep their files byte-for-byte;
+    *  - base partitions that disappeared are dropped from the MV.
+    *
+    * Requirement: `mv.define` must be partition-local on partCol
+    * (e.g. group by partCol + others) so recomputing a partition's
+    * slice yields exactly that partition's MV rows — same contract
+    * the reference imposes on partitioned-MV definitions.
+    *
+    * Scale: refresh cost is O(changed partitions), not O(table); the
+    * manifest is KB-sized metadata (one line per partition). */
+  def refreshPartitioned(spark: SparkSession, basePath: String, partCol: String,
+      mv: MvDef, baseDir: String): PctReport = {
+    import scala.jdk.CollectionConverters._
+    val mvPath = path(baseDir, mv.name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
+
+    def fingerprint(dir: org.apache.hadoop.fs.Path): String = {
+      val it = fs.listFiles(dir, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          parts += s"$n:${f.getLen}:${f.getModificationTime}"
+      }
+      java.util.Arrays.hashCode(parts.sorted.toArray[AnyRef]).toString
+    }
+
+    val current: Map[String, String] = fs.listStatus(new org.apache.hadoop.fs.Path(basePath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map(s => s.getPath.getName.stripPrefix(s"$partCol=") -> fingerprint(s.getPath))
+      .toMap
+
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$mvPath/_pct_manifest.json")
+    val previous: Map[String, String] =
+      if (fs.exists(manifestPath)) {
+        val in = fs.open(manifestPath)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        graft.functions.JsonKernel.mapper.readValue(bytes, classOf[java.util.Map[String, String]])
+          .asScala.toMap
+      } else Map.empty
+
+    val stale = current.filter { case (p, fp) => previous.get(p) != Some(fp) }.keys.toSeq.sorted
+    val removed = (previous.keySet -- current.keySet).toSeq.sorted
+
+    if (stale.nonEmpty) {
+      val src = spark.read.parquet(basePath)
+        .where(col(partCol).cast("string").isin(stale: _*))
+      val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try mv.define(src).write.mode("overwrite").partitionBy(partCol).parquet(mvPath)
+      finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    removed.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$mvPath/$partCol=$p"), true)
+    }
+    val out = fs.create(manifestPath, true)
+    try out.write(graft.functions.JsonKernel.mapper
+      .writeValueAsBytes(current.asJava))
+    finally out.close()
+    PctReport(stale, removed, current.size - stale.size)
+  }
 }

@@ -24,6 +24,31 @@ object Advanced extends graft.QueryArea {
       MaterializedViews.read(spark, base, "daily_revenue")
         .orderBy(col("d"), col("o_orderpriority"))
     }),
+    // PCT refresh: partition-change-tracking — mutate one base
+    // partition between refreshes; only it recomputes (asserted), and
+    // the final MV equals the oracle's recompute of the mutated base.
+    "mv_pct_refresh" -> ((spark, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pct_${dir.replaceAll("[^0-9a-z]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      val o = t(spark, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+      o.write.partitionBy("o_year").parquet(s"$root/base")
+      val mv = MaterializedViews.MvDef("rev_by_year", df =>
+        df.groupBy(col("o_year"), col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders")))
+      MaterializedViews.refreshPartitioned(spark, s"$root/base", "o_year", mv, root)
+      // mutate exactly one partition: re-append the 1995 orders with
+      // orderkey <= 300 (deterministic, oracle-reproducible)
+      o.filter(col("o_year") === 1995 && col("o_orderkey") <= 300)
+        .write.mode("append").partitionBy("o_year").parquet(s"$root/base")
+      val report = MaterializedViews.refreshPartitioned(spark, s"$root/base", "o_year", mv, root)
+      assert(report.refreshed == Seq("1995"), s"PCT refreshed wrong set: $report")
+      MaterializedViews.read(spark, root, "rev_by_year")
+        .select(col("o_year").cast("int").as("o_year"), col("o_orderpriority"),
+          round(col("revenue"), 2).as("revenue"), col("n_orders"))
+        .orderBy(col("o_year"), col("o_orderpriority"))
+    }),
     // Transparent MV rewrite: register the MV, then run the SAME
     // definition — the optimizer substitutes the materialized scan
     // (plans.MvRewrite); matching the oracle proves the rewrite is
@@ -105,6 +130,15 @@ object Advanced extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "mv_pct_refresh" ->
+      """WITH base AS (
+        |  SELECT * FROM orders
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE year(o_orderdate) = 1995 AND o_orderkey <= 300)
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM base GROUP BY 1, 2 ORDER BY o_year, o_orderpriority""".stripMargin,
     "mv_full_refresh" ->
       """SELECT date_trunc('day', o_orderdate) AS d, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -46,6 +46,54 @@ class AdvancedSpec extends SparkSuite {
     assert(total(mvDf) === total(expected))
   }
 
+  test("PCT refresh recomputes only stale partitions, drops removed ones") {
+    val basePath = tmp(); val mvDir = tmp()
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+    o.write.partitionBy("o_year").parquet(s"$basePath/t")
+    val mv = MaterializedViews.MvDef("rev_by_year", df =>
+      df.groupBy($"o_year", $"o_orderpriority")
+        .agg(sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as("rev"),
+          count(lit(1)).as("n")))
+
+    val r1 = MaterializedViews.refreshPartitioned(spark, s"$basePath/t", "o_year", mv, mvDir)
+    assert(r1.refreshed.nonEmpty && r1.unchanged === 0, s"first refresh must do all: $r1")
+
+    // no change → all partitions skipped
+    val r2 = MaterializedViews.refreshPartitioned(spark, s"$basePath/t", "o_year", mv, mvDir)
+    assert(r2.refreshed.isEmpty && r2.removed.isEmpty && r2.unchanged === r1.refreshed.size, s"$r2")
+
+    // files of an untouched MV partition must stay byte-identical
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val untouched = r1.refreshed.filterNot(_ == "1995").head
+    def fileSnapshot(year: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$mvDir/rev_by_year/o_year=$year"))
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1).toSeq
+    val before = fileSnapshot(untouched)
+
+    // append rows into ONE base partition → only it refreshes
+    o.filter($"o_year" === 1995).limit(50)
+      .write.mode("append").partitionBy("o_year").parquet(s"$basePath/t")
+    val r3 = MaterializedViews.refreshPartitioned(spark, s"$basePath/t", "o_year", mv, mvDir)
+    assert(r3.refreshed === Seq("1995"), s"expected only 1995 stale: $r3")
+    assert(fileSnapshot(untouched) === before, "untouched MV partition was rewritten")
+
+    // MV content equals a full recompute of the mutated base
+    // partition column comes back last on read — normalize the order
+    val cols = Seq("o_year", "o_orderpriority", "rev", "n").map(col)
+    val got = MaterializedViews.read(spark, mvDir, "rev_by_year")
+      .select(cols: _*).orderBy($"o_year", $"o_orderpriority").collect().map(_.toString)
+    val want = mv.define(spark.read.parquet(s"$basePath/t"))
+      .select(cols: _*).orderBy($"o_year", $"o_orderpriority").collect().map(_.toString)
+    assert(got.toSeq === want.toSeq)
+
+    // drop a base partition → refresh removes it from the MV
+    fs.delete(new org.apache.hadoop.fs.Path(s"$basePath/t/o_year=$untouched"), true)
+    val r4 = MaterializedViews.refreshPartitioned(spark, s"$basePath/t", "o_year", mv, mvDir)
+    assert(r4.removed === Seq(untouched), s"$r4")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mvDir/rev_by_year/o_year=$untouched")))
+  }
+
   test("ai_query output is independent of batch size and covers every row") {
     val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
     val r1 = AiQuery.aiQuery(docs, "text", batchSize = 1)
