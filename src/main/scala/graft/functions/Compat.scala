@@ -192,9 +192,15 @@ object Compat {
         case (Literal(w, _), Literal(n, _)) =>
           (w.asInstanceOf[Number].longValue(), n.asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
-          "window_funnel(windowSeconds, ts, step, numSteps): window and numSteps must be literals")
+          "window_funnel(windowSeconds, ts, step, numSteps[, mode]): window and numSteps must be literals")
       }
-      graft.functions.agg.WindowFunnelAgg(Literal(win), es(1), es(2), steps)
+      // optional mode literal — reference bits: 1 deduplication,
+      // 2 fixed, 4 increase (window_funnel.h MODE_FLAGS)
+      val mode = es.lift(4).map {
+        case Literal(m, _) => m.asInstanceOf[Number].intValue()
+        case _ => throw new IllegalArgumentException("window_funnel mode must be a literal")
+      }.getOrElse(0)
+      graft.functions.agg.WindowFunnelAgg(Literal(win), es(1), es(2), steps, mode)
     }
     f("approx_top_k") { es =>
       val k = es(1) match {

@@ -29,6 +29,7 @@ case class WindowFunnelAgg(
     tsExpr: Expression,
     stepExpr: Expression,
     numSteps: Int,
+    mode: Int = 0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Long, Int)]] {
@@ -58,6 +59,7 @@ case class WindowFunnelAgg(
     if (buf.isEmpty) return 0
     val windowMicros = windowExpr.eval(InternalRow.empty).asInstanceOf[Number].longValue() * 1000000L
     val sorted = buf.sortBy(x => (x._1, x._2))
+    if (mode != 0) return refModes(sorted, windowMicros)
     // t0: earliest step-0 event
     var prev = Long.MinValue
     var deadline = Long.MaxValue
@@ -76,6 +78,68 @@ case class WindowFunnelAgg(
       i += 1
     }
     reached
+  }
+
+  /** Reference mode semantics (window_funnel.h get_event_level):
+    * mode bits — 1 deduplication (a level already reached repeats →
+    * current chain dies), 2 fixed (a leap over an unreached level
+    * after a chain started → chain dies), 4 increase (strictly
+    * increasing timestamps between promotions). mode&3 == 0 with
+    * increase runs the reference's default sliding-chain loop.
+    * mode == 0 keeps this library's documented greedy (oracle-gated)
+    * semantics — any nonzero mode follows the reference exactly. */
+  private def refModes(sorted: ArrayBuffer[(Long, Int)], windowMicros: Long): Int = {
+    val increase = (mode & 4) != 0
+    val m = mode & 3
+    val start = Array.fill(numSteps)(-1L)
+    val last = Array.fill(numSteps)(-1L)
+    var cur = -1 // max level of the live chain
+    var maxLevel = -1 // best completed/dead chain
+    def eliminate(): Unit = { while (cur >= 0) { start(cur) = -1L; cur -= 1 } }
+    def retire(): Unit = { if (cur > maxLevel) maxLevel = cur; eliminate() }
+    def promote(ts: Long, level: Int): Boolean = {
+      val base = start(level - 1)
+      var ok = ts <= base + windowMicros
+      if (increase) ok = ok && last(level - 1) < ts
+      if (ok) {
+        start(level) = base; last(level) = ts
+        if (level > cur) cur = level
+        if (level + 1 == numSteps) return true
+      }
+      false
+    }
+    if (m == 0) {
+      // reference default loop (only reachable with increase bit)
+      for ((ts, level) <- sorted) {
+        if (level == 0) { start(0) = ts; last(0) = ts }
+        else if (start(level - 1) >= 0) {
+          var ok = ts <= start(level - 1) + windowMicros
+          if (increase) ok = ok && last(level - 1) < ts
+          if (ok) {
+            start(level) = start(level - 1); last(level) = ts
+            if (level + 1 == numSteps) return numSteps
+          }
+        }
+      }
+      var lvl = numSteps
+      while (lvl > 0 && start(lvl - 1) < 0) lvl -= 1
+      return lvl
+    }
+    var firstEvent = false
+    for ((ts, level) <- sorted) {
+      if (level == 0) {
+        start(0) = ts; last(0) = ts
+        if (cur < 0) cur = 0
+        firstEvent = true
+      } else if ((m & 1) != 0 && start(level) >= 0) {
+        retire() // deduplication: an existing event recurs
+      } else if ((m & 2) != 0 && firstEvent && start(level - 1) < 0) {
+        if (cur >= 0) retire() // fixed: leap over an unreached level
+      } else if (start(level - 1) >= 0) {
+        if (promote(ts, level)) return numSteps
+      }
+    }
+    math.max(cur, maxLevel) + 1
   }
 
   override def serialize(buf: ArrayBuffer[(Long, Int)]): Array[Byte] = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AiQuery, MaterializedViews}
+import graft.operators.{AiQuery, Dictionary, MaterializedViews}
 import util._
 
 /** MV refresh, ai_query batch inference, geo functions, HLL sketches —
@@ -23,6 +23,21 @@ object Advanced extends graft.QueryArea {
       MaterializedViews.refreshFull(t(spark, dir, "orders"), mv, base)
       MaterializedViews.read(spark, base, "daily_revenue")
         .orderBy(col("d"), col("o_orderpriority"))
+    }),
+    // Global dictionary: encode a low-cardinality string column to
+    // dense int codes, aggregate on the codes, decode back — the
+    // reference's low-cardinality dict rewrite made explicit. The
+    // oracle reproduces the deterministic dict with dense_rank.
+    "dict_encode_agg" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val dict = Dictionary.build(o, "o_orderpriority")
+      val encoded = Dictionary.encode(o, "o_orderpriority", dict)
+      val aggd = encoded.groupBy(col("o_orderpriority")) // int codes
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("rev"))
+      Dictionary.decode(aggd, "o_orderpriority", dict)
+        .select(col("o_orderpriority"), col("n"), round(col("rev"), 2).as("rev"))
+        .orderBy(col("o_orderpriority"))
     }),
     // PCT refresh: partition-change-tracking — mutate one base
     // partition between refreshes; only it recomputes (asserted), and
@@ -130,6 +145,10 @@ object Advanced extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "dict_encode_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "mv_pct_refresh" ->
       """WITH base AS (
         |  SELECT * FROM orders

@@ -43,6 +43,47 @@ class SketchAggsSpec extends SparkSuite {
     assert(r === 1)
   }
 
+  test("window_funnel modes: deduplication, fixed, increase (reference semantics)") {
+    def funnel(rows: Seq[(Long, String, Int)], mode: Int, steps: Int = 3): Int =
+      rows.toDF("uid", "t", "step")
+        .selectExpr("uid", "CAST(t AS TIMESTAMP) AS ts", "step")
+        .groupBy($"uid")
+        .agg(expr(s"window_funnel(3600, ts, step, $steps, $mode)").as("d"))
+        .head.getInt(1)
+
+    // deduplication (1): step1 recurs while the chain is live → chain
+    // dies at its level so far; later events can't extend it
+    val dedupRows = Seq(
+      (1L, "2024-01-01 10:00:00", 0), (1L, "2024-01-01 10:05:00", 1),
+      (1L, "2024-01-01 10:10:00", 1), // duplicate step1 kills the chain
+      (1L, "2024-01-01 10:15:00", 2))
+    assert(funnel(dedupRows, 1) === 2) // reached 0,1 before the kill
+    assert(funnel(dedupRows, 0) === 3) // default greedy ignores the repeat
+
+    // fixed (2): a leap (step2 before step1) after the chain started →
+    // chain dies at its depth so far (1); with no later step0 nothing
+    // restarts. Default mode just ignores the out-of-order leap.
+    val leapRows = Seq(
+      (1L, "2024-01-01 10:00:00", 0), (1L, "2024-01-01 10:05:00", 2),
+      (1L, "2024-01-01 10:10:00", 1), (1L, "2024-01-01 10:15:00", 2))
+    assert(funnel(leapRows, 2) === 1)
+    assert(funnel(leapRows, 0) === 3)
+    // a later step0 DOES restart a fixed-mode chain to completion
+    val restartRows = leapRows ++ Seq(
+      (1L, "2024-01-01 10:20:00", 0), (1L, "2024-01-01 10:25:00", 1),
+      (1L, "2024-01-01 10:30:00", 2))
+    assert(funnel(restartRows, 2) === 3)
+
+    // increase (4): equal timestamps can't promote
+    val eqRows = Seq(
+      (1L, "2024-01-01 10:00:00", 0), (1L, "2024-01-01 10:00:00", 1))
+    assert(funnel(eqRows, 4, steps = 2) === 1)
+    // non-equal still promotes under increase
+    val incRows = Seq(
+      (1L, "2024-01-01 10:00:00", 0), (1L, "2024-01-01 10:00:01", 1))
+    assert(funnel(incRows, 4, steps = 2) === 2)
+  }
+
   test("retention composes bool_or correctly") {
     val events = Seq(
       (1L, "signup"), (1L, "purchase"),
