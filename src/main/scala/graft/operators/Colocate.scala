@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Colocated (bucketed) tables — shuffle-free keyed joins.
   *
@@ -28,4 +29,31 @@ object Colocate {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(name)
+
+  /** Salted equi-join for DELIBERATE skew: when one join key holds a
+    * disproportionate share of the left (fact) side, a plain shuffle
+    * sends the whole hot key to one reducer. Salting splits it
+    * `salt`-ways: the fact side gets a deterministic per-row salt
+    * (hash-derived, reproducible), the build side is replicated
+    * `salt`× — join key becomes (key, salt). The build side must be
+    * the small one (replication is salt×build).
+    *
+    * AQE's runtime skew split (asserted in PlanSpec) is the first
+    * line of defense; explicit salting is the reference-style planned
+    * answer when the skew is KNOWN (the reference distributes via
+    * bucketing hints similarly) and works for aggregations AQE can't
+    * re-split. Inner and left-outer joins only (other types change
+    * semantics under replication). */
+  def saltedJoin(fact: DataFrame, build: DataFrame, keys: Seq[String],
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salted join supports inner/left_outer, got $joinType")
+    // deterministic salt: spread rows of one key across `salt` buckets
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salt)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -95,6 +95,17 @@ object Relational extends graft.QueryArea {
       r.crossJoin(n).select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))
     }),
+    // Salted join for planned skew (operators.Colocate.saltedJoin):
+    // hot keys split salt-ways, build side replicated — result must
+    // equal the plain join (the oracle IS the plain join)
+    "join_salted" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val p = t(spark, dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+      graft.operators.Colocate.saltedJoin(li, p, Seq("l_partkey"), salt = 4)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("p_brand"))
+    }),
     // Non-equi (theta) join against a literal VALUES band table →
     // BroadcastNestedLoopJoin (reference NESTLOOP_JOIN + RawValuesNode).
     "join_nonequi_bands" -> ((spark, dir) => {
@@ -219,6 +230,11 @@ object Relational extends graft.QueryArea {
         |ORDER BY c_custkey""".stripMargin,
     "join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "join_salted" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_nonequi_bands" ->
       """SELECT band, count(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total

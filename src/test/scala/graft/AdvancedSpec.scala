@@ -46,6 +46,24 @@ class AdvancedSpec extends SparkSuite {
     assert(total(mvDf) === total(expected))
   }
 
+  test("saltedJoin equals plain join on planted skew; left_outer keeps unmatched once") {
+    import graft.operators.Colocate
+    // 90% of fact rows share one key
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "payload")
+    val build = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty"), (999999L, "none"))
+      .toDF("k", "name")
+    val plain = fact.join(build, Seq("k")).groupBy($"name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Colocate.saltedJoin(fact, build, Seq("k"), salt = 8)
+      .groupBy($"name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    val lo = Colocate.saltedJoin(fact, build, Seq("k"), salt = 8, joinType = "left_outer")
+    assert(lo.count() === fact.count(), "left_outer must keep every fact row exactly once")
+    assert(lo.filter($"name".isNull).count() === fact.join(build, Seq("k"), "left_anti").count())
+  }
+
   test("PCT refresh recomputes only stale partitions, drops removed ones") {
     val basePath = tmp(); val mvDir = tmp()
     val o = Tables.load(spark, sf, "orders")

@@ -192,6 +192,25 @@ class PlanSpec extends SparkSuite {
     assert(!scans.contains("props"), "unreferenced props column read from parquet")
   }
 
+  test("global sort uses range partitioning (merge-sort exchange)") {
+    // the reference's merge-sort exchange ≡ Spark rangepartitioning:
+    // sorted output without funneling rows through one task
+    // (limit-less global orderBy — limited sorts fuse into
+    // TakeOrderedAndProject instead, asserted elsewhere)
+    val plan = planOf(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(plan.contains("rangepartitioning"),
+      s"global sort not range-partitioned:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global sort funnels through one partition:\n$plan")
+  }
+
+  test("salted join: no single hot partition — join key carries the salt") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val p = graft.Tables.load(spark, sf, "part").withColumnRenamed("p_partkey", "l_partkey")
+    val plan = planOf(graft.operators.Colocate.saltedJoin(li, p, Seq("l_partkey"), 4))
+    assert(plan.contains("__salt"), s"salt column absent from join plan:\n$plan")
+  }
+
   test("chunking is scan-side: no shuffle below the Generate") {
     // the chunk explode must ride the scan — an Exchange underneath it
     // would shuffle the full corpus before expansion
