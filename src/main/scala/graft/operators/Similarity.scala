@@ -175,4 +175,28 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col(queryId), col(corpusId), round(col("cos"), 6).as("cos"), col("rk").cast("long").as("rk"))
   }
+
+  /** Symmetric int8 vector quantization — the storage/bandwidth lever
+    * of a 100 TB embedding corpus: 4× smaller than float32 (so 4×
+    * more vectors per executor page and per shuffle byte) at ~0.4%
+    * max component error, which top-k cosine ranking tolerates
+    * (recall asserted in SimilaritySpec).
+    *
+    * Per-vector scale = max|x| / 127; codes = ⌊x/scale + 0.5⌋ (the
+    * explicit floor(+0.5) pins rounding semantics across engines —
+    * the oracle recomputes codes bit-for-bit in DuckDB). Zero vectors
+    * quantize to all-zero codes with scale 0. Scan-side Column
+    * expressions only — no shuffle, no UDF. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(0.0)) / 127.0
+    struct(
+      when(scale === 0.0, transform(vec, _ => lit(0).cast("int")))
+        .otherwise(transform(vec, x =>
+          floor(x.cast("double") / scale + 0.5).cast("int"))).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** Reconstruct the float vector from (codes, scale). */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 }

@@ -118,6 +118,21 @@ object Pipeline extends graft.QueryArea {
           queriesDf, "qid", "qvec", k = 5, c = 16, nprobe = 8)
         .orderBy(col("qid"), col("rk"))
     }),
+    // int8 quantization roundtrip: codes recomputed bit-for-bit by
+    // the oracle; reconstruction error bounded by scale/2
+    "sim_quantize_int8" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      emb.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("q"), col("embedding"))
+        .select(col("vec_id"),
+          aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          round(col("q.scale"), 8).as("scale"),
+          round(aggregate(
+            zip_with(Similarity.dequantizeInt8(col("q")), col("embedding"),
+              (a, b) => abs(a - b.cast("double"))),
+            lit(0.0), (acc, e) => greatest(acc, e)), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
     "sim_l2_pairs" -> ((spark, dir) => {
       val emb = t(spark, dir, "embeddings")
       val a = emb.filter(col("vec_id") < 20).select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -282,6 +297,21 @@ object Pipeline extends graft.QueryArea {
         |  FROM planted a JOIN planted b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c, 4) AS cos FROM pairs
         |WHERE c >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0) / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale, embedding,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+        |    END AS codes
+        |  FROM q)
+        |SELECT vec_id, list_sum(codes) AS code_sum, round(scale, 8) AS scale,
+        |  round(list_max(list_transform(list_zip(codes, embedding),
+        |    z -> abs(CAST(z[1] AS DOUBLE) * scale - CAST(z[2] AS DOUBLE)))), 6) AS max_err
+        |FROM c ORDER BY vec_id""".stripMargin,
     "sim_l2_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS l2,

@@ -44,6 +44,29 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("int8 quantization: error bounded by scale/2, top-k recall@5 >= 0.9") {
+    val q = emb.select($"vec_id", Similarity.quantizeInt8($"embedding").as("q"), $"embedding")
+    // per-component reconstruction error <= scale/2 (+ eps for fp)
+    val violations = q.select(
+      aggregate(
+        zip_with(Similarity.dequantizeInt8($"q"), $"embedding",
+          (a, b) => abs(a - b.cast("double"))),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("err"),
+      $"q.scale".as("s"))
+      .filter($"err" > $"s" / 2 + 1e-9).count()
+    assert(violations === 0L, "reconstruction error exceeded scale/2")
+
+    // ranking survives quantization: top-5 over dequantized vectors
+    val dq = q.select($"vec_id", Similarity.dequantizeInt8($"q").as("embedding"))
+      .filter($"vec_id" >= 10)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceTopK(dq, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall too low: $recall")
+  }
+
   test("IVF top-k: scaled-copy queries find their originals at rank 1") {
     // a scaled copy keeps every centroid cosine, so it lands in the
     // same cell as its original and scores cosine 1.0 with it —
