@@ -92,7 +92,7 @@ case class SumMapAgg(
   override def prettyName: String = "sum_map"
 
   private val valueType = child.dataType match {
-    case MapType(_, vt, _) => vt
+    case MapType(StringType, vt, _) => vt
     case other => throw new IllegalArgumentException(
       s"sum_map expects map<string, numeric>, got ${other.simpleString}")
   }

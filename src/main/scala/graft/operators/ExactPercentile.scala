@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
 object ExactPercentile {
 
   /** @param ps (outputColumn, fraction) pairs, fractions in [0, 1].
-    * @return one row per group: keys ++ ps columns (double). */
+    * @return one row per group: keys ++ ps columns (double). Groups
+    *         whose values are ALL null are absent from the output
+    *         (builtin percentile would emit them with null cells) —
+    *         matching SQL's usual "no non-null input, no row" shape
+    *         for derived stats. */
   def percentiles(
       df: DataFrame,
       keys: Seq[String],
