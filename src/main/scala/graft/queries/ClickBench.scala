@@ -135,7 +135,68 @@ object ClickBench extends graft.QueryArea {
     "cb_hourly_profile" -> ((spark, dir) =>
       ev(spark, dir).groupBy(hour(col("ts")).as("h"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
-        .orderBy(col("h"))))
+        .orderBy(col("h"))),
+
+    // Q14 shape: two-column group, top-10 by count
+    "cb_pair_topk" -> ((spark, dir) =>
+      ev(spark, dir).select(col("event_type"), kCol.as("k"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"), col("k"))
+        .limit(10)),
+
+    // Q19 shape: point lookup on the primary dimension
+    "cb_point_lookup" -> ((spark, dir) =>
+      ev(spark, dir).filter(col("user_id") === 42)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // Q24 shape: raw rows ordered by a string column
+    "cb_string_sort" -> ((spark, dir) =>
+      ev(spark, dir)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_type"), col("props"), col("event_id"))
+        .limit(10)),
+
+    // HAVING shape: only groups above a size threshold
+    "cb_having" -> ((spark, dir) =>
+      ev(spark, dir).select(kCol.as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 110)
+        .orderBy(col("n").desc, col("k"))),
+
+    // Q41-43 shape: per-day series under a date-range filter
+    "cb_daily_series" -> ((spark, dir) =>
+      ev(spark, dir)
+        .filter(col("ts") >= ts("2024-01-05") && col("ts") < ts("2024-01-15"))
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          round(dsum(col("value")), 4).as("sum_v"))
+        .orderBy(col("d"))),
+
+    // Q10-11 shape: LIKE filter + distinct users per region, top-10
+    "cb_like_uniq" -> ((spark, dir) =>
+      ev(spark, dir).filter(col("event_type").like("p%"))
+        .select(kCol.as("k"), col("user_id"))
+        .groupBy(col("k"))
+        .agg(countDistinct(col("user_id")).as("u"))
+        .orderBy(col("u").desc, col("k"))
+        .limit(10)),
+
+    // banded metric distribution (CASE bands; Q13-ish)
+    "cb_value_bands" -> ((spark, dir) =>
+      ev(spark, dir).select(
+          when(col("value") < 5, "lo").when(col("value") < 15, "mid")
+            .otherwise("hi").as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .orderBy(col("band"))),
+
+    // Q32-34 shape: rank groups by a second metric
+    "cb_two_metrics" -> ((spark, dir) =>
+      ev(spark, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 4).as("sum_v"))
+        .orderBy(col("sum_v").desc, col("user_id"))
+        .limit(10)))
 
   def oracles: Map[String, String] = Map(
     "cb_count" -> "SELECT count(*) AS n FROM events",
@@ -191,5 +252,38 @@ object ClickBench extends graft.QueryArea {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "cb_hourly_profile" ->
       """SELECT hour(ts) AS h, count(*) AS n, count(DISTINCT user_id) AS u
-        |FROM events GROUP BY h ORDER BY h""".stripMargin)
+        |FROM events GROUP BY h ORDER BY h""".stripMargin,
+    "cb_pair_topk" ->
+      """SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY event_type, k
+        |ORDER BY n DESC, event_type, k LIMIT 10""".stripMargin,
+    "cb_point_lookup" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE user_id = 42 ORDER BY event_id""".stripMargin,
+    "cb_string_sort" ->
+      """SELECT event_id, event_type, props FROM events
+        |ORDER BY event_type, props, event_id LIMIT 10""".stripMargin,
+    "cb_having" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY k HAVING count(*) > 110
+        |ORDER BY n DESC, k""".stripMargin,
+    "cb_daily_series" ->
+      """SELECT date_trunc('day', ts) AS d, count(*) AS n,
+        |  round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY d ORDER BY d""".stripMargin,
+    "cb_like_uniq" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(DISTINCT user_id) AS u
+        |FROM events WHERE event_type LIKE 'p%'
+        |GROUP BY k ORDER BY u DESC, k LIMIT 10""".stripMargin,
+    "cb_value_bands" ->
+      """SELECT CASE WHEN value < 5 THEN 'lo' WHEN value < 15 THEN 'mid'
+        |  ELSE 'hi' END AS band, count(*) AS n
+        |FROM events GROUP BY band ORDER BY band""".stripMargin,
+    "cb_two_metrics" ->
+      """SELECT user_id, count(*) AS n,
+        |  round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_v
+        |FROM events GROUP BY user_id ORDER BY sum_v DESC, user_id LIMIT 10""".stripMargin)
 }
