@@ -297,6 +297,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bucketed aggregation: groupBy on the bucket key needs no exchange") {
+    // bucketing satisfies the aggregation's required distribution too —
+    // a recurring per-key rollup on a bucketed fact is exchange-free
+    val o = table("orders").select($"o_custkey", $"o_totalprice")
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket-agg").toString
+    graft.operators.Colocate.saveBucketed(o, "orders_ba", s"$base/o", Seq("o_custkey"), 8)
+    try {
+      val agg = spark.table("orders_ba").groupBy($"o_custkey")
+        .agg(sum($"o_totalprice").as("t"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+        s"bucketed aggregation still exchanges:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS orders_ba")
+  }
+
   test("jdbc connector scan: filter pushed to the external DB, range-split read") {
     val n = table("nation")
     graft.sources.Jdbc.loadTable(n, "NATION_PLAN")

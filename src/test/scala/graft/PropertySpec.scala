@@ -114,6 +114,16 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("array_contains_seq equals naive sliding-window search") {
+    check(forAll(Gen.listOf(Gen.choose(0, 4)), Gen.listOf(Gen.choose(0, 4))) { (hay, needle) =>
+      val naive = needle.isEmpty ||
+        (needle.length <= hay.length && hay.sliding(needle.length).contains(needle))
+      val got = Seq((hay, needle)).toDF("h", "n")
+        .selectExpr("array_contains_seq(h, n)").head.getBoolean(0)
+      Prop(got == naive) :| s"hay=$hay needle=$needle got=$got want=$naive"
+    })
+  }
+
   test("ExactPercentile equals builtin percentile on arbitrary grouped data") {
     check(forAll(Gen.listOfN(300, Gen.zip(Gen.choose(0, 3), Gen.choose(-10000, 10000)))) { pairs =>
       if (pairs.isEmpty) Prop.passed

@@ -163,6 +163,34 @@ class StreamingSpec extends SparkSuite {
     assert(got.size >= (batch.size * 0.9).toInt, s"stream join too incomplete: ${got.size}/${batch.size}")
   }
 
+  test("streaming corpus chunking equals batch chunking (stateless transform)") {
+    // TextAnalysis.chunk is pure narrow Column work (split + explode),
+    // so the SAME operator runs over a stream — corpus prep as
+    // continuous ingest, the round-2 pipeline meeting routine load
+    import graft.operators.TextAnalysis
+    val dir = tmp()
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 200)
+    docs.coalesce(1).write.parquet(s"$dir/stage")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stage"))
+      .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$dir/docs-$i.parquet"))
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stage"), true)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val sinkName = "chunks_" + System.nanoTime()
+    val q = TextAnalysis.chunk(stream, "doc_id", "text", 40, 8).writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table(sinkName)
+      .collect().map(_.toString).sorted
+    val batch = TextAnalysis.chunk(docs, "doc_id", "text", 40, 8)
+      .collect().map(_.toString).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("tolerant CSV load fails above max_filter_ratio") {
     val e = Tables.load(spark, sf, "events").limit(100)
       .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
