@@ -118,4 +118,78 @@ object ExactPercentile {
     // restore requested column order
     pivoted.select(kCols ++ ps.map { case (name, _) => col(name) }: _*)
   }
+
+  /** WEIGHTED quantiles by the same histogram-refinement selection —
+    * the exact version of the reference's percentile_approx_weighted
+    * (`be/src/exprs/agg/percentile_approx.h` weighted path; exact is
+    * a valid superset of approx). Semantics: inverse CDF — the
+    * SMALLEST value v whose cumulative weight reaches p·W (no
+    * interpolation; that is the standard weighted definition and is
+    * recomputable in plain SQL, which the gate's oracle does).
+    *
+    * Same scale shape as [[percentiles]]: bucket WEIGHT sums instead
+    * of counts, locate the threshold bucket via the tiny cumulative
+    * histogram, re-scan only those buckets, and resolve the exact
+    * value with a window over the bucket-local candidates
+    * (≈N/buckets rows per group). Weights must be non-negative;
+    * null-weight rows are ignored. */
+  def weightedQuantiles(
+      df: DataFrame,
+      keys: Seq[String],
+      value: String,
+      weight: String,
+      ps: Seq[(String, Double)],
+      buckets: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 })
+    val kCols = keys.map(col)
+    val v = col(value).cast("double")
+    val w = col(weight).cast("double")
+    val rows = df.select(kCols ++ Seq(v.as("__v"), w.as("__w")): _*)
+      .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") >= 0)
+
+    val stats = rows.groupBy(kCols: _*).agg(
+      min("__v").as("__mn"), max("__v").as("__mx"), sum("__w").as("__tw"))
+
+    val width = (col("__mx") - col("__mn")) / lit(buckets)
+    val bucketOf = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(lit(buckets - 1),
+        floor((col("__v") - col("__mn")) / width).cast("int")))
+    val bucketed = rows.join(broadcast(stats), keys).withColumn("__b", bucketOf)
+    val hist = bucketed.groupBy(kCols :+ col("__b"): _*).agg(sum(col("__w")).as("__bw"))
+
+    val wCum = Window.partitionBy(kCols: _*).orderBy(col("__b"))
+    val cum = hist
+      .withColumn("__cumEnd", sum(col("__bw")).over(wCum))
+      .withColumn("__cumStart", col("__cumEnd") - col("__bw"))
+      .select(kCols ++ Seq(col("__b"), col("__cumStart"), col("__cumEnd")): _*)
+
+    val pStructs = array(ps.map { case (name, p) =>
+      struct(lit(name).as("name"), lit(p).as("p"))
+    }: _*)
+    // threshold = p·W; target bucket is the first whose cumEnd reaches it
+    val targets = stats
+      .select(kCols ++ Seq(col("__tw"), explode(pStructs).as("__ps")): _*)
+      .withColumn("__thr", col("__tw") * col("__ps.p"))
+      .select(kCols ++ Seq(col("__ps.name").as("__pname"), col("__thr")): _*)
+    val targetBuckets = targets.join(broadcast(cum), keys)
+      .filter(col("__cumStart") < col("__thr") && col("__thr") <= col("__cumEnd"))
+      .select(kCols ++ Seq(col("__pname"), col("__thr"), col("__b"), col("__cumStart")): _*)
+
+    // resolve inside the bucket: first value whose local cumulative
+    // weight closes the remaining (__thr − __cumStart) gap
+    val neededBuckets = targetBuckets.select(kCols :+ col("__b"): _*).distinct()
+    val cands = bucketed.join(broadcast(neededBuckets), keys :+ "__b")
+    val wIn = Window.partitionBy(kCols :+ col("__b"): _*)
+      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cumVals = cands.withColumn("__cw", sum(col("__w")).over(wIn))
+    val resolved = cumVals.join(broadcast(targetBuckets), keys :+ "__b")
+      .filter(col("__cw") >= col("__thr") - col("__cumStart"))
+      .groupBy(kCols :+ col("__pname"): _*)
+      .agg(min(col("__v")).as("__pv"))
+
+    val pivoted = resolved.groupBy(kCols: _*)
+      .pivot("__pname", ps.map(_._1))
+      .agg(first(col("__pv")))
+    pivoted.select(kCols ++ ps.map { case (name, _) => col(name) }: _*)
+  }
 }

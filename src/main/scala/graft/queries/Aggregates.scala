@@ -101,6 +101,17 @@ object Aggregates extends graft.QueryArea {
           round(col("med"), 4).as("med"))
         .orderBy(col("l_linestatus"))
     }),
+    "agg_weighted_percentile" -> ((spark, dir) => {
+      // exact weighted inverse-CDF quantiles (the reference's
+      // percentile_approx_weighted, computed exactly and distributed)
+      graft.operators.ExactPercentile.weightedQuantiles(
+        t(spark, dir, "lineitem"), Seq("l_linestatus"),
+        "l_extendedprice", "l_quantity",
+        Seq("wp50" -> 0.5, "wp90" -> 0.9))
+        .select(col("l_linestatus"),
+          round(col("wp50"), 4).as("wp50"), round(col("wp90"), 4).as("wp90"))
+        .orderBy(col("l_linestatus"))
+    }),
     "histogram_equi_height" -> ((spark, dir) => {
       // ANALYZE-stats histogram: ~n/8 rows per bucket, quantile cuts
       graft.operators.Ops.equiHeightHistogram(
@@ -234,6 +245,17 @@ object Aggregates extends graft.QueryArea {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(median(l_extendedprice), 4) AS med
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_weighted_percentile" ->
+      """WITH c AS (
+        |  SELECT l_linestatus, l_extendedprice AS v,
+        |    sum(l_quantity) OVER (PARTITION BY l_linestatus ORDER BY l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(l_quantity) OVER (PARTITION BY l_linestatus) AS tw
+        |  FROM lineitem)
+        |SELECT l_linestatus,
+        |  round(min(CASE WHEN cw >= 0.5 * tw THEN v END), 4) AS wp50,
+        |  round(min(CASE WHEN cw >= 0.9 * tw THEN v END), 4) AS wp90
+        |FROM c GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "histogram_equi_height" -> {
       val terms = (1 to 7).map(k => s"(CASE WHEN v > q[$k] THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH c AS (

@@ -124,6 +124,27 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("weightedQuantiles equals naive weighted inverse-CDF on arbitrary data") {
+    check(forAll(Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(0, 2), Gen.choose(-100, 100), Gen.choose(1, 9)))) { triples =>
+      val df = triples.toDF("g", "v", "w").repartition(3)
+      val got = graft.operators.ExactPercentile.weightedQuantiles(
+        df, Seq("g"), "v", "w", Seq("q25" -> 0.25, "q75" -> 0.75), buckets = 8)
+        .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      def naive(vs: Seq[(Int, Int)], p: Double): Double = {
+        val sorted = vs.sortBy(_._1)
+        val total = sorted.map(_._2).sum.toDouble
+        var cum = 0.0
+        sorted.find { case (_, w) => cum += w; cum >= p * total }.get._1.toDouble
+      }
+      Prop.all(triples.groupBy(_._1).map { case (g, ts) =>
+        val vs = ts.map(t => (t._2, t._3))
+        val want = (naive(vs, 0.25), naive(vs, 0.75))
+        Prop(got(g) == want) :| s"g=$g got=${got(g)} want=$want"
+      }.toSeq: _*)
+    })
+  }
+
   test("ExactPercentile equals builtin percentile on arbitrary grouped data") {
     check(forAll(Gen.listOfN(300, Gen.zip(Gen.choose(0, 3), Gen.choose(-10000, 10000)))) { pairs =>
       if (pairs.isEmpty) Prop.passed
