@@ -132,7 +132,8 @@ object ExactPercentile {
     * histogram, re-scan only those buckets, and resolve the exact
     * value with a window over the bucket-local candidates
     * (≈N/buckets rows per group). Weights must be non-negative;
-    * null-weight rows are ignored. */
+    * null-weight rows are ignored; a group whose weights are all
+    * zero has no defined quantile and is absent from the output. */
   def weightedQuantiles(
       df: DataFrame,
       keys: Seq[String],
