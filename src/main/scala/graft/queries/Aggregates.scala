@@ -273,7 +273,7 @@ object Aggregates extends graft.QueryArea {
         |  FROM b JOIN pb ON b.bucket = pb.bucket AND b.v = pb.hi
         |  GROUP BY b.bucket)
         |SELECT pb.bucket, round(lo, 4) AS lower, round(hi, 4) AS upper, cnt,
-        |  sum(cnt) OVER (ORDER BY pb.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_count,
+        |  CAST(sum(cnt) OVER (ORDER BY pb.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_count,
         |  upper_repeats
         |FROM pb JOIN rep ON pb.bucket = rep.bucket
         |ORDER BY pb.bucket""".stripMargin

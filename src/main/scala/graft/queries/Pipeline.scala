@@ -308,7 +308,7 @@ object Pipeline extends graft.QueryArea {
         |      ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
         |    END AS codes
         |  FROM q)
-        |SELECT vec_id, list_sum(codes) AS code_sum, round(scale, 8) AS scale,
+        |SELECT vec_id, CAST(list_sum(codes) AS BIGINT) AS code_sum, round(scale, 8) AS scale,
         |  round(list_max(list_transform(list_zip(codes, embedding),
         |    z -> abs(CAST(z[1] AS DOUBLE) * scale - CAST(z[2] AS DOUBLE)))), 6) AS max_err
         |FROM c ORDER BY vec_id""".stripMargin,
@@ -351,7 +351,7 @@ object Pipeline extends graft.QueryArea {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id
         |  FROM chunks)
         |SELECT lang, count(DISTINCT seq_id) AS n_sequences,
-        |  count(*) AS n_chunks, sum(n_tokens) AS total_tokens
+        |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM packed GROUP BY lang ORDER BY lang""".stripMargin,
     "chunk_documents" ->
       """WITH toks AS (
@@ -385,8 +385,9 @@ object Pipeline extends graft.QueryArea {
         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id
         |  FROM chunks)
-        |SELECT lang, seq_id, count(*) AS n_chunks, sum(n_tokens) AS total_tokens
-        |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_chunks,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM packed GROUP BY seq_id, lang ORDER BY lang, seq_id""".stripMargin,
     "dedup_cluster_reps" ->
       """SELECT doc_id AS id, doc_id - (doc_id % 5) AS comp
         |FROM documents WHERE doc_id < 1000 ORDER BY id""".stripMargin,

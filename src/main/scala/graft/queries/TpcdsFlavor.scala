@@ -139,9 +139,9 @@ object TpcdsFlavor extends graft.QueryArea {
         |rail AS (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'N')
         |SELECT
-        |  SUM(CASE WHEN a.l_partkey IS NOT NULL AND r.l_partkey IS NULL THEN 1 ELSE 0 END) AS air_only,
-        |  SUM(CASE WHEN a.l_partkey IS NULL AND r.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS rail_only,
-        |  SUM(CASE WHEN a.l_partkey IS NOT NULL AND r.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS both_ch
+        |  CAST(SUM(CASE WHEN a.l_partkey IS NOT NULL AND r.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS air_only,
+        |  CAST(SUM(CASE WHEN a.l_partkey IS NULL AND r.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rail_only,
+        |  CAST(SUM(CASE WHEN a.l_partkey IS NOT NULL AND r.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_ch
         |FROM air a FULL OUTER JOIN rail r
         |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)
 }

@@ -67,10 +67,20 @@ def compare(a, b):
                 avn = av.astype(float).to_numpy()
                 bvn = bv.astype(float).to_numpy()
                 both_nan = np.isnan(avn) & np.isnan(bvn)
-                close = np.isclose(avn, bvn, rtol=1e-9, atol=1e-12, equal_nan=True)
-                if not np.all(close | both_nan):
-                    i = int(np.argmin(close))
-                    return f"VALUE_MISMATCH col={c} row={i} spark={avn[i]} duck={bvn[i]}"
+                # The driver's gate hashes exact stringified values, so a
+                # 1-ulp float difference FAILS there. Mirror that: exact
+                # bit equality required; isclose only softens the message.
+                exact = (avn == bvn) | both_nan
+                if not np.all(exact):
+                    close = np.isclose(avn, bvn, rtol=1e-9, atol=1e-12, equal_nan=True)
+                    i = int(np.argmin(exact))
+                    kind = "CLOSE_NOT_EXACT(hash risk)" if np.all(close | both_nan) else "VALUE_MISMATCH"
+                    return f"{kind} col={c} row={i} spark={avn[i]!r} duck={bvn[i]!r}"
+                # dtype mismatch (e.g. DuckDB HUGEINT→float64 vs Spark int64)
+                # stringifies differently ("123.0" vs "123") → driver hash fail
+                if av.dtype.kind != bv.dtype.kind:
+                    return (f"DTYPE_MISMATCH(hash risk) col={c} "
+                            f"spark={av.dtype} duck={bv.dtype}")
             else:
                 # normalize nulls (None/NaT/NaN stringify differently)
                 av = av.map(lambda v: "<NULL>" if v is None or (isinstance(v, float) and np.isnan(v)) or str(v) in ("NaT", "nan") else str(v))
