@@ -128,7 +128,10 @@ case class WindowFunnelAgg(
     var firstEvent = false
     for ((ts, level) <- sorted) {
       if (level == 0) {
-        start(0) = ts; last(0) = ts
+        // window_funnel.h leaves last_timestamp[0] = -1 here (only
+        // promote_to_next_level sets last), so with the increase bit a
+        // step-1 event at the SAME timestamp as step 0 still promotes.
+        start(0) = ts
         if (cur < 0) cur = 0
         firstEvent = true
       } else if ((m & 1) != 0 && start(level) >= 0) {

@@ -49,9 +49,15 @@ object Colocate {
     require(salt > 1, "salt must be > 1")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted join supports inner/left_outer, got $joinType")
-    // deterministic salt: spread rows of one key across `salt` buckets
+    require(!fact.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "input already has a __salt column")
+    // Row-local salt: a whole-row hash would send exact-duplicate rows of
+    // a hot key to ONE bucket (skew persists on duplicate-heavy data) and
+    // fails analysis on unhashable columns (maps).
+    // monotonically_increasing_id is partition-local state — stable within
+    // the job, which is all the join needs; not reproducible across runs.
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

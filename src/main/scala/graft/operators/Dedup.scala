@@ -129,7 +129,14 @@ object Dedup {
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands)
-    val sh = df.select(col(idCol).as("__vid"), wordShingles(col(textCol), shingleSize).as("__sh"))
+    // Verify needs shingles only for ids that appear in a candidate pair
+    // (a small fraction of the corpus); semi-join prune BEFORE the
+    // shingle computation so the interpreted HOF chain runs over
+    // candidates, not the whole corpus — and not once per join branch.
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val sh = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__vid"), wordShingles(col(textCol), shingleSize).as("__sh"))
     val verified = pairs
       .join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))
@@ -242,16 +249,21 @@ object Dedup {
     * by the pair emitters, so "keep one per pair" under-deletes — the
     * pipeline needs one representative per CLUSTER.
     *
-    * Algorithm: iterative min-label propagation (each round every
-    * node takes the min label among itself and its neighbors — the
-    * standard MapReduce CC, same family as large/small-star). One
-    * join + one aggregation shuffle per round; rounds = graph
-    * diameter. Near-dup graphs are dense clique-ish clusters, so
-    * 2-3 rounds typical; maxIter caps adversarial chains.
+    * Algorithm: min-label propagation with pointer doubling. Each
+    * round every node takes the min label among itself and its
+    * neighbors (the standard MapReduce CC), then labels are jumped
+    * through themselves (comp ← label(comp)) — the large-star/
+    * small-star-style shortcut that collapses a chain of length L in
+    * O(log L) rounds instead of L. Two joins + one aggregation
+    * shuffle per round; near-dup graphs are dense clique-ish
+    * clusters, so 2-3 rounds typical, and maxIter=20 covers
+    * diameters up to ~2^20 even on adversarial chains.
     * localCheckpoint truncates the per-round lineage so the plan
     * doesn't grow with iterations. The per-round `count` is a
     * convergence ACTION on aggregated counts, not a driver-side
-    * collect of data rows.
+    * collect of data rows. Throws if maxIter is exhausted before
+    * convergence — unconverged labels would silently under-delete
+    * duplicates downstream.
     */
   def connectedComponents(
       edges: DataFrame, src: String, dst: String, maxIter: Int = 20): DataFrame = {
@@ -264,14 +276,23 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "s"), "s")
         .groupBy(col("d").as("id")).agg(min("comp").as("nbrComp"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
+      val viaNbr = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+      // pointer doubling: follow the label pointer one hop (every label
+      // is itself a node id, so label(comp) always exists)
+      val stepped = viaNbr
+        .join(viaNbr.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"))
+        .select(col("id"), col("old"), least(col("comp"), col("comp2")).as("comp"))
         .localCheckpoint(true)
       changed = stepped.filter(col("comp") < col("old")).count()
       labels = stepped.select("id", "comp")
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(still-shrinking labels would yield split components and under-deletion); " +
+        "raise maxIter")
     labels
   }
 

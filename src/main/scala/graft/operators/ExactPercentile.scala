@@ -183,10 +183,16 @@ object ExactPercentile {
     val wIn = Window.partitionBy(kCols :+ col("__b"): _*)
       .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
     val cumVals = cands.withColumn("__cw", sum(col("__w")).over(wIn))
+    // __cw re-sums weights in sorted-value order while __cumEnd came from
+    // aggregation-order sums; with float weights the bucket-local total
+    // can land an ulp below (__thr − __cumStart) when thr ≈ cumEnd and no
+    // row would match. Fall back to the bucket's max value in that case —
+    // by construction of the target bucket the answer lies inside it.
     val resolved = cumVals.join(broadcast(targetBuckets), keys :+ "__b")
-      .filter(col("__cw") >= col("__thr") - col("__cumStart"))
       .groupBy(kCols :+ col("__pname"): _*)
-      .agg(min(col("__v")).as("__pv"))
+      .agg(coalesce(
+        min(when(col("__cw") >= col("__thr") - col("__cumStart"), col("__v"))),
+        max(col("__v"))).as("__pv"))
 
     val pivoted = resolved.groupBy(kCols: _*)
       .pivot("__pname", ps.map(_._1))

@@ -124,6 +124,14 @@ object MaterializedViews {
     val removed = (previous.keySet -- current.keySet).toSeq.sorted
 
     if (stale.nonEmpty) {
+      // Dynamic partition overwrite only rewrites partitions PRESENT in
+      // the output: a stale partition whose recompute now yields zero MV
+      // rows would keep its old files while the manifest marks it fresh.
+      // Drop every stale partition's MV directory first (mirrors the
+      // `removed` handling below); the write then recreates the live ones.
+      stale.foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$mvPath/$partCol=$p"), true)
+      }
       val src = spark.read.parquet(basePath)
         .where(col(partCol).cast("string").isin(stale: _*))
       val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

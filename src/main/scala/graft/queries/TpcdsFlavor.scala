@@ -19,6 +19,17 @@ import util._
   *  - correlated "above 1.2x the group average" filter (Q1/Q30)
   *  - FULL OUTER channel overlap with COALESCE'd keys (Q97)
   *
+  * Tranche 2 (round 3) adds the remaining distinguishing mechanics:
+  *  - moving-window average deviation (Q47/Q57 v_shift pattern)
+  *  - cohort count-banding with HAVING + join-back (Q34/Q73)
+  *  - sales-minus-returns netting over a FULL OUTER branch pair (Q80)
+  *  - cumulative-sum crossover between two channels (Q51)
+  *  - single-row multi-band conditional counts (Q88)
+  *  - date-boundary before/after split counts (Q21)
+  *  - line-level returned-item repricing via self left join (Q93)
+  *  - channel UNION ALL under GROUPING SETS with COALESCE'd
+  *    presentation totals (Q5/Q77)
+  *
   * Scale shape: every query is fact-side single-shuffle per agg;
   * UNION ALL branches share the scan via Spark's plan reuse;
   * rollup's Expand doubles rows map-side only (no extra shuffle);
@@ -26,7 +37,134 @@ import util._
   */
 object TpcdsFlavor extends graft.QueryArea {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Tranche-2 SQL is dialect-shared: the same text runs on Spark and
+  // DuckDB, so each string is defined once and referenced from both
+  // `queries` and `oracles`. Money sums go through DECIMAL(18,6) on
+  // both sides (order-independent, bit-stable hash compare).
+
+  // Q47/Q57: monthly metric vs its 3-month centered moving average
+  private val movingDevSql =
+    """WITH m AS (
+      |  SELECT o_orderpriority AS pri, date_trunc('month', o_orderdate) AS mon,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (
+      |  SELECT pri, mon, rev,
+      |    avg(rev) OVER (PARTITION BY pri ORDER BY mon
+      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS avg3
+      |  FROM m)
+      |SELECT pri, CAST(CAST(mon AS DATE) AS STRING) AS mon, round(rev, 2) AS rev, round(avg3, 2) AS avg3
+      |FROM w WHERE rev > 1.1 * avg3
+      |ORDER BY pri, mon""".stripMargin
+
+  // Q34/Q73: order-count band per customer in one year, joined back
+  private val cohortBandSql =
+    """WITH b AS (
+      |  SELECT o_custkey, COUNT(*) AS cnt
+      |  FROM orders WHERE year(o_orderdate) = 1995
+      |  GROUP BY o_custkey HAVING COUNT(*) BETWEEN 3 AND 7)
+      |SELECT c.c_custkey, c.c_name, CAST(b.cnt AS BIGINT) AS cnt
+      |FROM b JOIN customer c ON c.c_custkey = b.o_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+
+  // Q80: per-brand gross vs returned revenue netted over FULL OUTER
+  private val returnsNetSql =
+    """WITH sales AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS gross
+      |  FROM lineitem GROUP BY l_partkey),
+      |ret AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS returned
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
+      |SELECT p_brand,
+      |  round(CAST(SUM(coalesce(gross, 0)) AS DOUBLE), 2) AS gross,
+      |  round(CAST(SUM(coalesce(returned, 0)) AS DOUBLE), 2) AS returned,
+      |  round(CAST(SUM(coalesce(gross, 0)) - SUM(coalesce(returned, 0)) AS DOUBLE), 2) AS net
+      |FROM sales FULL OUTER JOIN ret USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // Q51: month where one channel's cumulative revenue overtakes the other
+  private val cumeCrossoverSql =
+    """WITH a AS (
+      |  SELECT date_trunc('month', l_shipdate) AS mon,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      |n AS (
+      |  SELECT date_trunc('month', l_shipdate) AS mon,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(a.mon, n.mon) AS mon, a.rev AS arev, n.rev AS nrev
+      |  FROM a FULL OUTER JOIN n ON a.mon = n.mon),
+      |c AS (
+      |  SELECT mon,
+      |    CAST(SUM(coalesce(arev, 0)) OVER (ORDER BY mon) AS DOUBLE) AS cum_a,
+      |    CAST(SUM(coalesce(nrev, 0)) OVER (ORDER BY mon) AS DOUBLE) AS cum_n
+      |  FROM j)
+      |SELECT CAST(CAST(mon AS DATE) AS STRING) AS mon, round(cum_a, 2) AS cum_a, round(cum_n, 2) AS cum_n
+      |FROM c WHERE cum_a > cum_n ORDER BY mon""".stripMargin
+
+  // Q88: one row of conditional counts across hour bands
+  private val hourBandsSql =
+    """SELECT
+      |  CAST(SUM(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS h0_5,
+      |  CAST(SUM(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS h6_11,
+      |  CAST(SUM(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS BIGINT) AS h12_17,
+      |  CAST(SUM(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN 1 ELSE 0 END) AS BIGINT) AS h18_23
+      |FROM events WHERE value > 10""".stripMargin
+
+  // Q21: suppliers with lines on both sides of a date boundary
+  private val dateSplitSql =
+    """SELECT * FROM (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' THEN 1 ELSE 0 END) AS BIGINT) AS before_n,
+      |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-06-01' THEN 1 ELSE 0 END) AS BIGINT) AS after_n
+      |  FROM lineitem GROUP BY l_suppkey)
+      |WHERE before_n > 0 AND after_n > 0
+      |ORDER BY l_suppkey""".stripMargin
+
+  // Q93: effective revenue after repricing returned lines (self join on
+  // the returns branch by (orderkey, linenumber))
+  private val selfRepriceSql =
+    """WITH r AS (
+      |  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT s.l_orderkey,
+      |  round(CAST(SUM(CAST(CASE WHEN r.l_linenumber IS NOT NULL
+      |      THEN s.l_extendedprice * (1 - s.l_discount) * 0.5
+      |      ELSE s.l_extendedprice * (1 - s.l_discount) END AS DECIMAL(18,6))) AS DOUBLE), 2) AS eff_rev
+      |FROM lineitem s LEFT JOIN r
+      |  ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+      |GROUP BY s.l_orderkey
+      |ORDER BY eff_rev DESC, s.l_orderkey LIMIT 20""".stripMargin
+
+  // Q5/Q77: channels unioned, GROUPING SETS with COALESCE'd totals
+  private val channelSetsSql =
+    """WITH ch AS (
+      |  SELECT 'air' AS channel, p_brand, CAST(l_extendedprice AS DECIMAL(18,6)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'A'
+      |  UNION ALL
+      |  SELECT 'rail' AS channel, p_brand, CAST(l_extendedprice AS DECIMAL(18,6)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'N')
+      |SELECT coalesce(channel, 'ALL') AS channel, coalesce(p_brand, 'ALL') AS brand,
+      |  round(CAST(SUM(rev) AS DOUBLE), 2) AS rev
+      |FROM ch GROUP BY GROUPING SETS ((channel, p_brand), (channel), ())
+      |ORDER BY channel, brand""".stripMargin
+
+  private val tranche2: Map[String, String] = Map(
+    "tpcds_moving_dev" -> movingDevSql,
+    "tpcds_cohort_band" -> cohortBandSql,
+    "tpcds_returns_net" -> returnsNetSql,
+    "tpcds_cume_crossover" -> cumeCrossoverSql,
+    "tpcds_hour_bands" -> hourBandsSql,
+    "tpcds_date_split" -> dateSplitSql,
+    "tpcds_self_reprice" -> selfRepriceSql,
+    "tpcds_channel_sets" -> channelSetsSql)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    tranche2.map { case (name, sql) =>
+      name -> ((spark: SparkSession, dir: String) => sqlq(spark, dir)(sql))
+    } ++ Map(
     // Q27/Q36: rollup with grouping-level indicator + rank inside level
     "tpcds_rollup_rank" -> ((spark, dir) => sqlq(spark, dir)(
       """WITH agg AS (
@@ -90,7 +228,7 @@ object TpcdsFlavor extends graft.QueryArea {
         |FROM air a FULL OUTER JOIN rail r
         |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)))
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = tranche2 ++ Map(
     "tpcds_rollup_rank" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,

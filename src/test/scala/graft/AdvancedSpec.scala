@@ -112,6 +112,29 @@ class AdvancedSpec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mvDir/rev_by_year/o_year=$untouched")))
   }
 
+  test("PCT refresh clears a stale partition whose recompute yields zero MV rows") {
+    val basePath = tmp(); val mvDir = tmp()
+    Seq((1, 10.0, "a"), (1, 20.0, "b"), (2, 30.0, "c")).toDF("y", "v", "tag")
+      .write.partitionBy("y").parquet(s"$basePath/t")
+    val mv = MaterializedViews.MvDef("small_v", d =>
+      d.filter($"v" < 100).groupBy($"y").agg(sum($"v").as("sv")))
+    MaterializedViews.refreshPartitioned(spark, s"$basePath/t", "y", mv, mvDir)
+    assert(MaterializedViews.read(spark, mvDir, "small_v")
+      .where($"y" === 2).count() === 1)
+
+    // overwrite base partition y=2 with rows the define filters out
+    // entirely: dynamic partition overwrite alone would leave the old
+    // MV files in place while the manifest records the partition fresh
+    Seq((500.0, "d")).toDF("v", "tag")
+      .write.mode("overwrite").parquet(s"$basePath/t/y=2")
+    val r = MaterializedViews.refreshPartitioned(spark, s"$basePath/t", "y", mv, mvDir)
+    assert(r.refreshed === Seq("2"), s"$r")
+    val after = MaterializedViews.read(spark, mvDir, "small_v")
+    assert(after.where($"y" === 2).count() === 0,
+      "stale partition with empty recompute must disappear from the MV")
+    assert(after.where($"y" === 1).count() === 1, "sibling partition untouched")
+  }
+
   test("ai_query output is independent of batch size and covers every row") {
     val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
     val r1 = AiQuery.aiQuery(docs, "text", batchSize = 1)

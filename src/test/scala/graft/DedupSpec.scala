@@ -123,6 +123,17 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents converges on a 300-long chain within default maxIter") {
+    // diameter 299 ≫ maxIter 20: plain min-label propagation would exit
+    // unconverged (and now throws); pointer doubling must close it in
+    // O(log n) rounds with every node labeled 0
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 300)
+    assert(got.values.forall(_ === 0L), "chain must collapse to one component rooted at 0")
+  }
+
   test("chunk: overlap reconstruction, short and empty documents") {
     import graft.operators.TextAnalysis
     val docs = Seq(
