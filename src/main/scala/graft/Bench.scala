@@ -76,11 +76,13 @@ object Bench {
       results.collect { case (k, v) if k.startsWith(prefix) && v >= 0 => v }.sum
     val ssb = flightTotal("ssb_")
     val cb = flightTotal("cb_")
+    val tpcds = flightTotal("tpcds_")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val other = total - ssb - cb -
+    val other = total - ssb - cb - tpcds -
       results.collect { case (tpchKey(_), v) if v >= 0 => v }.sum
     val qs = jline(headline ++ Seq(
-      "ssb_total" -> r3(ssb), "cb_total" -> r3(cb), "other_total" -> r3(other)))
+      "ssb_total" -> r3(ssb), "cb_total" -> r3(cb),
+      "tpcds_total" -> r3(tpcds), "other_total" -> r3(other)))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }

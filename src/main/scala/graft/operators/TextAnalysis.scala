@@ -144,6 +144,97 @@ object TextAnalysis {
     df.withColumn("split", label)
   }
 
+  /** PII patterns, RE2-safe (no backreferences/lookaround) so the
+    * DuckDB oracle can run the SAME pattern text verbatim. Order of
+    * scrubbing: email first (contains dots/digits), then phone, then
+    * IPv4 — the three patterns cannot match inside each other's
+    * replacements. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact common PII (emails, NANP-style phone numbers, IPv4
+    * addresses) with typed placeholders — the standard scrub step
+    * before corpus release. Scan-side chained regexp_replace: codegen,
+    * no shuffle, no UDF. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "[EMAIL]"),
+        piiPhoneRe, "[PHONE]"),
+      piiIpRe, "[IP]")
+
+  /** Per-document bigram repetition metrics (the Gopher/C4 family of
+    * duplicated-n-gram filters): total bigrams, the most frequent
+    * bigram's count, and the duplicated-bigram fraction
+    * (1 − distinct/total).
+    *
+    * Shape: explode bigrams → count per (doc, bigram) → per-doc
+    * aggregate. Both aggregations combine map-side; the shuffle is
+    * keyed by doc id — scan-bounded at 100 TB like the chunker.
+    * Documents with < 2 words have no bigrams and are absent (callers
+    * left-join and coalesce to zero). */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      filter(words(lower(col(textCol))), w => w =!= "").as("__t"))
+    val bi = toks.select(col(idCol),
+      explode(filter(zip_with(col("__t"),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)).as("__bg"))
+    val perBg = bi.groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+    perBg.groupBy(col(idCol)).agg(
+      sum("__c").as("n_bigrams"),
+      max("__c").as("max_bigram_n"),
+      (lit(1.0) - count(lit(1)).cast("double") / sum("__c").cast("double"))
+        .as("dup_bigram_frac"))
+  }
+
+  /** Gopher-style quality gate: per-document word count, mean word
+    * length, stopword fraction and bigram repetition, combined into a
+    * boolean `keep` under published-heuristic-shaped thresholds. The
+    * scalar metrics are scan-side; repetition joins the (doc-keyed)
+    * aggregate back — one shuffle total. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sw = array(stopwords("en").map(lit): _*)
+    val base = df.select(col(idCol),
+        filter(words(col(textCol)), x => x =!= "").as("__w"), col(textCol))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("stop_frac",
+        size(filter(col("__w"), x => array_contains(sw, lower(x)))).cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"))
+    base.join(repetitionMetrics(df, idCol, textCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("mean_word_len"), col("stop_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("max_bigram_n"), lit(0L)).as("max_bigram_n"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("n_words") >= 5 && col("mean_word_len").between(2.0, 12.0) &&
+          col("stop_frac") >= 0.01 && col("dup_bigram_frac") <= 0.6)
+  }
+
+  /** Deterministic stratified sampling for corpus mixing: each stratum
+    * keeps rows whose stable id-hash falls under its rate — the
+    * "2 epochs of wiki, 0.3 of crawl" mixing step, reproducible across
+    * runs and stable under corpus growth (same properties as
+    * [[assignSplit]]). Adds a boolean `sampled` column; scan-side, no
+    * shuffle. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      hashCol: Option[Column] = None): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val buckets = 1000000L
+    val h = hashCol.getOrElse(pmod(xxhash64(col(idCol)), lit(buckets)))
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * buckets).toLong)) {
+      case (alt, (s, r)) =>
+        when(col(strataCol) === s, lit((r * buckets).toLong)).otherwise(alt)
+    }
+    df.withColumn("sampled", h < thr)
+  }
+
   /** Capacity-quantized sequence packing: assign ordered chunks to
     * training sequences of ~maxTokens by bucketing the running token
     * total — seq_id = ⌊exclusive-cumsum / maxTokens⌋ over a

@@ -213,6 +213,47 @@ object Pipeline extends graft.QueryArea {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
     }),
+    // PII scrub: documents carry no PII, so the gate plants synthetic
+    // email/IP/phone strings deterministically; the oracle replants and
+    // rescrubs with the SAME regex text (RE2-safe patterns)
+    "text_pii_scrub" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact alice@example.com now")))
+          .when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" server at 192.168.10.1 port")))
+          .when(col("doc_id") % 5 === 2,
+            concat(col("text"), lit(" call 555-867-5309 today")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+        regexp_count(col("text"), lit(TextAnalysis.piiEmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(TextAnalysis.piiPhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit(TextAnalysis.piiIpRe)).cast("long").as("n_ip"),
+        TextAnalysis.piiScrub(col("text")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+    // Gopher-style quality gate: scalar metrics + bigram repetition
+    "text_quality_gopher" -> ((spark, dir) => {
+      TextAnalysis.gopherQuality(t(spark, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("stop_frac"), 6).as("stop_frac"),
+          col("n_bigrams"), col("max_bigram_n"),
+          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+    // stratified corpus mixing: per-source keep rates off a stable hash
+    "corpus_sample_mix" -> ((spark, dir) => {
+      TextAnalysis.stratifiedSample(t(spark, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1,
+        hashCol = Some(pmod(col("doc_id") * 7919L, lit(1000000L))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
     "keys_primary_upsert" -> ((spark, dir) => {
       // simulate a PRIMARY KEY table: base orders (v1) + price updates
       // (v2) for odd keys + delete markers (v3) for keys % 100 == 0
@@ -425,6 +466,64 @@ object Pipeline extends graft.QueryArea {
         |    + list_sum(list_transform(tw, x -> CAST(greatest(ceil((length(x) - 6) / 6.0), 0) AS BIGINT)))
         |    AS BIGINT) AS n_tokens_bpe
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 5 = 0 THEN concat(text, ' contact alice@example.com now')
+        |    WHEN doc_id % 5 = 1 THEN concat(text, ' server at 192.168.10.1 port')
+        |    WHEN doc_id % 5 = 2 THEN concat(text, ' call 555-867-5309 today')
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.piiEmailRe}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.piiPhoneRe}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.piiIpRe}')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${TextAnalysis.piiEmailRe}', '[EMAIL]', 'g'),
+        |    '${TextAnalysis.piiPhoneRe}', '[PHONE]', 'g'),
+        |    '${TextAnalysis.piiIpRe}', '[IP]', 'g') AS scrubbed
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    "text_quality_gopher" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(lt) - 1),
+        |    i -> concat(lt[i], ' ', lt[i+1]))) AS bg
+        |  FROM w WHERE len(lt) >= 2),
+        |perbg AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+        |rep AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS max_bigram_n,
+        |    1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac
+        |  FROM perbg GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        |      / greatest(len(t), 1) AS mean_word_len,
+        |    CAST(len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.stopwords("en"))}, lower(x)))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS stop_frac
+        |  FROM w)
+        |SELECT b.doc_id, b.n_words,
+        |  round(b.mean_word_len, 6) AS mean_word_len,
+        |  round(b.stop_frac, 6) AS stop_frac,
+        |  coalesce(r.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(r.max_bigram_n, 0) AS max_bigram_n,
+        |  round(coalesce(r.dup_bigram_frac, 0.0), 6) AS dup_bigram_frac,
+        |  (b.n_words >= 5 AND b.mean_word_len BETWEEN 2.0 AND 12.0
+        |    AND b.stop_frac >= 0.01 AND coalesce(r.dup_bigram_frac, 0.0) <= 0.6) AS keep
+        |FROM base b LEFT JOIN rep r USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    "corpus_sample_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN (doc_id * 7919) % 1000000 <
+        |    CASE source WHEN 'src0' THEN 800000 WHEN 'src1' THEN 500000
+        |      WHEN 'src2' THEN 250000 ELSE 100000 END
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "keys_primary_upsert" ->
       """WITH versions AS (
         |  SELECT o_orderkey, o_totalprice, 1 AS v, false AS del FROM orders

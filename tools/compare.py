@@ -76,9 +76,12 @@ def compare(a, b):
                     i = int(np.argmin(exact))
                     kind = "CLOSE_NOT_EXACT(hash risk)" if np.all(close | both_nan) else "VALUE_MISMATCH"
                     return f"{kind} col={c} row={i} spark={avn[i]!r} duck={bvn[i]!r}"
-                # dtype mismatch (e.g. DuckDB HUGEINT→float64 vs Spark int64)
-                # stringifies differently ("123.0" vs "123") → driver hash fail
-                if av.dtype.kind != bv.dtype.kind:
+                # int-vs-float dtype mismatch (e.g. DuckDB HUGEINT→float64 vs
+                # Spark int64) stringifies the same number differently
+                # ("123.0" vs "123") → driver hash fail. All-null columns are
+                # fine: the driver normalizes None/NaN together (r02 evidence).
+                if {av.dtype.kind, bv.dtype.kind} & {'i', 'u'} and \
+                        av.dtype.kind != bv.dtype.kind and not np.all(both_nan):
                     return (f"DTYPE_MISMATCH(hash risk) col={c} "
                             f"spark={av.dtype} duck={bv.dtype}")
             else:
