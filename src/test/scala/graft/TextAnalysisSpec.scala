@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("piiScrub redacts emails, phones and IPv4 with typed placeholders") {
+    val rows = Seq(
+      (1L, "write to alice.smith+tag@sub.example.co.uk today"),
+      (2L, "host 10.0.0.1 and 255.255.255.255 respond"),
+      (3L, "dial 555-867-5309 or 555-000-1111"),
+      (4L, "mixed bob@x.io at 192.168.1.1 call 123-456-7890"),
+      (5L, "clean text with no secrets"),
+      (6L, "not-an-ip 1.2.3 and version 1.2.3.4.5 edge")
+    ).toDF("id", "t")
+    val out = rows.select($"id", TextAnalysis.piiScrub($"t").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "write to [EMAIL] today")
+    assert(out(2L) === "host [IP] and [IP] respond")
+    assert(out(3L) === "dial [PHONE] or [PHONE]")
+    assert(out(4L) === "mixed [EMAIL] at [IP] call [PHONE]")
+    assert(out(5L) === "clean text with no secrets")
+    // 1.2.3 is not an IPv4; 1.2.3.4.5 contains a 4-octet window that the
+    // word-boundary pattern matches up to the 4th octet — documented
+    // greedy behavior, never leaks a full address
+    assert(!out(6L).contains("1.2.3.4"))
+  }
+
+  test("repetitionMetrics counts bigrams and duplicated-bigram fraction") {
+    val rows = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "x y z"),         // 2 distinct of 2
+      (3L, "solo"),          // no bigrams → absent
+      (4L, "")               // no words → absent
+    ).toDF("id", "t")
+    val m = TextAnalysis.repetitionMetrics(rows, "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L)._1 === 5L)
+    assert(m(1L)._2 === 3L) // "a b" appears 3 times
+    assert(math.abs(m(1L)._3 - (1.0 - 2.0 / 5.0)) < 1e-12)
+    assert(m(2L) === ((2L, 1L, 0.0)))
+    assert(!m.contains(3L) && !m.contains(4L))
+  }
+
+  test("gopherQuality keep flag reflects thresholds; degenerate docs kept out") {
+    val good = (1 to 60).map(i => s"w$i the of and").mkString(" ") // stopwords present, varied
+    val repetitive = Seq.fill(100)("spam eggs").mkString(" ")      // dup_bigram_frac ≈ 1
+    val tiny = "too short"
+    val rows = Seq((1L, good), (2L, repetitive), (3L, tiny)).toDF("id", "t")
+    val out = TextAnalysis.gopherQuality(rows, "id", "t")
+      .select($"id", $"keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L), "varied doc with stopwords must be kept")
+    assert(!out(2L), "high bigram repetition must be filtered")
+    assert(!out(3L), "sub-minimum word count must be filtered")
+  }
+
+  test("stratifiedSample: deterministic, per-stratum rates, stable under reorder") {
+    val docs = table("documents").select($"doc_id", $"source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val out = TextAnalysis.stratifiedSample(docs, "source", "doc_id", rates, defaultRate = 0.5)
+    val bySource = out.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum(when($"sampled", 1L).otherwise(0L)).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m = bySource.map { case (s, n, k) => s -> ((n, k)) }.toMap
+    assert(m("src0")._1 === m("src0")._2, "rate 1.0 keeps everything")
+    assert(m("src1")._2 === 0L, "rate 0.0 keeps nothing")
+    // default-rate strata land near 50% (stable hash, not exact)
+    val (dn, dk) = m.collect { case (s, (n, k)) if s != "src0" && s != "src1" => (n, k) }
+      .foldLeft((0L, 0L)) { case ((an, ak), (n, k)) => (an + n, ak + k) }
+    assert(dk > dn * 0.3 && dk < dn * 0.7, s"default-rate kept $dk of $dn")
+    // determinism: same input (reordered) → identical sampled ids
+    val again = TextAnalysis.stratifiedSample(
+      docs.orderBy($"doc_id".desc), "source", "doc_id", rates, defaultRate = 0.5)
+    val a = out.filter($"sampled").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = again.filter($"sampled").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+}
