@@ -28,4 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.showConsoleProgress=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Hundreds of distinct whole-stage-codegen'd plans in one JVM (Bench,
+  // Verify, the full test suite) overflow the default ~240 MB JIT code
+  // cache; once full the JIT disables itself and everything afterwards
+  // runs interpreted, 10-50x slower (observed as progressive slowdown
+  // through a 223-query bench). Size it for the workload + allow
+  // flushing cold compiled methods.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -327,4 +327,30 @@ class PlanSpec extends SparkSuite {
       s"filter not pushed into jdbc scan:\n$plan")
     assert(ext.rdd.getNumPartitions === 4, "range split did not produce 4 parallel reads")
   }
+
+  test("piiScrub is a scan-side projection inside whole-stage codegen") {
+    val df = table("documents").select($"doc_id",
+      graft.operators.TextAnalysis.piiScrub($"text").as("s"))
+    val plan = finalPlanOf(df)
+    assert(!plan.contains("Exchange"), s"pii scrub must not shuffle:\n$plan")
+    assert(plan.contains("*("), "pii scrub projection fell out of codegen")
+  }
+
+  test("gopher repetition metrics aggregate with map-side partials, one doc-keyed shuffle chain") {
+    val df = graft.operators.TextAnalysis.repetitionMetrics(
+      table("documents"), "doc_id", "text")
+    val plan = planOf(df)
+    assert(plan.contains("partial_"), "bigram counts lack map-side partial aggregation")
+    // no join, no window, no cartesian anywhere in the metric pipeline
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"unexpected join in repetition metrics:\n$plan")
+  }
+
+  test("stratifiedSample adds no shuffle and no join") {
+    val df = graft.operators.TextAnalysis.stratifiedSample(
+      table("documents"), "source", "doc_id", Map("src0" -> 0.5), 0.1)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"sampling must stay scan-side:\n$plan")
+  }
 }
