@@ -26,6 +26,19 @@ object Reports extends graft.QueryArea {
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
         |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS filled_rev
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin)),
+    // UNPIVOT: wide per-status counts back to (priority, status, n)
+    // rows — Spark stack() generator; oracle recomputes via UNION ALL
+    "rpt_unpivot" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n FROM w
+        |LATERAL VIEW stack(3, 'open', n_open, 'filled', n_filled, 'pending', n_pending)
+        |  AS status, n
+        |ORDER BY o_orderpriority, status""".stripMargin)),
     // share of total: window over the aggregate, not the fact
     "rpt_share_of_total" -> ((spark, dir) => sqlq(spark, dir)(
       """WITH seg AS (
@@ -78,6 +91,18 @@ object Reports extends graft.QueryArea {
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 
   def oracles: Map[String, String] = Map(
+    "rpt_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'open' AS status, n_open AS n FROM w
+        |  UNION ALL SELECT o_orderpriority, 'filled', n_filled FROM w
+        |  UNION ALL SELECT o_orderpriority, 'pending', n_pending FROM w)
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "rpt_pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,

@@ -21,6 +21,17 @@ import util._
 object Windows extends graft.QueryArea {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // nth_value over the full partition frame (window.h first/last kin)
+    "win_nth_value" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"),
+          round(nth_value(col("o_totalprice"), 3).over(w), 2).as("third_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
     // top-3 orders per customer — ranking window + filter (partition topn)
     "win_partition_topn" -> ((spark, dir) => {
       val o = t(spark, dir, "orders")
@@ -122,6 +133,14 @@ object Windows extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "win_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
+        |  round(nth_value(o_totalprice, 3) OVER w, 2) AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_partition_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -191,6 +191,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming PII scrub + quality filter equals the batch pipeline") {
+    // piiScrub and the scalar quality metrics are stateless Column
+    // work, so the release-gate (scrub → filter) runs unchanged over a
+    // stream — continuous corpus cleaning at ingest
+    import graft.operators.TextAnalysis
+    val dir = tmp()
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 200)
+      .withColumn("text", when($"doc_id" % 4 === 0,
+        concat($"text", lit(" leak bob@example.com now"))).otherwise($"text"))
+    docs.coalesce(1).write.parquet(s"$dir/stage")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stage"))
+      .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$dir/docs-$i.parquet"))
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stage"), true)
+
+    def clean(df: org.apache.spark.sql.DataFrame) = df.select(
+        $"doc_id", TextAnalysis.piiScrub($"text").as("text"))
+      .filter(TextAnalysis.qualityScore($"text") >= 0.3)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val sinkName = "scrubbed_" + System.nanoTime()
+    val q = clean(stream).writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table(sinkName).collect().map(_.toString).sorted
+    val batch = clean(docs).collect().map(_.toString).sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(!streamed.mkString.contains("bob@example.com"), "PII leaked through the stream")
+  }
+
   test("tolerant CSV load fails above max_filter_ratio") {
     val e = Tables.load(spark, sf, "events").limit(100)
       .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
