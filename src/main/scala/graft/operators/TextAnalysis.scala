@@ -215,6 +215,45 @@ object TextAnalysis {
           col("stop_frac") >= 0.01 && col("dup_bigram_frac") <= 0.6)
   }
 
+  /** Boilerplate-line removal (the CCNet/C4 cleanup step): split each
+    * document into lines, count per-line DOCUMENT frequency (distinct
+    * docs containing the normalized line), drop lines present in more
+    * than `maxDocFrac` of documents, reassemble preserving original
+    * line order. Headers, nav bars and subscribe-footers repeat across
+    * a crawl; real content doesn't.
+    *
+    * Shape: explode → one distinct-count aggregation keyed by line →
+    * broadcast-anti-join the (tiny) boilerplate set back onto the
+    * exploded lines → per-doc sort_array reassembly. The boilerplate
+    * table is at most #distinct lines above the threshold — KB-scale
+    * even on a 100 TB crawl. `totalDocs` runs one count job when not
+    * supplied (same class of scalar as AQE's stats collection).
+    *
+    * @param sepRegex regex that splits documents into lines
+    * @param sepOut   literal separator used to rejoin kept lines */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String, sepOut: String, maxDocFrac: Double = 0.05,
+      totalDocs: Option[Long] = None): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac < 1, "maxDocFrac must be in (0, 1)")
+    val nDocs = totalDocs.getOrElse(df.select(col(idCol)).count())
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
+    val boiler = lines
+      .groupBy(lower(trim(col("__line"))).as("__norm"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > lit(maxDocFrac * nDocs))
+      .select(col("__norm"))
+    val kept = lines.join(broadcast(boiler),
+        lower(trim(col("__line"))) === col("__norm"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), sepOut).as("clean_text"))
+    // a doc whose every line was boilerplate must survive as empty text
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Deterministic stratified sampling for corpus mixing: each stratum
     * keeps rows whose stable id-hash falls under its rate — the
     * "2 epochs of wiki, 0.3 of crawl" mixing step, reproducible across

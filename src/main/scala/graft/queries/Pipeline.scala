@@ -244,6 +244,19 @@ object Pipeline extends graft.QueryArea {
           col("keep"))
         .orderBy(col("doc_id"))
     }),
+    // boilerplate-line removal: ' ||| '-separated lines planted so
+    // 'INTRO' (100% of docs) and 'SUBSCRIBE NOW' (33%) exceed the 5%
+    // document-frequency threshold while each doc's real text survives
+    "text_strip_boilerplate" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("INTRO ||| "), col("text"), lit(" ||| SUBSCRIBE NOW")))
+          .otherwise(concat(lit("INTRO ||| "), col("text"))))
+      TextAnalysis.stripBoilerplate(planted, "doc_id", "text",
+          sepRegex = " \\|\\|\\| ", sepOut = " ||| ", maxDocFrac = 0.05)
+        .orderBy(col("doc_id"))
+    }),
     // stratified corpus mixing: per-source keep rates off a stable hash
     "corpus_sample_mix" -> ((spark, dir) => {
       TextAnalysis.stratifiedSample(t(spark, dir, "documents"), "source", "doc_id",
@@ -517,6 +530,25 @@ object Pipeline extends graft.QueryArea {
         |    AND b.stop_frac >= 0.01 AND coalesce(r.dup_bigram_frac, 0.0) <= 0.6) AS keep
         |FROM base b LEFT JOIN rep r USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    "text_strip_boilerplate" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN concat('INTRO ||| ', text, ' ||| SUBSCRIBE NOW')
+        |    ELSE concat('INTRO ||| ', text) END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ||| ')) AS line FROM planted),
+        |freq AS (
+        |  SELECT lower(trim(line)) AS norm, count(DISTINCT doc_id) AS df
+        |  FROM lines GROUP BY 1),
+        |boiler AS (
+        |  SELECT coalesce(list(norm), []) AS bl
+        |  FROM freq, (SELECT count(*) AS n FROM planted) t
+        |  WHERE df > 0.05 * n)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, ' ||| '),
+        |    x -> NOT list_contains(b.bl, lower(trim(x)))), ' ||| ') AS clean_text
+        |FROM planted, boiler b ORDER BY doc_id""".stripMargin,
     "corpus_sample_mix" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(SUM(CASE WHEN (doc_id * 7919) % 1000000 <

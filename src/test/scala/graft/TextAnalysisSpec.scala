@@ -56,6 +56,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out(3L), "sub-minimum word count must be filtered")
   }
 
+  test("stripBoilerplate drops high-doc-frequency lines, keeps order, keeps empty docs") {
+    val docs = (1L to 20L).map { i =>
+      val body = s"unique body $i"
+      // 'header' in all docs; 'footer' in half; doc 20 is ALL boilerplate
+      val t = if (i == 20L) "header ||| footer"
+      else if (i % 2 == 0) s"header ||| $body ||| footer"
+      else s"header ||| $body"
+      (i, t)
+    }.toDF("id", "t")
+    val out = TextAnalysis.stripBoilerplate(docs, "id", "t",
+        sepRegex = " \\|\\|\\| ", sepOut = " ||| ", maxDocFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 20, "every doc must survive, even if emptied")
+    assert(out(20L) === "", "all-boilerplate doc becomes empty, not dropped")
+    assert(out(3L) === "unique body 3")
+    assert(out(4L) === "unique body 4", "footer and header both exceed 30% doc frequency")
+    // below-threshold lines stay, in original order (2 docs so each
+    // distinct line's doc-frequency 1 is under the 0.99×2 threshold)
+    val rare = Seq((100L, "alpha ||| beta ||| gamma"), (101L, "delta"))
+      .toDF("id", "t")
+    val keepAll = TextAnalysis.stripBoilerplate(rare, "id", "t",
+        " \\|\\|\\| ", " ||| ", maxDocFrac = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keepAll(100L) === "alpha ||| beta ||| gamma")
+  }
+
   test("stratifiedSample: deterministic, per-stratum rates, stable under reorder") {
     val docs = table("documents").select($"doc_id", $"source")
     val rates = Map("src0" -> 1.0, "src1" -> 0.0)
