@@ -33,10 +33,22 @@ object Colocate {
   /** Salted equi-join for DELIBERATE skew: when one join key holds a
     * disproportionate share of the left (fact) side, a plain shuffle
     * sends the whole hot key to one reducer. Salting splits it
-    * `salt`-ways: the fact side gets a deterministic per-row salt
-    * (hash-derived, reproducible), the build side is replicated
-    * `salt`× — join key becomes (key, salt). The build side must be
-    * the small one (replication is salt×build).
+    * `salt`-ways: the fact side gets a row-local salt (round-robin
+    * within each scan partition — splits even exact-duplicate rows of
+    * a hot key, which a row-hash salt cannot), the build side is
+    * replicated `salt`× — join key becomes (key, salt). The build
+    * side must be the small one (replication is salt×build).
+    *
+    * The salt expression is nondeterministic (partition-local
+    * counter), so the salted side is localCheckpoint'ed before the
+    * join: a shuffle-fetch failure or executor loss then replays the
+    * materialized blocks instead of re-evaluating the salt with
+    * different values (the SPARK-23207 retry hazard: recomputed rows
+    * landing in different reduce partitions lose/duplicate rows).
+    * Cost: one extra materialization of the fact side — the same
+    * order as the join's own shuffle write, the price of planned
+    * skew-splitting being replay-safe on exactly the large jobs
+    * where retries happen.
     *
     * AQE's runtime skew split (asserted in PlanSpec) is the first
     * line of defense; explicit salting is the reference-style planned
@@ -54,10 +66,12 @@ object Colocate {
     // Row-local salt: a whole-row hash would send exact-duplicate rows of
     // a hot key to ONE bucket (skew persists on duplicate-heavy data) and
     // fails analysis on unhashable columns (maps).
-    // monotonically_increasing_id is partition-local state — stable within
-    // the job, which is all the join needs; not reproducible across runs.
+    // monotonically_increasing_id is partition-local state and NOT stable
+    // under partial recompute — localCheckpoint pins the assignment (see
+    // scaladoc).
     val salted = fact.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+        pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      .localCheckpoint(true)
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

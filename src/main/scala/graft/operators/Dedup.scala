@@ -128,7 +128,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // Candidate pairs fan out three ways below (both candIds union
+    // branches + the verify join); localCheckpoint materializes the
+    // full shingle→minhash→LSH pipeline ONCE instead of relying on
+    // exchange reuse to cover 3 re-executions. Pair count is bounded
+    // by band collisions (near-dup clusters), a small fraction of the
+    // corpus — cheap to pin.
     val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands)
+      .localCheckpoint(true)
     // Verify needs shingles only for ids that appear in a candidate pair
     // (a small fraction of the corpus); semi-join prune BEFORE the
     // shingle computation so the interpreted HOF chain runs over

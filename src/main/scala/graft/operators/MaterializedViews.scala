@@ -124,22 +124,29 @@ object MaterializedViews {
     val removed = (previous.keySet -- current.keySet).toSeq.sorted
 
     if (stale.nonEmpty) {
+      val src = spark.read.parquet(basePath)
+        .where(col(partCol).cast("string").isin(stale: _*))
+      val recomputed = mv.define(src)
       // Dynamic partition overwrite only rewrites partitions PRESENT in
       // the output: a stale partition whose recompute now yields zero MV
       // rows would keep its old files while the manifest marks it fresh.
-      // Drop every stale partition's MV directory first (mirrors the
-      // `removed` handling below); the write then recreates the live ones.
-      stale.foreach { p =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$mvPath/$partCol=$p"), true)
-      }
-      val src = spark.read.parquet(basePath)
-        .where(col(partCol).cast("string").isin(stale: _*))
+      // Those are deleted AFTER the write succeeds (not before — a
+      // failure between a pre-delete and the overwrite would leave live
+      // partitions missing until the retry; readers must never see a
+      // gap). The extra distinct() is a pruned scan of only the stale
+      // partitions and collects partition VALUES (low-cardinality
+      // metadata), not rows.
+      val live = recomputed.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
       val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try mv.define(src).write.mode("overwrite").partitionBy(partCol).parquet(mvPath)
+      try recomputed.write.mode("overwrite").partitionBy(partCol).parquet(mvPath)
       finally saved match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      stale.filterNot(live).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$mvPath/$partCol=$p"), true)
       }
     }
     removed.foreach { p =>

@@ -46,14 +46,21 @@ object TpcdsFlavor extends graft.QueryArea {
   private val movingDevSql =
     """WITH m AS (
       |  SELECT o_orderpriority AS pri, date_trunc('month', o_orderdate) AS mon,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS drev
       |  FROM orders GROUP BY 1, 2),
       |w AS (
-      |  SELECT pri, mon, rev,
-      |    avg(rev) OVER (PARTITION BY pri ORDER BY mon
-      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS avg3
+      |  SELECT pri, mon, CAST(drev AS DOUBLE) AS rev,
+      |    CAST(SUM(drev) OVER (PARTITION BY pri ORDER BY mon
+      |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+      |      / COUNT(drev) OVER (PARTITION BY pri ORDER BY mon
+      |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS avg3
       |  FROM m)
-      |SELECT pri, CAST(CAST(mon AS DATE) AS STRING) AS mon, round(rev, 2) AS rev, round(avg3, 2) AS avg3
+      |-- round(avg3, 4), not 2: the window count is 2 or 3 and the sum has
+      |-- exactly 2 decimals, so /2 yields true .xx5 half-boundaries where
+      |-- Spark (BigDecimal HALF_UP) and DuckDB (scaled-double nearbyint)
+      |-- legitimately disagree; at 4 places the expansion digit is 0/3/6,
+      |-- never 5, so both engines round identically.
+      |SELECT pri, CAST(CAST(mon AS DATE) AS STRING) AS mon, round(rev, 2) AS rev, round(avg3, 4) AS avg3
       |FROM w WHERE rev > 1.1 * avg3
       |ORDER BY pri, mon""".stripMargin
 
