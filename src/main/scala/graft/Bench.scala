@@ -36,9 +36,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     Session.prepare(spark)
 
+    // gate queries + full-SF timing variants of fixture-gated operators
+    val all = SparkEntry.queries ++ graft.queries.Pipeline.benchOnly
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try all(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -58,7 +61,7 @@ object Bench {
 
     // optional arg (local dev only): comma-separated query-name filter
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    val results = all.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => n -> warmAvg(n))
 

@@ -146,13 +146,22 @@ object Aggregates extends graft.QueryArea {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
-    // approx_count_distinct (reference hll_ndv.h) — approximate, so no
-    // DuckDB value oracle; ScalaTest asserts relative error vs exact.
+    // approx_count_distinct (reference hll_ndv.h) — the approximate
+    // value itself cannot hash-match a DuckDB oracle, so the gate
+    // emits the semantic CONTRACT instead: the exact NDV (oracle-
+    // computable) plus a boolean asserting the HLL++ estimate landed
+    // within 3x its configured relative standard deviation. The
+    // estimate is deterministic for fixed input, so the boolean is a
+    // stable value check, not a tautology; the raw estimate's error is
+    // additionally asserted in ScalaTest.
     "agg_approx_count_distinct" -> ((spark, dir) => {
       val li = t(spark, dir, "lineitem")
       li.groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_nd"),
           countDistinct(col("l_partkey")).as("exact_nd"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")) <=
+            lit(3 * 0.05) * col("exact_nd")).as("within_3rsd"))
         .orderBy(col("l_returnflag"))
     }),
     "agg_global_no_groups" -> ((spark, dir) => {
@@ -189,6 +198,10 @@ object Aggregates extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "agg_approx_count_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+        |  TRUE AS within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
