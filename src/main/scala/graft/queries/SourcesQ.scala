@@ -17,6 +17,45 @@ object SourcesQ extends graft.QueryArea {
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^0-9a-z]", "_")}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Lake-format snapshot read (sources.Lake): write orders as a
+    // partitioned lake table, read it back through the manifest-backed
+    // FileIndex with a partition filter — equality with the direct
+    // oracle proves the manifest listing, partition-value typing, and
+    // pruning path end to end.
+    "src_lake_snapshot" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_snap")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o, table, Seq("o_orderpriority"))
+      graft.sources.Lake.read(spark, table)
+        .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Time travel: three commits (overwrite, append, overwrite) — each
+    // snapshot version stays readable because data files are immutable
+    // and manifests are per-version. The output reads all three
+    // versions; the oracle recomputes each version's expected content
+    // from the commit definitions.
+    "src_lake_time_travel" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_tt")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 0), table, Nil)
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 1), table, Nil, mode = "append")
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 2), table, Nil)
+      val reads = (1 to 3).map { v =>
+        graft.sources.Lake.read(spark, table, versionAsOf = Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(v).as("version"), col("n"), col("total"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("version"))
+    }),
     // CSV round trip: parquet → csv → read with schema → aggregate;
     // equality with the direct-parquet oracle proves the parse layer
     // (header, timestamps, quoting) is lossless for these types.
@@ -153,7 +192,29 @@ object SourcesQ extends graft.QueryArea {
         .orderBy(col("c_custkey"))
     }))
 
-  def oracles: Map[String, String] = {
+  def oracles: Map[String, String] = Map(
+    "src_lake_snapshot" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_time_travel" ->
+      """WITH v1 AS (SELECT count(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT count(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        |v3 AS (SELECT count(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT 1 AS version, n, total FROM v1
+        |UNION ALL SELECT 2, n, total FROM v2
+        |UNION ALL SELECT 3, n, total FROM v3
+        |ORDER BY version""".stripMargin) ++ oraclesRest
+
+  private def oraclesRest: Map[String, String] = {
     val eventsAgg =
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,

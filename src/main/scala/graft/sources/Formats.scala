@@ -74,4 +74,12 @@ object Formats {
     }
     parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
   }
+
+  /** Recursive delete (idempotent) — gate queries use it to start
+    * from a clean table directory so reruns are deterministic. */
+  def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

@@ -1,0 +1,272 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal lake-format table: versioned snapshot manifests over
+  * immutable parquet data files — the connector shape of the
+  * reference's lake scans (Iceberg/Delta/Hudi readers,
+  * `be/src/connector/iceberg/`, `fe/.../connector/ConnectorType.java:40-48`)
+  * re-expressed Spark-first.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/commit-N/part=...   immutable; never rewritten or deleted
+  *     metadata/vN.json          snapshot manifest: schema, partition
+  *                               cols, file list with partition values
+  *                               + per-file stats (rows, bytes)
+  *     metadata/VERSION          current version pointer (rename-commit)
+  * }}}
+  *
+  * Every commit writes a NEW data directory and a NEW manifest, then
+  * atomically swings the VERSION pointer (temp + rename) — readers see
+  * either the old or the new snapshot, never a mix, and old snapshots
+  * stay readable forever (time travel) because data files are
+  * immutable.
+  *
+  * Read path is the Delta/Iceberg integration shape: a custom
+  * [[FileIndex]] whose file listing comes from the MANIFEST (no
+  * recursive directory listing — at 100 TB / 100k files the O(1)
+  * manifest read replaces the object-store LIST storm), with partition
+  * pruning evaluated inside the index against the manifest's partition
+  * values, wrapped in a [[HadoopFsRelation]] + [[ParquetFileFormat]]
+  * so scans get Spark's vectorized parquet reader, pushdown, and
+  * whole-stage codegen unchanged.
+  *
+  * Not implemented (documented scope): row-level deletes, schema
+  * evolution, optimistic-concurrency conflict detection — single
+  * writer assumed.
+  */
+object Lake {
+
+  final case class LakeFile(path: String, sizeBytes: Long, modifiedMs: Long,
+      rowCount: Long, partitionValues: Map[String, String])
+
+  final case class Snapshot(version: Int, createdAtMs: Long, schemaJson: String,
+      partitionCols: Seq[String], files: Seq[LakeFile]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionFile(table: String) = new Path(s"$table/metadata/VERSION")
+  private def manifestFile(table: String, v: Int) = new Path(s"$table/metadata/v$v.json")
+
+  /** Current committed version, 0 if the table does not exist yet. */
+  def currentVersion(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    if (!f.exists(versionFile(table))) 0
+    else {
+      val in = f.open(versionFile(table))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Commit a new snapshot. `mode` = "overwrite" (new snapshot contains
+    * only this write's files) or "append" (previous snapshot's files
+    * plus this write's). Returns the committed version. */
+  def write(df: DataFrame, table: String, partitionCols: Seq[String],
+      mode: String = "overwrite"): Int = {
+    require(Seq("overwrite", "append").contains(mode), s"bad mode $mode")
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val prev = currentVersion(spark, table)
+    val v = prev + 1
+    val commitDir = s"$table/data/commit-$v"
+
+    val writer = if (partitionCols.nonEmpty)
+      df.write.partitionBy(partitionCols: _*) else df.write
+    writer.mode("errorifexists").parquet(commitDir)
+
+    // Manifest entries for the files just written: partition values are
+    // parsed from the col=value path segments partitionBy produced;
+    // per-file row counts come from the parquet footers (stats the
+    // planner can serve without touching data pages).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val newFiles = {
+      val it = f.listFiles(new Path(commitDir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[LakeFile]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          val rel = st.getPath.toString.stripPrefix(
+            f.makeQualified(new Path(commitDir)).toString).stripPrefix("/")
+          val pvals = rel.split("/").dropRight(1).flatMap { seg =>
+            seg.split("=", 2) match {
+              case Array(k, vl) => Some(k -> vl)
+              case _ => None
+            }
+          }.toMap
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          val rows = try reader.getRecordCount finally reader.close()
+          buf += LakeFile(st.getPath.toString, st.getLen,
+            st.getModificationTime, rows, pvals)
+        }
+      }
+      buf.toSeq
+    }
+
+    val files = if (mode == "append" && prev > 0)
+      readSnapshot(spark, table, prev).files ++ newFiles else newFiles
+    val snap = Snapshot(v, System.currentTimeMillis(), df.schema.json,
+      partitionCols, files)
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snap))
+
+    // commit point: VERSION rename — readers see old or new, never a mix
+    val tmp = new Path(s"$table/metadata/.VERSION.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(versionFile(table), false)
+    if (!f.rename(tmp, versionFile(table)))
+      throw new IllegalStateException(s"commit of $table v$v failed at VERSION rename")
+    v
+  }
+
+  private def snapshotToJava(s: Snapshot): java.util.Map[String, Object] = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("version", Int.box(s.version))
+    m.put("createdAtMs", Long.box(s.createdAtMs))
+    m.put("schemaJson", s.schemaJson)
+    m.put("partitionCols", s.partitionCols.asJava)
+    m.put("files", s.files.map { lf =>
+      val fm = new java.util.LinkedHashMap[String, Object]()
+      fm.put("path", lf.path)
+      fm.put("sizeBytes", Long.box(lf.sizeBytes))
+      fm.put("modifiedMs", Long.box(lf.modifiedMs))
+      fm.put("rowCount", Long.box(lf.rowCount))
+      fm.put("partitionValues", lf.partitionValues.asJava)
+      fm
+    }.asJava)
+    m
+  }
+
+  private def writeJson(spark: SparkSession, table: String, p: Path,
+      value: Object): Unit = {
+    val f = fs(spark, table)
+    val out = f.create(p, true)
+    try out.write(graft.functions.JsonKernel.mapper.writeValueAsBytes(value))
+    finally out.close()
+  }
+
+  def readSnapshot(spark: SparkSession, table: String, version: Int): Snapshot = {
+    val f = fs(spark, table)
+    val in = f.open(manifestFile(table, version))
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val m = graft.functions.JsonKernel.mapper
+      .readValue(bytes, classOf[java.util.Map[String, Object]])
+    Snapshot(
+      m.get("version").asInstanceOf[Number].intValue(),
+      m.get("createdAtMs").asInstanceOf[Number].longValue(),
+      m.get("schemaJson").asInstanceOf[String],
+      m.get("partitionCols").asInstanceOf[java.util.List[String]].asScala.toSeq,
+      m.get("files").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.toSeq.map { fm =>
+          LakeFile(fm.get("path").asInstanceOf[String],
+            fm.get("sizeBytes").asInstanceOf[Number].longValue(),
+            fm.get("modifiedMs").asInstanceOf[Number].longValue(),
+            fm.get("rowCount").asInstanceOf[Number].longValue(),
+            fm.get("partitionValues").asInstanceOf[java.util.Map[String, String]]
+              .asScala.toMap)
+        })
+  }
+
+  /** Snapshot read with time travel; returns the DataFrame plus the
+    * manifest-backed FileIndex (exposed so tests can assert the
+    * pruned file selection). */
+  def readIndexed(spark: SparkSession, table: String,
+      versionAsOf: Option[Int] = None): (DataFrame, LakeFileIndex) = {
+    val v = versionAsOf.getOrElse(currentVersion(spark, table))
+    require(v > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, v)
+    val schema = snap.schema
+    val partitionSchema = StructType(
+      snap.partitionCols.flatMap(c => schema.fields.find(_.name == c)))
+    val dataSchema = StructType(
+      schema.fields.filterNot(fd => snap.partitionCols.contains(fd.name)))
+    val index = new LakeFileIndex(table, snap, partitionSchema)
+    val rel = HadoopFsRelation(index, partitionSchema, dataSchema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    (spark.baseRelationToDataFrame(rel), index)
+  }
+
+  def read(spark: SparkSession, table: String,
+      versionAsOf: Option[Int] = None): DataFrame =
+    readIndexed(spark, table, versionAsOf)._1
+
+  /** Table history (one row per snapshot) — the audit surface. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    (1 to currentVersion(spark, table)).map { v =>
+      val s = readSnapshot(spark, table, v)
+      (s.version, s.files.size, s.files.map(_.rowCount).sum, s.files.map(_.sizeBytes).sum)
+    }.toDF("version", "n_files", "n_rows", "n_bytes")
+  }
+
+  /** Manifest-backed FileIndex: listing and partition pruning are
+    * answered from the snapshot alone — planning never lists or stats
+    * the filesystem. Data filters are left to the parquet scan
+    * (row-group pruning + predicate pushdown). */
+  final class LakeFileIndex(table: String, snap: Snapshot,
+      override val partitionSchema: StructType) extends FileIndex {
+
+    /** files surviving partition pruning in the last listFiles call —
+      * asserted by PlanSpec. */
+    @volatile var lastSelectedFileCount: Int = -1
+    val totalFileCount: Int = snap.files.size
+
+    override def rootPaths: Seq[Path] = Seq(new Path(table))
+
+    private def castPartitionValue(raw: String, dt: DataType): Any = dt match {
+      case StringType => UTF8String.fromString(raw)
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case DoubleType => raw.toDouble
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported lake partition type $other")
+    }
+
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val groups = snap.files.groupBy(_.partitionValues)
+      val dirs = groups.toSeq.map { case (pvals, files) =>
+        val row = InternalRow.fromSeq(partitionSchema.fields.toSeq.map(fd =>
+          castPartitionValue(pvals(fd.name), fd.dataType)))
+        val statuses = files.map(lf => new FileStatus(
+          lf.sizeBytes, false, 1, 128L * 1024 * 1024, lf.modifiedMs,
+          new Path(lf.path))).toArray
+        PartitionDirectory(row, statuses)
+      }
+      val pruned = if (partitionFilters.isEmpty) dirs else {
+        // same binding PartitioningAwareFileIndex uses: name-match the
+        // partition columns, evaluate interpreted per manifest group
+        val bound = Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fieldIndex(a.name)
+              BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+          })
+        dirs.filter(d => bound.eval(d.values))
+      }
+      lastSelectedFileCount = pruned.map(_.files.size).sum
+      pruned
+    }
+
+    override def inputFiles: Array[String] = snap.files.map(_.path).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = snap.files.map(_.sizeBytes).sum
+  }
+}

@@ -353,4 +353,34 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"sampling must stay scan-side:\n$plan")
   }
+
+  test("lake scan prunes partitions from the manifest, not the filesystem") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_plan").toString
+    val df = table("orders").select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    graft.sources.Lake.write(df, dir, Seq("o_orderpriority"))
+    val (lake, index) = graft.sources.Lake.readIndexed(spark, dir)
+    val n = lake.filter($"o_orderpriority" === "1-URGENT").count()
+    assert(n > 0, "pruned read returned nothing")
+    assert(index.totalFileCount >= 5, "expected one file group per priority")
+    assert(index.lastSelectedFileCount > 0 &&
+      index.lastSelectedFileCount < index.totalFileCount,
+      s"manifest pruning did not reduce the file set: " +
+        s"${index.lastSelectedFileCount}/${index.totalFileCount}")
+    // and the filter should ALSO reach the parquet scan for row groups
+    val plan = lake.filter($"o_orderpriority" === "1-URGENT").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") || plan.contains("isnotnull"),
+      s"no partition filter evidence in plan:\n$plan")
+  }
+
+  test("lake time travel reads a frozen snapshot while new commits land") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_tt_plan").toString
+    val df = table("orders").select($"o_orderkey")
+    graft.sources.Lake.write(df.limit(100), dir, Nil)
+    val v1Count = graft.sources.Lake.read(spark, dir).count()
+    graft.sources.Lake.write(df.limit(300), dir, Nil)
+    assert(graft.sources.Lake.read(spark, dir, Some(1)).count() === v1Count)
+    assert(graft.sources.Lake.read(spark, dir).count() === 300)
+    assert(graft.sources.Lake.history(spark, dir).count() === 2)
+  }
 }
