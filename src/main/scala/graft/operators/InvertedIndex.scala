@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text MATCH over an inverted index.
+  *
+  * Reference: the GIN/inverted-index predicate path —
+  * `be/src/storage_primitive/inverted_index_iterator.h` (indexed
+  * evaluation), `be/src/storage/column_predicate_inverted_index_fallback.h`
+  * (unindexed fallback), tokenizers in `be/src/exprs/gin_functions.cpp`.
+  *
+  * Spark mapping: the index IS a postings table — (term, doc_id, tf)
+  * rows produced by the same tokenizer the `tokenize` SQL function
+  * exposes. A MATCH predicate rewrites to a semi-join of the doc table
+  * against the postings filtered to the query terms; ranking is an
+  * aggregation over the same filtered postings.
+  *
+  * Scale design (100 TB corpus):
+  *  - the postings build is one explode + one map-side-combining
+  *    aggregation — no shuffle wider than (term, doc);
+  *  - persist postings WITH `Colocate.saveBucketed(..., "term", n)`:
+  *    a MATCH then reads only the query terms' buckets (term-pruned
+  *    scan ≈ the reference seeking a posting list) instead of the
+  *    corpus;
+  *  - `term IN (query terms)` is a pushable parquet filter, so even
+  *    unbucketed postings scan only matching row groups;
+  *  - the doc-side join is a semi-join on doc ids (bounded by the
+  *    posting hits, not the corpus), and the tiny hit set broadcasts.
+  * The fallback path (no index) is the same predicate as scan-side
+  * expressions: `arrays_overlap`/`array_except` over `tokens(text)` —
+  * codegen'd, no UDF — mirroring the reference's fallback predicate.
+  */
+object InvertedIndex {
+
+  /** StandardAnalyzer-style tokens: lowercase, alphanumeric runs.
+    * Matches the `tokenize('standard', ...)` SQL function. */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
+
+  /** Build the postings table (term, doc_id, tf). */
+  def build(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Docs matching ANY query term (semi-join against pruned postings). */
+  def matchAny(docs: DataFrame, postings: DataFrame, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    val hits = postings.filter(col("term").isin(terms: _*))
+      .select(col("doc_id").as(idCol)).distinct()
+    docs.join(hits, Seq(idCol), "left_semi")
+  }
+
+  /** Docs matching ALL query terms: pruned postings grouped by doc,
+    * kept when every distinct term matched. */
+  def matchAll(docs: DataFrame, postings: DataFrame, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    val need = terms.distinct
+    val hits = postings.filter(col("term").isin(need: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nt")) // postings are distinct per (term, doc)
+      .filter(col("__nt") === need.size)
+      .select(col("doc_id").as(idCol))
+    docs.join(hits, Seq(idCol), "left_semi")
+  }
+
+  /** Top-k docs matching ALL query terms, ranked by total term
+    * frequency (ties broken by doc id — deterministic output).
+    * orderBy+limit first so the cut plans as TakeOrderedAndProject
+    * (per-partition heaps, k rows to the driver-side merge); the
+    * rank window then runs over k rows, not the hit set. */
+  def matchTopK(postings: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val need = terms.distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    postings.filter(col("term").isin(need: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nt"), sum(col("tf")).as("score"))
+      .filter(col("__nt") === need.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("score"),
+        row_number().over(w).cast("long").as("rk"))
+  }
+
+  /** Unindexed fallback predicates (the reference's fallback path):
+    * scan-side codegen'd expressions over tokens(text). */
+  def matchAnyPredicate(text: Column, terms: Seq[String]): Column =
+    arrays_overlap(tokens(text), typedlit(terms.map(_.toLowerCase)))
+
+  def matchAllPredicate(text: Column, terms: Seq[String]): Column =
+    size(array_except(typedlit(terms.map(_.toLowerCase).distinct), tokens(text))) === 0
+}

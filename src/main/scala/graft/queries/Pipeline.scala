@@ -224,6 +224,17 @@ object Pipeline extends graft.QueryArea {
         .drop("fp")
         .orderBy(col("doc_id"))
     }),
+    // Full-text MATCH over the inverted index (operators.InvertedIndex):
+    // postings built by the standard tokenizer, match_all semantics
+    // (every query term present), ranked by total term frequency.
+    // The oracle retokenizes and recounts in DuckDB — fully
+    // independent of the postings/semi-join machinery under test.
+    "text_match_topk" -> ((spark, dir) => {
+      val postings = graft.operators.InvertedIndex.build(
+        t(spark, dir, "documents"), "doc_id", "text")
+      graft.operators.InvertedIndex.matchTopK(
+        postings, Seq("window", "scan", "merge"), k = 20)
+    }),
     // connected components over a chain-structured pair graph (runs of
     // 5 consecutive doc_ids; diameter 4 forces multi-round label
     // propagation) — the pairs→clusters step of corpus dedup
@@ -448,6 +459,22 @@ object Pipeline extends graft.QueryArea {
     // exact recall on this fixture, so both pin the same rows.
     "sim_lsh_topk" -> annFixtureTopkOracle,
     "sim_ivf_topk" -> annFixtureTopkOracle,
+    "text_match_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ts, x -> x = 'window')) AS c1,
+        |    len(list_filter(ts, x -> x = 'scan')) AS c2,
+        |    len(list_filter(ts, x -> x = 'merge')) AS c3
+        |  FROM tok)
+        |SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS score,
+        |  CAST(row_number() OVER (ORDER BY c1 + c2 + c3 DESC, doc_id) AS BIGINT) AS rk
+        |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "dedup_fingerprint_pairs" ->
       s"""WITH $planted,
         |norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM planted)

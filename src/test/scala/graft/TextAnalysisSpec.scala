@@ -103,4 +103,46 @@ class TextAnalysisSpec extends SparkSuite {
     val b = again.filter($"sampled").select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(a === b)
   }
+
+  test("inverted-index MATCH equals the unindexed fallback predicate") {
+    import graft.operators.InvertedIndex
+    val docs = table("documents")
+    val postings = InvertedIndex.build(docs, "doc_id", "text")
+    val terms = Seq("window", "scan")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    val anyIdx = ids(InvertedIndex.matchAny(docs, postings, "doc_id", terms))
+    val anyFb = ids(docs.filter(InvertedIndex.matchAnyPredicate($"text", terms)))
+    assert(anyIdx === anyFb, "match_any: index path != fallback predicate")
+    assert(anyIdx.nonEmpty)
+
+    val allIdx = ids(InvertedIndex.matchAll(docs, postings, "doc_id", terms))
+    val allFb = ids(docs.filter(InvertedIndex.matchAllPredicate($"text", terms)))
+    assert(allIdx === allFb, "match_all: index path != fallback predicate")
+    assert(allIdx.subsetOf(anyIdx) && allIdx.nonEmpty)
+  }
+
+  test("matchTopK ranks by total tf with doc_id tie-break and respects match_all") {
+    import graft.operators.InvertedIndex
+    val docs = table("documents")
+    val postings = InvertedIndex.build(docs, "doc_id", "text")
+    val top = InvertedIndex.matchTopK(postings, Seq("window", "scan"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.length === 10)
+    assert(top.map(_._3).toSeq === (1L to 10L), "rk must be dense 1..k")
+    // scores non-increasing; ties ordered by doc_id
+    top.sliding(2).foreach { case Array((d1, s1, _), (d2, s2, _)) =>
+      assert(s1 > s2 || (s1 === s2 && d1 < d2), s"order violated: ($d1,$s1) before ($d2,$s2)")
+    }
+    // every returned doc really contains both terms at the claimed count
+    val byId = docs.filter($"doc_id".isin(top.map(_._1): _*))
+      .select($"doc_id", InvertedIndex.tokens($"text").as("ts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    top.foreach { case (d, s, _) =>
+      val ts = byId(d)
+      assert(ts.contains("window") && ts.contains("scan"))
+      assert(ts.count(t => t == "window" || t == "scan").toLong === s)
+    }
+  }
 }
