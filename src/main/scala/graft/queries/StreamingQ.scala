@@ -28,9 +28,46 @@ object StreamingQ extends graft.QueryArea {
     "stream_session_window" -> ((spark, dir) => {
       graft.streaming.Streams.sessionAgg(t(spark, dir, "events"))
         .orderBy(col("user_id"), col("sstart"))
+    }),
+    // Routine load with a seekable-offset ledger (streaming.RoutineLoad,
+    // the Kafka contract): events become a 4-partition offset log; the
+    // job consumes micro-batches, CRASHES between a sink write and the
+    // ledger commit, restarts, and drains. The final table must equal
+    // the direct aggregate — any lost or duplicated batch breaks the
+    // count/sum/distinct equality (exactly-once under mid-stream kill).
+    "stream_offset_resume" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_rload_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, base)
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val w = Window.partitionBy(col("partition")).orderBy(col("event_id"))
+      e.withColumn("partition", pmod(col("user_id"), lit(4)).cast("int"))
+        .withColumn("offset", row_number().over(w).cast("long"))
+        .write.mode("overwrite").parquet(s"$base/log")
+      val log = spark.read.parquet(s"$base/log")
+      val ledger = s"$base/ledger.json"
+      val target = s"$base/target"
+      // batch cap sized so the drain takes ~4 batches at any SF
+      val per = math.max(100L, log.count() / 16).toInt
+      val strip = (df: DataFrame) => df.drop("partition", "offset")
+      graft.streaming.RoutineLoad.step(log, target, ledger, per, strip)
+      try graft.streaming.RoutineLoad.step(log, target, ledger, per, strip,
+        failBeforeCommit = true)
+      catch { case _: IllegalStateException => () } // the planned kill
+      graft.streaming.RoutineLoad.runToCompletion(log, target, ledger, per, strip)
+      graft.streaming.RoutineLoad.readTarget(spark, target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("event_type"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "stream_offset_resume" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -286,4 +286,43 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected, "upsert table diverged from batch latest-version-per-key")
   }
+
+  test("routine load resumes from the offset ledger exactly-once after a mid-stream kill") {
+    import graft.streaming.RoutineLoad
+    val base = tmp()
+    val e = Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", $"value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"partition").orderBy($"event_id")
+    e.withColumn("partition", pmod($"user_id", lit(3)).cast("int"))
+      .withColumn("offset", row_number().over(w).cast("long"))
+      .write.parquet(s"$base/log")
+    val log = spark.read.parquet(s"$base/log")
+    val total = log.count()
+    val ledger = s"$base/ledger.json"
+    val target = s"$base/target"
+    val per = math.max(10L, total / 9).toInt
+    val strip = (df: org.apache.spark.sql.DataFrame) => df.drop("partition", "offset")
+
+    // batch 1 commits
+    val after1 = RoutineLoad.step(log, target, ledger, per, strip).get
+    assert(RoutineLoad.readLedger(spark, ledger) === after1)
+    // batch 2 crashes AFTER the sink write, BEFORE the ledger commit
+    intercept[IllegalStateException] {
+      RoutineLoad.step(log, target, ledger, per, strip, failBeforeCommit = true)
+    }
+    assert(RoutineLoad.readLedger(spark, ledger) === after1,
+      "crash must not advance the ledger")
+    // restart: the replayed batch overwrites its own deterministic dir,
+    // then the drain completes
+    val finalOffsets = RoutineLoad.runToCompletion(log, target, ledger, per, strip)
+    val maxOffsets = log.groupBy($"partition").agg(max($"offset").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(finalOffsets === maxOffsets, "ledger must land on the log's max offsets")
+
+    val loaded = RoutineLoad.readTarget(spark, target)
+    assert(loaded.count() === total, "row count drifted (lost or duplicated batch)")
+    assert(loaded.select($"event_id").distinct().count() === total,
+      "duplicate event_ids — replay was not idempotent")
+  }
 }
