@@ -71,6 +71,23 @@ object SourcesQ extends graft.QueryArea {
           max(col("ts")).as("max_ts"))
         .orderBy(col("event_type"))
     }),
+    // Avro container-file round trip (hand-rolled codec over avro-core;
+    // the spark-avro DSv2 jar is absent offline — see sources.Avro):
+    // write per-partition .avro files, stream them back one task per
+    // file, aggregate; equality with the direct-parquet oracle proves
+    // the schema mapping (incl. timestamp-micros) is lossless.
+    "src_avro_roundtrip" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      val out = tmpDir(dir, "avro")
+      graft.sources.Avro.writeAvro(e, out)
+      graft.sources.Avro.readAvro(spark, out, e.schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
     "src_json_roundtrip" -> ((spark, dir) => {
       val e = t(spark, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
@@ -224,6 +241,7 @@ object SourcesQ extends graft.QueryArea {
     "src_csv_roundtrip" -> eventsAgg,
     "src_json_roundtrip" -> eventsAgg,
     "src_orc_roundtrip" -> eventsAgg,
+    "src_avro_roundtrip" -> eventsAgg,
     "src_csv_tolerant" -> eventsAgg,
     "src_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
