@@ -37,6 +37,20 @@ import util._
   *  - window share + rank over a UNION of channels (Q49)
   *  - triple-channel FULL OUTER with COALESCE'd keys (Q78)
   *
+  * Tranche 4 (round 4, second pass) — remaining distinct mechanics:
+  *  - frequent-item x best-customer funnel: two filtering CTEs, one
+  *    gated by a scalar subquery over its own aggregate (Q23)
+  *  - cross-channel INTERSECT membership + scalar average HAVING
+  *    gate (Q14)
+  *  - disjunctive multi-clause predicate over a dim join, each OR arm
+  *    touching different columns (Q13/Q41)
+  *  - best/worst rank juxtaposition: two opposite-order windows over
+  *    one aggregate, joined on rank (Q44)
+  *  - coefficient-of-variation volatility self-joined across
+  *    consecutive months (Q39)
+  *  - spend banding: floor-division histogram over an aggregated CTE
+  *    (Q54's revenue-band count)
+  *
   * Scale shape: every query is fact-side single-shuffle per agg;
   * UNION ALL branches share the scan via Spark's plan reuse;
   * rollup's Expand doubles rows map-side only (no extra shuffle);
@@ -250,7 +264,124 @@ object TpcdsFlavor extends graft.QueryArea {
       |WHERE COALESCE(n1, 0) > 0
       |ORDER BY k""".stripMargin
 
+  // ---- Tranche 4: remaining distinct TPC-DS mechanics ----
+
+  // Q23: frequent items (count gate) x best customers (scalar-subquery
+  // spend gate) funneled into one revenue total. Catalyst plans both
+  // IN-subqueries as semi joins; `freq` broadcasts (part-cardinality),
+  // `best` broadcasts (customer-cardinality after the 0.5*max gate).
+  private val funnelCteSql =
+    """WITH freq AS (
+      |  SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 35),
+      |spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS tot
+      |  FROM orders GROUP BY o_custkey),
+      |best AS (
+      |  SELECT o_custkey FROM spend
+      |  WHERE tot > (SELECT 0.5 * MAX(tot) FROM spend))
+      |SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+      |  AND o.o_custkey IN (SELECT o_custkey FROM best)""".stripMargin
+
+  // Q14: items sold through ALL THREE channels (chained INTERSECT of
+  // key sets) whose revenue clears a scalar-average gate. INTERSECT
+  // hashes the already-distinct key sets; the scalar gate is one row
+  // broadcast into the HAVING.
+  private val itemIntersectGateSql =
+    """WITH common AS (
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      |  INTERSECT
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+      |  INTERSECT
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |gate AS (
+      |  SELECT CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS a
+      |  FROM lineitem)
+      |SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT l_partkey FROM common)
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) > 35 * (SELECT a FROM gate)
+      |ORDER BY rev DESC, l_partkey
+      |LIMIT 50""".stripMargin
+
+  // Q13/Q41: disjunctive predicate where each OR arm constrains a
+  // different (dim, fact) column pair — the optimizer cannot push a
+  // single conjunct to either side, so this exercises post-join
+  // residual filtering. Quantities are whole numbers, so the BIGINT
+  // casts are exact in both engines.
+  private val orHeavySql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20
+      |       AND l_discount BETWEEN 0.02 AND 0.06)
+      |   OR (p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 20 AND 40
+      |       AND p_type LIKE '%AND%')
+      |   OR (p_brand LIKE 'Brand#4%' AND l_quantity > 40)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // Q44: best and worst performers juxtaposed — two opposite-order
+  // row_number windows over ONE aggregated relation, joined on rank.
+  // Ordering is on the exact DECIMAL sum (not a double), so ranks are
+  // bit-deterministic across engines; ties break on the key.
+  private val bestWorstRankSql =
+    """WITH perf AS (
+      |  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem GROUP BY l_suppkey),
+      |best AS (
+      |  SELECT l_suppkey, rev, row_number() OVER (ORDER BY rev DESC, l_suppkey) AS rk
+      |  FROM perf),
+      |worst AS (
+      |  SELECT l_suppkey, rev, row_number() OVER (ORDER BY rev ASC, l_suppkey) AS rk
+      |  FROM perf)
+      |SELECT CAST(b.rk AS BIGINT) AS rk,
+      |  b.l_suppkey AS best_supp, round(CAST(b.rev AS DOUBLE), 2) AS best_rev,
+      |  w.l_suppkey AS worst_supp, round(CAST(w.rev AS DOUBLE), 2) AS worst_rev
+      |FROM best b JOIN worst w ON b.rk = w.rk
+      |WHERE b.rk <= 10 ORDER BY rk""".stripMargin
+
+  // Q39: per-supplier monthly quantity volatility (stddev/mean) kept
+  // where consecutive months are BOTH volatile — the inventory-CV
+  // self-join. The 0.6 gate and round(,3) sit far from any FP noise
+  // floor (~1e-13 relative) so double partial-agg ordering is safe.
+  private val cvVolatileSql =
+    """WITH mv AS (
+      |  SELECT l_suppkey, date_trunc('month', l_shipdate) AS mon,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(stddev_samp(l_quantity) AS DOUBLE) AS sd,
+      |    CAST(AVG(l_quantity) AS DOUBLE) AS mu
+      |  FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT a.l_suppkey, CAST(CAST(a.mon AS DATE) AS STRING) AS mon,
+      |  a.n AS n1, round(a.sd / a.mu, 3) AS cv1,
+      |  b.n AS n2, round(b.sd / b.mu, 3) AS cv2
+      |FROM mv a JOIN mv b
+      |  ON a.l_suppkey = b.l_suppkey AND b.mon = a.mon + INTERVAL 1 MONTH
+      |WHERE a.sd / a.mu > 0.6 AND b.sd / b.mu > 0.6
+      |ORDER BY a.l_suppkey, a.mon""".stripMargin
+
+  // Q54: customers banded by total spend (floor-division histogram
+  // over an aggregated CTE). Division happens on the exact DECIMAL
+  // total; cent-granular sums cannot straddle a 50k boundary, so the
+  // floor is engine-stable.
+  private val revenueBandsSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS tot
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT CAST(floor(tot / 50000) AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cust
+      |FROM spend GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val tranche2: Map[String, String] = Map(
+    "tpcds_funnel_cte" -> funnelCteSql,
+    "tpcds_item_intersect_gate" -> itemIntersectGateSql,
+    "tpcds_or_heavy" -> orHeavySql,
+    "tpcds_best_worst_rank" -> bestWorstRankSql,
+    "tpcds_cv_volatile" -> cvVolatileSql,
+    "tpcds_revenue_bands" -> revenueBandsSql,
     "tpcds_exists_stack" -> existsStackSql,
     "tpcds_cte_cascade" -> cteCascadeSql,
     "tpcds_union_window_share" -> unionWindowShareSql,
