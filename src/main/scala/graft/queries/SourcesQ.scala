@@ -88,6 +88,24 @@ object SourcesQ extends graft.QueryArea {
           max(col("ts")).as("max_ts"))
         .orderBy(col("event_type"))
     }),
+    // Arrow result-surface round trip (reference
+    // arrow_flight_batch_reader.cpp): serialize the result to Arrow
+    // record batches ON THE EXECUTORS, rebuild a DataFrame from the
+    // batch bytes, and aggregate; equality with the direct-parquet
+    // oracle proves the Arrow encode/decode (incl. timestamp-micros
+    // with session TZ) is lossless. The collect here moves only
+    // opaque batch blobs (the result surface's unit of delivery).
+    "res_arrow_roundtrip" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      val batches = graft.sources.ArrowResults.resultBatches(e).collect()
+      graft.sources.ArrowResults.fromBatches(spark, e.schema, batches.iterator)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
     "src_json_roundtrip" -> ((spark, dir) => {
       val e = t(spark, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
@@ -242,6 +260,7 @@ object SourcesQ extends graft.QueryArea {
     "src_json_roundtrip" -> eventsAgg,
     "src_orc_roundtrip" -> eventsAgg,
     "src_avro_roundtrip" -> eventsAgg,
+    "res_arrow_roundtrip" -> eventsAgg,
     "src_csv_tolerant" -> eventsAgg,
     "src_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
