@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AiQuery, Dictionary, MaterializedViews}
+import graft.operators.{AiQuery, Dictionary, MaterializedViews, QueryCache}
 import util._
 
 /** MV refresh, ai_query batch inference, geo functions, HLL sketches —
@@ -23,6 +23,33 @@ object Advanced extends graft.QueryArea {
       MaterializedViews.refreshFull(t(spark, dir, "orders"), mv, base)
       MaterializedViews.read(spark, base, "daily_revenue")
         .orderBy(col("d"), col("o_orderpriority"))
+    }),
+    // Query cache (reference be/src/exec/query_cache/): per-partition
+    // partial-agg reuse with predicate-based splitting. A first query
+    // over [01-05, 01-15] populates per-day partials; the gate's
+    // query over [01-10, 01-25] merges the 6 cached overlap days and
+    // computes only the 10 new ones. Equality with the direct oracle
+    // over the same range proves cache-served partials merge to the
+    // exact uncached answer.
+    "cache_agg_reuse" -> ((spark, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_qc_${dir.replaceAll("[^0-9a-z]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
+      t(spark, dir, "events")
+        .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("d").parquet(s"$root/base")
+      val specs = Seq(
+        QueryCache.AggSpec("count", "*", "n"),
+        QueryCache.AggSpec("sum", "value", "total"),
+        QueryCache.AggSpec("avg", "value", "avg_value"))
+      // warm pass (populates 01-05..01-15 partials; result unused)
+      QueryCache.aggregate(spark, s"$root/base", "d", Seq("event_type"), specs,
+        Some("2024-01-05"), Some("2024-01-15"), s"$root/cache")
+      QueryCache.aggregate(spark, s"$root/base", "d", Seq("event_type"), specs,
+        Some("2024-01-10"), Some("2024-01-25"), s"$root/cache")
+        .select(col("event_type"), col("n"), col("total").cast("double").as("total"),
+          col("avg_value"))
+        .orderBy(col("event_type"))
     }),
     // Global dictionary: encode a low-cardinality string column to
     // dense int codes, aggregate on the codes, decode back — the
@@ -145,6 +172,13 @@ object Advanced extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "cache_agg_reuse" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS avg_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-25'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dict_encode_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev
