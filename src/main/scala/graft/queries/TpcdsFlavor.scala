@@ -51,6 +51,16 @@ import util._
   *  - spend banding: floor-division histogram over an aggregated CTE
   *    (Q54's revenue-band count)
   *
+  * Tranche 5 (round 4, third pass) — the last uncovered families:
+  *  - sale→return→repurchase event chain across three fact copies
+  *    joined on (customer, part) with date ordering (Q17/Q25/Q29)
+  *  - year-over-year growth ratio compared ACROSS channels per
+  *    customer — the 4-cell pivot ratio test (Q4/Q11/Q74)
+  *  - items whose per-channel revenue stays within ±10% of their
+  *    cross-channel average (Q58's closeness band)
+  *  - rank-gated rollup: a window-rank subquery selects the top
+  *    nations, then a ROLLUP aggregates only those (Q70)
+  *
   * Scale shape: every query is fact-side single-shuffle per agg;
   * UNION ALL branches share the scan via Spark's plan reuse;
   * rollup's Expand doubles rows map-side only (no extra shuffle);
@@ -375,7 +385,105 @@ object TpcdsFlavor extends graft.QueryArea {
       |  CAST(COUNT(*) AS BIGINT) AS n_cust
       |FROM spend GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- Tranche 5: last uncovered TPC-DS families ----
+
+  // Q17/Q25/Q29: the multi-event chain — a RETURNED sale joined to a
+  // LATER re-purchase of the same part by the same customer, rolled
+  // up to brand. Both stages shuffle on (custkey, partkey); the date
+  // inequality is a post-join residual (exactly the reference's
+  // plan). Quantities are whole numbers → BIGINT-exact both engines.
+  private val chainReturnsSql =
+    """WITH ret AS (
+      |  SELECT o.o_custkey, l.l_partkey, o.o_orderdate, l.l_quantity
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_returnflag = 'R'),
+      |rebuy AS (
+      |  SELECT o.o_custkey, l.l_partkey, o.o_orderdate, l.l_quantity
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_chains,
+      |  CAST(SUM(CAST(s.l_quantity AS BIGINT)) AS BIGINT) AS ret_qty,
+      |  CAST(SUM(CAST(r.l_quantity AS BIGINT)) AS BIGINT) AS rebuy_qty
+      |FROM ret s
+      |JOIN rebuy r ON r.o_custkey = s.o_custkey AND r.l_partkey = s.l_partkey
+      |  AND r.o_orderdate > s.o_orderdate
+      |JOIN part p ON s.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
+  // Q4/Q11/Q74: per-customer YoY growth ratio compared across two
+  // channels (fast = urgent/high priority vs standard): keep
+  // customers whose fast-channel growth outpaces standard-channel
+  // growth. One scan, 4-cell conditional pivot, ratios on exact
+  // DECIMAL sums cast to double (identical arithmetic both engines).
+  private val yoyChannelRatioSql =
+    """WITH agg AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) = 1994 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS fast1,
+      |    SUM(CASE WHEN year(o_orderdate) = 1995 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS fast2,
+      |    SUM(CASE WHEN year(o_orderdate) = 1994 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS std1,
+      |    SUM(CASE WHEN year(o_orderdate) = 1995 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS std2
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey,
+      |  round(CAST(fast2 AS DOUBLE) / CAST(fast1 AS DOUBLE), 3) AS fast_growth,
+      |  round(CAST(std2 AS DOUBLE) / CAST(std1 AS DOUBLE), 3) AS std_growth
+      |FROM agg
+      |WHERE fast1 IS NOT NULL AND fast2 IS NOT NULL
+      |  AND std1 IS NOT NULL AND std2 IS NOT NULL
+      |  AND CAST(fast2 AS DOUBLE) / CAST(fast1 AS DOUBLE)
+      |      > CAST(std2 AS DOUBLE) / CAST(std1 AS DOUBLE)
+      |ORDER BY o_custkey""".stripMargin
+
+  // Q58: items sold through all three channels whose every channel
+  // revenue lies within ±10% of the item's cross-channel average —
+  // the symmetric closeness band over a conditional pivot.
+  private val withinBandSql =
+    """WITH piv AS (
+      |  SELECT l_partkey,
+      |    SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS a,
+      |    SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS n,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS r
+      |  FROM lineitem GROUP BY l_partkey),
+      |d AS (
+      |  SELECT l_partkey, CAST(a AS DOUBLE) AS a, CAST(n AS DOUBLE) AS n, CAST(r AS DOUBLE) AS r
+      |  FROM piv WHERE a IS NOT NULL AND n IS NOT NULL AND r IS NOT NULL)
+      |SELECT l_partkey, round(a, 2) AS a_rev, round(n, 2) AS n_rev, round(r, 2) AS r_rev
+      |FROM d
+      |WHERE a BETWEEN 0.9 * (a + n + r) / 3 AND 1.1 * (a + n + r) / 3
+      |  AND n BETWEEN 0.9 * (a + n + r) / 3 AND 1.1 * (a + n + r) / 3
+      |  AND r BETWEEN 0.9 * (a + n + r) / 3 AND 1.1 * (a + n + r) / 3
+      |ORDER BY l_partkey""".stripMargin
+
+  // Q70: rank-gated rollup — a RANK() window inside a subquery picks
+  // the top-5 revenue nations, then ROLLUP(nation, priority)
+  // aggregates only those; hierarchy level from GROUPING().
+  private val rankGateRollupSql =
+    """WITH nat AS (
+      |  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |top5 AS (
+      |  SELECT n_name FROM (
+      |    SELECT n_name, RANK() OVER (ORDER BY rev DESC) AS rk FROM nat)
+      |  WHERE rk <= 5)
+      |SELECT GROUPING(n_name) + GROUPING(o_orderpriority) AS lochierarchy,
+      |  n_name, o_orderpriority,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_name IN (SELECT n_name FROM top5)
+      |GROUP BY ROLLUP(n_name, o_orderpriority)
+      |ORDER BY lochierarchy DESC, n_name, o_orderpriority""".stripMargin
+
   private val tranche2: Map[String, String] = Map(
+    "tpcds_chain_returns" -> chainReturnsSql,
+    "tpcds_yoy_channel_ratio" -> yoyChannelRatioSql,
+    "tpcds_within_band" -> withinBandSql,
+    "tpcds_rank_gate_rollup" -> rankGateRollupSql,
     "tpcds_funnel_cte" -> funnelCteSql,
     "tpcds_item_intersect_gate" -> itemIntersectGateSql,
     "tpcds_or_heavy" -> orHeavySql,
