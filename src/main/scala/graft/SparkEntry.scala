@@ -64,6 +64,7 @@ object Session {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.Registry.registerAll(spark)
     plans.MvRewrite.install(spark) // no-op until an MV registers
+    plans.TablePrune.install(spark) // no-op until conf-enabled
     spark
   }
 }

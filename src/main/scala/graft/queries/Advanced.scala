@@ -24,6 +24,29 @@ object Advanced extends graft.QueryArea {
       MaterializedViews.read(spark, base, "daily_revenue")
         .orderBy(col("d"), col("o_orderpriority"))
     }),
+    // Cardinality-preserving join pruning (reference
+    // accelerate-cardinality-preserving-joins.md): with unique keys +
+    // integral FKs declared, a 3-table FK chain whose dim columns are
+    // unused optimizes to a single-table scan (asserted: no Join in
+    // the optimized plan). Equality with the joined oracle proves the
+    // prune preserves cardinality and duplication factor exactly.
+    "prune_cardinality_joins" -> ((spark, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_prune_${dir.replaceAll("[^0-9a-z]", "_")}"
+      spark.conf.set(graft.plans.TablePrune.EnabledKey, "true")
+      try {
+        val df = t(spark, dir, "lineitem")
+          .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("l_quantity").cast("bigint")).cast("bigint").as("qty"))
+        require(!df.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+          "table pruning failed: a join survived the optimized plan")
+        df.write.mode("overwrite").parquet(root) // materialize WITH pruning on
+      } finally spark.conf.unset(graft.plans.TablePrune.EnabledKey)
+      spark.read.parquet(root).orderBy(col("l_returnflag"))
+    }),
     // Query cache (reference be/src/exec/query_cache/): per-partition
     // partial-agg reuse with predicate-based splitting. A first query
     // over [01-05, 01-15] populates per-day partials; the gate's
@@ -172,6 +195,13 @@ object Advanced extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "prune_cardinality_joins" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "cache_agg_reuse" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
