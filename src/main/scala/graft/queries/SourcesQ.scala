@@ -217,6 +217,22 @@ object SourcesQ extends graft.QueryArea {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("c_mktsegment"))
     }),
+    // Bucket-local aggregation (reference sorted/streaming agg,
+    // docs sorted_aggregate.md + colocate distribution): a GROUP BY
+    // on the bucket key of a bucketed table satisfies the agg's
+    // required distribution from the layout — the plan has NO
+    // Exchange (asserted in PlanSpec). At 100 TB this turns the
+    // aggregation's dominant shuffle into a free property of the
+    // write-time layout, the reference's DISTRIBUTED BY trade.
+    "agg_bucket_local" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val base = tmpDir(dir, "bucketagg")
+      graft.operators.Colocate.saveBucketed(o, "orders_bagg_q", s"$base/o", Seq("o_custkey"), 8)
+      spark.table("orders_bagg_q")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_custkey"))
+    }),
     // UPDATE + DELETE rewrite on a PRIMARY-key table image.
     "keys_update_delete" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
@@ -261,6 +277,10 @@ object SourcesQ extends graft.QueryArea {
     "src_orc_roundtrip" -> eventsAgg,
     "src_avro_roundtrip" -> eventsAgg,
     "res_arrow_roundtrip" -> eventsAgg,
+    "agg_bucket_local" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "src_csv_tolerant" -> eventsAgg,
     "src_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name
