@@ -144,6 +144,33 @@ object Nested extends graft.QueryArea {
           to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("built"))
         .orderBy(col("event_id")).limit(1000)
     }),
+    // Flat JSON (reference Flat_json.md): synthesize a mixed-shape
+    // JSON doc from events (string t, long u, 2/3-present long v,
+    // double r, 10%-present rare), profile + flatten at a 0.5 hit
+    // ratio — t/u/v/r promote to typed columns, rare stays in the
+    // remain JSON — then aggregate the typed columns. The oracle
+    // recomputes every figure from the base columns directly, proving
+    // the profile→extract→remain pipeline is lossless and typed
+    // correctly.
+    "json_flatten_profile" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val jdoc = concat(
+        lit("{\"t\":\""), col("event_type"), lit("\",\"u\":"), col("user_id").cast("string"),
+        coalesce(when(col("event_id") % 3 =!= 0,
+          concat(lit(",\"v\":"), (col("user_id") % 7).cast("string"))), lit("")),
+        lit(",\"r\":"), (col("user_id") % 100).cast("string"), lit(".5"),
+        coalesce(when(col("event_id") % 10 === 0, lit(",\"rare\":1")), lit("")),
+        lit("}"))
+      val flat = graft.operators.FlatJson.flatten(
+        e.select(col("event_id"), jdoc.as("jdoc")), "jdoc", minHitRatio = 0.5)
+      flat.groupBy(col("t"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("u")).cast("bigint").as("su"),
+          sum(col("v")).cast("bigint").as("sv"),
+          sum(col("r").cast("decimal(18,6)")).cast("double").as("sr"),
+          count(get_json_object(col("jdoc_remain"), "$.rare")).cast("bigint").as("nr"))
+        .orderBy(col("t"))
+    }),
     // json_each ≡ explode the parsed map (reference json_each TVF)
     "tvf_json_each" -> ((spark, dir) => {
       val e = t(spark, dir, "events")
@@ -242,5 +269,12 @@ object Nested extends graft.QueryArea {
         |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
     "tvf_json_each" ->
       """SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
-        |FROM events ORDER BY event_id, key LIMIT 1000""".stripMargin)
+        |FROM events ORDER BY event_id, key LIMIT 1000""".stripMargin,
+    "json_flatten_profile" ->
+      """SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS su,
+        |  CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN user_id % 7 END) AS BIGINT) AS sv,
+        |  CAST(SUM(CAST((user_id % 100) + 0.5 AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+        |  CAST(COUNT(CASE WHEN event_id % 10 = 0 THEN 1 END) AS BIGINT) AS nr
+        |FROM events GROUP BY event_type ORDER BY t""".stripMargin)
 }
