@@ -274,6 +274,57 @@ object TextAnalysis {
     df.withColumn("sampled", h < thr)
   }
 
+  /** Distinct normalized word n-grams of a text column: lowercase,
+    * collapse every non-alphanumeric run to one space, split, slide an
+    * n-window, space-rejoin. Empty/short docs yield an empty array (NOT
+    * a reversed `sequence(1,0)` — Spark generates descending sequences
+    * when stop < start, so the window index is gated on size >= n). */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val w = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Benchmark decontamination — the training-corpus hygiene step that
+    * removes documents overlapping an evaluation set (GPT-3 §C / PaLM /
+    * Llama report n-gram collision scrubbing; reference full-text
+    * surface: `be/src/storage_primitive/inverted_index_iterator.h`
+    * serves the analogous membership probe). A corpus document is
+    * contaminated when >= `flagFrac` of its distinct word `n`-grams
+    * also appear in any eval document.
+    *
+    * Scale shape: eval sets are benchmark-sized (KB..MB — thousands of
+    * docs) while the corpus is the 100 TB side, so the distinct eval
+    * grams are BROADCAST and the corpus side never shuffles: explode →
+    * broadcast-hash semi-probe → per-doc count. The two aggregations
+    * (total grams, hit grams) group on the corpus doc id — one shuffle
+    * each of (id, count)-sized rows, partial-aggregated map-side.
+    *
+    * Returns only docs with >= 1 colliding gram: (id, hit_grams,
+    * total_grams, contamination, flagged). Filter `flagged` to drop,
+    * or join back to quarantine. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, flagFrac: Double = 0.1): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(wordGrams(col(textCol), n)).as("__g")).distinct()
+    // grams are array_distinct per doc, so count(*) == distinct count
+    val grams = corpus.select(col(idCol),
+      explode(wordGrams(col(textCol), n)).as("__g"))
+    val total = grams.groupBy(col(idCol)).agg(count(lit(1)).as("total_grams"))
+    val hits = grams.join(broadcast(evalGrams), Seq("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hit_grams"))
+    hits.join(total, Seq(idCol))
+      .select(col(idCol), col("hit_grams"), col("total_grams"),
+        round(col("hit_grams").cast("double") / col("total_grams"), 6)
+          .as("contamination"),
+        (col("hit_grams").cast("double") / col("total_grams") >= flagFrac)
+          .as("flagged"))
+  }
+
   /** Capacity-quantized sequence packing: assign ordered chunks to
     * training sequences of ~maxTokens by bucketing the running token
     * total — seq_id = ⌊exclusive-cumsum / maxTokens⌋ over a

@@ -344,6 +344,18 @@ object Pipeline extends graft.QueryArea {
           sepRegex = " \\|\\|\\| ", sepOut = " ||| ", maxDocFrac = 0.05)
         .orderBy(col("doc_id"))
     }),
+    // benchmark decontamination: docs with doc_id % 7 == 0 play the
+    // eval set; corpus docs sharing >= 1 distinct word 5-gram with any
+    // eval doc are reported, flagged at >= 10% distinct-gram overlap
+    // (the GPT-3/PaLM-style n-gram collision scrub). Eval grams are
+    // broadcast — the corpus side never shuffles rows, only counts.
+    "text_decontaminate" -> ((spark, dir) => {
+      val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis.decontaminate(
+          d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 5, flagFrac = 0.1)
+        .orderBy(col("doc_id"))
+    }),
     // stratified corpus mixing: per-source keep rates off a stable hash
     "corpus_sample_mix" -> ((spark, dir) => {
       TextAnalysis.stratifiedSample(t(spark, dir, "documents"), "source", "doc_id",
@@ -719,6 +731,29 @@ object Pipeline extends graft.QueryArea {
         |  array_to_string(list_filter(string_split(text, ' ||| '),
         |    x -> NOT list_contains(b.bl, lower(trim(x)))), ' ||| ') AS clean_text
         |FROM planted, boiler b ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 4, 0)),
+        |      i -> array_to_string(w[i:i+4], ' ')))) AS g
+        |  FROM tok),
+        |eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+        |hits AS (
+        |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
+        |  FROM grams c JOIN eval_grams e ON c.g = e.g
+        |  WHERE c.doc_id % 7 <> 0 GROUP BY c.doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_grams
+        |  FROM grams WHERE doc_id % 7 <> 0 GROUP BY doc_id)
+        |SELECT h.doc_id, h.hit_grams, t.total_grams,
+        |  round(CAST(h.hit_grams AS DOUBLE) / t.total_grams, 6) AS contamination,
+        |  CAST(h.hit_grams AS DOUBLE) / t.total_grams >= 0.1 AS flagged
+        |FROM hits h JOIN tot t ON h.doc_id = t.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
     "corpus_sample_mix" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(SUM(CASE WHEN (doc_id * 7919) % 1000000 <

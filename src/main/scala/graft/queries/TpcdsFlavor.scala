@@ -61,6 +61,16 @@ import util._
   *  - rank-gated rollup: a window-rank subquery selects the top
   *    nations, then a ROLLUP aggregates only those (Q70)
   *
+  * Tranche 6 (round 4, fourth pass):
+  *  - inventory-lag non-equi join: equi item key + date-offset band +
+  *    quantity residual (Q72's d3.d_date > d1.d_date + 5 shape)
+  *  - cross-year decline pairs: channel CTE re-aggregated, self-joined
+  *    on yr = yr + 1, >20% decline filter (Q75)
+  *  - ratio-of-ratios: one quarterly CTE instantiated four times,
+  *    growth of channel A vs channel B compared per nation (Q31)
+  *  - composite-key CTE squared: one per-(supplier, part, year) CTE
+  *    joined to itself across consecutive years (Q64's cs1/cs2)
+  *
   * Scale shape: every query is fact-side single-shuffle per agg;
   * UNION ALL branches share the scan via Spark's plan reuse;
   * rollup's Expand doubles rows map-side only (no extra shuffle);
@@ -479,7 +489,99 @@ object TpcdsFlavor extends graft.QueryArea {
       |GROUP BY ROLLUP(n_name, o_orderpriority)
       |ORDER BY lochierarchy DESC, n_name, o_orderpriority""".stripMargin
 
+  // Q72: the inventory-lag shape — an equi item key plus a residual
+  // non-equi band on a date offset and a quantity comparison. One month
+  // of "demand" lines probes the full table for later, smaller-quantity
+  // "restock" lines on the same part 3-60 days out. Spark plans the
+  // equi key as the hash join key; the band + quantity land as residual
+  // filters on the matched pairs (no cartesian).
+  private val inventoryLagSql =
+    """WITH demand AS (
+      |  SELECT l_partkey, l_shipdate, l_quantity FROM lineitem
+      |  WHERE l_shipdate BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'),
+      |restock AS (
+      |  SELECT l_partkey, l_shipdate, l_quantity FROM lineitem)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS lag_pairs
+      |FROM demand d JOIN restock r
+      |  ON d.l_partkey = r.l_partkey
+      |  AND r.l_shipdate > d.l_shipdate + INTERVAL 3 DAY
+      |  AND r.l_shipdate <= d.l_shipdate + INTERVAL 60 DAY
+      |  AND r.l_quantity < d.l_quantity
+      |JOIN part ON p_partkey = d.l_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // Q75: cross-year decline — per-channel revenue CTE re-aggregated to
+  // (item, year) totals, self-joined on yr = yr + 1, parts that lost
+  // more than 20% of revenue. The ratio compare runs on DOUBLE casts of
+  // the exact DECIMAL sums: IEEE division is bit-identical across
+  // engines, where native DECIMAL division scale rules are not.
+  private val declinePairsSql =
+    """WITH chan AS (
+      |  SELECT l_returnflag AS chan, l_partkey, year(l_shipdate) AS yr,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+      |  GROUP BY 1, 2, 3),
+      |tot AS (SELECT l_partkey, yr, SUM(rev) AS rev FROM chan GROUP BY 1, 2)
+      |-- unrounded DOUBLE casts of the exact DECIMAL sums: the sums carry
+      |-- 4 decimal places, so round(x, 2) hits true .xx50 half-boundaries
+      |-- where Spark (BigDecimal HALF_UP) and DuckDB (scaled nearbyint)
+      |-- legitimately disagree; the nearest-double conversion is identical
+      |SELECT c.l_partkey AS partkey,
+      |  CAST(p.rev AS DOUBLE) AS rev_1995,
+      |  CAST(c.rev AS DOUBLE) AS rev_1996
+      |FROM tot c JOIN tot p ON c.l_partkey = p.l_partkey AND c.yr = p.yr + 1
+      |WHERE c.yr = 1996 AND CAST(c.rev AS DOUBLE) < 0.8 * CAST(p.rev AS DOUBLE)
+      |ORDER BY partkey""".stripMargin
+
+  // Q31: ratio-of-ratios — one quarterly (nation, channel) CTE
+  // instantiated four times (two channels x two quarters), nations
+  // where the "web" channel grew faster quarter-over-quarter than the
+  // "store" channel. Priority classes play the channels.
+  private val ratioOfRatiosSql =
+    """WITH q AS (
+      |  SELECT n_name, CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 'web' ELSE 'store' END AS chan,
+      |    quarter(o_orderdate) AS qtr,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) IN (1, 2)
+      |  GROUP BY 1, 2, 3)
+      |SELECT w1.n_name,
+      |  round(CAST(w2.rev AS DOUBLE) / CAST(w1.rev AS DOUBLE), 6) AS web_ratio,
+      |  round(CAST(s2.rev AS DOUBLE) / CAST(s1.rev AS DOUBLE), 6) AS store_ratio
+      |FROM q w1 JOIN q w2 ON w1.n_name = w2.n_name
+      |JOIN q s1 ON w1.n_name = s1.n_name JOIN q s2 ON w1.n_name = s2.n_name
+      |WHERE w1.chan = 'web' AND w1.qtr = 1 AND w2.chan = 'web' AND w2.qtr = 2
+      |  AND s1.chan = 'store' AND s1.qtr = 1 AND s2.chan = 'store' AND s2.qtr = 2
+      |  AND CAST(w2.rev AS DOUBLE) / CAST(w1.rev AS DOUBLE)
+      |    > CAST(s2.rev AS DOUBLE) / CAST(s1.rev AS DOUBLE)
+      |ORDER BY w1.n_name""".stripMargin
+
+  // Q64: one composite-key CTE instantiated twice and joined to itself
+  // across consecutive years — (supplier, part) pairs whose spend rose
+  // year over year. Spark materializes the CTE once and reuses the
+  // exchange for both instantiations.
+  private val repeatCteSquaredSql =
+    """WITH cs AS (
+      |  SELECT l_suppkey AS supp, l_partkey AS part, year(l_shipdate) AS yr,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS spend
+      |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+      |  GROUP BY 1, 2, 3)
+      |SELECT a.supp, a.part, a.cnt AS cnt_1995, b.cnt AS cnt_1996,
+      |  round(CAST(a.spend AS DOUBLE), 2) AS spend_1995,
+      |  round(CAST(b.spend AS DOUBLE), 2) AS spend_1996
+      |FROM cs a JOIN cs b ON a.supp = b.supp AND a.part = b.part
+      |  AND a.yr = 1995 AND b.yr = 1996
+      |WHERE CAST(b.spend AS DOUBLE) > CAST(a.spend AS DOUBLE)
+      |ORDER BY a.supp, a.part""".stripMargin
+
   private val tranche2: Map[String, String] = Map(
+    "tpcds_inventory_lag" -> inventoryLagSql,
+    "tpcds_decline_pairs" -> declinePairsSql,
+    "tpcds_ratio_of_ratios" -> ratioOfRatiosSql,
+    "tpcds_repeat_cte_squared" -> repeatCteSquaredSql,
     "tpcds_chain_returns" -> chainReturnsSql,
     "tpcds_yoy_channel_ratio" -> yoyChannelRatioSql,
     "tpcds_within_band" -> withinBandSql,

@@ -145,4 +145,40 @@ class TextAnalysisSpec extends SparkSuite {
       assert(ts.count(t => t == "window" || t == "scan").toLong === s)
     }
   }
+
+  test("wordGrams: normalized distinct n-grams; short and empty docs yield none") {
+    val rows = Seq(
+      (1L, "The quick, brown FOX jumps over the quick brown fox"),
+      (2L, "a b"),          // 2 words < n=3 → empty
+      (3L, ""),             // empty → empty
+      (4L, "one two three") // exactly n words → one gram
+    ).toDF("id", "t")
+    val g = rows.select($"id", TextAnalysis.wordGrams($"t", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // 10 words → 8 windows; "the quick brown" and "quick brown fox"
+    // each appear twice → 6 distinct
+    assert(g(1L).length === 6)
+    assert(g(1L).contains("the quick brown"))
+    assert(g(2L) === Seq.empty)
+    assert(g(3L) === Seq.empty)
+    assert(g(4L) === Seq("one two three"))
+  }
+
+  test("decontaminate flags corpus docs by eval n-gram overlap, broadcasts eval side") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),     // full overlap with eval doc
+      (2L, "alpha beta gamma nine ten eleven twelve"), // partial: 1 of 5 grams
+      (3L, "totally different words here now")         // no overlap → absent
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, eval, "doc_id", "text", n = 3, flagFrac = 0.5)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L) === ((4L, 4L, true)))  // all 4 grams collide → flagged
+    assert(rows(2L) === ((1L, 5L, false))) // 1 of 5 < 50% → reported, not flagged
+    // the eval-gram side must broadcast: corpus rows never shuffle for the probe
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+  }
 }
