@@ -325,6 +325,49 @@ object TextAnalysis {
           .as("flagged"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public method):
+    * score each corpus document by how much its unigram distribution
+    * resembles a target domain versus the raw corpus,
+    *   score(d) = mean over tokens w of ln( p_target(w) / p_raw(w) )
+    * with add-`smoothing` estimates. High scores = target-like docs;
+    * sample/threshold on the weight to tilt a 100 TB crawl toward the
+    * target mix.
+    *
+    * Scale shape: token counts are two word-keyed aggregations (map-side
+    * partial combine, one shuffle each of vocabulary-sized output); the
+    * two scalar totals join in as broadcast single-row frames; the
+    * log-ratio table joins corpus tokens BY WORD (shuffle of
+    * vocabulary-bounded rows, never doc x vocab); the per-doc mean is
+    * one more doc-keyed aggregation. No driver-side state.
+    *
+    * Returns (idCol, n_tokens, score) — score unrounded; callers round
+    * before cross-engine comparison (the token-order of the double sum
+    * is engine-specific at the 1e-15 digit). */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, smoothing: Double = 1.0): DataFrame = {
+    def toks(df: DataFrame, cols: Column*): DataFrame = df.select(cols :+
+      explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")),
+        " ")).as("__w"): _*)
+    val tokens = toks(corpus, col(idCol))
+    val rcnt = tokens.groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__rc"))
+    val tcnt = toks(target).groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__tc"))
+    val rn = rcnt.agg(sum(col("__rc")).as("__rn"))
+    val tn = tcnt.agg(sum(col("__tc")).as("__tn"))
+    val s = lit(smoothing)
+    // association mirrors the documented formula exactly — (t/tn)/(r/rn)
+    // — so an engine-independent oracle can reproduce the doubles
+    val lr = rcnt.join(tcnt, Seq("__w"), "left")
+      .crossJoin(broadcast(rn)).crossJoin(broadcast(tn))
+      .select(col("__w"),
+        log(((coalesce(col("__tc"), lit(0.0)) + s) / (col("__tn") + s))
+          / ((col("__rc") + s) / (col("__rn") + s))).as("__lr"))
+    tokens.join(lr, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__lr")) / count(lit(1))).as("score"))
+  }
+
   /** Capacity-quantized sequence packing: assign ordered chunks to
     * training sequences of ~maxTokens by bucketing the running token
     * total — seq_id = ⌊exclusive-cumsum / maxTokens⌋ over a

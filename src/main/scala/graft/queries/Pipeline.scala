@@ -356,6 +356,23 @@ object Pipeline extends graft.QueryArea {
           "doc_id", "text", n = 5, flagFrac = 0.1)
         .orderBy(col("doc_id"))
     }),
+    // DSIR importance weights: docs scored by unigram log-ratio of the
+    // 'src0' target domain vs the whole corpus; top-50 by rounded score
+    // (round-then-rank keeps the order engine-independent; the raw
+    // double differs at 1e-15 with token order). TakeOrderedAndProject
+    // handles the top-k distributed; the 50-row rank window is trivial.
+    "corpus_importance_weights" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(spark, dir, "documents")
+      val scored = TextAnalysis.importanceWeights(
+          d, d.filter(col("source") === "src0"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("score"), 6).as("score"))
+      scored.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .orderBy(col("rk"))
+    }),
     // stratified corpus mixing: per-source keep rates off a stable hash
     "corpus_sample_mix" -> ((spark, dir) => {
       TextAnalysis.stratifiedSample(t(spark, dir, "documents"), "source", "doc_id",
@@ -754,6 +771,29 @@ object Pipeline extends graft.QueryArea {
         |  CAST(h.hit_grams AS DOUBLE) / t.total_grams >= 0.1 AS flagged
         |FROM hits h JOIN tot t ON h.doc_id = t.doc_id
         |ORDER BY h.doc_id""".stripMargin,
+    "corpus_importance_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |tcnt AS (
+        |  SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok
+        |  WHERE source = 'src0' GROUP BY w),
+        |rcnt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+        |tn AS (SELECT SUM(c) AS n FROM tcnt),
+        |rn AS (SELECT SUM(c) AS n FROM rcnt),
+        |lr AS (
+        |  SELECT r.w,
+        |    ln(((coalesce(t.c, 0) + 1) / (tn.n + 1))
+        |      / ((r.c + 1) / (rn.n + 1))) AS logratio
+        |  FROM rcnt r LEFT JOIN tcnt t ON r.w = t.w, tn, rn),
+        |scored AS (
+        |  SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    round(SUM(lr.logratio) / COUNT(*), 6) AS score
+        |  FROM tok k JOIN lr ON k.w = lr.w GROUP BY k.doc_id)
+        |SELECT doc_id, n_tokens, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |FROM scored QUALIFY rk <= 50 ORDER BY rk""".stripMargin,
     "corpus_sample_mix" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(SUM(CASE WHEN (doc_id * 7919) % 1000000 <

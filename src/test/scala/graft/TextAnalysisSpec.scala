@@ -164,6 +164,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(g(4L) === Seq("one two three"))
   }
 
+  test("importanceWeights ranks target-like docs above off-domain docs") {
+    val corpus = Seq(
+      (1L, "physics energy quantum field physics energy"),
+      (2L, "physics energy market stock"),
+      (3L, "market stock price trade market stock price")
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "physics energy quantum field theory")).toDF("doc_id", "text")
+    val out = TextAnalysis.importanceWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L)._1 === 6L) // token count includes duplicates
+    // pure-physics doc > mixed doc > pure-market doc
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+  }
+
   test("decontaminate flags corpus docs by eval n-gram overlap, broadcasts eval side") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),     // full overlap with eval doc
