@@ -119,6 +119,19 @@ object Relational extends graft.QueryArea {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy(col("band"))
     }),
+    // binned range join: the interval side (one ±500 acctbal band per
+    // supplier) is TABLE-sized, where a nested-loop band join would be
+    // O(customers x suppliers); RangeJoin bins the axis (bin = 250) so
+    // candidates meet on an equi key and containment is residual-only
+    "join_range_binned" -> ((spark, dir) => {
+      val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val bands = t(spark, dir, "supplier").select(col("s_suppkey"),
+        (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(cust, "c_acctbal", bands, "lo", "hi", 250.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal_sum"))
+        .orderBy(col("s_suppkey"))
+    }),
     "subq_scalar" -> ((spark, dir) => sqlq(spark, dir)(
       """SELECT count(*) AS n_above FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)),
@@ -243,6 +256,12 @@ object Relational extends graft.QueryArea {
         |  AS bands(lo, hi, band)
         |ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "join_range_binned" ->
+      """SELECT s_suppkey, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "subq_scalar" ->
       """SELECT count(*) AS n_above FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,

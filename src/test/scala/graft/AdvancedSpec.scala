@@ -145,4 +145,26 @@ class AdvancedSpec extends SparkSuite {
     assert(r1.size === docs.count(), "missing rows")
     assert(r1.values.forall(_.startsWith("label_")))
   }
+
+  test("RangeJoin equals the naive non-equi join and plans an equi join, not a nested loop") {
+    import graft.operators.RangeJoin
+    // deterministic pseudo-random points/intervals incl. negatives,
+    // bin-boundary values, empty and inverted intervals
+    val points = (1 to 400).map(i => (i.toLong, (i * 37 % 200) - 50.0)).toDF("pid", "v")
+    val intervals = (1 to 60).map { i =>
+      val lo = (i * 53 % 180) - 60.0
+      val width = i % 7 match { case 0 => -5.0; case w => w * 9.0 } // some inverted
+      (i.toLong, lo, lo + width)
+    }.toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 10.0)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture produced no matches — test is vacuous")
+    val plan = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to all-pairs:\n$plan")
+  }
 }
