@@ -84,6 +84,51 @@ object InvertedIndex {
         row_number().over(w).cast("long").as("rk"))
   }
 
+  /** Positional postings (term, doc_id, positions) — the phrase-query
+    * index shape (Lucene-style position lists; the reference's GIN
+    * index stores the same per-term occurrence lists). Positions are
+    * 0-based token offsets, sorted. */
+  def buildPositional(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("positions"))
+
+  /** Phrase occurrences per doc from positional postings: query term i
+    * at token position p contributes anchor p - i; a doc position where
+    * ALL phrase terms align on one anchor is a phrase start.
+    *
+    * Work is bounded by the phrase terms' postings (term-pruned scan,
+    * like every MATCH here), the phrase spec joins in as a broadcast
+    * literal, and the anchor check is two map-side-combining
+    * aggregations keyed by (doc, anchor) then doc. Duplicate terms in
+    * the phrase ("buffalo buffalo") are handled by the spec join: one
+    * posting row anchors once per spec entry. Returns (doc_id, n_hits),
+    * n_hits >= 1. */
+  def phraseHits(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    val spark = positional.sparkSession
+    val spec = spark.createDataFrame(terms.zipWithIndex.map {
+      case (t, i) => (t, i.toLong)
+    }).toDF("__term", "__i")
+    positional.filter(col("term").isin(terms.distinct: _*))
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("__pos"))
+      .join(broadcast(spec), col("term") === col("__term"))
+      .select(col("doc_id"), (col("__pos") - col("__i")).as("__anchor"), col("__i"))
+      .groupBy(col("doc_id"), col("__anchor"))
+      .agg(countDistinct(col("__i")).as("__k"))
+      .filter(col("__k") === terms.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Docs containing the exact phrase (consecutive, in order). */
+  def matchPhrase(docs: DataFrame, positional: DataFrame, idCol: String,
+      phrase: Seq[String]): DataFrame =
+    docs.join(phraseHits(positional, phrase).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Unindexed fallback predicates (the reference's fallback path):
     * scan-side codegen'd expressions over tokens(text). */
   def matchAnyPredicate(text: Column, terms: Seq[String]): Column =

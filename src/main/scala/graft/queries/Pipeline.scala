@@ -235,6 +235,17 @@ object Pipeline extends graft.QueryArea {
       graft.operators.InvertedIndex.matchTopK(
         postings, Seq("window", "scan", "merge"), k = 20)
     }),
+    // Phrase MATCH over positional postings: "stream table hash" must
+    // appear consecutively in order; n_hits counts phrase starts. The
+    // oracle rescans token windows in DuckDB — independent of the
+    // position-anchor machinery under test.
+    "text_match_phrase" -> ((spark, dir) => {
+      val pos = graft.operators.InvertedIndex.buildPositional(
+        t(spark, dir, "documents"), "doc_id", "text")
+      graft.operators.InvertedIndex.phraseHits(
+          pos, Seq("stream", "table", "hash"))
+        .orderBy(col("doc_id"))
+    }),
     // connected components over a chain-structured pair graph (runs of
     // 5 consecutive doc_ids; diameter 4 forces multi-round label
     // propagation) — the pairs→clusters step of corpus dedup
@@ -504,6 +515,20 @@ object Pipeline extends graft.QueryArea {
         |  CAST(row_number() OVER (ORDER BY c1 + c2 + c3 DESC, doc_id) AS BIGINT) AS rk
         |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_match_phrase" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |      generate_series(1, greatest(len(w) - 2, 0)),
+        |      i -> w[i] = 'stream' AND w[i+1] = 'table' AND w[i+2] = 'hash'))
+        |    AS BIGINT) AS n_hits
+        |  FROM tok)
+        |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+        |ORDER BY doc_id""".stripMargin,
     "dedup_fingerprint_pairs" ->
       s"""WITH $planted,
         |norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM planted)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.TextAnalysis
+import graft.operators.{InvertedIndex, TextAnalysis}
 
 class TextAnalysisSpec extends SparkSuite {
   import spark.implicits._
@@ -162,6 +162,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(g(2L) === Seq.empty)
     assert(g(3L) === Seq.empty)
     assert(g(4L) === Seq("one two three"))
+  }
+
+  test("phraseHits: consecutive in-order anchors, duplicate terms, overlaps") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),              // 1 hit of "quick brown"
+      (2L, "quick brown quick brown fox"),      // 2 hits
+      (3L, "brown quick"),                      // reversed → no hit
+      (4L, "quick x brown"),                    // gap → no hit
+      (5L, "buffalo buffalo buffalo"),          // dup-term phrase: 2 overlapping hits
+      (6L, "Quick, BROWN!")                     // case/punct normalize → 1 hit
+    ).toDF("doc_id", "text")
+    val pos = InvertedIndex.buildPositional(docs, "doc_id", "text")
+    val qb = InvertedIndex.phraseHits(pos, Seq("quick", "brown"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(qb === Map(1L -> 1L, 2L -> 2L, 6L -> 1L))
+    val buf = InvertedIndex.phraseHits(pos, Seq("buffalo", "buffalo"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buf === Map(5L -> 2L))
+    val m = InvertedIndex.matchPhrase(docs, pos, "doc_id", Seq("quick", "brown"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(m === Set(1L, 2L, 6L))
   }
 
   test("importanceWeights ranks target-like docs above off-domain docs") {
