@@ -311,13 +311,17 @@ object TextAnalysis {
       textCol: String, n: Int = 8, flagFrac: Double = 0.1): DataFrame = {
     val evalGrams = evalSet
       .select(explode(wordGrams(col(textCol), n)).as("__g")).distinct()
-    // grams are array_distinct per doc, so count(*) == distinct count
+      .withColumn("__hit", lit(1))
+    // grams are array_distinct per doc, so count(*) == distinct count;
+    // a broadcast LEFT probe + conditional count gets hit AND total in
+    // ONE pass over the corpus grams (one scan, one explode, one
+    // doc-keyed shuffle — not a branch per aggregate)
     val grams = corpus.select(col(idCol),
       explode(wordGrams(col(textCol), n)).as("__g"))
-    val total = grams.groupBy(col(idCol)).agg(count(lit(1)).as("total_grams"))
-    val hits = grams.join(broadcast(evalGrams), Seq("__g"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("hit_grams"))
-    hits.join(total, Seq(idCol))
+    grams.join(broadcast(evalGrams), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__hit")).as("hit_grams"), count(lit(1)).as("total_grams"))
+      .filter(col("hit_grams") > 0)
       .select(col(idCol), col("hit_grams"), col("total_grams"),
         round(col("hit_grams").cast("double") / col("total_grams"), 6)
           .as("contamination"),

@@ -107,6 +107,28 @@ object Windows extends graft.QueryArea {
         |  count(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
         |                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near
         |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+    // time-series gap filling: a generated date spine LEFT-joined to
+    // sparse daily sums, then LOCF (last observation carried forward)
+    // via last_value IGNORE NULLS over an unbounded-preceding frame —
+    // the interpolation step of time-series reporting. Leading days
+    // before a series' first observation stay NULL by design.
+    "ts_gap_fill_locf" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val daily = e.filter(col("value") > 250)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("v"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(spark.range(1).select(explode(sequence(
+          lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+          expr("interval 1 day"))).as("day")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("v").isNotNull.as("observed"),
+          round(last(col("v"), ignoreNulls = true).over(w), 2).as("v_locf"))
+        .orderBy(col("event_type"), col("day"))
+    }),
     // plain aggregate over an unordered partition window
     "win_agg_over_partition" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
@@ -133,6 +155,24 @@ object Windows extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "ts_gap_fill_locf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events WHERE value > 250 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT t.event_type, CAST(d.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS day) d)
+        |SELECT s.event_type, CAST(s.day AS STRING) AS day,
+        |  d.v IS NOT NULL AS observed,
+        |  round(last_value(d.v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS v_locf
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.event_type = d.event_type AND s.day = d.day
+        |ORDER BY s.event_type, s.day""".stripMargin,
     "win_nth_value" ->
       """SELECT o_custkey, o_orderkey,
         |  round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
