@@ -279,13 +279,26 @@ object TextAnalysis {
     * n-window, space-rejoin. Empty/short docs yield an empty array (NOT
     * a reversed `sequence(1,0)` — Spark generates descending sequences
     * when stop < start, so the window index is gated on size >= n). */
-  def wordGrams(text: Column, n: Int): Column = {
+  def wordGrams(text: Column, n: Int): Column =
+    gramsOfWords(normWords(text), n)
+
+  /** Normalized word array: lowercase, non-alphanumeric runs → space. */
+  def normWords(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+
+  /** n-gram windows over an ALREADY-MATERIALIZED word-array column.
+    * Callers on a hot path must project the word array to an attribute
+    * first and pass that attribute: the window lambda references `words`
+    * once per index, and an interpreted higher-order `transform`
+    * re-evaluates a closed-over expression subtree (e.g. the
+    * split/regexp normalization inside [[wordGrams]]) PER ELEMENT —
+    * observed ~6x on the decontamination probe at sf0.1. */
+  def gramsOfWords(words: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be >= 1")
-    val w = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
     array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", slice(w, i, lit(n)))))
+      when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
         .otherwise(array().cast("array<string>")))
   }
 
@@ -309,15 +322,20 @@ object TextAnalysis {
     * or join back to quarantine. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 8, flagFrac: Double = 0.1): DataFrame = {
+    // word arrays are projected to attributes BEFORE the gram windows:
+    // see gramsOfWords — an interpreted transform() re-evaluates a
+    // closed-over normalization subtree per window index
     val evalGrams = evalSet
-      .select(explode(wordGrams(col(textCol), n)).as("__g")).distinct()
+      .select(normWords(col(textCol)).as("__w"))
+      .select(explode(gramsOfWords(col("__w"), n)).as("__g")).distinct()
       .withColumn("__hit", lit(1))
     // grams are array_distinct per doc, so count(*) == distinct count;
     // a broadcast LEFT probe + conditional count gets hit AND total in
     // ONE pass over the corpus grams (one scan, one explode, one
     // doc-keyed shuffle — not a branch per aggregate)
-    val grams = corpus.select(col(idCol),
-      explode(wordGrams(col(textCol), n)).as("__g"))
+    val grams = corpus
+      .select(col(idCol), normWords(col(textCol)).as("__w"))
+      .select(col(idCol), explode(gramsOfWords(col("__w"), n)).as("__g"))
     grams.join(broadcast(evalGrams), Seq("__g"), "left")
       .groupBy(col(idCol))
       .agg(count(col("__hit")).as("hit_grams"), count(lit(1)).as("total_grams"))
