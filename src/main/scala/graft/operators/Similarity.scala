@@ -187,14 +187,23 @@ object Similarity {
     * the oracle recomputes codes bit-for-bit in DuckDB). Zero vectors
     * quantize to all-zero codes with scale 0. Scan-side Column
     * expressions only — no shuffle, no UDF. */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(0.0)) / 127.0
+  def quantizeInt8(vec: Column): Column =
+    quantizeInt8(vec, int8Scale(vec))
+
+  /** Per-vector quantization scale = max|x| / 127. HOT-PATH callers
+    * must project this to an attribute and use the two-arg
+    * [[quantizeInt8]]: the code lambda divides by the scale, and an
+    * interpreted transform() re-evaluates a closed-over O(d) subtree
+    * PER ELEMENT — O(d^2) per row with the fused single-arg form. */
+  def int8Scale(vec: Column): Column =
+    greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(0.0)) / 127.0
+
+  def quantizeInt8(vec: Column, scale: Column): Column =
     struct(
       when(scale === 0.0, transform(vec, _ => lit(0).cast("int")))
         .otherwise(transform(vec, x =>
           floor(x.cast("double") / scale + 0.5).cast("int"))).as("codes"),
       scale.as("scale"))
-  }
 
   /** Reconstruct the float vector from (codes, scale). */
   def dequantizeInt8(q: Column): Column =

@@ -198,8 +198,11 @@ object Pipeline extends graft.QueryArea {
     // the oracle; reconstruction error bounded by scale/2
     "sim_quantize_int8" -> ((spark, dir) => {
       val emb = t(spark, dir, "embeddings")
-      emb.select(col("vec_id"),
-          Similarity.quantizeInt8(col("embedding")).as("q"), col("embedding"))
+      emb.select(col("vec_id"), col("embedding"),
+          Similarity.int8Scale(col("embedding")).as("__scale"))
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding"), col("__scale")).as("q"),
+          col("embedding"))
         .select(col("vec_id"),
           aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
           round(col("q.scale"), 8).as("scale"),
