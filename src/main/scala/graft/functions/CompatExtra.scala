@@ -34,6 +34,13 @@ object CompatExtra {
     case _ => throw new IllegalArgumentException(s"$what must be a string literal")
   }
 
+  /** StandardAnalyzer token array of an expression (lowercase
+    * alphanumeric runs) — shared by tokenize('standard') and the MATCH
+    * predicates. */
+  private def stdTokens(e: Expression): Expression =
+    call("array_remove",
+      StringSplit(call("lower", e), lit("[^a-z0-9]+"), lit(-1)), lit(""))
+
   /** ±HH:MM:SS render of a (possibly negative) seconds expression —
     * shared by timediff / sec_to_time (reference
     * be/src/exprs/time_functions.cpp sec_to_time, timediff). */
@@ -199,6 +206,19 @@ object CompatExtra {
       }
       call("array_remove",
         StringSplit(call("lower", es(1)), lit(pattern), lit(-1)), lit(""))
+    }
+
+    // --- MATCH predicates (reference inverted-index SQL surface,
+    // be/src/storage/column_predicate_inverted_index_fallback.h): the
+    // scan-side fallback form — query terms tokenized like the column,
+    // ANY = token-set overlap, ALL = no query term missing. The
+    // indexed path is operators.InvertedIndex (postings semi-join). ---
+    f("match_any") { es =>
+      call("arrays_overlap", stdTokens(es.head), stdTokens(es(1)))
+    }
+    f("match_all") { es =>
+      EqualTo(call("size",
+        call("array_except", stdTokens(es(1)), stdTokens(es.head))), lit(0))
     }
 
     // --- binary ↔ string (reference to_binary/from_binary) ---

@@ -238,6 +238,13 @@ object Pipeline extends graft.QueryArea {
       graft.operators.InvertedIndex.matchTopK(
         postings, Seq("window", "scan", "merge"), k = 20)
     }),
+    // SQL MATCH predicate surface (match_any / match_all registered
+    // scalar forms — the unindexed fallback path, callable from SQL)
+    "text_match_predicates" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT doc_id,
+        |  match_any(text, 'window scan') AS any_ws,
+        |  match_all(text, 'window scan') AS all_ws
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // Phrase MATCH over positional postings: "stream table hash" must
     // appear consecutively in order; n_hits counts phrase starts. The
     // oracle rescans token windows in DuckDB — independent of the
@@ -518,6 +525,17 @@ object Pipeline extends graft.QueryArea {
         |  CAST(row_number() OVER (ORDER BY c1 + c2 + c3 DESC, doc_id) AS BIGINT) AS rk
         |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_match_predicates" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(list_intersect(ts, ['window', 'scan'])) > 0 AS any_ws,
+        |  len(list_filter(['window', 'scan'],
+        |      t -> NOT list_contains(ts, t))) = 0 AS all_ws
+        |FROM tok ORDER BY doc_id""".stripMargin,
     "text_match_phrase" ->
       """WITH tok AS (
         |  SELECT doc_id,
