@@ -36,6 +36,25 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Schema evolution: v2 appends files with a NEW column; the current
+    // snapshot's schema governs the read and v1's files (written before
+    // the column existed) surface it as NULL — Iceberg/Delta add-column
+    // semantics from the manifest schema, no rewrite of old files.
+    "src_lake_schema_evolution" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_evo")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 2 === 0), table, Nil)
+      graft.sources.Lake.write(
+        o.filter(col("o_orderkey") % 2 === 1).withColumn("o_band",
+          when(col("o_totalprice") > 150000, "high").otherwise("low")),
+        table, Nil, mode = "append")
+      graft.sources.Lake.read(spark, table)
+        .groupBy(coalesce(col("o_band"), lit("absent")).as("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("band"))
+    }),
     // Time travel: three commits (overwrite, append, overwrite) — each
     // snapshot version stays readable because data files are immutable
     // and manifests are per-version. The output reads all three
@@ -250,6 +269,17 @@ object SourcesQ extends graft.QueryArea {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_schema_evolution" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_band
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_band, 'absent') AS band, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_lake_time_travel" ->
       """WITH v1 AS (SELECT count(*) AS n,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -119,9 +119,26 @@ object Lake {
       buf.toSeq
     }
 
-    val files = if (mode == "append" && prev > 0)
-      readSnapshot(spark, table, prev).files ++ newFiles else newFiles
-    val snap = Snapshot(v, System.currentTimeMillis(), df.schema.json,
+    val prevSnap = if (mode == "append" && prev > 0)
+      Some(readSnapshot(spark, table, prev)) else None
+    val files = prevSnap.map(_.files ++ newFiles).getOrElse(newFiles)
+    // Snapshot schema: all fields nullable (Spark writes parquet fields
+    // as optional, and add-column evolution surfaces pre-evolution files
+    // as NULL — the vectorized reader REFUSES a missing column that the
+    // requested schema marks required). Appends union-merge the previous
+    // schema: old columns keep their position, new columns go last, and
+    // a type change for an existing name is rejected (that would need a
+    // rewrite, not a manifest update).
+    val newSchema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val schema = prevSnap.map { ps =>
+      val old = ps.schema
+      for (of <- old.fields; nf <- newSchema.fields.find(_.name == of.name))
+        require(nf.dataType == of.dataType,
+          s"schema evolution cannot change ${of.name}: ${of.dataType} -> ${nf.dataType}")
+      StructType(old.fields.map(_.copy(nullable = true)) ++
+        newSchema.fields.filterNot(f => old.fieldNames.contains(f.name)))
+    }.getOrElse(newSchema)
+    val snap = Snapshot(v, System.currentTimeMillis(), schema.json,
       partitionCols, files)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snap))
 

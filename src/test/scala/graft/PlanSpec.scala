@@ -383,4 +383,20 @@ class PlanSpec extends SparkSuite {
     assert(graft.sources.Lake.read(spark, dir).count() === 300)
     assert(graft.sources.Lake.history(spark, dir).count() === 2)
   }
+
+  test("lake schema evolution: new column appends; old files read NULL; v1 keeps the old schema") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_evo_plan").toString
+    val df = table("orders").select($"o_orderkey", $"o_totalprice")
+    graft.sources.Lake.write(df.limit(50), dir, Nil)
+    graft.sources.Lake.write(df.limit(80).withColumn("o_band", lit("b")),
+      dir, Nil, mode = "append")
+    val cur = graft.sources.Lake.read(spark, dir)
+    assert(cur.columns.toSeq === Seq("o_orderkey", "o_totalprice", "o_band"))
+    // pre-evolution files surface the new column as NULL, not an error
+    assert(cur.filter($"o_band".isNull).count() === 50)
+    assert(cur.filter($"o_band" === "b").count() === 80)
+    // time travel to v1 serves the ORIGINAL two-column schema
+    assert(graft.sources.Lake.read(spark, dir, Some(1)).columns.toSeq
+      === Seq("o_orderkey", "o_totalprice"))
+  }
 }
