@@ -55,6 +55,25 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("band"))
     }),
+    // Copy-on-write DELETE: only files containing matching rows are
+    // rewritten; the rest carry into the new snapshot by manifest
+    // reference (CoW asserted in PlanSpec; this gate checks the
+    // surviving-row semantics incl. NULL-predicate rows kept)
+    "src_lake_delete" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_del")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o, table, Seq("o_orderpriority"))
+      graft.sources.Lake.delete(spark, table,
+        col("o_totalprice") > 200000 && col("o_orderkey") % 2 === 0)
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Time travel: three commits (overwrite, append, overwrite) — each
     // snapshot version stays readable because data files are immutable
     // and manifests are per-version. The output reads all three
@@ -268,6 +287,13 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_delete" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_totalprice > 200000 AND o_orderkey % 2 = 0)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_lake_schema_evolution" ->
       """WITH ev AS (

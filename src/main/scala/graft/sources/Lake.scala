@@ -3,7 +3,7 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
@@ -93,31 +93,7 @@ object Lake {
     // parsed from the col=value path segments partitionBy produced;
     // per-file row counts come from the parquet footers (stats the
     // planner can serve without touching data pages).
-    val conf = spark.sparkContext.hadoopConfiguration
-    val newFiles = {
-      val it = f.listFiles(new Path(commitDir), true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[LakeFile]
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-          val rel = st.getPath.toString.stripPrefix(
-            f.makeQualified(new Path(commitDir)).toString).stripPrefix("/")
-          val pvals = rel.split("/").dropRight(1).flatMap { seg =>
-            seg.split("=", 2) match {
-              case Array(k, vl) => Some(k -> vl)
-              case _ => None
-            }
-          }.toMap
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-          val rows = try reader.getRecordCount finally reader.close()
-          buf += LakeFile(st.getPath.toString, st.getLen,
-            st.getModificationTime, rows, pvals)
-        }
-      }
-      buf.toSeq
-    }
+    val newFiles = listCommitFiles(spark, commitDir)
 
     val prevSnap = if (mode == "append" && prev > 0)
       Some(readSnapshot(spark, table, prev)) else None
@@ -142,13 +118,108 @@ object Lake {
       partitionCols, files)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snap))
 
-    // commit point: VERSION rename — readers see old or new, never a mix
+    commitVersion(spark, table, v)
+    v
+  }
+
+  /** Manifest entries for the files under a commit dir: partition
+    * values parsed from the col=value path segments partitionBy
+    * produced; per-file row counts from the parquet footers (stats the
+    * planner serves without touching data pages). */
+  private def listCommitFiles(spark: SparkSession, commitDir: String): Seq[LakeFile] = {
+    val f = fs(spark, commitDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val it = f.listFiles(new Path(commitDir), true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[LakeFile]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = st.getPath.toString.stripPrefix(
+          f.makeQualified(new Path(commitDir)).toString).stripPrefix("/")
+        val pvals = rel.split("/").dropRight(1).flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(k, vl) => Some(k -> vl)
+            case _ => None
+          }
+        }.toMap
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        val rows = try reader.getRecordCount finally reader.close()
+        buf += LakeFile(st.getPath.toString, st.getLen,
+          st.getModificationTime, rows, pvals)
+      }
+    }
+    buf.toSeq
+  }
+
+  /** Commit point: VERSION rename — readers see old or new, never a mix. */
+  private def commitVersion(spark: SparkSession, table: String, v: Int): Unit = {
+    val f = fs(spark, table)
     val tmp = new Path(s"$table/metadata/.VERSION.tmp")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     f.delete(versionFile(table), false)
     if (!f.rename(tmp, versionFile(table)))
       throw new IllegalStateException(s"commit of $table v$v failed at VERSION rename")
+  }
+
+  /** Copy-on-write DELETE: rows matching `predicate` are removed by
+    * rewriting ONLY the data files that contain at least one matching
+    * row — untouched files carry over into the new snapshot by manifest
+    * reference (the Delta/Iceberg CoW shape; reference analog:
+    * DELETE on a PRIMARY table, `KeysModels.delete` for the in-memory
+    * form). SQL DELETE semantics: rows where the predicate is NULL are
+    * kept. Old snapshots remain readable (data files are immutable).
+    *
+    * Scale: the touched-file discovery is one predicate scan projecting
+    * only input_file_name() (collected file PATHS are manifest-scale,
+    * driver-resident by design, never data rows); the rewrite reads and
+    * writes only touched files, grouped by their manifest partition
+    * values so partition columns re-attach as literals. Returns the new
+    * version (or the current one when nothing matched). */
+  def delete(spark: SparkSession, table: String, predicate: Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    val schema = snap.schema
+    val dataSchema = StructType(
+      schema.fields.filterNot(fd => snap.partitionCols.contains(fd.name)))
+
+    // input_file_name() returns a URL-ENCODED URI (a space in a
+    // partition value reads back as %20, a literal % in the on-disk
+    // Hive-escaped dir name as %25); manifest paths are raw filesystem
+    // paths from FileStatus. Decode ONLY the input_file_name side —
+    // decoding both would corrupt manifest paths that legitimately
+    // contain '%' from Hive escaping.
+    val touched = read(spark, table).filter(predicate)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => java.net.URLDecoder.decode(
+        new Path(r.getString(0)).toUri.getPath, "UTF-8")).toSet
+    val (rewrite, keep) = snap.files.partition(fl =>
+      touched.contains(new Path(fl.path).toUri.getPath))
+    if (rewrite.isEmpty) return prev
+
+    val v = prev + 1
+    val commitDir = s"$table/data/commit-$v"
+    val survivors = rewrite.groupBy(_.partitionValues).map { case (pvals, fls) =>
+      var df = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
+      for (c <- snap.partitionCols) {
+        val dt = schema.fields.find(_.name == c).get.dataType
+        df = df.withColumn(c, lit(pvals(c)).cast(dt))
+      }
+      df.select(schema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_ unionByName _)
+      .filter(not(coalesce(predicate, lit(false))))
+    val writer = if (snap.partitionCols.nonEmpty)
+      survivors.write.partitionBy(snap.partitionCols: _*) else survivors.write
+    writer.mode("errorifexists").parquet(commitDir)
+
+    val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir))
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
     v
   }
 

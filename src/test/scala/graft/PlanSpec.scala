@@ -399,4 +399,32 @@ class PlanSpec extends SparkSuite {
     assert(graft.sources.Lake.read(spark, dir, Some(1)).columns.toSeq
       === Seq("o_orderkey", "o_totalprice"))
   }
+
+  test("lake DELETE is copy-on-write: untouched files carry by reference, old snapshot intact") {
+    import graft.sources.Lake
+    val dir = java.nio.file.Files.createTempDirectory("lake_del_plan").toString
+    val o = table("orders").select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    Lake.write(o, dir, Seq("o_orderpriority"))
+    val v1 = Lake.readSnapshot(spark, dir, 1)
+    val v1Count = Lake.read(spark, dir).count()
+    val hit = Lake.read(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_orderkey" % 10 === 0).count()
+    assert(hit > 0, "fixture must delete something")
+
+    val v2n = Lake.delete(spark, dir,
+      $"o_orderpriority" === "1-URGENT" && $"o_orderkey" % 10 === 0)
+    assert(v2n === 2)
+    val v2 = Lake.readSnapshot(spark, dir, 2)
+    // files outside the touched partition carry over by reference
+    val untouchedV1 = v1.files.filter(_.partitionValues("o_orderpriority") != "1-URGENT")
+    assert(untouchedV1.map(_.path).toSet.subsetOf(v2.files.map(_.path).toSet))
+    // the touched partition's files were all replaced
+    val urgentV1 = v1.files.filter(_.partitionValues("o_orderpriority") == "1-URGENT")
+    assert(urgentV1.map(_.path).toSet.intersect(v2.files.map(_.path).toSet).isEmpty)
+    // row accounting + old snapshot still intact
+    assert(Lake.read(spark, dir).count() === v1Count - hit)
+    assert(Lake.read(spark, dir, Some(1)).count() === v1Count)
+    // no-match delete is a no-op that returns the current version
+    assert(Lake.delete(spark, dir, $"o_totalprice" < -1) === 2)
+  }
 }
