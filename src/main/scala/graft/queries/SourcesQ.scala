@@ -74,6 +74,23 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Copy-on-write UPDATE: SET applied to matching rows of touched
+    // files only; non-matching rows of those files rewritten verbatim
+    "src_lake_update" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_upd")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o, table, Seq("o_orderpriority"))
+      graft.sources.Lake.update(spark, table,
+        col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Time travel: three commits (overwrite, append, overwrite) — each
     // snapshot version stays readable because data files are immutable
     // and manifests are per-version. The output reads all three
@@ -288,6 +305,15 @@ object SourcesQ extends graft.QueryArea {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_update" ->
+      """WITH upd AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+        |      THEN o_totalprice * CAST(1.1 AS DOUBLE) ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM upd GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_lake_delete" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,

@@ -164,6 +164,36 @@ object Lake {
       throw new IllegalStateException(s"commit of $table v$v failed at VERSION rename")
   }
 
+  /** Copy-on-write UPDATE: SET-style column assignments applied to
+    * rows matching `predicate`, by rewriting only the files that
+    * contain at least one such row (same CoW shape and path handling
+    * as [[delete]]; reference analog: UPDATE on a PRIMARY table,
+    * `KeysModels.update`). Rows where the predicate is NULL are left
+    * unmodified (SQL UPDATE semantics); assignments are cast to the
+    * column's snapshot type so the schema never drifts. */
+  def update(spark: SparkSession, table: String, predicate: Column,
+      assignments: Map[String, Column]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    val schema = snap.schema
+    assignments.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"unknown column $c")
+      require(!snap.partitionCols.contains(c),
+        s"cannot UPDATE partition column $c (that is a repartitioning rewrite)")
+    }
+    rewriteTouched(spark, table, snap, predicate) { df =>
+      df.select(schema.fields.toSeq.map { fd =>
+        assignments.get(fd.name) match {
+          case Some(a) => when(coalesce(predicate, lit(false)),
+            a.cast(fd.dataType)).otherwise(col(fd.name)).as(fd.name)
+          case None => col(fd.name)
+        }
+      }: _*)
+    }
+  }
+
   /** Copy-on-write DELETE: rows matching `predicate` are removed by
     * rewriting ONLY the data files that contain at least one matching
     * row — untouched files carry over into the new snapshot by manifest
@@ -179,10 +209,23 @@ object Lake {
     * values so partition columns re-attach as literals. Returns the new
     * version (or the current one when nothing matched). */
   def delete(spark: SparkSession, table: String, predicate: Column): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val prev = currentVersion(spark, table)
     require(prev > 0, s"no committed version at $table")
     val snap = readSnapshot(spark, table, prev)
+    rewriteTouched(spark, table, snap, predicate)(
+      _.filter(not(coalesce(predicate, lit(false)))))
+  }
+
+  /** Shared CoW machinery: find the files with rows matching
+    * `predicate`, rebuild ONLY those through `transform` (partition
+    * columns re-attached from manifest values first), commit untouched
+    * files + rewritten output as the next snapshot. Returns the new
+    * version, or the current one when no file matched. */
+  private def rewriteTouched(spark: SparkSession, table: String,
+      snap: Snapshot, predicate: Column)(
+      transform: DataFrame => DataFrame): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
     val schema = snap.schema
     val dataSchema = StructType(
       schema.fields.filterNot(fd => snap.partitionCols.contains(fd.name)))
@@ -199,11 +242,11 @@ object Lake {
         new Path(r.getString(0)).toUri.getPath, "UTF-8")).toSet
     val (rewrite, keep) = snap.files.partition(fl =>
       touched.contains(new Path(fl.path).toUri.getPath))
-    if (rewrite.isEmpty) return prev
+    if (rewrite.isEmpty) return snap.version
 
-    val v = prev + 1
+    val v = snap.version + 1
     val commitDir = s"$table/data/commit-$v"
-    val survivors = rewrite.groupBy(_.partitionValues).map { case (pvals, fls) =>
+    val rebuilt = rewrite.groupBy(_.partitionValues).map { case (pvals, fls) =>
       var df = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
       for (c <- snap.partitionCols) {
         val dt = schema.fields.find(_.name == c).get.dataType
@@ -211,9 +254,9 @@ object Lake {
       }
       df.select(schema.fieldNames.map(col).toSeq: _*)
     }.reduce(_ unionByName _)
-      .filter(not(coalesce(predicate, lit(false))))
+    val out = transform(rebuilt)
     val writer = if (snap.partitionCols.nonEmpty)
-      survivors.write.partitionBy(snap.partitionCols: _*) else survivors.write
+      out.write.partitionBy(snap.partitionCols: _*) else out.write
     writer.mode("errorifexists").parquet(commitDir)
 
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,

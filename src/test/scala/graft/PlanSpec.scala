@@ -426,5 +426,27 @@ class PlanSpec extends SparkSuite {
     assert(Lake.read(spark, dir, Some(1)).count() === v1Count)
     // no-match delete is a no-op that returns the current version
     assert(Lake.delete(spark, dir, $"o_totalprice" < -1) === 2)
+
+    // CoW UPDATE: only the touched partition's files are replaced; the
+    // SET applies to matching rows, others in the file rewrite verbatim
+    val before = Lake.read(spark, dir)
+      .filter($"o_orderpriority" === "2-HIGH").agg(sum($"o_totalprice")).head.getDouble(0)
+    val v3 = Lake.update(spark, dir,
+      $"o_orderpriority" === "2-HIGH" && $"o_orderkey" % 2 === 0,
+      Map("o_totalprice" -> lit(0.0)))
+    assert(v3 === 3)
+    val v2Files = Lake.readSnapshot(spark, dir, 2).files
+    val v3Files = Lake.readSnapshot(spark, dir, 3).files
+    assert(v2Files.filter(_.partitionValues("o_orderpriority") != "2-HIGH")
+      .map(_.path).toSet.subsetOf(v3Files.map(_.path).toSet))
+    val after = Lake.read(spark, dir)
+      .filter($"o_orderpriority" === "2-HIGH").agg(sum($"o_totalprice")).head.getDouble(0)
+    assert(after < before)
+    assert(Lake.read(spark, dir).count() === Lake.read(spark, dir, Some(2)).count(),
+      "UPDATE must not change row counts")
+    // partition columns cannot be assigned
+    intercept[IllegalArgumentException] {
+      Lake.update(spark, dir, lit(true), Map("o_orderpriority" -> lit("x")))
+    }
   }
 }
