@@ -74,6 +74,28 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Compaction: three append commits leave 3 small files per
+    // partition; compact() rewrites them into ~one per partition with
+    // byte-identical rows (oracle = the plain table aggregate)
+    "src_lake_compact" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_cmp")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 0),
+        table, Seq("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 1),
+        table, Seq("o_orderpriority"), mode = "append")
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 2),
+        table, Seq("o_orderpriority"), mode = "append")
+      graft.sources.Lake.compact(spark, table)
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Copy-on-write UPDATE: SET applied to matching rows of touched
     // files only; non-matching rows of those files rewritten verbatim
     "src_lake_update" -> ((spark, dir) => {
@@ -305,6 +327,11 @@ object SourcesQ extends graft.QueryArea {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_compact" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_lake_update" ->
       """WITH upd AS (
         |  SELECT o_orderpriority,

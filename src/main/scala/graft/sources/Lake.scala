@@ -217,6 +217,54 @@ object Lake {
       _.filter(not(coalesce(predicate, lit(false)))))
   }
 
+  /** Small-file compaction (the reference's background compaction job,
+    * `be/src/storage/compaction_task.cpp`, for a lake table): within
+    * each partition, files under `smallFileBytes` are rewritten into
+    * ~`targetFileBytes` outputs; files already large enough — and
+    * partitions with only one small file — carry into the new snapshot
+    * by reference. Pure manifest surgery + bounded rewrite: row data is
+    * byte-identical, old snapshots stay readable, and readers flip at
+    * the VERSION rename like any commit. Returns the new version (or
+    * the current one when nothing needed compacting). */
+  def compact(spark: SparkSession, table: String,
+      smallFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    val schema = snap.schema
+    val dataSchema = StructType(
+      schema.fields.filterNot(fd => snap.partitionCols.contains(fd.name)))
+    val (small, big) = snap.files.partition(_.sizeBytes < smallFileBytes)
+    val groups = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
+    if (groups.isEmpty) return prev
+    val keep = big ++ small.filterNot(fl => groups.contains(fl.partitionValues))
+
+    val v = prev + 1
+    val commitDir = s"$table/data/commit-$v"
+    val rebuilt = groups.map { case (pvals, fls) =>
+      val nOut = math.max(1,
+        math.ceil(fls.map(_.sizeBytes).sum.toDouble / targetFileBytes).toInt)
+      var df = spark.read.schema(dataSchema)
+        .parquet(fls.map(_.path): _*).coalesce(nOut)
+      for (c <- snap.partitionCols) {
+        val dt = schema.fields.find(_.name == c).get.dataType
+        df = df.withColumn(c, lit(pvals(c)).cast(dt))
+      }
+      df.select(schema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_ unionByName _)
+    val writer = if (snap.partitionCols.nonEmpty)
+      rebuilt.write.partitionBy(snap.partitionCols: _*) else rebuilt.write
+    writer.mode("errorifexists").parquet(commitDir)
+
+    val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir))
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
+  }
+
   /** Shared CoW machinery: find the files with rows matching
     * `predicate`, rebuild ONLY those through `transform` (partition
     * columns re-attached from manifest values first), commit untouched

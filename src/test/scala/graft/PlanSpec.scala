@@ -449,4 +449,27 @@ class PlanSpec extends SparkSuite {
       Lake.update(spark, dir, lit(true), Map("o_orderpriority" -> lit("x")))
     }
   }
+
+  test("lake compaction merges small files per partition, data byte-identical, then no-ops") {
+    import graft.sources.Lake
+    val dir = java.nio.file.Files.createTempDirectory("lake_cmp_plan").toString
+    val o = table("orders").select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    Lake.write(o.filter($"o_orderkey" % 3 === 0), dir, Seq("o_orderpriority"))
+    Lake.write(o.filter($"o_orderkey" % 3 === 1), dir, Seq("o_orderpriority"), mode = "append")
+    Lake.write(o.filter($"o_orderkey" % 3 === 2), dir, Seq("o_orderpriority"), mode = "append")
+    val v3 = Lake.readSnapshot(spark, dir, 3)
+    val before = Lake.read(spark, dir).orderBy($"o_orderkey")
+      .collect().map(_.toSeq).toSeq
+
+    assert(Lake.compact(spark, dir) === 4)
+    val v4 = Lake.readSnapshot(spark, dir, 4)
+    assert(v4.files.size < v3.files.size, s"${v4.files.size} !< ${v3.files.size}")
+    // one output file per partition at default target size
+    assert(v4.files.groupBy(_.partitionValues).forall(_._2.size === 1))
+    assert(Lake.read(spark, dir).orderBy($"o_orderkey")
+      .collect().map(_.toSeq).toSeq === before, "compaction must not change data")
+    assert(Lake.read(spark, dir, Some(3)).count() === before.size.toLong)
+    // already-compacted table: no-op, same version
+    assert(Lake.compact(spark, dir) === 4)
+  }
 }
