@@ -577,6 +577,46 @@ object TpcdsFlavor extends graft.QueryArea {
       |WHERE CAST(b.spend AS DOUBLE) > CAST(a.spend AS DOUBLE)
       |ORDER BY a.supp, a.part""".stripMargin
 
+  // Tranche 7 — Spark datediff(end, start) vs DuckDB
+  // datediff('day', start, end): per-engine texts where dialects diverge.
+  private def queriesTranche7: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q8: the join key is a COMPUTED expression (name-suffix substring),
+    // not a stored column — Spark hashes the expression like any key
+    "tpcds_expr_key_join" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT substr(c_name, -2) AS sfx, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM customer JOIN supplier ON substr(c_name, -2) = substr(s_name, -2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // Q62/Q99: fulfillment-delay band crosstab against the joined order date
+    "tpcds_delay_bands" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_more
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    // Q90: ratio of two disjoint-window scalar subqueries in one row
+    "tpcds_scalar_ratio" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT round(CAST((SELECT COUNT(*) FROM events WHERE hour(ts) BETWEEN 6 AND 11) AS DOUBLE)
+        |  / (SELECT COUNT(*) FROM events WHERE hour(ts) BETWEEN 18 AND 23), 6) AS am_pm_ratio""".stripMargin)))
+
+  private def oraclesTranche7: Map[String, String] = Map(
+    "tpcds_expr_key_join" ->
+      """SELECT substr(c_name, -2) AS sfx, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM customer JOIN supplier ON substr(c_name, -2) = substr(s_name, -2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpcds_delay_bands" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_more
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "tpcds_scalar_ratio" ->
+      """SELECT round(CAST((SELECT COUNT(*) FROM events WHERE hour(ts) BETWEEN 6 AND 11) AS DOUBLE)
+        |  / (SELECT COUNT(*) FROM events WHERE hour(ts) BETWEEN 18 AND 23), 6) AS am_pm_ratio""".stripMargin)
+
   private val tranche2: Map[String, String] = Map(
     "tpcds_inventory_lag" -> inventoryLagSql,
     "tpcds_decline_pairs" -> declinePairsSql,
@@ -606,7 +646,7 @@ object TpcdsFlavor extends graft.QueryArea {
     "tpcds_channel_sets" -> channelSetsSql)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    tranche2.map { case (name, sql) =>
+    queriesTranche7 ++ tranche2.map { case (name, sql) =>
       name -> ((spark: SparkSession, dir: String) => sqlq(spark, dir)(sql))
     } ++ Map(
     // Q27/Q36: rollup with grouping-level indicator + rank inside level
@@ -672,7 +712,7 @@ object TpcdsFlavor extends graft.QueryArea {
         |FROM air a FULL OUTER JOIN rail r
         |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)))
 
-  def oracles: Map[String, String] = tranche2 ++ Map(
+  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ Map(
     "tpcds_rollup_rank" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,
