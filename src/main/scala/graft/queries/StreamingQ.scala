@@ -29,6 +29,32 @@ object StreamingQ extends graft.QueryArea {
       graft.streaming.Streams.sessionAgg(t(spark, dir, "events"))
         .orderBy(col("user_id"), col("sstart"))
     }),
+    // Streaming dedup through the REAL micro-batch path: events with
+    // planted duplicate rows (x3 for id%3, again for id%7) flow through
+    // a file stream into dropDuplicatesWithinWatermark keyed on the PK;
+    // the deduped memory table must equal DuckDB's DISTINCT aggregate.
+    // Duplicates share one ts, so they land inside the watermark.
+    "stream_dedup_ingest" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sdedup_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, base)
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      e.union(e.filter(col("event_id") % 3 === 0))
+        .union(e.filter(col("event_id") % 7 === 0))
+        .write.mode("overwrite").parquet(s"$base/in")
+      val stream = spark.readStream.schema(e.schema).parquet(s"$base/in")
+      val qn = "sdedup_out_" + System.nanoTime()
+      val q = graft.streaming.Streams.streamingDedup(stream, Seq("event_id"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(qn)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))
+    }),
     // Routine load with a seekable-offset ledger (streaming.RoutineLoad,
     // the Kafka contract): events become a 4-partition offset log; the
     // job consumes micro-batches, CRASHES between a sink write and the
@@ -64,6 +90,15 @@ object StreamingQ extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "stream_dedup_ingest" ->
+      """WITH planted AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  UNION ALL SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
+        |  UNION ALL SELECT event_id, event_type, value FROM events WHERE event_id % 7 = 0),
+        |d AS (SELECT DISTINCT event_id, event_type, value FROM planted)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_offset_resume" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
