@@ -61,6 +61,34 @@ object KeysModels {
       .drop("__rn", "__src")
   }
 
+  /** Partial-column upsert — the reference's partial_update load mode
+    * on a PRIMARY KEY table (`fe/fe-core/.../load/streamload/
+    * StreamLoadInfo.java` partial-update flag; BE merges provided
+    * columns into the stored row): the source carries the key columns
+    * plus a SUBSET of the value columns. Matched target rows take the
+    * source's values for exactly the provided columns — including an
+    * explicitly provided NULL, which is why this is a matched-flag
+    * override and not a per-column coalesce — and keep their stored
+    * values for every other column; unmatched source keys insert with
+    * the unprovided columns NULL. Cost: one shuffle (the full-outer
+    * equi-join on the key), same as any merge — no per-column passes. */
+  def partialUpdate(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val provided = source.columns.filterNot(keys.contains).toSeq
+    require(provided.nonEmpty, "source must provide at least one non-key column")
+    val unknown = provided.filterNot(target.columns.contains)
+    require(unknown.isEmpty, s"source columns not in target: ${unknown.mkString(",")}")
+    val s = source
+      .select(keys.map(col) ++ provided.map(c => col(c).as(s"__s_$c")): _*)
+      .withColumn("__matched", lit(true))
+    target.join(s, keys, "full_outer")
+      .select(target.columns.toSeq.map { c =>
+        if (provided.contains(c))
+          when(col("__matched"), col(s"__s_$c")).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+  }
+
   /** Version-aware MERGE: highest versionCol wins per key; the source
     * row wins a version tie (the conditional-update mode of a PRIMARY
     * table with a sequence column, vs plain mergeInto's source-wins). */

@@ -274,6 +274,76 @@ object TextAnalysis {
     df.withColumn("sampled", h < thr)
   }
 
+  /** Deterministic training-order shuffle key: md5 of `seed:id`. A
+    * reproducible global shuffle of a 100 TB corpus is a distributed
+    * RANGE-PARTITIONED SORT on this key (orderBy → TakeOrderedAndProject
+    * for prefixes, range exchange + per-partition sort for full
+    * rewrites) — never a global row_number window, whose single
+    * partition would serialize the corpus through one task. Same seed →
+    * same order on any cluster layout; changing the seed is a full
+    * reshuffle, which is the point (per-epoch reshuffling). */
+  def shuffleKey(idCol: Column, seed: String): Column =
+    md5(concat(lit(seed), lit(":"), idCol.cast("string")))
+
+  /** Temperature-based mixture weights over corpus strata (the
+    * multilingual/multi-domain sampling rule of mT5/XLM-R: raw share
+    * p_i is flattened to p_i^T / sum_j p_j^T, T in (0,1] — T=1 keeps
+    * natural proportions, T→0 approaches uniform). Output is one row
+    * per stratum with the raw share, the temperature share, and a
+    * target document count for `budget`. The stratum table after the
+    * groupBy is O(#domains) rows, so the scalar normalizer is a
+    * broadcast cross-join of a 1-row aggregate — no window, no second
+    * shuffle of data rows. */
+  def temperatureMix(df: DataFrame, strataCol: String, temperature: Double,
+      budget: Long): DataFrame = {
+    require(temperature > 0 && temperature <= 1, "temperature must be in (0, 1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__total"),
+      sum(pow(col("n_docs"), temperature)).as("__pow_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_docs"),
+        round(col("n_docs") / col("__total"), 6).as("raw_share"),
+        round(pow(col("n_docs"), temperature) / col("__pow_total"), 6)
+          .as("temp_share"),
+        // snap the share to 6 decimals BEFORE scaling by the budget:
+        // pow() may differ by an ulp across engines, and floor() on an
+        // unsnapped product would flip on that noise
+        floor(round(pow(col("n_docs"), temperature) / col("__pow_total"), 6)
+          * budget + lit(0.5)).cast("long").as("target_docs"))
+  }
+
+  /** Per-domain frequency cap (CCNet/RefinedWeb-style host capping):
+    * keep at most `cap` documents per stratum, preferring higher
+    * `prefer` then lower id — a deterministic tie-break so reruns keep
+    * the same rows. Adds a boolean `kept` for accounting queries that
+    * need both sides (kept + dropped counts). row_number over an
+    * UnboundedPreceding frame carries O(1) running state per key — the
+    * cost is the partition sort, not buffering — but every row still
+    * flows through the window; when the dropped rows aren't needed,
+    * use [[frequencyCapKeep]], whose rank FILTER (the shape Spark's
+    * InferWindowGroupLimit rule matches, unlike a rank comparison
+    * folded into a projection) compiles to WindowGroupLimit and stops
+    * emitting per key at `cap` — asserted in PlanSpec. */
+  def frequencyCap(df: DataFrame, strataCol: String, idCol: String,
+      prefer: Column, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(prefer.desc, col(idCol))
+    df.withColumn("kept", row_number().over(w) <= cap)
+  }
+
+  /** Capped rows only — the production form of [[frequencyCap]] for
+    * the 100 TB path: filter-on-rank → WindowGroupLimit prunes each
+    * domain to `cap` rows inside the window exec. */
+  def frequencyCapKeep(df: DataFrame, strataCol: String, idCol: String,
+      prefer: Column, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(prefer.desc, col(idCol))
+    df.withColumn("__fc_rn", row_number().over(w))
+      .filter(col("__fc_rn") <= cap).drop("__fc_rn")
+  }
+
   /** Distinct normalized word n-grams of a text column: lowercase,
     * collapse every non-alphanumeric run to one space, split, slide an
     * n-window, space-rejoin. Empty/short docs yield an empty array (NOT

@@ -404,6 +404,51 @@ object Pipeline extends graft.QueryArea {
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
         .orderBy(col("source"))
     }),
+    // reproducible training-order shuffle: a distributed sort on a
+    // seeded md5 key (TakeOrderedAndProject for the prefix here; a
+    // range-exchange sort for a full corpus rewrite — never a global
+    // row_number window). Gate pins the first 64 global positions.
+    "corpus_shuffle_order" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = t(spark, dir, "documents").select(col("doc_id"),
+        TextAnalysis.shuffleKey(col("doc_id"), "epoch7").as("skey"))
+      keyed.orderBy(col("skey")).limit(64)
+        .withColumn("pos",
+          row_number().over(Window.orderBy(col("skey"))).cast("long"))
+    }),
+    // temperature-flattened mixture weights per language (mT5-style):
+    // p^0.7 renormalized, document budget 1M
+    "corpus_temperature_mix" -> ((spark, dir) => {
+      TextAnalysis.temperatureMix(t(spark, dir, "documents"), "lang", 0.7,
+          1000000L)
+        .orderBy(col("lang"))
+    }),
+    // per-domain frequency cap: keep <=70 docs per lang preferring
+    // longer docs; binds for en/zh/es at sf0.01, boundary-exact for de
+    "corpus_domain_cap" -> ((spark, dir) => {
+      TextAnalysis.frequencyCap(t(spark, dir, "documents"), "lang", "doc_id",
+          col("n_chars"), 70)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+    // partial-column upsert: source provides only c_acctbal (incl. an
+    // explicit NULL for key 7 — provided-NULL wins) plus a brand-new
+    // key whose unprovided columns land NULL
+    "keys_partial_update" -> ((spark, dir) => {
+      val target = t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      val updates = t(spark, dir, "customer")
+        .filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 500).as("c_acctbal"))
+        .unionByName(spark.createDataFrame(
+            Seq((8888888L, Option(1.5)), (7L, Option.empty[Double])))
+          .toDF("c_custkey", "c_acctbal"))
+      KeysModels.partialUpdate(target, updates, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
     "keys_primary_upsert" -> ((spark, dir) => {
       // simulate a PRIMARY KEY table: base orders (v1) + price updates
       // (v2) for odd keys + delete markers (v3) for keys % 100 == 0
@@ -847,6 +892,47 @@ object Pipeline extends graft.QueryArea {
         |      WHEN 'src2' THEN 250000 ELSE 100000 END
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "corpus_shuffle_order" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |top AS (SELECT * FROM keyed ORDER BY skey LIMIT 64)
+        |SELECT doc_id, skey,
+        |  CAST(row_number() OVER (ORDER BY skey) AS BIGINT) AS pos
+        |FROM top ORDER BY pos""".stripMargin,
+    "corpus_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+        |    SUM(POWER(n_docs, 0.7)) AS pow_total FROM counts)
+        |SELECT lang, n_docs,
+        |  ROUND(n_docs / total, 6) AS raw_share,
+        |  ROUND(POWER(n_docs, 0.7) / pow_total, 6) AS temp_share,
+        |  CAST(FLOOR(ROUND(POWER(n_docs, 0.7) / pow_total, 6) * 1000000 + 0.5)
+        |    AS BIGINT) AS target_docs
+        |FROM counts, tot ORDER BY lang""".stripMargin,
+    "corpus_domain_cap" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+    "keys_partial_update" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_acctbal + 500 AS s_acctbal FROM customer
+        |  WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT CAST(8888888 AS BIGINT), CAST(1.5 AS DOUBLE)
+        |  UNION ALL SELECT CAST(7 AS BIGINT), CAST(NULL AS DOUBLE))
+        |SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey, t.c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.s_acctbal
+        |       ELSE t.c_acctbal END AS c_acctbal,
+        |  t.c_mktsegment
+        |FROM customer t FULL JOIN src s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "keys_primary_upsert" ->
       """WITH versions AS (
         |  SELECT o_orderkey, o_totalprice, 1 AS v, false AS del FROM orders

@@ -26,6 +26,26 @@ class KeysModelsSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
   }
 
+  test("partialUpdate: provided columns win (incl. explicit NULL), others kept, inserts NULL-fill") {
+    val target = Seq((1L, "a", 10.0, "s1"), (2L, "b", 20.0, "s2"),
+      (3L, "c", 30.0, "s3")).toDF("id", "name", "bal", "seg")
+    val source = Seq((2L, Option(99.0)), (3L, Option.empty[Double]),
+      (4L, Option(40.0))).toDF("id", "bal")
+    val out = KeysModels.partialUpdate(target, source, Seq("id"))
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a", Some(10.0), "s1"),   // untouched
+      (2L, "b", Some(99.0), "s2"),   // bal updated, name/seg kept
+      (3L, "c", None, "s3"),         // explicit NULL wins over stored 30.0
+      (4L, null, Some(40.0), null))) // insert: unprovided columns NULL
+    // column order and names preserved
+    assert(KeysModels.partialUpdate(target, source, Seq("id")).columns.toSeq
+      === Seq("id", "name", "bal", "seg"))
+  }
+
   test("update/delete rewrite semantics") {
     val df = Seq((1L, 5.0), (2L, 6.0), (3L, 7.0)).toDF("id", "x")
     val updated = KeysModels.update(df, $"id" === 2, Map("x" -> lit(100.0)))

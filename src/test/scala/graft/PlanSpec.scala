@@ -354,6 +354,26 @@ class PlanSpec extends SparkSuite {
       s"sampling must stay scan-side:\n$plan")
   }
 
+  test("frequencyCapKeep plans WindowGroupLimit; shuffleKey prefix plans TakeOrderedAndProject") {
+    val capped = graft.operators.TextAnalysis.frequencyCapKeep(
+      table("documents"), "lang", "doc_id", col("n_chars"), 10)
+    val cappedPlan = planOf(capped)
+    assert(cappedPlan.contains("WindowGroupLimit"),
+      s"cap filter not pushed into window:\n$cappedPlan")
+    // the flag form feeds accounting aggs (needs dropped rows too) and
+    // by construction cannot take the group-limit path
+    val flagged = graft.operators.TextAnalysis.frequencyCap(
+      table("documents"), "lang", "doc_id", col("n_chars"), 10)
+    assert(!planOf(flagged).contains("WindowGroupLimit"))
+    val prefix = table("documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.shuffleKey(col("doc_id"), "s").as("k"))
+      .orderBy(col("k")).limit(64)
+    val prefixPlan = planOf(prefix)
+    assert(prefixPlan.contains("TakeOrderedAndProject"),
+      s"shuffle-order prefix must not global-sort:\n$prefixPlan")
+  }
+
   test("lake scan prunes partitions from the manifest, not the filesystem") {
     val dir = java.nio.file.Files.createTempDirectory("lake_plan").toString
     val df = table("orders").select($"o_orderkey", $"o_totalprice", $"o_orderpriority")

@@ -104,6 +104,56 @@ class TextAnalysisSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("temperatureMix: T=1 keeps natural shares, T<1 flattens toward uniform, targets sum ~budget") {
+    val docs = table("documents").select($"doc_id", $"lang")
+    val natural = TextAnalysis.temperatureMix(docs, "lang", 1.0, 1000000L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    natural.values.foreach { case (raw, temp, _) =>
+      assert(math.abs(raw - temp) < 1e-9, "T=1 must keep natural proportions") }
+    val flat = TextAnalysis.temperatureMix(docs, "lang", 0.5, 1000000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val rawShares = natural.view.mapValues(_._1).toMap
+    val maxLang = rawShares.maxBy(_._2)._1
+    val minLang = rawShares.minBy(_._2)._1
+    assert(flat(maxLang) < rawShares(maxLang), "dominant stratum is downweighted")
+    assert(flat(minLang) > rawShares(minLang), "rare stratum is upweighted")
+    val targetSum = TextAnalysis.temperatureMix(docs, "lang", 0.7, 1000000L)
+      .agg(sum($"target_docs")).head().getLong(0)
+    assert(math.abs(targetSum - 1000000L) <= 5L, s"targets sum to ~budget, got $targetSum")
+  }
+
+  test("frequencyCap: per-stratum cap with deterministic prefer/tie order") {
+    val docs = table("documents").select($"doc_id", $"lang", $"n_chars")
+    val out = TextAnalysis.frequencyCap(docs, "lang", "doc_id", $"n_chars", 10)
+    val kept = out.filter($"kept")
+    val perLang = kept.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ <= 10), "no stratum exceeds the cap")
+    // kept set = top-10 by (n_chars desc, doc_id asc) recomputed independently
+    val en = docs.filter($"lang" === "en")
+      .orderBy($"n_chars".desc, $"doc_id").limit(10)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val enKept = kept.filter($"lang" === "en")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(enKept === en)
+    // a cap above the stratum size keeps everything
+    val loose = TextAnalysis.frequencyCap(docs, "lang", "doc_id", $"n_chars", 1000000)
+    assert(loose.filter(!$"kept").count() === 0L)
+  }
+
+  test("shuffleKey: deterministic per seed, different across seeds, order-independent") {
+    val docs = table("documents").select($"doc_id")
+    def order(seed: String, d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select($"doc_id", TextAnalysis.shuffleKey($"doc_id", seed).as("k"))
+        .orderBy($"k").collect().map(_.getLong(0)).toSeq
+    val a = order("s1", docs)
+    val b = order("s1", docs.orderBy($"doc_id".desc))
+    assert(a === b, "same seed → same global order regardless of input layout")
+    val c = order("s2", docs)
+    assert(a !== c, "different seed → different order")
+    assert(a.sorted === c.sorted, "a permutation, not a filter")
+  }
+
   test("inverted-index MATCH equals the unindexed fallback predicate") {
     import graft.operators.InvertedIndex
     val docs = table("documents")
