@@ -34,6 +34,27 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental exact dedup: a NEW batch against the STANDING corpus —
+    * the continuous-ingestion pattern (the reference dedups on ingest
+    * via PRIMARY KEY upsert, `KeysType.java` PRIMARY_KEYS; this is the
+    * content-addressed equivalent keyed on the normalized-text
+    * fingerprint). The batch first collapses internally (lowest id per
+    * fingerprint wins, deterministic), then anti-joins the corpus's
+    * fingerprint set. Only fingerprints cross the wire for the corpus
+    * side — 8 bytes/doc, the compact state a 100 TB corpus carries
+    * between ingestion runs — and both steps key on the fingerprint so
+    * the exchange is reused. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")),
+        Seq("__fp"), "left_anti")
+      .drop("__fp", "__rn")
+  }
+
   /** MinHash signature: for seed i, min over shingles of
     * xxhash64(seed_i, shingle).
     *

@@ -404,6 +404,37 @@ object Pipeline extends graft.QueryArea {
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
         .orderBy(col("source"))
     }),
+    // incremental ingestion dedup: a new batch against the standing
+    // corpus by normalized-text fingerprint — batch-internal dups
+    // collapse to the first id, corpus-known texts drop entirely
+    "dedup_incremental" -> ((spark, dir) => {
+      val corpus = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zzz "), col("text")).as("text"))          // novel
+        .unionByName(corpus.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))  // corpus dup
+        .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(lit("zzz "), col("text")).as("text")))       // batch-internal dup
+      Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // adjacent-word pair counts — the counting step of BPE/vocab
+    // induction. The word array is projected to an ATTRIBUTE before
+    // the pair lambda (interpreted HOFs re-evaluate closed-over
+    // subtrees per element); top-50 with a total order so the limit
+    // boundary is deterministic under ties
+    "corpus_bpe_pairs" -> ((spark, dir) => {
+      val ws = t(spark, dir, "documents")
+        .select(TextAnalysis.normWords(col("text")).as("ws"))
+      ws.filter(size(col("ws")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
     // reproducible training-order shuffle: a distributed sort on a
     // seeded md5 key (TakeOrderedAndProject for the prefix here; a
     // range-exchange sort for a full corpus rewrite — never a global
@@ -892,6 +923,38 @@ object Pipeline extends graft.QueryArea {
         |      WHEN 'src2' THEN 250000 ELSE 100000 END
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, concat('zzz ', text) AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 300000, concat('zzz ', text)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bn AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM batch),
+        |first AS (
+        |  SELECT doc_id, nt,
+        |    row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn FROM bn)
+        |SELECT f.doc_id FROM first f
+        |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.nt = f.nt)
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_bpe_pairs" ->
+      """WITH docs AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair
+        |  FROM docs, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "corpus_shuffle_order" ->
       """WITH keyed AS (
         |  SELECT doc_id, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS skey

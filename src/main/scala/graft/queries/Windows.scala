@@ -129,6 +129,22 @@ object Windows extends graft.QueryArea {
           round(last(col("v"), ignoreNulls = true).over(w), 2).as("v_locf"))
         .orderBy(col("event_type"), col("day"))
     }),
+    // gaps-and-islands: per-user runs of CONSECUTIVE active calendar
+    // days (distinct days minus a row_number ladder share a group key);
+    // island count + longest streak per user. One shuffle on user_id
+    // feeds the window AND both aggregations — the streak computation
+    // of retention dashboards without a self-join
+    "ts_islands" -> ((spark, dir) => {
+      val days = t(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val runs = days
+        .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      runs.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), max(col("len")).as("max_run"))
+        .orderBy(col("user_id"))
+    }),
     // plain aggregate over an unordered partition window
     "win_agg_over_partition" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
@@ -155,6 +171,19 @@ object Windows extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "ts_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INTEGER) AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS max_run
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_gap_fill_locf" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

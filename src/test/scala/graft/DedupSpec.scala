@@ -22,6 +22,22 @@ class DedupSpec extends SparkSuite {
     assert(out.filter($"doc_id" >= 200000).count() === 0)
   }
 
+  test("incrementalDedup: corpus dups drop, batch-internal dups keep first id, novel texts survive") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA   beta"),   // normalizes to a corpus text → dropped
+      (11L, "epsilon zeta"),   // novel → kept
+      (12L, "epsilon  ZETA"),  // batch-internal dup of 11 → dropped
+      (13L, "eta theta")       // novel → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(11L, 13L))
+    // idempotent: re-ingesting the surviving batch against corpus+batch yields nothing
+    val merged = corpus.unionByName(batch.filter($"doc_id".isin(11L, 13L)))
+    assert(Dedup.incrementalDedup(batch, merged, "doc_id", "text").count() === 0L)
+  }
+
   test("minhash dedup removes planted exact and near duplicates") {
     val out = Dedup.minhashDedup(planted, "doc_id", "text", threshold = 0.7)
     // all exact copies gone
