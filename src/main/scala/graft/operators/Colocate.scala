@@ -30,6 +30,29 @@ object Colocate {
       .format("parquet")
       .saveAsTable(name)
 
+  /** Point lookup on a bucketed table with bucket pruning guaranteed —
+    * the reference's tablet prune (a point query on the distribution
+    * key opens one tablet). Spark's auto-bucketed-scan rule disables
+    * bucketed reads for plans with no exchange-eliminating operator
+    * (bare filters qualify), which also forfeits bucket PRUNING; this
+    * pins bucketing on while the query is planned, forces planning,
+    * then restores the conf. Queries that aggregate or join on the
+    * bucket key keep the bucketed scan anyway and prune without help. */
+  def pointLookup(bucketed: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame = {
+    val spark = bucketed.sparkSession
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = bucketed.filter(predicate)
+      df.queryExecution.executedPlan // plan under the pinned conf
+      df
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Salted equi-join for DELIBERATE skew: when one join key holds a
     * disproportionate share of the left (fact) side, a plain shuffle
     * sends the whole hot key to one reducer. Salting splits it

@@ -310,6 +310,24 @@ object SourcesQ extends graft.QueryArea {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_custkey"))
     }),
+    // Bucket pruning (reference tablet pruning on the distribution
+    // key — a point query touches one tablet): an equality predicate
+    // on the bucket key prunes the scan to 1 of 8 buckets
+    // ("SelectedBucketsCount: 1 out of 8", asserted in PlanSpec). At
+    // 100 TB a point lookup opens 1/N of the files before any row
+    // filtering happens.
+    "src_bucket_prune" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val base = tmpDir(dir, "bucketprune")
+      graft.operators.Colocate.saveBucketed(o, "orders_bprune_q",
+        s"$base/o", Seq("o_custkey"), 8)
+      spark.table("orders_bprune_q").filter(col("o_custkey") === 37L)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("o_custkey"))
+    }),
     // UPDATE + DELETE rewrite on a PRIMARY-key table image.
     "keys_update_delete" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
@@ -390,6 +408,12 @@ object SourcesQ extends graft.QueryArea {
       """SELECT o_custkey, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "src_bucket_prune" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_custkey = 37
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "src_csv_tolerant" -> eventsAgg,
     "src_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name

@@ -312,6 +312,28 @@ class PlanSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS orders_ba")
   }
 
+  test("bucket pruning: equality on the bucket key scans 1 of 8 buckets") {
+    val o = table("orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket-prune").toString
+    graft.operators.Colocate.saveBucketed(o, "orders_bp", s"$base/o", Seq("o_custkey"), 8)
+    try {
+      val q = graft.operators.Colocate.pointLookup(
+        spark.table("orders_bp"), $"o_custkey" === 37L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point predicate on the bucket key did not prune buckets:\n$plan")
+      // correctness unaffected by pruning
+      assert(q.count() === o.filter($"o_custkey" === 37L).count())
+      // an aggregate on the bucket key keeps the bucketed scan by
+      // itself (no conf pin) and still prunes — the gate's shape
+      val aggPlan = spark.table("orders_bp").filter($"o_custkey" === 37L)
+        .groupBy($"o_custkey").count()
+        .queryExecution.executedPlan.toString
+      assert(aggPlan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"agg-on-bucket-key lookup did not prune:\n$aggPlan")
+    } finally spark.sql("DROP TABLE IF EXISTS orders_bp")
+  }
+
   test("jdbc connector scan: filter pushed to the external DB, range-split read") {
     val n = table("nation")
     graft.sources.Jdbc.loadTable(n, "NATION_PLAN")
