@@ -78,6 +78,19 @@ object Aggregates extends graft.QueryArea {
         .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
         .orderBy(col("n_name"))
     }),
+    // group_concat(DISTINCT x ORDER BY x SEPARATOR s) — the reference's
+    // distinct-ordered form: collect_set dedups in the partial agg (the
+    // buffer caps at the distinct-value count, not the row count)
+    "agg_group_concat_distinct" -> ((spark, dir) => {
+      val n = t(spark, dir, "nation")
+      val c = t(spark, dir, "customer")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), "|")
+            .as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy(col("n_name"))
+    }),
     "agg_array_agg_sorted" -> ((spark, dir) => {
       val s = t(spark, dir, "supplier")
       s.groupBy(col("s_nationkey"))
@@ -248,6 +261,12 @@ object Aggregates extends graft.QueryArea {
       """SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS names
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 9900
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_group_concat_distinct" ->
+      """SELECT n_name,
+        |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_array_agg_sorted" ->
       """SELECT s_nationkey, array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys, count(*) AS n

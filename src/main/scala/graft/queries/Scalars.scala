@@ -41,6 +41,22 @@ object Scalars extends graft.QueryArea {
           replace(col("p_type"), lit(" "), lit("-")).as("repl"))
         .orderBy(col("p_partkey")).limit(500)
     }),
+    // fuzzy matching with BLOCKING: candidate pairs come from an EQUI
+    // join on a prefix block key, and the edit distance evaluates only
+    // inside blocks — the shape that keeps fuzzy self-joins off the
+    // full cross product at 100 TB (the block key shuffles both sides
+    // once; a cross join would never finish)
+    "str_fuzzy_pairs" -> ((spark, dir) => {
+      val names = t(spark, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", substring(col("p_name"), 1, 4))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"))
+      a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 5)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
     "str_regexp" -> ((spark, dir) => {
       val p = t(spark, dir, "part")
       p.select(
@@ -269,6 +285,14 @@ object Scalars extends graft.QueryArea {
         |  starts_with(p_type, 'STANDARD') AS is_std,
         |  ends_with(p_type, 'TIN') AS is_tin
         |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+    "str_fuzzy_pairs" ->
+      """WITH t AS (SELECT DISTINCT p_name FROM part),
+        |blocked AS (SELECT p_name, substring(p_name, 1, 4) AS blk FROM t)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY name_a, name_b""".stripMargin,
     "date_functions" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS y,
