@@ -55,6 +55,38 @@ object StreamingQ extends graft.QueryArea {
           dsum(col("value")).as("total"))
         .orderBy(col("event_type"))
     }),
+    // Stream-stream inner join through the REAL micro-batch path: the
+    // metadata side (value > 100) joins the full stream on event_id
+    // inside a ±1 h event-time band; both sides carry watermarks so
+    // join state is bounded and each pair emits exactly once. The
+    // joined memory table must equal DuckDB's filtered batch aggregate.
+    "stream_join_enrich" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sjoin_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, base)
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      e.write.mode("overwrite").parquet(s"$base/in")
+      val sA = spark.readStream.schema(e.schema).parquet(s"$base/in")
+        .filter(col("value") > 100)
+        .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+          col("event_type"))
+        .withWatermark("a_ts", "1 hour")
+      val sB = spark.readStream.schema(e.schema).parquet(s"$base/in")
+        .select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+          col("value"))
+        .withWatermark("b_ts", "1 hour")
+      val qn = "sjoin_out_" + System.nanoTime()
+      val q = sA.join(sB, col("a_id") === col("b_id") &&
+          col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(qn).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))
+    }),
     // Routine load with a seekable-offset ledger (streaming.RoutineLoad,
     // the Kafka contract): events become a 4-partition offset log; the
     // job consumes micro-batches, CRASHES between a sink write and the
@@ -99,6 +131,11 @@ object StreamingQ extends graft.QueryArea {
         |SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_join_enrich" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE value > 100
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_offset_resume" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
