@@ -149,24 +149,40 @@ object QueryCache {
     }
     val fs = new Path(cacheDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val parts = wanted.map { case (value, version) =>
+    val entries = wanted.map { case (value, version) =>
       val entry = new Path(s"$cacheDir/$dig/p=$value/v=$version")
-      val ok = new Path(entry, "_SUCCESS")
-      if (fs.exists(ok)) {
-        stats.hits += 1
-        spark.read.parquet(entry.toString)
-      } else {
-        stats.misses += 1
-        val partial = spark.read.parquet(s"$srcDir/$pcol=$value")
-          .groupBy(groupCols.map(col): _*)
-          .agg(partialExprs(specs).head, partialExprs(specs).tail: _*)
-        // drop superseded versions of this partition, then cache
-        val pdir = new Path(s"$cacheDir/$dig/p=$value")
-        if (fs.exists(pdir)) fs.listStatus(pdir).foreach(s => fs.delete(s.getPath, true))
-        partial.coalesce(1).write.mode("overwrite").parquet(entry.toString)
-        spark.read.parquet(entry.toString)
-      }
+      (value, entry, fs.exists(new Path(entry, "_SUCCESS")))
     }
+    stats.hits += entries.count(_._3)
+    stats.misses += entries.count(!_._3)
+    // Each miss is its own small Spark job (scan one partition dir,
+    // partial-agg, cache write) — submitted CONCURRENTLY so a
+    // cold-range query pays ~one job's wall time, not misses x floor.
+    // The jobs touch disjoint partition/cache dirs, so there is no
+    // shared state beyond the thread-safe scheduler.
+    val misses = entries.filterNot(_._3)
+    if (misses.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, misses.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = misses.map { case (value, entry, _) =>
+          scala.concurrent.Future {
+            val partial = spark.read.parquet(s"$srcDir/$pcol=$value")
+              .groupBy(groupCols.map(col): _*)
+              .agg(partialExprs(specs).head, partialExprs(specs).tail: _*)
+            // drop superseded versions of this partition, then cache
+            val pdir = new Path(s"$cacheDir/$dig/p=$value")
+            if (fs.exists(pdir)) fs.listStatus(pdir).foreach(s => fs.delete(s.getPath, true))
+            partial.coalesce(1).write.mode("overwrite").parquet(entry.toString)
+          }
+        }
+        futures.foreach(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration(10, "min")))
+      } finally pool.shutdown()
+    }
+    val parts = entries.map { case (_, entry, _) => spark.read.parquet(entry.toString) }
 
     if (parts.isEmpty) {
       // empty range: empty result with the right schema

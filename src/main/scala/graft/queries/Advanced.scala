@@ -60,6 +60,10 @@ object Advanced extends graft.QueryArea {
       fs.delete(new org.apache.hadoop.fs.Path(root), true) // re-runnable
       t(spark, dir, "events")
         .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+        // co-locate each day before the partitioned write: one file per
+        // day instead of tasks x days tiny files — the cache passes
+        // re-open these per-day files twice, so file count dominates
+        .repartition(col("d"))
         .write.partitionBy("d").parquet(s"$root/base")
       val specs = Seq(
         QueryCache.AggSpec("count", "*", "n"),
