@@ -68,9 +68,21 @@ object FlatJson {
     * into a typed column named after the key; keep un-extracted
     * fields in `<jsonCol>_remain` (valid JSON, "{}" when empty).
     * The source JSON column is replaced by its flat projection.
+    *
+    * `profileOn`: run the key-discovery scan on this frame instead of
+    * the full input — the reference profiles flat-JSON shape on
+    * SAMPLED ingest data for the same reason: the profile pass parses
+    * every doc it sees, and at 100 TB a deterministic slice (e.g. a
+    * stable id-hash band) fixes the promoted-column set at a fraction
+    * of the cost while the extract pass still reads everything. The
+    * caller owns the slice's representativeness: a key whose presence
+    * ratio sits near `minHitRatio` can promote differently than under
+    * a full profile.
     */
-  def flatten(df: DataFrame, jsonCol: String, minHitRatio: Double = 0.3): DataFrame = {
-    val fields = profile(df, jsonCol).filter(_.ratio >= minHitRatio)
+  def flatten(df: DataFrame, jsonCol: String, minHitRatio: Double = 0.3,
+      profileOn: Option[DataFrame] = None): DataFrame = {
+    val fields = profile(profileOn.getOrElse(df), jsonCol)
+      .filter(_.ratio >= minHitRatio)
     val keep = fields.map(_.key)
     val extracted = fields.map { f =>
       get_json_object(col(jsonCol), s"$$.${f.key}").cast(f.tpe).as(f.key)

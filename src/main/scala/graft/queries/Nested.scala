@@ -161,8 +161,13 @@ object Nested extends graft.QueryArea {
         lit(",\"r\":"), (col("user_id") % 100).cast("string"), lit(".5"),
         coalesce(when(col("event_id") % 10 === 0, lit(",\"rare\":1")), lit("")),
         lit("}"))
+      // profile on the deterministic event_id%7 band (presence ratios
+      // are %3- and %10-periodic, so the band preserves them); the
+      // extract pass still reads every row
       val flat = graft.operators.FlatJson.flatten(
-        e.select(col("event_id"), jdoc.as("jdoc")), "jdoc", minHitRatio = 0.5)
+        e.select(col("event_id"), jdoc.as("jdoc")), "jdoc", minHitRatio = 0.5,
+        profileOn = Some(e.filter(col("event_id") % 7 === 0)
+          .select(jdoc.as("jdoc"))))
       flat.groupBy(col("t"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum(col("u")).cast("bigint").as("su"),
