@@ -199,7 +199,20 @@ object Relational extends graft.QueryArea {
     "values_literal" -> ((spark, dir) => {
       spark.createDataFrame(Seq((1, "a"), (2, "b"), (3, "c"))).toDF("id", "tag")
         .orderBy(col("id"))
-    }))
+    }),
+    // recursive CTE (Spark 4 WITH RECURSIVE): shortest reach depth
+    // over a literal DAG with a diamond — the UNION ALL recursion
+    // revisits node 4 on two paths, the outer MIN collapses them
+    "sql_recursive_cte" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT 1, 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN (VALUES (1, 2), (1, 3), (2, 4), (3, 4),
+        |    (4, 5), (5, 6), (2, 7)) AS e(src, dst) ON e.src = r.node)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(MIN(depth) AS BIGINT) AS depth
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)))
 
   def oracles: Map[String, String] = Map(
     "join_inner_dims" ->
@@ -308,5 +321,15 @@ object Relational extends graft.QueryArea {
       """SELECT o_orderkey, CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS maybe
         |FROM orders ORDER BY maybe DESC NULLS LAST, o_orderkey ASC LIMIT 50""".stripMargin,
     "values_literal" ->
-      "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, tag) ORDER BY id")
+      "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, tag) ORDER BY id",
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT 1, 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN (VALUES (1, 2), (1, 3), (2, 4), (3, 4),
+        |    (4, 5), (5, 6), (2, 7)) AS e(src, dst) ON e.src = r.node)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(MIN(depth) AS BIGINT) AS depth
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
 }

@@ -129,6 +129,17 @@ object Windows extends graft.QueryArea {
           round(last(col("v"), ignoreNulls = true).over(w), 2).as("v_locf"))
         .orderBy(col("event_type"), col("day"))
     }),
+    // event-time RANGE frame with INTERVAL bounds: 7-day trailing sum
+    // per type — the time-windowed running metric of ops dashboards;
+    // frame membership depends only on ts values, so ties are
+    // deterministic (peers share the frame)
+    "win_range_interval" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT event_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_7d
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin)),
     // gaps-and-islands: per-user runs of CONSECUTIVE active calendar
     // days (distinct days minus a row_number ladder share a group key);
     // island count + longest streak per user. One shuffle on user_id
@@ -171,6 +182,13 @@ object Windows extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "win_range_interval" ->
+      """SELECT event_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_7d
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin,
     "ts_islands" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
