@@ -37,6 +37,12 @@ object Engine {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata parquet carries naive timestamp[us] (no UTC
+      // adjustment flag); read it as session-TZ TIMESTAMP (UTC
+      // session above) rather than TIMESTAMP_NTZ so event-time
+      // streaming (watermarks require LTZ) and epoch arithmetic keep
+      // working and values match the DuckDB oracle's naive reading
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 

@@ -62,6 +62,10 @@ object Session {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // testdata parquet carries naive timestamp[us]; read as
+    // session-TZ TIMESTAMP (UTC above), not TIMESTAMP_NTZ — event-time
+    // streaming requires LTZ and the DuckDB oracle reads naive
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     functions.Registry.registerAll(spark)
     plans.MvRewrite.install(spark) // no-op until an MV registers
     plans.TablePrune.install(spark) // no-op until conf-enabled

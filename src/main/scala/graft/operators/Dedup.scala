@@ -270,6 +270,41 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    * k-means partitioning — cluster the embedding corpus with
+    * full-corpus Lloyd ([[Similarity.kMeansTrain]]), then compare
+    * pairs only WITHIN a cluster (cosine >= threshold). With k sized
+    * so clusters hold ~corpus/k rows, the self-join is k independent
+    * blocks instead of one all-pairs product — the same
+    * candidate-bounding role LSH buckets play in
+    * [[embeddingDupPairs]], but driven by learned structure, so
+    * semantically-close pairs that straddle random hyperplanes are
+    * still co-clustered. Scale-invariant vectors (exact copies,
+    * rescales) always share a cluster: cosine argmax ignores norm. */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double = 0.95, iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val assigned = Similarity.kMeans(df, idCol, vecCol, k, iters, seed)
+      .select(col("cell"), col(idCol), col(vecCol))
+    val l = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__v_a"))
+    val r = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__v_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine_similarity(col("__v_a"), col("__v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Semantic dedup: SemDeDup pairs → connected components → keep the
+    * min-id representative per semantic cluster (plus all unpaired
+    * rows). The corpus-curation form of [[semanticDupPairs]]. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double = 0.95, iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val pairs = semanticDupPairs(df, idCol, vecCol, k, threshold, iters, seed)
+    dedupByPairs(df, idCol, pairs, "id_a", "id_b")
+  }
+
   /** Connected components over a duplicate-pair graph → (id, comp)
     * where comp is the MINIMUM id in the component. This is the step
     * between pair discovery (minhash/simhash/embedding *Pairs above)

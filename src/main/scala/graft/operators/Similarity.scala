@@ -111,6 +111,80 @@ object Similarity {
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
+  // ---------------- full-corpus k-means ----------------
+
+  /** Full-corpus Lloyd k-means (vs [[trainIvfCentroids]]'s bounded
+    * sample): the clustering operator itself, used by semantic dedup
+    * (SemDeDup, Abbas et al. 2023) and corpus curation, where the
+    * cluster assignment of EVERY row is the product, not just the
+    * codebook.
+    *
+    * Scale shape per iteration: assignment is a scan-side argmax over
+    * k codegen'd cosine kernels (no shuffle of the corpus rows);
+    * the mean update shuffles (cell, dim) partial sums — partial
+    * aggregation collapses each task's contribution to at most
+    * k×dim rows before the exchange, so the shuffle is
+    * codebook-bounded, not corpus-bounded. Driver traffic is the
+    * k×dim codebook (KBs) per iteration.
+    *
+    * Init is deterministic farthest-point (maximin, the greedy
+    * k-means++ variant): seed 1 by min hash, then each next seed is
+    * the corpus vector farthest (min max-cosine) from the chosen
+    * set, hash tie-broken. Random init can drop all k seeds into one
+    * natural cluster and strand Lloyd in a split/merged local
+    * optimum; maximin guarantees one seed per well-separated cluster.
+    * Cost: k scan+TopN passes (each a global limit-1 — KBs to the
+    * driver); at extreme corpus sizes run it on a bounded
+    * deterministic sample first, like [[trainIvfCentroids]]. */
+  def kMeansTrain(corpus: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(col("__h")).limit(1)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    while (centroids.length < k) {
+      val maxCos = array_max(array(
+        centroids.map(ct => cosine_similarity(col("__v"), typedlit(ct))): _*))
+      val next = vecs.orderBy(maxCos.asc, col("__h").asc).limit(1)
+        .select(col("__v")).collect()
+      centroids = centroids :+ next.head.getSeq[Double](0).toArray
+    }
+    for (_ <- 0 until iters) {
+      // sum+count instead of avg: both are map-side combinable and the
+      // final division happens on k×dim rows
+      val updated = vecs
+        .select(nearestCell(col("__v"), centroids).as("__cell"), posexplode(col("__v")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("__cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))).as("ms"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+        .toMap
+      // empty cells keep their previous centroid
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Assign every corpus row to its nearest learned centroid:
+    * (id, cell, cos) — pure scan-side expressions, no shuffle. */
+  def kMeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val cos = centroids.map(ct => cosine_similarity(v, typedlit(ct)))
+    val arr = array(cos: _*)
+    corpus.select(col(idCol), col(vecCol),
+      (array_position(arr, array_max(arr)) - 1).cast("int").as("cell"),
+      array_max(arr).as("cos"))
+  }
+
+  /** Train + assign in one call. */
+  def kMeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5, seed: Long = 42L): DataFrame =
+    kMeansAssign(corpus, idCol, vecCol, kMeansTrain(corpus, vecCol, k, iters, seed))
+
   /** Top-`nprobe` cells for a query vector, as an exploded column of
     * structs sorted by descending centroid cosine. */
   private def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {

@@ -486,4 +486,88 @@ object TextAnalysis {
       .withColumn("seq_id", floor(col("__before") / lit(maxTokens)))
       .drop("__before")
   }
+
+  // ---------------- BPE training / encoding ----------------
+
+  /** End-of-word marker symbol (Sennrich et al. 2016 convention). */
+  private val BpeEow = "</w>"
+
+  /** A word as a space-joined, space-padded symbol string:
+    * "cat" → " c a t </w> ". Merges rewrite this string in place. */
+  private def symString(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "), lit(BpeEow + " "))
+
+  /** Train `merges` BPE merge rules over the corpus (Sennrich et al.
+    * 2016, arXiv:1508.07909) — the full merge loop on top of the
+    * pair-counting step ([[wordGrams]]-style counting gates as
+    * corpus_bpe_pairs).
+    *
+    * Scale shape: BPE trains on the WORD-FREQUENCY table, not the
+    * corpus — one corpus-scale explode+groupBy builds (word, freq)
+    * (shuffle bounded by vocabulary size), and every merge round then
+    * runs on that vocabulary-bounded cached table: count adjacent
+    * symbol pairs weighted by word freq, take the global top pair
+    * (one (pair, count) row to the driver per round — the only
+    * driver traffic), rewrite the symbol strings with one
+    * regexp_replace. A 100 TB corpus and a 1 GB corpus train at the
+    * same per-round cost once the word table exists. Left-to-right
+    * non-overlapping rewrite (zero-width lookahead keeps the
+    * following separator matchable) reproduces reference BPE's greedy
+    * single-pass merge; ties break on the lexicographically smallest
+    * pair, so the learned rules are deterministic.
+    *
+    * Returns the merge table: (rank, left, right, merged, freq). */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+      minFreq: Long = 2L): Seq[(Int, String, String, String, Long)] = {
+    var vocab = docs.select(explode(normWords(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(symString(col("w")).as("sym"), col("freq"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      // project the symbol array to an attribute before the pair
+      // lambda (see gramsOfWords: interpreted HOFs re-evaluate
+      // closed-over subtrees per element)
+      val top = vocab
+        .select(col("freq"), split(trim(col("sym")), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => concat(element_at(col("syms"), i), lit(" "),
+            element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.isEmpty || top.head.getLong(1) < minFreq) exhausted = true
+      else {
+        val Array(l, r) = top.head.getString(0).split(" ", 2)
+        val freq = top.head.getLong(1)
+        val merged = l + r
+        val pattern = " " + java.util.regex.Pattern.quote(l + " " + r) + "(?= )"
+        val replacement =
+          java.util.regex.Matcher.quoteReplacement(" " + merged)
+        vocab = vocab.withColumn("sym",
+            regexp_replace(col("sym"), lit(pattern), lit(replacement)))
+          .localCheckpoint(true) // truncate the per-round lineage
+        learned += ((rank, l, r, merged, freq))
+        rank += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** Encode a word column with learned merges: char-split + the merge
+    * rewrites applied in rank order — a chain of `merges`
+    * regexp_replace calls, all scan-side (no shuffle, no UDF).
+    * Returns the symbol array (EOW marker kept on the last symbol). */
+  def bpeSegmentWord(word: Column, merges: Seq[(String, String)]): Column = {
+    val rewritten = merges.foldLeft(symString(word)) { case (acc, (l, r)) =>
+      regexp_replace(acc,
+        lit(" " + java.util.regex.Pattern.quote(l + " " + r) + "(?= )"),
+        lit(java.util.regex.Matcher.quoteReplacement(" " + l + r)))
+    }
+    split(trim(rewritten), " ")
+  }
 }

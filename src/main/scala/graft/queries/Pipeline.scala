@@ -46,6 +46,22 @@ object Pipeline extends graft.QueryArea {
     (base ++ near ++ exact).toDF("doc_id", "text").repartition(1)
   }
 
+  /** Deterministic fixture corpus for the BPE-training gates: a small
+    * closed word list with shared substrings (th/at/ca/do...) so the
+    * first dozen merges are non-trivial, composed into docs by a
+    * seeded formula — SF-independent, so the learned merge table is
+    * ONE fixed answer, pinned as a literal oracle (and independently
+    * re-derived by a reference BPE implementation in
+    * TextAnalysisSpec). */
+  private[graft] def bpeFixtureDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val lex = Vector("the", "theme", "then", "there", "cat", "cats",
+      "catalog", "dog", "dogma", "mat", "math", "that")
+    (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => lex((i * 7 + j * 3) % lex.size)).mkString(" "))
+    }.toDF("doc_id", "text").repartition(1)
+  }
+
   private val annDim = 12
   private def annVec(i: Int): Array[Float] =
     Array.tabulate(annDim)(j => ((i * 31 + j * 17) % 97) / 97.0f - 0.5f)
@@ -89,6 +105,19 @@ object Pipeline extends graft.QueryArea {
           emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
           queriesDf, "qid", "qvec", k = 5, c = 16, nprobe = 8)
         .orderBy(col("qid"), col("rk"))
+    }),
+    "xb_kmeans_fullsf" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      Similarity.kMeans(emb, "vec_id", "embedding", k = 32, iters = 3)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+        .orderBy(col("cell"))
+    }),
+    "xb_bpe_train_fullsf" -> ((spark, dir) => {
+      import spark.implicits._
+      TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", merges = 8)
+        .toDF("rank", "left", "right", "merged", "freq")
+        .orderBy(col("rank"))
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -193,6 +222,38 @@ object Pipeline extends graft.QueryArea {
           annFixtureQueries(spark), "qid", "qvec",
           k = 5, c = 8, nprobe = 4)
         .orderBy(col("qid"), col("rk"))
+    }),
+    // Planted-fixture k-means gate: full-corpus Lloyd on the
+    // deterministic ANN fixture (repartition(1) pins accumulation
+    // order, seeded hash-ordered init pins the seeds), so the learned
+    // cells and every row's assignment are one fixed answer; pinned
+    // per-cell as (n, id_sum, min/max member) — any single
+    // assignment flip changes id_sum. Full-SF timing continues as
+    // xb_kmeans_fullsf in Bench.
+    "sim_kmeans_assign" -> ((spark, dir) => {
+      Similarity.kMeans(annFixtureCorpus(spark), "vec_id", "embedding",
+          k = 8, iters = 3)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"),
+          min(col("vec_id")).as("id_min"), max(col("vec_id")).as("id_max"))
+        .orderBy(col("cell"))
+    }),
+    // SemDeDup over real embeddings + planted scaled copies (x2 —
+    // same direction ⇒ cosine exactly 1.0 AND an identical
+    // nearest-centroid cell whatever the learned centroids are, since
+    // cosine argmax is norm-invariant), with no real pair near the
+    // 0.95 threshold (corpus max ~0.5). Survivors are therefore
+    // exactly the original ids — independently recomputed by the
+    // oracle from the all-pairs cosine graph, so the gate checks the
+    // cluster-blocked path finds every planted pair and invents none.
+    "dedup_semantic" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Dedup.semanticDedup(emb.unionByName(planted), "vec_id", "embedding",
+          k = 16, threshold = 0.95, iters = 2)
+        .select(col("vec_id")).orderBy(col("vec_id"))
     }),
     // int8 quantization roundtrip: codes recomputed bit-for-bit by
     // the oracle; reconstruction error bounded by scale/2
@@ -435,6 +496,32 @@ object Pipeline extends graft.QueryArea {
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(50)
     }),
+    // Full BPE merge-loop training (Sennrich 2016) on the
+    // deterministic fixture corpus: 12 learned merge rules pinned as
+    // a literal oracle; TextAnalysisSpec re-derives the same table
+    // with an independent local reference implementation. Full-SF
+    // word-table timing continues as xb_bpe_train_fullsf in Bench.
+    "corpus_bpe_train" -> ((spark, dir) => {
+      import spark.implicits._
+      TextAnalysis.bpeTrain(bpeFixtureDocs(spark), "text", merges = 12)
+        .toDF("rank", "left", "right", "merged", "freq")
+        .select(col("rank").cast("int").as("rank"), col("left"),
+          col("right"), col("merged"), col("freq"))
+        .orderBy(col("rank"))
+    }),
+    // Encoding with the learned rules: the merge rewrites applied in
+    // rank order as a scan-side regexp chain; includes a word with
+    // characters never merged (pure char fallback)
+    "corpus_bpe_encode" -> ((spark, dir) => {
+      import spark.implicits._
+      val merges = TextAnalysis.bpeTrain(bpeFixtureDocs(spark), "text", merges = 12)
+        .map(m => (m._2, m._3))
+      Seq("the", "theme", "catalog", "dogma", "math", "that", "unseen")
+        .toDF("word")
+        .select(col("word"),
+          concat_ws("|", TextAnalysis.bpeSegmentWord(col("word"), merges)).as("tokens"))
+        .orderBy(col("word"))
+    }),
     // reproducible training-order shuffle: a distributed sort on a
     // seeded md5 key (TakeOrderedAndProject for the prefix here; a
     // range-exchange sort for a full corpus rewrite — never a global
@@ -523,6 +610,54 @@ object Pipeline extends graft.QueryArea {
       |) t(qid, vec_id, cos, rk)
       |ORDER BY qid, rk""".stripMargin
 
+  // pinned from the deterministic fixture run (see sim_kmeans_assign
+  // comment); regenerate with:
+  //   Pipeline.queries("sim_kmeans_assign")(spark, dir).show(false)
+  private val simKmeansAssignOracle: String =
+    """SELECT CAST(cell AS INT) AS cell, CAST(n AS BIGINT) AS n,
+      |  CAST(id_sum AS BIGINT) AS id_sum,
+      |  CAST(id_min AS BIGINT) AS id_min, CAST(id_max AS BIGINT) AS id_max
+      |FROM (VALUES
+      |  (0, 45, 8922, 104, 298), (1, 24, 4950, 118, 293),
+      |  (2, 10, 1987, 117, 286), (3, 26, 5213, 100, 297),
+      |  (4, 24, 4674, 108, 283), (5, 25, 5081, 101, 295),
+      |  (6, 12, 2406, 102, 299), (7, 34, 6667, 106, 284)
+      |) t(cell, n, id_sum, id_min, id_max)
+      |ORDER BY cell""".stripMargin
+
+  // pinned from the deterministic BPE fixture run; independently
+  // re-derived by TextAnalysisSpec's reference implementation
+  private val bpeTrainOracle: String =
+    """SELECT CAST(rank AS INT) AS rank, left_s AS "left", right_s AS "right",
+      |  merged, CAST(freq AS BIGINT) AS freq
+      |FROM (VALUES
+      |  (0, 'a', 't', 'at', 160),
+      |  (1, 't', 'h', 'th', 134),
+      |  (2, 'th', 'e', 'the', 108),
+      |  (3, 'at', '</w>', 'at</w>', 80),
+      |  (4, 'o', 'g', 'og', 80),
+      |  (5, 'c', 'at', 'cat', 54),
+      |  (6, 'e', '</w>', 'e</w>', 54),
+      |  (7, 'og', '</w>', 'og</w>', 54),
+      |  (8, 'a', 'l', 'al', 28),
+      |  (9, 'al', 'og</w>', 'alog</w>', 28),
+      |  (10, 'cat', 'alog</w>', 'catalog</w>', 28),
+      |  (11, 'm', 'at</w>', 'mat</w>', 28)
+      |) t(rank, left_s, right_s, merged, freq)
+      |ORDER BY rank""".stripMargin
+
+  private val bpeEncodeOracle: String =
+    """SELECT word, tokens FROM (VALUES
+      |  ('catalog', 'catalog</w>'),
+      |  ('dogma', 'd|og|m|a|</w>'),
+      |  ('math', 'm|at|h|</w>'),
+      |  ('that', 'th|at</w>'),
+      |  ('the', 'the|</w>'),
+      |  ('theme', 'the|m|e</w>'),
+      |  ('unseen', 'u|n|s|e|e|n|</w>')
+      |) t(word, tokens)
+      |ORDER BY word""".stripMargin
+
   def oracles: Map[String, String] = {
     val planted =
       """planted AS (
@@ -585,6 +720,25 @@ object Pipeline extends graft.QueryArea {
     // exact recall on this fixture, so both pin the same rows.
     "sim_lsh_topk" -> annFixtureTopkOracle,
     "sim_ivf_topk" -> annFixtureTopkOracle,
+    "sim_kmeans_assign" -> simKmeansAssignOracle,
+    "corpus_bpe_train" -> bpeTrainOracle,
+    "corpus_bpe_encode" -> bpeEncodeOracle,
+    // survivors = ids with no smaller >= 0.95-cosine partner in the
+    // ALL-pairs graph (components here are exactly {orig, x2-copy}
+    // pairs, so min-id-per-component ≡ "no smaller partner")
+    "dedup_semantic" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM planted a JOIN planted b ON a.vec_id < b.vec_id)
+        |SELECT vec_id FROM planted
+        |WHERE vec_id NOT IN (SELECT id_b FROM pairs WHERE c >= 0.95)
+        |ORDER BY vec_id""".stripMargin,
     "text_match_topk" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -216,4 +216,16 @@ class DedupSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept === Array(0L, 3L, 4L, 5L, 7L, 8L, 9L))
   }
+
+  test("semanticDedup drops planted scaled copies and keeps everything else") {
+    val emb = table("embeddings").select($"vec_id", $"embedding").limit(200)
+    val planted = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 5000).as("vec_id"),
+        transform($"embedding", x => x * lit(3.0f)).as("embedding"))
+    val kept = Dedup.semanticDedup(emb.unionByName(planted), "vec_id", "embedding",
+        k = 8, threshold = 0.95, iters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val originals = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === originals)
+  }
 }

@@ -99,4 +99,34 @@ class SimilaritySpec extends SparkSuite {
       .select($"vec_id", $"__bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(b1 === b2)
   }
+
+  test("k-means: well-separated direction clusters are recovered exactly") {
+    // 3 orthogonal-ish base directions, 20 jittered members each —
+    // Lloyd must put every member with its base direction's group
+    val base = Seq(
+      Array.tabulate(8)(j => if (j < 3) 1.0f else 0.0f),
+      Array.tabulate(8)(j => if (j >= 3 && j < 6) 1.0f else 0.0f),
+      Array.tabulate(8)(j => if (j >= 6) 1.0f else 0.0f))
+    val rows = for (c <- 0 until 3; m <- 0 until 20) yield {
+      val jitter = Array.tabulate(8)(j => ((c * 31 + m * 17 + j * 7) % 13) / 130.0f)
+      (c * 100L + m, base(c).zip(jitter).map { case (b, e) => b + e })
+    }
+    val df = rows.toDF("id", "vec").repartition(1)
+    val assigned = Similarity.kMeans(df, "id", "vec", k = 3, iters = 4)
+      .select($"id", $"cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byTrueCluster = assigned.groupBy(_._1 / 100).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    assert(byTrueCluster.values.forall(_.size == 1), s"split cluster: $byTrueCluster")
+    assert(byTrueCluster.values.flatten.toSet.size == 3, s"merged clusters: $byTrueCluster")
+  }
+
+  test("k-means assignment is norm-invariant: scaled copies share a cell") {
+    val cents = Similarity.kMeansTrain(emb, "embedding", k = 8, iters = 2)
+    val doubled = emb.select($"vec_id",
+      transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val a = Similarity.kMeansAssign(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = Similarity.kMeansAssign(doubled, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a === b)
+  }
 }

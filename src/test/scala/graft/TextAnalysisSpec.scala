@@ -267,4 +267,63 @@ class TextAnalysisSpec extends SparkSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
   }
+
+  /** Independent local reference BPE (Sennrich 2016): word-freq dict,
+    * count adjacent pairs, merge the most frequent (lexicographic
+    * tie-break) greedily left-to-right. Mirrors NOTHING of the Spark
+    * implementation — symbol lists, not regex rewrites. */
+  private def refBpe(wordFreq: Map[String, Long], merges: Int,
+      minFreq: Long): Seq[(Int, String, String, String, Long)] = {
+    def mergeSeq(xs: List[String], l: String, r: String): List[String] = xs match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeSeq(rest, l, r)
+      case a :: rest => a :: mergeSeq(rest, l, r)
+      case Nil => Nil
+    }
+    var vocab: Seq[(List[String], Long)] =
+      wordFreq.toSeq.map { case (w, f) => (w.map(_.toString).toList :+ "</w>", f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < merges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val best = counts.toSeq
+        .sortBy { case ((l, r), n) => (-n, l + " " + r) }.headOption
+      best match {
+        case Some(((l, r), n)) if n >= minFreq =>
+          vocab = vocab.map { case (syms, f) => (mergeSeq(syms, l, r), f) }
+          out += ((rank, l, r, l + r, n))
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain equals an independent reference implementation on the fixture corpus") {
+    val docs = graft.queries.Pipeline.bpeFixtureDocs(spark)
+    val learned = TextAnalysis.bpeTrain(docs, "text", merges = 12)
+    val wordFreq = docs
+      .select(explode(TextAnalysis.normWords($"text")).as("w"))
+      .groupBy($"w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refBpe(wordFreq, merges = 12, minFreq = 2L)
+    assert(learned === expected)
+  }
+
+  test("bpeSegmentWord: tokens reconstruct the word; unseen chars fall back to chars") {
+    val docs = graft.queries.Pipeline.bpeFixtureDocs(spark)
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 12).map(m => (m._2, m._3))
+    val words = Seq("the", "theme", "catalog", "dogma", "unseen", "x")
+    val segs = words.toDF("word")
+      .select($"word", TextAnalysis.bpeSegmentWord($"word", merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      val joined = segs(w).mkString("").replace("</w>", "")
+      assert(joined === w, s"tokens of '$w' must reconstruct it: ${segs(w)}")
+      assert(segs(w).last.endsWith("</w>"))
+    }
+  }
 }
