@@ -270,6 +270,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * find every maximal token span whose `width`-token windows all
+    * occur more than once in the corpus. Lee et al. build a suffix
+    * array; the scalable Spark shape is fixed-minimum-match-length
+    * window hashing — every `width`-token window is hashed scan-side
+    * (one explode, ~tokens rows, same cost class as shingling), a
+    * corpus-wide groupBy finds hashes with count > 1, and duplicated
+    * window positions are merged per doc into maximal spans with a
+    * gaps-and-islands window. The only corpus-scale shuffle is the
+    * window-hash groupBy (8-byte keys); span merging shuffles only
+    * the duplicated positions.
+    *
+    * Returns (id, span_start, span_end, n_windows): 1-based token
+    * positions, span_end inclusive; a span of n_windows w-windows
+    * covers span_end - span_start + 1 = n_windows + w - 1 tokens. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = docs.select(col(idCol), TextAnalysis.normWords(col(textCol)).as("__ws"))
+    val wins = ws.filter(size(col("__ws")) >= width)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__ws")) - (width - 1)),
+        i => struct(i.as("pos"),
+          xxhash64(array_join(slice(col("__ws"), i, lit(width)), " ")).as("h")))).as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val islands = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    wins.join(dup, Seq("h"))
+      .withColumn("__grp", col("pos") - row_number().over(islands))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + width - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__grp")
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
     * k-means partitioning — cluster the embedding corpus with
     * full-corpus Lloyd ([[Similarity.kMeansTrain]]), then compare

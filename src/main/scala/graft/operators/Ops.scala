@@ -123,6 +123,17 @@ object Ops {
       .orderBy(col("bucket"))
   }
 
+  /** QUALIFY (reference SQL surface: filter on a window expression,
+    * `QualifyOperator` in the FE): desugars exactly as the reference
+    * does — materialize the window expression, filter on it, drop it.
+    * Catalyst's InferWindowGroupLimit still kicks in for ranking
+    * predicates (rn <= k), so `qualify(df, row_number().over(w) <= k)`
+    * plans the same WindowGroupLimit as an explicit top-n. */
+  def qualify(df: DataFrame, windowPredicate: Column): DataFrame = {
+    val q = "__qualify"
+    df.withColumn(q, windowPredicate).filter(col(q)).drop(q)
+  }
+
   private implicit class ColExpr(c: Column) {
     def expr_ : org.apache.spark.sql.catalyst.expressions.Expression = expression(c)
   }

@@ -162,6 +162,16 @@ object Pipeline extends graft.QueryArea {
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Exact-substring duplicate spans (Lee et al. 2022): every maximal
+    // run of duplicated 8-token windows per doc. Planted exact and
+    // prefixed copies guarantee long spans; the oracle recomputes the
+    // spans in DuckDB comparing window TEXT directly, so the gate also
+    // vouches for the engine's 64-bit window-hash grouping on this
+    // corpus (a collision would split/merge a span and mismatch).
+    "dedup_substring_spans" -> ((spark, dir) => {
+      Dedup.duplicateSpans(plantedDocs(spark, dir), "doc_id", "text", width = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
     // candidate pairs from a SQL-expressible blocking key, verified by
     // exact 3-gram Jaccard — fully oracle-checked
     "dedup_ngram_jaccard" -> ((spark, dir) => {
@@ -670,6 +680,25 @@ object Pipeline extends graft.QueryArea {
     "dedup_exact" ->
       s"""WITH $planted
         |SELECT min(doc_id) AS doc_id FROM planted GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_substring_spans" ->
+      s"""WITH $planted,
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |  FROM planted),
+        |wins AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    array_to_string(ws[u.i:u.i+7], ' ') AS win
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 7)) AS u(i)
+        |  WHERE len(ws) >= 8),
+        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+        |dpos AS (SELECT doc_id, pos FROM wins WHERE win IN (SELECT win FROM dup)),
+        |grp AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM dpos)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
+        |FROM grp GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin,
     // Independent ground-truth oracle for the minhash pipeline: DuckDB
     // recomputes exact 3-gram Jaccard for ALL pairs (the trigram
     // construction is engine-equal per the dedup_ngram_jaccard gate) —

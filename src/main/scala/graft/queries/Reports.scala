@@ -39,6 +39,20 @@ object Reports extends graft.QueryArea {
         |LATERAL VIEW stack(3, 'open', n_open, 'filled', n_filled, 'pending', n_pending)
         |  AS status, n
         |ORDER BY o_orderpriority, status""".stripMargin)),
+    // PIVOT (reference SELECT ... PIVOT syntax): status rows → typed
+    // columns via the DataFrame pivot with an EXPLICIT value list —
+    // the list keeps the plan a single pass (no distinct-values
+    // pre-query) and the output schema static, which is the scalable
+    // form at any SF
+    "rpt_pivot" -> ((spark, dir) => {
+      t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"))
+        .select(col("o_orderpriority"), col("O").as("rev_open"),
+          col("F").as("rev_filled"), col("P").as("rev_pending"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // share of total: window over the aggregate, not the fact
     "rpt_share_of_total" -> ((spark, dir) => sqlq(spark, dir)(
       """WITH seg AS (
@@ -91,6 +105,16 @@ object Reports extends graft.QueryArea {
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 
   def oracles: Map[String, String] = Map(
+    "rpt_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_filled,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "rpt_unpivot" ->
       """WITH w AS (
         |  SELECT o_orderpriority,

@@ -113,6 +113,31 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Copy-on-write MERGE INTO: base table holds keys % 4 != 3; the
+    // source doubles totalprice for keys % 8 == 1 (matched → replace,
+    // only their files rewritten) and supplies keys % 4 == 3 (not
+    // matched → insert). Readback must equal the SQL merge of the two
+    // row sets, including min/max keys proving the inserts landed.
+    "src_lake_merge" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_mrg")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 4 =!= 3),
+        table, Seq("o_orderpriority"))
+      val src = o.filter(col("o_orderkey") % 8 === 1 || col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 8 === 1, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderpriority"))
+      graft.sources.Lake.merge(spark, table, src, Seq("o_orderkey"))
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Time travel: three commits (overwrite, append, overwrite) — each
     // snapshot version stays readable because data files are immutable
     // and manifests are per-version. The output reads all three
@@ -359,6 +384,24 @@ object SourcesQ extends graft.QueryArea {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM upd GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 4 <> 3),
+        |src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 8 = 1 OR o_orderkey % 4 = 3),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_lake_delete" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,

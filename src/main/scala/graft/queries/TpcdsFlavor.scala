@@ -617,7 +617,71 @@ object TpcdsFlavor extends graft.QueryArea {
       """SELECT round(CAST((SELECT COUNT(*) FROM events WHERE hour(ts) BETWEEN 6 AND 11) AS DOUBLE)
         |  / (SELECT COUNT(*) FROM events WHERE hour(ts) BETWEEN 18 AND 23), 6) AS am_pm_ratio""".stripMargin)
 
+  // Tranche 8 — four more golden-plan families
+  // (fe/fe-core/src/test/resources/sql/tpcds/): Q23's double-CTE
+  // frequent-items x best-customers with a scalar spend threshold,
+  // Q31's consecutive-period ratio compared against the global average
+  // ratio, Q64's same-part same-customer cross-year resale chain, and
+  // Q92's correlated per-group average in the WHERE.
+  private val freqItemBestCustSql =
+    """WITH freq_parts AS (
+      |  SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) > 8),
+      |spend AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+      |  FROM orders GROUP BY o_custkey),
+      |best_cust AS (
+      |  SELECT o_custkey FROM spend
+      |  WHERE s > (SELECT 0.5 * MAX(s) FROM spend))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_partkey IN (SELECT l_partkey FROM freq_parts)
+      |  AND o_custkey IN (SELECT o_custkey FROM best_cust)""".stripMargin
+
+  private val qoqRatioSql =
+    """WITH q AS (
+      |  SELECT n_name, quarter(o_orderdate) AS qtr,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) = 1995
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.n_name, a.rev AS q1_rev, b.rev AS q2_rev, b.rev / a.rev AS ratio
+      |  FROM q a JOIN q b ON a.n_name = b.n_name AND a.qtr = 1 AND b.qtr = 2)
+      |SELECT n_name, round(q1_rev, 2) AS q1_rev, round(q2_rev, 2) AS q2_rev,
+      |  round(ratio, 6) AS ratio
+      |FROM pairs
+      |WHERE ratio > (SELECT avg(ratio) FROM pairs)
+      |ORDER BY n_name""".stripMargin
+
+  private val resaleChainSql =
+    """SELECT l1.l_partkey AS part, o1.o_custkey AS cust,
+      |  o1.o_orderdate AS first_date, o2.o_orderdate AS repeat_date,
+      |  round(CAST(l1.l_extendedprice AS DOUBLE), 2) AS first_price,
+      |  round(CAST(l2.l_extendedprice AS DOUBLE), 2) AS repeat_price
+      |FROM lineitem l1
+      |JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+      |JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
+      |JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+      |  AND o2.o_custkey = o1.o_custkey
+      |WHERE o2.o_orderdate > o1.o_orderdate
+      |  AND l2.l_extendedprice < l1.l_extendedprice
+      |ORDER BY part, cust, first_date, repeat_date, first_price, repeat_price""".stripMargin
+
+  private val excessDiscountSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS excess_rev
+      |FROM lineitem l
+      |WHERE l.l_discount > (
+      |  SELECT 1.3 * avg(CAST(l2.l_discount AS DOUBLE)) FROM lineitem l2
+      |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   private val tranche2: Map[String, String] = Map(
+    "tpcds_freq_item_best_cust" -> freqItemBestCustSql,
+    "tpcds_qoq_ratio" -> qoqRatioSql,
+    "tpcds_resale_chain" -> resaleChainSql,
+    "tpcds_excess_discount" -> excessDiscountSql,
     "tpcds_inventory_lag" -> inventoryLagSql,
     "tpcds_decline_pairs" -> declinePairsSql,
     "tpcds_ratio_of_ratios" -> ratioOfRatiosSql,

@@ -32,6 +32,19 @@ object Windows extends graft.QueryArea {
           round(nth_value(col("o_totalprice"), 3).over(w), 2).as("third_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
+    // QUALIFY surface (Ops.qualify): top-2 orders per priority via a
+    // filter on the window expression; the oracle runs DuckDB's
+    // native QUALIFY clause, proving the desugaring is semantics-exact
+    "win_qualify" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+      graft.operators.Ops.qualify(
+          o.select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price")),
+          row_number().over(w) <= 2)
+        .orderBy(col("o_orderpriority"), col("price").desc, col("o_orderkey"))
+    }),
     // top-3 orders per customer — ranking window + filter (partition topn)
     "win_partition_topn" -> ((spark, dir) => {
       val o = t(spark, dir, "orders")
@@ -182,6 +195,13 @@ object Windows extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "win_qualify" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_orderpriority
+        |  ORDER BY round(o_totalprice, 2) DESC, o_orderkey) <= 2
+        |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin,
     "win_range_interval" ->
       """SELECT event_id, event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (

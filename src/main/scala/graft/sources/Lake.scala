@@ -217,6 +217,72 @@ object Lake {
       _.filter(not(coalesce(predicate, lit(false)))))
   }
 
+  /** Copy-on-write MERGE INTO (full-row upsert semantics, the lake
+    * form of `KeysModels.mergeInto` / the reference's primary-key
+    * load into a lake table): source rows whose `keys` match an
+    * existing target row REPLACE that row; the rest are INSERTED.
+    * Only data files containing a matched key are rewritten — touched
+    * files are found with one broadcast semi-join of the source keys
+    * against the target scan (no driver-side key collection, so the
+    * source can be arbitrarily large; file PATHS are manifest-scale
+    * and driver-resident by design). Untouched files carry into the
+    * new snapshot by reference; an insert-only merge rewrites nothing
+    * and just appends. A matched row whose source partition value
+    * differs simply moves partitions (full-row replace; unlike
+    * [[update]] there is no fixed-column constraint). Source must be
+    * key-distinct — duplicate source keys would both survive.
+    * Returns the committed new version. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit}
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    val schema = snap.schema
+    keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown key $k"))
+    val src = source.select(schema.fieldNames.toSeq.map(n =>
+      col(n).cast(schema.fields.find(_.name == n).get.dataType).as(n)): _*)
+    val dataSchema = StructType(
+      schema.fields.filterNot(fd => snap.partitionCols.contains(fd.name)))
+
+    // input_file_name() rejects plans with two FILE sources: pin the
+    // (small, broadcast-bound) distinct source keys as an in-memory
+    // relation so the target scan stays the only file source — and
+    // stays streaming; the key set is the same size as the broadcast
+    val srcKeys = src.select(keys.map(col): _*).distinct().localCheckpoint(true)
+    val touched = read(spark, table)
+      .join(broadcast(srcKeys), keys, "left_semi")
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => java.net.URLDecoder.decode(
+        new Path(r.getString(0)).toUri.getPath, "UTF-8")).toSet
+    val (rewrite, keep) = snap.files.partition(fl =>
+      touched.contains(new Path(fl.path).toUri.getPath))
+
+    val v = prev + 1
+    val commitDir = s"$table/data/commit-$v"
+    // surviving target rows from touched files (matched keys dropped,
+    // replaced by their source row below) + every source row
+    val survivors = rewrite.groupBy(_.partitionValues).map { case (pvals, fls) =>
+      var df = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
+      for (c <- snap.partitionCols) {
+        val dt = schema.fields.find(_.name == c).get.dataType
+        df = df.withColumn(c, lit(pvals(c)).cast(dt))
+      }
+      df.select(schema.fieldNames.map(col).toSeq: _*)
+    }.reduceOption(_ unionByName _)
+      .map(_.join(broadcast(srcKeys), keys, "left_anti"))
+    val out = survivors.map(_.unionByName(src)).getOrElse(src)
+    val writer = if (snap.partitionCols.nonEmpty)
+      out.write.partitionBy(snap.partitionCols: _*) else out.write
+    writer.mode("errorifexists").parquet(commitDir)
+
+    val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir))
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
+  }
+
   /** Small-file compaction (the reference's background compaction job,
     * `be/src/storage/compaction_task.cpp`, for a lake table): within
     * each partition, files under `smallFileBytes` are rewritten into

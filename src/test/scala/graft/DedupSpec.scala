@@ -217,6 +217,20 @@ class DedupSpec extends SparkSuite {
     assert(kept === Array(0L, 3L, 4L, 5L, 7L, 8L, 9L))
   }
 
+  test("duplicateSpans: shared token run yields one maximal span per doc, hand-traced") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j unique1 unique2"),
+      (2L, "x y a b c d e f g h i j z"),
+      (3L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", width = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // shared run "a b c d e f g h i j" (10 tokens): width-4 windows
+    // fully inside it start at 1..7 in doc 1 (span 1-10) and 3..9 in
+    // doc 2 (span 3-12); doc 3 contributes nothing
+    assert(spans === Set((1L, 1L, 10L, 7L), (2L, 3L, 12L, 7L)))
+  }
+
   test("semanticDedup drops planted scaled copies and keeps everything else") {
     val emb = table("embeddings").select($"vec_id", $"embedding").limit(200)
     val planted = emb.filter($"vec_id" % 10 === 0)

@@ -492,6 +492,35 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("lake MERGE INTO is copy-on-write: matched rows replaced, inserts appended, untouched files carried") {
+    import graft.sources.Lake
+    val dir = java.nio.file.Files.createTempDirectory("lake_mrg_plan").toString
+    val o = table("orders").select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    Lake.write(o.filter($"o_orderkey" % 4 =!= 3), dir, Seq("o_orderpriority"))
+    val v1 = Lake.readSnapshot(spark, dir, 1)
+    val matched = o.filter($"o_orderkey" % 8 === 1)
+      .select($"o_orderkey", lit(0.0).as("o_totalprice"), $"o_orderpriority")
+    val inserts = o.filter($"o_orderkey" % 4 === 3)
+    val v2n = Lake.merge(spark, dir, matched.unionByName(inserts), Seq("o_orderkey"))
+    assert(v2n === 2)
+    val v2 = Lake.readSnapshot(spark, dir, 2)
+    // every partition with a matched key was rewritten; matched rows
+    // now carry the source's totalprice, inserts landed, counts add up
+    val touchedParts = Lake.read(spark, dir, Some(1))
+      .filter($"o_orderkey" % 8 === 1).select($"o_orderpriority")
+      .distinct().collect().map(_.getString(0)).toSet
+    val v1Untouched = v1.files.filterNot(f =>
+      touchedParts.contains(f.partitionValues("o_orderpriority")))
+    assert(v1Untouched.map(_.path).toSet.subsetOf(v2.files.map(_.path).toSet))
+    val read2 = Lake.read(spark, dir)
+    assert(read2.count() === o.count())
+    assert(read2.filter($"o_orderkey" % 8 === 1 && $"o_totalprice" =!= 0.0).count() === 0)
+    assert(read2.filter($"o_orderkey" % 4 === 3).count() === inserts.count())
+    // old snapshot unchanged
+    assert(Lake.read(spark, dir, Some(1)).count() ===
+      o.filter($"o_orderkey" % 4 =!= 3).count())
+  }
+
   test("lake compaction merges small files per partition, data byte-identical, then no-ops") {
     import graft.sources.Lake
     val dir = java.nio.file.Files.createTempDirectory("lake_cmp_plan").toString
