@@ -57,9 +57,17 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "400").toInt
     val deadline = System.nanoTime() + budgetSec * 1000L * 1000 * 1000
 
+    // Per-query warm-up only for the baseline-comparable benchmark
+    // flights (TPC-H/SSB/ClickBench/TPC-DS) and the full-SF operator
+    // timings — the numbers read against BASELINE.md. The ~250 gate
+    // queries run once: warming all of them doubled total wall
+    // (~570 s at 299 queries, vs a ~600 s driver budget) and pushed
+    // the tail past the in-run budget, which inflated those timings
+    // MORE than a cold run does.
+    val warmed = "^(q\\d+_|ssb_|cb_|xb_|tpcds_).*".r
     def warmAvg(name: String): Double = {
-      if (System.nanoTime() > deadline) return run(name)
-      if (run(name) < 0) return -1.0 // warm-up run, untimed
+      val doWarm = warmed.matches(name) && System.nanoTime() < deadline
+      if (doWarm && run(name) < 0) return -1.0 // warm-up run, untimed
       val times = (1 to runsPerQuery).map(_ => run(name))
       if (times.exists(_ < 0)) -1.0 else times.sum / times.length
     }

@@ -368,8 +368,14 @@ object Dedup {
     */
   def connectedComponents(
       edges: DataFrame, src: String, dst: String, maxIter: Int = 20): DataFrame = {
+    // materialize the symmetrized edge list ONCE: `sym` is referenced
+    // by every round's join, and edge lists arrive with expensive
+    // lineages (minhash banding, k-means cluster self-joins) — without
+    // the checkpoint each round would recompute the whole pair
+    //-discovery pipeline (measured 3-8x the total dedup cost)
     val sym = edges.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
       .union(edges.select(col(dst).cast("long").as("s"), col(src).cast("long").as("d")))
+      .localCheckpoint(true)
     var labels = sym.select(col("s").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     var changed = 1L

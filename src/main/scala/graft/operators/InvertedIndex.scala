@@ -84,6 +84,46 @@ object InvertedIndex {
         row_number().over(w).cast("long").as("rk"))
   }
 
+  /** BM25-ranked top-k over the postings (Robertson/Sparck Jones;
+    * the standard relevance ranking over the same inverted index the
+    * MATCH predicates use — Lucene's default since 6.0).
+    *
+    *   idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   score(d,q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avg))
+    *
+    * Scale shape: everything derives from term-pruned postings — the
+    * per-term df aggregate is |terms| rows, the doc-length table is
+    * built once from the full postings with one map-side-combining
+    * aggregation (persist it alongside the postings in production),
+    * and the corpus itself is never rescanned. The final cut is a
+    * TakeOrderedAndProject. Scores are rounded to 4 dp so the
+    * DuckDB oracle's independent ln/division reproduces them. */
+  def bm25TopK(postings: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val need = terms.distinct
+    val docLen = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("len"))
+    val nDocs = docLen.agg(count(lit(1)).as("n"), avg(col("len")).as("avg_len"))
+    val pruned = postings.filter(col("term").isin(need: _*))
+    val df = pruned.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = pruned
+      .join(broadcast(df), "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("norm",
+        col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("len") / col("avg_len"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("idf") * col("norm")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("score"),
+        row_number().over(w).cast("long").as("rk"))
+  }
+
   /** Positional postings (term, doc_id, positions) — the phrase-query
     * index shape (Lucene-style position lists; the reference's GIN
     * index stores the same per-term occurrence lists). Positions are

@@ -133,28 +133,59 @@ object Similarity {
     * set, hash tie-broken. Random init can drop all k seeds into one
     * natural cluster and strand Lloyd in a split/merged local
     * optimum; maximin guarantees one seed per well-separated cluster.
-    * Cost: k scan+TopN passes (each a global limit-1 — KBs to the
-    * driver); at extreme corpus sizes run it on a bounded
-    * deterministic sample first, like [[trainIvfCentroids]]. */
+    * The greedy selection runs DRIVER-LOCAL over a bounded
+    * hash-ordered sample (`initSampleN` rows collected — one job,
+    * MBs; the same bounded-sample-to-driver pattern as
+    * [[trainIvfCentroids]]): k sequential cluster jobs for the
+    * selection would put a k×(job-latency) floor on training, and
+    * maximin needs only ONE sample point per natural cluster, so a
+    * few thousand samples cover any practical k. Lloyd itself
+    * iterates over the full corpus, distributed. */
   def kMeansTrain(corpus: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+      iters: Int = 5, seed: Long = 42L,
+      initSampleN: Int = 4096): Array[Array[Double]] = {
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
-    var centroids: Array[Array[Double]] = vecs
-      .orderBy(col("__h")).limit(1)
+    val sample: Array[Array[Double]] = vecs
+      .orderBy(col("__h")).limit(initSampleN)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
-    while (centroids.length < k) {
-      val maxCos = array_max(array(
-        centroids.map(ct => cosine_similarity(col("__v"), typedlit(ct))): _*))
-      val next = vecs.orderBy(maxCos.asc, col("__h").asc).limit(1)
-        .select(col("__v")).collect()
-      centroids = centroids :+ next.head.getSeq[Double](0).toArray
+    require(sample.nonEmpty, "k-means init: empty corpus")
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    // greedy maximin over the sample: next seed = sample row with the
+    // smallest max-cosine to the chosen set; ties keep hash order
+    val chosenIdx = scala.collection.mutable.ArrayBuffer(0)
+    val maxCosTo = Array.fill(sample.length)(-2.0)
+    while (chosenIdx.length < math.min(k, sample.length)) {
+      val last = sample(chosenIdx.last)
+      var best = -1; var bestScore = 2.0
+      var i = 0
+      while (i < sample.length) {
+        val c = cosLocal(sample(i), last)
+        if (c > maxCosTo(i)) maxCosTo(i) = c
+        if (!chosenIdx.contains(i) && maxCosTo(i) < bestScore) {
+          bestScore = maxCosTo(i); best = i
+        }
+        i += 1
+      }
+      chosenIdx += best
+    }
+    var centroids: Array[Array[Double]] = chosenIdx.map(sample).toArray
     for (_ <- 0 until iters) {
       // sum+count instead of avg: both are map-side combinable and the
-      // final division happens on k×dim rows
+      // final division happens on k×dim rows. The cell id is projected
+      // to an ATTRIBUTE before posexplode: a Generate re-evaluates its
+      // carried projections per OUTPUT row, so fusing the k-kernel
+      // argmax into the explode select costs dim× the kernels
+      // (measured 28 s vs 0.9 s at k=64, dim=12, sf0.1)
       val updated = vecs
-        .select(nearestCell(col("__v"), centroids).as("__cell"), posexplode(col("__v")))
+        .select(nearestCell(col("__v"), centroids).as("__cell"), col("__v"))
+        .select(col("__cell"), posexplode(col("__v")))
         .groupBy(col("__cell"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
         .groupBy(col("__cell"))

@@ -549,8 +549,10 @@ object TextAnalysis {
         val replacement =
           java.util.regex.Matcher.quoteReplacement(" " + merged)
         vocab = vocab.withColumn("sym",
-            regexp_replace(col("sym"), lit(pattern), lit(replacement)))
-          .localCheckpoint(true) // truncate the per-round lineage
+          regexp_replace(col("sym"), lit(pattern), lit(replacement)))
+        // truncate lineage every few rounds (each eager checkpoint is
+        // a job; a handful of stacked regexp_replaces re-run fine)
+        if ((rank + 1) % 4 == 0) vocab = vocab.localCheckpoint(true)
         learned += ((rank, l, r, merged, freq))
         rank += 1
       }

@@ -309,6 +309,15 @@ object Pipeline extends graft.QueryArea {
       graft.operators.InvertedIndex.matchTopK(
         postings, Seq("window", "scan", "merge"), k = 20)
     }),
+    // BM25 relevance ranking over the same postings; the oracle
+    // rebuilds postings, lengths, df and the full BM25 formula in
+    // DuckDB independently (scores rounded to 4 dp on both sides)
+    "text_match_bm25" -> ((spark, dir) => {
+      val postings = graft.operators.InvertedIndex.build(
+        t(spark, dir, "documents"), "doc_id", "text")
+      graft.operators.InvertedIndex.bm25TopK(
+        postings, Seq("window", "scan", "merge"), k = 15)
+    }),
     // SQL MATCH predicate surface (match_any / match_all registered
     // scalar forms — the unindexed fallback path, callable from SQL)
     "text_match_predicates" -> ((spark, dir) => sqlq(spark, dir)(
@@ -784,6 +793,29 @@ object Pipeline extends graft.QueryArea {
         |  CAST(row_number() OVER (ORDER BY c1 + c2 + c3 DESC, doc_id) AS BIGINT) AS rk
         |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_match_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(ts) AS t(term) GROUP BY doc_id, t.term),
+        |len AS (SELECT doc_id, sum(tf) AS len FROM post GROUP BY doc_id),
+        |g AS (SELECT count(*) AS n, avg(len) AS avg_len FROM len),
+        |pr AS (SELECT * FROM post WHERE term IN ('window', 'scan', 'merge')),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM pr GROUP BY term),
+        |sc AS (
+        |  SELECT pr.doc_id,
+        |    round(SUM(ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+        |      * pr.tf * (1.2 + 1) / (pr.tf + 1.2 * (1 - 0.75 + 0.75 * len.len / g.avg_len))), 4)
+        |      AS score
+        |  FROM pr JOIN dft USING (term) JOIN len USING (doc_id) CROSS JOIN g
+        |  GROUP BY pr.doc_id)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "text_match_predicates" ->
       """WITH tok AS (
         |  SELECT doc_id,

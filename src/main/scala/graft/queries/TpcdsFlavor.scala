@@ -655,18 +655,21 @@ object TpcdsFlavor extends graft.QueryArea {
       |WHERE ratio > (SELECT avg(ratio) FROM pairs)
       |ORDER BY n_name""".stripMargin
 
+  // the self-join key is the COMPOSITE (part, customer) — joining
+  // each lineitem to its order first keeps the pair space at
+  // repeat-purchase multiplicity instead of per-part multiplicity
   private val resaleChainSql =
-    """SELECT l1.l_partkey AS part, o1.o_custkey AS cust,
-      |  o1.o_orderdate AS first_date, o2.o_orderdate AS repeat_date,
-      |  round(CAST(l1.l_extendedprice AS DOUBLE), 2) AS first_price,
-      |  round(CAST(l2.l_extendedprice AS DOUBLE), 2) AS repeat_price
-      |FROM lineitem l1
-      |JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
-      |JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
-      |JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
-      |  AND o2.o_custkey = o1.o_custkey
-      |WHERE o2.o_orderdate > o1.o_orderdate
-      |  AND l2.l_extendedprice < l1.l_extendedprice
+    """WITH cp AS (
+      |  SELECT l_partkey, o_custkey, o_orderdate, l_extendedprice
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT a.l_partkey AS part, a.o_custkey AS cust,
+      |  a.o_orderdate AS first_date, b.o_orderdate AS repeat_date,
+      |  round(CAST(a.l_extendedprice AS DOUBLE), 2) AS first_price,
+      |  round(CAST(b.l_extendedprice AS DOUBLE), 2) AS repeat_price
+      |FROM cp a JOIN cp b
+      |  ON a.l_partkey = b.l_partkey AND a.o_custkey = b.o_custkey
+      |WHERE b.o_orderdate > a.o_orderdate
+      |  AND b.l_extendedprice < a.l_extendedprice
       |ORDER BY part, cust, first_date, repeat_date, first_price, repeat_price""".stripMargin
 
   private val excessDiscountSql =

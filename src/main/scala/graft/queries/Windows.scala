@@ -146,13 +146,53 @@ object Windows extends graft.QueryArea {
     // per type — the time-windowed running metric of ops dashboards;
     // frame membership depends only on ts values, so ties are
     // deterministic (peers share the frame)
+    // Spark evaluates interval RANGE frames by re-aggregating the
+    // in-frame buffer PER ROW (no retractable aggs) — O(rows x frame
+    // width) per partition, measured 52 s on full-SF events. This gate
+    // checks the FEATURE's semantics on a bounded slice; the
+    // scale-shaped formulation of the same analytic is
+    // ts_trailing_event below (union +/- trick, running ROWS frame).
     "win_range_interval" -> ((spark, dir) => sqlq(spark, dir)(
       """SELECT event_id, event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY event_type ORDER BY ts
         |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS trailing_7d
-        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin)),
+        |FROM events WHERE user_id % 50 = 0
+        |ORDER BY event_id LIMIT 2000""".stripMargin)),
+    // Event-time trailing 7-day sum at full SF, O(n log n): each event
+    // contributes +v at ts and -v at ts + 7d; a running (unbounded
+    // preceding) ROWS sum over the merged timeline, negatives ordered
+    // AFTER coincident positives so the inclusive [t-7d, t] boundary
+    // matches RANGE INTERVAL PRECEDING semantics. The running frame
+    // is O(1) per row where the interval RANGE frame re-aggregates
+    // the whole window — this is the 100 TB form of the analytic.
+    "ts_trailing_event" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val pos = e.select(col("event_type"), col("ts"), lit(0).as("kind"),
+        col("v"), col("event_id"))
+      val neg = e.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 7 DAYS")).as("ts"), lit(1).as("kind"),
+        (-col("v")).as("v"), lit(null).cast("long").as("event_id"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // RANGE frames include same-ts PEERS of the current row; the
+      // running ROWS sum stops at the row itself, so close over peers
+      // by taking the run of the LAST positive at the same instant
+      val peers = Window.partitionBy(col("event_type"), col("ts"), col("kind"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      pos.unionByName(neg)
+        .withColumn("run", sum(col("v")).over(w))
+        .withColumn("runPeers", last(col("run")).over(peers))
+        .filter(col("kind") === 0)
+        .select(col("event_id"), col("event_type"),
+          col("runPeers").cast("double").as("trailing_7d"))
+        .orderBy(col("event_id")).limit(2000)
+    }),
     // gaps-and-islands: per-user runs of CONSECUTIVE active calendar
     // days (distinct days minus a row_number ladder share a group key);
     // island count + longest streak per user. One shuffle on user_id
@@ -203,6 +243,17 @@ object Windows extends graft.QueryArea {
         |  ORDER BY round(o_totalprice, 2) DESC, o_orderkey) <= 2
         |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin,
     "win_range_interval" ->
+      """SELECT event_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_7d
+        |FROM events WHERE user_id % 50 = 0
+        |ORDER BY event_id LIMIT 2000""".stripMargin,
+    // independent recomputation with DuckDB's native interval RANGE
+    // frame — also pins the inclusive [t-7d, t] boundary and same-ts
+    // peer semantics of the +/- union formulation
+    "ts_trailing_event" ->
       """SELECT event_id, event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY event_type ORDER BY ts

@@ -60,6 +60,21 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"), "rank filter not pushed into window")
   }
 
+  test("QUALIFY with a ranking predicate plans WindowGroupLimit") {
+    val plan = planOf(SparkEntry.queries("win_qualify")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "qualify(rn <= k) must plan the same partition-topn pushdown as an explicit filter")
+  }
+
+  test("k-means assignment is scan-side: no exchange in the assign stage") {
+    val cents = Array.tabulate(4)(i => Array.tabulate(8)(j => (i * 8 + j + 1).toDouble))
+    val df = graft.operators.Similarity.kMeansAssign(
+      table("embeddings"), "vec_id", "embedding", cents)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must not shuffle the corpus:\n$plan")
+  }
+
   test("whole-stage codegen covers the Q1 pipeline") {
     val plan = finalPlanOf(SparkEntry.queries("q1_pricing_summary")(spark, sf))
     assert(plan.contains("*("), s"no whole-stage codegen spans:\n$plan")

@@ -302,6 +302,22 @@ class TextAnalysisSpec extends SparkSuite {
     out.toSeq
   }
 
+  test("bm25TopK: coverage beats tf-stuffing, rare terms outweigh common ones") {
+    val docs = Seq(
+      (1L, "alpha beta gamma pad pad pad"),          // all 3 query terms once
+      (2L, "alpha alpha alpha alpha alpha pad"),     // one term stuffed
+      (3L, "beta pad pad pad pad pad"),              // one term once
+      (4L, "pad pad pad pad pad pad")                // no terms
+    ).toDF("doc_id", "text")
+    val postings = InvertedIndex.build(docs, "doc_id", "text")
+    val r = InvertedIndex.bm25TopK(postings, Seq("alpha", "beta", "gamma"), k = 10)
+      .collect().map(row => row.getLong(0) -> row.getLong(2)).toMap
+    assert(!r.contains(4L), "doc without query terms must not score")
+    assert(r(1L) === 1L, "covering all terms must outrank tf-stuffing one term")
+    // gamma is rarest (df=1) — doc 1 holds it; stuffed alpha (df=2) saturates
+    assert(r(2L) > r(1L))
+  }
+
   test("bpeTrain equals an independent reference implementation on the fixture corpus") {
     val docs = graft.queries.Pipeline.bpeFixtureDocs(spark)
     val learned = TextAnalysis.bpeTrain(docs, "text", merges = 12)
