@@ -281,6 +281,129 @@ object Similarity {
       .select(col(queryId), col(corpusId), round(col("cos"), 6).as("cos"), col("rk").cast("long").as("rk"))
   }
 
+  // ---------------- product quantization (PQ) ----------------
+
+  /** Train PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the vector space is split
+    * into `m` contiguous subspaces of dim/m dimensions and each
+    * subspace gets its own `ks`-centroid k-means codebook.
+    *
+    * Training is driver-local over a bounded, deterministic
+    * hash-ordered sample (the [[trainIvfCentroids]] pattern —
+    * `sampleN` rows collected once, MBs regardless of corpus size);
+    * Lloyd on a few-thousand-row sample converges in a handful of
+    * iterations and keeps training off the 100 TB scan path. Init is
+    * the first `ks` sample subvectors in hash order (deterministic).
+    *
+    * Returns codebooks(s)(c) = centroid c of subspace s (dsub doubles
+    * each) — m×ks×dsub values, KBs on the driver. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, ks: Int,
+      iters: Int = 8, sampleN: Int = 4096, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
+      .orderBy(col("__h")).limit(sampleN)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"PQ: dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      var cents = subs.distinct.take(ks)
+      // pad degenerate subspaces (fewer distinct subvectors than ks)
+      // by cycling the distinct set — empty cells keep their centroid
+      val nDistinct = cents.length
+      while (cents.length < ks) cents = cents :+ cents(cents.length % nDistinct)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ks, dsub)(0.0)
+        val counts = Array.fill(ks)(0L)
+        subs.foreach { x =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = x(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += x(j); j += 1 }
+        }
+        cents = Array.tabulate(ks)(c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(j => sums(c)(j) / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** Encode every corpus row as `m` codebook indices: (id, codes).
+    * Pure scan-side expressions — each subspace slice is projected to
+    * an attribute first (interpreted-HOF relayering rule), then the
+    * argmin runs over `ks` codegen'd l2 kernels against literal
+    * centroids. Storage: m small ints vs 4·dim float bytes — at
+    * dim=128, m=8 that is a 64× smaller corpus to scan and shuffle,
+    * the lever that lets an ANN sweep over 100 TB of raw vectors
+    * read TBs instead. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val subCols = (0 until m).map(s =>
+      slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as(s"__sub$s"))
+    val sliced = corpus.select(col(idCol) +: subCols: _*)
+    val codeCols = (0 until m).map { s =>
+      val d2 = codebooks(s).map(ct => l2_distance(col(s"__sub$s"), typedlit(ct)))
+      val arr = array(d2: _*)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }
+    sliced.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC): the
+    * corpus is encoded ONCE to m-byte codes (scan-side, no shuffle);
+    * each query precomputes an m×ks lookup table of squared
+    * sub-distances to every codebook centroid (m·ks codegen'd l2
+    * kernels on the tiny broadcast side); scoring a corpus row is
+    * then m array lookups + a sum — no float vector is touched on
+    * the big side at all. approx_l2 = √(Σ_s lut[s][code_s]).
+    *
+    * This is the memory-bound regime's answer (vs [[ivfTopK]]'s
+    * compute-bound cell pruning); real systems compose them (IVF-PQ)
+    * — here the operators compose the same way: pass an
+    * ivf-bucketed corpus in. */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 4, ks: Int = 16, iters: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val cb = trainPqCodebooks(corpus, corpusVec, m, ks, iters, seed = seed)
+    val dsub = cb(0)(0).length
+    val encoded = pqEncode(corpus, corpusId, corpusVec, cb)
+    // query side: slice to attributes, then the LUT of squared sub-distances
+    val qsubs = (0 until m).map(s =>
+      slice(col(queryVec).cast("array<double>"), s * dsub + 1, dsub).as(s"__qsub$s"))
+    val qsliced = queries.select(col(queryId) +: qsubs: _*)
+    val lut = array((0 until m).map { s =>
+      array(cb(s).map { ct =>
+        val d = l2_distance(col(s"__qsub$s"), typedlit(ct)); d * d
+      }: _*)
+    }: _*)
+    val qlut = qsliced.select(col(queryId), lut.as("__lut"))
+    val scored = encoded.crossJoin(broadcast(qlut))
+      .select(col(queryId), col(corpusId),
+        sqrt((0 until m).map(s =>
+          element_at(element_at(col("__lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1)).reduce(_ + _)).as("approx_l2"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("approx_l2"), col(corpusId))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId),
+        round(col("approx_l2"), 6).as("approx_l2"), col("rk").cast("long").as("rk"))
+  }
+
   /** Symmetric int8 vector quantization — the storage/bandwidth lever
     * of a 100 TB embedding corpus: 4× smaller than float32 (so 4×
     * more vectors per executor page and per shuffle byte) at ~0.4%

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, KeysModels, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, KeysModels, LanguageModel, Similarity, TextAnalysis}
 import util._
 
 /** Training-data pipeline surface: dedup family, similarity search,
@@ -104,6 +104,15 @@ object Pipeline extends graft.QueryArea {
       Similarity.ivfTopK(
           emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
           queriesDf, "qid", "qvec", k = 5, c = 16, nprobe = 8)
+        .orderBy(col("qid"), col("rk"))
+    }),
+    "xb_pq_topk_fullsf" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopK(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          queriesDf, "qid", "qvec", k = 5, m = 4, ks = 16)
         .orderBy(col("qid"), col("rk"))
     }),
     "xb_kmeans_fullsf" -> ((spark, dir) => {
@@ -233,6 +242,20 @@ object Pipeline extends graft.QueryArea {
           k = 5, c = 8, nprobe = 4)
         .orderBy(col("qid"), col("rk"))
     }),
+    // Planted-fixture PQ gate: product-quantization ADC top-k on the
+    // deterministic ANN fixture (driver-local codebook training over
+    // the hash-ordered sample is bit-deterministic; encoding and the
+    // per-query LUT are pure expressions), so the approximate ranking
+    // is one fixed answer, pinned as a literal oracle. Recall vs
+    // exact L2 stays asserted in SimilaritySpec; full-SF timing runs
+    // as xb_pq_topk_fullsf in Bench.
+    "sim_pq_topk" -> ((spark, dir) => {
+      Similarity.pqTopK(
+          annFixtureCorpus(spark), "vec_id", "embedding",
+          annFixtureQueries(spark), "qid", "qvec",
+          k = 5, m = 3, ks = 8)
+        .orderBy(col("qid"), col("rk"))
+    }),
     // Planted-fixture k-means gate: full-corpus Lloyd on the
     // deterministic ANN fixture (repartition(1) pins accumulation
     // order, seeded hash-ordered init pins the seeds), so the learned
@@ -336,6 +359,17 @@ object Pipeline extends graft.QueryArea {
           pos, Seq("stream", "table", "hash"))
         .orderBy(col("doc_id"))
     }),
+    // CCNet-shape LM quality filter: add-k bigram LM trained on the
+    // even-doc_id slice, perplexity scored over the odd slice — the
+    // oracle retrains and rescores independently in DuckDB (same
+    // tokenizer, same smoothing formula, ppl rounded to 4 dp)
+    "text_perplexity_lm" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val lm = LanguageModel.train(docs.filter(col("doc_id") % 2 === 0), "text")
+      LanguageModel.perplexity(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", lm, k = 0.5)
+        .orderBy(col("doc_id"))
+    }),
     // connected components over a chain-structured pair graph (runs of
     // 5 consecutive doc_ids; diameter 4 forces multi-round label
     // propagation) — the pairs→clusters step of corpus dedup
@@ -345,6 +379,20 @@ object Pipeline extends graft.QueryArea {
         .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
       Dedup.connectedComponents(edges, "src", "dst")
         .select(col("id"), col("comp"))
+        .orderBy(col("id"))
+    }),
+    // PageRank web-quality prior over a deterministic link graph
+    // (two formula-derived out-edges per doc) — the oracle unrolls
+    // the same 5 power iterations as chained CTEs in DuckDB.
+    // damping=0.75 so both sides compute 1-d exactly in binary.
+    "corpus_pagerank" -> ((spark, dir) => {
+      val ids = t(spark, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"))
+      val edges = ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 60).as("dst"))
+        .union(ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 1) % 60).as("dst")))
+      Graph.pageRank(edges, "src", "dst", damping = 0.75, iters = 5)
         .orderBy(col("id"))
     }),
     // deterministic corpus split (hashCol = modulo so DuckDB can
@@ -629,6 +677,55 @@ object Pipeline extends graft.QueryArea {
       |) t(qid, vec_id, cos, rk)
       |ORDER BY qid, rk""".stripMargin
 
+  // pinned from the deterministic PQ fixture run (see sim_pq_topk
+  // comment); regenerate with:
+  //   Pipeline.queries("sim_pq_topk")(spark, dir).show(30, false)
+  // PageRank oracle: the same 5 power iterations unrolled as chained
+  // CTEs (r0..r5), same deterministic formula-derived edges, same
+  // damping 0.75 (1-d = 0.25 is exact in binary on both sides)
+  private val pagerankOracle: String = {
+    val base =
+      """WITH e AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % 60 AS dst
+        |  FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * doc_id + 1) % 60
+        |  FROM documents WHERE doc_id < 60),
+        |nodes AS (SELECT DISTINCT id
+        |          FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT nodes.id, 0.25 / nn.n + 0.75 * coalesce(c.inflow, 0) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst AS id, sum(p.rank / deg.deg) AS inflow
+         |             FROM e JOIN r${i - 1} p ON e.src = p.id
+         |             JOIN deg ON e.src = deg.id GROUP BY e.dst) c
+         |    ON nodes.id = c.id)""".stripMargin
+    }.mkString
+    base + iters + "\nSELECT id, round(rank, 6) AS rank FROM r5 ORDER BY id"
+  }
+
+  private val simPqTopkOracle: String =
+    """SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+      |  CAST(approx_l2 AS DOUBLE) AS approx_l2, CAST(rk AS BIGINT) AS rk
+      |FROM (VALUES
+      |  (0, 100, 0.202582, 1), (0, 122, 0.202582, 2), (0, 144, 0.202582, 3),
+      |  (0, 147, 0.202582, 4), (0, 169, 0.202582, 5),
+      |  (1, 115, 0.217406, 1), (1, 140, 0.217406, 2), (1, 162, 0.217406, 3),
+      |  (1, 165, 0.217406, 4), (1, 187, 0.217406, 5),
+      |  (2, 108, 0.177972, 1), (2, 130, 0.177972, 2), (2, 155, 0.177972, 3),
+      |  (2, 180, 0.177972, 4), (2, 205, 0.177972, 5),
+      |  (3, 120, 0.157011, 1), (3, 123, 0.157011, 2), (3, 145, 0.157011, 3),
+      |  (3, 148, 0.157011, 4), (3, 167, 0.157011, 5),
+      |  (4, 113, 0.130953, 1), (4, 138, 0.130953, 2), (4, 163, 0.130953, 3),
+      |  (4, 188, 0.130953, 4), (4, 210, 0.130953, 5)
+      |) t(qid, vec_id, approx_l2, rk)
+      |ORDER BY qid, rk""".stripMargin
+
   // pinned from the deterministic fixture run (see sim_kmeans_assign
   // comment); regenerate with:
   //   Pipeline.queries("sim_kmeans_assign")(spark, dir).show(false)
@@ -758,6 +855,7 @@ object Pipeline extends graft.QueryArea {
     // exact recall on this fixture, so both pin the same rows.
     "sim_lsh_topk" -> annFixtureTopkOracle,
     "sim_ivf_topk" -> annFixtureTopkOracle,
+    "sim_pq_topk" -> simPqTopkOracle,
     "sim_kmeans_assign" -> simKmeansAssignOracle,
     "corpus_bpe_train" -> bpeTrainOracle,
     "corpus_bpe_encode" -> bpeEncodeOracle,
@@ -793,6 +891,34 @@ object Pipeline extends graft.QueryArea {
         |  CAST(row_number() OVER (ORDER BY c1 + c2 + c3 DESC, doc_id) AS BIGINT) AS rk
         |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "corpus_pagerank" -> pagerankOracle,
+    "text_perplexity_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents),
+        |trainb AS (
+        |  SELECT u[1] AS w1, u[2] AS w2 FROM (
+        |    SELECT unnest(list_zip(ts[:len(ts) - 1], ts[2:])) AS u
+        |    FROM tok WHERE len(ts) >= 2 AND doc_id % 2 = 0)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM trainb GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM trainb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT t.w) AS v
+        |      FROM tok, unnest(ts) t(w) WHERE doc_id % 2 = 0),
+        |score AS (
+        |  SELECT doc_id, u[1] AS w1, u[2] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_zip(ts[:len(ts) - 1], ts[2:])) AS u
+        |    FROM tok WHERE len(ts) >= 2 AND doc_id % 2 = 1)),
+        |lp AS (
+        |  SELECT doc_id,
+        |    ln((coalesce(c12.c12, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v))
+        |      AS logp
+        |  FROM score LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(exp(-avg(logp)), 4) AS ppl
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_match_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pageRank: symmetric 2-cycle stays at the uniform fixed point") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val r = Graph.pageRank(e, "s", "d", damping = 0.75, iters = 7)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") === 0.5 && r("b") === 0.5)
+  }
+
+  test("pageRank matches a driver-local power iteration on a 4-node graph") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"))
+    val r = Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        damping = 0.85, iters = 6)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // local recompute, same fixed-iteration formula (dangling mass leaks)
+    val nodes = Seq("a", "b", "c", "d")
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var rank = nodes.map(_ -> 1.0 / 4).toMap
+    for (_ <- 1 to 6) {
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s) }.sum).toMap
+      rank = nodes.map(v => v -> (0.15 / 4 + 0.85 * inflow.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(r(v) - rank(v)) < 5e-7, s"$v: ${r(v)} vs ${rank(v)}")
+    }
+    // d has no in-links: floor rank only
+    assert(r("d") === (math.rint((0.15 / 4) * 1e6) / 1e6))
+  }
+
+  test("pageRank with checkpointing returns the same ranks") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val plain = Graph.pageRank(e, "s", "d", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val ckpt = Graph.pageRank(e, "s", "d", iters = 4, checkpointEvery = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(plain === ckpt)
+  }
+}

@@ -129,4 +129,59 @@ class SimilaritySpec extends SparkSuite {
       .select($"vec_id", $"cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(a === b)
   }
+
+  test("PQ codes are within [0, ks) and encoding is deterministic") {
+    val cb = Similarity.trainPqCodebooks(emb, "embedding", m = 4, ks = 16)
+    assert(cb.length === 4 && cb.forall(_.length === 16))
+    val e1 = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(e1.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+    val e2 = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(e1 === e2)
+  }
+
+  test("PQ ADC distance equals the reconstructed-centroid L2 (local recompute)") {
+    // ADC sums per-subspace squared distances to the ASSIGNED centroid;
+    // that is exactly l2(query, reconstruction-from-codebook) — verify
+    // the expression pipeline against a driver-local recompute
+    // train on the SAME frame pqTopK trains on (corpus) — same
+    // deterministic sample, same codebooks
+    val cb = Similarity.trainPqCodebooks(corpus, "embedding", m = 4, ks = 16)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = queries.limit(2).collect()
+      .map(r => r.getLong(0) -> vecs(r.getLong(0)))
+    val got = Similarity.pqTopK(corpus, "vec_id", "embedding",
+        queries.limit(2), "qid", "qvec", k = 3, m = 4, ks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dsub = cb(0)(0).length
+    got.foreach { case ((qid, cid), adc) =>
+      val qv = q.find(_._1 == qid).get._2
+      val recon = codes(cid).zipWithIndex.flatMap { case (c, s) => cb(s)(c) }
+      val exp = math.sqrt(qv.indices.map { j =>
+        val d = qv(j) - recon(j); d * d
+      }.sum)
+      assert(math.abs(adc - exp) < 1e-6, s"ADC mismatch for ($qid,$cid): $adc vs $exp")
+    }
+  }
+
+  test("PQ top-k recall@5 >= 0.5 vs exact L2 brute force") {
+    import graft.functions.VectorFunctions._
+    val exact = corpus.crossJoin(broadcast(queries))
+      .select($"qid", $"vec_id", l2_distance($"embedding", $"qvec").as("d"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy($"d", $"vec_id")))
+      .filter($"rk" <= 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-random 64-dim embeddings need a fine product grid: m=16
+    // subspaces of 4 dims, 32 centroids each (32^16 cells)
+    val approx = Similarity.pqTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec", 5,
+        m = 16, ks = 32)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+  }
 }
