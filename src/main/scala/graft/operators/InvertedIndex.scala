@@ -176,4 +176,33 @@ object InvertedIndex {
 
   def matchAllPredicate(text: Column, terms: Seq[String]): Column =
     size(array_except(typedlit(terms.map(_.toLowerCase).distinct), tokens(text))) === 0
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: given N ranked lists
+    * (each with columns idCol and `rk`), every appearance of a doc
+    * contributes 1/(k0 + rank) and docs found by multiple retrievers
+    * (e.g. BM25 AND vector ANN) rise to the top. Rank-only fusion —
+    * no score calibration across retrievers is needed, which is why
+    * RRF is the default in hybrid-search engines.
+    *
+    * Scale shape: the inputs are already top-k lists (bounded rows —
+    * the expensive corpus-scale work happened inside the retrievers),
+    * so the union + groupBy here is over N·k rows and the final
+    * window runs over `topK` rows after a TakeOrderedAndProject cut.
+    * Output: (idCol, rrf, n_lists, rk), rrf rounded to 6 dp. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val union = rankings
+      .map(df => df.select(col(idCol), col("rk").cast("long").as("rk")))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col(idCol))
+    union.groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(k0) + col("rk"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(topK)
+      .select(col(idCol), col("rrf"), col("n_lists"),
+        row_number().over(w).cast("long").as("rk"))
+  }
 }

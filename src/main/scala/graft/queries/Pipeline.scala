@@ -359,6 +359,27 @@ object Pipeline extends graft.QueryArea {
           pos, Seq("stream", "table", "hash"))
         .orderBy(col("doc_id"))
     }),
+    // Hybrid retrieval: BM25 top-20 (terms "window scan") fused with
+    // vector-cosine top-20 (query = embedding 0) by reciprocal-rank
+    // fusion over the shared 1..499 id space; the oracle recomputes
+    // both retrievers and the fusion independently in DuckDB
+    "text_hybrid_rrf" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+        .filter(col("doc_id") > 0 && col("doc_id") < 500)
+      val emb = t(spark, dir, "embeddings")
+      val postings = graft.operators.InvertedIndex.build(docs, "doc_id", "text")
+      val bm = graft.operators.InvertedIndex
+        .bm25TopK(postings, Seq("window", "scan"), k = 20)
+        .select(col("doc_id"), col("rk"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") > 0 && col("vec_id") < 500),
+          "vec_id", "embedding", qv, "qid", "qvec", k = 20)
+        .select(col("vec_id").as("doc_id"), col("rk"))
+      graft.operators.InvertedIndex.rrfFuse(Seq(bm, vec), "doc_id",
+        k0 = 60, topK = 10)
+    }),
     // CCNet-shape LM quality filter: add-k bigram LM trained on the
     // even-doc_id slice, perplexity scored over the odd slice — the
     // oracle retrains and rescores independently in DuckDB (same
@@ -892,6 +913,45 @@ object Pipeline extends graft.QueryArea {
         |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "corpus_pagerank" -> pagerankOracle,
+    "text_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id > 0 AND doc_id < 500),
+        |post AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(ts) AS t(term) GROUP BY doc_id, t.term),
+        |len AS (SELECT doc_id, sum(tf) AS len FROM post GROUP BY doc_id),
+        |g AS (SELECT count(*) AS n, avg(len) AS avg_len FROM len),
+        |pr AS (SELECT * FROM post WHERE term IN ('window', 'scan')),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM pr GROUP BY term),
+        |sc AS (
+        |  SELECT pr.doc_id,
+        |    round(SUM(ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+        |      * pr.tf * (1.2 + 1) / (pr.tf + 1.2 * (1 - 0.75 + 0.75 * len.len / g.avg_len))), 4)
+        |      AS score
+        |  FROM pr JOIN dft USING (term) JOIN len USING (doc_id) CROSS JOIN g
+        |  GROUP BY pr.doc_id),
+        |bm AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |       FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+        |vs AS (SELECT vec_id AS doc_id,
+        |         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |           CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |                AS DOUBLE[])) AS cos
+        |       FROM embeddings WHERE vec_id > 0 AND vec_id < 500),
+        |vec AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY cos DESC, doc_id) AS rk
+        |        FROM vs ORDER BY cos DESC, doc_id LIMIT 20),
+        |u AS (SELECT doc_id, rk FROM bm UNION ALL SELECT doc_id, rk FROM vec),
+        |f AS (SELECT doc_id,
+        |        round(sum(CAST(1 AS DOUBLE) / (60 + rk)), 6) AS rrf,
+        |        CAST(count(*) AS BIGINT) AS n_lists
+        |      FROM u GROUP BY doc_id)
+        |SELECT doc_id, rrf, n_lists,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "text_perplexity_lm" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -342,4 +342,17 @@ class TextAnalysisSpec extends SparkSuite {
       assert(segs(w).last.endsWith("</w>"))
     }
   }
+
+  test("rrfFuse: multi-list docs outrank single-list docs; scores exact") {
+    // list A ranks 1,2,3 = docs 10,20,30; list B ranks 1,2,3 = 20,30,40
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rk")
+    val b = Seq((20L, 1L), (30L, 2L), (40L, 3L)).toDF("doc_id", "rk")
+    val r = InvertedIndex.rrfFuse(Seq(a, b), "doc_id", k0 = 60, topK = 4)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2), x.getLong(3)))
+    def s(rs: Long*) = math.rint(rs.map(k => 1.0 / (60 + k)).sum * 1e6) / 1e6
+    // doc 20: ranks 2+1; doc 30: ranks 3+2; then 10 (rank 1) vs 40 (rank 3)
+    assert(r.toSeq === Seq(
+      (20L, s(2, 1), 2L, 1L), (30L, s(3, 2), 2L, 2L),
+      (10L, s(1), 1L, 3L), (40L, s(3), 1L, 4L)))
+  }
 }
