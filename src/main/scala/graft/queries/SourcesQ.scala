@@ -158,6 +158,25 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // Z-order clustered lake write + stats-skipping read: lineitem is
+    // laid out along a Morton curve over (l_orderkey, l_suppkey), the
+    // manifest carries per-file min/max for both, and the 2-D box
+    // query prunes files on BOTH dimensions before the scan (skip
+    // counts asserted in LakeZorderSpec; this gate proves the
+    // clustered write + skipping read returns exactly the right rows)
+    "src_lake_zorder" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_z")
+      graft.sources.Formats.deleteDir(spark, table)
+      val l = t(spark, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      graft.sources.Lake.zorderWrite(l, table,
+        Seq("l_orderkey", "l_suppkey"), nFiles = 8)
+      graft.sources.Lake.read(spark, table)
+        .filter(col("l_orderkey") < 1000 && col("l_suppkey") < 50)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("price"))
+    }),
     // CSV round trip: parquet → csv → read with schema → aggregate;
     // equality with the direct-parquet oracle proves the parse layer
     // (header, timestamps, quoting) is lossless for these types.
@@ -375,6 +394,11 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_zorder" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM lineitem WHERE l_orderkey < 1000 AND l_suppkey < 50""".stripMargin,
     "src_lake_update" ->
       """WITH upd AS (
         |  SELECT o_orderpriority,

@@ -712,8 +712,74 @@ object TpcdsFlavor extends graft.QueryArea {
     "tpcds_self_reprice" -> selfRepriceSql,
     "tpcds_channel_sets" -> channelSetsSql)
 
+  // Tranche 9 — last distinct mechanics from the golden-plan dir:
+  // Q9's conditional scalar-subquery buckets (branch CHOICE driven by a
+  // scalar count), Q94/Q95's double-alias correlated EXISTS (+NOT
+  // EXISTS) against the same fact, Q87's composite-key EXCEPT chain,
+  // and Q89's deviation-from-partition-average band.
+  private val caseScalarBucketsSql = {
+    val ranges = Seq((1, 10, 50000L), (11, 20, 10000000L), (21, 30, 1L),
+      (31, 40, 200000L), (41, 50, 100000L))
+    val cols = ranges.zipWithIndex.map { case ((lo, hi, th), i) =>
+      s"""  CASE WHEN (SELECT COUNT(*) FROM lineitem
+         |      WHERE l_quantity BETWEEN $lo AND $hi) > $th
+         |    THEN (SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+         |        AS DOUBLE) / COUNT(*), 2)
+         |      FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi)
+         |    ELSE (SELECT round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6)))
+         |        AS DOUBLE) / COUNT(*), 4)
+         |      FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi)
+         |  END AS bucket${i + 1}""".stripMargin
+    }
+    s"SELECT\n${cols.mkString(",\n")}\nFROM region WHERE r_regionkey = 0"
+  }
+
+  private val existsSelfPairSql =
+    """SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM lineitem l1
+      |WHERE l1.l_linenumber = 1
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_returnflag = 'R')""".stripMargin
+
+  private val exceptCompositeSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT o_custkey, year(o_orderdate) AS yr FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |  EXCEPT
+      |  SELECT o_custkey, year(o_orderdate) FROM orders
+      |  WHERE o_orderpriority = '2-HIGH'
+      |  EXCEPT
+      |  SELECT o_custkey, year(o_orderdate) FROM orders
+      |  WHERE o_orderpriority = '3-MEDIUM') t""".stripMargin
+
+  private val partitionAvgDevSql =
+    """WITH m AS (
+      |  SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
+      |    month(o_orderdate) AS mon,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS drev
+      |  FROM orders GROUP BY 1, 2, 3),
+      |w AS (
+      |  SELECT pri, yr, mon, CAST(drev AS DOUBLE) AS rev,
+      |    CAST(SUM(drev) OVER (PARTITION BY pri, yr) AS DOUBLE)
+      |      / COUNT(drev) OVER (PARTITION BY pri, yr) AS avg_year
+      |  FROM m)
+      |SELECT pri, yr, mon, round(rev, 2) AS rev, round(avg_year, 4) AS avg_year
+      |FROM w WHERE abs(rev - avg_year) / avg_year > 0.1
+      |ORDER BY pri, yr, mon""".stripMargin
+
+  private val tranche9: Map[String, String] = Map(
+    "tpcds_case_scalar_buckets" -> caseScalarBucketsSql,
+    "tpcds_exists_self_pair" -> existsSelfPairSql,
+    "tpcds_except_composite" -> exceptCompositeSql,
+    "tpcds_partition_avg_dev" -> partitionAvgDevSql)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesTranche7 ++ tranche2.map { case (name, sql) =>
+    queriesTranche7 ++ (tranche2 ++ tranche9).map { case (name, sql) =>
       name -> ((spark: SparkSession, dir: String) => sqlq(spark, dir)(sql))
     } ++ Map(
     // Q27/Q36: rollup with grouping-level indicator + rank inside level
@@ -779,7 +845,7 @@ object TpcdsFlavor extends graft.QueryArea {
         |FROM air a FULL OUTER JOIN rail r
         |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)))
 
-  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ Map(
+  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ Map(
     "tpcds_rollup_rank" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,

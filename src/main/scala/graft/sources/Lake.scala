@@ -5,10 +5,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Minimal lake-format table: versioned snapshot manifests over
@@ -48,8 +48,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Lake {
 
+  /** `stats`: per-column (min, max) of the non-null values, string
+    * encoded in the column's PARQUET primitive representation (dates
+    * as epoch days, timestamps as micros) — collected from the file
+    * footer at commit time and served to the data-skipping pruner
+    * without reopening files. Empty for columns whose type has no
+    * supported stats (nested, decimal). */
   final case class LakeFile(path: String, sizeBytes: Long, modifiedMs: Long,
-      rowCount: Long, partitionValues: Map[String, String])
+      rowCount: Long, partitionValues: Map[String, String],
+      stats: Map[String, (String, String)] = Map.empty)
 
   final case class Snapshot(version: Int, createdAtMs: Long, schemaJson: String,
       partitionCols: Seq[String], files: Seq[LakeFile]) {
@@ -122,6 +129,51 @@ object Lake {
     v
   }
 
+  /** Z-order clustered write (the Delta OPTIMIZE ZORDER / Iceberg
+    * rewrite shape): rows are laid out along a Morton curve over
+    * `zCols`, so every output file covers a tight hyper-rectangle in
+    * ALL clustering dimensions at once and the stats pruner can skip
+    * files for a predicate on ANY of them — linear sort order gives
+    * tight min/max boxes only for its leading column.
+    *
+    * Mechanics: each column is linearly quantized to `bits` buckets
+    * against its global [min,max] (one tiny agg — 2·|zCols| scalars to
+    * the driver), bucket bits are interleaved into the Morton value,
+    * and the data is range-partitioned + sorted on it; the z value is
+    * dropped before writing. All scan-side codegen'd expressions — no
+    * UDF, no extra shuffle beyond the one clustering exchange.
+    * Numeric/date z-columns only. */
+  def zorderWrite(df: DataFrame, table: String, zCols: Seq[String],
+      nFiles: Int, bits: Int = 12, mode: String = "overwrite",
+      partitionCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
+    require(zCols.nonEmpty, "zorderWrite needs at least one z column")
+    require(bits * zCols.size <= 62, s"bits=$bits x ${zCols.size} cols overflows long")
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val hi = (1L << bits) - 1
+    val qs = zCols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      if (mx > mn)
+        least(greatest(
+          floor((col(c).cast("double") - mn) / (mx - mn) * hi).cast("long"),
+          lit(0L)), lit(hi))
+      else lit(0L)
+    }
+    val z = (0 until bits).flatMap { b =>
+      qs.zipWithIndex.map { case (q, i) =>
+        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * zCols.size + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    write(clustered, table, partitionCols, mode)
+  }
+
   /** Manifest entries for the files under a commit dir: partition
     * values parsed from the col=value path segments partitionBy
     * produced; per-file row counts from the parquet footers (stats the
@@ -145,12 +197,73 @@ object Lake {
         }.toMap
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-        val rows = try reader.getRecordCount finally reader.close()
+        val (rows, stats) = try {
+          (reader.getRecordCount, footerStats(reader.getFooter))
+        } finally reader.close()
         buf += LakeFile(st.getPath.toString, st.getLen,
-          st.getModificationTime, rows, pvals)
+          st.getModificationTime, rows, pvals, stats)
       }
     }
     buf.toSeq
+  }
+
+  /** Per-column (min, max) over all row groups of a file footer,
+    * string-encoded. Supported primitives: INT32/INT64/FLOAT/DOUBLE/
+    * BOOLEAN and UTF8-annotated BINARY; top-level (non-nested) columns
+    * only. Columns without usable stats are omitted (pruner keeps the
+    * file — conservative). */
+  private def footerStats(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata
+  ): Map[String, (String, String)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val acc = scala.collection.mutable.Map.empty[String, (String, String, Boolean)]
+    var bad = Set.empty[String]
+    footer.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { c =>
+        val path = c.getPath.toArray
+        if (path.length == 1) {
+          val name = path(0)
+          val pt = c.getPrimitiveType
+          val s = c.getStatistics
+          val enc: Option[(String, String)] =
+            if (s == null || s.isEmpty || !s.hasNonNullValue) None
+            else pt.getPrimitiveTypeName match {
+              case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN =>
+                Some((String.valueOf(s.genericGetMin), String.valueOf(s.genericGetMax)))
+              case BINARY
+                  if pt.getLogicalTypeAnnotation ==
+                    LogicalTypeAnnotation.stringType() =>
+                Some((
+                  s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8,
+                  s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8))
+              case _ => None
+            }
+          enc match {
+            case None => bad += name // one statless row group poisons the column
+            case Some((mn, mx)) =>
+              val merged = acc.get(name) match {
+                case None => (mn, mx, true)
+                case Some((pmn, pmx, _)) =>
+                  val dt = pt.getPrimitiveTypeName
+                  def less(a: String, b: String): Boolean = dt match {
+                    case INT32 | INT64 => a.toLong < b.toLong
+                    case FLOAT | DOUBLE => a.toDouble < b.toDouble
+                    case BOOLEAN => a < b // "false" < "true"
+                    case _ => a < b
+                  }
+                  (if (less(mn, pmn)) mn else pmn,
+                    if (less(pmx, mx)) mx else pmx, true)
+              }
+              acc(name) = merged
+          }
+        }
+      }
+    }
+    acc.view.filterKeys(!bad.contains(_))
+      .map { case (k, (mn, mx, _)) => k -> (mn, mx) }.toMap
   }
 
   /** Commit point: VERSION rename — readers see old or new, never a mix. */
@@ -393,6 +506,13 @@ object Lake {
       fm.put("modifiedMs", Long.box(lf.modifiedMs))
       fm.put("rowCount", Long.box(lf.rowCount))
       fm.put("partitionValues", lf.partitionValues.asJava)
+      if (lf.stats.nonEmpty) {
+        val sm = new java.util.LinkedHashMap[String, Object]()
+        lf.stats.foreach { case (cn, (mn, mx)) =>
+          sm.put(cn, java.util.List.of(mn, mx))
+        }
+        fm.put("stats", sm)
+      }
       fm
     }.asJava)
     m
@@ -424,7 +544,11 @@ object Lake {
             fm.get("modifiedMs").asInstanceOf[Number].longValue(),
             fm.get("rowCount").asInstanceOf[Number].longValue(),
             fm.get("partitionValues").asInstanceOf[java.util.Map[String, String]]
-              .asScala.toMap)
+              .asScala.toMap,
+            Option(fm.get("stats"))
+              .map(_.asInstanceOf[java.util.Map[String, java.util.List[String]]]
+                .asScala.map { case (k, v) => k -> (v.get(0), v.get(1)) }.toMap)
+              .getOrElse(Map.empty))
         })
   }
 
@@ -484,9 +608,91 @@ object Lake {
         s"unsupported lake partition type $other")
     }
 
+    /** files removed by per-file min/max stats in the last listFiles
+      * call (data skipping — the Delta/Iceberg stats-pruning shape);
+      * asserted by LakeSpec. */
+    @volatile var lastStatsSkippedFileCount: Int = -1
+
+    // ---- per-file min/max data skipping -------------------------------
+    // A conjunct can DROP a file only when it provably matches no row
+    // given the file's [min,max]; anything unrecognized keeps the file.
+    private def parseStat(dt: DataType, s: String): Option[Any] =
+      try dt match {
+        case IntegerType | DateType => Some(s.toInt.toLong)
+        case LongType | TimestampType => Some(s.toLong)
+        case ShortType => Some(s.toInt.toLong)
+        case ByteType => Some(s.toInt.toLong)
+        case FloatType | DoubleType => Some(s.toDouble)
+        case StringType => Some(UTF8String.fromString(s))
+        case BooleanType => Some(s.toBoolean)
+        case _ => None
+      } catch { case _: Exception => None }
+
+    private def litKey(dt: DataType, v: Any): Option[Any] = dt match {
+      case IntegerType | DateType => Some(v.asInstanceOf[Int].toLong)
+      case LongType | TimestampType => Some(v.asInstanceOf[Long])
+      case ShortType => Some(v.asInstanceOf[Short].toLong)
+      case ByteType => Some(v.asInstanceOf[Byte].toLong)
+      case FloatType => Some(v.asInstanceOf[Float].toDouble)
+      case DoubleType => Some(v.asInstanceOf[Double])
+      case StringType => Some(v.asInstanceOf[UTF8String])
+      case BooleanType => Some(v.asInstanceOf[Boolean])
+      case _ => None
+    }
+
+    private def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case _ => 0
+    }
+
+    private def bounds(lf: LakeFile, a: AttributeReference): Option[(Any, Any)] =
+      for {
+        (mns, mxs) <- lf.stats.get(a.name)
+        mn <- parseStat(a.dataType, mns)
+        mx <- parseStat(a.dataType, mxs)
+      } yield (mn, mx)
+
+    private def mayMatch(lf: LakeFile, e: Expression): Boolean = e match {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
+        litKey(dt, v).forall(k => bounds(lf, a).forall { case (mn, mx) =>
+          cmp(mn, k) <= 0 && cmp(k, mx) <= 0 })
+      case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
+        mayMatch(lf, EqualTo(a, Literal(v, dt)))
+      case LessThan(a: AttributeReference, Literal(v, dt)) if v != null =>
+        litKey(dt, v).forall(k => bounds(lf, a).forall { case (mn, _) => cmp(mn, k) < 0 })
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) if v != null =>
+        litKey(dt, v).forall(k => bounds(lf, a).forall { case (mn, _) => cmp(mn, k) <= 0 })
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) if v != null =>
+        litKey(dt, v).forall(k => bounds(lf, a).forall { case (_, mx) => cmp(mx, k) > 0 })
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) if v != null =>
+        litKey(dt, v).forall(k => bounds(lf, a).forall { case (_, mx) => cmp(mx, k) >= 0 })
+      // literal-first comparisons: flip
+      case LessThan(Literal(v, dt), a: AttributeReference) if v != null =>
+        mayMatch(lf, GreaterThan(a, Literal(v, dt)))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) if v != null =>
+        mayMatch(lf, GreaterThanOrEqual(a, Literal(v, dt)))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) if v != null =>
+        mayMatch(lf, LessThan(a, Literal(v, dt)))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) if v != null =>
+        mayMatch(lf, LessThanOrEqual(a, Literal(v, dt)))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists {
+          case Literal(v, dt) if v != null => mayMatch(lf, EqualTo(a, Literal(v, dt)))
+          case _ => false // null literal matches no row
+        }
+      case _ => true
+    }
+
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      val groups = snap.files.groupBy(_.partitionValues)
+      val statPruned =
+        if (dataFilters.isEmpty) snap.files
+        else snap.files.filter(lf => dataFilters.forall(f => mayMatch(lf, f)))
+      lastStatsSkippedFileCount = snap.files.size - statPruned.size
+      val groups = statPruned.groupBy(_.partitionValues)
       val dirs = groups.toSeq.map { case (pvals, files) =>
         val row = InternalRow.fromSeq(partitionSchema.fields.toSeq.map(fd =>
           castPartitionValue(pvals(fd.name), fd.dataType)))

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Lake
+
+class LakeZorderSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkData = spark.range(0, 10000)
+    .select($"id".as("x"), (($"id" * 37) % 10000).as("y"),
+      concat(lit("row-"), lpad($"id".cast("string"), 6, "0")).as("tag"))
+
+  test("manifest carries per-file min/max stats that match the data") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_stats").toString
+    Lake.write(mkData.repartitionByRange(4, $"x").sortWithinPartitions($"x"), dir, Nil)
+    val snap = Lake.readSnapshot(spark, dir, 1)
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { f =>
+      assert(f.stats.contains("x") && f.stats.contains("y") && f.stats.contains("tag"),
+        s"missing stats in ${f.stats.keySet}")
+    }
+    // global min/max across files must equal the data's
+    val xs = snap.files.map(_.stats("x")).map { case (a, b) => (a.toLong, b.toLong) }
+    assert(xs.map(_._1).min === 0L && xs.map(_._2).max === 9999L)
+    val tags = snap.files.map(_.stats("tag"))
+    assert(tags.map(_._1).min === "row-000000" && tags.map(_._2).max === "row-009999")
+    // range-clustered on x → per-file x ranges must be disjoint-ish (tight)
+    val sorted = xs.sortBy(_._1)
+    sorted.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) =>
+      assert(aMax <= bMin, s"x ranges overlap: $sorted")
+    case _ => }
+  }
+
+  test("point query on the clustered column skips files via stats") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_skip").toString
+    Lake.write(mkData.repartitionByRange(8, $"x").sortWithinPartitions($"x"), dir, Nil)
+    val (lake, index) = Lake.readIndexed(spark, dir)
+    val got = lake.filter($"x" === 4321L).select($"y").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq((4321L * 37) % 10000))
+    assert(index.lastStatsSkippedFileCount >= 6,
+      s"expected most of 8 files skipped, got ${index.lastStatsSkippedFileCount}")
+    // string predicate skips too
+    val n = lake.filter($"tag" === "row-001234").count()
+    assert(n === 1L)
+    assert(index.lastStatsSkippedFileCount >= 6)
+    // a predicate matching nothing skips everything
+    assert(lake.filter($"x" > 100000L).count() === 0L)
+    assert(index.lastStatsSkippedFileCount === index.totalFileCount)
+  }
+
+  test("z-order clustering skips files on the NON-leading dimension where linear order cannot") {
+    val linDir = java.nio.file.Files.createTempDirectory("lake_lin").toString
+    val zDir = java.nio.file.Files.createTempDirectory("lake_z").toString
+    Lake.write(mkData.repartitionByRange(16, $"x").sortWithinPartitions($"x"), linDir, Nil)
+    Lake.zorderWrite(mkData, zDir, Seq("x", "y"), nFiles = 16)
+
+    def skipped(dir: String): (Long, Int, Int) = {
+      val (lake, index) = Lake.readIndexed(spark, dir)
+      val n = lake.filter($"y" >= 100L && $"y" < 400L).count()
+      (n, index.lastStatsSkippedFileCount, index.totalFileCount)
+    }
+    val (nLin, skLin, totLin) = skipped(linDir)
+    val (nZ, skZ, totZ) = skipped(zDir)
+    assert(nLin === nZ, "layout must not change query results")
+    assert(nZ > 0)
+    // y = (x*37)%10000 is spread uniformly across x-ranged files → a
+    // y-box prunes nothing under linear order, but z-order gives every
+    // file a bounded y extent
+    assert(skLin === 0, s"linear layout unexpectedly skipped $skLin/$totLin")
+    assert(skZ >= totZ / 4, s"z-order skipped only $skZ/$totZ files")
+    // both dimensions prune on a 2-D box
+    val (lakeZ, indexZ) = Lake.readIndexed(spark, zDir)
+    val box = lakeZ.filter($"x" >= 1000L && $"x" < 2000L &&
+      $"y" >= 1000L && $"y" < 2000L).count()
+    val direct = mkData.filter($"x" >= 1000L && $"x" < 2000L &&
+      $"y" >= 1000L && $"y" < 2000L).count()
+    assert(box === direct)
+    assert(indexZ.lastStatsSkippedFileCount > 0)
+  }
+}
