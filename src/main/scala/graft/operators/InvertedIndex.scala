@@ -177,6 +177,52 @@ object InvertedIndex {
   def matchAllPredicate(text: Column, terms: Seq[String]): Column =
     size(array_except(typedlit(terms.map(_.toLowerCase).distinct), tokens(text))) === 0
 
+  /** L2-normalized TF-IDF term weights per document from the postings
+    * table: w(t,d) = tf·ln(N/df) / ‖d‖. `maxDfRatio` drops terms
+    * appearing in more than that fraction of documents BEFORE
+    * weighting — the stopword cut that bounds the similarity join's
+    * term fanout (a term with df=D generates D² candidate pairs). */
+  def tfidfVectors(postings: DataFrame, maxDfRatio: Double = 1.0): DataFrame = {
+    val n = postings.agg(countDistinct(col("doc_id")).as("n"))
+    val dfs = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val pruned = postings
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(n))
+      .filter(col("df") <= col("n") * maxDfRatio)
+      .withColumn("w0", col("tf") * log(col("n").cast("double") / col("df")))
+    val norms = pruned.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w0") * col("w0"))).as("norm"))
+    pruned.join(norms, "doc_id")
+      .select(col("doc_id"), col("term"), (col("w0") / col("norm")).as("w"))
+  }
+
+  /** All-pairs document similarity over the inverted index: cosine of
+    * L2-normalized TF-IDF vectors computed as a SPARSE dot product —
+    * one term-keyed self-join, sum(wa·wb) per pair, top-k partners per
+    * doc. This is the inverted-index similarity join (Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW 2007): candidate
+    * pairs exist ONLY for docs sharing a surviving term, so the
+    * `maxDfRatio` stopword cut is the scale lever — without it one
+    * df=N term makes the join quadratic in the corpus. Ranking uses
+    * the 6-dp-rounded similarity (+ id tiebreak) so independent
+    * engines order ulp-close sums identically. */
+  def similarDocsTopK(postings: DataFrame, k: Int,
+      maxDfRatio: Double = 0.5): DataFrame = {
+    val v = tfidfVectors(postings, maxDfRatio)
+    val a = v.select(col("doc_id").as("id_a"), col("term"), col("w").as("wa"))
+    val b = v.select(col("doc_id").as("id_b"), col("term"), col("w").as("wb"))
+    val sims = a.join(b, "term")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(sum(col("wa") * col("wb")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b"))
+    sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: given N ranked lists
     * (each with columns idCol and `rk`), every appearance of a doc

@@ -359,6 +359,17 @@ object Pipeline extends graft.QueryArea {
           pos, Seq("stream", "table", "hash"))
         .orderBy(col("doc_id"))
     }),
+    // Sparse TF-IDF all-pairs similarity: cosine of L2-normalized
+    // tf-idf vectors as a term-keyed sparse dot product (inverted-
+    // index similarity join), df-pruned at 30%; the oracle rebuilds
+    // vectors and the pair join independently in DuckDB
+    "text_tfidf_sim" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 200)
+      val postings = graft.operators.InvertedIndex.build(docs, "doc_id", "text")
+      graft.operators.InvertedIndex.similarDocsTopK(postings, k = 3,
+          maxDfRatio = 0.3)
+        .orderBy(col("id_a"), col("rk"))
+    }),
     // Hybrid retrieval: BM25 top-20 (terms "window scan") fused with
     // vector-cosine top-20 (query = embedding 0) by reciprocal-rank
     // fusion over the shared 1..499 id space; the oracle recomputes
@@ -913,6 +924,37 @@ object Pipeline extends graft.QueryArea {
         |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "corpus_pagerank" -> pagerankOracle,
+    "text_tfidf_sim" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id < 200),
+        |post AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(ts) AS t(term) GROUP BY doc_id, t.term),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM post),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term),
+        |pruned AS (
+        |  SELECT post.doc_id, post.term,
+        |    post.tf * ln(CAST(nn.n AS DOUBLE) / dft.df) AS w0
+        |  FROM post JOIN dft USING (term) CROSS JOIN nn
+        |  WHERE dft.df <= nn.n * 0.3),
+        |norms AS (SELECT doc_id, sqrt(sum(w0 * w0)) AS nrm
+        |          FROM pruned GROUP BY doc_id),
+        |v AS (SELECT pruned.doc_id, term, w0 / nrm AS w
+        |      FROM pruned JOIN norms USING (doc_id)),
+        |sims AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(sum(a.w * b.w), 6) AS sim
+        |  FROM v a JOIN v b ON a.term = b.term AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |ranked AS (
+        |  SELECT id_a, id_b, sim,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rk
+        |  FROM sims)
+        |SELECT id_a, id_b, sim, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin,
     "text_hybrid_rrf" ->
       """WITH tok AS (
         |  SELECT doc_id,

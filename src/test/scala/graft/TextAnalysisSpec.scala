@@ -343,6 +343,36 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("similarDocsTopK: identical docs get cosine 1; stopword cut removes ubiquitous terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),   // exact dup of 1 → sim 1.0
+      (3L, "alpha delta epsilon"),
+      (4L, "zeta eta theta")      // no shared informative terms
+    ).toDF("doc_id", "text")
+    val postings = InvertedIndex.build(docs, "doc_id", "text")
+    val r = InvertedIndex.similarDocsTopK(postings, k = 3, maxDfRatio = 0.6)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r((1L, 2L)) === 1.0 && r((2L, 1L)) === 1.0)
+    // alpha appears in 3/4 docs (df ratio 0.75 > 0.6) → pruned, so doc 3
+    // shares NO surviving term with 1/2 and pairs (1,3)/(3,1) must not exist
+    assert(!r.contains((1L, 3L)) && !r.contains((3L, 1L)),
+      s"stopword-pruned term still produced pairs: ${r.keys}")
+    // doc 4 shares nothing → absent entirely
+    assert(!r.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("tfidfVectors are L2-normalized after the df cut") {
+    val docs = Seq((1L, "a b c"), (2L, "a d e"), (3L, "f g h")).toDF("doc_id", "text")
+    val v = InvertedIndex.tfidfVectors(
+        InvertedIndex.build(docs, "doc_id", "text"), maxDfRatio = 1.0)
+      .groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // docs 1 and 2: 'a' has idf ln(3/2)>0, others ln(3)>0 → norm 1
+    assert(v.keySet === Set(1L, 2L, 3L))
+    v.values.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-12))
+  }
+
   test("rrfFuse: multi-list docs outrank single-list docs; scores exact") {
     // list A ranks 1,2,3 = docs 10,20,30; list B ranks 1,2,3 = 20,30,40
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rk")
