@@ -55,4 +55,48 @@ object Graph {
     }
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Per-node triangle counts over an undirected graph — the local
+    * clustering signal (spam farms and boilerplate link rings are
+    * triangle-dense; organic link neighborhoods are sparse).
+    *
+    * Algorithm: degree-ordered edge orientation (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011) — every edge points from its lower-(degree,
+    * id) endpoint, wedges are built only at each edge's LOW end, and
+    * a wedge closes iff its two tips are themselves an edge. Each
+    * triangle is found exactly once (at its minimum-(degree, id)
+    * vertex). The orientation caps out-degree at O(√m), so wedge
+    * volume is Σ outdeg² ≈ m^1.5 instead of the Σ deg² blowup that a
+    * hub vertex causes in the naive plan — the difference between a
+    * web crawl's 10^6-degree hub generating 10^12 wedges or 10^6.
+    * Three shuffles total: degree agg, wedge build, closure join. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val aLow = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dirE = withDeg.select(
+      when(aLow, col("a")).otherwise(col("b")).as("p"),
+      when(aLow, col("b")).otherwise(col("a")).as("q"))
+    val wedges = dirE.select(col("p"), col("q").as("u"))
+      .join(dirE.select(col("p"), col("q").as("v")), "p")
+      .filter(col("u") < col("v"))
+    val tris = wedges
+      .select(col("p"), least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .join(canon, Seq("a", "b"), "left_semi")
+    tris.select(col("p").as("id"))
+      .union(tris.select(col("a").as("id")))
+      .union(tris.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
 }

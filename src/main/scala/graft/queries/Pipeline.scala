@@ -427,6 +427,18 @@ object Pipeline extends graft.QueryArea {
       Graph.pageRank(edges, "src", "dst", damping = 0.75, iters = 5)
         .orderBy(col("id"))
     }),
+    // per-node triangle counts via degree-ordered orientation; the
+    // oracle counts the same triangles with the naive canonical
+    // triple join — an independent algorithm, same answer
+    "graph_triangles" -> ((spark, dir) => {
+      val ids = t(spark, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"))
+      val edges = Seq((3, 1), (7, 2), (13, 5)).map { case (m, c) =>
+        ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * m + c) % 80).as("dst"))
+      }.reduce(_ unionByName _)
+      Graph.triangleCounts(edges, "src", "dst").orderBy(col("id"))
+    }),
     // deterministic corpus split (hashCol = modulo so DuckDB can
     // recompute; production default is a stable xxhash64 of the id)
     "corpus_split" -> ((spark, dir) => {
@@ -924,6 +936,24 @@ object Pipeline extends graft.QueryArea {
         |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "corpus_pagerank" -> pagerankOracle,
+    "graph_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS s, (doc_id * 3 + 1) % 80 AS d
+        |  FROM documents WHERE doc_id < 80
+        |  UNION ALL SELECT doc_id, (doc_id * 7 + 2) % 80
+        |  FROM documents WHERE doc_id < 80
+        |  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % 80
+        |  FROM documents WHERE doc_id < 80),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |      FROM raw WHERE s <> d),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY id ORDER BY id""".stripMargin,
     "text_tfidf_sim" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -33,6 +33,17 @@ class GraphSpec extends SparkSuite {
     assert(r("d") === (math.rint((0.15 / 4) * 1e6) / 1e6))
   }
 
+  test("triangleCounts: K4 has 4 triangles with every node in 3; squares have none") {
+    // K4 on 1..4 (+ reversed/duplicate edges to exercise canonicalization),
+    // plus a 4-cycle 10-11-12-13 (no triangles), plus isolated edge 20-21
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val e = (k4 ++ square ++ Seq((20L, 21L))).toDF("s", "d")
+    val r = Graph.triangleCounts(e, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("pageRank with checkpointing returns the same ranks") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val plain = Graph.pageRank(e, "s", "d", iters = 4)
