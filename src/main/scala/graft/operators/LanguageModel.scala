@@ -90,4 +90,39 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"),
         round(exp(-avg(col("logp"))), 4).as("ppl"))
   }
+
+  /** Token-distribution drift between two corpus slices — the
+    * monitoring signal for data mixing: KL(P‖Q), KL(Q‖P) and the
+    * symmetric bounded Jensen-Shannon divergence over add-k–smoothed
+    * unigram distributions on the UNION vocabulary.
+    *
+    *   p(w) = (c_A(w) + k) / (N_A + k·V),  same for q;  m = (p+q)/2
+    *   JS   = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)
+    *
+    * One full-outer join of two map-side-combined count tables plus a
+    * single global agg — no driver state, shuffle width = vocab.
+    * Returns one row (kl_pq, kl_qp, js), rounded to 6 dp. */
+  def distributionDivergence(docsA: DataFrame, docsB: DataFrame,
+      textCol: String, k: Double = 0.5): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(InvertedIndex.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ca = counts(docsA).withColumnRenamed("c", "ca")
+    val cb = counts(docsB).withColumnRenamed("c", "cb")
+    val joined = ca.join(cb, Seq("w"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(tot))
+      .select(
+        ((col("ca") + lit(k)) / (col("na") + lit(k) * col("v"))).as("p"),
+        ((col("cb") + lit(k)) / (col("nb") + lit(k) * col("v"))).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .agg(
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_pq"),
+        round(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_qp"),
+        round(sum(col("p") * log(col("p") / col("m")) / 2 +
+          col("q") * log(col("q") / col("m")) / 2), 6).as("js"))
+  }
 }

@@ -274,6 +274,35 @@ object TextAnalysis {
     df.withColumn("sampled", h < thr)
   }
 
+  /** Weighted sampling without replacement, `perStratum` docs per
+    * stratum — Efraimidis & Spirakis ("Weighted random sampling with
+    * a reservoir", IPL 2006): each row gets key u^(1/w) for a
+    * uniform u, and the top keys ARE a weighted sample without
+    * replacement. Distributed + deterministic: u derives from a hash
+    * of the id (same sample on any cluster layout, any partitioning),
+    * and the per-stratum cut is a rank window that plans as
+    * WindowGroupLimit (per-partition top-k heaps, no stratum-wide
+    * sort) — the reservoir semantics with no reservoir state.
+    * Output: (stratum, id, w, key, rk), key rounded to 6 dp. */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, perStratum: Int,
+      uCol: Option[Column] = None): DataFrame = {
+    val buckets = 1000003L
+    val u = uCol.getOrElse(
+      (pmod(xxhash64(col(idCol)), lit(buckets)) + 0.5) / buckets)
+    // key computed against the caller's frame (u may reference any of
+    // its columns), THEN projected to the output shape
+    val keyed = df
+      .withColumn("__wsk",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6))
+      .select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        col(weightCol).cast("double").as("w"), col("__wsk").as("key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("key").desc, col("id"))
+    keyed.withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= perStratum)
+  }
+
   /** Deterministic training-order shuffle key: md5 of `seed:id`. A
     * reproducible global shuffle of a 100 TB corpus is a distributed
     * RANGE-PARTITIONED SORT on this key (orderBy → TakeOrderedAndProject

@@ -427,6 +427,27 @@ object Pipeline extends graft.QueryArea {
       Graph.pageRank(edges, "src", "dst", damping = 0.75, iters = 5)
         .orderBy(col("id"))
     }),
+    // token-distribution drift between the even/odd corpus halves:
+    // add-k smoothed unigram KL both ways + Jensen-Shannon; oracle
+    // recomputes distributions and divergences in DuckDB
+    "corpus_js_divergence" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      LanguageModel.distributionDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", k = 0.5)
+    }),
+    // Efraimidis-Spirakis weighted sampling without replacement, 5
+    // docs per stratum; u is a formula-derived uniform so DuckDB can
+    // replay the exact sample (production default: xxhash64 of id)
+    "corpus_weighted_sample" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+        .withColumn("stratum", col("doc_id") % 3)
+        .withColumn("wt", (col("doc_id") % 7 + 1).cast("double"))
+      TextAnalysis.weightedSample(docs, "stratum", "doc_id", "wt", 5,
+          uCol = Some((((col("doc_id") * 2654435761L) % 1000003L)
+            .cast("double") + 0.5) / 1000003.0))
+        .orderBy(col("stratum"), col("rk"))
+    }),
     // per-node triangle counts via degree-ordered orientation; the
     // oracle counts the same triangles with the naive canonical
     // triple join — an independent algorithm, same answer
@@ -936,6 +957,41 @@ object Pipeline extends graft.QueryArea {
         |FROM m WHERE c1 > 0 AND c2 > 0 AND c3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "corpus_pagerank" -> pagerankOracle,
+    "corpus_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ts
+        |  FROM documents),
+        |uw AS (SELECT doc_id, t.w AS w FROM tok, unnest(ts) t(w)),
+        |ca AS (SELECT w, count(*) AS ca FROM uw WHERE doc_id % 2 = 0 GROUP BY w),
+        |cb AS (SELECT w, count(*) AS cb FROM uw WHERE doc_id % 2 = 1 GROUP BY w),
+        |j AS (SELECT coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+        |      FROM ca a FULL JOIN cb b USING (w)),
+        |t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |             CAST(sum(cb) AS DOUBLE) AS nb,
+        |             CAST(count(*) AS DOUBLE) AS v FROM j),
+        |pq AS (SELECT (CAST(ca AS DOUBLE) + 0.5) / (t.na + 0.5 * t.v) AS p,
+        |              (CAST(cb AS DOUBLE) + 0.5) / (t.nb + 0.5 * t.v) AS q
+        |       FROM j CROSS JOIN t)
+        |SELECT round(sum(p * ln(p / q)), 6) AS kl_pq,
+        |  round(sum(q * ln(q / p)), 6) AS kl_qp,
+        |  round(sum(p * ln(p / ((p + q) / 2)) / 2
+        |          + q * ln(q / ((p + q) / 2)) / 2), 6) AS js
+        |FROM pq""".stripMargin,
+    "corpus_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id % 3 AS stratum, doc_id AS id,
+        |    CAST(doc_id % 7 + 1 AS DOUBLE) AS w,
+        |    (CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) + 0.5)
+        |      / 1000003.0 AS u
+        |  FROM documents),
+        |k AS (SELECT stratum, id, w, round(pow(u, 1.0 / w), 6) AS key FROM t),
+        |r AS (SELECT stratum, id, w, key,
+        |    CAST(row_number() OVER (PARTITION BY stratum
+        |      ORDER BY key DESC, id) AS BIGINT) AS rk FROM k)
+        |SELECT stratum, id, w, key, rk FROM r WHERE rk <= 5
+        |ORDER BY stratum, rk""".stripMargin,
     "graph_triangles" ->
       """WITH raw AS (
         |  SELECT doc_id AS s, (doc_id * 3 + 1) % 80 AS d

@@ -39,6 +39,21 @@ class LanguageModelSpec extends SparkSuite {
       s"unseen-bigram doc should score higher ppl: $out")
   }
 
+  test("distributionDivergence: zero on identical slices, positive and symmetric-js on disjoint ones") {
+    val a = Seq((0L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val same = LanguageModel.distributionDivergence(a, a, "text").collect().head
+    assert(same.getDouble(0) === 0.0 && same.getDouble(1) === 0.0 && same.getDouble(2) === 0.0)
+    val b = Seq((1L, "delta epsilon zeta delta")).toDF("doc_id", "text")
+    val r = LanguageModel.distributionDivergence(a, b, "text").collect().head
+    assert(r.getDouble(0) > 0 && r.getDouble(1) > 0)
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < math.log(2) + 1e-9,
+      s"JS must be in (0, ln 2]: ${r.getDouble(2)}")
+    // swapping the slices swaps the KLs and keeps JS
+    val s = LanguageModel.distributionDivergence(b, a, "text").collect().head
+    assert(s.getDouble(0) === r.getDouble(1) && s.getDouble(1) === r.getDouble(0))
+    assert(s.getDouble(2) === r.getDouble(2))
+  }
+
   test("minCount pruning only changes pruned pairs, toward unseen prob") {
     val train = Seq(
       (0L, "x y x y x y x y"), // c12(x,y) high

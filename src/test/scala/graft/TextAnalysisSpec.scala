@@ -343,6 +343,21 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("weightedSample: huge weight wins its stratum; sample is deterministic and capped") {
+    val rows = (0L until 300L).map(i => (i, i % 2, if (i == 42L) 1e6 else 1.0))
+    val df = rows.toDF("id", "stratum", "wt")
+    val s1 = TextAnalysis.weightedSample(df, "stratum", "id", "wt", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // capped per stratum
+    assert(s1.count(_._1 == 0L) === 5 && s1.count(_._1 == 1L) === 5)
+    // w=1e6 → key = u^(1/1e6) ≈ 1 → rank 1 in stratum 0
+    val top0 = s1.find(t => t._1 == 0L && t._3 == 1L).get
+    assert(top0._2 === 42L, s"heavy-weight doc must rank first: $top0")
+    val s2 = TextAnalysis.weightedSample(df, "stratum", "id", "wt", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(s1.toSet === s2.toSet, "sample must be reproducible")
+  }
+
   test("similarDocsTopK: identical docs get cosine 1; stopword cut removes ubiquitous terms") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
