@@ -142,6 +142,41 @@ object Windows extends graft.QueryArea {
           round(last(col("v"), ignoreNulls = true).over(w), 2).as("v_locf"))
         .orderBy(col("event_type"), col("day"))
     }),
+    // linear interpolation between bracketing observations (the step
+    // up from LOCF): prev/next values + their days come from
+    // ignore-nulls window scans, interior gaps get the weighted
+    // average, edges fall back to nearest observation
+    "ts_interpolate_linear" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val daily = e.filter(col("value") > 250)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("v"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(spark.range(1).select(explode(sequence(
+          lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+          expr("interval 1 day"))).as("day")))
+      val wB = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+        .withColumn("pd",
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wB))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+        .withColumn("nd",
+          first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wF))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("v").isNotNull.as("observed"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                datediff(col("day"), col("pd")) /
+                datediff(col("nd"), col("pd"))), 4).as("v_interp"))
+        .orderBy(col("event_type"), col("day"))
+    }),
     // event-time RANGE frame with INTERVAL bounds: 7-day trailing sum
     // per type — the time-windowed running metric of ops dashboards;
     // frame membership depends only on ts values, so ties are
@@ -291,6 +326,38 @@ object Windows extends graft.QueryArea {
         |FROM spine s LEFT JOIN daily d
         |  ON s.event_type = d.event_type AND s.day = d.day
         |ORDER BY s.event_type, s.day""".stripMargin,
+    "ts_interpolate_linear" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events WHERE value > 250 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT t.event_type, CAST(d.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS day) d),
+        |j AS (
+        |  SELECT s.event_type, s.day, d.v,
+        |    last_value(d.v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    first_value(d.v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER wf AS nd
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.event_type = d.event_type AND s.day = d.day
+        |  WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, CAST(day AS STRING) AS day,
+        |  v IS NOT NULL AS observed,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * datediff('day', pd, day)
+        |      / datediff('day', pd, nd) END, 4) AS v_interp
+        |FROM j ORDER BY event_type, day""".stripMargin,
     "win_nth_value" ->
       """SELECT o_custkey, o_orderkey,
         |  round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
