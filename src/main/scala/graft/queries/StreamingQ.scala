@@ -29,6 +29,40 @@ object StreamingQ extends graft.QueryArea {
       graft.streaming.Streams.sessionAgg(t(spark, dir, "events"))
         .orderBy(col("user_id"), col("sstart"))
     }),
+    // Trending terms through the REAL micro-batch path: documents get
+    // a synthetic event day (doc_id % 30), flow through a file stream,
+    // tokens explode INSIDE the stream, and a tumbling 1-day window
+    // counts them (complete mode: AvailableNow's final watermark would
+    // hold back the last day's window in append mode). The batch
+    // post-query ranks the top 3 terms per day; DuckDB recomputes the
+    // whole thing from the documents table directly.
+    "stream_trending_terms" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_strend_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, base)
+      val d = t(spark, dir, "documents").select(col("doc_id"),
+        date_add(lit("2024-01-01").cast("date"),
+          (col("doc_id") % 30).cast("int")).cast("timestamp").as("ts"),
+        col("text"))
+      d.write.mode("overwrite").parquet(s"$base/in")
+      val stream = spark.readStream.schema(d.schema).parquet(s"$base/in")
+        .select(col("ts"),
+          explode(graft.operators.InvertedIndex.tokens(col("text"))).as("term"))
+        .groupBy(window(col("ts"), "1 day"), col("term"))
+        .agg(count(lit(1)).as("n"))
+      val qn = "strend_out_" + System.nanoTime()
+      val q = stream.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("n").desc, col("term"))
+      spark.table(qn)
+        .select(col("window.start").cast("date").cast("string").as("day"),
+          col("term"), col("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("day"), col("rk"))
+    }),
     // Streaming dedup through the REAL micro-batch path: events with
     // planted duplicate rows (x3 for id%3, again for id%7) flow through
     // a file stream into dropDuplicatesWithinWatermark keyed on the PK;
@@ -122,6 +156,25 @@ object StreamingQ extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "stream_trending_terms" ->
+      """WITH d AS (
+        |  SELECT DATE '2024-01-01' + CAST(doc_id % 30 AS INT) AS day, text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT day,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ts
+        |  FROM d),
+        |cnt AS (
+        |  SELECT day, t.term, count(*) AS n
+        |  FROM tok, unnest(ts) AS t(term) GROUP BY day, t.term),
+        |r AS (
+        |  SELECT CAST(day AS STRING) AS day, term, n,
+        |    CAST(row_number() OVER (PARTITION BY day
+        |      ORDER BY n DESC, term) AS BIGINT) AS rk
+        |  FROM cnt)
+        |SELECT day, term, n, rk FROM r WHERE rk <= 3
+        |ORDER BY day, rk""".stripMargin,
     "stream_dedup_ingest" ->
       """WITH planted AS (
         |  SELECT event_id, event_type, value FROM events

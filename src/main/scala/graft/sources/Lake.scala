@@ -182,29 +182,43 @@ object Lake {
     val f = fs(spark, commitDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val it = f.listFiles(new Path(commitDir), true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[LakeFile]
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        val rel = st.getPath.toString.stripPrefix(
-          f.makeQualified(new Path(commitDir)).toString).stripPrefix("/")
-        val pvals = rel.split("/").dropRight(1).flatMap { seg =>
-          seg.split("=", 2) match {
-            case Array(k, vl) => Some(k -> vl)
-            case _ => None
-          }
-        }.toMap
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-        val (rows, stats) = try {
-          (reader.getRecordCount, footerStats(reader.getFooter))
-        } finally reader.close()
-        buf += LakeFile(st.getPath.toString, st.getLen,
-          st.getModificationTime, rows, pvals, stats)
-      }
+      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+        statuses += st
     }
-    buf.toSeq
+    // Footer reads are independent metadata round-trips; at 100k-file
+    // commits a serial loop is minutes of driver wall on an object
+    // store, so open them on a bounded pool (ordering restored by the
+    // original listing index).
+    val qualified = f.makeQualified(new Path(commitDir)).toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, statuses.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[LakeFile]] =
+        statuses.toSeq.map { st =>
+          (() => {
+            val rel = st.getPath.toString.stripPrefix(qualified).stripPrefix("/")
+            val pvals = rel.split("/").dropRight(1).flatMap { seg =>
+              seg.split("=", 2) match {
+                case Array(k, vl) => Some(k -> vl)
+                case _ => None
+              }
+            }.toMap
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+            val (rows, stats) = try {
+              (reader.getRecordCount, footerStats(reader.getFooter))
+            } finally reader.close()
+            LakeFile(st.getPath.toString, st.getLen,
+              st.getModificationTime, rows, pvals, stats)
+          }): java.util.concurrent.Callable[LakeFile]
+        }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
   }
 
   /** Per-column (min, max) over all row groups of a file footer,
