@@ -29,6 +29,7 @@ object SparkEntry {
     _root_.graft.queries.StreamingQ,
     _root_.graft.queries.MultimodalQ,
     _root_.graft.queries.Advanced,
+    _root_.graft.queries.Behavior,
     _root_.graft.queries.SourcesQ)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import util._
+
+/** Behavioral / event-stream analytics over the `events` table — the
+  * reference's user-behavior function family (ref
+  * `be/src/exprs/agg/window_funnel.h`, `retention.h`,
+  * `gensrc/script/functions.py` sequence_match/sequence_count) extended
+  * to the standard warehouse shapes built from the same primitives:
+  * SCD2 dimension builds, Markov transition matrices, marketing
+  * attribution, interval sweep-lines, cohort retention, robust
+  * outlier detection, seasonal baselines, and MATCH_RECOGNIZE-lite
+  * sequence patterns.
+  *
+  * Scale stance: every operator here is one scan plus per-user (or
+  * per-type) windows and one aggregation shuffle — user_id partitions
+  * the windows, so state per task is one user's event run, never the
+  * table. Baseline tables (hour-of-day stats, per-type medians) are
+  * group-count-sized and broadcast back onto the facts.
+  */
+object Behavior extends graft.QueryArea {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCD Type-2 dimension build from a change log: the event stream is
+    // a per-user attribute change feed; compress consecutive repeats
+    // (a no-op change opens no new version), then each surviving change
+    // opens a version [valid_from, valid_to) closed by the next change.
+    // One window partition per user — no global sort, no driver state.
+    "scd2_dimension" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_type").as("attr"),
+          col("event_id"))
+        .withColumn("prev", lag("attr", 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("attr"))
+      val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      changes
+        .withColumn("valid_to", lead("ts", 1).over(w2))
+        .select(col("user_id"), col("attr"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // Markov transition matrix: per-user next-event via lead(), then
+    // count per (src, dst) and P(dst|src) as a window share over the
+    // already-aggregated 5x5 matrix — the window never sees raw facts.
+    "evt_transition_matrix" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = events(spark, dir)
+        .withColumn("dst", lead("event_type", 1).over(w))
+        .where(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round(col("n") / sum("n")
+          .over(Window.partitionBy("src")), 6))
+        .orderBy("src", "dst")
+    }),
+
+    // Last-touch attribution: credit each purchase to the most recent
+    // preceding non-purchase event of the same user within 7 days.
+    // Spark side is a SINGLE window pass (carry the last touch forward
+    // with last(...ignoreNulls) over rows up to the previous event) —
+    // the scalable plan; the oracle recomputes via join + row_number
+    // argmax, which is quadratic per user and fine only at oracle SF.
+    "evt_attribution_last_touch" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(spark, dir)
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase",
+            struct(col("ts").as("t"), col("event_type").as("e"))),
+          ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase" && col("touch").isNotNull &&
+          col("touch.t") >= col("ts") - expr("INTERVAL 7 DAY"))
+        .groupBy(col("touch.e").as("touch_type"))
+        .agg(count(lit(1)).as("conversions"))
+        .orderBy("touch_type")
+    }),
+
+    // Interval sweep-line: each event occupies [ts, ts + value minutes);
+    // peak concurrency per event_type = max running sum of +1/-1 deltas
+    // ordered by time (ends sort before starts at the same instant, so
+    // touching intervals don't overlap). Explode-to-deltas doubles the
+    // rows but keeps the computation one window per type partition.
+    "evt_peak_concurrency" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+        .withColumn("s_us", unix_micros(col("ts")))
+        .withColumn("e_us", col("s_us") +
+          round(col("value") * 60000000d).cast("long"))
+      val deltas = ev.select(col("event_type"), col("s_us").as("t"), lit(1).as("d"))
+        .unionAll(ev.select(col("event_type"), col("e_us").as("t"), lit(-1).as("d")))
+      val w = Window.partitionBy("event_type").orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("load", sum("d").over(w))
+        .groupBy("event_type")
+        .agg(max("load").as("peak"))
+        .orderBy("event_type")
+    }),
+
+    // Cohort retention matrix: cohort = Monday-week of a user's first
+    // event; count distinct active users per (cohort week, week offset).
+    // Two shuffles total: the per-user min, and the distinct-count agg.
+    "cohort_retention_matrix" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val firstTs = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      ev.join(broadcast(firstTs), "user_id")
+        .select(
+          date_trunc("week", col("first_ts")).as("cohort_week"),
+          (datediff(date_trunc("week", col("ts")),
+            date_trunc("week", col("first_ts"))) / 7).cast("int").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Robust outliers via median/MAD: two aggregation passes (median,
+    // then median absolute deviation) with the group-count-sized
+    // baselines broadcast back; flag |modified z| > 3.5. percentile()
+    // interpolates identically to the oracle's percentile_cont.
+    "outlier_mad" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+          first("med").as("med"))
+      ev.join(broadcast(mad), "event_type")
+        .withColumn("z", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .where(abs(col("z")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // Seasonal (hour-of-day) baseline anomalies: per (type, hour) mean
+    // and sample stddev computed with DECIMAL sums so the threshold is
+    // bit-stable under any partial-agg order, then events beyond
+    // mean + 3*sigma. The 5x24 baseline broadcasts back onto the scan.
+    "ts_seasonal_anomaly" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+        .withColumn("hr", hour(col("ts")))
+      val base = ev.groupBy("event_type", "hr").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).as("s"),
+        sum((col("value") * col("value")).cast("decimal(28,10)")).as("sq"))
+        .select(col("event_type"), col("hr"),
+          (col("s").cast("double") / col("n")).as("mean"),
+          sqrt((col("sq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1)).as("sd"))
+      ev.join(broadcast(base), Seq("event_type", "hr"))
+        .where(col("value") > col("mean") + lit(3) * col("sd"))
+        .select(col("event_id"), col("event_type"), col("hr"), col("value"),
+          round(col("mean") + lit(3) * col("sd"), 4).as("threshold"))
+        .orderBy("event_id")
+    }),
+
+    // MATCH_RECOGNIZE-lite: count per user of 3-in-a-row strictly
+    // rising values (pattern A < B < C over the user's event run) —
+    // the lag-composition form of the reference's sequence_count
+    // (ref `gensrc/script/functions.py` sequence_match family).
+    "evt_pattern_3rise" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(spark, dir)
+        .withColumn("p1", lag("value", 1).over(w))
+        .withColumn("p2", lag("value", 2).over(w))
+        .where(col("p2").isNotNull &&
+          col("p2") < col("p1") && col("p1") < col("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rises"))
+        .orderBy("user_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "scd2_dimension" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_type AS attr, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts, attr, event_id FROM ordered
+        |  WHERE prev IS NULL OR prev <> attr)
+        |SELECT user_id, attr, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM changes ORDER BY user_id, valid_from""".stripMargin,
+    "evt_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |m AS (SELECT src, dst, count(*) AS n FROM pairs
+        |      WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+        |FROM m ORDER BY src, dst""".stripMargin,
+    "evt_attribution_last_touch" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |ranked AS (
+        |  SELECT p.event_id, t.event_type,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        |  FROM p JOIN events t
+        |    ON t.user_id = p.user_id AND t.event_type <> 'purchase'
+        |   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY)
+        |SELECT event_type AS touch_type, count(*) AS conversions
+        |FROM ranked WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e_us
+        |  FROM events),
+        |deltas AS (
+        |  SELECT event_type, s_us AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT event_type, e_us, -1 FROM iv),
+        |run AS (
+        |  SELECT event_type,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+        |  FROM deltas)
+        |SELECT event_type, CAST(max(load) AS BIGINT) AS peak FROM run
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cohort_retention_matrix" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT date_trunc('week', f.first_ts) AS cohort_week,
+        |  CAST(date_diff('day', date_trunc('week', f.first_ts),
+        |                 date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "outlier_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, median(abs(e.value - m.med)) AS mad, any_value(m.med) AS med
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(0.6745 * (e.value - d.med) / d.mad, 4) AS z
+        |FROM events e JOIN mad d ON e.event_type = d.event_type
+        |WHERE abs(0.6745 * (e.value - d.med) / d.mad) > 3.5
+        |ORDER BY e.event_id""".stripMargin,
+    "ts_seasonal_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hr, value FROM events),
+        |base AS (
+        |  SELECT event_type, hr, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(28,10))) AS s,
+        |    sum(CAST(value * value AS DECIMAL(28,10))) AS sq
+        |  FROM h GROUP BY event_type, hr),
+        |stats AS (
+        |  SELECT event_type, hr,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(sq AS DOUBLE)
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS sd
+        |  FROM base)
+        |SELECT h.event_id, h.event_type, h.hr, h.value,
+        |  round(b.mean + 3 * b.sd, 4) AS threshold
+        |FROM h JOIN stats b ON h.event_type = b.event_type AND h.hr = b.hr
+        |WHERE h.value > b.mean + 3 * b.sd
+        |ORDER BY h.event_id""".stripMargin,
+    "evt_pattern_3rise" ->
+      """WITH lagged AS (
+        |  SELECT user_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+        |    lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_rises FROM lagged
+        |WHERE p2 IS NOT NULL AND p2 < p1 AND p1 < value
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
