@@ -298,6 +298,7 @@ object CompatExtra {
     f("json_contains") { es => JsonContains(es.head, es(1)) }
     f("json_remove") { es => JsonRemove(es) }
     f("json_set") { es => JsonSet(es) }
+    f("normalize_text") { es => NormalizeTextExpr(es.head) }
 
     // --- sketch column constructors (KernelExpressions.scala) ---
     f("hll_empty") { _ => HllEmpty() }

@@ -386,3 +386,32 @@ case class PercentileHash(child: Expression) extends UnaryExpression with Codege
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** normalize_text(str) — Unicode canonicalization for corpus prep and
+  * dedup keying: NFKC compatibility fold (ligatures, fullwidth forms,
+  * NBSP → their canonical equivalents), then NFD decomposition with
+  * combining-mark removal (accent strip), root-locale lowercasing,
+  * and whitespace collapse. The reference's lower/trim kernels
+  * (`be/src/exprs/string_functions.cpp`) compose the same steps ahead
+  * of fingerprinting; one expression keeps the hot path single-pass.
+  * Deterministic: pure function of the input code points. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override def nullSafeEval(v: Any): Any = {
+    import java.text.Normalizer
+    val s = v.asInstanceOf[UTF8String].toString
+    val folded = Normalizer.normalize(s, Normalizer.Form.NFKC)
+    val decomposed = Normalizer.normalize(folded, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val c = decomposed.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    val lowered = sb.toString.toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(lowered.replaceAll("\\s+", " ").trim)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

@@ -601,4 +601,30 @@ object TextAnalysis {
     }
     split(trim(rewritten), " ")
   }
+
+  /** Within-document repeated-line removal (the intra-doc half of the
+    * C4 cleanup; [[stripBoilerplate]] is the cross-doc half): split
+    * each document into lines, keep only the FIRST occurrence of every
+    * line, reassemble in original order, and report per-doc duplicate
+    * stats (total lines, distinct lines, duplicated fraction).
+    *
+    * Shape: posexplode → (doc, line) aggregate keeping min position →
+    * per-doc sort_array reassembly — both aggregations map-side
+    * combine and the shuffle is keyed by doc id, so task state is one
+    * document's distinct lines, scan-bounded at any corpus size. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\n", sepOut: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
+    val firsts = lines.groupBy(col(idCol), col("__line"))
+      .agg(min(col("__pos")).as("__first"), count(lit(1)).as("__n"))
+    firsts.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__first"), col("__line")))),
+        s => s.getField("__line")), sepOut).as("clean_text"),
+      sum("__n").as("n_lines"),
+      count(lit(1)).as("n_uniq_lines"),
+      (lit(1.0) - count(lit(1)).cast("double") / sum("__n").cast("double"))
+        .as("dup_line_frac"))
+  }
 }

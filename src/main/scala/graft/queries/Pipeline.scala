@@ -516,6 +516,36 @@ object Pipeline extends graft.QueryArea {
     }),
     // PII scrub: documents carry no PII, so the gate plants synthetic
     // email/IP/phone strings deterministically; the oracle replants and
+    // Unicode canonicalization (normalize_text kernel): NFKC fold +
+    // accent strip + casefold + whitespace collapse over a fixture
+    // covering ligatures, fullwidth forms, combining marks, sharp-s
+    // and compatibility symbols; expected outputs computed once from
+    // the Unicode tables and pinned as a literal oracle.
+    "text_normalize_unicode" -> ((spark, dir) => {
+      import spark.implicits._
+      Seq((0L, "Héllò  Wörld"), (1L, "ﬁne ﬂow"),
+        (2L, "ＦＵＬＬｗｉｄｔｈ　１２３"),
+        (3L, "Å Ångström™"), (4L, "straße CAFÉ café"),
+        (5L, "№5 …done\tnow")).toDF("id", "raw")
+        .select(col("id"), expr("normalize_text(raw)").as("norm"))
+        .orderBy("id")
+    }),
+    // Within-doc repeated-line removal (intra-doc C4 cleanup): build
+    // multi-line fixture docs from the corpus (10 docs per group, the
+    // group's first line replanted at the end as a guaranteed dup),
+    // keep first occurrences in order, report dup-line stats. The
+    // oracle reconstructs the same fixture and recomputes in SQL.
+    "text_dedup_lines" -> ((spark, dir) => {
+      val g = t(spark, dir, "documents").filter(col("doc_id") < 100)
+        .select(expr("CAST(doc_id DIV 10 AS BIGINT)").as("gid"),
+          col("doc_id"), col("text"))
+      val multi = g.groupBy("gid").agg(
+        concat(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text")), "\n"),
+          lit("\n"), expr("min_by(text, doc_id)")).as("text"))
+      TextAnalysis.dedupLines(multi, "gid", "text").orderBy("gid")
+    }),
     // rescrubs with the SAME regex text (RE2-safe patterns)
     "text_pii_scrub" -> ((spark, dir) => {
       val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -1329,6 +1359,32 @@ object Pipeline extends graft.QueryArea {
         |    + list_sum(list_transform(tw, x -> CAST(greatest(ceil((length(x) - 6) / 6.0), 0) AS BIGINT)))
         |    AS BIGINT) AS n_tokens_bpe
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // Pinned from the Unicode tables for the normalize_text fixture
+    // (NFKC fold, NFD accent strip, ROOT-locale lower, space collapse)
+    "text_normalize_unicode" ->
+      """SELECT CAST(id AS BIGINT) AS id, norm FROM (VALUES
+        |  (0, 'hello world'), (1, 'fine flow'), (2, 'fullwidth 123'),
+        |  (3, 'a angstromtm'), (4, 'straße cafe cafe'),
+        |  (5, 'no5 ...done now')) t(id, norm) ORDER BY id""".stripMargin,
+    "text_dedup_lines" ->
+      """WITH g AS (
+        |  SELECT CAST(doc_id // 10 AS BIGINT) AS gid, doc_id, text
+        |  FROM documents WHERE doc_id < 100),
+        |m AS (
+        |  SELECT gid, string_agg(text, chr(10) ORDER BY doc_id)
+        |    || chr(10) || min_by(text, doc_id) AS text
+        |  FROM g GROUP BY gid),
+        |sp AS (SELECT gid, string_split(text, chr(10)) AS ls FROM m),
+        |pos AS (SELECT gid, unnest(generate_series(1, len(ls))) AS p, ls FROM sp),
+        |ln AS (SELECT gid, p, ls[p] AS line FROM pos),
+        |firsts AS (
+        |  SELECT gid, line, min(p) AS fp, count(*) AS n
+        |  FROM ln GROUP BY gid, line)
+        |SELECT gid, string_agg(line, chr(10) ORDER BY fp) AS clean_text,
+        |  CAST(sum(n) AS BIGINT) AS n_lines,
+        |  count(*) AS n_uniq_lines,
+        |  1.0 - CAST(count(*) AS DOUBLE) / sum(n) AS dup_line_frac
+        |FROM firsts GROUP BY gid ORDER BY gid""".stripMargin,
     "text_pii_scrub" ->
       s"""WITH planted AS (
         |  SELECT doc_id, CASE

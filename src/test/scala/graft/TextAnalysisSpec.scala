@@ -400,4 +400,31 @@ class TextAnalysisSpec extends SparkSuite {
       (20L, s(2, 1), 2L, 1L), (30L, s(3, 2), 2L, 2L),
       (10L, s(1), 1L, 3L), (40L, s(3), 1L, 4L)))
   }
+
+  test("dedupLines keeps first occurrences in order with exact stats") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"),
+      (2L, "solo"),
+      (3L, "x\nx\nx")).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq === Seq(
+      (1L, "alpha\nbeta\ngamma", 5L, 3L, 1.0 - 3.0 / 5.0),
+      (2L, "solo", 1L, 1L, 0.0),
+      (3L, "x", 3L, 1L, 1.0 - 1.0 / 3.0)))
+  }
+
+  test("normalize_text folds NFKC, strips accents, casefolds, collapses space") {
+    val out = Seq("Héllò  Wörld", "ﬁne ﬂow", "№5 …done\tnow", "straße CAFÉ")
+      .toDF("raw").selectExpr("normalize_text(raw) AS n")
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("hello world", "fine flow", "no5 ...done now",
+      "straße cafe"))
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("raw")
+      .selectExpr("normalize_text(raw) AS n").collect().head
+    assert(n.isNullAt(0))
+  }
 }
