@@ -54,4 +54,27 @@ object RangeJoin {
       .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: every (left, right) pair of intervals with
+    * `[lLo, lHi]` ∩ `[rLo, rHi]` ≠ ∅ (inclusive ends), optionally
+    * within `equiKeys` groups. Both sides replicate into the bins they
+    * cover and meet on the bin equi key; a pair sharing several bins
+    * is emitted EXACTLY once via the canonical-bin rule (only in the
+    * bin containing max(lLo, rLo) — the overlap's left edge), so no
+    * dedup pass is needed. Same scale properties as
+    * [[pointInInterval]], with replication on both sides. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binSize: Double, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    def bin(c: Column): Column = floor(c / binSize).cast("long")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(lo) <= col(hi)).withColumn("__bin",
+        explode(sequence(bin(col(lo)), bin(col(hi)))))
+    binned(left, lLo, lHi)
+      .join(binned(right, rLo, rHi), "__bin" +: equiKeys)
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__bin") === bin(greatest(col(lLo), col(rLo))))
+      .drop("__bin")
+  }
 }

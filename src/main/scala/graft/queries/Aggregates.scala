@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import util._
 
@@ -59,6 +59,89 @@ object Aggregates extends graft.QueryArea {
           round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
           round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"),
           round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("covp_pq"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // Linear-regression aggregate family (reference FunctionSet
+    // corr/covar; SQL-standard regr_*): slope/intercept/r² derived in
+    // IEEE double from DECIMAL raw sums, so the result is bit-stable
+    // under any partial-agg merge order — the same two-phase shape as
+    // any sum, no second pass over the data.
+    "agg_regression" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val d = (c: Column) => c.cast("decimal(28,6)")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(d(col("l_quantity"))).as("sx"),
+          sum(d(col("l_extendedprice"))).as("sy"),
+          sum(d(col("l_quantity") * col("l_quantity"))).as("sxx"),
+          sum(d(col("l_quantity") * col("l_extendedprice"))).as("sxy"),
+          sum(d(col("l_extendedprice") * col("l_extendedprice"))).as("syy"))
+        .select(col("l_returnflag"), col("n"), {
+          val nd = col("n").cast("double")
+          val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+          val (sxx, sxy, syy) = (col("sxx").cast("double"),
+            col("sxy").cast("double"), col("syy").cast("double"))
+          val covn = nd * sxy - sx * sy
+          val varxn = nd * sxx - sx * sx
+          round(covn / varxn, 6).as("slope")
+        }, {
+          val nd = col("n").cast("double")
+          val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+          val (sxx, sxy) = (col("sxx").cast("double"), col("sxy").cast("double"))
+          val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+          round((sy - slope * sx) / nd, 4).as("intercept")
+        }, {
+          val nd = col("n").cast("double")
+          val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+          val (sxx, sxy, syy) = (col("sxx").cast("double"),
+            col("sxy").cast("double"), col("syy").cast("double"))
+          val covn = nd * sxy - sx * sy
+          round(covn * covn / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6).as("r2")
+        })
+        .orderBy(col("l_returnflag"))
+    }),
+    // Higher central moments — population skewness and excess kurtosis
+    // from DECIMAL raw power sums (same bit-stability rationale as
+    // agg_regression; reference FunctionSet skew/kurtosis kernels).
+    "agg_skew_kurt" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val d = (c: Column) => c.cast("decimal(28,6)")
+      val q = col("l_quantity")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(d(q)).as("s1"),
+          sum(d(q * q)).as("s2"), sum(d(q * q * q)).as("s3"),
+          sum(d(q * q * q * q)).as("s4"))
+        .select(col("l_returnflag"), col("n"), {
+          val nd = col("n").cast("double")
+          val m = col("s1").cast("double") / nd
+          val m2 = col("s2").cast("double") / nd - m * m
+          val m3 = col("s3").cast("double") / nd -
+            lit(3) * m * col("s2").cast("double") / nd + lit(2) * m * m * m
+          round(m3 / pow(m2, 1.5), 6).as("skewness")
+        }, {
+          val nd = col("n").cast("double")
+          val m = col("s1").cast("double") / nd
+          val m2 = col("s2").cast("double") / nd - m * m
+          val m4 = col("s4").cast("double") / nd -
+            lit(4) * m * col("s3").cast("double") / nd +
+            lit(6) * m * m * col("s2").cast("double") / nd - lit(3) * m * m * m * m
+          round(m4 / (m2 * m2) - lit(3), 6).as("kurtosis")
+        })
+        .orderBy(col("l_returnflag"))
+    }),
+    // Deterministic mode: most frequent value per group with ties
+    // broken toward the SMALLEST value (builtin mode() picks an
+    // arbitrary tie winner — useless under a hash-compare gate). Two
+    // aggregations plus a window over the already-aggregated counts.
+    "agg_mode_det" -> ((spark, dir) => {
+      val counts = t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_quantity"))
+      counts.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
         .orderBy(col("l_returnflag"))
     }),
     "agg_minmax_by" -> ((spark, dir) => {
@@ -250,6 +333,59 @@ object Aggregates extends graft.QueryArea {
         |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
         |  round(covar_pop(l_extendedprice, l_quantity), 4) AS covp_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_regression" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+        |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy,
+        |    sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(28,6))) AS s1,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS s2,
+        |    sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,6))) AS s3,
+        |    sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(28,6))) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / n AS m1,
+        |    CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+        |    / pow(r2 - m1 * m1, 1.5), 6) AS skewness,
+        |  round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
+        |    / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3, 6) AS kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "agg_mode_det" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cnt DESC, l_quantity) AS rk
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_minmax_by" ->
       """SELECT o_custkey,
         |  max_by(o_orderkey, o_totalprice) AS best_order,

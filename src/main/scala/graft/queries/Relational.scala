@@ -132,6 +132,26 @@ object Relational extends graft.QueryArea {
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal_sum"))
         .orderBy(col("s_suppkey"))
     }),
+    // interval-OVERLAP join (RangeJoin.intervalOverlap): all pairs of
+    // same-user events whose [ts, ts + value minutes] occupations
+    // overlap — both sides bin-replicated (1 h bins), pairs meet on the
+    // (bin, user) equi key, emitted exactly once via the canonical-bin
+    // rule; a nested-loop overlap join would be O(n²) per user
+    "join_interval_overlap" -> ((spark, dir) => {
+      val iv = t(spark, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          round(col("value") * 60000000d).cast("long")).as("e"))
+      val a = iv.select(col("user_id"), col("event_id").as("id_a"),
+        col("s").as("s_a"), col("e").as("e_a"))
+      val b = iv.select(col("user_id"), col("event_id").as("id_b"),
+        col("s").as("s_b"), col("e").as("e_b"))
+      graft.operators.RangeJoin.intervalOverlap(
+          a, "s_a", "e_a", b, "s_b", "e_b", 3600e6, Seq("user_id"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("user_id"), col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "subq_scalar" -> ((spark, dir) => sqlq(spark, dir)(
       """SELECT count(*) AS n_above FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)),
@@ -275,6 +295,16 @@ object Relational extends graft.QueryArea {
         |FROM supplier JOIN customer
         |  ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY id_a, id_b""".stripMargin,
     "subq_scalar" ->
       """SELECT count(*) AS n_above FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsofJoin, Ops}
+import graft.operators.{AsofJoin, CountMin, Ops}
 import util._
 
 /** Custom aggregate + temporal operator surface: window_funnel,
@@ -15,6 +15,20 @@ object Sketches extends graft.QueryArea {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // funnel signup → purchase → share within 7 days, per user; then
     // distribution of depths
+    // Count-min sketch point estimates (operators/CountMin.scala):
+    // depth 5 × width 4096 over per-event user occurrences. With 150
+    // distinct keys the chance any key collides with another in ALL 5
+    // hash rows is ~1e-14, so every estimate equals the exact count
+    // and the oracle is the exact GROUP BY — an exactness the gate
+    // VERIFIES rather than assumes (a hash/merge regression shows up
+    // as an inflated estimate and a hash mismatch).
+    "sketch_count_min" -> ((spark, dir) => {
+      val ev = t(spark, dir, "events")
+      val sk = CountMin.build(ev, "user_id", depth = 5, width = 4096)
+      CountMin.estimate(sk, ev.select("user_id").distinct(), "user_id",
+          depth = 5, width = 4096)
+        .orderBy("user_id")
+    }),
     "funnel_events" -> ((spark, dir) => {
       val e = t(spark, dir, "events")
       val step = when(col("event_type") === "signup", 0)
@@ -238,6 +252,9 @@ object Sketches extends graft.QueryArea {
         |FROM ranked""".stripMargin)))
 
   def oracles: Map[String, String] = Map(
+    "sketch_count_min" ->
+      """SELECT user_id, count(*) AS est FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // greedy-chain funnel mirrored in SQL (see WindowFunnelAgg scaladoc)
     "funnel_events" ->
       """WITH t0 AS (

@@ -204,4 +204,36 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("count-min estimates upper-bound true counts; exact when width is ample") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val keys = (0 until 500).map(i => s"k${i % 37}").toDF("k")
+    val exact = keys.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a FORCED-collision sketch (width 8) must still never under-count
+    val tight = CountMin.build(keys, "k", depth = 3, width = 8)
+    CountMin.estimate(tight, keys.distinct(), "k", depth = 3, width = 8)
+      .collect().foreach(r => assert(r.getLong(1) >= exact(r.getString(0))))
+    // an ample sketch (37 keys in 1024 buckets x 4 rows) is exact
+    val ample = CountMin.build(keys, "k", depth = 4, width = 1024)
+    CountMin.estimate(ample, keys.distinct(), "k", depth = 4, width = 1024)
+      .collect().foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
+  }
+
+  test("intervalOverlap emits each overlapping pair exactly once across bins") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // spans crossing many bins (binSize 10), touching endpoints, nested,
+    // disjoint, and an empty interval that must drop out
+    val a = Seq((1L, 0.0, 35.0), (2L, 40.0, 41.0), (3L, 90.0, 80.0))
+      .toDF("id_a", "lo_a", "hi_a")
+    val b = Seq((10L, 30.0, 50.0), (11L, 35.0, 35.0), (12L, 60.0, 70.0),
+      (13L, 1.0, 2.0)).toDF("id_b", "lo_b", "hi_b")
+    val got = RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b", 10.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 1x10 (overlap 30-35), 1x11 (touching at 35), 1x13 (nested),
+    // 2x10 (nested) — each exactly once; empty interval 3 matches nothing
+    assert(got.sorted.toSeq === Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 10L)))
+  }
 }
