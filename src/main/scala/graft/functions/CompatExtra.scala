@@ -299,6 +299,7 @@ object CompatExtra {
     f("json_remove") { es => JsonRemove(es) }
     f("json_set") { es => JsonSet(es) }
     f("normalize_text") { es => NormalizeTextExpr(es.head) }
+    f("jaro_winkler") { es => JaroWinklerExpr(es.head, es(1)) }
 
     // --- sketch column constructors (KernelExpressions.scala) ---
     f("hll_empty") { _ => HllEmpty() }

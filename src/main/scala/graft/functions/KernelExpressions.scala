@@ -415,3 +415,63 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression with Cod
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** jaro_winkler(a, b) — Jaro-Winkler similarity in [0, 1] (standard
+  * definition: match window ⌊max(|a|,|b|)/2⌋−1, transpositions/2,
+  * Winkler prefix boost p = 0.1 over at most 4 leading chars, applied
+  * only when the Jaro score exceeds 0.7). The entity-resolution
+  * companion to the engine's Levenshtein edit distance — used by the
+  * fuzzy-matching pipeline to score blocked candidate pairs. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  private def jaro(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val window = math.max(math.max(a.length, b.length) / 2 - 1, 0)
+    val aM = new Array[Boolean](a.length)
+    val bM = new Array[Boolean](b.length)
+    var m = 0
+    var i = 0
+    while (i < a.length) {
+      val lo = math.max(0, i - window); val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0; i = 0
+    while (i < a.length) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    (m.toDouble / a.length + m.toDouble / b.length + (m - t / 2.0) / m) / 3.0
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].toString
+    val b = r.asInstanceOf[UTF8String].toString
+    val j = jaro(a, b)
+    if (j <= 0.7) j
+    else {
+      var p = 0
+      val max = math.min(4, math.min(a.length, b.length))
+      while (p < max && a.charAt(p) == b.charAt(p)) p += 1
+      j + 0.1 * p * (1.0 - j)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}

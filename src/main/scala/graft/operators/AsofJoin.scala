@@ -108,6 +108,77 @@ object AsofJoin {
         }: _*)
   }
 
+  /** ASOF NEAREST: match each left row to the right row with the
+    * smallest |left.ts − right.ts| (ties → the backward/earlier
+    * candidate). Same union-then-window plan as [[asof]], but BOTH
+    * frame directions are evaluated in the one Window pass (same
+    * partitioning and ordering, two frames — one sort, no second
+    * shuffle), then the closer candidate is chosen per row. Time
+    * distances compare as epoch-second doubles: exact to the
+    * microsecond for any timestamp below 2^53 µs. */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      joinType: String = "left",
+      toleranceSeconds: Option[Long] = None,
+      rightSuffix: String = "_r"): DataFrame = {
+    require(Seq("inner", "left").contains(joinType), s"joinType: $joinType")
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq.filterNot(on.contains)
+
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType(right, rightCols)))
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(rightCols.map(col): _*))
+      .drop(rightCols.filterNot(leftCols.contains): _*)
+    val rValid = on.foldLeft(rTagged)((df, k) => df.filter(col(k).isNotNull))
+    val unioned = lTagged.select((on.map(col) ++ leftCols.filterNot(on.contains).map(col) ++
+        Seq(col("__t"), col("__side"), col("__payload"))): _*)
+      .unionByName(
+        rValid.select((on.map(col) ++ Seq(col("__t"), col("__side"), col("__payload"))): _*),
+        allowMissingColumns = true)
+
+    // one ordering serves both frames; at equal ts the right row sorts
+    // first, so the backward frame sees it (dt = 0 — wins every tie) and
+    // the forward frame missing it is harmless
+    val ord = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matched = unioned
+      .withColumn("__mb", last(col("__payload"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(col("__payload"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    def dt(m: Column): Column =
+      abs(col("__t").cast("double") - m.getField(rightTime).cast("double"))
+    val chosen = matched.withColumn("__m",
+        when(col("__mb").isNull, col("__mf"))
+          .when(col("__mf").isNull, col("__mb"))
+          .when(dt(col("__mb")) <= dt(col("__mf")), col("__mb"))
+          .otherwise(col("__mf")))
+      .drop("__mb", "__mf")
+    val withTol = toleranceSeconds match {
+      case Some(tol) => chosen.withColumn("__m",
+        when(dt(col("__m")) <= tol, col("__m")))
+      case None => chosen
+    }
+    val kept = if (joinType == "inner") withTol.filter(col("__m").isNotNull) else withTol
+    kept.select(
+      leftCols.map(col) ++
+        rightCols.map { c =>
+          val name = if (leftCols.contains(c)) c + rightSuffix else c
+          col("__m").getField(c).as(name)
+        }: _*)
+  }
+
   private def payloadType(right: DataFrame, cols: Seq[String]): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(cols.map(c => right.schema(c)))
 }

@@ -143,6 +143,27 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Winsorization: clip each type's values at its exact p01/p99
+    // (linear-interpolated percentile, identical to the oracle's
+    // quantile_cont), then the clipped mean — the outlier-robust
+    // companion to outlier_mad. Clipped values route through DECIMAL
+    // so the mean is merge-order stable. Baselines broadcast back.
+    "outlier_winsorize" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val pct = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.01)").as("p01"),
+        expr("percentile(value, 0.99)").as("p99"))
+      ev.join(broadcast(pct), "event_type")
+        .withColumn("clipped", least(greatest(col("value"), col("p01")), col("p99")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("p01"), 1L)
+            .when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_clipped"),
+          (sum(col("clipped").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("winsor_mean"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal (hour-of-day) baseline anomalies: per (type, hour) mean
     // and sample stddev computed with DECIMAL sums so the threshold is
     // bit-stable under any partial-agg order, then events beyond
@@ -253,6 +274,18 @@ object Behavior extends graft.QueryArea {
         |FROM events e JOIN mad d ON e.event_type = d.event_type
         |WHERE abs(0.6745 * (e.value - d.med) / d.mad) > 3.5
         |ORDER BY e.event_id""".stripMargin,
+    "outlier_winsorize" ->
+      """WITH pct AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.01) AS p01,
+        |    quantile_cont(value, 0.99) AS p99
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN e.value < p.p01 OR e.value > p.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(sum(CAST(least(greatest(e.value, p.p01), p.p99) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) AS winsor_mean
+        |FROM events e JOIN pct p ON e.event_type = p.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "ts_seasonal_anomaly" ->
       """WITH h AS (
         |  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hr, value FROM events),

@@ -93,6 +93,17 @@ object Reports extends graft.QueryArea {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin)),
+    // ANALYZE-style column profiling (operators/Profile.scala): one
+    // scan → one aggregate row with every column's n/nulls/NDV/min/
+    // max/mean → stack() unpivot to catalog-shaped rows. The
+    // multi-distinct NDV plans an Expand (deliberate: exact NDV at
+    // gate SF; approx_count_distinct is the 100 TB swap-in).
+    "rpt_profile_columns" -> ((spark, dir) => {
+      graft.operators.Profile.numericProfile(
+          t(spark, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("col_name"))
+    }),
     // conditional ratios: per-nation return rate and discount-heavy rate
     "rpt_cond_ratios" -> ((spark, dir) => sqlq(spark, dir)(
       """SELECT s_nationkey,
@@ -105,6 +116,28 @@ object Reports extends graft.QueryArea {
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 
   def oracles: Map[String, String] = Map(
+    "rpt_profile_columns" ->
+      """SELECT col_name, n, n_null, ndv, min_v, max_v, mean FROM (
+        |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+        |    count(*) - count(l_quantity) AS n_null,
+        |    count(DISTINCT l_quantity) AS ndv,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_v,
+        |    CAST(max(l_quantity) AS DOUBLE) AS max_v,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity) AS mean
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    count(*) - count(l_extendedprice), count(DISTINCT l_extendedprice),
+        |    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount),
+        |    count(*) - count(l_discount), count(DISTINCT l_discount),
+        |    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+        |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "rpt_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O'

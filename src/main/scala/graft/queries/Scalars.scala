@@ -57,6 +57,22 @@ object Scalars extends graft.QueryArea {
           levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
         .orderBy(col("name_a"), col("name_b"))
     }),
+    // Jaro-Winkler scoring of the same blocked candidate pairs (the
+    // entity-resolution ranking stage after Levenshtein's filter;
+    // functions/KernelExpressions.scala JaroWinklerExpr). Oracle is
+    // DuckDB's independent jaro_winkler_similarity implementation —
+    // the two agree bit-for-bit on the standard definition.
+    "str_jaro_winkler" -> ((spark, dir) => {
+      val names = t(spark, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", substring(col("p_name"), 1, 4))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"))
+      a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          round(expr("jaro_winkler(name_a, name_b)"), 6).as("jw"))
+        .filter(col("jw") >= 0.93)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
     "str_regexp" -> ((spark, dir) => {
       val p = t(spark, dir, "part")
       p.select(
@@ -293,6 +309,15 @@ object Scalars extends graft.QueryArea {
         |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY name_a, name_b""".stripMargin,
+    "str_jaro_winkler" ->
+      """WITH t AS (SELECT DISTINCT p_name FROM part),
+        |blocked AS (SELECT p_name, substring(p_name, 1, 4) AS blk FROM t),
+        |scored AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, jw FROM scored
+        |WHERE jw >= 0.93 ORDER BY name_a, name_b""".stripMargin,
     "date_functions" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS y,

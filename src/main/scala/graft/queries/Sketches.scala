@@ -169,6 +169,20 @@ object Sketches extends graft.QueryArea {
         .select(col("event_id"), col("user_id"), col("err_id"))
         .orderBy(col("event_id"))
     }),
+    // ASOF NEAREST (AsofJoin.asofNearest): each purchase matched to
+    // the time-closest click of the same user in EITHER direction,
+    // ties to the earlier side — both frames computed in one window
+    // pass; the oracle recomputes via join + row_number argmin
+    "asof_nearest" -> ((spark, dir) => {
+      val e = t(spark, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      AsofJoin.asofNearest(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), col("click_id"))
+        .orderBy(col("event_id"))
+    }),
     // intersect_count (reference be/src/exprs/agg/intersect_count.h):
     // audience overlap — customers with BOTH an O and an F order — in
     // one aggregation pass over per-status bitmaps
@@ -364,6 +378,19 @@ object Sketches extends graft.QueryArea {
         |                FROM events WHERE event_type = 'error') e
         |ON s.user_id = e.user_id AND s.ts <= e.err_ts
         |ORDER BY s.event_id""".stripMargin,
+    "asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, c.click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(epoch_us(p.ts) - epoch_us(c.click_ts)), c.click_ts) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
+        |SELECT event_id, user_id, click_id FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
     "agg_intersect_count" ->
       """SELECT
         |  (SELECT count(*) FROM (

@@ -114,4 +114,46 @@ class AsofJoinSpec extends SparkSuite {
     val row = r.filter($"trade_id" === 1L).select($"tts_r").head
     assert(row.getTimestamp(0) === ts("2024-01-01 10:00:00"))
   }
+
+  test("nearest asof picks the closer side, ties to backward") {
+    // trade 1 at 10:03: backward 10:00 (180 s) vs forward 10:05 (120 s) → forward
+    // trade 2 at 10:05: exact match, dt = 0 → that quote
+    // trade 3 at 09:59: only forward exists → 10:00
+    // trade 4 (B) at 11:00: only backward exists → 50.0
+    // trade 5 (C): no right rows → null
+    val r = AsofJoin.asofNearest(trades, quotes, Seq("sym"), "tts", "qts")
+      .select($"trade_id", $"price").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(r(1L) === 101.0)
+    assert(r(2L) === 101.0)
+    assert(r(3L) === 100.0)
+    assert(r(4L) === 50.0)
+    assert(r(5L) == null)
+  }
+
+  test("nearest asof: exact tie between sides goes to the earlier row") {
+    val mid = Seq(("A", ts("2024-01-01 10:02:30"), 9L)).toDF("sym", "tts", "trade_id")
+    val r = AsofJoin.asofNearest(mid, quotes, Seq("sym"), "tts", "qts")
+      .select($"price").head
+    assert(r.getDouble(0) === 100.0) // 150 s both ways → backward (10:00)
+  }
+
+  test("nearest asof honors tolerance and inner join type") {
+    val far = Seq(("A", ts("2024-01-01 12:00:00"), 7L)).toDF("sym", "tts", "trade_id")
+    val left = AsofJoin.asofNearest(far, quotes, Seq("sym"), "tts", "qts",
+      toleranceSeconds = Some(600))
+    assert(left.count() === 1 && left.select($"price").head.isNullAt(0))
+    val inner = AsofJoin.asofNearest(far, quotes, Seq("sym"), "tts", "qts",
+      joinType = "inner", toleranceSeconds = Some(600))
+    assert(inner.count() === 0)
+  }
+
+  test("jaro_winkler matches the published worked examples") {
+    import org.apache.spark.sql.functions.expr
+    val r = Seq(("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"),
+      ("DIXON", "DICKSONX"), ("same", "same"), ("", "x"))
+      .toDF("a", "b")
+      .select(expr("round(jaro_winkler(a, b), 6)")).collect().map(_.getDouble(0))
+    assert(r.toSeq === Seq(0.961111, 0.84, 0.813333, 1.0, 0.0))
+  }
 }
