@@ -99,4 +99,45 @@ object Graph {
       .union(tris.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** k-core: the maximal subgraph where every node has degree ≥ k —
+    * the dense-cluster extractor (link-farm / spam-community detection
+    * over a crawl graph). Iterative peeling: drop nodes under degree
+    * k, recompute degrees on the induced subgraph, repeat to fixpoint.
+    * Rounds are bounded by the peel depth (≤ graph degeneracy, tiny
+    * for web-like graphs); each round is one degree aggregation + two
+    * semi-joins, localCheckpoint'ed so lineage stays flat. The
+    * convergence check is one count per round — a scalar to the
+    * driver, same class as AQE's stats. Returns surviving (id, deg)
+    * with the induced in-core degree. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var done = false
+    var it = 0
+    while (!done && it < maxIter) {
+      val deg = canon.select(col("a").as("id"))
+        .union(canon.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val pruned = canon
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val before = canon.count(); val after = pruned.count()
+      canon = pruned
+      done = after == before
+      it += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"kCore did not converge in $maxIter rounds")
+    canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+  }
 }

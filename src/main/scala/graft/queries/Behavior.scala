@@ -48,6 +48,30 @@ object Behavior extends graft.QueryArea {
         .orderBy("user_id", "valid_from")
     }),
 
+    // Point-in-time (bitemporal) lookup against a derived SCD2
+    // dimension: compress each customer's daily order-priority history
+    // into versions, then resolve every order against the version in
+    // force 30 days earlier — the standard "state as of" dimension
+    // probe, executed as one ASOF backward join (no between-join).
+    // Daily snapshot granularity makes valid_from unique per customer,
+    // so the asof match is deterministic.
+    "scd2_point_in_time" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val daily = o.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(expr("max_by(o_orderpriority, o_orderkey)").as("attr"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      val versions = daily
+        .withColumn("prev", lag("attr", 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("attr"))
+        .select(col("o_custkey"), col("o_orderdate").as("valid_from"), col("attr"))
+      val probes = o.select(col("o_orderkey"), col("o_custkey"),
+        date_sub(col("o_orderdate"), 30).as("asof_d"))
+      graft.operators.AsofJoin.asof(probes, versions, Seq("o_custkey"),
+          "asof_d", "valid_from", direction = "backward", joinType = "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("attr").as("prior_state"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Markov transition matrix: per-user next-event via lead(), then
     // count per (src, dst) and P(dst|src) as a window share over the
     // already-aggregated 5x5 matrix — the window never sees raw facts.
@@ -216,6 +240,27 @@ object Behavior extends graft.QueryArea {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM changes ORDER BY user_id, valid_from""".stripMargin,
+    "scd2_point_in_time" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, o_orderdate, max_by(o_orderpriority, o_orderkey) AS attr
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        |versions AS (
+        |  SELECT o_custkey, o_orderdate AS valid_from, attr FROM (
+        |    SELECT o_custkey, o_orderdate, attr,
+        |      lag(attr) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+        |    FROM daily)
+        |  WHERE prev IS NULL OR prev <> attr),
+        |probes AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_orderdate - INTERVAL 30 DAY AS asof_d FROM orders),
+        |r AS (
+        |  SELECT p.o_orderkey, p.o_custkey, v.attr,
+        |    row_number() OVER (PARTITION BY p.o_orderkey
+        |                       ORDER BY v.valid_from DESC) AS rn
+        |  FROM probes p LEFT JOIN versions v
+        |    ON p.o_custkey = v.o_custkey AND v.valid_from <= p.asof_d)
+        |SELECT o_orderkey, o_custkey, attr AS prior_state
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "evt_transition_matrix" ->
       """WITH pairs AS (
         |  SELECT event_type AS src,

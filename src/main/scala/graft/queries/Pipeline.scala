@@ -462,6 +462,46 @@ object Pipeline extends graft.QueryArea {
     }),
     // deterministic corpus split (hashCol = modulo so DuckDB can
     // recompute; production default is a stable xxhash64 of the id)
+    // k-core extraction (Graph.kCore): iterative peel of the planted
+    // deterministic graph until every surviving node has in-core
+    // degree >= 3; expected core computed once from the edge formulas
+    // and pinned. Non-trivial peel: 156 planted edges, 62 survivors.
+    "graph_kcore" -> ((spark, dir) => {
+      val ids = t(spark, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"))
+      val e1 = ids.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 80).as("dst"))
+      val e2 = ids.filter(col("doc_id") < 40).select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 2) % 80).as("dst"))
+      val e3 = ids.filter(col("doc_id") < 40).select(col("doc_id").as("src"),
+        ((col("doc_id") * 13 + 5) % 80).as("dst"))
+      Graph.kCore(e1.unionByName(e2).unionByName(e3), "src", "dst", k = 3)
+        .orderBy(col("id"))
+    }),
+    // Entity resolution end-to-end: prefix-blocked candidate pairs
+    // (levenshtein <= 2) → connected components over the match graph →
+    // canonical representative (lexicographic min name) per entity.
+    // The oracle closes the SAME edge set with a recursive min-label
+    // CTE — transitive chains must agree, not just direct pairs.
+    "er_entities" -> ((spark, dir) => {
+      val names = t(spark, dir, "part").select(col("p_name")).distinct()
+        .withColumn("id", xxhash64(col("p_name")))
+        .withColumn("blk", substring(col("p_name"), 1, 4))
+      val a = names.select(col("blk"), col("p_name").as("name_a"), col("id").as("id_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"), col("id").as("id_b"))
+      val pairs = a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("id_a"), col("id_b"))
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val labeled = names.join(comp, Seq("id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("id")))
+      val reps = labeled.groupBy("comp")
+        .agg(min("p_name").as("entity_rep"), count(lit(1)).as("entity_size"))
+      labeled.join(reps, "comp")
+        .select(col("p_name"), col("entity_rep"), col("entity_size"))
+        .orderBy(col("p_name"))
+    }),
     "corpus_split" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
       TextAnalysis.assignSplit(docs, "doc_id",
@@ -1022,6 +1062,37 @@ object Pipeline extends graft.QueryArea {
         |      ORDER BY key DESC, id) AS BIGINT) AS rk FROM k)
         |SELECT stratum, id, w, key, rk FROM r WHERE rk <= 5
         |ORDER BY stratum, rk""".stripMargin,
+    // Pinned 3-core of the planted 156-edge graph, computed once by
+    // peeling the same edge formulas outside the engine (62 survivors;
+    // a wrong degree-recount or a missed peel round breaks the match)
+    "graph_kcore" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(deg AS BIGINT) AS deg
+        |FROM (VALUES
+        |  (0, 5), (1, 5), (2, 5), (3, 4), (4, 4), (5, 5), (6, 6), (7, 5),
+        |  (8, 4), (9, 3), (10, 6), (11, 3), (12, 5), (13, 3), (14, 5),
+        |  (15, 3), (16, 5), (17, 5), (18, 4), (19, 5), (20, 4), (21, 6),
+        |  (22, 3), (23, 5), (24, 4), (25, 5), (26, 4), (27, 6), (28, 3),
+        |  (29, 3), (30, 3), (31, 5), (32, 5), (33, 4), (34, 5), (35, 5),
+        |  (36, 5), (37, 5), (38, 5), (39, 4), (40, 3), (41, 3), (44, 4),
+        |  (48, 3), (51, 3), (52, 3), (53, 3), (55, 4), (57, 3), (58, 3),
+        |  (60, 3), (62, 3), (64, 3), (65, 3), (66, 3), (69, 3), (70, 3),
+        |  (72, 3), (73, 4), (76, 3), (77, 3), (79, 3)) t(id, deg)
+        |ORDER BY id""".stripMargin,
+    "er_entities" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, substring(p_name, 1, 4) AS blk FROM t),
+        |e AS (
+        |  SELECT a.p_name AS na, c.p_name AS nb
+        |  FROM b a JOIN b c ON a.blk = c.blk AND a.p_name <> c.p_name
+        |  WHERE levenshtein(a.p_name, c.p_name) <= 2),
+        |walk(name, lbl) AS (
+        |  SELECT p_name, p_name FROM t
+        |  UNION
+        |  SELECT e.na, walk.lbl FROM e JOIN walk ON walk.name = e.nb),
+        |ent AS (SELECT name, min(lbl) AS entity_rep FROM walk GROUP BY name)
+        |SELECT name AS p_name, entity_rep,
+        |  count(*) OVER (PARTITION BY entity_rep) AS entity_size
+        |FROM ent ORDER BY p_name""".stripMargin,
     "graph_triangles" ->
       """WITH raw AS (
         |  SELECT doc_id AS s, (doc_id * 3 + 1) % 80 AS d

@@ -44,6 +44,22 @@ class GraphSpec extends SparkSuite {
     assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kCore peels cascading tails, keeps the clique") {
+    // 4-clique {1,2,3,4} with a chain 4-5-6: removing 6 (deg 1) drops
+    // 5 to deg 1 — the peel must CASCADE, not stop after one round
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val core2 = Graph.kCore(e, "s", "d", k = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4 empties the graph entirely (max degree in the clique is 3)
+    assert(Graph.kCore(e, "s", "d", k = 4).count() === 0)
+    // k=1 keeps everything with original degrees
+    val core1 = Graph.kCore(e, "s", "d", k = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(core1 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 2L, 6L -> 1L))
+  }
+
   test("pageRank with checkpointing returns the same ranks") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val plain = Graph.pageRank(e, "s", "d", iters = 4)
