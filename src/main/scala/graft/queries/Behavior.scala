@@ -211,6 +211,66 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Top user-journey paths: every 3-step event-type path (two leads
+    // per user run), counted and ranked — the path-analysis report
+    // behind "what do users do before purchasing". Window on the raw
+    // events, aggregation on the 125-at-most path space.
+    "evt_top_paths" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(spark, dir)
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .where(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
+
+    // Conversion-lag percentiles: per first-signup month, the median /
+    // p90 hours from a user's first signup to their first subsequent
+    // purchase. Two per-user aggregates, then exact interpolated
+    // percentiles over the (tiny) per-user lag table.
+    "funnel_time_percentiles" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("su_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id").where(col("ts") >= col("su_ts"))
+        .groupBy("user_id").agg(min("ts").as("pu_ts"), first("su_ts").as("su_ts"))
+      pu.select(date_trunc("month", col("su_ts")).as("cohort_month"),
+          ((unix_micros(col("pu_ts")) - unix_micros(col("su_ts"))) / 3600e6)
+            .as("lag_hours"))
+        .groupBy("cohort_month")
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lag_hours, 0.5)"), 4).as("median_hours"),
+          round(expr("percentile(lag_hours, 0.9)"), 4).as("p90_hours"))
+        .orderBy("cohort_month")
+    }),
+
+    // Clamped running balance (stock level that cannot go negative):
+    // the recurrence b_i = max(0, b_{i-1} + x_i) has the closed form
+    // b_i = S_i - min(0, min_{j<=i} S_j) over prefix sums S — two
+    // window passes per key, NO recursion and no per-row state, so it
+    // scales exactly like any windowed cumsum. Deltas: purchases add
+    // value, errors drain it.
+    "ts_clamped_balance" -> ((spark, dir) => {
+      val signed = events(spark, dir)
+        .where(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,6)"))
+            .otherwise(-col("value").cast("decimal(18,6)")).as("delta"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signed
+        .withColumn("s", sum("delta").over(w))
+        .withColumn("low", least(lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+          min("s").over(w)))
+        .select(col("event_id"), col("user_id"),
+          (col("s") - col("low")).cast("double").as("balance"))
+        .orderBy("event_id")
+    }),
+
     // MATCH_RECOGNIZE-lite: count per user of 3-in-a-row strictly
     // rising values (pattern A < B < C over the user's event run) —
     // the lag-composition form of the reference's sequence_count
@@ -350,6 +410,54 @@ object Behavior extends graft.QueryArea {
         |FROM h JOIN stats b ON h.event_type = b.event_type AND h.hr = b.hr
         |WHERE h.value > b.mean + 3 * b.sd
         |ORDER BY h.event_id""".stripMargin,
+    "evt_top_paths" ->
+      """WITH l AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events),
+        |c AS (
+        |  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |  FROM l WHERE e3 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "funnel_time_percentiles" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS su_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, min(e.ts) AS pu_ts, any_value(su.su_ts) AS su_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.su_ts
+        |  GROUP BY e.user_id),
+        |lags AS (
+        |  SELECT date_trunc('month', su_ts) AS cohort_month,
+        |    (epoch_us(pu_ts) - epoch_us(su_ts)) / 3600000000.0 AS lag_hours
+        |  FROM pu)
+        |SELECT cohort_month, count(*) AS n_converted,
+        |  round(quantile_cont(lag_hours, 0.5), 4) AS median_hours,
+        |  round(quantile_cont(lag_hours, 0.9), 4) AS p90_hours
+        |FROM lags GROUP BY cohort_month ORDER BY cohort_month""".stripMargin,
+    "ts_clamped_balance" ->
+      """WITH signed AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6))
+        |         ELSE -CAST(value AS DECIMAL(18,6)) END AS delta
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |r1 AS (
+        |  SELECT event_id, user_id, ts,
+        |    sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM signed),
+        |r2 AS (
+        |  SELECT event_id, user_id, s, CASE WHEN m < CAST(0 AS DECIMAL(38,6))
+        |    THEN m ELSE CAST(0 AS DECIMAL(38,6)) END AS low
+        |  FROM (
+        |    SELECT event_id, user_id, s,
+        |      min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |    FROM r1))
+        |SELECT event_id, user_id, CAST(s - low AS DOUBLE) AS balance
+        |FROM r2 ORDER BY event_id""".stripMargin,
     "evt_pattern_3rise" ->
       """WITH lagged AS (
         |  SELECT user_id, value,

@@ -104,6 +104,19 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // Market-basket pair mining: parts co-purchased within one order,
+    // counted across all orders, top 25. The self-join is keyed on
+    // l_orderkey (baskets are small — pairs per order is quadratic in
+    // BASKET size, not table size), then one aggregation.
+    "rpt_basket_pairs" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("part_a"), col("part_b")).limit(25)
+    }),
     // conditional ratios: per-nation return rate and discount-heavy rate
     "rpt_cond_ratios" -> ((spark, dir) => sqlq(spark, dir)(
       """SELECT s_nationkey,
@@ -138,6 +151,12 @@ object Reports extends graft.QueryArea {
         |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount)
         |  FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+    "rpt_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT 25""".stripMargin,
     "rpt_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O'

@@ -79,6 +79,33 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("clamped balance equals the replayed max(0, b+x) recurrence") {
+    val rows = table("events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .collect().groupBy(_.getLong(0))
+    val expected = rows.toSeq.flatMap { case (_, rs) =>
+      var b = BigDecimal(0)
+      rs.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).toSeq.map { r =>
+        val x = BigDecimal(r.getDouble(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        b = (b + (if (r.getString(3) == "purchase") x else -x)).max(0)
+        r.getLong(2) -> b.toDouble
+      }
+    }.toMap
+    val got = q("ts_clamped_balance").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) => assert(math.abs(v - expected(id)) < 1e-9, s"event $id") }
+  }
+
+  test("top paths are 3-step, ranked by count descending") {
+    val r = q("evt_top_paths").collect()
+    assert(r.length == 20)
+    r.foreach(x => assert(x.getString(0).split(">").length == 3))
+    val ns = r.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("3-rise pattern counts match a replayed scan") {
     // replay per user in driver memory at the tiny test SF
     val ev = table("events").select("user_id", "ts", "event_id", "value")
