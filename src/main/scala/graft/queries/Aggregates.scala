@@ -61,6 +61,17 @@ object Aggregates extends graft.QueryArea {
           round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("covp_pq"))
         .orderBy(col("l_returnflag"))
     }),
+    // ROLLUP with grouping() level tags — subtotal rows carry an
+    // explicit level id instead of ambiguous NULLs (grouping_id
+    // mechanics; NULL keys coalesce to 'ALL' labels)
+    "agg_grouping_id" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS lvl,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY lvl, rf, ls""".stripMargin)),
     // Linear-regression aggregate family (reference FunctionSet
     // corr/covar; SQL-standard regr_*): slope/intercept/r² derived in
     // IEEE double from DECIMAL raw sums, so the result is bit-stable
@@ -333,6 +344,14 @@ object Aggregates extends graft.QueryArea {
         |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
         |  round(covar_pop(l_extendedprice, l_quantity), 4) AS covp_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS lvl,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY lvl, rf, ls""".stripMargin,
     "agg_regression" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

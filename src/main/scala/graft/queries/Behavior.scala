@@ -211,6 +211,38 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Events-since-last-reset: errors reset a per-user counter, other
+    // events increment it — the gaps-and-islands segment trick (cumsum
+    // of reset flags defines the segment, position-in-segment is the
+    // counter). Two windows over the same per-user ordering: one sort.
+    "evt_since_last_reset" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seg = events(spark, dir)
+        .withColumn("seg", sum(when(col("event_type") === "error", 1)
+          .otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val wSeg = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+      seg.withColumn("n_since", row_number().over(wSeg) - 1)
+        .select(col("event_id"), col("n_since").cast("long").as("n_since"))
+        .orderBy("event_id")
+    }),
+
+    // New-vs-returning daily split: users active each day classified
+    // by whether that day is their first-ever day — one per-user min,
+    // broadcast onto the per-day distinct actives.
+    "evt_new_vs_returning" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val firstDay = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("first_d"))
+      ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .join(broadcast(firstDay), "user_id")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_d"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("day") === col("first_d"), 0L).otherwise(1L)).as("n_returning"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_new"), col("n_returning"))
+        .orderBy("day")
+    }),
+
     // Top user-journey paths: every 3-step event-type path (two leads
     // per user run), counted and ranked — the path-analysis report
     // behind "what do users do before purchasing". Window on the raw
@@ -410,6 +442,27 @@ object Behavior extends graft.QueryArea {
         |FROM h JOIN stats b ON h.event_type = b.event_type AND h.hr = b.hr
         |WHERE h.value > b.mean + 3 * b.sd
         |ORDER BY h.event_id""".stripMargin,
+    "evt_since_last_reset" ->
+      """WITH seg AS (
+        |  SELECT event_id, user_id, ts,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id, seg
+        |                          ORDER BY ts, event_id) - 1 AS BIGINT) AS n_since
+        |FROM seg ORDER BY event_id""".stripMargin,
+    "evt_new_vs_returning" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN day = f.first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN day = f.first_d THEN 0 ELSE 1 END) AS BIGINT) AS n_returning
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY day ORDER BY day""".stripMargin,
     "evt_top_paths" ->
       """WITH l AS (
         |  SELECT event_type AS e1,

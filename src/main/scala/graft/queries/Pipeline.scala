@@ -279,6 +279,34 @@ object Pipeline extends graft.QueryArea {
     // exactly the original ids — independently recomputed by the
     // oracle from the all-pairs cosine graph, so the gate checks the
     // cluster-blocked path finds every planted pair and invents none.
+    // Per-label embedding centroids + intra-class spread: position-
+    // exploded decimal sums give order-independent centroids; each
+    // vector's L2 distance to its centroid sums (x−c)² per position
+    // through DECIMAL, so the spread is bit-stable too. The label
+    // centroid table (10 × 64) broadcasts back onto the vectors.
+    "sim_label_centroids" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      val el = emb.select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val cent = el.groupBy("label", "pos")
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("c"))
+      val d2 = el.join(broadcast(cent), Seq("label", "pos"))
+        .groupBy("label", "vec_id")
+        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
+          .cast("decimal(28,12)")).as("d2"))
+        .select(col("label"), sqrt(col("d2").cast("double")).as("d"))
+      val spread = d2.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("d").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_dist"))
+      val c03 = cent.filter(col("pos") < 4)
+        .groupBy("label").pivot("pos", Seq(0, 1, 2, 3)).agg(first("c"))
+        .select(col("label"), round(col("0"), 6).as("c0"), round(col("1"), 6).as("c1"),
+          round(col("2"), 6).as("c2"), round(col("3"), 6).as("c3"))
+      spread.join(c03, "label").orderBy("label")
+    }),
     "dedup_semantic" -> ((spark, dir) => {
       val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 20 === 0)
@@ -997,6 +1025,30 @@ object Pipeline extends graft.QueryArea {
     // survivors = ids with no smaller >= 0.95-cosine partner in the
     // ALL-pairs graph (components here are exactly {orig, x2-copy}
     // pairs, so min-id-per-component ≡ "no smaller partner")
+    "sim_label_centroids" ->
+      """WITH sp AS (SELECT label, vec_id, embedding AS e FROM embeddings),
+        |p AS (SELECT label, vec_id, unnest(generate_series(1, len(e))) AS i, e FROM sp),
+        |el AS (SELECT label, vec_id, i - 1 AS pos, CAST(e[i] AS DOUBLE) AS x FROM p),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+        |  FROM el GROUP BY label, pos),
+        |d2 AS (
+        |  SELECT el.label, el.vec_id,
+        |    sqrt(CAST(sum(CAST((el.x - c.c) * (el.x - c.c) AS DECIMAL(28,12))) AS DOUBLE)) AS d
+        |  FROM el JOIN cent c ON el.label = c.label AND el.pos = c.pos
+        |  GROUP BY el.label, el.vec_id),
+        |spread AS (
+        |  SELECT label, count(*) AS n,
+        |    round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_dist
+        |  FROM d2 GROUP BY label)
+        |SELECT s.label, s.n, s.mean_dist,
+        |  round(max(CASE WHEN pos = 0 THEN c END), 6) AS c0,
+        |  round(max(CASE WHEN pos = 1 THEN c END), 6) AS c1,
+        |  round(max(CASE WHEN pos = 2 THEN c END), 6) AS c2,
+        |  round(max(CASE WHEN pos = 3 THEN c END), 6) AS c3
+        |FROM spread s JOIN cent ON s.label = cent.label
+        |GROUP BY s.label, s.n, s.mean_dist ORDER BY s.label""".stripMargin,
     "dedup_semantic" ->
       """WITH planted AS (
         |  SELECT vec_id, embedding FROM embeddings

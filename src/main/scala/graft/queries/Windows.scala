@@ -92,6 +92,18 @@ object Windows extends graft.QueryArea {
           last(col("o_orderkey")).over(w).as("last_order"))
         .orderBy(col("o_orderkey"))
     }),
+    // rolling exact median: Catalyst's Percentile aggregate evaluated
+    // as a WINDOW function over a sliding 20-row frame — per-frame
+    // state is 20 values, so the window scales like any sliding agg
+    "win_rolling_median" -> ((spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      t(spark, dir, "events")
+        .select(col("event_id"),
+          round(expr("percentile(value, 0.5)").over(w), 6).as("roll_med"))
+        .orderBy(col("event_id"))
+    }),
     "win_running_sum" -> ((spark, dir) => {
       val o = t(spark, dir, "orders")
       val w = Window.partitionBy(col("o_custkey"))
@@ -401,6 +413,12 @@ object Windows extends graft.QueryArea {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_rolling_median" ->
+      """SELECT event_id,
+        |  round(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS roll_med
+        |FROM events ORDER BY event_id""".stripMargin,
     "win_running_sum" ->
       """SELECT o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_total,
