@@ -211,6 +211,67 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Sessionization report: 30-minute-gap sessions (cumsum of
+    // gap>30min flags per user), then per-session duration/size and a
+    // per-user rollup — the aggregation layer on top of the
+    // win_session_number mechanics.
+    "evt_session_stats" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = events(spark, dir)
+        .withColumn("gap_us", unix_micros(col("ts")) -
+          unix_micros(lag("ts", 1).over(w)))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("sess", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val perSession = sess.groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          ((unix_micros(max("ts")) - unix_micros(min("ts"))) / 60e6)
+            .as("duration_min"))
+      perSession.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_events"),
+          round(sum(col("duration_min").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 4).as("mean_duration_min"))
+        .orderBy("user_id")
+    }),
+
+    // Time-weighted average value (TWAP): each observation holds until
+    // the next one; weight = holding time. One lead() window plus a
+    // DECIMAL-routed ratio aggregate per user.
+    "evt_twap" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(spark, dir)
+        .withColumn("dt_us", unix_micros(lead("ts", 1).over(w)) -
+          unix_micros(col("ts")))
+        .where(col("dt_us").isNotNull)
+        .groupBy("user_id")
+        .agg(round(
+          (sum((col("value") * (col("dt_us") / 1e6)).cast("decimal(28,6)")).cast("double") /
+            sum((col("dt_us") / 1e6).cast("decimal(28,6)")).cast("double")), 6)
+          .as("twap"))
+        .orderBy("user_id")
+    }),
+
+    // Rolling 7-day distinct actives per day: Spark windows cannot do
+    // DISTINCT aggregates over a frame, so each (day, user) activity
+    // replicates into the 7 target days it supports and a plain
+    // count(DISTINCT) lands per day — bounded 7x replication instead
+    // of an unbounded per-frame state, the scalable rewrite.
+    "evt_rolling_wau" -> ((spark, dir) => {
+      val du = events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val allDays = du.select(col("day")).distinct()
+      val contrib = du.withColumn("target",
+        explode(sequence(col("day"), date_add(col("day"), 6))))
+      allDays.join(contrib, allDays("day") === contrib("target"), "left")
+        .groupBy(allDays("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(date_format(allDays("day"), "yyyy-MM-dd").as("day"), col("wau"))
+        .orderBy("day")
+    }),
+
     // Events-since-last-reset: errors reset a per-user counter, other
     // events increment it — the gaps-and-islands segment trick (cumsum
     // of reset flags defines the segment, position-in-segment is the
@@ -442,6 +503,47 @@ object Behavior extends graft.QueryArea {
         |FROM h JOIN stats b ON h.event_type = b.event_type AND h.hr = b.hr
         |WHERE h.value > b.mean + 3 * b.sd
         |ORDER BY h.event_id""".stripMargin,
+    "evt_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, sess, count(*) AS n_events,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS duration_min
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(max(n_events) AS BIGINT) AS max_events,
+        |  round(CAST(sum(CAST(duration_min AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 4) AS mean_duration_min
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "evt_twap" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |    (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |     - epoch_us(ts)) / 1000000.0 AS dt_s
+        |  FROM events)
+        |SELECT user_id,
+        |  round(CAST(sum(CAST(value * dt_s AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(dt_s AS DECIMAL(28,6))) AS DOUBLE), 6) AS twap
+        |FROM d WHERE dt_s IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "evt_rolling_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT u.user_id) AS wau
+        |FROM days d LEFT JOIN du u
+        |  ON u.day <= d.day AND u.day >= d.day - 6
+        |GROUP BY d.day ORDER BY day""".stripMargin,
     "evt_since_last_reset" ->
       """WITH seg AS (
         |  SELECT event_id, user_id, ts,

@@ -104,6 +104,23 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // Hierarchical share-of-parent: each nation's revenue share WITHIN
+    // its region, and each region's share of the total — two window
+    // levels over the one nation-grain aggregate (the windows never
+    // touch fact rows)
+    "rpt_share_of_parent" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, rev,
+        |  round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share_in_region,
+        |  round(sum(rev) OVER (PARTITION BY r_name) / sum(rev) OVER (), 6) AS region_share
+        |FROM nat ORDER BY r_name, n_name""".stripMargin)),
     // Market-basket pair mining: parts co-purchased within one order,
     // counted across all orders, top 25. The self-join is keyed on
     // l_orderkey (baskets are small — pairs per order is quadratic in
@@ -151,6 +168,19 @@ object Reports extends graft.QueryArea {
         |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount)
         |  FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+    "rpt_share_of_parent" ->
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, rev,
+        |  round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share_in_region,
+        |  round(sum(rev) OVER (PARTITION BY r_name) / sum(rev) OVER (), 6) AS region_share
+        |FROM nat ORDER BY r_name, n_name""".stripMargin,
     "rpt_basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
