@@ -56,7 +56,18 @@ trait QueryArea {
 /** Runtime session normalization for externally created sessions
   * (the driver's Verify/Bench mains build their own SparkSession). */
 object Session {
+  // prepare() runs on EVERY gate invocation (the SparkEntry.queries
+  // wrapper): re-registering ~200 compat functions and re-installing
+  // the rewrite rules each call cost a near-uniform ~50-100 ms per
+  // query at the bench — the round-3 "uniform TPC-H floor regression".
+  // One identity-keyed sentinel per session makes repeat calls free.
+  private val prepared =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def prepare(spark: SparkSession): SparkSession = {
+    if (prepared.containsKey(spark)) return spark
+    prepared.put(spark, java.lang.Boolean.TRUE)
     // runtime-settable knobs; static ones (memory, master) stay as built
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
