@@ -184,6 +184,31 @@ object Advanced extends graft.QueryArea {
     // state), merged up to regions via hll_union_agg, estimated with
     // hll_cardinality. Cardinalities stay far below the sketch's exact
     // regime so the DuckDB exact count matches.
+    // Radius join (ST_DWithin): customers within 500 km of each
+    // supplier site. Latitude banding turns the spatial predicate into
+    // a 1D binned range join (lat distance lower-bounds great-circle
+    // distance, so the bands are a conservative prune — no false
+    // drops), then exact haversine as the residual filter. Reuses
+    // RangeJoin.pointInInterval — no cartesian, no geo index needed.
+    "geo_radius_join" -> ((spark, dir) => {
+      val pts = t(spark, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 360 - 180).cast("double").plus(0.5).as("lon"),
+        (col("c_custkey") % 170 - 85).cast("double").plus(0.25).as("lat"))
+      val centers = t(spark, dir, "supplier").select(col("s_suppkey"),
+        (col("s_suppkey") % 360 - 180).cast("double").plus(0.75).as("clon"),
+        (col("s_suppkey") % 160 - 80).cast("double").plus(0.5).as("clat"))
+        .withColumn("lat_lo", col("clat") - 4.6)
+        .withColumn("lat_hi", col("clat") + 4.6)
+      graft.operators.RangeJoin.pointInInterval(
+          pts, "lat", centers, "lat_lo", "lat_hi", 5.0)
+        .withColumn("dist_m",
+          expr("st_distance_sphere(lon, lat, clon, clat)"))
+        .where(col("dist_m") <= 500000d)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_within"),
+          round(min("dist_m"), 3).as("nearest_m"))
+        .orderBy(col("s_suppkey"))
+    }),
     "hll_sketch_union" -> ((spark, dir) => {
       val nation = t(spark, dir, "nation")
       val region = t(spark, dir, "region")
@@ -259,6 +284,28 @@ object Advanced extends graft.QueryArea {
         |  (2 * abs(CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5)
         |   + 3 * abs(CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.25)) < 120 AS in_diamond
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "geo_radius_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |    CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.25 AS lat
+        |  FROM customer),
+        |centers AS (
+        |  SELECT s_suppkey,
+        |    CAST(s_suppkey % 360 - 180 AS DOUBLE) + 0.75 AS clon,
+        |    CAST(s_suppkey % 160 - 80 AS DOUBLE) + 0.5 AS clat
+        |  FROM supplier),
+        |d AS (
+        |  SELECT s_suppkey,
+        |    2 * 6371000 * asin(sqrt(
+        |      sin(radians(clat - lat) / 2) * sin(radians(clat - lat) / 2) +
+        |      cos(radians(lat)) * cos(radians(clat)) *
+        |      sin(radians(clon - lon) / 2) * sin(radians(clon - lon) / 2))) AS dist_m
+        |  FROM centers CROSS JOIN pts)
+        |SELECT s_suppkey, count(*) AS n_within,
+        |  round(min(dist_m), 3) AS nearest_m
+        |FROM d WHERE dist_m <= 500000
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "hll_sketch_union" ->
       """SELECT r_name, count(DISTINCT c_custkey % 300) AS approx_keys
         |FROM customer

@@ -364,6 +364,23 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Maximum drawdown of each user's cumulative value series: peak-
+    // to-date minus current, maximized — DECIMAL cumsum, running max,
+    // and difference keep every step bit-exact. Two frames over one
+    // per-user ordering: one sort.
+    "ts_max_drawdown" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .withColumn("s", sum("v").over(w))
+        .withColumn("peak", max(col("s")).over(w))
+        .groupBy("user_id")
+        .agg(max(col("peak") - col("s")).cast("double").as("max_drawdown"))
+        .orderBy("user_id")
+    }),
+
     // MATCH_RECOGNIZE-lite: count per user of 3-in-a-row strictly
     // rising values (pattern A < B < C over the user's event run) —
     // the lag-composition form of the reference's sequence_count
@@ -613,6 +630,20 @@ object Behavior extends graft.QueryArea {
         |    FROM r1))
         |SELECT event_id, user_id, CAST(s - low AS DOUBLE) AS balance
         |FROM r2 ORDER BY event_id""".stripMargin,
+    "ts_max_drawdown" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(CAST(value AS DECIMAL(18,6))) OVER w AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT user_id, s,
+        |    max(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM s)
+        |SELECT user_id, CAST(max(peak - s) AS DOUBLE) AS max_drawdown
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "evt_pattern_3rise" ->
       """WITH lagged AS (
         |  SELECT user_id, value,

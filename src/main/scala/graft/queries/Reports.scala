@@ -104,6 +104,11 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // Data-quality assertion suite (the dbt-tests / reference ANALYZE
+    // constraint check): uniqueness, referential integrity, range and
+    // null rules, each one aggregate, reported as a violations table.
+    // Same SQL text runs on Spark and the oracle.
+    "rpt_dq_assertions" -> ((spark, dir) => sqlq(spark, dir)(dqSql)),
     // Hierarchical share-of-parent: each nation's revenue share WITHIN
     // its region, and each region's share of the total — two window
     // levels over the one nation-grain aggregate (the windows never
@@ -145,7 +150,26 @@ object Reports extends graft.QueryArea {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 
+  private val dqSql: String =
+    """SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+      |  SELECT 'unique_lineitem_pk' AS rule, count(*) AS n_violations FROM (
+      |    SELECT l_orderkey, l_linenumber FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders', count(*) FROM lineitem
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL
+      |  SELECT 'range_quantity_1_50', count(*) FROM lineitem
+      |  WHERE l_quantity < 1 OR l_quantity > 50
+      |  UNION ALL
+      |  SELECT 'notnull_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'positive_totalprice', count(*) FROM orders
+      |  WHERE o_totalprice <= 0)
+      |ORDER BY rule""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "rpt_dq_assertions" -> dqSql,
     "rpt_profile_columns" ->
       """SELECT col_name, n, n_null, ndv, min_v, max_v, mean FROM (
         |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
