@@ -140,4 +140,38 @@ object Graph {
       .union(canon.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Single-source BFS levels (undirected): hop distance from `source`
+    * for every reachable node. Frontier expansion — each round joins
+    * the current frontier to the edge list, anti-joins the visited
+    * set, and checkpoints; rounds = graph diameter (small-world graphs:
+    * single digits even at web scale). The per-round convergence probe
+    * is one count — a scalar, not data, to the driver. */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .union(edges.select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("d")))
+      .filter(col("s") =!= col("d")).distinct()
+      .localCheckpoint(true)
+    var visited = Seq((source, 0)).toDF("id", "level").localCheckpoint(true)
+    var frontier = visited.select(col("id"))
+    var level = 0
+    var n = frontier.count()
+    while (n > 0 && level < maxIter) {
+      level += 1
+      frontier = sym.join(frontier.select(col("id").as("s")), Seq("s"))
+        .select(col("d").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      n = frontier.count()
+      if (n > 0)
+        visited = visited.unionByName(frontier.withColumn("level", lit(level)))
+          .localCheckpoint(true)
+    }
+    if (n > 0) throw new IllegalStateException(
+      s"bfsLevels did not converge in $maxIter rounds")
+    visited
+  }
 }

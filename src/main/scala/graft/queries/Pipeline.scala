@@ -506,6 +506,21 @@ object Pipeline extends graft.QueryArea {
       Graph.kCore(e1.unionByName(e2).unionByName(e3), "src", "dst", k = 3)
         .orderBy(col("id"))
     }),
+    // Single-source BFS levels (Graph.bfsLevels) on the same planted
+    // graph as graph_kcore; expected hop distances computed once
+    // outside the engine and pinned (all 80 nodes reachable, 5 hops).
+    "graph_bfs_levels" -> ((spark, dir) => {
+      val ids = t(spark, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"))
+      val e1 = ids.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 1) % 80).as("dst"))
+      val e2 = ids.filter(col("doc_id") < 40).select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 2) % 80).as("dst"))
+      val e3 = ids.filter(col("doc_id") < 40).select(col("doc_id").as("src"),
+        ((col("doc_id") * 13 + 5) % 80).as("dst"))
+      Graph.bfsLevels(e1.unionByName(e2).unionByName(e3), "src", "dst", source = 0L)
+        .orderBy(col("id"))
+    }),
     // Entity resolution end-to-end: prefix-blocked candidate pairs
     // (levenshtein <= 2) → connected components over the match graph →
     // canonical representative (lexicographic min name) per entity.
@@ -1114,6 +1129,24 @@ object Pipeline extends graft.QueryArea {
         |      ORDER BY key DESC, id) AS BIGINT) AS rk FROM k)
         |SELECT stratum, id, w, key, rk FROM r WHERE rk <= 5
         |ORDER BY stratum, rk""".stripMargin,
+    // Pinned BFS hop distances from node 0 on the planted graph,
+    // computed once outside the engine (frontier replay)
+    "graph_bfs_levels" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(level AS INT) AS level
+        |FROM (VALUES
+        |  (0, 0), (1, 1), (2, 1), (3, 3), (4, 2), (5, 1), (6, 3), (7, 2),
+        |  (8, 3), (9, 2), (10, 3), (11, 2), (12, 2), (13, 3), (14, 3),
+        |  (15, 3), (16, 2), (17, 4), (18, 2), (19, 3), (20, 3), (21, 3),
+        |  (22, 3), (23, 2), (24, 4), (25, 4), (26, 3), (27, 2), (28, 2),
+        |  (29, 4), (30, 3), (31, 2), (32, 3), (33, 2), (34, 1), (35, 3),
+        |  (36, 3), (37, 2), (38, 3), (39, 4), (40, 4), (41, 3), (42, 3),
+        |  (43, 4), (44, 2), (45, 4), (46, 4), (47, 2), (48, 3), (49, 3),
+        |  (50, 5), (51, 3), (52, 4), (53, 1), (54, 4), (55, 3), (56, 3),
+        |  (57, 3), (58, 4), (59, 3), (60, 4), (61, 4), (62, 3), (63, 4),
+        |  (64, 3), (65, 3), (66, 4), (67, 4), (68, 3), (69, 4), (70, 2),
+        |  (71, 5), (72, 4), (73, 3), (74, 4), (75, 4), (76, 4), (77, 5),
+        |  (78, 4), (79, 3)) t(id, level)
+        |ORDER BY id""".stripMargin,
     // Pinned 3-core of the planted 156-edge graph, computed once by
     // peeling the same edge formulas outside the engine (62 survivors;
     // a wrong degree-recount or a missed peel round breaks the match)

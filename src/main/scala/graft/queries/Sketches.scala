@@ -15,6 +15,29 @@ object Sketches extends graft.QueryArea {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // funnel signup → purchase → share within 7 days, per user; then
     // distribution of depths
+    // Chi-square test of independence (event_type × 6-hour band
+    // contingency): expected counts from window-summed marginals over
+    // the TINY cell table, per-cell terms routed through DECIMAL so
+    // the statistic is merge-order stable. Companion to mann_whitney
+    // in the hypothesis-testing family.
+    "stat_chi_square" -> ((spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val cells = t(spark, dir, "events")
+        .select(col("event_type"),
+          floor(hour(col("ts")) / 6.0).cast("int").as("band"))
+        .groupBy("event_type", "band").agg(count(lit(1)).as("o"))
+      val tot = cells
+        .withColumn("rt", sum("o").over(w.partitionBy("event_type")))
+        .withColumn("ct", sum("o").over(w.partitionBy("band")))
+        .withColumn("nn", sum("o").over(w.partitionBy()))
+      val e = col("rt").cast("double") * col("ct") / col("nn")
+      tot.select((((col("o") - e) * (col("o") - e)) / e)
+          .cast("decimal(28,12)").as("term"),
+          col("event_type"), col("band"))
+        .agg(round(sum("term").cast("double"), 6).as("chi2"),
+          ((countDistinct("event_type") - 1) *
+            (countDistinct("band") - 1)).cast("int").as("dof"))
+    }),
     // Count-min sketch point estimates (operators/CountMin.scala):
     // depth 5 × width 4096 over per-event user occurrences. With 150
     // distinct keys the chance any key collides with another in ALL 5
@@ -269,6 +292,26 @@ object Sketches extends graft.QueryArea {
     "sketch_count_min" ->
       """SELECT user_id, count(*) AS est FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stat_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(floor(hour(ts) / 6.0) AS INT) AS band,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, band, o,
+        |    sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY band) AS ct,
+        |    sum(o) OVER () AS nn
+        |  FROM cells),
+        |terms AS (
+        |  SELECT CAST((o - CAST(rt AS DOUBLE) * ct / nn)
+        |            * (o - CAST(rt AS DOUBLE) * ct / nn)
+        |            / (CAST(rt AS DOUBLE) * ct / nn) AS DECIMAL(28,12)) AS term
+        |  FROM tot)
+        |SELECT round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+        |  (SELECT CAST((count(DISTINCT event_type) - 1)
+        |     * (count(DISTINCT band) - 1) AS INT) FROM cells) AS dof
+        |FROM terms""".stripMargin,
     // greedy-chain funnel mirrored in SQL (see WindowFunnelAgg scaladoc)
     "funnel_events" ->
       """WITH t0 AS (

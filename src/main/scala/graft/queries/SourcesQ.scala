@@ -143,6 +143,26 @@ object SourcesQ extends graft.QueryArea {
     // and manifests are per-version. The output reads all three
     // versions; the oracle recomputes each version's expected content
     // from the commit definitions.
+    // Snapshot diff (Lake.snapshotDiff): CDC-out between two versions
+    // — v1 holds keys %3∈{0,1}; v2 overwrites with %3∈{1,2} and bumps
+    // the %3==1 prices, so every key classifies deterministically:
+    // %3==0 deleted, %3==1 changed, %3==2 inserted. The oracle
+    // recomputes the classification straight from the base table.
+    "src_lake_snapshot_diff" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_diff")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 < 2), table, Nil)
+      val v2 = o.filter(col("o_orderkey") % 3 > 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 1, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.sources.Lake.write(v2, table, Nil)
+      graft.sources.Lake.snapshotDiff(spark, table, "o_orderkey", 1, 2)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("status"))
+    }),
     "src_lake_time_travel" -> ((spark, dir) => {
       val table = tmpDir(dir, "lake_tt")
       graft.sources.Formats.deleteDir(spark, table)
@@ -444,6 +464,11 @@ object SourcesQ extends graft.QueryArea {
         |SELECT coalesce(o_band, 'absent') AS band, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_lake_snapshot_diff" ->
+      """SELECT CASE o_orderkey % 3 WHEN 0 THEN 'deleted'
+        |    WHEN 1 THEN 'changed' ELSE 'inserted' END AS status,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "src_lake_time_travel" ->
       """WITH v1 AS (SELECT count(*) AS n,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

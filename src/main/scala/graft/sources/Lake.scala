@@ -589,6 +589,29 @@ object Lake {
       versionAsOf: Option[Int] = None): DataFrame =
     readIndexed(spark, table, versionAsOf)._1
 
+  /** Snapshot diff — the CDC-out surface between two table versions
+    * (what an incremental consumer replays): full outer join on the
+    * primary key between the two manifest-backed reads, each row
+    * classified inserted / deleted / changed / unchanged. Both sides
+    * are plain pruned scans; the join shuffles on the PK like any
+    * merge — no per-file bookkeeping beyond the manifests. */
+  def snapshotDiff(spark: SparkSession, table: String, pk: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val before = read(spark, table, Some(fromVersion))
+    val after = read(spark, table, Some(toVersion))
+    val valueCols = before.columns.filterNot(_ == pk).toSeq
+    val b = before.select(col(pk), struct(valueCols.map(col): _*).as("__b"))
+    val a = after.select(col(pk), struct(valueCols.map(col): _*).as("__a"))
+    b.join(a, Seq(pk), "full_outer")
+      .withColumn("status",
+        when(col("__b").isNull, lit("inserted"))
+          .when(col("__a").isNull, lit("deleted"))
+          .when(col("__a") =!= col("__b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col(pk), col("status"))
+  }
+
   /** Table history (one row per snapshot) — the audit surface. */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

@@ -60,6 +60,15 @@ class GraphSpec extends SparkSuite {
     assert(core1 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 2L, 6L -> 1L))
   }
 
+  test("bfsLevels: hop distances on a path with a shortcut") {
+    // path 1-2-3-4-5 plus shortcut 1-4; node 9 unreachable island 9-10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (9L, 10L))
+      .toDF("s", "d")
+    val r = Graph.bfsLevels(e, "s", "d", source = 1L)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
   test("pageRank with checkpointing returns the same ranks") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val plain = Graph.pageRank(e, "s", "d", iters = 4)
