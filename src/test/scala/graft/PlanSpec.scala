@@ -558,4 +558,30 @@ class PlanSpec extends SparkSuite {
     // already-compacted table: no-op, same version
     assert(Lake.compact(spark, dir) === 4)
   }
+
+  test("geo radius join is a binned equi join, not a nested loop") {
+    val plan = planOf(SparkEntry.queries("geo_radius_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "radius join degenerated to a nested loop:\n" + plan)
+  }
+
+  test("interval overlap join meets on an equi key, not a nested loop") {
+    val plan = planOf(SparkEntry.queries("join_interval_overlap")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "overlap join degenerated to a nested loop:\n" + plan)
+  }
+
+  test("count-min build is one partial+final aggregation over the explode") {
+    val sk = graft.operators.CountMin.build(table("events"), "user_id", 5, 4096)
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "no hash aggregation in sketch build")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      "sketch build missing map-side combine:\n" + plan)
+  }
+
+  test("rolling 7-day actives: bounded explode, single distinct-count shuffle") {
+    val plan = planOf(SparkEntry.queries("evt_rolling_wau")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "rolling WAU planned a day-range nested loop:\n" + plan)
+  }
 }
