@@ -364,6 +364,57 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Seasonal decomposition (STL-lite): trend = centered 24-row
+    // moving average over the hourly series, seasonal = hour-of-day
+    // mean deviation from trend, residual = value − trend − seasonal.
+    // Hourly aggregation first, so the windows run over the compact
+    // series, not raw events; all means DECIMAL-routed.
+    "ts_decompose" -> ((spark, dir) => {
+      val hourly = events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("v"))
+      val w = Window.orderBy("h").rowsBetween(-12, 11)
+      val trended = hourly
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("trend", sum(col("v").cast("decimal(18,6)")).over(w)
+          .cast("double") / col("n_win"))
+        .withColumn("hr", hour(col("h")))
+      val seasonal = trended.groupBy("hr")
+        .agg((sum((col("v") - col("trend")).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("seas"))
+      trended.join(broadcast(seasonal), "hr")
+        .select(date_format(col("h"), "yyyy-MM-dd HH").as("h"),
+          round(col("v"), 4).as("v"), round(col("trend"), 4).as("trend"),
+          round(col("seas"), 4).as("seasonal"),
+          round(col("v") - col("trend") - col("seas"), 4).as("residual"))
+        .orderBy("h")
+    }),
+
+    // Per-group feature standardization: z-score and min-max scaling
+    // of value within each event type — the feature-prep step before
+    // model training. Baselines DECIMAL-derived, broadcast back.
+    "feat_standardize" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val base = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).as("s"),
+        sum((col("value") * col("value")).cast("decimal(28,10)")).as("sq"),
+        min("value").as("lo"), max("value").as("hi"))
+        .select(col("event_type"),
+          (col("s").cast("double") / col("n")).as("mean"),
+          sqrt((col("sq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1)).as("sd"),
+          col("lo"), col("hi"))
+      ev.join(broadcast(base), "event_type")
+        .where(col("event_id") < 500)
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mean")) / col("sd"), 6).as("z"),
+          round((col("value") - col("lo")) / (col("hi") - col("lo")), 6).as("mm"))
+        .orderBy("event_id")
+    }),
+
     // Maximum drawdown of each user's cumulative value series: peak-
     // to-date minus current, maximized — DECIMAL cumsum, running max,
     // and difference keep every step bit-exact. Two frames over one
@@ -630,6 +681,46 @@ object Behavior extends graft.QueryArea {
         |    FROM r1))
         |SELECT event_id, user_id, CAST(s - low AS DOUBLE) AS balance
         |FROM r2 ORDER BY event_id""".stripMargin,
+    "ts_decompose" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT h, v,
+        |    CAST(sum(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      / count(*) OVER w AS trend,
+        |    CAST(hour(h) AS INT) AS hr
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        |s AS (
+        |  SELECT hr,
+        |    CAST(sum(CAST(v - trend AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS seas
+        |  FROM t GROUP BY hr)
+        |SELECT strftime(t.h, '%Y-%m-%d %H') AS h,
+        |  round(v, 4) AS v, round(trend, 4) AS trend,
+        |  round(seas, 4) AS seasonal,
+        |  round(v - trend - seas, 4) AS residual
+        |FROM t JOIN s ON t.hr = s.hr ORDER BY h""".stripMargin,
+    "feat_standardize" ->
+      """WITH base AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(28,10))) AS s,
+        |    sum(CAST(value * value AS DECIMAL(28,10))) AS sq,
+        |    min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(sq AS DOUBLE)
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS sd,
+        |    lo, hi
+        |  FROM base)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - b.mean) / b.sd, 6) AS z,
+        |  round((e.value - b.lo) / (b.hi - b.lo), 6) AS mm
+        |FROM events e JOIN st b ON e.event_type = b.event_type
+        |WHERE e.event_id < 500 ORDER BY e.event_id""".stripMargin,
     "ts_max_drawdown" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id,

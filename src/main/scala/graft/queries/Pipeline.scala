@@ -279,6 +279,43 @@ object Pipeline extends graft.QueryArea {
     // exactly the original ids — independently recomputed by the
     // oracle from the all-pairs cosine graph, so the gate checks the
     // cluster-blocked path finds every planted pair and invents none.
+    // Class-balance report for a labeled training set: share, Shannon
+    // entropy and Gini impurity of the label distribution — the skew
+    // check before sampling weights are chosen. Per-class terms route
+    // through DECIMAL so the scalars are merge-order stable.
+    "corpus_class_balance" -> ((spark, dir) => {
+      val byLabel = t(spark, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      byLabel.agg(
+        count(lit(1)).cast("int").as("n_classes"),
+        round(sum((-col("p") * log(col("p"))).cast("decimal(28,12)"))
+          .cast("double"), 6).as("entropy"),
+        round(lit(1.0) - sum((col("p") * col("p")).cast("decimal(28,12)"))
+          .cast("double"), 6).as("gini"),
+        round(max("p"), 6).as("max_share"))
+    }),
+    // Deterministic negative sampling for contrastive pairs: each
+    // anchor doc draws 5 modular-stride candidates, drops same-source
+    // collisions, keeps the first 3 — reproducible on any engine (the
+    // production variant swaps the stride for a seeded xxhash64).
+    "corpus_negative_sample" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"))
+      val cands = docs
+        .withColumn("k", explode(sequence(lit(0), lit(4))))
+        .withColumn("neg_id", (col("doc_id") * 37 + col("k") * 101 + 13) % 100)
+        .where(col("neg_id") =!= col("doc_id"))
+      val negSrc = docs.select(col("doc_id").as("neg_id"), col("source").as("neg_source"))
+      val valid = cands.join(negSrc, "neg_id")
+        .where(col("source") =!= col("neg_source"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("k")
+      valid.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("doc_id"), col("neg_id"), col("k"))
+        .orderBy("doc_id", "k")
+    }),
     // Per-label embedding centroids + intra-class spread: position-
     // exploded decimal sums give order-independent centroids; each
     // vector's L2 distance to its centroid sums (x−c)² per position
@@ -1040,6 +1077,29 @@ object Pipeline extends graft.QueryArea {
     // survivors = ids with no smaller >= 0.95-cosine partner in the
     // ALL-pairs graph (components here are exactly {orig, x2-copy}
     // pairs, so min-id-per-component ≡ "no smaller partner")
+    "corpus_class_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |p AS (SELECT label, CAST(n AS DOUBLE) / sum(n) OVER () AS p FROM c)
+        |SELECT CAST(count(*) AS INT) AS n_classes,
+        |  round(CAST(sum(CAST(-p * ln(p) AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy,
+        |  round(1.0 - CAST(sum(CAST(p * p AS DECIMAL(28,12))) AS DOUBLE), 6) AS gini,
+        |  round(max(p), 6) AS max_share
+        |FROM p""".stripMargin,
+    "corpus_negative_sample" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id < 100),
+        |cands AS (
+        |  SELECT d.doc_id, d.source, k,
+        |    (d.doc_id * 37 + k * 101 + 13) % 100 AS neg_id
+        |  FROM docs d, (SELECT unnest(generate_series(0, 4)) AS k)
+        |  WHERE (d.doc_id * 37 + k * 101 + 13) % 100 <> d.doc_id),
+        |valid AS (
+        |  SELECT c.doc_id, c.neg_id, c.k,
+        |    row_number() OVER (PARTITION BY c.doc_id ORDER BY c.k) AS rk
+        |  FROM cands c JOIN docs n ON c.neg_id = n.doc_id
+        |  WHERE c.source <> n.source)
+        |SELECT doc_id, neg_id, CAST(k AS INT) AS k FROM valid
+        |WHERE rk <= 3 ORDER BY doc_id, k""".stripMargin,
     "sim_label_centroids" ->
       """WITH sp AS (SELECT label, vec_id, embedding AS e FROM embeddings),
         |p AS (SELECT label, vec_id, unnest(generate_series(1, len(e))) AS i, e FROM sp),
