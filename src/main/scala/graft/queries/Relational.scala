@@ -132,6 +132,33 @@ object Relational extends graft.QueryArea {
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal_sum"))
         .orderBy(col("s_suppkey"))
     }),
+    // Calendar dimension generated from a date spine (sequence TVF →
+    // derived attributes) — the standard warehouse date dimension,
+    // built engine-side with zero input tables
+    "dim_calendar" -> ((spark, dir) => {
+      val spine = spark.range(1).select(explode(expr(
+        "sequence(DATE'2024-01-01', DATE'2024-03-31', INTERVAL 1 DAY)")).as("d"))
+      spine.select(
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          year(col("d")).as("yr"), quarter(col("d")).as("qtr"),
+          month(col("d")).as("mo"), dayofmonth(col("d")).as("dom"),
+          dayofweek(col("d")).as("dow"),
+          weekofyear(col("d")).as("iso_week"),
+          (dayofweek(col("d")) === 1 || dayofweek(col("d")) === 7).as("is_weekend"),
+          (last_day(col("d")) === col("d")).as("is_month_end"))
+        .orderBy("day")
+    }),
+    // Parameterized SQL (prepared-statement surface): named parameters
+    // bound at execution — the reference's PREPARE/EXECUTE path
+    "sql_parameterized" -> ((spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      spark.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+          |FROM orders WHERE o_totalprice > :minPrice AND o_orderstatus = :status
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("minPrice" -> 150000, "status" -> "F"))
+    }),
     // interval-OVERLAP join (RangeJoin.intervalOverlap): all pairs of
     // same-user events whose [ts, ts + value minutes] occupations
     // overlap — both sides bin-replicated (1 h bins), pairs meet on the
@@ -295,6 +322,23 @@ object Relational extends graft.QueryArea {
         |FROM supplier JOIN customer
         |  ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "dim_calendar" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+        |                                INTERVAL 1 DAY)) AS d)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(year(d) AS INT) AS yr, CAST(quarter(d) AS INT) AS qtr,
+        |  CAST(month(d) AS INT) AS mo, CAST(day(d) AS INT) AS dom,
+        |  CAST(dayofweek(d) + 1 AS INT) AS dow,
+        |  CAST(weekofyear(d) AS INT) AS iso_week,
+        |  dayofweek(d) IN (0, 6) AS is_weekend,
+        |  d = last_day(d) AS is_month_end
+        |FROM spine ORDER BY day""".stripMargin,
+    "sql_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM orders WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_interval_overlap" ->
       """WITH iv AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS s,

@@ -104,6 +104,31 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // Decile lift analysis (model-scoring report): customers ranked by
+    // total spend into deciles; per-decile urgent-order conversion
+    // rate and cumulative lift vs the overall rate. ntile runs over
+    // the customer-grain aggregate; the lift windows over 10 rows.
+    "rpt_decile_lift" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS conv
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT conv, ntile(10) OVER (ORDER BY score DESC, o_custkey) AS decile
+        |  FROM cust),
+        |agg AS (
+        |  SELECT decile, count(*) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM ranked GROUP BY decile)
+        |SELECT decile, n, n_conv,
+        |  round(CAST(n_conv AS DOUBLE) / n, 6) AS rate,
+        |  round((CAST(sum(n_conv) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / sum(n) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |       / (CAST(sum(n_conv) OVER () AS DOUBLE) / sum(n) OVER ()), 6) AS cum_lift
+        |FROM agg ORDER BY decile""".stripMargin)),
     // Data-quality assertion suite (the dbt-tests / reference ANALYZE
     // constraint check): uniqueness, referential integrity, range and
     // null rules, each one aggregate, reported as a violations table.
@@ -170,6 +195,27 @@ object Reports extends graft.QueryArea {
 
   def oracles: Map[String, String] = Map(
     "rpt_dq_assertions" -> dqSql,
+    "rpt_decile_lift" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS conv
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT conv, ntile(10) OVER (ORDER BY score DESC, o_custkey) AS decile
+        |  FROM cust),
+        |agg AS (
+        |  SELECT decile, count(*) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM ranked GROUP BY decile)
+        |SELECT decile, n, n_conv,
+        |  round(CAST(n_conv AS DOUBLE) / n, 6) AS rate,
+        |  round((CAST(sum(n_conv) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / sum(n) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |       / (CAST(sum(n_conv) OVER () AS DOUBLE) / sum(n) OVER ()), 6) AS cum_lift
+        |FROM agg ORDER BY decile""".stripMargin,
     "rpt_profile_columns" ->
       """SELECT col_name, n, n_null, ndv, min_v, max_v, mean FROM (
         |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
