@@ -81,6 +81,7 @@ object Session {
     functions.Registry.registerAll(spark)
     plans.MvRewrite.install(spark) // no-op until an MV registers
     plans.TablePrune.install(spark) // no-op until conf-enabled
+    plans.RangeJoinRewrite.install(spark) // no-op until conf-enabled
     spark
   }
 }

@@ -179,6 +179,32 @@ object Relational extends graft.QueryArea {
         .select(col("user_id"), col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Automatic range-join derivation (plans/RangeJoinRewrite): the
+    // SAME band join as join_range_binned but written as a plain
+    // non-equi join — the optimizer rule bins it behind the scenes
+    // (RangeJoinRewriteSpec asserts the nested loop is gone); results
+    // must match the hand-binned operator's oracle exactly.
+    "join_range_auto" -> ((spark, dir) => {
+      val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val bands = t(spark, dir, "supplier").select(col("s_suppkey"),
+        (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+      val saved = Seq(graft.plans.RangeJoinRewrite.EnabledKey,
+        graft.plans.RangeJoinRewrite.BinKey).map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "true")
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinKey, "250")
+      try {
+        val df = cust.join(bands,
+            col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal_sum"))
+          .orderBy(col("s_suppkey"))
+        df.queryExecution.executedPlan // plan under the pinned conf
+        df
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }),
     "subq_scalar" -> ((spark, dir) => sqlq(spark, dir)(
       """SELECT count(*) AS n_above FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)),
@@ -349,6 +375,12 @@ object Relational extends graft.QueryArea {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND a.s <= b.e AND b.s <= a.e
         |ORDER BY id_a, id_b""".stripMargin,
+    "join_range_auto" ->
+      """SELECT s_suppkey, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "subq_scalar" ->
       """SELECT count(*) AS n_above FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
