@@ -82,6 +82,7 @@ object Session {
     plans.MvRewrite.install(spark) // no-op until an MV registers
     plans.TablePrune.install(spark) // no-op until conf-enabled
     plans.RangeJoinRewrite.install(spark) // no-op until conf-enabled
+    plans.BoundedAccumulate.install(spark) // strategy for the custom exec node
     spark
   }
 }

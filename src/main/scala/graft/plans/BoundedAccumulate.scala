@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.DoubleType
+
+/** Double-bounded running accumulation:
+  * `b_i = clamp(b_{i-1} + delta_i, lo, hi)` per key, in event order —
+  * capped inventory levels, token buckets, rate limiters, bounded
+  * battery/credit models.
+  *
+  * WHY a custom physical operator (SURVEY §7.3 decision ladder, rung
+  * c): with only a LOWER bound the recurrence has a closed form over
+  * prefix sums (see the `ts_clamped_balance` gate — two windows). With
+  * BOTH bounds the clamp at each step destroys linearity: no window
+  * frame, aggregate, or expression composition computes it — the
+  * reference evaluates this class of stateful scan inside its
+  * analytic-node loop. Rung (d) `mapPartitions` would work but throws
+  * away the planner contract; this node instead DECLARES
+  * `requiredChildDistribution` (cluster by key) and
+  * `requiredChildOrdering` (key, then event order), so Catalyst plans
+  * the exchange + sort exactly like it does for Window or
+  * SortMergeJoin — AQE still sizes the shuffle, and the operator
+  * itself is a zero-allocation per-partition scan. At 100 TB the cost
+  * is ONE shuffle on the key — identical to the window-based
+  * lower-clamp plan.
+  *
+  * The full ladder: logical node → strategy (installed via
+  * `experimental.extraStrategies` in Session.prepare) → exec node →
+  * the `boundedRunningSum` DataFrame API below.
+  */
+case class BoundedAccumulate(
+    keys: Seq[Attribute],
+    ordering: Seq[SortOrder],
+    delta: Expression,
+    lo: Double,
+    hi: Double,
+    balance: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ balance
+  // balance is GENERATED here, not derived from the child — without
+  // this CheckAnalysis flags it as a missing attribute
+  override def producedAttributes: AttributeSet = AttributeSet(balance)
+  override protected def withNewChildInternal(c: LogicalPlan): BoundedAccumulate =
+    copy(child = c)
+}
+
+object BoundedAccumulateStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case b: BoundedAccumulate =>
+      BoundedAccumulateExec(b.keys, b.ordering, b.delta, b.lo, b.hi,
+        b.balance, planLater(b.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class BoundedAccumulateExec(
+    keys: Seq[Attribute],
+    ordering: Seq[SortOrder],
+    delta: Expression,
+    lo: Double,
+    hi: Double,
+    balance: AttributeReference,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ balance
+  override def producedAttributes: AttributeSet = AttributeSet(balance)
+
+  // one shuffle on the key, then a per-partition sorted scan — the
+  // same physical contract Window declares
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)) ++ ordering)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val deltaExpr = delta
+    val (lb, ub) = (lo, hi)
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val boundDelta = BindReferences.bindReference(deltaExpr, childOutput)
+      val outProj = UnsafeProjection.create(
+        childOutput :+ BoundReference(childOutput.length, DoubleType, nullable = false),
+        childOutput :+ AttributeReference("__bal", DoubleType, nullable = false)())
+      val joined = new JoinedRow
+      val balRow = new SpecificInternalRow(Seq(DoubleType))
+      var curKey: UnsafeRow = null
+      var bal = 0.0
+      iter.map { row =>
+        val k = keyProj(row)
+        if (curKey == null || k != curKey) { curKey = k.copy(); bal = 0.0 }
+        val d = boundDelta.eval(row) match {
+          case null => 0.0
+          case n: java.lang.Number => n.doubleValue()
+        }
+        bal = math.min(ub, math.max(lb, bal + d))
+        balRow.setDouble(0, bal)
+        outProj(joined(row, balRow))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): BoundedAccumulateExec =
+    copy(child = c)
+}
+
+object BoundedAccumulate {
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraStrategies
+    if (!existing.contains(BoundedAccumulateStrategy))
+      spark.experimental.extraStrategies = existing :+ BoundedAccumulateStrategy
+  }
+
+  /** DataFrame-facing API: append a `balanceCol` column holding the
+    * clamped running sum of `deltaCol` per `keyCols` group in
+    * `orderCols` order. */
+  def boundedRunningSum(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], deltaCol: String,
+      lo: Double, hi: Double, balanceCol: String = "balance"): DataFrame = {
+    require(lo <= hi, "lo must be <= hi")
+    val spark = df.sparkSession
+    install(spark)
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute = child.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val node = BoundedAccumulate(
+      keyCols.map(attr),
+      orderCols.map(c => SortOrder(attr(c), Ascending)),
+      attr(deltaCol),
+      lo, hi,
+      AttributeReference(balanceCol, DoubleType, nullable = false)(),
+      child)
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node)
+  }
+}

@@ -415,6 +415,26 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // DOUBLE-bounded running balance [0, 300] — the capped-inventory /
+    // token-bucket recurrence. Unlike the lower-clamp-only
+    // ts_clamped_balance (closed form over windows), both bounds make
+    // the recurrence non-linear: this runs on the CUSTOM physical
+    // operator (plans/BoundedAccumulate.scala — logical node +
+    // strategy + exec with declared clustering/ordering, one shuffle).
+    // The oracle replays the recurrence with a recursive CTE.
+    "ts_capped_balance" -> ((spark, dir) => {
+      val signed = events(spark, dir)
+        .where(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(-col("value")).as("delta"))
+      graft.plans.BoundedAccumulate.boundedRunningSum(
+          signed, Seq("user_id"), Seq("ts", "event_id"), "delta",
+          lo = 0.0, hi = 300.0)
+        .select(col("event_id"), col("user_id"), col("balance"))
+        .orderBy("event_id")
+    }),
+
     // Maximum drawdown of each user's cumulative value series: peak-
     // to-date minus current, maximized — DECIMAL cumsum, running max,
     // and difference keep every step bit-exact. Two frames over one
@@ -721,6 +741,22 @@ object Behavior extends graft.QueryArea {
         |  round((e.value - b.lo) / (b.hi - b.lo), 6) AS mm
         |FROM events e JOIN st b ON e.event_type = b.event_type
         |WHERE e.event_id < 500 ORDER BY e.event_id""".stripMargin,
+    "ts_capped_balance" ->
+      """WITH RECURSIVE sgn AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS delta,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    least(300.0, greatest(0.0, delta)) AS bal
+        |  FROM sgn WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn,
+        |    least(300.0, greatest(0.0, r.bal + s.delta))
+        |  FROM sgn s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT event_id, user_id, bal AS balance FROM r
+        |ORDER BY event_id""".stripMargin,
     "ts_max_drawdown" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id,
