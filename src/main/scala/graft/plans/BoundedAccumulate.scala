@@ -41,7 +41,8 @@ case class BoundedAccumulate(
     lo: Double,
     hi: Double,
     balance: AttributeReference,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    kernel: String = "clamp") extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ balance
   // balance is GENERATED here, not derived from the child — without
   // this CheckAnalysis flags it as a missing attribute
@@ -54,7 +55,7 @@ object BoundedAccumulateStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case b: BoundedAccumulate =>
       BoundedAccumulateExec(b.keys, b.ordering, b.delta, b.lo, b.hi,
-        b.balance, planLater(b.child)) :: Nil
+        b.balance, planLater(b.child), b.kernel) :: Nil
     case _ => Nil
   }
 }
@@ -66,7 +67,8 @@ case class BoundedAccumulateExec(
     lo: Double,
     hi: Double,
     balance: AttributeReference,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    kernel: String = "clamp") extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ balance
   override def producedAttributes: AttributeSet = AttributeSet(balance)
@@ -92,16 +94,22 @@ case class BoundedAccumulateExec(
         childOutput :+ AttributeReference("__bal", DoubleType, nullable = false)())
       val joined = new JoinedRow
       val balRow = new SpecificInternalRow(Seq(DoubleType))
+      val ewma = kernel == "ewma"
       var curKey: UnsafeRow = null
       var bal = 0.0
+      var fresh = true
       iter.map { row =>
         val k = keyProj(row)
-        if (curKey == null || k != curKey) { curKey = k.copy(); bal = 0.0 }
+        if (curKey == null || k != curKey) { curKey = k.copy(); bal = 0.0; fresh = true }
         val d = boundDelta.eval(row) match {
           case null => 0.0
           case n: java.lang.Number => n.doubleValue()
         }
-        bal = math.min(ub, math.max(lb, bal + d))
+        // clamp: b = min(hi, max(lo, b + x)); ewma (alpha = lo):
+        // s = x on the key's first row, then s = alpha*x + (1-alpha)*s
+        bal = if (ewma) { if (fresh) d else lb * d + (1.0 - lb) * bal }
+          else math.min(ub, math.max(lb, bal + d))
+        fresh = false
         balRow.setDouble(0, bal)
         outProj(joined(row, balRow))
       }
@@ -138,6 +146,29 @@ object BoundedAccumulate {
       lo, hi,
       AttributeReference(balanceCol, DoubleType, nullable = false)(),
       child)
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node)
+  }
+
+  /** Exponentially-weighted moving average per key in event order:
+    * `s_1 = x_1; s_i = alpha*x_i + (1-alpha)*s_{i-1}` — the same
+    * no-closed-form recurrence class as the clamp (powers of (1-α)
+    * over an unbounded frame underflow/explode numerically), on the
+    * same physical operator. */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      xCol: String, alpha: Double, outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val spark = df.sparkSession
+    install(spark)
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute = child.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val node = BoundedAccumulate(
+      keyCols.map(attr),
+      orderCols.map(c => SortOrder(attr(c), Ascending)),
+      attr(xCol),
+      alpha, 0.0,
+      AttributeReference(outCol, DoubleType, nullable = false)(),
+      child, kernel = "ewma")
     org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node)
   }
 }

@@ -435,6 +435,17 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // EWMA smoothing per user on the same custom recurrence operator
+    // (alpha = 0.25, exactly representable so both engines compute
+    // identical IEEE steps); oracle replays via recursive CTE.
+    "ts_ewma" -> ((spark, dir) => {
+      graft.plans.BoundedAccumulate.ewma(
+          events(spark, dir).select("user_id", "ts", "event_id", "value"),
+          Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.25)
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy("event_id")
+    }),
+
     // Maximum drawdown of each user's cumulative value series: peak-
     // to-date minus current, maximized — DECIMAL cumsum, running max,
     // and difference keep every step bit-exact. Two frames over one
@@ -757,6 +768,18 @@ object Behavior extends graft.QueryArea {
         |  FROM sgn s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
         |SELECT event_id, user_id, bal AS balance FROM r
         |ORDER BY event_id""".stripMargin,
+    "ts_ewma" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS ewma FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn,
+        |    0.25 * s.value + 0.75 * r.ewma
+        |  FROM o s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT event_id, user_id, ewma FROM r ORDER BY event_id""".stripMargin,
     "ts_max_drawdown" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id,

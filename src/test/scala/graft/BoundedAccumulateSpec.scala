@@ -52,6 +52,17 @@ class BoundedAccumulateSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("ewma kernel matches the sequential definition") {
+    val r = BoundedAccumulate.ewma(rows, Seq("k"), Seq("seq"), "delta", alpha = 0.5)
+      .select($"k", $"seq", $"ewma").collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // a: 5 → .5*4+.5*5=4.5 → .5*-20+.5*4.5=-7.75 → .5*3+.5*-7.75=-2.375
+    assert(r(("a", 1L)) === 5.0)
+    assert(r(("a", 2L)) === 4.5)
+    assert(r(("a", 3L)) === -7.75)
+    assert(r(("a", 4L)) === -2.375)
+  }
+
   test("null deltas contribute zero, lo > hi rejected") {
     val withNull = Seq(("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, Some(1.0)))
       .toDF("k", "seq", "delta")
