@@ -211,6 +211,23 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Batch session_window(): Spark's native gap-based session
+    // assignment (the same primitive the streaming session gate uses)
+    // run in batch mode — one groupBy(user, session_window) pass. The
+    // oracle recomputes sessions with the manual cumsum-of-gaps
+    // construction, proving the builtin's [start, end) semantics
+    // (end = last event + gap) against first principles.
+    "evt_session_window_batch" -> ((spark, dir) => {
+      events(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // Sessionization report: 30-minute-gap sessions (cumsum of
     // gap>30min flags per user), then per-session duration/size and a
     // per-user rollup — the aggregation layer on top of the
@@ -602,6 +619,23 @@ object Behavior extends graft.QueryArea {
         |FROM h JOIN stats b ON h.event_type = b.event_type AND h.hr = b.hr
         |WHERE h.value > b.mean + 3 * b.sd
         |ORDER BY h.event_id""".stripMargin,
+    "evt_session_window_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
     "evt_session_stats" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
