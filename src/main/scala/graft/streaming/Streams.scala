@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 
@@ -80,6 +80,35 @@ object Streams {
           rows.foreach { case (_, v) => mn = math.min(mn, v); mx = math.max(mx, v); n += 1 }
           if (n != n0) { state.update((mn, mx, n)); Iterator((key, mn, mx, n)) }
           else Iterator.empty
+      }
+  }
+
+  /** Streaming double-bounded running balance — the streaming twin of
+    * the `BoundedAccumulate` physical operator (plans/): identical
+    * `clamp(b + x, lo, hi)` recurrence, carried across micro-batches
+    * as 8 bytes of per-key state. Rows are applied in (ts, event_id)
+    * order WITHIN each micro-batch, so with chronological ingestion
+    * (a log tail — the routine-load contract) the emitted per-event
+    * balances equal the batch operator exactly
+    * (StreamingSpec proves streaming ≡ batch). */
+  def clampedBalance(events: DataFrame, deltaCol: Column,
+      lo: Double, hi: Double): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+        col("event_id").cast("long"), unix_micros(col("ts")),
+        deltaCol.cast("double")).as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OM.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Double]) =>
+          var bal = state.getOption.getOrElse(0.0)
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { r =>
+            bal = math.min(hi, math.max(lo, bal + r._4)); (key, r._2, bal)
+          }
+          state.update(bal)
+          out.iterator
       }
   }
 

@@ -325,4 +325,41 @@ class StreamingSpec extends SparkSuite {
     assert(loaded.select($"event_id").distinct().count() === total,
       "duplicate event_ids — replay was not idempotent")
   }
+
+  test("streaming clamped balance equals the batch recurrence operator") {
+    // chronological drops: balances must carry state ACROSS micro-batches
+    val dir = tmp()
+    val e = Tables.load(spark, sf, "events")
+      .filter($"event_type".isin("purchase", "error"))
+    val cut = e.selectExpr("percentile(unix_micros(ts), 0.5)").head.getDouble(0)
+    e.filter(unix_micros($"ts") <= cut).coalesce(1).write.parquet(s"$dir/d1")
+    e.filter(unix_micros($"ts") > cut).coalesce(1).write.parquet(s"$dir/d2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq("d1", "d2").foreach { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$d"))
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex.foreach {
+          case (f, i) =>
+            fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$dir/$d-$i.parquet"))
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true)
+    }
+    val schema = e.schema
+    val delta = when($"event_type" === "purchase", $"value").otherwise(-$"value")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one drop per micro-batch
+      .parquet(dir)
+    val q = Streams.clampedBalance(stream, delta, 0.0, 300.0)
+      .toDF("user_id", "event_id", "balance")
+      .writeStream.format("memory").queryName("clamp_out_" + System.nanoTime())
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(q.name).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val batch = graft.plans.BoundedAccumulate.boundedRunningSum(
+        e.select($"user_id", $"ts", $"event_id", delta.as("delta")),
+        Seq("user_id"), Seq("ts", "event_id"), "delta", 0.0, 300.0)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(got.size === batch.size)
+    assert(got === batch, "streaming state diverged from the batch recurrence")
+  }
 }
