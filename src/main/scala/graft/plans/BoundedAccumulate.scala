@@ -94,21 +94,37 @@ case class BoundedAccumulateExec(
         childOutput :+ AttributeReference("__bal", DoubleType, nullable = false)())
       val joined = new JoinedRow
       val balRow = new SpecificInternalRow(Seq(DoubleType))
-      val ewma = kernel == "ewma"
+      val kcode = kernel match {
+        case "clamp" => 0; case "ewma" => 1; case "holt" => 2
+        case other => throw new IllegalArgumentException(s"kernel: $other")
+      }
       var curKey: UnsafeRow = null
       var bal = 0.0
+      var trend = 0.0
       var fresh = true
       iter.map { row =>
         val k = keyProj(row)
-        if (curKey == null || k != curKey) { curKey = k.copy(); bal = 0.0; fresh = true }
+        if (curKey == null || k != curKey) {
+          curKey = k.copy(); bal = 0.0; trend = 0.0; fresh = true
+        }
         val d = boundDelta.eval(row) match {
           case null => 0.0
           case n: java.lang.Number => n.doubleValue()
         }
-        // clamp: b = min(hi, max(lo, b + x)); ewma (alpha = lo):
-        // s = x on the key's first row, then s = alpha*x + (1-alpha)*s
-        bal = if (ewma) { if (fresh) d else lb * d + (1.0 - lb) * bal }
-          else math.min(ub, math.max(lb, bal + d))
+        // clamp: b = min(hi, max(lo, b + x))
+        // ewma (alpha = lo): s = x first, then s = alpha*x + (1-alpha)*s
+        // holt (alpha = lo, beta = hi): level+trend double smoothing
+        kcode match {
+          case 0 => bal = math.min(ub, math.max(lb, bal + d))
+          case 1 => bal = if (fresh) d else lb * d + (1.0 - lb) * bal
+          case 2 =>
+            if (fresh) { bal = d; trend = 0.0 }
+            else {
+              val lNew = lb * d + (1.0 - lb) * (bal + trend)
+              trend = ub * (lNew - bal) + (1.0 - ub) * trend
+              bal = lNew
+            }
+        }
         fresh = false
         balRow.setDouble(0, bal)
         outProj(joined(row, balRow))
@@ -169,6 +185,31 @@ object BoundedAccumulate {
       alpha, 0.0,
       AttributeReference(outCol, DoubleType, nullable = false)(),
       child, kernel = "ewma")
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node)
+  }
+
+  /** Holt linear-trend (double-exponential) smoothing per key:
+    * `l_1 = x_1, b_1 = 0;
+    *  l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1});
+    *  b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}` — emits the
+    * smoothed level. Two doubles of per-key state on the same exec. */
+  def holt(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      xCol: String, alpha: Double, beta: Double,
+      outCol: String = "level"): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      "alpha in (0,1], beta in [0,1]")
+    val spark = df.sparkSession
+    install(spark)
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute = child.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val node = BoundedAccumulate(
+      keyCols.map(attr),
+      orderCols.map(c => SortOrder(attr(c), Ascending)),
+      attr(xCol),
+      alpha, beta,
+      AttributeReference(outCol, DoubleType, nullable = false)(),
+      child, kernel = "holt")
     org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node)
   }
 }

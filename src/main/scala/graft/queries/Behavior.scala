@@ -463,6 +463,18 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Holt double-exponential (level + trend) smoothing per user on
+    // the recurrence operator — alpha = 0.25, beta = 0.5, both exactly
+    // representable; recursive-CTE oracle replays both state columns.
+    "ts_holt_trend" -> ((spark, dir) => {
+      graft.plans.BoundedAccumulate.holt(
+          events(spark, dir).select("user_id", "ts", "event_id", "value"),
+          Seq("user_id"), Seq("ts", "event_id"), "value",
+          alpha = 0.25, beta = 0.5)
+        .select(col("event_id"), col("user_id"), col("level"))
+        .orderBy("event_id")
+    }),
+
     // Maximum drawdown of each user's cumulative value series: peak-
     // to-date minus current, maximized — DECIMAL cumsum, running max,
     // and difference keep every step bit-exact. Two frames over one
@@ -814,6 +826,21 @@ object Behavior extends graft.QueryArea {
         |    0.25 * s.value + 0.75 * r.ewma
         |  FROM o s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
         |SELECT event_id, user_id, ewma FROM r ORDER BY event_id""".stripMargin,
+    "ts_holt_trend" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS lvl, CAST(0 AS DOUBLE) AS tr
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn,
+        |    0.25 * s.value + 0.75 * (r.lvl + r.tr),
+        |    0.5 * ((0.25 * s.value + 0.75 * (r.lvl + r.tr)) - r.lvl) + 0.5 * r.tr
+        |  FROM o s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT event_id, user_id, lvl AS level FROM r
+        |ORDER BY event_id""".stripMargin,
     "ts_max_drawdown" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id,

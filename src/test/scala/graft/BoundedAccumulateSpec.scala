@@ -63,6 +63,23 @@ class BoundedAccumulateSpec extends SparkSuite {
     assert(r(("a", 4L)) === -2.375)
   }
 
+  test("holt kernel tracks a linear ramp almost exactly") {
+    // x = 10, 20, 30, ... — once the trend locks on, level ≈ x
+    val ramp = (1 to 50).map(i => ("r", i.toLong, i * 10.0)).toDF("k", "seq", "delta")
+    val r = BoundedAccumulate.holt(ramp, Seq("k"), Seq("seq"), "delta",
+        alpha = 0.5, beta = 0.5)
+      .orderBy($"seq").select($"level").collect().map(_.getDouble(0))
+    assert(r.head === 10.0)
+    assert(math.abs(r.last - 500.0) < 1.0, s"level ${r.last} should track x=500")
+    // replay the recurrence exactly
+    var (l, b) = (10.0, 0.0)
+    (2 to 50).foreach { i =>
+      val lNew = 0.5 * (i * 10.0) + 0.5 * (l + b)
+      b = 0.5 * (lNew - l) + 0.5 * b; l = lNew
+    }
+    assert(r.last === l)
+  }
+
   test("null deltas contribute zero, lo > hi rejected") {
     val withNull = Seq(("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, Some(1.0)))
       .toDF("k", "seq", "delta")
