@@ -143,6 +143,28 @@ object SourcesQ extends graft.QueryArea {
     // and manifests are per-version. The output reads all three
     // versions; the oracle recomputes each version's expected content
     // from the commit definitions.
+    // Delta Lake protocol interop (sources/DeltaRead.scala): build a
+    // REAL _delta_log layout (protocol/metaData/add/remove JSON
+    // actions), then time-travel-read it back without any delta jar —
+    // v1 holds keys %3∈{0,1}; commit 2 tombstones the %3==0 files and
+    // adds %3==2, so latest = {1,2}. Oracle from the base table.
+    "src_delta_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "delta_ext")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.DeltaRead.commit(o.filter(col("o_orderkey") % 3 === 0).coalesce(1), table)
+      graft.sources.DeltaRead.commit(o.filter(col("o_orderkey") % 3 === 1).coalesce(1), table)
+      val v0 = graft.sources.DeltaRead.liveFiles(spark, table, Some(0L))
+      graft.sources.DeltaRead.commit(o.filter(col("o_orderkey") % 3 === 2).coalesce(1),
+        table, removePaths = v0)
+      val reads = Seq(1L -> Some(1L), 2L -> None).map { case (tag, v) =>
+        graft.sources.DeltaRead.read(spark, table, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(tag).as("version"), col("n"), col("total"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("version"))
+    }),
     // Snapshot diff (Lake.snapshotDiff): CDC-out between two versions
     // — v1 holds keys %3∈{0,1}; v2 overwrites with %3∈{1,2} and bumps
     // the %3==1 prices, so every key classifies deterministically:
@@ -464,6 +486,15 @@ object SourcesQ extends graft.QueryArea {
         |SELECT coalesce(o_band, 'absent') AS band, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_delta_read" ->
+      """SELECT 1 AS version, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |ORDER BY version""".stripMargin,
     "src_lake_snapshot_diff" ->
       """SELECT CASE o_orderkey % 3 WHEN 0 THEN 'deleted'
         |    WHEN 1 THEN 'changed' ELSE 'inserted' END AS status,

@@ -1,0 +1,110 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reader for the OPEN Delta Lake transaction-log protocol
+  * (delta.io/protocol — `_delta_log/<version>.json`, one JSON action
+  * per line: add / remove / metaData / protocol / commitInfo). The
+  * reference ships a delta-lake external-table connector
+  * (`fe/fe-core/.../connector/delta/`, ConnectorType DELTALAKE); this
+  * is the Spark-native equivalent built directly on the public log
+  * format, no delta-spark jar required: replay the actions up to the
+  * requested version, reconstruct the live file set, scan those
+  * parquet files.
+  *
+  * Scale shape: the log is KBs of JSON read ONCE on the driver (the
+  * same listing work Delta's own reader does); the data scan is a
+  * plain pruned parquet read over exactly the live files — pushdown,
+  * column pruning and AQE all apply as usual. Checkpoint parquet
+  * files (protocol optimization for 10k+ commit logs) are not needed
+  * at this log size and are documented out of scope.
+  */
+object DeltaRead {
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Commit versions present in the log, ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val logDir = new Path(s"$table/_delta_log")
+    val f = fs(spark, table)
+    if (!f.exists(logDir)) throw new IllegalArgumentException(
+      s"not a delta table (no _delta_log): $table")
+    f.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  /** Live data files after replaying the log through `versionAsOf`
+    * (defaults to the latest commit). */
+  def liveFiles(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): Seq[String] = {
+    val f = fs(spark, table)
+    val mapper = new ObjectMapper()
+    val upTo = versionAsOf.getOrElse(versions(spark, table).last)
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    versions(spark, table).filter(_ <= upTo).foreach { v =>
+      val p = new Path(f"$table/_delta_log/$v%020d.json")
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) live += node.get("add").get("path").asText()
+        if (node.has("remove")) live -= node.get("remove").get("path").asText()
+      }
+    }
+    live.toSeq
+  }
+
+  /** Scan the table at a version — a plain parquet read over the live
+    * file set, so pushdown/pruning behave exactly as on native data. */
+  def read(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val files = liveFiles(spark, table, versionAsOf)
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"no live files at $table v$versionAsOf")
+    spark.read.parquet(files.map(p => s"$table/$p"): _*)
+  }
+
+  /** Minimal protocol-conformant writer (commit granularity): write
+    * the DataFrame as parquet files and append one log commit adding
+    * them (plus `removePaths` tombstones). Exists so tests and the
+    * gate can build REAL protocol layouts; production writes stay on
+    * the engine's own lake format. */
+  def commit(df: DataFrame, table: String,
+      removePaths: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val version = if (f.exists(new Path(s"$table/_delta_log")))
+      versions(spark, table).lastOption.map(_ + 1).getOrElse(0L) else 0L
+    val staging = s"$table/_staging_v$version"
+    df.write.mode("overwrite").parquet(staging)
+    val parts = f.listStatus(new Path(staging))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val dest = s"part-$version-$i.snappy.parquet"
+      f.rename(p, new Path(s"$table/$dest")); dest
+    }
+    f.delete(new Path(staging), true)
+    val mapper = new ObjectMapper()
+    val sb = new StringBuilder
+    if (version == 0L) {
+      sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+      val schemaJson = mapper.writeValueAsString(df.schema.json)
+      sb.append(s"""{"metaData":{"id":"graft-${table.hashCode}","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[]}}""").append('\n')
+    }
+    removePaths.foreach { p =>
+      sb.append(s"""{"remove":{"path":${mapper.writeValueAsString(p)},"deletionTimestamp":0,"dataChange":true}}""").append('\n')
+    }
+    named.foreach { p =>
+      sb.append(s"""{"add":{"path":${mapper.writeValueAsString(p)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""").append('\n')
+    }
+    val logPath = new Path(f"$table/_delta_log/$version%020d.json")
+    val out = f.create(logPath, false)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    version
+  }
+}
