@@ -334,6 +334,12 @@ object SourcesQ extends graft.QueryArea {
       InformationSchema.columns(spark, dir, relTables)
         .orderBy(col("table_name"), col("column_name"))
     }),
+    // information_schema.statistics: the catalog stats view over the
+    // Profile operator — one ANALYZE scan per table, numeric columns
+    "src_info_stats" -> ((spark, dir) => {
+      InformationSchema.statistics(spark, dir, Seq("region", "nation", "supplier"))
+        .orderBy(col("table_name"), col("col_name"))
+    }),
     // AGG KEYS table: fold at ingest — one row per key with aggregated
     // value columns (the reference's third table model).
     "keys_agg_fold" -> ((spark, dir) => {
@@ -486,6 +492,46 @@ object SourcesQ extends graft.QueryArea {
         |SELECT coalesce(o_band, 'absent') AS band, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_info_stats" ->
+      """SELECT table_name, col_name, n, n_null, ndv, min_v, max_v, mean FROM (
+        |  SELECT 'region' AS table_name, 'r_regionkey' AS col_name,
+        |    count(r_regionkey) AS n, count(*) - count(r_regionkey) AS n_null,
+        |    count(DISTINCT r_regionkey) AS ndv,
+        |    CAST(min(r_regionkey) AS DOUBLE) AS min_v,
+        |    CAST(max(r_regionkey) AS DOUBLE) AS max_v,
+        |    CAST(sum(CAST(r_regionkey AS DECIMAL(28,6))) AS DOUBLE) / count(r_regionkey) AS mean
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'nation', 'n_nationkey', count(n_nationkey),
+        |    count(*) - count(n_nationkey), count(DISTINCT n_nationkey),
+        |    CAST(min(n_nationkey) AS DOUBLE), CAST(max(n_nationkey) AS DOUBLE),
+        |    CAST(sum(CAST(n_nationkey AS DECIMAL(28,6))) AS DOUBLE) / count(n_nationkey)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'nation', 'n_regionkey', count(n_regionkey),
+        |    count(*) - count(n_regionkey), count(DISTINCT n_regionkey),
+        |    CAST(min(n_regionkey) AS DOUBLE), CAST(max(n_regionkey) AS DOUBLE),
+        |    CAST(sum(CAST(n_regionkey AS DECIMAL(28,6))) AS DOUBLE) / count(n_regionkey)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'supplier', 's_suppkey', count(s_suppkey),
+        |    count(*) - count(s_suppkey), count(DISTINCT s_suppkey),
+        |    CAST(min(s_suppkey) AS DOUBLE), CAST(max(s_suppkey) AS DOUBLE),
+        |    CAST(sum(CAST(s_suppkey AS DECIMAL(28,6))) AS DOUBLE) / count(s_suppkey)
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'supplier', 's_nationkey', count(s_nationkey),
+        |    count(*) - count(s_nationkey), count(DISTINCT s_nationkey),
+        |    CAST(min(s_nationkey) AS DOUBLE), CAST(max(s_nationkey) AS DOUBLE),
+        |    CAST(sum(CAST(s_nationkey AS DECIMAL(28,6))) AS DOUBLE) / count(s_nationkey)
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'supplier', 's_acctbal', count(s_acctbal),
+        |    count(*) - count(s_acctbal), count(DISTINCT s_acctbal),
+        |    CAST(min(s_acctbal) AS DOUBLE), CAST(max(s_acctbal) AS DOUBLE),
+        |    CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(s_acctbal)
+        |  FROM supplier)
+        |ORDER BY table_name, col_name""".stripMargin,
     "src_delta_read" ->
       """SELECT 1 AS version, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -50,4 +50,22 @@ object InformationSchema {
       (t, spark.read.parquet(s"$dir/$t.parquet").schema.size.toLong)
     }.toDF("table_name", "n_columns")
   }
+
+  /** `information_schema.statistics`: per-numeric-column ANALYZE stats
+    * (n / nulls / NDV / min / max / mean) — the catalog view over
+    * `operators/Profile`, one scan per table (ref FE statistic collect
+    * jobs feeding the CBO). */
+  def statistics(spark: SparkSession, dir: String,
+      tableNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.NumericType
+    tableNames.map { t =>
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      val numCols = df.schema.fields
+        .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+      graft.operators.Profile.numericProfile(df, numCols)
+        .select(lit(t).as("table_name"), col("col_name"), col("n"),
+          col("n_null"), col("ndv"), col("min_v"), col("max_v"), col("mean"))
+    }.reduce(_ unionByName _)
+  }
 }
