@@ -165,6 +165,27 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // Hudi COW timeline interop (sources/HudiRead.scala): two file
+    // groups; commit 2 REWRITES group g0 (copy-on-write slice
+    // replacement: %3==0 rows swap to %3==2). Snapshot at commit 1 =
+    // {0,1}; latest = {2,1}. Oracle from the base table.
+    "src_hudi_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "hudi_ext")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val i1 = graft.sources.HudiRead.commit(table, Map(
+        "g0" -> o.filter(col("o_orderkey") % 3 === 0),
+        "g1" -> o.filter(col("o_orderkey") % 3 === 1)))
+      graft.sources.HudiRead.commit(table, Map(
+        "g0" -> o.filter(col("o_orderkey") % 3 === 2)))
+      val reads = Seq(1 -> Some(i1), 2 -> None).map { case (tag, inst) =>
+        graft.sources.HudiRead.read(spark, table, inst)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(tag).as("snap"), col("n"), col("total"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("snap"))
+    }),
     // Snapshot diff (Lake.snapshotDiff): CDC-out between two versions
     // — v1 holds keys %3∈{0,1}; v2 overwrites with %3∈{1,2} and bumps
     // the %3==1 prices, so every key classifies deterministically:
@@ -532,6 +553,15 @@ object SourcesQ extends graft.QueryArea {
         |    CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(s_acctbal)
         |  FROM supplier)
         |ORDER BY table_name, col_name""".stripMargin,
+    "src_hudi_read" ->
+      """SELECT 1 AS snap, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |ORDER BY snap""".stripMargin,
     "src_delta_read" ->
       """SELECT 1 AS version, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -1,0 +1,101 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reader for Apache Hudi COPY-ON-WRITE table layouts (public format:
+  * hudi.apache.org/docs/concepts — a `.hoodie/` timeline of
+  * `<instant>.commit` JSON files whose write stats name the base
+  * parquet files, and file groups where the LATEST base file per
+  * fileId is the live slice). The reference ships a Hudi external
+  * connector (`fe/fe-core/.../connector/hudi/`, ConnectorType HUDI);
+  * this is the Spark-native equivalent over the open timeline format,
+  * no hudi-spark bundle required.
+  *
+  * Replay: commits in instant order; each write stat maps fileId →
+  * base file path; later commits REPLACE a file group's slice
+  * (copy-on-write semantics). Snapshot read = latest slice per group,
+  * scanned as plain parquet (pushdown/pruning as usual). MOR log
+  * files and replacecommit/clustering are out of scope — COW
+  * snapshot reads only, the 90% read path. */
+object HudiRead {
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Completed commit instants, ascending. */
+  def instants(spark: SparkSession, table: String): Seq[String] = {
+    val dir = new Path(s"$table/.hoodie")
+    val f = fs(spark, table)
+    if (!f.exists(dir)) throw new IllegalArgumentException(
+      s"not a hudi table (no .hoodie): $table")
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit")).sorted.toSeq
+  }
+
+  /** fileId → live base-file path at `instantAsOf` (default latest). */
+  def liveSlices(spark: SparkSession, table: String,
+      instantAsOf: Option[String] = None): Map[String, String] = {
+    val f = fs(spark, table)
+    val mapper = new ObjectMapper()
+    val upTo = instantAsOf.getOrElse(instants(spark, table).last)
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    instants(spark, table).filter(_ <= upTo).foreach { i =>
+      val in = f.open(new Path(s"$table/.hoodie/$i.commit"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = mapper.readTree(text)
+      val stats = node.get("partitionToWriteStats")
+      if (stats != null) {
+        val parts = stats.fields()
+        while (parts.hasNext) {
+          val entry = parts.next()
+          entry.getValue.forEach { ws =>
+            live(ws.get("fileId").asText()) = ws.get("path").asText()
+          }
+        }
+      }
+    }
+    live.toMap
+  }
+
+  /** Snapshot scan at an instant: latest slice per file group. */
+  def read(spark: SparkSession, table: String,
+      instantAsOf: Option[String] = None): DataFrame = {
+    val files = liveSlices(spark, table, instantAsOf).values.toSeq
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"no live slices at $table")
+    spark.read.parquet(files.map(p => s"$table/$p"): _*)
+  }
+
+  /** Minimal layout writer (one commit): each DataFrame partition of
+    * `groups` becomes/replaces one file group. Exists so tests and
+    * the gate can build real timeline layouts. */
+  def commit(table: String, groups: Map[String, DataFrame]): String = {
+    require(groups.nonEmpty, "commit needs at least one file group")
+    val spark = groups.head._2.sparkSession
+    val f = fs(spark, table)
+    val instant = f"${instants0(spark, table).size + 1}%014d"
+    val mapper = new ObjectMapper()
+    val stats = groups.map { case (fileId, df) =>
+      val staging = s"$table/_staging_$instant$fileId"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new Path(staging))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      val dest = s"${fileId}_0-0-0_$instant.parquet"
+      f.rename(part, new Path(s"$table/$dest"))
+      f.delete(new Path(staging), true)
+      s"""{"fileId":${mapper.writeValueAsString(fileId)},"path":${mapper.writeValueAsString(dest)}}"""
+    }
+    val json =
+      s"""{"partitionToWriteStats":{"":[${stats.mkString(",")}]}}"""
+    val out = f.create(new Path(s"$table/.hoodie/$instant.commit"), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    instant
+  }
+
+  private def instants0(spark: SparkSession, table: String): Seq[String] =
+    try instants(spark, table) catch { case _: IllegalArgumentException => Nil }
+}
