@@ -165,6 +165,30 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // Iceberg snapshot interop (sources/IcebergRead.scala): metadata
+    // JSON → manifest-list Avro → manifest Avro → data files, read
+    // with avro-core by field name (accepts real Iceberg layouts).
+    // Snapshot 1 appends %3∈{0}; snapshot 2 appends %3∈{1}; snapshot 3
+    // OVERWRITES with %3∈{2}. Time travel to snapshot 2 = {0,1}.
+    "src_iceberg_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_ext")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.IcebergRead.commitSnapshot(
+        o.filter(col("o_orderkey") % 3 === 0).coalesce(1), table)
+      val s2 = graft.sources.IcebergRead.commitSnapshot(
+        o.filter(col("o_orderkey") % 3 === 1).coalesce(1), table)
+      graft.sources.IcebergRead.commitSnapshot(
+        o.filter(col("o_orderkey") % 3 === 2).coalesce(1), table,
+        carryForward = false)
+      val reads = Seq(1 -> Some(s2), 2 -> None).map { case (tag, snap) =>
+        graft.sources.IcebergRead.read(spark, table, snap)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(tag).as("snap"), col("n"), col("total"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("snap"))
+    }),
     // Hudi COW timeline interop (sources/HudiRead.scala): two file
     // groups; commit 2 REWRITES group g0 (copy-on-write slice
     // replacement: %3==0 rows swap to %3==2). Snapshot at commit 1 =
@@ -553,6 +577,15 @@ object SourcesQ extends graft.QueryArea {
         |    CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(s_acctbal)
         |  FROM supplier)
         |ORDER BY table_name, col_name""".stripMargin,
+    "src_iceberg_read" ->
+      """SELECT 1 AS snap, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY snap""".stripMargin,
     "src_hudi_read" ->
       """SELECT 1 AS snap, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -1,0 +1,169 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reader for Apache Iceberg table SNAPSHOTS over the open spec
+  * (iceberg.apache.org/spec — `metadata/vN.metadata.json` JSON →
+  * snapshot's `manifest-list` Avro → manifest Avro entries →
+  * data-file paths). The reference ships an Iceberg connector
+  * (`fe/fe-core/.../connector/iceberg/`, ConnectorType ICEBERG); this
+  * is the Spark-native equivalent on avro-core + Jackson, no
+  * iceberg-spark runtime required.
+  *
+  * Field access is BY NAME off each Avro record's writer schema
+  * (`manifest_path`, `status`, `data_file.file_path`), so the reader
+  * accepts real Iceberg files regardless of the extra fields real
+  * writers emit. Status 2 (DELETED) drops an entry; position/equality
+  * delete files (format v2 row-level deletes) are out of scope —
+  * append/overwrite snapshots only. Metadata is KBs on the driver;
+  * the data scan is a plain pruned parquet read.
+  */
+object IcebergRead {
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def latestMetadata(spark: SparkSession, table: String): Path = {
+    val dir = new Path(s"$table/metadata")
+    val f = fs(spark, table)
+    if (!f.exists(dir)) throw new IllegalArgumentException(
+      s"not an iceberg table (no metadata/): $table")
+    val metas = f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json"))
+    require(metas.nonEmpty, s"no *.metadata.json under $table/metadata")
+    metas.maxBy(_.getName)
+  }
+
+  private def readAvroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(path))
+    val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer[GenericRecord]()
+      while (stream.hasNext) buf += stream.next()
+      buf.toSeq
+    } finally stream.close()
+  }
+
+  /** Data-file paths of a snapshot (default: current). */
+  def dataFiles(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): Seq[String] = {
+    val mapper = new ObjectMapper()
+    val f = fs(spark, table)
+    val metaPath = latestMetadata(spark, table)
+    val in = f.open(metaPath)
+    val meta = try mapper.readTree(in) finally in.close()
+    val snaps = meta.get("snapshots")
+    require(snaps != null && snaps.size() > 0, "metadata has no snapshots")
+    val wanted = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
+    var manifestList: String = null
+    snaps.forEach { s =>
+      if (s.get("snapshot-id").asLong == wanted)
+        manifestList = s.get("manifest-list").asText()
+    }
+    require(manifestList != null, s"snapshot $wanted not in metadata")
+    val manifests = readAvroRecords(spark, manifestList)
+      .map(_.get("manifest_path").toString)
+    manifests.flatMap { m =>
+      readAvroRecords(spark, m).flatMap { entry =>
+        val status = entry.get("status").asInstanceOf[Int]
+        if (status == 2) None // DELETED
+        else Some(entry.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+      }
+    }
+  }
+
+  /** Snapshot scan — plain parquet over the snapshot's file set. */
+  def read(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val files = dataFiles(spark, table, snapshotId)
+    require(files.nonEmpty, s"snapshot has no data files: $table")
+    spark.read.parquet(files: _*)
+  }
+
+  // ---- minimal spec-shaped layout writer (tests + gate) ----
+
+  private val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry")
+    .fields()
+    .requiredInt("status")
+    .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
+      .requiredString("file_path").endRecord()).noDefault()
+    .endRecord()
+
+  private val manifestFileSchema: Schema = SchemaBuilder.record("manifest_file")
+    .fields().requiredString("manifest_path").endRecord()
+
+  private def writeAvro(spark: SparkSession, path: String, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(path), true)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  /** Append a snapshot: the DataFrame's rows become data files listed
+    * by a fresh manifest + manifest list + metadata.json version.
+    * `carryForward` keeps previous snapshots' files live (append);
+    * without it the new snapshot replaces the table (overwrite). */
+  def commitSnapshot(df: DataFrame, table: String,
+      carryForward: Boolean = true): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val prior = try dataFiles(spark, table, None)
+      catch { case _: Exception => Nil }
+    val version = {
+      val dir = new Path(s"$table/metadata")
+      if (!f.exists(dir)) 1L
+      else f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".metadata.json"))
+        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+        .foldLeft(0L)(math.max) + 1
+    }
+    val snapId = version
+    val staging = s"$table/_staging_v$version"
+    df.write.mode("overwrite").parquet(staging)
+    val parts = f.listStatus(new Path(staging))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    val dataPaths = parts.zipWithIndex.map { case (p, i) =>
+      val dest = s"$table/data/f$version-$i.parquet"
+      f.mkdirs(new Path(s"$table/data"))
+      f.rename(p, new Path(dest)); dest
+    }.toSeq
+    f.delete(new Path(staging), true)
+    val live = (if (carryForward) prior else Nil) ++ dataPaths
+    val entries = live.map { p =>
+      val dfRec = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      dfRec.put("file_path", p)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1); e.put("data_file", dfRec); e
+    }
+    val manifestPath = s"$table/metadata/m$version.avro"
+    writeAvro(spark, manifestPath, manifestEntrySchema, entries)
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", manifestPath)
+    val listPath = s"$table/metadata/snap-$snapId.avro"
+    writeAvro(spark, listPath, manifestFileSchema, Seq(mf))
+    val mapper = new ObjectMapper()
+    // keep prior snapshots in the metadata so snapshotId time travel works
+    val priorSnaps = try {
+      val in = f.open(latestMetadata(spark, table))
+      val meta = try mapper.readTree(in) finally in.close()
+      val sb = new StringBuilder
+      meta.get("snapshots").forEach(s => sb.append(mapper.writeValueAsString(s)).append(','))
+      sb.toString
+    } catch { case _: Exception => "" }
+    val json =
+      s"""{"format-version":2,"current-snapshot-id":$snapId,"snapshots":[$priorSnaps{"snapshot-id":$snapId,"manifest-list":${mapper.writeValueAsString(listPath)}}]}"""
+    val out = f.create(new Path(f"$table/metadata/v$version%05d.metadata.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    snapId
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import graft.sources.IcebergRead
+
+/** Iceberg metadata→manifest-list→manifest→files replay: appends,
+  * overwrite snapshots, snapshot-id time travel. */
+class IcebergReadSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("snapshot chain: append, append, overwrite; time travel by id") {
+    val table = java.nio.file.Files.createTempDirectory("graft-ice").toString
+    val a = Seq((1L, "a")).toDF("id", "v")
+    val b = Seq((2L, "b")).toDF("id", "v")
+    val c = Seq((3L, "c")).toDF("id", "v")
+    val s1 = IcebergRead.commitSnapshot(a.coalesce(1), table)
+    val s2 = IcebergRead.commitSnapshot(b.coalesce(1), table)
+    IcebergRead.commitSnapshot(c.coalesce(1), table, carryForward = false)
+    def ids(snap: Option[Long]) = IcebergRead.read(spark, table, snap)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids(None) === Set(3L))          // overwrite replaced the table
+    assert(ids(Some(s2)) === Set(1L, 2L))  // append chain at snapshot 2
+    assert(ids(Some(s1)) === Set(1L))
+    intercept[IllegalArgumentException] {
+      IcebergRead.dataFiles(spark,
+        java.nio.file.Files.createTempDirectory("ni").toString)
+    }
+  }
+}
