@@ -492,6 +492,19 @@ object Behavior extends graft.QueryArea {
         .orderBy("user_id")
     }),
 
+    // Row-pattern matching (operators/PatternMatch.scala): contiguous
+    // signup → click+ → purchase runs per user, greedy, emitted once
+    // per maximal run — MATCH_RECOGNIZE's canonical A B+ C shape via
+    // gaps-and-islands windows. Oracle mirrors the construction.
+    "evt_match_recognize" -> ((spark, dir) => {
+      graft.operators.PatternMatch.matchABplusC(
+          events(spark, dir), "user_id", Seq("ts", "event_id"), "event_id",
+          isA = col("event_type") === "signup",
+          isB = col("event_type") === "click",
+          isC = col("event_type") === "purchase")
+        .orderBy("user_id", "start_id")
+    }),
+
     // MATCH_RECOGNIZE-lite: count per user of 3-in-a-row strictly
     // rising values (pattern A < B < C over the user's event run) —
     // the lag-composition form of the reference's sequence_count
@@ -855,6 +868,29 @@ object Behavior extends graft.QueryArea {
         |  FROM s)
         |SELECT user_id, CAST(max(peak - s) AS DOUBLE) AS max_drawdown
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "evt_match_recognize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'signup' THEN 'A' WHEN 'click' THEN 'B'
+        |      WHEN 'purchase' THEN 'C' ELSE 'X' END AS lbl
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, lbl,
+        |    row_number() OVER w AS rn,
+        |    lag(lbl) OVER w AS plbl, lag(event_id) OVER w AS pid,
+        |    lead(lbl) OVER w AS nlbl, lead(event_id) OVER w AS nid
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+        |  FROM l WHERE lbl = 'B'),
+        |runs AS (
+        |  SELECT user_id, isl, count(*) AS n_b,
+        |    min_by(pid, rn) AS start_id, max_by(nid, rn) AS end_id,
+        |    min_by(plbl, rn) AS fl, max_by(nlbl, rn) AS ll
+        |  FROM b GROUP BY user_id, isl)
+        |SELECT user_id, start_id, end_id, n_b FROM runs
+        |WHERE fl = 'A' AND ll = 'C'
+        |ORDER BY user_id, start_id""".stripMargin,
     "evt_pattern_3rise" ->
       """WITH lagged AS (
         |  SELECT user_id, value,

@@ -106,6 +106,25 @@ class BehaviorSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("A B+ C pattern matching on a hand-traced sequence") {
+    import spark.implicits._
+    // per key k1: A B B C (match, n_b=2) then B C alone (no A — no match),
+    // then A C adjacent (no B — no match), then A B C (match, n_b=1)
+    val rows = Seq(
+      ("k1", 1L, "A"), ("k1", 2L, "B"), ("k1", 3L, "B"), ("k1", 4L, "C"),
+      ("k1", 5L, "B"), ("k1", 6L, "C"),
+      ("k1", 7L, "A"), ("k1", 8L, "C"),
+      ("k1", 9L, "A"), ("k1", 10L, "B"), ("k1", 11L, "C"),
+      ("k2", 1L, "B"), ("k2", 2L, "B")) // run with no anchors — no match
+      .toDF("k", "seq", "t")
+    val got = graft.operators.PatternMatch.matchABplusC(
+        rows, "k", Seq("seq"), "seq",
+        isA = col("t") === "A", isB = col("t") === "B", isC = col("t") === "C")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(x => (x._1, x._2)).toSeq ===
+      Seq(("k1", 1L, 4L, 2L), ("k1", 9L, 11L, 1L)))
+  }
+
   test("3-rise pattern counts match a replayed scan") {
     // replay per user in driver memory at the tiny test SF
     val ev = table("events").select("user_id", "ts", "event_id", "value")
