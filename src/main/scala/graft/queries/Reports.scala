@@ -104,6 +104,23 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // Join-skew diagnostics: per join-key column, the top key's share
+    // and max/median frequency ratio — the planner-side signal that
+    // picks AQE skew-join or the salted join (operators/Colocate).
+    // One count-aggregate per key column, stats over the key table.
+    "rpt_skew_diagnostics" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val stats = Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+        li.groupBy(col(k).as("kv")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), max("c").as("max_freq"),
+            sum("c").as("total"),
+            expr("percentile(c, 0.5)").as("med"))
+          .select(lit(k).as("key_col"), col("n_keys"), col("max_freq"),
+            round(col("max_freq").cast("double") / col("total"), 6).as("top_share"),
+            round(col("max_freq").cast("double") / col("med"), 4).as("skew_ratio"))
+      }
+      stats.reduce(_ unionByName _).orderBy(col("key_col"))
+    }),
     // Decile lift analysis (model-scoring report): customers ranked by
     // total spend into deciles; per-decile urgent-order conversion
     // rate and cumulative lift vs the overall rate. ntile runs over
@@ -195,6 +212,27 @@ object Reports extends graft.QueryArea {
 
   def oracles: Map[String, String] = Map(
     "rpt_dq_assertions" -> dqSql,
+    "rpt_skew_diagnostics" ->
+      """WITH ko AS (SELECT l_orderkey AS kv, count(*) AS c FROM lineitem GROUP BY 1),
+        |kp AS (SELECT l_partkey AS kv, count(*) AS c FROM lineitem GROUP BY 1),
+        |ks AS (SELECT l_suppkey AS kv, count(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT key_col, n_keys, max_freq, top_share, skew_ratio FROM (
+        |  SELECT 'l_orderkey' AS key_col, count(*) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS max_freq,
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+        |    round(CAST(max(c) AS DOUBLE) / quantile_cont(c, 0.5), 4) AS skew_ratio
+        |  FROM ko
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*), CAST(max(c) AS BIGINT),
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6),
+        |    round(CAST(max(c) AS DOUBLE) / quantile_cont(c, 0.5), 4)
+        |  FROM kp
+        |  UNION ALL
+        |  SELECT 'l_suppkey', count(*), CAST(max(c) AS BIGINT),
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6),
+        |    round(CAST(max(c) AS DOUBLE) / quantile_cont(c, 0.5), 4)
+        |  FROM ks)
+        |ORDER BY key_col""".stripMargin,
     "rpt_decile_lift" ->
       """WITH cust AS (
         |  SELECT o_custkey,

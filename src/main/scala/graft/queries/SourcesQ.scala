@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.KeysModels
 import graft.sources.{Formats, InformationSchema}
@@ -209,6 +209,43 @@ object SourcesQ extends graft.QueryArea {
           .select(lit(tag).as("snap"), col("n"), col("total"))
       }
       reads.reduce(_ unionByName _).orderBy(col("snap"))
+    }),
+    // Incremental aggregate maintenance (IVM, batch side): the v1
+    // aggregate is brought to v2 by APPLYING the snapshot diff's
+    // retraction deltas (+new for inserts, −old for deletes, both for
+    // changes) — no rescan of v2. The gate's output must equal a full
+    // recompute at v2, which the oracle derives from the base table.
+    "mv_delta_apply" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_ivm")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 < 2), table, Nil)
+      val v2 = o.filter(col("o_orderkey") % 3 > 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 1, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.sources.Lake.write(v2, table, Nil)
+      val bucket = (c: Column) => (c % 5).cast("int")
+      val baseAgg = graft.sources.Lake.read(spark, table, Some(1))
+        .groupBy(bucket(col("o_orderkey")).as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("s"))
+      val diff = graft.sources.Lake.snapshotDiff(spark, table, "o_orderkey",
+        1, 2, withValues = true)
+      val deltas = diff.where(col("status") =!= "unchanged")
+        .groupBy(bucket(col("o_orderkey")).as("b"))
+        .agg(
+          sum(when(col("status") === "inserted", 1L)
+            .when(col("status") === "deleted", -1L).otherwise(0L)).as("dn"),
+          sum(coalesce(col("new.o_totalprice").cast("decimal(18,6)"), lit(0)) -
+            coalesce(col("old.o_totalprice").cast("decimal(18,6)"), lit(0))).as("ds"))
+      baseAgg.join(deltas, Seq("b"), "full_outer")
+        .select(col("b"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")) +
+            coalesce(col("ds"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")))
+            .cast("double").as("total"))
+        .orderBy(col("b"))
     }),
     // Snapshot diff (Lake.snapshotDiff): CDC-out between two versions
     // — v1 holds keys %3∈{0,1}; v2 overwrites with %3∈{1,2} and bumps
@@ -604,6 +641,12 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
         |ORDER BY version""".stripMargin,
+    "mv_delta_apply" ->
+      """SELECT CAST(o_orderkey % 5 AS INT) AS b, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice + 1
+        |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 > 0
+        |GROUP BY 1 ORDER BY b""".stripMargin,
     "src_lake_snapshot_diff" ->
       """SELECT CASE o_orderkey % 3 WHEN 0 THEN 'deleted'
         |    WHEN 1 THEN 'changed' ELSE 'inserted' END AS status,

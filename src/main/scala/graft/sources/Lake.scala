@@ -596,20 +596,24 @@ object Lake {
     * are plain pruned scans; the join shuffles on the PK like any
     * merge — no per-file bookkeeping beyond the manifests. */
   def snapshotDiff(spark: SparkSession, table: String, pk: String,
-      fromVersion: Int, toVersion: Int): DataFrame = {
+      fromVersion: Int, toVersion: Int,
+      withValues: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val before = read(spark, table, Some(fromVersion))
     val after = read(spark, table, Some(toVersion))
     val valueCols = before.columns.filterNot(_ == pk).toSeq
     val b = before.select(col(pk), struct(valueCols.map(col): _*).as("__b"))
     val a = after.select(col(pk), struct(valueCols.map(col): _*).as("__a"))
-    b.join(a, Seq(pk), "full_outer")
+    val classified = b.join(a, Seq(pk), "full_outer")
       .withColumn("status",
         when(col("__b").isNull, lit("inserted"))
           .when(col("__a").isNull, lit("deleted"))
           .when(col("__a") =!= col("__b"), lit("changed"))
           .otherwise(lit("unchanged")))
-      .select(col(pk), col("status"))
+    if (withValues)
+      classified.select(col(pk), col("status"),
+        col("__b").as("old"), col("__a").as("new"))
+    else classified.select(col(pk), col("status"))
   }
 
   /** Table history (one row per snapshot) — the audit surface. */
