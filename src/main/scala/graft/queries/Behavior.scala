@@ -304,6 +304,55 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Stickiness (DAU/MAU): daily actives over trailing-30-day actives
+    // per day — the second rolling-distinct rewrite (each (day, user)
+    // activity supports 30 target days; bounded 30x replication of the
+    // SMALL distinct day-user table, never the raw events).
+    "evt_stickiness" -> ((spark, dir) => {
+      val du = events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val contrib = du.withColumn("target",
+        explode(sequence(col("day"), date_add(col("day"), 29))))
+      val mau = du.select(col("day").as("target")).distinct()
+        .join(contrib, "target")
+        .groupBy(col("target").as("day"))
+        .agg(countDistinct("user_id").as("mau"))
+      dau.join(mau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // CUSUM drift alarm (SPC monitoring): s_i = max(0, s_{i-1} +
+    // (x - target - slack)) per event type over the hourly mean
+    // series; alarms where s exceeds h. Same closed form as the
+    // clamped balance (lower-bound-only recurrences stay window-
+    // expressible; see ts_capped_balance for the both-bounds case).
+    "ts_cusum_alarm" -> ((spark, dir) => {
+      val hourly = events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("v"))
+      val target = hourly.groupBy("event_type")
+        .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mu"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.join(broadcast(target), "event_type")
+        .withColumn("x", (col("v") - col("mu") - lit(2.0)).cast("decimal(28,12)"))
+        .withColumn("ssum", sum("x").over(w))
+        .withColumn("low", least(lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+          min("ssum").over(w)))
+        .withColumn("cusum", (col("ssum") - col("low")).cast("double"))
+        .where(col("cusum") > 15.0)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH").as("h"),
+          round(col("cusum"), 6).as("cusum"))
+        .orderBy("event_type", "h")
+    }),
+
     // New-vs-returning daily split: users active each day classified
     // by whether that day is their first-ever day — one per-user min,
     // broadcast onto the per-day distinct actives.
@@ -702,6 +751,47 @@ object Behavior extends graft.QueryArea {
         |FROM days d LEFT JOIN du u
         |  ON u.day <= d.day AND u.day >= d.day - 6
         |GROUP BY d.day ORDER BY day""".stripMargin,
+    "evt_stickiness" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |mau AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS mau
+        |  FROM (SELECT DISTINCT day FROM du) d JOIN du u
+        |    ON u.day <= d.day AND u.day >= d.day - 29
+        |  GROUP BY d.day)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, m.mau,
+        |  round(CAST(a.dau AS DOUBLE) / m.mau, 6) AS stickiness
+        |FROM dau a JOIN mau m ON a.day = m.day ORDER BY day""".stripMargin,
+    "ts_cusum_alarm" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |tgt AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+        |  FROM hourly GROUP BY 1),
+        |x AS (
+        |  SELECT h.event_type, h.h,
+        |    CAST(h.v - t.mu - 2.0 AS DECIMAL(28,12)) AS x
+        |  FROM hourly h JOIN tgt t ON h.event_type = t.event_type),
+        |r1 AS (
+        |  SELECT event_type, h, sum(x) OVER w AS ssum FROM x
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r2 AS (
+        |  SELECT event_type, h, ssum,
+        |    CASE WHEN m < CAST(0 AS DECIMAL(38,12)) THEN m
+        |         ELSE CAST(0 AS DECIMAL(38,12)) END AS low
+        |  FROM (
+        |    SELECT event_type, h, ssum,
+        |      min(ssum) OVER (PARTITION BY event_type ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |    FROM r1))
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H') AS h,
+        |  round(CAST(ssum - low AS DOUBLE), 6) AS cusum
+        |FROM r2 WHERE CAST(ssum - low AS DOUBLE) > 15.0
+        |ORDER BY event_type, h""".stripMargin,
     "evt_since_last_reset" ->
       """WITH seg AS (
         |  SELECT event_id, user_id, ts,

@@ -104,6 +104,26 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // Pareto coverage (80/20): rank customers by revenue, cumulative
+    // share over the ranked aggregate, report how many cover each
+    // threshold — windows over the customer-grain rows only.
+    "rpt_pareto" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev) OVER () AS total,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+        |  FROM cust)
+        |SELECT t.threshold,
+        |  min(CASE WHEN cum / total >= t.threshold THEN rk END) AS n_customers
+        |FROM ranked CROSS JOIN (
+        |  SELECT CAST(0.5 AS DOUBLE) AS threshold UNION ALL SELECT CAST(0.8 AS DOUBLE) UNION ALL SELECT CAST(0.95 AS DOUBLE)) t
+        |GROUP BY t.threshold ORDER BY t.threshold""".stripMargin)),
     // Join-skew diagnostics: per join-key column, the top key's share
     // and max/median frequency ratio — the planner-side signal that
     // picks AQE skew-join or the salted join (operators/Colocate).
@@ -212,6 +232,23 @@ object Reports extends graft.QueryArea {
 
   def oracles: Map[String, String] = Map(
     "rpt_dq_assertions" -> dqSql,
+    "rpt_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev) OVER () AS total,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+        |  FROM cust)
+        |SELECT t.threshold,
+        |  min(CASE WHEN cum / total >= t.threshold THEN rk END) AS n_customers
+        |FROM ranked CROSS JOIN (
+        |  SELECT CAST(0.5 AS DOUBLE) AS threshold UNION ALL SELECT CAST(0.8 AS DOUBLE) UNION ALL SELECT CAST(0.95 AS DOUBLE)) t
+        |GROUP BY t.threshold ORDER BY t.threshold""".stripMargin,
     "rpt_skew_diagnostics" ->
       """WITH ko AS (SELECT l_orderkey AS kv, count(*) AS c FROM lineitem GROUP BY 1),
         |kp AS (SELECT l_partkey AS kv, count(*) AS c FROM lineitem GROUP BY 1),
