@@ -210,6 +210,41 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("snap"))
     }),
+    // Partition retention (Lake.expirePartitions): TTL-style drop of
+    // the 1-URGENT / 2-HIGH partitions as a manifest-only commit —
+    // no data IO; the expired partitions stay time-travel-reachable.
+    "src_lake_retention" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_ttl")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o, table, Seq("o_orderpriority"))
+      graft.sources.Lake.expirePartitions(spark, table, "o_orderpriority",
+        keep = _ >= "3")
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Table clone (Lake.clone): physical backup of the current
+    // snapshot into a fresh table; the copy must read bit-identically.
+    "src_lake_clone" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_src")
+      val backup = tmpDir(dir, "lake_bak")
+      graft.sources.Formats.deleteDir(spark, table)
+      graft.sources.Formats.deleteDir(spark, backup)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o, table, Seq("o_orderpriority"))
+      graft.sources.Lake.clone(spark, table, backup)
+      graft.sources.Lake.read(spark, backup)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Incremental aggregate maintenance (IVM, batch side): the v1
     // aggregate is brought to v2 by APPLYING the snapshot diff's
     // retraction deltas (+new for inserts, −old for deletes, both for
@@ -641,6 +676,16 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
         |ORDER BY version""".stripMargin,
+    "src_lake_retention" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority >= '3'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_clone" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "mv_delta_apply" ->
       """SELECT CAST(o_orderkey % 5 AS INT) AS b, count(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice + 1

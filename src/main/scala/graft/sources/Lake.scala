@@ -458,6 +458,57 @@ object Lake {
     v
   }
 
+  /** Partition retention (TTL enforcement — the reference's dynamic
+    * partition DROP): commit a new snapshot WITHOUT the files whose
+    * `partCol` value fails `keep`. A pure manifest operation — no data
+    * file is read, rewritten, or deleted, so the commit is O(#files)
+    * metadata regardless of table size, expired partitions stay
+    * reachable through time travel, and a later vacuum can GC the
+    * unreferenced files. */
+  def expirePartitions(spark: SparkSession, table: String, partCol: String,
+      keep: String => Boolean): Int = {
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    require(snap.partitionCols.contains(partCol),
+      s"$partCol is not a partition column of $table")
+    val kept = snap.files.filter(f => keep(f.partitionValues(partCol)))
+    if (kept.size == snap.files.size) return prev
+    require(kept.nonEmpty, "retention would drop every partition")
+    val v = prev + 1
+    val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
+      snap.partitionCols, kept)
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
+  }
+
+  /** Table clone (backup/restore): copy the CURRENT snapshot's data
+    * files and commit them as version 1 of `dst` — a full physical
+    * backup whose history starts fresh. File copies are the only data
+    * IO; a same-filesystem deployment could hard-link instead. */
+  def clone(spark: SparkSession, src: String, dst: String): Int = {
+    val prev = currentVersion(spark, src)
+    require(prev > 0, s"no committed version at $src")
+    val snap = readSnapshot(spark, src, prev)
+    val f = fs(spark, dst)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val copied = snap.files.map { fl =>
+      val srcPath = new Path(fl.path)
+      val rel = fl.path.stripPrefix(s"$src/")
+      val dstPath = new Path(s"$dst/$rel")
+      f.mkdirs(dstPath.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcPath.getFileSystem(conf), srcPath, f, dstPath, false, conf)
+      fl.copy(path = dstPath.toString)
+    }
+    val snapNew = Snapshot(1, System.currentTimeMillis(), snap.schemaJson,
+      snap.partitionCols, copied)
+    writeJson(spark, dst, manifestFile(dst, 1), snapshotToJava(snapNew))
+    commitVersion(spark, dst, 1)
+    1
+  }
+
   /** Shared CoW machinery: find the files with rows matching
     * `predicate`, rebuild ONLY those through `transform` (partition
     * columns re-attached from manifest values first), commit untouched

@@ -77,4 +77,35 @@ class LakeZorderSpec extends SparkSuite {
     assert(box === direct)
     assert(indexZ.lastStatsSkippedFileCount > 0)
   }
+
+  test("partition retention is manifest-only and time-travel-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "p")
+    Lake.write(df, dir, Seq("p"))
+    val before = Lake.read(spark, dir).count()
+    val v2 = Lake.expirePartitions(spark, dir, "p", keep = _ != "a")
+    assert(v2 === 2)
+    assert(Lake.read(spark, dir).select($"id").collect()
+      .map(_.getLong(0)).toSet === Set(3L, 4L))
+    // expired partitions remain readable at the prior version
+    assert(Lake.read(spark, dir, Some(1)).count() === before)
+    // no-op retention returns the same version; dropping all is refused
+    assert(Lake.expirePartitions(spark, dir, "p", keep = _ => true) === 2)
+    intercept[IllegalArgumentException] {
+      Lake.expirePartitions(spark, dir, "p", keep = _ => false)
+    }
+  }
+
+  test("clone is a physically independent backup") {
+    val src = java.nio.file.Files.createTempDirectory("graft-cl-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-cl-dst").toString + "/bak"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+    Lake.write(df, src, Seq("p"))
+    Lake.clone(spark, src, dst)
+    assert(Lake.read(spark, dst).count() === 2)
+    // mutating the source must not affect the backup
+    Lake.delete(spark, src, $"id" === 1L)
+    assert(Lake.read(spark, src).count() === 1)
+    assert(Lake.read(spark, dst).count() === 2)
+  }
 }
