@@ -483,6 +483,39 @@ object Lake {
     v
   }
 
+  /** Vacuum: physically delete data files referenced by NO retained
+    * snapshot, then drop the expired manifests — the GC step after
+    * retention/compaction/CoW rewrites. `retainLast` snapshots keep
+    * their time-travel guarantee; older versions become unreadable by
+    * design. Listing + deletes are metadata-rate operations. */
+  def vacuum(spark: SparkSession, table: String, retainLast: Int = 1): Int = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val current = currentVersion(spark, table)
+    require(current > 0, s"no committed version at $table")
+    val f = fs(spark, table)
+    val keepVersions = (math.max(1, current - retainLast + 1) to current).toSeq
+    val referenced = keepVersions
+      .flatMap(v => readSnapshot(spark, table, v).files.map(_.path)).toSet
+    val dataDir = new Path(s"$table/data")
+    var removed = 0
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, true)
+      val toDelete = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(st.getPath.toString) &&
+            !referenced.contains(st.getPath.toUri.getPath))
+          toDelete += st.getPath
+      }
+      toDelete.foreach { p => if (f.delete(p, false)) removed += 1 }
+    }
+    (1 until keepVersions.head).foreach { v =>
+      f.delete(manifestFile(table, v), false)
+    }
+    removed
+  }
+
   /** Table clone (backup/restore): copy the CURRENT snapshot's data
     * files and commit them as version 1 of `dst` — a full physical
     * backup whose history starts fresh. File copies are the only data

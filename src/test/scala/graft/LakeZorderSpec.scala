@@ -96,6 +96,22 @@ class LakeZorderSpec extends SparkSuite {
     }
   }
 
+  test("vacuum deletes only unreferenced files, keeps retained history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vac").toString
+    val d1 = Seq((1L, "a")).toDF("id", "p")
+    val d2 = Seq((2L, "b")).toDF("id", "p")
+    Lake.write(d1, dir, Nil)            // v1
+    Lake.write(d2, dir, Nil)            // v2 overwrite — v1 files orphaned
+    assert(Lake.read(spark, dir, Some(1)).count() === 1)
+    val removed = Lake.vacuum(spark, dir, retainLast = 1)
+    assert(removed >= 1, "vacuum found nothing to delete")
+    // current snapshot intact; expired version no longer readable
+    assert(Lake.read(spark, dir).select($"id").head.getLong(0) === 2L)
+    intercept[Exception] { Lake.read(spark, dir, Some(1)).count() }
+    // idempotent: second vacuum removes nothing
+    assert(Lake.vacuum(spark, dir, retainLast = 1) === 0)
+  }
+
   test("clone is a physically independent backup") {
     val src = java.nio.file.Files.createTempDirectory("graft-cl-src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-cl-dst").toString + "/bak"
