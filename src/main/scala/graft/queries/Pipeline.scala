@@ -636,6 +636,25 @@ object Pipeline extends graft.QueryArea {
     }),
     // PII scrub: documents carry no PII, so the gate plants synthetic
     // email/IP/phone strings deterministically; the oracle replants and
+    // Lexical diversity (corpus quality signal alongside the Gopher
+    // gate): per-doc type-token ratio and hapax fraction — low TTR
+    // flags template/boilerplate docs, high hapax flags noise. One
+    // explode + two keyed aggregations, map-side combined.
+    "text_lexical_diversity" -> ((spark, dir) => {
+      val words = t(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      val perWord = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      perWord.groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_hapax").cast("double") /
+            greatest(col("n_types"), lit(1L)), 6).as("hapax_frac"))
+        .orderBy("doc_id")
+    }),
     // Unicode canonicalization (normalize_text kernel): NFKC fold +
     // accent strip + casefold + whitespace collapse over a fixture
     // covering ligatures, fullwidth forms, combining marks, sharp-s
@@ -1575,6 +1594,20 @@ object Pipeline extends graft.QueryArea {
         |    + list_sum(list_transform(tw, x -> CAST(greatest(ceil((length(x) - 6) / 6.0), 0) AS BIGINT)))
         |    AS BIGINT) AS n_tokens_bpe
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_lexical_diversity" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pw AS (
+        |  SELECT doc_id, w, count(*) AS c FROM w WHERE w <> ''
+        |  GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / greatest(count(*), 1), 6) AS hapax_frac
+        |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Pinned from the Unicode tables for the normalize_text fixture
     // (NFKC fold, NFD accent strip, ROOT-locale lower, space collapse)
     "text_normalize_unicode" ->
