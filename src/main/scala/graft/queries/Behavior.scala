@@ -109,6 +109,32 @@ object Behavior extends graft.QueryArea {
         .orderBy("touch_type")
     }),
 
+    // Linear multi-touch attribution: each purchase's credit divides
+    // equally over its preceding 7-day touches; credits aggregate as
+    // exact integer microcredits (floor(1e6 / n_touches)) so the sum
+    // is order-independent without decimal routing. One window pass
+    // collects the touch window; the oracle recomputes via join.
+    "evt_attribution_linear" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withTouches = events(spark, dir)
+        .withColumn("touches", collect_list(
+          when(col("event_type") =!= "purchase",
+            struct(col("ts").as("t"), col("event_type").as("e")))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"),
+          filter(col("touches"), t =>
+            t.getField("t") >= col("ts") - expr("INTERVAL 7 DAY")).as("touches"))
+        .where(size(col("touches")) > 0)
+      withTouches
+        .select(col("event_id"), size(col("touches")).as("n_touches"),
+          explode(col("touches")).as("touch"))
+        .groupBy(col("touch.e").as("touch_type"))
+        .agg(count(lit(1)).as("n_touchpoints"),
+          sum(floor(lit(1000000) / col("n_touches")).cast("long")).as("microcredits"))
+        .orderBy("touch_type")
+    }),
+
     // Interval sweep-line: each event occupies [ts, ts + value minutes);
     // peak concurrency per event_type = max running sum of +1/-1 deltas
     // ordered by time (ends sort before starts at the same instant, so
@@ -626,6 +652,19 @@ object Behavior extends graft.QueryArea {
         |   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY)
         |SELECT event_type AS touch_type, count(*) AS conversions
         |FROM ranked WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_attribution_linear" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, t.event_type,
+        |    count(*) OVER (PARTITION BY p.event_id) AS n_touches
+        |  FROM p JOIN tch t ON t.user_id = p.user_id
+        |   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY)
+        |SELECT event_type AS touch_type, count(*) AS n_touchpoints,
+        |  CAST(sum(CAST(floor(1000000 / n_touches) AS BIGINT)) AS BIGINT) AS microcredits
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_peak_concurrency" ->
       """WITH iv AS (
         |  SELECT event_type, epoch_us(ts) AS s_us,

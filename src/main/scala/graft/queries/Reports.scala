@@ -104,6 +104,20 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // Column-masking policy view (governance surface; the reference's
+    // column-level masking): partial mask keeps a prefix, hash mask is
+    // a salted SHA-256 join-able token, numeric generalization rounds
+    // to a band — all scan-side expressions, zero-copy.
+    "gov_masked_view" -> ((spark, dir) => {
+      t(spark, dir, "customer")
+        .select(
+          sha2(concat(lit("pepper:"), col("c_custkey").cast("string")), 256)
+            .as("cust_token"),
+          concat(substring(col("c_name"), 1, 9), lit("***")).as("name_masked"),
+          (floor(col("c_acctbal") / 1000) * 1000).cast("double").as("acctbal_band"),
+          col("c_mktsegment"))
+        .orderBy("cust_token")
+    }),
     // Pareto coverage (80/20): rank customers by revenue, cumulative
     // share over the ranked aggregate, report how many cover each
     // threshold — windows over the customer-grain rows only.
@@ -232,6 +246,12 @@ object Reports extends graft.QueryArea {
 
   def oracles: Map[String, String] = Map(
     "rpt_dq_assertions" -> dqSql,
+    "gov_masked_view" ->
+      """SELECT sha256('pepper:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+        |  substring(c_name, 1, 9) || '***' AS name_masked,
+        |  CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band,
+        |  c_mktsegment
+        |FROM customer ORDER BY cust_token""".stripMargin,
     "rpt_pareto" ->
       """WITH cust AS (
         |  SELECT o_custkey,
