@@ -173,6 +173,56 @@ object Behavior extends graft.QueryArea {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Cohort LTV curve: cumulative purchase value per cohort user by
+    // week offset — the windows run over the (cohort × offset) matrix,
+    // never raw events; sums DECIMAL-routed, division in double.
+    "cohort_ltv" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val firstTs = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      val sized = firstTs
+        .groupBy(date_trunc("week", col("first_ts")).as("cohort_week"))
+        .agg(countDistinct("user_id").as("cohort_size"))
+      val weekly = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(firstTs), "user_id")
+        .groupBy(date_trunc("week", col("first_ts")).as("cohort_week"),
+          (datediff(date_trunc("week", col("ts")),
+            date_trunc("week", col("first_ts"))) / 7).cast("int").as("week_offset"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("rev"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly.join(broadcast(sized), "cohort_week")
+        .withColumn("cum_rev", sum("rev").over(w))
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"),
+          round(col("cum_rev").cast("double") / col("cohort_size"), 6)
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Survival curve + hazard (Kaplan-Meier-lite on activity): share
+    // of each cohort still active at offset t, and the week-to-week
+    // drop-off hazard — lag window over the cohort matrix.
+    "cohort_survival" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val firstTs = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      val matrix = ev.join(broadcast(firstTs), "user_id")
+        .groupBy(date_trunc("week", col("first_ts")).as("cohort_week"),
+          (datediff(date_trunc("week", col("ts")),
+            date_trunc("week", col("first_ts"))) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct("user_id").as("active"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      matrix
+        .withColumn("cohort_size", first("active").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_active", lag("active", 1).over(w))
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"),
+          round(col("active").cast("double") / col("cohort_size"), 6).as("survival"),
+          round(lit(1.0) - col("active").cast("double") /
+            col("prev_active"), 6).as("hazard")) // null at offset 0
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Robust outliers via median/MAD: two aggregation passes (median,
     // then median absolute deviation) with the group-count-sized
     // baselines broadcast back; flag |modified z| > 3.5. percentile()
@@ -652,6 +702,44 @@ object Behavior extends graft.QueryArea {
         |   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY)
         |SELECT event_type AS touch_type, count(*) AS conversions
         |FROM ranked WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cohort_ltv" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+        |sized AS (
+        |  SELECT date_trunc('week', first_ts) AS cohort_week,
+        |    count(DISTINCT user_id) AS cohort_size
+        |  FROM f GROUP BY 1),
+        |weekly AS (
+        |  SELECT date_trunc('week', f.first_ts) AS cohort_week,
+        |    CAST(date_diff('day', date_trunc('week', f.first_ts),
+        |                   date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+        |    sum(CAST(e.value AS DECIMAL(18,6))) AS rev
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT w.cohort_week, w.week_offset, s.cohort_size,
+        |    sum(w.rev) OVER (PARTITION BY w.cohort_week ORDER BY w.week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM weekly w JOIN sized s ON w.cohort_week = s.cohort_week)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  round(CAST(cum_rev AS DOUBLE) / cohort_size, 6) AS ltv_per_user
+        |FROM cum ORDER BY cohort_week, week_offset""".stripMargin,
+    "cohort_survival" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT date_trunc('week', f.first_ts) AS cohort_week,
+        |    CAST(date_diff('day', date_trunc('week', f.first_ts),
+        |                   date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+        |    count(DISTINCT e.user_id) AS active
+        |  FROM events e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2),
+        |x AS (
+        |  SELECT cohort_week, week_offset, active,
+        |    first_value(active) OVER w AS cohort_size,
+        |    lag(active) OVER w AS prev_active
+        |  FROM m WINDOW w AS (PARTITION BY cohort_week ORDER BY week_offset))
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  round(CAST(active AS DOUBLE) / cohort_size, 6) AS survival,
+        |  round(1.0 - CAST(active AS DOUBLE) / prev_active, 6) AS hazard
+        |FROM x ORDER BY cohort_week, week_offset""".stripMargin,
     "evt_attribution_linear" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
