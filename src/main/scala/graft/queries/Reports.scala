@@ -104,6 +104,10 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // RFM segmentation: recency/frequency/monetary quintiles per
+    // customer (deterministic tie order), segment population counts —
+    // the windows rank the customer-grain aggregate only.
+    "rpt_rfm_segments" -> ((spark, dir) => sqlq(spark, dir)(rfmSql)),
     // Column-masking policy view (governance surface; the reference's
     // column-level masking): partial mask keeps a prefix, hash mask is
     // a salted SHA-256 join-able token, numeric generalization rounds
@@ -226,6 +230,22 @@ object Reports extends graft.QueryArea {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 
+  private val rfmSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    max(o_orderdate) AS last_order,
+      |    count(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT
+      |    ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+      |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS fq,
+      |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      |  FROM cust)
+      |SELECT r, fq, m, count(*) AS n FROM scored
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private val dqSql: String =
     """SELECT rule, n_violations, n_violations = 0 AS pass FROM (
       |  SELECT 'unique_lineitem_pk' AS rule, count(*) AS n_violations FROM (
@@ -246,6 +266,7 @@ object Reports extends graft.QueryArea {
 
   def oracles: Map[String, String] = Map(
     "rpt_dq_assertions" -> dqSql,
+    "rpt_rfm_segments" -> rfmSql,
     "gov_masked_view" ->
       """SELECT sha256('pepper:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
         |  substring(c_name, 1, 9) || '***' AS name_masked,

@@ -15,6 +15,31 @@ object Sketches extends graft.QueryArea {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // funnel signup → purchase → share within 7 days, per user; then
     // distribution of depths
+    // Two-proportion A/B z-test: deterministic hash split of users
+    // into variants, conversion = any purchase; z from the pooled-
+    // variance formula in IEEE double over exact integer counts —
+    // the experiment-analysis report shape.
+    "stat_ab_test" -> ((spark, dir) => {
+      val perUser = t(spark, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .withColumn("variant",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+      val cells = perUser.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("x"))
+      val wide = cells.groupBy()
+        .pivot("variant", Seq("A", "B"))
+        .agg(first("n").as("n"), first("x").as("x"))
+        .select(col("A_n"), col("A_x"), col("B_n"), col("B_x"))
+      wide.select(col("A_n"), col("A_x"), col("B_n"), col("B_x"), {
+        val (na, xa) = (col("A_n").cast("double"), col("A_x").cast("double"))
+        val (nb, xb) = (col("B_n").cast("double"), col("B_x").cast("double"))
+        val (pa, pb) = (xa / na, xb / nb)
+        val pool = (xa + xb) / (na + nb)
+        round((pa - pb) / sqrt(pool * (lit(1.0) - pool) *
+          (lit(1.0) / na + lit(1.0) / nb)), 6).as("z")
+      })
+    }),
     // Chi-square test of independence (event_type × 6-hour band
     // contingency): expected counts from window-summed marginals over
     // the TINY cell table, per-cell terms routed through DECIMAL so
@@ -292,6 +317,25 @@ object Sketches extends graft.QueryArea {
     "sketch_count_min" ->
       """SELECT user_id, count(*) AS est FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stat_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS a_x,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS b_x
+        |  FROM pu)
+        |SELECT a_n AS "A_n", a_x AS "A_x", b_n AS "B_n", b_x AS "B_x",
+        |  round((CAST(a_x AS DOUBLE) / a_n - CAST(b_x AS DOUBLE) / b_n)
+        |    / sqrt((CAST(a_x AS DOUBLE) + b_x) / (CAST(a_n AS DOUBLE) + b_n)
+        |      * (1.0 - (CAST(a_x AS DOUBLE) + b_x) / (CAST(a_n AS DOUBLE) + b_n))
+        |      * (1.0 / a_n + 1.0 / b_n)), 6) AS z
+        |FROM c""".stripMargin,
     "stat_chi_square" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(floor(hour(ts) / 6.0) AS INT) AS band,
