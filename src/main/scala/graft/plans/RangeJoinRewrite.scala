@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Automatic range-join derivation (reference:
   * `fe/fe-core/.../DeriveRangeJoinPredicateRule.java`; same idea as
@@ -54,7 +54,19 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def numeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
+  private def numeric(e: Expression): Boolean = e.dataType match {
+    case _: NumericType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Binnable double view of the axis: dates → epoch days, timestamps
+    * → epoch seconds (binSize then reads in days/seconds), numerics →
+    * plain double. */
+  private def asAxis(e: Expression): Expression = e.dataType match {
+    case DateType => Cast(UnixDate(e), DoubleType)
+    case TimestampType => Cast(e, DoubleType)
+    case _ => Cast(e, DoubleType)
+  }
 
   private def fromOnly(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
@@ -100,7 +112,7 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def bin(e: Expression): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(binSize)))
+    Floor(Divide(asAxis(e), Literal(binSize)))
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint): Option[LogicalPlan] = {

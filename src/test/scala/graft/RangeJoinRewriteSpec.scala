@@ -57,6 +57,25 @@ class RangeJoinRewriteSpec extends SparkSuite {
     }
   }
 
+  test("date-axis BETWEEN joins rewrite too (binSize in days)") {
+    Session.prepare(spark)
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val evts = (1 to 120).map(i => (i.toLong, d(f"2024-${i % 12 + 1}%02d-${i % 27 + 1}%02d")))
+      .toDF("eid", "ed")
+    val spans = (1 to 12).map(i =>
+      (i.toLong, d(f"2024-$i%02d-01"), d(f"2024-$i%02d-20"))).toDF("sid", "lo", "hi")
+    def q = evts.join(spans, $"ed" >= $"lo" && $"ed" <= $"hi")
+      .select($"eid", $"sid").orderBy($"eid", $"sid")
+    val naive = q.collect().toSeq
+    withConf(RangeJoinRewrite.EnabledKey -> "true",
+        RangeJoinRewrite.BinKey -> "15") { // 15-day bins
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(q.collect().toSeq === naive)
+    }
+  }
+
   test("joins with an equi key are left alone") {
     Session.prepare(spark)
     val l = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
