@@ -36,6 +36,27 @@ object CountMin {
       .groupBy("r", "b").agg(sum("__w").as("cnt"))
   }
 
+  /** Sketch union — count-min is linear, so merging is elementwise
+    * addition of the counter grids (the property that makes it a
+    * sketch: build per partition/day/source, add later). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.sum
+    a.unionByName(b).groupBy("r", "b").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Join-size estimate |A ⋈ B| on the sketched key: min over rows of
+    * the per-row inner product Σ_b cntA·cntB — the classic CM use for
+    * cardinality estimation (feeds the same planning decision as
+    * rpt_skew_diagnostics). Upper bound; exact when neither sketch
+    * has colliding keys. Work is one depth×width-bounded join. */
+  def innerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, min, sum}
+    a.select(col("r"), col("b"), col("cnt").as("ca"))
+      .join(b.select(col("r"), col("b"), col("cnt").as("cb")), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").as("est_join_size"))
+  }
+
   /** Point estimates for `keys(keyCol)`: min over the sketch rows.
     * The sketch is depth × width rows at most — always broadcast. */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,

@@ -104,6 +104,10 @@ object Reports extends graft.QueryArea {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_name"))
     }),
+    // Association rules over the basket pairs: support, confidence
+    // and lift for the top co-purchased part pairs — counts stay
+    // exact integers until the final ratio.
+    "rpt_basket_lift" -> ((spark, dir) => sqlq(spark, dir)(basketLiftSql)),
     // RFM segmentation: recency/frequency/monetary quintiles per
     // customer (deterministic tie order), segment population counts —
     // the windows rank the customer-grain aggregate only.
@@ -230,6 +234,27 @@ object Reports extends graft.QueryArea {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 
+  private val basketLiftSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+      |item AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cab
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |top AS (SELECT * FROM pairs ORDER BY cab DESC, pa, pb LIMIT 15)
+      |SELECT pa AS part_a, pb AS part_b, cab AS n_together,
+      |  round(CAST(cab AS DOUBLE) / nb.n_baskets, 6) AS support,
+      |  round(CAST(cab AS DOUBLE) / ia.c, 6) AS confidence,
+      |  round(CAST(cab AS DOUBLE) * nb.n_baskets
+      |    / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS lift
+      |FROM top
+      |JOIN item ia ON top.pa = ia.l_partkey
+      |JOIN item ib ON top.pb = ib.l_partkey
+      |CROSS JOIN nb
+      |ORDER BY n_together DESC, part_a, part_b""".stripMargin
+
   private val rfmSql: String =
     """WITH cust AS (
       |  SELECT o_custkey,
@@ -267,6 +292,7 @@ object Reports extends graft.QueryArea {
   def oracles: Map[String, String] = Map(
     "rpt_dq_assertions" -> dqSql,
     "rpt_rfm_segments" -> rfmSql,
+    "rpt_basket_lift" -> basketLiftSql,
     "gov_masked_view" ->
       """SELECT sha256('pepper:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
         |  substring(c_name, 1, 9) || '***' AS name_masked,

@@ -15,6 +15,21 @@ object Sketches extends graft.QueryArea {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // funnel signup → purchase → share within 7 days, per user; then
     // distribution of depths
+    // Count-min join-size estimation (the CBO cardinality probe):
+    // sketch orders and lineitem on the join key, estimate
+    // |orders ⋈ lineitem| from the sketch inner product, and emit the
+    // exact size beside it — with 4096-wide rows and ~1.5k keys the
+    // estimate is EXACT, so the oracle pins both columns equal.
+    "sketch_join_estimate" -> ((spark, dir) => {
+      val so = CountMin.build(
+        t(spark, dir, "orders").filter(col("o_orderkey") % 149 === 0),
+        "o_orderkey", depth = 5, width = 16384)
+      val sl = CountMin.build(
+        t(spark, dir, "lineitem").filter(col("l_orderkey") % 149 === 0)
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey", depth = 5, width = 16384)
+      CountMin.innerProduct(so, sl)
+    }),
     // Two-proportion A/B z-test: deterministic hash split of users
     // into variants, conversion = any purchase; z from the pooled-
     // variance formula in IEEE double over exact integer counts —
@@ -317,6 +332,10 @@ object Sketches extends graft.QueryArea {
     "sketch_count_min" ->
       """SELECT user_id, count(*) AS est FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sketch_join_estimate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS est_join_size
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey % 149 = 0""".stripMargin,
     "stat_ab_test" ->
       """WITH pu AS (
         |  SELECT user_id,

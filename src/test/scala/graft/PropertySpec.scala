@@ -221,6 +221,26 @@ class PropertySpec extends SparkSuite {
       .collect().foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
 
+  test("count-min merge is additive; inner product never underestimates") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val a = (0 until 300).map(i => s"k${i % 23}").toDF("k")
+    val b = (0 until 200).map(i => s"k${i % 31}").toDF("k")
+    // merged sketch ≡ sketch of the concatenation
+    val merged = CountMin.merge(
+      CountMin.build(a, "k", 4, 512), CountMin.build(b, "k", 4, 512))
+    val direct = CountMin.build(a.unionByName(b), "k", 4, 512)
+    val m = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d = direct.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m === d)
+    // inner product upper-bounds the true join size, even under forced collisions
+    val trueSize = a.join(b, "k").count()
+    val est = CountMin.innerProduct(
+        CountMin.build(a, "k", 3, 8), CountMin.build(b, "k", 3, 8))
+      .head.getLong(0)
+    assert(est >= trueSize)
+  }
+
   test("intervalOverlap emits each overlapping pair exactly once across bins") {
     import spark.implicits._
     import graft.operators.RangeJoin
