@@ -210,6 +210,27 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("snap"))
     }),
+    // Atomic multi-table transaction (sources/LakeTx.scala): orders
+    // and lineitem slices publish through ONE catalog swap; a second
+    // transaction updates both; reads resolve through the pinned
+    // catalog — the join of the two tables must reflect tx-2 exactly.
+    "src_lake_tx" -> ((spark, dir) => {
+      val root = tmpDir(dir, "lake_tx")
+      graft.sources.Formats.deleteDir(spark, root)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val l = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      graft.sources.LakeTx.commit(spark, root, Map(
+        "orders" -> (o.filter(col("o_orderkey") % 2 === 0), Nil),
+        "lineitem" -> (l.filter(col("l_orderkey") % 2 === 0), Nil)))
+      graft.sources.LakeTx.commit(spark, root, Map(
+        "orders" -> (o.filter(col("o_orderkey") % 3 === 0), Nil),
+        "lineitem" -> (l.filter(col("l_orderkey") % 3 === 0), Nil)))
+      graft.sources.LakeTx.read(spark, root, "orders")
+        .join(graft.sources.LakeTx.read(spark, root, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
+    }),
     // Partition retention (Lake.expirePartitions): TTL-style drop of
     // the 1-URGENT / 2-HIGH partitions as a manifest-only commit —
     // no data IO; the expired partitions stay time-travel-reachable.
@@ -676,6 +697,11 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
         |ORDER BY version""".stripMargin,
+    "src_lake_tx" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey % 3 = 0 AND l_orderkey % 3 = 0""".stripMargin,
     "src_lake_retention" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

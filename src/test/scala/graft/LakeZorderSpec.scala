@@ -112,6 +112,27 @@ class LakeZorderSpec extends SparkSuite {
     assert(Lake.vacuum(spark, dir, retainLast = 1) === 0)
   }
 
+  test("multi-table tx: half-committed snapshots stay invisible") {
+    import graft.sources.LakeTx
+    val root = java.nio.file.Files.createTempDirectory("graft-tx").toString
+    val t1 = Seq((1L, 10.0)).toDF("k", "v")
+    val t2 = Seq((1L, 99.0)).toDF("k", "w")
+    LakeTx.commit(spark, root, Map("a" -> (t1, Nil), "b" -> (t2, Nil)))
+    // simulate a crashed tx: new snapshots exist on BOTH tables but the
+    // catalog swap never happened — readers must still see version 1
+    Lake.write(Seq((2L, 20.0)).toDF("k", "v"), s"$root/a", Nil)
+    Lake.write(Seq((2L, 88.0)).toDF("k", "w"), s"$root/b", Nil)
+    assert(LakeTx.read(spark, root, "a").select($"k").head.getLong(0) === 1L)
+    assert(LakeTx.read(spark, root, "b").select($"k").head.getLong(0) === 1L)
+    // a real commit flips both atomically
+    LakeTx.commit(spark, root, Map(
+      "a" -> (Seq((3L, 30.0)).toDF("k", "v"), Nil),
+      "b" -> (Seq((3L, 77.0)).toDF("k", "w"), Nil)))
+    assert(LakeTx.read(spark, root, "a").select($"k").head.getLong(0) === 3L)
+    assert(LakeTx.read(spark, root, "b").select($"k").head.getLong(0) === 3L)
+    intercept[IllegalArgumentException] { LakeTx.read(spark, root, "missing") }
+  }
+
   test("clone is a physically independent backup") {
     val src = java.nio.file.Files.createTempDirectory("graft-cl-src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-cl-dst").toString + "/bak"
