@@ -616,10 +616,25 @@ object Lake {
     m
   }
 
+  /** Manifest writes are EXCLUSIVE creates: the version-numbered
+    * manifest file doubles as the optimistic-concurrency lock — two
+    * writers racing to commit the same next version both compute
+    * v = current + 1, and the second create(v.json) fails instead of
+    * silently overwriting the first writer's commit (classic lost
+    * update). The loser rereads and retries against the new state —
+    * the same OCC contract every table-format catalog exposes. */
   private def writeJson(spark: SparkSession, table: String, p: Path,
       value: Object): Unit = {
     val f = fs(spark, table)
-    val out = f.create(p, true)
+    val out = try f.create(p, false) catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit detected at $p — reread and retry", e)
+      case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit detected at $p — reread and retry", e)
+    }
     try out.write(graft.functions.JsonKernel.mapper.writeValueAsBytes(value))
     finally out.close()
   }

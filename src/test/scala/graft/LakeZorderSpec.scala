@@ -112,6 +112,21 @@ class LakeZorderSpec extends SparkSuite {
     assert(Lake.vacuum(spark, dir, retainLast = 1) === 0)
   }
 
+  test("concurrent commit of the same version is rejected, not lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-occ").toString
+    Lake.write(Seq((1L, "a")).toDF("id", "p"), dir, Nil) // v1
+    // a racing writer already created v2's manifest; our commit of v2
+    // must fail loudly instead of overwriting it
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/metadata/v2.json"), false)
+    out.write("{}".getBytes("UTF-8")); out.close()
+    intercept[java.util.ConcurrentModificationException] {
+      Lake.write(Seq((2L, "b")).toDF("id", "p"), dir, Nil)
+    }
+    // the racing writer's state is untouched and v1 still reads
+    assert(Lake.read(spark, dir, Some(1)).count() === 1)
+  }
+
   test("multi-table tx: half-committed snapshots stay invisible") {
     import graft.sources.LakeTx
     val root = java.nio.file.Files.createTempDirectory("graft-tx").toString
