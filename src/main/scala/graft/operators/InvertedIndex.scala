@@ -169,6 +169,26 @@ object InvertedIndex {
     docs.join(phraseHits(positional, phrase).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Proximity (slop) match: docs where `a` and `b` occur within
+    * `slop` token positions of each other, either order — the NEAR
+    * operator of a full-text surface. Same term-pruned shape as
+    * phraseHits; candidate pairs only materialize within a doc's two
+    * posting lists. Returns (doc_id, n_pairs, min_dist). */
+  def proximityHits(positional: DataFrame, a: String, b: String,
+      slop: Int): DataFrame = {
+    require(slop >= 1, "slop must be >= 1")
+    require(a.toLowerCase != b.toLowerCase, "proximity terms must differ")
+    val pa = positional.filter(col("term") === a.toLowerCase)
+      .select(col("doc_id"), explode(col("positions")).as("__pa"))
+    val pb = positional.filter(col("term") === b.toLowerCase)
+      .select(col("doc_id"), explode(col("positions")).as("__pb"))
+    pa.join(pb, Seq("doc_id"))
+      .filter(abs(col("__pa") - col("__pb")) <= slop)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("__pa") - col("__pb"))).as("min_dist"))
+  }
+
   /** Unindexed fallback predicates (the reference's fallback path):
     * scan-side codegen'd expressions over tokens(text). */
   def matchAnyPredicate(text: Column, terms: Seq[String]): Column =

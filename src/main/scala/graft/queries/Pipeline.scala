@@ -424,6 +424,15 @@ object Pipeline extends graft.QueryArea {
           pos, Seq("stream", "table", "hash"))
         .orderBy(col("doc_id"))
     }),
+    // Proximity (NEAR) match: 'spark' within 3 tokens of 'join',
+    // either order, off the same positional postings — the slop
+    // operator completing the MATCH surface (exact-phrase gate above).
+    "text_match_proximity" -> ((spark, dir) => {
+      val pos = graft.operators.InvertedIndex.buildPositional(
+        t(spark, dir, "documents"), "doc_id", "text")
+      graft.operators.InvertedIndex.proximityHits(pos, "spark", "join", slop = 3)
+        .orderBy(col("doc_id"))
+    }),
     // Sparse TF-IDF all-pairs similarity: cosine of L2-normalized
     // tf-idf vectors as a term-keyed sparse dot product (inverted-
     // index similarity join), df-pruned at 30%; the oracle rebuilds
@@ -1420,6 +1429,21 @@ object Pipeline extends graft.QueryArea {
         |  FROM tok)
         |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
         |ORDER BY doc_id""".stripMargin,
+    "text_match_proximity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM tok),
+        |words AS (SELECT doc_id, i - 1 AS pos, w[i] AS term FROM p),
+        |pa AS (SELECT doc_id, pos FROM words WHERE term = 'spark'),
+        |pb AS (SELECT doc_id, pos FROM words WHERE term = 'join')
+        |SELECT a.doc_id, count(*) AS n_pairs,
+        |  CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+        |FROM pa a JOIN pb b ON a.doc_id = b.doc_id
+        |WHERE abs(a.pos - b.pos) <= 3
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "dedup_fingerprint_pairs" ->
       s"""WITH $planted,
         |norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM planted)
