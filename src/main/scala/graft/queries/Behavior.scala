@@ -365,6 +365,21 @@ object Behavior extends graft.QueryArea {
         .orderBy("day")
     }),
 
+    // Error-burst alarm: error events whose trailing 10-minute window
+    // (same user) holds >= 3 errors — a RANGE-interval frame over the
+    // error subset only. Shared SQL dialect with the oracle.
+    "evt_error_burst" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        |      AS burst_n
+        |  FROM e)
+        |SELECT event_id, user_id, burst_n FROM w
+        |WHERE burst_n >= 3 ORDER BY event_id""".stripMargin)),
+
     // Events-since-last-reset: errors reset a per-user counter, other
     // events increment it — the gaps-and-islands segment trick (cumsum
     // of reset flags defines the segment, position-in-segment is the
@@ -919,6 +934,17 @@ object Behavior extends graft.QueryArea {
         |  round(CAST(ssum - low AS DOUBLE), 6) AS cusum
         |FROM r2 WHERE CAST(ssum - low AS DOUBLE) > 15.0
         |ORDER BY event_type, h""".stripMargin,
+    "evt_error_burst" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        |      AS burst_n
+        |  FROM e)
+        |SELECT event_id, user_id, burst_n FROM w
+        |WHERE burst_n >= 3 ORDER BY event_id""".stripMargin,
     "evt_since_last_reset" ->
       """WITH seg AS (
         |  SELECT event_id, user_id, ts,
