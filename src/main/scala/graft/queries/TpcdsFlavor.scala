@@ -772,11 +772,34 @@ object TpcdsFlavor extends graft.QueryArea {
       |FROM w WHERE abs(rev - avg_year) / avg_year > 0.1
       |ORDER BY pri, yr, mon""".stripMargin
 
+  // Q58 mechanics: three date-sliced "channels" per part; keep parts
+  // whose every channel revenue sits within ±10% of the 3-channel
+  // average — the multi-branch band-agreement filter.
+  private val channelBandAgreeSql: String =
+    """WITH c1 AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS r
+      |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY l_partkey),
+      |c2 AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS r
+      |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY l_partkey),
+      |c3 AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS r
+      |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY l_partkey)
+      |SELECT c1.l_partkey,
+      |  round(c1.r, 2) AS r1, round(c2.r, 2) AS r2, round(c3.r, 2) AS r3
+      |FROM c1 JOIN c2 ON c1.l_partkey = c2.l_partkey
+      |        JOIN c3 ON c1.l_partkey = c3.l_partkey
+      |WHERE c1.r BETWEEN 0.9 * (c1.r + c2.r + c3.r) / 3 AND 1.1 * (c1.r + c2.r + c3.r) / 3
+      |  AND c2.r BETWEEN 0.9 * (c1.r + c2.r + c3.r) / 3 AND 1.1 * (c1.r + c2.r + c3.r) / 3
+      |  AND c3.r BETWEEN 0.9 * (c1.r + c2.r + c3.r) / 3 AND 1.1 * (c1.r + c2.r + c3.r) / 3
+      |ORDER BY c1.l_partkey""".stripMargin
+
   private val tranche9: Map[String, String] = Map(
     "tpcds_case_scalar_buckets" -> caseScalarBucketsSql,
     "tpcds_exists_self_pair" -> existsSelfPairSql,
     "tpcds_except_composite" -> exceptCompositeSql,
-    "tpcds_partition_avg_dev" -> partitionAvgDevSql)
+    "tpcds_partition_avg_dev" -> partitionAvgDevSql,
+    "tpcds_channel_band_agree" -> channelBandAgreeSql)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queriesTranche7 ++ (tranche2 ++ tranche9).map { case (name, sql) =>
