@@ -476,6 +476,26 @@ object Behavior extends graft.QueryArea {
         .orderBy(col("n").desc, col("path")).limit(20)
     }),
 
+    // Time-to-event with censoring (survival-analysis input): hours
+    // from first signup to first subsequent purchase; users who never
+    // convert are right-censored at their last observed event — the
+    // (duration, event) pair every survival model consumes.
+    "evt_time_to_event" -> ((spark, dir) => {
+      val ev = events(spark, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("su_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id").where(col("ts") >= col("su_ts"))
+        .groupBy("user_id").agg(min("ts").as("pu_ts"))
+      val last = ev.groupBy("user_id").agg(max("ts").as("last_ts"))
+      su.join(pu, Seq("user_id"), "left").join(last, "user_id")
+        .select(col("user_id"),
+          round(((unix_micros(coalesce(col("pu_ts"), col("last_ts"))) -
+            unix_micros(col("su_ts"))) / 3600e6), 6).as("duration_h"),
+          col("pu_ts").isNotNull.as("converted"))
+        .orderBy("user_id")
+    }),
+
     // Conversion-lag percentiles: per first-signup month, the median /
     // p90 hours from a user's first signup to their first subsequent
     // purchase. Two per-user aggregates, then exact interpolated
@@ -976,6 +996,23 @@ object Behavior extends graft.QueryArea {
         |  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
         |  FROM l WHERE e3 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "evt_time_to_event" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS su_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, min(e.ts) AS pu_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.su_ts
+        |  GROUP BY e.user_id),
+        |lastev AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
+        |SELECT su.user_id,
+        |  round((epoch_us(coalesce(pu.pu_ts, l.last_ts)) - epoch_us(su.su_ts))
+        |    / 3600000000.0, 6) AS duration_h,
+        |  pu.pu_ts IS NOT NULL AS converted
+        |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |JOIN lastev l ON su.user_id = l.user_id
+        |ORDER BY su.user_id""".stripMargin,
     "funnel_time_percentiles" ->
       """WITH su AS (
         |  SELECT user_id, min(ts) AS su_ts FROM events
