@@ -108,6 +108,19 @@ object Reports extends graft.QueryArea {
     // and lift for the top co-purchased part pairs — counts stay
     // exact integers until the final ratio.
     "rpt_basket_lift" -> ((spark, dir) => sqlq(spark, dir)(basketLiftSql)),
+    // Column-level lineage (plans/Lineage.scala): the audit view of
+    // which leaf (table, column) pairs feed each output column of a
+    // join + aggregate query — expected provenance pinned as a
+    // literal oracle (a traversal bug silently widening or narrowing
+    // the source set breaks the match).
+    "gov_column_lineage" -> ((spark, dir) => {
+      val q = t(spark, dir, "lineitem")
+        .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+          countDistinct(col("l_partkey")).as("nd_parts"))
+      graft.plans.Lineage.columnLineage(q)
+    }),
     // RFM segmentation: recency/frequency/monetary quintiles per
     // customer (deterministic tie order), segment population counts —
     // the windows rank the customer-grain aggregate only.
@@ -293,6 +306,14 @@ object Reports extends graft.QueryArea {
     "rpt_dq_assertions" -> dqSql,
     "rpt_rfm_segments" -> rfmSql,
     "rpt_basket_lift" -> basketLiftSql,
+    "gov_column_lineage" ->
+      """SELECT out_col, source_table, source_col FROM (VALUES
+        |  ('nd_parts', 'lineitem', 'l_partkey'),
+        |  ('o_orderpriority', 'orders', 'o_orderpriority'),
+        |  ('rev', 'lineitem', 'l_discount'),
+        |  ('rev', 'lineitem', 'l_extendedprice'))
+        |  t(out_col, source_table, source_col)
+        |ORDER BY out_col, source_table, source_col""".stripMargin,
     "gov_masked_view" ->
       """SELECT sha256('pepper:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
         |  substring(c_name, 1, 9) || '***' AS name_masked,

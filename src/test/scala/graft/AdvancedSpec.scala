@@ -7,6 +7,22 @@ import graft.operators.{AiQuery, MaterializedViews}
 /** MV incremental-refresh semantics and ai_query batching invariants
   * (the parts the DuckDB oracle can't see). */
 class AdvancedSpec extends SparkSuite {
+
+  test("column lineage traces unions and generators to their leaves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = table("lineitem").select(col("l_orderkey").as("k"),
+      col("l_quantity").as("v"))
+    val or = table("orders").select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("v"))
+    val unioned = li.unionByName(or)
+      .select(col("k"), explode(array(col("v"), col("v") * 2)).as("vv"))
+    val lin = graft.plans.Lineage.columnLineage(unioned)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(lin === Set(
+      ("k", "lineitem", "l_orderkey"), ("k", "orders", "o_orderkey"),
+      ("vv", "lineitem", "l_quantity"), ("vv", "orders", "o_totalprice")))
+  }
   import spark.implicits._
 
   private def tmp(): String = Files.createTempDirectory("graft-adv").toString
