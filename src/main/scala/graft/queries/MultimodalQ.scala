@@ -13,6 +13,28 @@ import util._
 object MultimodalQ extends graft.QueryArea {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Audio feature extraction that actually COMPUTES (the rest of the
+    // multimodal family stubs the codec — here the "decoded PCM" is a
+    // deterministic int16 waveform, so per-frame RMS energy runs end
+    // to end and the oracle recomputes it): 1600 samples/doc, 10
+    // frames of 160; sums are exact integers, so the sqrt is
+    // bit-identical. All scan-side HOFs — no shuffle, no UDF.
+    "mm_audio_rms" -> ((spark, dir) => {
+      val audio = t(spark, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(1599)),
+            i => ((col("doc_id") * 31 + i * 17) % 2048 - 1024).cast("int"))
+            .as("pcm"))
+      audio
+        .select(col("doc_id"), explode(sequence(lit(0), lit(9))).as("frame"),
+          col("pcm"))
+        .withColumn("fr", slice(col("pcm"), col("frame") * 160 + 1, lit(160)))
+        .select(col("doc_id"), col("frame"),
+          round(sqrt(aggregate(col("fr"), lit(0L),
+            (acc, s) => acc + s.cast("long") * s.cast("long"))
+            .cast("double") / 160.0), 6).as("rms"))
+        .orderBy("doc_id", "frame")
+    }),
     "mm_decode_meta" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -40,6 +62,22 @@ object MultimodalQ extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "mm_audio_rms" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 1599),
+        |      i -> CAST((doc_id * 31 + i * 17) % 2048 - 1024 AS INT)) AS pcm
+        |  FROM documents WHERE doc_id < 50),
+        |fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, 9)) AS frame, pcm FROM a),
+        |sl AS (
+        |  SELECT doc_id, CAST(frame AS INT) AS frame,
+        |    pcm[frame * 160 + 1 : frame * 160 + 160] AS f
+        |  FROM fr)
+        |SELECT doc_id, frame,
+        |  round(sqrt(CAST(list_sum(list_transform(f,
+        |    s -> CAST(s AS BIGINT) * s)) AS DOUBLE) / 160.0), 6) AS rms
+        |FROM sl ORDER BY doc_id, frame""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(64 + length(text) % 512 AS INT) AS w,
