@@ -108,6 +108,25 @@ object Reports extends graft.QueryArea {
     // and lift for the top co-purchased part pairs — counts stay
     // exact integers until the final ratio.
     "rpt_basket_lift" -> ((spark, dir) => sqlq(spark, dir)(basketLiftSql)),
+    // EXPLAIN ANALYZE surface (plans/QueryProfile.scala): run TPC-H Q6
+    // and report per-operator output-row metrics read from the
+    // executed plan's SQL metrics — filter-survivor and result
+    // cardinalities are exact, so the oracle recomputes them from the
+    // data (a metrics-plumbing regression breaks the match).
+    "prof_operator_rows" -> ((spark, dir) => {
+      import spark.implicits._
+      val q6 = t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+      val prof = graft.plans.QueryProfile.profile(q6)
+      val filterRows = prof.find(_.node == "Filter").flatMap(_.rows).getOrElse(-1L)
+      val resultRows = prof.filter(_.node.startsWith("HashAggregate"))
+        .headOption.flatMap(_.rows).getOrElse(-1L)
+      Seq(("filter_rows", filterRows), ("result_rows", resultRows))
+        .toDF("metric", "rows").orderBy("metric")
+    }),
     // Column-level lineage (plans/Lineage.scala): the audit view of
     // which leaf (table, column) pairs feed each output column of a
     // join + aggregate query — expected provenance pinned as a
@@ -306,6 +325,13 @@ object Reports extends graft.QueryArea {
     "rpt_dq_assertions" -> dqSql,
     "rpt_rfm_segments" -> rfmSql,
     "rpt_basket_lift" -> basketLiftSql,
+    "prof_operator_rows" ->
+      """SELECT 'filter_rows' AS metric, count(*) AS rows FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |UNION ALL SELECT 'result_rows', 1
+        |ORDER BY metric""".stripMargin,
     "gov_column_lineage" ->
       """SELECT out_col, source_table, source_col FROM (VALUES
         |  ('nd_parts', 'lineitem', 'l_partkey'),
