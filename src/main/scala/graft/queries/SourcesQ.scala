@@ -231,6 +231,21 @@ object SourcesQ extends graft.QueryArea {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
     }),
+    // Rollback (Lake.rollback): a bad overwrite is undone by
+    // committing the prior file set as the new current version —
+    // append-only history, no data movement. Readback must equal v1.
+    "src_lake_rollback" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_rb")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 2 === 0), table, Nil)
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 5 === 0), table, Nil)
+      graft.sources.Lake.rollback(spark, table, 1)
+      graft.sources.Lake.read(spark, table)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    }),
     // Partition retention (Lake.expirePartitions): TTL-style drop of
     // the 1-URGENT / 2-HIGH partitions as a manifest-only commit —
     // no data IO; the expired partitions stay time-travel-reachable.
@@ -702,6 +717,11 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey % 3 = 0 AND l_orderkey % 3 = 0""".stripMargin,
+    "src_lake_rollback" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     "src_lake_retention" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -516,6 +516,23 @@ object Lake {
     removed
   }
 
+  /** Rollback: make `toVersion`'s file set the CURRENT snapshot by
+    * committing it as a new version — history stays append-only (the
+    * bad version remains inspectable), readers flip atomically, and
+    * no data moves: a manifest copy, O(#files) metadata. */
+  def rollback(spark: SparkSession, table: String, toVersion: Int): Int = {
+    val current = currentVersion(spark, table)
+    require(toVersion >= 1 && toVersion <= current,
+      s"rollback target $toVersion outside [1, $current]")
+    val snap = readSnapshot(spark, table, toVersion)
+    val v = current + 1
+    val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
+      snap.partitionCols, snap.files)
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
+  }
+
   /** Table clone (backup/restore): copy the CURRENT snapshot's data
     * files and commit them as version 1 of `dst` — a full physical
     * backup whose history starts fresh. File copies are the only data
