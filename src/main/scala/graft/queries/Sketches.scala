@@ -30,6 +30,11 @@ object Sketches extends graft.QueryArea {
         "o_orderkey", depth = 5, width = 16384)
       CountMin.innerProduct(so, sl)
     }),
+    // Benford first-digit conformance (fraud screening): observed
+    // leading-digit distribution of order totals vs the Benford
+    // expectation (pinned 6-dp literals so both engines use identical
+    // constants), per-digit chi-square terms DECIMAL-routed.
+    "stat_benford" -> ((spark, dir) => sqlq(spark, dir)(benfordSql)),
     // Two-proportion A/B z-test: deterministic hash split of users
     // into variants, conversion = any purchase; z from the pooled-
     // variance formula in IEEE double over exact integer counts —
@@ -328,7 +333,28 @@ object Sketches extends graft.QueryArea {
         |  sum(grp) AS n1, count(*) - sum(grp) AS n2
         |FROM ranked""".stripMargin)))
 
+  private val benfordSql: String =
+    """WITH digits AS (
+      |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |    AS VARCHAR(20)), 1, 1) AS INT) AS d
+      |  FROM orders WHERE o_totalprice >= 1),
+      |obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM obs),
+      |expd AS (SELECT * FROM (VALUES
+      |  (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+      |  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+      |  (9, 0.045757)) e(d, p))
+      |SELECT e.d, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+      |  round(coalesce(o.n, 0) / t.t, 6) AS observed_p,
+      |  CAST(e.p AS DOUBLE) AS expected_p,
+      |  round(CAST(sum(CAST(
+      |      (coalesce(o.n, 0) - e.p * t.t) * (coalesce(o.n, 0) - e.p * t.t)
+      |        / (e.p * t.t) AS DECIMAL(28,10))) OVER () AS DOUBLE), 4) AS chi2
+      |FROM expd e LEFT JOIN obs o ON e.d = o.d CROSS JOIN tot t
+      |ORDER BY e.d""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "stat_benford" -> benfordSql,
     "sketch_count_min" ->
       """SELECT user_id, count(*) AS est FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
