@@ -158,6 +158,29 @@ object Reports extends graft.QueryArea {
           col("c_mktsegment"))
         .orderBy("cust_token")
     }),
+    // Concentration metrics: Gini coefficient of customer revenue
+    // (rank-weighted form over the sorted aggregate) and Herfindahl
+    // index (sum of squared shares) — DECIMAL-routed sums so both
+    // scalars are merge-order stable.
+    "rpt_concentration" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i,
+        |    count(*) OVER () AS n
+        |  FROM cust),
+        |sums AS (
+        |  SELECT max(n) AS n,
+        |    CAST(sum(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(i * rev AS DECIMAL(28,6))) AS DOUBLE) AS si,
+        |    CAST(sum(CAST(rev * rev AS DECIMAL(38,6))) AS DOUBLE) AS sq
+        |  FROM ranked)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  round(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini,
+        |  round(sq / (s * s), 6) AS hhi
+        |FROM sums""".stripMargin)),
     // Pareto coverage (80/20): rank customers by revenue, cumulative
     // share over the ranked aggregate, report how many cover each
     // threshold — windows over the customer-grain rows only.
@@ -346,6 +369,25 @@ object Reports extends graft.QueryArea {
         |  CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band,
         |  c_mktsegment
         |FROM customer ORDER BY cust_token""".stripMargin,
+    "rpt_concentration" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i,
+        |    count(*) OVER () AS n
+        |  FROM cust),
+        |sums AS (
+        |  SELECT max(n) AS n,
+        |    CAST(sum(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(i * rev AS DECIMAL(28,6))) AS DOUBLE) AS si,
+        |    CAST(sum(CAST(rev * rev AS DECIMAL(38,6))) AS DOUBLE) AS sq
+        |  FROM ranked)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  round(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini,
+        |  round(sq / (s * s), 6) AS hhi
+        |FROM sums""".stripMargin,
     "rpt_pareto" ->
       """WITH cust AS (
         |  SELECT o_custkey,
