@@ -395,6 +395,18 @@ object Behavior extends graft.QueryArea {
         .orderBy("event_id")
     }),
 
+    // Activity heatmap: weekday × hour event counts with each cell's
+    // share of its weekday — the dashboard crosstab, windows over the
+    // 7×24 matrix only. Shared SQL dialect (dayofweek aligned below).
+    "evt_heatmap" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(ts) AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hr, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY dow), 6) AS day_share
+        |FROM cells ORDER BY dow, hr""".stripMargin)),
+
     // Stickiness (DAU/MAU): daily actives over trailing-30-day actives
     // per day — the second rolling-distinct rewrite (each (day, user)
     // activity supports 30 target days; bounded 30x replication of the
@@ -913,6 +925,14 @@ object Behavior extends graft.QueryArea {
         |FROM days d LEFT JOIN du u
         |  ON u.day <= d.day AND u.day >= d.day - 6
         |GROUP BY d.day ORDER BY day""".stripMargin,
+    "evt_heatmap" ->
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hr, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY dow), 6) AS day_share
+        |FROM cells ORDER BY dow, hr""".stripMargin,
     "evt_stickiness" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
