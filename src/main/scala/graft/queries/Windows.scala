@@ -92,6 +92,28 @@ object Windows extends graft.QueryArea {
           last(col("o_orderkey")).over(w).as("last_order"))
         .orderBy(col("o_orderkey"))
     }),
+    // Rolling regression slope: per-user trend of value over its last
+    // 10 observations (x = position index), every moment — the four
+    // raw sums computed as DECIMAL window aggregates over the frame,
+    // slope derived in double. The windowed form of agg_regression.
+    "win_rolling_slope" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH idx AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER f AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * value AS DECIMAL(28,6))) OVER f AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sxx
+        |  FROM idx
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY x
+        |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |FROM w WHERE n >= 3 ORDER BY event_id""".stripMargin)),
     // rolling exact median: Catalyst's Percentile aggregate evaluated
     // as a WINDOW function over a sliding 20-row frame — per-frame
     // state is 20 values, so the window scales like any sliding agg
@@ -413,6 +435,24 @@ object Windows extends graft.QueryArea {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_rolling_slope" ->
+      """WITH idx AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER f AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * value AS DECIMAL(28,6))) OVER f AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sxx
+        |  FROM idx
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY x
+        |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |FROM w WHERE n >= 3 ORDER BY event_id""".stripMargin,
     "win_rolling_median" ->
       """SELECT event_id,
         |  round(quantile_cont(value, 0.5) OVER (
