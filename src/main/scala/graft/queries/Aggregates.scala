@@ -18,6 +18,30 @@ import util._
   */
 object Aggregates extends graft.QueryArea {
 
+  private val corrMatrixSql: String =
+    """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sqq,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sdd,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sqp,
+        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sqd,
+        |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT pair, round(num / sqrt(dx * dy), 6) AS corr FROM (
+        |  SELECT 'quantity_price' AS pair, n * sqp - sq * sp AS num,
+        |    n * sqq - sq * sq AS dx, n * spp - sp * sp AS dy FROM s
+        |  UNION ALL
+        |  SELECT 'quantity_discount', n * sqd - sq * sd,
+        |    n * sqq - sq * sq, n * sdd - sd * sd FROM s
+        |  UNION ALL
+        |  SELECT 'price_discount', n * spd - sp * sd,
+        |    n * spp - sp * sp, n * sdd - sd * sd FROM s)
+        |ORDER BY pair""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_rollup" -> ((spark, dir) => {
       val c = t(spark, dir, "customer")
@@ -61,6 +85,10 @@ object Aggregates extends graft.QueryArea {
           round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("covp_pq"))
         .orderBy(col("l_returnflag"))
     }),
+    // Pairwise correlation matrix over three measures — one scan
+    // collects every raw sum (DECIMAL-routed), the three coefficients
+    // derive in double; the matrix shape of agg_regression.
+    "agg_corr_matrix" -> ((spark, dir) => sqlq(spark, dir)(corrMatrixSql)),
     // ROLLUP with grouping() level tags — subtotal rows carry an
     // explicit level id instead of ambiguous NULLs (grouping_id
     // mechanics; NULL keys coalesce to 'ALL' labels)
@@ -344,6 +372,7 @@ object Aggregates extends graft.QueryArea {
         |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
         |  round(covar_pop(l_extendedprice, l_quantity), 4) AS covp_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_corr_matrix" -> corrMatrixSql,
     "agg_grouping_id" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
