@@ -51,6 +51,15 @@ object Nested extends graft.QueryArea {
         .orderBy(col("doc_id")).limit(300)
     }),
     // unnest: one row per word (LEFT JOIN semantics via explode_outer)
+    // regexp_extract_all as a row generator: every 's…' word 4+ chars
+    // per doc with its match ordinal — the regex-TVF surface
+    "tvf_regexp_rows" -> ((spark, dir) => {
+      t(spark, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(text, '\\\\bs[a-z]{3,}', 0)"))
+            .as(Seq("ord", "m")))
+        .orderBy("doc_id", "ord")
+    }),
     "tvf_explode_words" -> ((spark, dir) => {
       val d = t(spark, dir, "documents")
       d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -209,6 +218,13 @@ object Nested extends graft.QueryArea {
         |  len(list_filter(string_split(text, ' '), w -> length(w) <= 1)) = 0 AS all_gt1,
         |  CAST(len(list_filter(string_split(text, ' '), w -> w LIKE '%a%')) AS BIGINT) AS n_with_a
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "tvf_regexp_rows" ->
+      """WITH m AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\bs[a-z]{3,}') AS ms
+        |  FROM documents WHERE doc_id < 50),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(ms))) AS i, ms FROM m)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS ord, ms[i] AS m
+        |FROM p ORDER BY doc_id, ord""".stripMargin,
     "tvf_explode_words" ->
       """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
