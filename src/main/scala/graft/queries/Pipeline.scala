@@ -645,6 +645,25 @@ object Pipeline extends graft.QueryArea {
     }),
     // PII scrub: documents carry no PII, so the gate plants synthetic
     // email/IP/phone strings deterministically; the oracle replants and
+    // Corpus-prep funnel observability: docs surviving each pipeline
+    // stage (raw → text-dedup → length floor → language filter) with
+    // retention ratios — the run report every data pipeline publishes.
+    "corpus_funnel_report" -> ((spark, dir) => sqlq(spark, dir)(
+      """WITH raw AS (SELECT count(*) AS n FROM documents),
+        |dedup AS (SELECT count(DISTINCT text) AS n FROM documents),
+        |len AS (
+        |  SELECT count(DISTINCT text) AS n FROM documents WHERE n_chars >= 200),
+        |lang AS (
+        |  SELECT count(DISTINCT text) AS n FROM documents
+        |  WHERE n_chars >= 200 AND lang = 'en')
+        |SELECT stage, n,
+        |  round(CAST(n AS DOUBLE) / max(n) OVER (), 6) AS retained
+        |FROM (
+        |  SELECT 1 AS ord, 'raw' AS stage, n FROM raw
+        |  UNION ALL SELECT 2, 'text_dedup', n FROM dedup
+        |  UNION ALL SELECT 3, 'len_ge_200', n FROM len
+        |  UNION ALL SELECT 4, 'lang_en', n FROM lang)
+        |ORDER BY ord""".stripMargin)),
     // Lexical diversity (corpus quality signal alongside the Gopher
     // gate): per-doc type-token ratio and hapax fraction — low TTR
     // flags template/boilerplate docs, high hapax flags noise. One
@@ -1618,6 +1637,22 @@ object Pipeline extends graft.QueryArea {
         |    + list_sum(list_transform(tw, x -> CAST(greatest(ceil((length(x) - 6) / 6.0), 0) AS BIGINT)))
         |    AS BIGINT) AS n_tokens_bpe
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "corpus_funnel_report" ->
+      """WITH raw AS (SELECT count(*) AS n FROM documents),
+        |dedup AS (SELECT count(DISTINCT text) AS n FROM documents),
+        |len AS (
+        |  SELECT count(DISTINCT text) AS n FROM documents WHERE n_chars >= 200),
+        |lang AS (
+        |  SELECT count(DISTINCT text) AS n FROM documents
+        |  WHERE n_chars >= 200 AND lang = 'en')
+        |SELECT stage, n,
+        |  round(CAST(n AS DOUBLE) / max(n) OVER (), 6) AS retained
+        |FROM (
+        |  SELECT 1 AS ord, 'raw' AS stage, n FROM raw
+        |  UNION ALL SELECT 2, 'text_dedup', n FROM dedup
+        |  UNION ALL SELECT 3, 'len_ge_200', n FROM len
+        |  UNION ALL SELECT 4, 'lang_en', n FROM lang)
+        |ORDER BY ord""".stripMargin,
     "text_lexical_diversity" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
