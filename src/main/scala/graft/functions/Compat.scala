@@ -240,6 +240,24 @@ object Compat {
     f("percentile_agg") { es => graft.functions.agg.TDigestAgg(es.head, isUnion = false) }
     f("percentile_union") { es => graft.functions.agg.TDigestAgg(es.head, isUnion = true) }
     f("percentile_approx_raw") { es => graft.functions.agg.TDigestQuantile(es.head, es(1)) }
+    // generic agg-state combinators (reference be/src/exprs/agg/
+    // combinator/ xxx_state/_union/_merge; typing via agg_state_desc):
+    // lift ANY registered aggregate into a storable partial state.
+    // agg_state('f', args...); agg_state_union/merge('f', state,
+    // witness...) where witnesses (CAST(NULL AS t)) carry the inner's
+    // argument types — see functions/agg/AggStateCombinators.scala.
+    f("agg_state") { es =>
+      val fn = litStr(es.head, "agg_state function name")
+      graft.functions.agg.AggStateAgg(
+        graft.functions.agg.AggStateCombinators.resolve(fn, es.tail))
+    }
+    for ((nm, fin) <- Seq("agg_state_union" -> false, "agg_state_merge" -> true))
+      f(nm) { es =>
+        val fn = litStr(es.head, s"$nm function name")
+        val inner = graft.functions.agg.AggStateCombinators.neutered(
+          graft.functions.agg.AggStateCombinators.resolve(fn, es.drop(2)))
+        graft.functions.agg.AggStateMergeAgg(inner, es(1), isMerge = fin)
+      }
 
     // --- TVF-ish (reference: generate_series.h; used as
     // explode(generate_series(a, b[, step])) on the Spark side) ---

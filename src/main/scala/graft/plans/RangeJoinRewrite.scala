@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType, NumericType, 
 object RangeJoinRewrite {
   val EnabledKey = "spark.graft.rangeJoin.enabled"
   val BinKey = "spark.graft.rangeJoin.binSize"
+  /** Hard cap on bins one interval may replicate into. One open-ended
+    * interval (sentinel hi) or a mis-set binSize would otherwise
+    * explode a single row into millions of bin rows — a hard failure
+    * at Sequence's array limit or a shuffle blow-up. The interval side
+    * carries a runtime assert (the span is data-dependent, invisible
+    * at plan time) that fails FAST with a message naming the confs. */
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   def install(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
@@ -45,6 +52,8 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption(EnabledKey).contains("true")
   private def binSize: Double =
     spark.conf.getOption(BinKey).map(_.toDouble).getOrElse(1000.0)
+  private def maxBins: Long =
+    spark.conf.getOption(MaxBinsKey).map(_.toLong).getOrElse(100000L)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -125,8 +134,18 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val pBin = Alias(bin(p), "__p_bin")()
       val pPlan = Project(pSide.output :+ pBin, pSide)
 
-      // interval side: drop empty intervals, explode covered bins
-      val nonEmpty = Filter(LessThanOrEqual(lo, hi), iSide)
+      // interval side: drop empty intervals, explode covered bins —
+      // bounded by the per-interval bin cap (see MaxBinsKey scaladoc)
+      val span = Subtract(bin(hi), bin(lo))
+      val capMsg = s"range-join rewrite: an interval covers more than " +
+        s"$maxBins bins at binSize=$binSize - raise $BinKey or " +
+        s"$MaxBinsKey, or disable $EnabledKey for this query"
+      // (assert_true is RuntimeReplaceable — injected post-analysis it
+      // would never be replaced and codegen fails; build its expansion)
+      val capGuard = IsNull(If(LessThanOrEqual(span, Literal(maxBins)),
+        Literal(null, org.apache.spark.sql.types.NullType),
+        new RaiseError(Literal(capMsg))))
+      val nonEmpty = Filter(And(LessThanOrEqual(lo, hi), capGuard), iSide)
       // Sequence is TimeZoneAwareExpression — without an explicit zone
       // it stays unresolved and the optimizer's plan validation trips
       val gen = Explode(Sequence(bin(lo), bin(hi), Some(Literal(1L)))

@@ -444,15 +444,21 @@ object Behavior extends graft.QueryArea {
       val w = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       hourly.join(broadcast(target), "event_type")
-        .withColumn("x", (col("v") - col("mu") - lit(2.0)).cast("decimal(28,12)"))
+        // quantize increments at scale 6 BEFORE summing: sums stay
+        // exact multiples of 1e-6, so the round-6 output can never sit
+        // on a half boundary where the engines' double->decimal
+        // conversions disagree at the 12th digit
+        .withColumn("x", (col("v") - col("mu") - lit(2.0)).cast("decimal(28,6)"))
         .withColumn("ssum", sum("x").over(w))
-        .withColumn("low", least(lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+        .withColumn("low", least(lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
           min("ssum").over(w)))
-        .withColumn("cusum", (col("ssum") - col("low")).cast("double"))
+        // round in EXACT decimal, then cast: rounding the double form
+        // hits half-way-boundary drift vs the oracle (e.g. x.xxx3335)
+        .withColumn("cusum", col("ssum") - col("low"))
         .where(col("cusum") > 15.0)
         .select(col("event_type"),
           date_format(col("h"), "yyyy-MM-dd HH").as("h"),
-          round(col("cusum"), 6).as("cusum"))
+          round(col("cusum"), 6).cast("double").as("cusum"))
         .orderBy("event_type", "h")
     }),
 
@@ -955,7 +961,7 @@ object Behavior extends graft.QueryArea {
         |  FROM hourly GROUP BY 1),
         |x AS (
         |  SELECT h.event_type, h.h,
-        |    CAST(h.v - t.mu - 2.0 AS DECIMAL(28,12)) AS x
+        |    CAST(h.v - t.mu - 2.0 AS DECIMAL(28,6)) AS x
         |  FROM hourly h JOIN tgt t ON h.event_type = t.event_type),
         |r1 AS (
         |  SELECT event_type, h, sum(x) OVER w AS ssum FROM x
@@ -963,16 +969,16 @@ object Behavior extends graft.QueryArea {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |r2 AS (
         |  SELECT event_type, h, ssum,
-        |    CASE WHEN m < CAST(0 AS DECIMAL(38,12)) THEN m
-        |         ELSE CAST(0 AS DECIMAL(38,12)) END AS low
+        |    CASE WHEN m < CAST(0 AS DECIMAL(38,6)) THEN m
+        |         ELSE CAST(0 AS DECIMAL(38,6)) END AS low
         |  FROM (
         |    SELECT event_type, h, ssum,
         |      min(ssum) OVER (PARTITION BY event_type ORDER BY h
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
         |    FROM r1))
         |SELECT event_type, strftime(h, '%Y-%m-%d %H') AS h,
-        |  round(CAST(ssum - low AS DOUBLE), 6) AS cusum
-        |FROM r2 WHERE CAST(ssum - low AS DOUBLE) > 15.0
+        |  CAST(round(ssum - low, 6) AS DOUBLE) AS cusum
+        |FROM r2 WHERE ssum - low > 15.0
         |ORDER BY event_type, h""".stripMargin,
     "evt_error_burst" ->
       """WITH e AS (

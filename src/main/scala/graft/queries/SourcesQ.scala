@@ -165,6 +165,28 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // Delta WRITE-path interop (sources/DeltaExport.scala; reference
+    // ICEBERG/HIVE_TABLE_SINK, DataSinks.thrift:45-65): native Lake
+    // commits (append + CoW delete) export an incremental _delta_log,
+    // and the protocol reader replays it — latest AND time travel —
+    // to the same rows the Lake manifest serves. Oracle recomputes
+    // both versions straight from the parquet source.
+    "src_delta_write_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "delta_exp")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 0), table, Nil)
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 1), table, Nil, mode = "append")
+      graft.sources.Lake.delete(spark, table, col("o_orderkey") % 6 === 1)
+      graft.sources.DeltaExport.exportDeltaLog(spark, table)
+      val reads = Seq(1L -> Some(1L), 2L -> None).map { case (tag, v) =>
+        graft.sources.DeltaRead.read(spark, table, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(tag).as("version"), col("n"), col("total"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("version"))
+    }),
     // Iceberg snapshot interop (sources/IcebergRead.scala): metadata
     // JSON → manifest-list Avro → manifest Avro → data files, read
     // with avro-core by field name (accepts real Iceberg layouts).
@@ -443,7 +465,10 @@ object SourcesQ extends graft.QueryArea {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       val out = tmpDir(dir, "csvtol")
       Formats.writeCsv(e, out)
-      val nBad = math.max(2, (e.count() / 200).toInt)
+      // fixed bad-line count: well under the 5% ratio at every SF
+      // (events has >=6k rows at sf0.001), and NOT derived from an
+      // e.count() — that was a full extra scan inside the timed gate
+      val nBad = 40
       // header=true consumes the first line per file — pad with one extra
       val badLines = (0 to nBad).map(i => s"not_a_long_$i,junk,,bad,").mkString("\n")
       java.nio.file.Files.writeString(
@@ -520,6 +545,34 @@ object SourcesQ extends graft.QueryArea {
         .agg(expr("hll_cardinality(hll_union_agg(users_state))").as("approx_users"),
           sum(col("n")).as("n_events"))
         .orderBy(col("event_type"))
+    }),
+    // GENERIC agg-state combinators (reference be/src/exprs/agg/
+    // combinator/ + agg_state_desc.h): ANY registered aggregate —
+    // declarative (sum), declarative two-buffer (count), and typed
+    // imperative (min_n) — lifts into a storable partial state; the
+    // AGG table here keeps day-level states, a second level unions
+    // them per type, and the read finalizes — raw rows scanned once.
+    "keys_agg_state_generic" -> ((spark, dir) => {
+      t(spark, dir, "events").createOrReplaceTempView("ev_aggstate_g")
+      spark.sql(
+        """SELECT event_type, date_trunc('day', ts) AS d,
+          |  agg_state('sum', CAST(value AS DECIMAL(18,6))) AS sum_s,
+          |  agg_state('count', value) AS cnt_s,
+          |  agg_state('min_n', event_id, 5) AS mn_s
+          |FROM ev_aggstate_g GROUP BY 1, 2""".stripMargin)
+        .createOrReplaceTempView("ev_aggstate_states")
+      spark.sql(
+        """SELECT event_type,
+          |  CAST(agg_state_merge('sum', u_sum, CAST(NULL AS DECIMAL(18,6))) AS DOUBLE) AS total,
+          |  agg_state_merge('count', u_cnt, CAST(NULL AS DOUBLE)) AS n,
+          |  array_join(CAST(agg_state_merge('min_n', u_mn, CAST(NULL AS BIGINT), 5) AS array<string>), ',') AS low5
+          |FROM (
+          |  SELECT event_type,
+          |    agg_state_union('sum', sum_s, CAST(NULL AS DECIMAL(18,6))) AS u_sum,
+          |    agg_state_union('count', cnt_s, CAST(NULL AS DOUBLE)) AS u_cnt,
+          |    agg_state_union('min_n', mn_s, CAST(NULL AS BIGINT), 5) AS u_mn
+          |  FROM ev_aggstate_states GROUP BY event_type)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
     // Colocate join (reference bucket-shuffle/colocate,
     // Partitions.thrift TABLET_BUCKET_SHUFFLE): both sides bucketed on
@@ -712,6 +765,15 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
         |ORDER BY version""".stripMargin,
+    "src_delta_write_read" ->
+      """SELECT 1 AS version, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 1
+        |ORDER BY version""".stripMargin,
     "src_lake_tx" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
@@ -808,6 +870,12 @@ object SourcesQ extends graft.QueryArea {
       """SELECT event_type,
         |  count(DISTINCT user_id % 256) AS approx_users,
         |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "keys_agg_state_generic" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(count(value) AS BIGINT) AS n,
+        |  array_to_string(list_sort(list(event_id))[1:5], ',') AS low5
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "keys_update_delete" ->
       """SELECT c_custkey, c_mktsegment,

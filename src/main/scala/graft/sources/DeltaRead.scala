@@ -37,6 +37,19 @@ object DeltaRead {
       .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
+  /** Delta `path` fields are URL-encoded (percent-escaped) relative
+    * paths — or absolute URIs for shallow-cloned files — per the
+    * protocol; decode BEFORE set membership so an encoded add and its
+    * remove cancel, and before scan-path construction so files with
+    * spaces/special chars resolve. Malformed escapes fall back to the
+    * raw string (our own writer never encodes). */
+  private def decodePath(raw: String): String =
+    try {
+      val u = new java.net.URI(raw)
+      if (u.getScheme != null) u.toString // absolute URI: keep scheme, decode later at read
+      else Option(u.getPath).getOrElse(raw)
+    } catch { case _: java.net.URISyntaxException => raw }
+
   /** Live data files after replaying the log through `versionAsOf`
     * (defaults to the latest commit). */
   def liveFiles(spark: SparkSession, table: String,
@@ -52,8 +65,8 @@ object DeltaRead {
         finally in.close()
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("add")) live += node.get("add").get("path").asText()
-        if (node.has("remove")) live -= node.get("remove").get("path").asText()
+        if (node.has("add")) live += decodePath(node.get("add").get("path").asText())
+        if (node.has("remove")) live -= decodePath(node.get("remove").get("path").asText())
       }
     }
     live.toSeq
@@ -66,7 +79,14 @@ object DeltaRead {
     val files = liveFiles(spark, table, versionAsOf)
     if (files.isEmpty)
       throw new IllegalArgumentException(s"no live files at $table v$versionAsOf")
-    spark.read.parquet(files.map(p => s"$table/$p"): _*)
+    // basePath: files under hive-style partition dirs (e.g. a Lake
+    // export's data/commit-N/p=x/…) recover their partition columns;
+    // only when every path is table-relative (absolute adds may live
+    // outside the root, where a basePath would be rejected)
+    def abs(p: String) = p.startsWith("/") || p.contains(":/")
+    val reader = if (files.exists(abs)) spark.read
+      else spark.read.option("basePath", table)
+    reader.parquet(files.map(p => if (abs(p)) p else s"$table/$p"): _*)
   }
 
   /** Minimal protocol-conformant writer (commit granularity): write

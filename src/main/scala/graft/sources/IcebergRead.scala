@@ -36,7 +36,15 @@ object IcebergRead {
     val metas = f.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".metadata.json"))
     require(metas.nonEmpty, s"no *.metadata.json under $table/metadata")
-    metas.maxBy(_.getName)
+    // HadoopCatalog names are v1.metadata.json, v2... UNPADDED, so a
+    // lexicographic max serves v9 over v10 — parse the numeric version
+    // and fall back to name order for UUID-style metadata names.
+    def versionOf(p: Path): Option[Long] = {
+      val stem = p.getName.stripSuffix(".metadata.json")
+      val digits = if (stem.startsWith("v")) stem.drop(1) else stem.takeWhile(_.isDigit)
+      if (digits.nonEmpty && digits.forall(_.isDigit)) Some(digits.toLong) else None
+    }
+    metas.maxBy(p => (versionOf(p).getOrElse(-1L), p.getName))
   }
 
   private def readAvroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {

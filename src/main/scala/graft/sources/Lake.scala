@@ -42,9 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * so scans get Spark's vectorized parquet reader, pushdown, and
   * whole-stage codegen unchanged.
   *
-  * Not implemented (documented scope): row-level deletes, schema
-  * evolution, optimistic-concurrency conflict detection — single
-  * writer assumed.
+  * Concurrency: optimistic — the version-numbered manifest is created
+  * with an EXCLUSIVE create, so racing writers conflict (second
+  * committer gets ConcurrentModificationException and retries) instead
+  * of losing updates; see [[writeJson]]. Row-level deletes/updates are
+  * copy-on-write rewrites ([[delete]]/[[update]]/[[merge]]); schema is
+  * fixed per table (evolution = rewrite).
   */
 object Lake {
 
@@ -543,9 +546,17 @@ object Lake {
     val snap = readSnapshot(spark, src, prev)
     val f = fs(spark, dst)
     val conf = spark.sparkContext.hadoopConfiguration
+    // Manifest paths are fully qualified (e.g. "file:/tmp/src/data/..."),
+    // so relativize against the QUALIFIED source root the way
+    // listCommitFiles does; a plain stripPrefix(s"$src/") would never
+    // match and the clone would embed the absolute source path (and an
+    // illegal ':' path segment on HDFS).
+    val qualifiedSrc = fs(spark, src).makeQualified(new Path(src)).toString
     val copied = snap.files.map { fl =>
       val srcPath = new Path(fl.path)
-      val rel = fl.path.stripPrefix(s"$src/")
+      val rel = fl.path.stripPrefix(s"$qualifiedSrc/").stripPrefix(s"$src/")
+      require(!rel.contains(":"),
+        s"clone could not relativize ${fl.path} against $qualifiedSrc")
       val dstPath = new Path(s"$dst/$rel")
       f.mkdirs(dstPath.getParent)
       org.apache.hadoop.fs.FileUtil.copy(

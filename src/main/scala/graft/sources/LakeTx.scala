@@ -8,26 +8,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * multi-table load transaction (Stream Load TX / INSERT groups): a
   * catalog file pins (table → snapshot version); a commit writes every
   * table's new snapshot FIRST (unreferenced — invisible to catalog
-  * readers) and then swaps the single catalog pointer via
-  * write-temp + atomic rename. Readers resolving through the catalog
-  * therefore see all of a transaction's tables or none of them; a
-  * crash before the swap leaves the previous catalog intact and the
-  * orphaned snapshots are vacuum fodder.
+  * readers) and then publishes the next immutable `_catalog-vN.json`
+  * via exclusive create; readers pick the highest N. Readers resolving
+  * through the catalog therefore see all of a transaction's tables or
+  * none of them; a crash before the publish leaves the previous
+  * catalog file untouched (there is no delete/rename window in which
+  * no catalog exists) and the orphaned snapshots are vacuum fodder.
+  * Racing committers conflict on the exclusive create instead of
+  * losing updates.
   *
-  * The swap is one ~100-byte file rename regardless of data size —
-  * the same O(1) commit point every table-format catalog uses. */
+  * The commit point is one ~100-byte file create regardless of data
+  * size — the same O(1) commit point every table-format catalog uses. */
 object LakeTx {
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def catalogFile(root: String) = new Path(s"$root/_catalog.json")
+  private val CatalogName = """_catalog-v(\d+)\.json""".r
+
+  private def catalogFile(root: String, v: Long) =
+    new Path(f"$root/_catalog-v$v%06d.json")
+
+  /** Highest committed catalog version, 0 if none. The catalog is a
+    * monotone chain of immutable `_catalog-vN.json` files: readers pick
+    * the max N, so there is never a moment with NO catalog visible (the
+    * delete-then-rename swap this replaces had exactly that window). */
+  private def latestCatalogVersion(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val rootP = new Path(root)
+    if (!f.exists(rootP)) return 0L
+    f.listStatus(rootP).iterator.map(_.getPath.getName).collect {
+      case CatalogName(n) => n.toLong
+    }.foldLeft(0L)(math.max)
+  }
 
   /** Current pinned versions (empty before the first commit). */
-  def catalog(spark: SparkSession, root: String): Map[String, Int] = {
+  def catalog(spark: SparkSession, root: String): Map[String, Int] =
+    catalogAt(spark, root, latestCatalogVersion(spark, root))
+
+  private def catalogAt(spark: SparkSession, root: String, v: Long): Map[String, Int] = {
+    if (v == 0L) return Map.empty
     val f = fs(spark, root)
-    if (!f.exists(catalogFile(root))) return Map.empty
-    val in = f.open(catalogFile(root))
+    val in = f.open(catalogFile(root, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val node = new ObjectMapper().readTree(text)
@@ -37,12 +59,20 @@ object LakeTx {
   }
 
   /** Atomically publish a multi-table write: each table's data commits
-    * as its next snapshot, then ONE catalog swap makes every table's
-    * new version visible together. Returns the published versions. */
+    * as its next snapshot, then ONE catalog-version publish makes every
+    * table's new version visible together. Returns published versions.
+    *
+    * OCC: the base catalog version is read ONCE up front; the commit
+    * point is the exclusive create of base+1, so a transaction that
+    * raced past another's publish conflicts (never silently carries
+    * the stale table pointers it read at start). `expectedVersion`
+    * lets a caller (or test) pin the base explicitly for retry loops. */
   def commit(spark: SparkSession, root: String,
-      writes: Map[String, (DataFrame, Seq[String])]): Map[String, Int] = {
+      writes: Map[String, (DataFrame, Seq[String])],
+      expectedVersion: Option[Long] = None): Map[String, Int] = {
     require(writes.nonEmpty, "empty transaction")
-    val prior = catalog(spark, root)
+    val baseV = expectedVersion.getOrElse(latestCatalogVersion(spark, root))
+    val prior = catalogAt(spark, root, baseV)
     val next = prior ++ writes.map { case (t, (df, parts)) =>
       t -> Lake.write(df, s"$root/$t", parts, mode = "overwrite")
     }
@@ -51,12 +81,19 @@ object LakeTx {
       .map { case (t, v) => s"${mapper.writeValueAsString(t)}:$v" }
       .mkString("{", ",", "}")
     val f = fs(spark, root)
-    val tmp = new Path(s"$root/_catalog.json.tmp")
-    val out = f.create(tmp, true)
+    // Exclusive create of the NEXT catalog version is the atomic commit
+    // point (same OCC primitive as Lake's manifest path): a racing
+    // committer loses with FileAlreadyExistsException instead of
+    // silently clobbering, and a crash at any point leaves the previous
+    // catalog file fully intact and visible.
+    val target = catalogFile(root, baseV + 1)
+    val out =
+      try f.create(target, false)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent catalog commit detected at $target — retry the transaction")
+      }
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    // rename over the old pointer: the atomic commit point
-    f.delete(catalogFile(root), false)
-    require(f.rename(tmp, catalogFile(root)), "catalog swap failed")
     next
   }
 

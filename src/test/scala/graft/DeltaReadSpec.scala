@@ -25,4 +25,54 @@ class DeltaReadSpec extends SparkSuite {
       DeltaRead.versions(spark, java.nio.file.Files.createTempDirectory("nd").toString)
     }
   }
+
+  test("Lake write -> _delta_log export -> Delta read round trip") {
+    import graft.sources.{DeltaExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-dexp").toString
+    Lake.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "v"), table, Seq("p"))
+    Lake.write(Seq((3L, "a", 30.0)).toDF("id", "p", "v"), table, Seq("p"), mode = "append")
+    Lake.delete(spark, table, $"id" === 2L) // CoW rewrite drops a file
+    assert(DeltaExport.exportDeltaLog(spark, table) === 2L)
+    // latest: ids 1,3 with partition col recovered
+    val latest = DeltaRead.read(spark, table).select($"id", $"p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest === Set((1L, "a"), (3L, "a")))
+    // time travel: Delta version v == Lake snapshot v+1
+    assert(DeltaRead.read(spark, table, Some(0L)).count() === 2)
+    assert(DeltaRead.read(spark, table, Some(1L)).count() === 3)
+    // idempotent + incremental: re-export after another commit
+    Lake.write(Seq((4L, "c", 40.0)).toDF("id", "p", "v"), table, Seq("p"), mode = "append")
+    assert(DeltaExport.exportDeltaLog(spark, table) === 3L)
+    assert(DeltaRead.read(spark, table).count() === 3)
+    assert(DeltaRead.versions(spark, table) === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("url-encoded paths decode for membership and scan resolution") {
+    val table = java.nio.file.Files.createTempDirectory("graft-denc").toString
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // plant a data file whose name needs percent-encoding in the log
+    val staging = s"$table/_stage"
+    Seq((7L, "enc")).toDF("id", "v").coalesce(1).write.parquet(staging)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$table/part 0.snappy.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(Seq((7L, "enc")).toDF("id", "v").schema.json)
+    def log(v: Long, body: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(f"$table/_delta_log/$v%020d.json")
+      val out = f.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // real writers percent-encode the space in the add path
+    log(0L,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[]}}""" + "\n" +
+      """{"add":{"path":"part%200.snappy.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+    assert(DeltaRead.read(spark, table).select($"id").head.getLong(0) === 7L)
+    // an UNencoded remove must still cancel the encoded add
+    log(1L,
+      """{"remove":{"path":"part 0.snappy.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n")
+    assert(DeltaRead.liveFiles(spark, table).isEmpty)
+  }
 }

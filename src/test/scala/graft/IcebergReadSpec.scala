@@ -25,4 +25,22 @@ class IcebergReadSpec extends SparkSuite {
         java.nio.file.Files.createTempDirectory("ni").toString)
     }
   }
+
+  test("unpadded HadoopCatalog metadata names: v10 beats v9 numerically") {
+    val table = java.nio.file.Files.createTempDirectory("graft-ice10").toString
+    IcebergRead.commitSnapshot(Seq((1L, "old")).toDF("id", "v").coalesce(1), table)
+    IcebergRead.commitSnapshot(Seq((2L, "new")).toDF("id", "v").coalesce(1), table)
+    // rename the padded writer names to real HadoopCatalog unpadded
+    // names where lexicographic order inverts ("v9" > "v10")
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$table/metadata")
+    val metas = f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json")).sortBy(_.getName)
+    assert(metas.length === 2)
+    f.rename(metas(0), new org.apache.hadoop.fs.Path(s"$table/metadata/v9.metadata.json"))
+    f.rename(metas(1), new org.apache.hadoop.fs.Path(s"$table/metadata/v10.metadata.json"))
+    val ids = IcebergRead.read(spark, table)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L), "reader served the stale v9 snapshot")
+  }
 }

@@ -146,6 +146,24 @@ class LakeZorderSpec extends SparkSuite {
     assert(LakeTx.read(spark, root, "a").select($"k").head.getLong(0) === 3L)
     assert(LakeTx.read(spark, root, "b").select($"k").head.getLong(0) === 3L)
     intercept[IllegalArgumentException] { LakeTx.read(spark, root, "missing") }
+    // the catalog is a monotone chain of immutable versioned files —
+    // no moment exists where no catalog file is visible
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val cats = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.matches("_catalog-v\\d+\\.json")).sorted
+    assert(cats.length === 2, s"expected 2 catalog versions, got ${cats.toSeq}")
+    // a racing committer conflicts on the exclusive create instead of
+    // clobbering: both transactions base on catalog v2; the first
+    // publishes v3, the second's create(v3) must fail — not silently
+    // roll back the first one's table pointers
+    LakeTx.commit(spark, root,
+      Map("a" -> (Seq((4L, 4.0)).toDF("k", "v"), Nil)), expectedVersion = Some(2L))
+    intercept[IllegalStateException] {
+      LakeTx.commit(spark, root,
+        Map("b" -> (Seq((5L, 5.0)).toDF("k", "w"), Nil)), expectedVersion = Some(2L))
+    }
+    // the winner's publish is intact
+    assert(LakeTx.read(spark, root, "a").select($"k").head.getLong(0) === 4L)
   }
 
   test("clone is a physically independent backup") {
@@ -159,5 +177,14 @@ class LakeZorderSpec extends SparkSuite {
     Lake.delete(spark, src, $"id" === 1L)
     assert(Lake.read(spark, src).count() === 1)
     assert(Lake.read(spark, dst).count() === 2)
+    // cloned files must land under dst's own data/ layout, properly
+    // relativized from the QUALIFIED source paths (no "file:" path
+    // segments — those made vacuum see an empty data dir and are
+    // illegal on HDFS)
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "clone did not produce a data/ dir at the destination")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dst/file:")),
+      "clone embedded the absolute source path")
   }
 }

@@ -114,4 +114,27 @@ class RangeJoinRewriteSpec extends SparkSuite {
         Seq((1L, 10L), (1L, 12L), (2L, 12L), (3L, 12L)))
     }
   }
+
+  test("per-interval bin cap fails fast with a clear message") {
+    Session.prepare(spark)
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    // one open-ended interval encoded with a sentinel hi: at binSize=1
+    // it would replicate into 10M bin rows without the cap
+    val ivs = Seq((10L, 0.0, 1.0e7)).toDF("iid", "lo", "hi")
+    def q = pts.join(ivs, $"p" >= $"lo" && $"p" <= $"hi").select($"pid", $"iid")
+    withConf(RangeJoinRewrite.EnabledKey -> "true",
+        RangeJoinRewrite.BinKey -> "1",
+        RangeJoinRewrite.MaxBinsKey -> "1000") {
+      val e = intercept[Exception] { q.collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("rangeJoin")),
+        s"expected the cap message naming the confs, got: $e")
+    }
+    // under the cap the same query runs and matches the nested loop
+    withConf(RangeJoinRewrite.EnabledKey -> "true",
+        RangeJoinRewrite.BinKey -> "100000") {
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 10L)))
+    }
+  }
 }
