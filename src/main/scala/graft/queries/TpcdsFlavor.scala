@@ -801,8 +801,161 @@ object TpcdsFlavor extends graft.QueryArea {
     "tpcds_partition_avg_dev" -> partitionAvgDevSql,
     "tpcds_channel_band_agree" -> channelBandAgreeSql)
 
+  // Tranche 10 — the FULL mega-CTE compositions (round-4 verdict's
+  // remaining dark families), not just their isolated mechanics:
+  //
+  // Q64 sales-chain (`tpcds/query64.sql`): an auxiliary HAVING-gated
+  // CTE (sale > 2x refund), a mega dimension join (fact + 7 dims,
+  // including TWO aliases of the same dim — nation as supplier-side
+  // and customer-side), grouped into cross_sales, then cross_sales
+  // SELF-JOINED across consecutive years with a count inequality.
+  private val q64SalesChainSql =
+    """WITH returned_ok AS (
+      |  SELECT l_partkey FROM lineitem
+      |  GROUP BY l_partkey
+      |  HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |       > 2 * SUM(CASE WHEN l_returnflag = 'R'
+      |                 THEN CAST(l_extendedprice AS DECIMAL(18,6))
+      |                 ELSE CAST(0 AS DECIMAL(18,6)) END)),
+      |cross_sales AS (
+      |  SELECT p_name AS product_name, p_partkey AS item_sk,
+      |    s_name AS store_name, n1.n_name AS supp_nation,
+      |    n2.n_name AS cust_nation, year(o_orderdate) AS syear,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s1,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s2,
+      |    SUM(CAST(l_discount AS DECIMAL(18,6))) AS s3
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  WHERE l_partkey IN (SELECT l_partkey FROM returned_ok)
+      |    AND p_size BETWEEN 1 AND 40
+      |  GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT cs1.product_name, cs1.item_sk, cs1.store_name,
+      |  cs1.supp_nation, cs1.cust_nation AS cust_nation_1,
+      |  cs2.cust_nation AS cust_nation_2,
+      |  cs1.cnt AS cnt_1, cs2.cnt AS cnt_2,
+      |  round(CAST(cs1.s1 AS DOUBLE), 2) AS rev_1,
+      |  round(CAST(cs2.s1 AS DOUBLE), 2) AS rev_2,
+      |  round(CAST(cs1.s2 AS DOUBLE), 2) AS qty_1,
+      |  round(CAST(cs2.s3 AS DOUBLE), 2) AS disc_2
+      |FROM cross_sales cs1 JOIN cross_sales cs2
+      |  ON cs1.item_sk = cs2.item_sk
+      |  AND cs1.store_name = cs2.store_name
+      |  AND cs1.supp_nation = cs2.supp_nation
+      |  AND cs1.syear = 1995 AND cs2.syear = 1996
+      |  AND cs2.cnt <= cs1.cnt
+      |ORDER BY cs1.item_sk, cs1.store_name, cust_nation_1, cust_nation_2""".stripMargin
+
+  // Q23 cross-channel best customers (`tpcds/query23.sql`): frequent
+  // items (per item-year HAVING), a scalar-subquery max over a nested
+  // per-customer aggregate, best customers gated on half that max,
+  // and a final UNION ALL of two channels each filtered by BOTH
+  // semi-join CTEs. (2*sum > max keeps the gate in exact decimals.)
+  private val q23BestCustomersSql =
+    """WITH frequent_parts AS (
+      |  SELECT substr(p_name, 1, 15) AS pdesc, l_partkey AS item_sk,
+      |    year(l_shipdate) AS soldyear, COUNT(*) AS cnt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE year(l_shipdate) IN (1994, 1995, 1996, 1997)
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) > 4),
+      |max_sales AS (
+      |  SELECT MAX(csales) AS cmax FROM (
+      |    SELECT o_custkey,
+      |      SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS csales
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    WHERE year(o_orderdate) IN (1994, 1995, 1996, 1997)
+      |    GROUP BY o_custkey) t1),
+      |best_cust AS (
+      |  SELECT o_custkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_custkey
+      |  HAVING 2 * SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)))
+      |       > (SELECT cmax FROM max_sales))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_sales,
+      |  round(CAST(SUM(sales) AS DOUBLE), 2) AS total_sales
+      |FROM (
+      |  SELECT CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)) AS sales
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 2
+      |    AND l_linestatus = 'F'
+      |    AND l_partkey IN (SELECT item_sk FROM frequent_parts)
+      |    AND o_custkey IN (SELECT o_custkey FROM best_cust)
+      |  UNION ALL
+      |  SELECT CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)) AS sales
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 2
+      |    AND l_linestatus = 'O'
+      |    AND l_partkey IN (SELECT item_sk FROM frequent_parts)
+      |    AND o_custkey IN (SELECT o_custkey FROM best_cust)) t2""".stripMargin
+
+  // Q14 triple-channel INTERSECT pool (`tpcds/query14.sql`): the item
+  // pool present in ALL THREE channels (two INTERSECTs), a reused
+  // scalar average CTE gating EACH channel's per-brand HAVING, then
+  // the channels UNION ALL'd under an outer ROLLUP. average_sales is
+  // derived CAST(exact-decimal)/count on both engines, so the double
+  // gate compares identically.
+  private val q14ChannelIntersectSql =
+    """WITH cross_items AS (
+      |  SELECT l_partkey AS item_sk FROM lineitem WHERE l_returnflag = 'A'
+      |  INTERSECT
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+      |  INTERSECT
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |avg_sales AS (
+      |  SELECT CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |       / COUNT(*) AS average_sales
+      |  FROM lineitem WHERE year(l_shipdate) BETWEEN 1994 AND 1996),
+      |ch AS (
+      |  SELECT 'returned' AS channel, p_brand,
+      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS sales,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1995
+      |    AND l_partkey IN (SELECT item_sk FROM cross_items)
+      |  GROUP BY p_brand
+      |  HAVING CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |       > 20 * (SELECT average_sales FROM avg_sales)
+      |  UNION ALL
+      |  SELECT 'accepted' AS channel, p_brand,
+      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS sales,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'A' AND year(l_shipdate) = 1995
+      |    AND l_partkey IN (SELECT item_sk FROM cross_items)
+      |  GROUP BY p_brand
+      |  HAVING CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |       > 20 * (SELECT average_sales FROM avg_sales)
+      |  UNION ALL
+      |  SELECT 'open' AS channel, p_brand,
+      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS sales,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'N' AND year(l_shipdate) = 1995
+      |    AND l_partkey IN (SELECT item_sk FROM cross_items)
+      |  GROUP BY p_brand
+      |  HAVING CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |       > 20 * (SELECT average_sales FROM avg_sales))
+      |SELECT COALESCE(channel, 'ALL') AS channel,
+      |  COALESCE(p_brand, 'ALL') AS brand,
+      |  round(CAST(SUM(sales) AS DOUBLE), 2) AS sales,
+      |  CAST(SUM(cnt) AS BIGINT) AS cnt
+      |FROM ch
+      |GROUP BY ROLLUP(channel, p_brand)
+      |ORDER BY channel, brand""".stripMargin
+
+  private val tranche10: Map[String, String] = Map(
+    "tpcds_q64_sales_chain" -> q64SalesChainSql,
+    "tpcds_q23_best_customers" -> q23BestCustomersSql,
+    "tpcds_q14_channel_intersect" -> q14ChannelIntersectSql)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesTranche7 ++ (tranche2 ++ tranche9).map { case (name, sql) =>
+    queriesTranche7 ++ (tranche2 ++ tranche9 ++ tranche10).map { case (name, sql) =>
       name -> ((spark: SparkSession, dir: String) => sqlq(spark, dir)(sql))
     } ++ Map(
     // Q27/Q36: rollup with grouping-level indicator + rank inside level
@@ -868,7 +1021,7 @@ object TpcdsFlavor extends graft.QueryArea {
         |FROM air a FULL OUTER JOIN rail r
         |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)))
 
-  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ Map(
+  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ tranche10 ++ Map(
     "tpcds_rollup_rank" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,
