@@ -86,8 +86,26 @@ object Bench {
     def jline(pairs: Seq[(String, String)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+    // index-quality rows: *_recall_* gates emit one (recall, …) row;
+    // record the VALUE (not just the seconds) so BENCH_FULL.json
+    // tracks recall@k across rounds against the pinned floor
+    val recallRows = results.collect { case (k, v) if k.contains("_recall_") && v >= 0 =>
+      val value = try all(k)(spark, sfDir).head.getDouble(0)
+        catch { case _: Throwable => -1.0 }
+      s"${k}_value" -> r3(value)
+    }
+
+    // per-gate soft budget: gates past this are listed so budget
+    // growth is visible round-over-round (the top-10 gates are ~45 s
+    // of a ~400 s driver budget; a silent creep there is what times
+    // out a future round)
+    val gateBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_BUDGET_SEC", "5").toDouble
+    val overBudget = results.collect { case (k, v) if v > gateBudget => "\"" + k + "\"" }
+
     // full per-query dump — untruncatable file for the judge
-    val fullJson = jline(results.map { case (k, v) => k -> r3(v) })
+    val fullJson = jline(results.map { case (k, v) => k -> r3(v) } ++ recallRows ++
+      Seq("over_budget_gates" -> overBudget.mkString("[", ",", "]"),
+        "gate_budget_sec" -> r3(gateBudget)))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes("UTF-8"))
 

@@ -127,7 +127,43 @@ object Pipeline extends graft.QueryArea {
       TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", merges = 8)
         .toDF("rank", "left", "right", "merged", "freq")
         .orderBy(col("rank"))
-    }))
+    }),
+    // Full-SF index QUALITY tracking (not just fixture exactness):
+    // recall@5 of the approximate index vs the brute-force ground
+    // truth over the whole embeddings table. One row (recall,
+    // meets_floor); Bench extracts the value into BENCH_FULL.json and
+    // assert_true fails the run loudly if quality regresses past the
+    // pinned floor.
+    "xb_ivf_recall_fullsf" -> ((spark, dir) =>
+      annRecall(spark, dir, floor = 0.70) { (corpus, qs) =>
+        graft.operators.Similarity.ivfTopK(
+          corpus, "vec_id", "embedding", qs, "qid", "qvec",
+          k = 5, c = 16, nprobe = 8)
+      }),
+    "xb_pq_recall_fullsf" -> ((spark, dir) =>
+      annRecall(spark, dir, floor = 0.85) { (corpus, qs) =>
+        graft.operators.Similarity.pqTopK(
+          corpus, "vec_id", "embedding", qs, "qid", "qvec",
+          k = 5, m = 8, ks = 64, rerank = 200)
+      }))
+
+  /** recall@5 over 20 full-SF queries: |approx ∩ truth| / 100. */
+  private def annRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
+      floor: Double)(
+      index: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val truth = graft.operators.Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", qs, "qid", "qvec", k = 5)
+      .select(col("qid"), col("vec_id"))
+    val approx = index(corpus, qs).select(col("qid"), col("vec_id"))
+    truth.join(approx, Seq("qid", "vec_id"))
+      .agg((count(lit(1)).cast("double") / lit(100.0)).as("recall"))
+      .withColumn("meets_floor", expr(
+        s"assert_true(recall >= $floor, 'ANN recall@5 below pinned $floor floor') is null"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((spark, dir) => {

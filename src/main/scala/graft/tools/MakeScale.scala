@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, Session}
+
+/** Dev tool: synthesize a larger scale factor from an existing one by
+  * key-offset replication (the TPC-H scaling model: fact/dim key
+  * spaces grow, nation/region stay fixed). Replica i shifts every
+  * entity key by i x (max+1) so primary keys stay unique, foreign
+  * keys stay consistent within a replica, and join selectivities
+  * match a genuinely bigger SF — naive row duplication would instead
+  * square self-join outputs and break PK semantics.
+  *
+  * `documents.text` gets a per-replica suffix token (and n_chars is
+  * recomputed): without it every replica is an exact duplicate of the
+  * corpus and the dedup probes would measure planted cross-replica
+  * duplication (hash buckets 10x deeper, pairs 100x) instead of the
+  * operator's real growth.
+  *
+  * args: srcDir dstDir replicas   (e.g. /root/testdata/sf0.1 /tmp/graft_sf1 10)
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Engine.session()
+    spark.sparkContext.setLogLevel("WARN")
+    Session.prepare(spark)
+
+    def rd(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def off(df: DataFrame, col0: String): Long =
+      df.agg(max(col(col0))).head.getLong(0) + 1L
+
+    val maxOrd = off(rd("orders"), "o_orderkey")
+    val maxCust = off(rd("customer"), "c_custkey")
+    val maxPart = off(rd("part"), "p_partkey")
+    val maxSupp = off(rd("supplier"), "s_suppkey")
+    val maxEvent = off(rd("events"), "event_id")
+    val maxUser = off(rd("events"), "user_id")
+    val maxDoc = off(rd("documents"), "doc_id")
+    val maxVec = off(rd("embeddings"), "vec_id")
+
+    /** Union `replicas` copies with the given per-replica transform. */
+    def grow(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      val base = rd(name)
+      val out = (0 until replicas).map(i => tx(base, i)).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[makescale] $name x$replicas -> $dst")
+    }
+    def shift(c: String, step: Long, i: Int) = col(c) + lit(step * i)
+
+    grow("lineitem") { (d, i) => d
+      .withColumn("l_orderkey", shift("l_orderkey", maxOrd, i))
+      .withColumn("l_partkey", shift("l_partkey", maxPart, i))
+      .withColumn("l_suppkey", shift("l_suppkey", maxSupp, i)) }
+    grow("orders") { (d, i) => d
+      .withColumn("o_orderkey", shift("o_orderkey", maxOrd, i))
+      .withColumn("o_custkey", shift("o_custkey", maxCust, i)) }
+    grow("customer") { (d, i) => d
+      .withColumn("c_custkey", shift("c_custkey", maxCust, i)) }
+    grow("part") { (d, i) => d
+      .withColumn("p_partkey", shift("p_partkey", maxPart, i)) }
+    grow("supplier") { (d, i) => d
+      .withColumn("s_suppkey", shift("s_suppkey", maxSupp, i)) }
+    grow("events") { (d, i) => d
+      .withColumn("event_id", shift("event_id", maxEvent, i))
+      .withColumn("user_id", shift("user_id", maxUser, i)) }
+    grow("documents") { (d, i) => d
+      .withColumn("doc_id", shift("doc_id", maxDoc, i))
+      .withColumn("text",
+        if (i == 0) col("text") else concat(col("text"), lit(s" zrep$i")))
+      .withColumn("n_chars", length(col("text"))) }
+    grow("embeddings") { (d, i) => d
+      .withColumn("vec_id", shift("vec_id", maxVec, i)) }
+    // fixed dimensions: copy as-is (nation/region don't scale with SF)
+    Seq("nation", "region").foreach { n =>
+      rd(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      println(s"[makescale] $n copied")
+    }
+    spark.stop()
+  }
+}
