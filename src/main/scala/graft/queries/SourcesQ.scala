@@ -187,6 +187,26 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // Iceberg WRITE-path interop (sources/IcebergExport.scala;
+    // reference ICEBERG_TABLE_SINK): Lake commits export spec-shaped
+    // Iceberg metadata over the SAME data files (no copies); the
+    // protocol reader replays latest + snapshot-id time travel.
+    "src_iceberg_write_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_exp")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 0), table, Nil)
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 1), table, Nil, mode = "append")
+      graft.sources.Lake.delete(spark, table, col("o_orderkey") % 6 === 1)
+      graft.sources.IcebergExport.exportIcebergMeta(spark, table)
+      val reads = Seq(1L -> Some(2L), 2L -> None).map { case (tag, v) =>
+        graft.sources.IcebergRead.read(spark, table, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(tag).as("version"), col("n"), col("total"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("version"))
+    }),
     // Iceberg snapshot interop (sources/IcebergRead.scala): metadata
     // JSON → manifest-list Avro → manifest Avro → data files, read
     // with avro-core by field name (accepts real Iceberg layouts).
@@ -764,6 +784,15 @@ object SourcesQ extends graft.QueryArea {
         |SELECT 2, count(*),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |ORDER BY version""".stripMargin,
+    "src_iceberg_write_read" ->
+      """SELECT 1 AS version, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 1
         |ORDER BY version""".stripMargin,
     "src_delta_write_read" ->
       """SELECT 1 AS version, count(*) AS n,

@@ -89,6 +89,42 @@ object StreamingQ extends graft.QueryArea {
           dsum(col("value")).as("total"))
         .orderBy(col("event_type"))
     }),
+    // Streaming → ACID lake sink (streaming/Streams.lakeUpsertSink):
+    // three single-file waves stream through maxFilesPerTrigger=1, so
+    // THREE micro-batches each version-aware-merge into a Lake table
+    // (CoW upsert keyed on user_id, version = event_id). The final
+    // lake read must equal the batch latest-event-per-user aggregate,
+    // regardless of batch order — re-delivery and out-of-order waves
+    // converge by the version guard.
+    "stream_lake_sink" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_slake_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, base)
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      (0 until 3).foreach { i =>
+        val staging = s"$base/stage$i"
+        e.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        f.rename(part, new org.apache.hadoop.fs.Path(s"$base/in/wave$i.parquet"))
+        f.delete(new org.apache.hadoop.fs.Path(staging), true)
+      }
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val q = graft.streaming.Streams.lakeUpsertSink(
+        stream, Seq("user_id"), "event_id", s"$base/table", s"$base/ckpt")
+      q.awaitTermination(180000)
+      require(graft.sources.Lake.currentVersion(spark, s"$base/table") >= 3,
+        "expected one lake commit per micro-batch")
+      graft.sources.Lake.read(spark, s"$base/table")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))
+    }),
     // Stream-stream inner join through the REAL micro-batch path: the
     // metadata side (value > 100) joins the full stream on event_id
     // inside a ±1 h event-time band; both sides carry watermarks so
@@ -175,6 +211,15 @@ object StreamingQ extends graft.QueryArea {
         |  FROM cnt)
         |SELECT day, term, n, rk FROM r WHERE rk <= 3
         |ORDER BY day, rk""".stripMargin,
+    "stream_lake_sink" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events e JOIN latest l
+        |  ON e.user_id = l.user_id AND e.event_id = l.event_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "stream_dedup_ingest" ->
       """WITH planted AS (
         |  SELECT event_id, event_type, value FROM events

@@ -28,7 +28,7 @@ object IcebergRead {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def latestMetadata(spark: SparkSession, table: String): Path = {
+  private[sources] def latestMetadata(spark: SparkSession, table: String): Path = {
     val dir = new Path(s"$table/metadata")
     val f = fs(spark, table)
     if (!f.exists(dir)) throw new IllegalArgumentException(
@@ -97,17 +97,17 @@ object IcebergRead {
 
   // ---- minimal spec-shaped layout writer (tests + gate) ----
 
-  private val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry")
+  private[sources] val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry")
     .fields()
     .requiredInt("status")
     .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
       .requiredString("file_path").endRecord()).noDefault()
     .endRecord()
 
-  private val manifestFileSchema: Schema = SchemaBuilder.record("manifest_file")
+  private[sources] val manifestFileSchema: Schema = SchemaBuilder.record("manifest_file")
     .fields().requiredString("manifest_path").endRecord()
 
-  private def writeAvro(spark: SparkSession, path: String, schema: Schema,
+  private[sources] def writeAvro(spark: SparkSession, path: String, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
     val f = fs(spark, path)
     val out = f.create(new Path(path), true)

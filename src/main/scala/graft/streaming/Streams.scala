@@ -153,6 +153,48 @@ object Streams {
       .start()
   }
 
+  /** Streaming micro-batches into an ACID Lake table (the reference's
+    * routine load landing in a PRIMARY-keys OLAP table): each batch
+    * upserts via [[graft.sources.Lake.merge]] (copy-on-write, keyed),
+    * so the sink inherits the lake's snapshot isolation, time travel,
+    * and OCC. Exactly-once table state comes from the same argument as
+    * [[upsertSink]]: checkpointed batch replay is at-least-once, but
+    * the merge is version-aware per key (a source row only lands if
+    * its versionCol is >= the key's current version), so re-applying a
+    * batch — or applying an out-of-order late batch — converges to
+    * the same state.
+    *
+    * Scale: per batch, one broadcast-keyed semi-join finds touched
+    * files and only those rewrite; a partitioned table bounds the
+    * rewrite to touched partitions. */
+  def lakeUpsertSink(stream: DataFrame, keys: Seq[String], versionCol: String,
+      table: String, checkpoint: String): StreamingQuery = {
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+        val deduped = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (graft.sources.Lake.currentVersion(spark, table) == 0) {
+          graft.sources.Lake.write(deduped, table, Nil)
+        } else {
+          val cur = graft.sources.Lake.read(spark, table)
+            .select((keys.map(col) :+ col(versionCol).as("__curv")): _*)
+          val newer = deduped.join(cur, keys, "left")
+            .filter(col("__curv").isNull || col(versionCol) >= col("__curv"))
+            .drop("__curv")
+          if (!newer.isEmpty)
+            graft.sources.Lake.merge(spark, table, newer, keys)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Incremental-MV writer: stream an aggregation into a parquet dir
     * in append mode per completed window (the Structured-Streaming
     * equivalent of an ASYNC incremental MV refresh). */

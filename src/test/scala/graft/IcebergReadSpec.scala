@@ -26,6 +26,27 @@ class IcebergReadSpec extends SparkSuite {
     }
   }
 
+  test("Lake write -> Iceberg metadata export -> Iceberg read round trip") {
+    import graft.sources.{IcebergExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-iexp").toString
+    Lake.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), table, Nil)
+    Lake.write(Seq((3L, 30.0)).toDF("id", "v"), table, Nil, mode = "append")
+    Lake.delete(spark, table, $"id" === 2L)
+    assert(IcebergExport.exportIcebergMeta(spark, table) === 3L)
+    def ids(snap: Option[Long]) = IcebergRead.read(spark, table, snap)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids(None) === Set(1L, 3L))
+    assert(ids(Some(1L)) === Set(1L, 2L))
+    assert(ids(Some(2L)) === Set(1L, 2L, 3L))
+    // incremental + idempotent: another Lake commit, re-export
+    Lake.write(Seq((4L, 40.0)).toDF("id", "v"), table, Nil, mode = "append")
+    assert(IcebergExport.exportIcebergMeta(spark, table) === 4L)
+    assert(ids(None) === Set(1L, 3L, 4L))
+    // same files, zero data copies: lake read agrees
+    assert(Lake.read(spark, table).select($"id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 4L))
+  }
+
   test("unpadded HadoopCatalog metadata names: v10 beats v9 numerically") {
     val table = java.nio.file.Files.createTempDirectory("graft-ice10").toString
     IcebergRead.commitSnapshot(Seq((1L, "old")).toDF("id", "v").coalesce(1), table)

@@ -287,6 +287,43 @@ class StreamingSpec extends SparkSuite {
     assert(got === expected, "upsert table diverged from batch latest-version-per-key")
   }
 
+  test("lake upsert sink: redelivery and out-of-order batches converge") {
+    val watch = tmp()
+    val tableDir = tmp() + "/lake_table"
+    val e = Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id".as("v"), $"value").limit(2000)
+    val schema = e.schema
+    e.filter($"v" % 2 === 1).coalesce(1).write.parquet(s"$watch/in") // NEWER half first
+    def runOnce(ckpt: String): Unit = {
+      val q = Streams.lakeUpsertSink(
+        spark.readStream.schema(schema).parquet(s"$watch/in"),
+        Seq("user_id"), "v", tableDir, ckpt)
+      q.awaitTermination(120000)
+    }
+    runOnce(tmp() + "/c1")
+    val v1 = graft.sources.Lake.currentVersion(spark, tableDir)
+    assert(v1 >= 1)
+    // FULL REDELIVERY (fresh checkpoint, same input): table state and
+    // row count unchanged — the version guard makes replay a no-op
+    val before = graft.sources.Lake.read(spark, tableDir)
+      .select($"user_id", $"v").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    runOnce(tmp() + "/c2")
+    val after = graft.sources.Lake.read(spark, tableDir)
+      .select($"user_id", $"v").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after === before, "redelivered batch changed the table")
+    // LATE batch with OLDER versions: must not clobber newer rows
+    e.filter($"v" % 2 === 0).coalesce(1).write.parquet(s"$watch/in2")
+    val q2 = Streams.lakeUpsertSink(
+      spark.readStream.schema(schema).parquet(s"$watch/in2"),
+      Seq("user_id"), "v", tableDir, tmp() + "/c3")
+    q2.awaitTermination(120000)
+    val got = graft.sources.Lake.read(spark, tableDir)
+      .select($"user_id", $"v").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = e.groupBy($"user_id").agg(max($"v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, "out-of-order apply diverged from latest-version-per-key")
+  }
+
   test("routine load resumes from the offset ledger exactly-once after a mid-stream kill") {
     import graft.streaming.RoutineLoad
     val base = tmp()
