@@ -281,6 +281,64 @@ object Similarity {
       .select(col(queryId), col(corpusId), round(col("cos"), 6).as("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /** IVF-PQ composed index (Jégou et al. IVFADC, the shape every
+    * billion-vector system deploys): the coarse IVF quantizer prunes
+    * the corpus to each query's `nprobe` cells, PQ codes score the
+    * surviving rows in the compressed domain (no float vectors touched
+    * on the big side), and the top-`rerank` shortlist re-scores with
+    * exact distances. At 100 TB: the corpus is encoded ONCE (cell id +
+    * m-byte code per row, a ~25x storage cut at dim=64/m=8), a query
+    * reads nprobe/c of the codes and exactly `rerank` float vectors.
+    *
+    * Each corpus row lives in one cell, so a (query, corpus) pair is
+    * scored at most once — no dedup pass, same as [[ivfTopK]]. */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, c: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 64,
+      rerank: Int = 100, iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val cents = trainIvfCentroids(corpus, corpusVec, c, iters, seed = seed)
+    val cb = trainPqCodebooks(corpus, corpusVec, m, ks, seed = seed)
+    val dsub = cb(0)(0).length
+    // corpus: PQ codes + cell id (both scan-side; joined on the id —
+    // in a deployed index this pair is the stored, encoded table)
+    val encoded = pqEncode(corpus, corpusId, corpusVec, cb)
+      .join(corpus.select(col(corpusId),
+        nearestCell(col(corpusVec), cents).as("__cell")), Seq(corpusId))
+    // queries: probed cells × ADC LUT
+    val qsubs = (0 until m).map(s =>
+      slice(col(queryVec).cast("array<double>"), s * dsub + 1, dsub).as(s"__qsub$s"))
+    val qsliced = queries.select(col(queryId) +: col(queryVec) +: qsubs: _*)
+    val lut = array((0 until m).map { s =>
+      array(cb(s).map { ct =>
+        val d = l2_distance(col(s"__qsub$s"), typedlit(ct)); d * d
+      }: _*)
+    }: _*)
+    val qlut = qsliced
+      .select(probeCells(col(queryVec), cents, nprobe).as("__probe"),
+        col(queryId), lut.as("__lut"))
+      .select(col("__probe.i").as("__cell"), col(queryId), col("__lut"))
+    val scored = encoded.join(broadcast(qlut), Seq("__cell"))
+      .select(col(queryId), col(corpusId),
+        sqrt((0 until m).map(s =>
+          element_at(element_at(col("__lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1)).reduce(_ + _)).as("approx_l2"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("approx_l2"), col(corpusId))
+    val shortlist = scored.withColumn("__rr", row_number().over(w))
+      .filter(col("__rr") <= rerank)
+      .select(col(queryId), col(corpusId))
+    val exact = shortlist
+      .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
+      .select(col(queryId), col(corpusId),
+        l2_distance(col(corpusVec), col(queryVec)).as("l2"))
+    val w2 = Window.partitionBy(col(queryId)).orderBy(col("l2"), col(corpusId))
+    exact.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId),
+        round(col("l2"), 6).as("l2"), col("rk").cast("long").as("rk"))
+  }
+
   // ---------------- product quantization (PQ) ----------------
 
   /** Train PQ codebooks (Jégou et al., "Product Quantization for

@@ -145,6 +145,12 @@ object Pipeline extends graft.QueryArea {
         graft.operators.Similarity.pqTopK(
           corpus, "vec_id", "embedding", qs, "qid", "qvec",
           k = 5, m = 8, ks = 64, rerank = 200)
+      }),
+    "xb_ivfpq_recall_fullsf" -> ((spark, dir) =>
+      annRecall(spark, dir, floor = 0.60) { (corpus, qs) =>
+        graft.operators.Similarity.ivfPqTopK(
+          corpus, "vec_id", "embedding", qs, "qid", "qvec",
+          k = 5, c = 16, nprobe = 8, m = 8, ks = 64, rerank = 200)
       }))
 
   /** recall@5 over 20 full-SF queries: |approx ∩ truth| / 100. */

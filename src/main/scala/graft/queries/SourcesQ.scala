@@ -207,6 +207,25 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // Hudi WRITE-path interop (sources/HudiExport.scala): Lake
+    // commits export a .hoodie COW timeline over the SAME data files;
+    // CoW deletes become replacecommit instants retiring file groups.
+    "src_hudi_write_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "hudi_exp")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 0), table, Nil)
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 === 1), table, Nil, mode = "append")
+      graft.sources.Lake.delete(spark, table, col("o_orderkey") % 6 === 1)
+      graft.sources.HudiExport.exportHudiTimeline(spark, table)
+      val reads = Seq(1L -> Some(f"${2}%014d"), 2L -> None).map { case (tag, v) =>
+        graft.sources.HudiRead.read(spark, table, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(tag).as("version"), col("n"), col("total"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("version"))
+    }),
     // Iceberg snapshot interop (sources/IcebergRead.scala): metadata
     // JSON → manifest-list Avro → manifest Avro → data files, read
     // with avro-core by field name (accepts real Iceberg layouts).
@@ -784,6 +803,15 @@ object SourcesQ extends graft.QueryArea {
         |SELECT 2, count(*),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |ORDER BY version""".stripMargin,
+    "src_hudi_write_read" ->
+      """SELECT 1 AS version, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 1
         |ORDER BY version""".stripMargin,
     "src_iceberg_write_read" ->
       """SELECT 1 AS version, count(*) AS n,

@@ -24,15 +24,19 @@ object HudiRead {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Completed commit instants, ascending. */
+  /** Completed commit/replacecommit instants, ascending.
+    * (replacecommit = Hudi's insert_overwrite/clustering action: its
+    * partitionToReplaceFileIds retires whole file groups — the only
+    * way a group disappears in the timeline format.) */
   def instants(spark: SparkSession, table: String): Seq[String] = {
     val dir = new Path(s"$table/.hoodie")
     val f = fs(spark, table)
     if (!f.exists(dir)) throw new IllegalArgumentException(
       s"not a hudi table (no .hoodie): $table")
     f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit")).sorted.toSeq
+      .filter(n => n.endsWith(".commit") || n.endsWith(".replacecommit"))
+      .map(_.stripSuffix(".replacecommit").stripSuffix(".commit"))
+      .sorted.toSeq
   }
 
   /** fileId → live base-file path at `instantAsOf` (default latest). */
@@ -43,10 +47,19 @@ object HudiRead {
     val upTo = instantAsOf.getOrElse(instants(spark, table).last)
     val live = scala.collection.mutable.LinkedHashMap[String, String]()
     instants(spark, table).filter(_ <= upTo).foreach { i =>
-      val in = f.open(new Path(s"$table/.hoodie/$i.commit"))
+      val commitP = new Path(s"$table/.hoodie/$i.commit")
+      val p = if (f.exists(commitP)) commitP
+        else new Path(s"$table/.hoodie/$i.replacecommit")
+      val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val node = mapper.readTree(text)
+      // replacecommit retires file groups BEFORE its own writes apply
+      val replaced = node.get("partitionToReplaceFileIds")
+      if (replaced != null) {
+        val parts = replaced.fields()
+        while (parts.hasNext) parts.next().getValue.forEach(id => live.remove(id.asText()))
+      }
       val stats = node.get("partitionToWriteStats")
       if (stats != null) {
         val parts = stats.fields()
@@ -67,7 +80,10 @@ object HudiRead {
     val files = liveSlices(spark, table, instantAsOf).values.toSeq
     if (files.isEmpty)
       throw new IllegalArgumentException(s"no live slices at $table")
-    spark.read.parquet(files.map(p => s"$table/$p"): _*)
+    // basePath: slices under hive-style partition dirs (a Lake
+    // export's data/commit-N/p=x/…) recover their partition columns
+    spark.read.option("basePath", table)
+      .parquet(files.map(p => s"$table/$p"): _*)
   }
 
   /** Minimal layout writer (one commit): each DataFrame partition of

@@ -24,4 +24,26 @@ class HudiReadSpec extends SparkSuite {
       HudiRead.instants(spark, java.nio.file.Files.createTempDirectory("nh").toString)
     }
   }
+
+  test("Lake write -> Hudi timeline export -> Hudi read round trip") {
+    import graft.sources.{HudiExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-hexp").toString
+    Lake.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), table, Nil)
+    Lake.write(Seq((3L, 30.0)).toDF("id", "v"), table, Nil, mode = "append")
+    Lake.delete(spark, table, $"id" === 2L) // CoW: retires a file group
+    val last = HudiExport.exportHudiTimeline(spark, table)
+    assert(last === f"${3}%014d")
+    def ids(asOf: Option[String]) = HudiRead.read(spark, table, asOf)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids(None) === Set(1L, 3L))
+    assert(ids(Some(f"${1}%014d")) === Set(1L, 2L))
+    assert(ids(Some(f"${2}%014d")) === Set(1L, 2L, 3L))
+    // the delete instant is a replacecommit (file groups retired)
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$table/.hoodie/${f"${3}%014d"}.replacecommit")))
+    // incremental + idempotent re-export after another commit
+    Lake.write(Seq((4L, 40.0)).toDF("id", "v"), table, Nil, mode = "append")
+    assert(HudiExport.exportHudiTimeline(spark, table) === f"${4}%014d")
+    assert(ids(None) === Set(1L, 3L, 4L))
+  }
 }

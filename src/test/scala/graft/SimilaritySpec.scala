@@ -184,4 +184,23 @@ class SimilaritySpec extends SparkSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"PQ recall too low: $recall")
   }
+
+  test("IVF-PQ composed index: recall@5 >= 0.5 vs exact, exactly k ranked rows") {
+    import graft.functions.VectorFunctions._
+    val exact = corpus.crossJoin(broadcast(queries))
+      .select($"qid", $"vec_id", l2_distance($"embedding", $"qvec").as("d"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy($"d", $"vec_id")))
+      .filter($"rk" <= 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, c = 8, nprobe = 6, m = 8, ks = 32, rerank = 100)
+      .collect()
+    // shape: k rows per query, ranks 1..k, exact l2 carried
+    assert(rows.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getLong(3)).sorted.toSeq == (1L to 5L) })
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
+  }
 }
