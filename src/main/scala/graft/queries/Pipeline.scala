@@ -151,7 +151,32 @@ object Pipeline extends graft.QueryArea {
         graft.operators.Similarity.ivfPqTopK(
           corpus, "vec_id", "embedding", qs, "qid", "qvec",
           k = 5, c = 16, nprobe = 8, m = 8, ks = 64, rerank = 200)
-      }))
+      }),
+    // MinHash-LSH candidate recall at full SF: of the TRUE >=0.8
+    // Jaccard pairs (exact all-pairs ground truth over a bounded,
+    // deterministic id slice — all-pairs over the whole corpus would
+    // be O(n^2)), what fraction do the banded signatures surface as
+    // candidates? Precision needs no tracking: minhashDedup verifies
+    // every candidate with exact Jaccard, so it's 1.0 by construction.
+    "xb_minhash_cand_recall_fullsf" -> ((spark, dir) => {
+      // % 100000 keeps each original AND its planted twins (+100000
+      // exact, +200000 near) inside the ground-truth slice
+      val docs = plantedDocs(spark, dir).filter(col("doc_id") % 100000 < 150)
+      val sh = docs.select(col("doc_id"),
+        graft.operators.Dedup.wordShingles(col("text"), 3).as("sh"))
+      val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .filter(graft.operators.Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val cand = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", 3, 16, 4).select(col("id_a"), col("id_b"))
+      val nTruth = truth.count().toDouble
+      truth.join(cand, Seq("id_a", "id_b"))
+        .agg((count(lit(1)).cast("double") / lit(math.max(nTruth, 1.0))).as("recall"))
+        .withColumn("meets_floor", expr(
+          "assert_true(recall >= 0.90, 'minhash LSH candidate recall below pinned 0.90 floor') is null"))
+    }))
 
   /** recall@5 over 20 full-SF queries: |approx ∩ truth| / 100. */
   private def annRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
