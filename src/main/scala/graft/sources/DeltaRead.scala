@@ -50,14 +50,16 @@ object DeltaRead {
       else Option(u.getPath).getOrElse(raw)
     } catch { case _: java.net.URISyntaxException => raw }
 
-  /** Live data files after replaying the log through `versionAsOf`
-    * (defaults to the latest commit). */
-  def liveFiles(spark: SparkSession, table: String,
-      versionAsOf: Option[Long] = None): Seq[String] = {
+  /** One replay pass: (live adds with partitionValues, latest
+    * metaData node or null). */
+  private def replay(spark: SparkSession, table: String,
+      versionAsOf: Option[Long]): (Seq[(String, Map[String, String])],
+        com.fasterxml.jackson.databind.JsonNode) = {
     val f = fs(spark, table)
     val mapper = new ObjectMapper()
     val upTo = versionAsOf.getOrElse(versions(spark, table).last)
-    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    var metaData: com.fasterxml.jackson.databind.JsonNode = null
     versions(spark, table).filter(_ <= upTo).foreach { v =>
       val p = new Path(f"$table/_delta_log/$v%020d.json")
       val in = f.open(p)
@@ -65,28 +67,67 @@ object DeltaRead {
         finally in.close()
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("add")) live += decodePath(node.get("add").get("path").asText())
+        if (node.has("metaData")) metaData = node.get("metaData")
+        if (node.has("add")) {
+          val add = node.get("add")
+          val pvals = scala.collection.mutable.Map[String, String]()
+          if (add.has("partitionValues"))
+            add.get("partitionValues").fields().forEachRemaining(e =>
+              if (!e.getValue.isNull) pvals(e.getKey) = e.getValue.asText())
+          live(decodePath(add.get("path").asText())) = pvals.toMap
+        }
         if (node.has("remove")) live -= decodePath(node.get("remove").get("path").asText())
       }
     }
-    live.toSeq
+    (live.toSeq, metaData)
   }
 
+  /** Live data files after replaying the log through `versionAsOf`
+    * (defaults to the latest commit). */
+  def liveFiles(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): Seq[String] =
+    replay(spark, table, versionAsOf)._1.map(_._1)
+
   /** Scan the table at a version — a plain parquet read over the live
-    * file set, so pushdown/pruning behave exactly as on native data. */
+    * file set, so pushdown/pruning behave exactly as on native data.
+    * Partition columns come from the LOG (each add's partitionValues,
+    * typed by metaData.schemaString), per the protocol — never from
+    * directory-layout inference, which breaks on layouts like a Lake
+    * export's data/commit-N/p=x/… (files at the same depth under
+    * different non-kv parents). */
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val files = liveFiles(spark, table, versionAsOf)
-    if (files.isEmpty)
+    val (adds, metaData) = replay(spark, table, versionAsOf)
+    if (adds.isEmpty)
       throw new IllegalArgumentException(s"no live files at $table v$versionAsOf")
-    // basePath: files under hive-style partition dirs (e.g. a Lake
-    // export's data/commit-N/p=x/…) recover their partition columns;
-    // only when every path is table-relative (absolute adds may live
-    // outside the root, where a basePath would be rejected)
     def abs(p: String) = p.startsWith("/") || p.contains(":/")
-    val reader = if (files.exists(abs)) spark.read
-      else spark.read.option("basePath", table)
-    reader.parquet(files.map(p => if (abs(p)) p else s"$table/$p"): _*)
+    def resolve(p: String) = if (abs(p)) p else s"$table/$p"
+    val partCols: Seq[String] =
+      if (metaData == null || !metaData.has("partitionColumns")) Nil
+      else {
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        metaData.get("partitionColumns").forEach(c => b += c.asText())
+        b.toSeq
+      }
+    if (partCols.isEmpty)
+      spark.read.parquet(adds.map(a => resolve(a._1)): _*)
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(metaData.get("schemaString").asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      // one pruned parquet read per distinct partition tuple; the
+      // tuple's literals attach typed by the log schema
+      adds.groupBy(_._2).map { case (pvals, group) =>
+        val base = spark.read.parquet(group.map(a => resolve(a._1)): _*)
+        partCols.foldLeft(base) { (df, c) =>
+          val dt = schema.fields.find(_.name == c).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          df.withColumn(c, lit(pvals.getOrElse(c, null)).cast(dt))
+        }
+      }.reduce(_ unionByName _)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
 
   /** Minimal protocol-conformant writer (commit granularity): write

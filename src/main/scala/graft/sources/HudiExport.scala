@@ -28,6 +28,10 @@ object HudiExport {
   def exportHudiTimeline(spark: SparkSession, table: String): String = {
     val cur = Lake.currentVersion(spark, table)
     require(cur > 0, s"no committed Lake version at $table")
+    require(Lake.readSnapshot(spark, table, cur).partitionCols.isEmpty,
+      "HudiExport: partitioned Lake tables are not exportable — " +
+      "partitionPath mapping is out of scope; use DeltaExport " +
+      "(partition values ride in the log) for partitioned tables")
     val f = fs(spark, table)
     val qualified = f.makeQualified(new Path(table)).toString
     val mapper = new ObjectMapper()

@@ -28,6 +28,10 @@ object IcebergExport {
   def exportIcebergMeta(spark: SparkSession, table: String): Long = {
     val cur = Lake.currentVersion(spark, table)
     require(cur > 0, s"no committed Lake version at $table")
+    require(Lake.readSnapshot(spark, table, cur).partitionCols.isEmpty,
+      "IcebergExport: partitioned Lake tables are not exportable — the " +
+      "reader does not map manifest partition structs; use DeltaExport " +
+      "(partition values ride in the log) for partitioned tables")
     val f = fs(spark, table)
     val mapper = new ObjectMapper()
     (1 to cur).foreach { v =>

@@ -83,6 +83,38 @@ class AggStateSpec extends SparkSuite {
     assert(r.getSeq[Double](1) === direct.getSeq[Double](1))
   }
 
+  test("string max and decimal avg buffers survive state serialization") {
+    df
+    val viaState = spark.sql(
+      """SELECT agg_state_merge('max', s, CAST(NULL AS STRING)) AS mx,
+        |  CAST(agg_state_merge('avg', s2, CAST(NULL AS DECIMAL(12,3))) AS DOUBLE) AS av
+        |FROM (SELECT g, agg_state('max', concat('v', x)) AS s,
+        |             agg_state('avg', CAST(x AS DECIMAL(12,3))) AS s2
+        |      FROM ast GROUP BY g)""".stripMargin).head
+    val direct = spark.sql(
+      """SELECT max(concat('v', x)) AS mx,
+        |  CAST(avg(CAST(x AS DECIMAL(12,3))) AS DOUBLE) AS av FROM ast""".stripMargin).head
+    assert(viaState.getString(0) === direct.getString(0))
+    assert(math.abs(viaState.getDouble(1) - direct.getDouble(1)) < 1e-9)
+  }
+
+  test("empty input folds to the aggregate's empty value") {
+    df
+    val r = spark.sql(
+      """SELECT agg_state_merge('avg', s, CAST(NULL AS DOUBLE)) AS v
+        |FROM (SELECT agg_state('avg', x) AS s FROM ast WHERE g < 0 GROUP BY g)""".stripMargin)
+      .collect()
+    // a GLOBAL aggregate over zero states still emits one row (SQL
+    // semantics), evaluating the init buffer — avg of nothing is NULL,
+    // same as direct avg over an empty relation
+    assert(r.length === 1 && r.head.isNullAt(0))
+    val r2 = spark.sql(
+      """SELECT agg_state_merge('sum', s, CAST(NULL AS DOUBLE)) AS v
+        |FROM (SELECT agg_state('sum', CAST(NULL AS DOUBLE)) AS s FROM ast GROUP BY g)""".stripMargin)
+      .head
+    assert(r2.isNullAt(0)) // states of all-null inputs merge to SQL NULL
+  }
+
   test("non-aggregate name is rejected with a clear error") {
     df
     val e = intercept[Exception] {
