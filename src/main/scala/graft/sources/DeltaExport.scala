@@ -88,6 +88,12 @@ object DeltaExport {
       }
       last = v - 1L
     }
+    // protocol checkpoints every 10 Delta versions: once written, the
+    // JSON commits they cover can be cleaned and readers still enter
+    // at the checkpoint (DeltaRead.writeCheckpoint)
+    val have = DeltaRead.checkpointVersions(spark, table).toSet
+    (10L to last by 10L).filterNot(have).foreach(v =>
+      DeltaRead.writeCheckpoint(spark, table, Some(v)))
     last
   }
 }

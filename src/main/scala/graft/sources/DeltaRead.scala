@@ -50,24 +50,79 @@ object DeltaRead {
       else Option(u.getPath).getOrElse(raw)
     } catch { case _: java.net.URISyntaxException => raw }
 
-  /** One replay pass: (live adds with partitionValues, latest
-    * metaData node or null). */
+  /** Checkpoint versions present in the log (protocol: every N
+    * commits, a `<version>.checkpoint.parquet` snapshot of the live
+    * action set lets readers skip the JSON replay — and is the ONLY
+    * entry point once old JSON commits are cleaned). */
+  def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val logDir = new Path(s"$table/_delta_log")
+    val f = fs(spark, table)
+    if (!f.exists(logDir)) return Nil
+    f.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.stripSuffix(".checkpoint.parquet").toLong).sorted.toSeq
+  }
+
+  /** One replay pass: (live adds with partitionValues, partition
+    * columns, schema json or null). Starts from the newest checkpoint
+    * at or below `versionAsOf` when one exists (required once old
+    * JSON commits are vacuumed), then replays the JSON tail. */
   private def replay(spark: SparkSession, table: String,
       versionAsOf: Option[Long]): (Seq[(String, Map[String, String])],
-        com.fasterxml.jackson.databind.JsonNode) = {
+        Seq[String], String) = {
     val f = fs(spark, table)
     val mapper = new ObjectMapper()
-    val upTo = versionAsOf.getOrElse(versions(spark, table).last)
+    val jsonVersions = versions(spark, table)
+    val upTo = versionAsOf.getOrElse(
+      (jsonVersions ++ checkpointVersions(spark, table)).max)
     val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
-    var metaData: com.fasterxml.jackson.databind.JsonNode = null
-    versions(spark, table).filter(_ <= upTo).foreach { v =>
+    var partCols: Seq[String] = Nil
+    var schemaJson: String = null
+
+    val ckpt = checkpointVersions(spark, table).filter(_ <= upTo).lastOption
+    ckpt.foreach { cv =>
+      val rows = spark.read.parquet(f"$table/_delta_log/$cv%020d.checkpoint.parquet")
+      val cols = rows.columns.toSet
+      if (cols.contains("metaData")) {
+        rows.select("metaData").filter("metaData is not null").collect().foreach { r =>
+          val md = r.getStruct(0)
+          val names = md.schema.fieldNames
+          if (names.contains("schemaString")) schemaJson = md.getAs[String]("schemaString")
+          if (names.contains("partitionColumns"))
+            partCols = Option(md.getAs[Seq[String]]("partitionColumns")).getOrElse(Nil)
+        }
+      }
+      if (cols.contains("add")) {
+        rows.select("add.path", "add.partitionValues")
+          .filter("add is not null and add.path is not null").collect().foreach { r =>
+            val pvals = Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty)
+              .filter(_._2 != null)
+            live(decodePath(r.getString(0))) = pvals
+          }
+      }
+    }
+    val replayFrom = ckpt.map(_ + 1).getOrElse(0L)
+    val missing = (replayFrom to upTo).filterNot(v =>
+      jsonVersions.contains(v))
+    require(missing.isEmpty,
+      s"cannot reconstruct $table@v$upTo: commits ${missing.mkString(",")} " +
+      "are cleaned and no checkpoint covers them")
+    jsonVersions.filter(v => v >= replayFrom && v <= upTo).foreach { v =>
       val p = new Path(f"$table/_delta_log/$v%020d.json")
       val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("metaData")) metaData = node.get("metaData")
+        if (node.has("metaData")) {
+          val md = node.get("metaData")
+          if (md.has("schemaString")) schemaJson = md.get("schemaString").asText()
+          if (md.has("partitionColumns")) {
+            val b = scala.collection.mutable.ArrayBuffer[String]()
+            md.get("partitionColumns").forEach(c => b += c.asText())
+            partCols = b.toSeq
+          }
+        }
         if (node.has("add")) {
           val add = node.get("add")
           val pvals = scala.collection.mutable.Map[String, String]()
@@ -79,7 +134,7 @@ object DeltaRead {
         if (node.has("remove")) live -= decodePath(node.get("remove").get("path").asText())
       }
     }
-    (live.toSeq, metaData)
+    (live.toSeq, partCols, schemaJson)
   }
 
   /** Live data files after replaying the log through `versionAsOf`
@@ -97,24 +152,17 @@ object DeltaRead {
     * different non-kv parents). */
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val (adds, metaData) = replay(spark, table, versionAsOf)
+    val (adds, partCols, schemaJson) = replay(spark, table, versionAsOf)
     if (adds.isEmpty)
       throw new IllegalArgumentException(s"no live files at $table v$versionAsOf")
     def abs(p: String) = p.startsWith("/") || p.contains(":/")
     def resolve(p: String) = if (abs(p)) p else s"$table/$p"
-    val partCols: Seq[String] =
-      if (metaData == null || !metaData.has("partitionColumns")) Nil
-      else {
-        val b = scala.collection.mutable.ArrayBuffer[String]()
-        metaData.get("partitionColumns").forEach(c => b += c.asText())
-        b.toSeq
-      }
     if (partCols.isEmpty)
       spark.read.parquet(adds.map(a => resolve(a._1)): _*)
     else {
       import org.apache.spark.sql.functions.{col, lit}
       val schema = org.apache.spark.sql.types.DataType
-        .fromJson(metaData.get("schemaString").asText())
+        .fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       // one pruned parquet read per distinct partition tuple; the
       // tuple's literals attach typed by the log schema
@@ -128,6 +176,54 @@ object DeltaRead {
       }.reduce(_ unionByName _)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
+  }
+
+  /** Write a protocol checkpoint at `version` (default: latest): one
+    * parquet snapshot of the live action set (add rows + metaData +
+    * protocol) plus the `_last_checkpoint` pointer. After this, JSON
+    * commits ≤ version are no longer needed to reconstruct the table
+    * — the reader enters at the checkpoint and replays only the tail,
+    * which is how real Delta tables survive log cleanup. */
+  def writeCheckpoint(spark: SparkSession, table: String,
+      version: Option[Long] = None): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v = version.getOrElse(versions(spark, table).last)
+    val (adds, partCols, schemaJson) = replay(spark, table, Some(v))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val mdT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val protoT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val schema = StructType(Seq(
+      StructField("add", addT), StructField("metaData", mdT),
+      StructField("protocol", protoT)))
+    val rows: Seq[Row] =
+      Seq(Row(null, Row(s"graft-${Integer.toHexString(table.hashCode)}",
+          schemaJson, partCols), null),
+        Row(null, null, Row(1, 2))) ++
+      adds.map { case (p, pv) => Row(Row(p, pv, 1L, 0L, true), null, null) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val f = fs(spark, table)
+    val staging = s"$table/_delta_log/.ckpt_stage_$v"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = f.listStatus(new Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f.rename(part, new Path(f"$table/_delta_log/$v%020d.checkpoint.parquet"))
+    f.delete(new Path(staging), true)
+    val lp = f.create(new Path(s"$table/_delta_log/_last_checkpoint"), true)
+    try lp.write(s"""{"version":$v,"size":${rows.size}}""".getBytes("UTF-8"))
+    finally lp.close()
+    v
   }
 
   /** Minimal protocol-conformant writer (commit granularity): write
