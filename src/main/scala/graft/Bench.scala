@@ -39,11 +39,21 @@ object Bench {
     // gate queries + full-SF timing variants of fixture-gated operators
     val all = SparkEntry.queries ++ graft.queries.Pipeline.benchOnly
 
+    // *_recall_* gates emit one (recall, …) row; capture the value
+    // DURING the timed run (a 1-row collect materializes the same
+    // work as the noop sink) instead of re-executing the gate later —
+    // the re-run doubled the wall of the most expensive quality gates
+    // while staying invisible in the recorded per-gate seconds.
+    val recallValues = scala.collection.mutable.Map[String, Double]()
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try all(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        val df = all(name)(spark, sfDir)
+        if (name.contains("_recall_"))
+          recallValues(name) =
+            try df.collect().head.getDouble(0) catch { case _: Throwable => -1.0 }
+        else df.write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
@@ -90,9 +100,7 @@ object Bench {
     // record the VALUE (not just the seconds) so BENCH_FULL.json
     // tracks recall@k across rounds against the pinned floor
     val recallRows = results.collect { case (k, v) if k.contains("_recall_") && v >= 0 =>
-      val value = try all(k)(spark, sfDir).head.getDouble(0)
-        catch { case _: Throwable => -1.0 }
-      s"${k}_value" -> r3(value)
+      s"${k}_value" -> r3(recallValues.getOrElse(k, -1.0))
     }
 
     // per-gate soft budget: gates past this are listed so budget

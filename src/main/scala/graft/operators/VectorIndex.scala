@@ -1,0 +1,214 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Lake
+
+/** PERSISTED vector ANN index — the reference treats its vector index
+  * as table state built once and maintained on write (segment-level
+  * index family under `be/src/storage/`, `docs/en/table_design/
+  * indexes/vector_index.md`: IVFPQ index_type with nbits/nlist/m
+  * params), not as a per-query training job. This is the Spark-native
+  * equivalent: an IVF-PQ index stored as a Lake table plus a tiny
+  * model file, so a standing corpus trains ONCE and every query after
+  * that is pure scan+join work.
+  *
+  * Layout at `path`:
+  *  - `_model.json` — centroids (c×dim) + PQ codebooks (m×ks×dsub) +
+  *    params; KBs, read driver-side with ZERO Spark jobs;
+  *  - `codes/` — a Lake table (id, codes, cell) PARTITIONED BY cell:
+  *    each row is `spill` (cell, m-byte code) entries, so a query
+  *    probing `nprobe` cells partition-prunes to nprobe/c of the
+  *    files before any row is read. Lake append = incremental index
+  *    maintenance for new corpus rows (encoded with the FROZEN model
+  *    — the standard IVF contract; retrain by rebuilding).
+  *
+  * 100 TB shape: build cost is one bounded-sample training (driver,
+  * MBs) + one encode pass over the corpus (scan-side expressions) +
+  * one partitioned write. Query cost is nprobe/c of the CODES (m
+  * bytes/row, 25-60× smaller than the float vectors) + `rerank`
+  * exact-distance lookups per query — the corpus floats are touched
+  * only for the shortlist. */
+object VectorIndex {
+
+  /** The frozen trained state: coarse centroids + PQ codebooks. */
+  final case class Model(dim: Int, c: Int, m: Int, ks: Int, spill: Int,
+      seed: Long,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = dim / m
+  }
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def modelPath(path: String) = new Path(s"$path/_model.json")
+  private def codesTable(path: String) = s"$path/codes"
+
+  /** Train + encode + persist. Single-writer (build-once) semantics:
+    * refuses to clobber an existing index — delete the directory to
+    * rebuild. Returns the number of corpus rows indexed. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      c: Int = 16, m: Int = 8, ks: Int = 64, spill: Int = 2,
+      seed: Long = 42L): Long = {
+    val spark = corpus.sparkSession
+    val f = fs(spark, path)
+    require(!f.exists(modelPath(path)),
+      s"vector index already exists at $path — delete to rebuild")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val centroids = Similarity.trainIvfCentroids(corpus, vecCol, c, seed = seed)
+    val codebooks = Similarity.trainPqCodebooks(corpus, vecCol, m, ks, seed = seed)
+    val model = Model(dim, c, m, ks, spill, seed, centroids, codebooks)
+    val n = writeCodes(corpus, idCol, vecCol, model, path, mode = "overwrite")
+    // model is published LAST (exclusive create — the OCC commit
+    // primitive shared with LakeTx/DeltaExport): a crash mid-build
+    // leaves no readable index, a racing builder conflicts loudly
+    val out = f.create(modelPath(path), false)
+    try out.write(modelJson(model).getBytes("UTF-8")) finally out.close()
+    n
+  }
+
+  /** Incremental maintenance: encode NEW corpus rows with the frozen
+    * model and Lake-append them to the codes table — O(new rows), the
+    * existing index files are untouched. Returns rows appended. */
+  def append(newRows: DataFrame, idCol: String, vecCol: String,
+      path: String): Long = {
+    val model = load(newRows.sparkSession, path)
+    writeCodes(newRows, idCol, vecCol, model, path, mode = "append")
+  }
+
+  private def writeCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, path: String, mode: String): Long = {
+    val encoded = encode(corpus, idCol, vecCol, model)
+    Lake.write(encoded, codesTable(path), Seq("cell"), mode = mode)
+    Lake.readSnapshot(corpus.sparkSession, codesTable(path),
+      Lake.currentVersion(corpus.sparkSession, codesTable(path)))
+      .files.map(_.rowCount).sum
+  }
+
+  /** (id, codes, cell) rows — `spill` rows per input row. Staged
+    * projections keep each step an attribute before the next consumes
+    * it (a Generate re-evaluates carried expressions per OUTPUT row,
+    * and an interpreted HOF re-evaluates closed-over subtrees per
+    * element — both documented traps in [[Similarity]]). */
+  private def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val m = model.m; val dsub = model.dsub
+    val subCols = (0 until m).map(s =>
+      slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as(s"__sub$s"))
+    val sliced = corpus.select(col(idCol).as("id") +: col(vecCol).as("__v") +: subCols: _*)
+    val codeCols = (0 until m).map { s =>
+      val d2 = model.codebooks(s).map(ct => l2_distance(col(s"__sub$s"), typedlit(ct)))
+      val arr = array(d2: _*)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }
+    val coded = sliced.select(col("id"), col("__v"), array(codeCols: _*).as("codes"))
+    if (model.spill <= 1)
+      coded.select(col("id"), col("codes"),
+        Similarity.nearestCell(col("__v"), model.centroids).as("cell"))
+    else
+      coded.select(col("id"), col("codes"),
+          Similarity.probeCells(col("__v"), model.centroids, model.spill).as("__probe"))
+        .select(col("id"), col("codes"), col("__probe.i").as("cell"))
+  }
+
+  /** Load the frozen model — a driver-side KB read, zero Spark jobs
+    * (asserted in SimilaritySpec): this is what makes repeat queries
+    * against a standing index free of training work. */
+  def load(spark: SparkSession, path: String): Model = {
+    val f = fs(spark, path)
+    val in = f.open(modelPath(path))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = new ObjectMapper().readTree(text)
+    def arr2(n: com.fasterxml.jackson.databind.JsonNode): Array[Array[Double]] = {
+      val b = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      n.forEach { row =>
+        val r = scala.collection.mutable.ArrayBuffer[Double]()
+        row.forEach(v => r += v.asDouble())
+        b += r.toArray
+      }
+      b.toArray
+    }
+    val cbs = scala.collection.mutable.ArrayBuffer[Array[Array[Double]]]()
+    node.get("codebooks").forEach(sub => cbs += arr2(sub))
+    Model(node.get("dim").asInt(), node.get("c").asInt(),
+      node.get("m").asInt(), node.get("ks").asInt(),
+      node.get("spill").asInt(), node.get("seed").asLong(),
+      arr2(node.get("centroids")), cbs.toArray)
+  }
+
+  private def modelJson(model: Model): String = {
+    val mapper = new ObjectMapper()
+    def arr2(a: Array[Array[Double]]): String =
+      a.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""{"dim":${model.dim},"c":${model.c},"m":${model.m},"ks":${model.ks},""" +
+      s""""spill":${model.spill},"seed":${model.seed},""" +
+      s""""centroids":${arr2(model.centroids)},""" +
+      s""""codebooks":${model.codebooks.map(arr2).mkString("[", ",", "]")}}"""
+  }
+
+  /** ANN top-k against the PERSISTED index: probe → partition-pruned
+    * codes scan → ADC score → exact-L2 rerank against the corpus
+    * floats. No training, no model fitting — the only jobs are the
+    * pruned scan, one broadcast join, and the shortlist joins.
+    *
+    * The probed cells arrive as a pushed `cell IN (…)` disjunction
+    * over the union of every query's probe set, so the Lake partition
+    * pruner drops unprobed cells' files before any row is read; the
+    * per-query cell routing then happens in the broadcast join. */
+  def topK(spark: SparkSession, path: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 8, rerank: Int = 200): DataFrame = {
+    val model = load(spark, path)
+    val m = model.m; val dsub = model.dsub
+    // query side: probed cells + ADC lookup table (broadcast KBs)
+    val qsubs = (0 until m).map(s =>
+      slice(col(queryVec).cast("array<double>"), s * dsub + 1, dsub).as(s"__qsub$s"))
+    val qsliced = queries.select(col(queryId) +: col(queryVec) +: qsubs: _*)
+    val lut = array((0 until m).map { s =>
+      array(model.codebooks(s).map { ct =>
+        val d = l2_distance(col(s"__qsub$s"), typedlit(ct)); d * d
+      }: _*)
+    }: _*)
+    val qlut = qsliced
+      .select(Similarity.probeCells(col(queryVec), model.centroids, nprobe).as("__probe"),
+        col(queryId), lut.as("__lut"))
+      .select(col("__probe.i").as("cell"), col(queryId), col("__lut"))
+    // the union of all probed cells, pushed into the Lake scan for
+    // partition pruning (queries are few; the set is driver-tiny)
+    val probedCells = qlut.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = Lake.read(spark, codesTable(path))
+      .filter(col("cell").isin(probedCells: _*))
+    val scored0 = codes.join(broadcast(qlut), Seq("cell"))
+      .select(col(queryId), col("id").as(corpusId),
+        sqrt((0 until m).map(s =>
+          element_at(element_at(col("__lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1)).reduce(_ + _)).as("approx_l2"))
+    val scored = if (model.spill <= 1) scored0
+      else scored0.groupBy(col(queryId), col(corpusId))
+        .agg(min(col("approx_l2")).as("approx_l2"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("approx_l2"), col(corpusId))
+    val shortlist = scored.withColumn("__rr", row_number().over(w))
+      .filter(col("__rr") <= rerank)
+      .select(col(queryId), col(corpusId))
+    val exact = shortlist
+      .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
+      .select(col(queryId), col(corpusId),
+        l2_distance(col(corpusVec), col(queryVec)).as("l2"))
+    val w2 = Window.partitionBy(col(queryId)).orderBy(col("l2"), col(corpusId))
+    exact.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId),
+        round(col("l2"), 6).as("l2"), col("rk").cast("long").as("rk"))
+  }
+}

@@ -125,9 +125,9 @@ object TpcdsFlavor extends graft.QueryArea {
       |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS returned
       |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
       |SELECT p_brand,
-      |  round(CAST(SUM(coalesce(gross, 0)) AS DOUBLE), 2) AS gross,
-      |  round(CAST(SUM(coalesce(returned, 0)) AS DOUBLE), 2) AS returned,
-      |  round(CAST(SUM(coalesce(gross, 0)) - SUM(coalesce(returned, 0)) AS DOUBLE), 2) AS net
+      |  CAST(round(SUM(coalesce(gross, 0)), 2) AS DOUBLE) AS gross,
+      |  CAST(round(SUM(coalesce(returned, 0)), 2) AS DOUBLE) AS returned,
+      |  CAST(round(SUM(coalesce(gross, 0)) - SUM(coalesce(returned, 0)), 2) AS DOUBLE) AS net
       |FROM sales FULL OUTER JOIN ret USING (l_partkey)
       |JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
@@ -178,9 +178,9 @@ object TpcdsFlavor extends graft.QueryArea {
     """WITH r AS (
       |  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R')
       |SELECT s.l_orderkey,
-      |  round(CAST(SUM(CAST(CASE WHEN r.l_linenumber IS NOT NULL
+      |  CAST(round(SUM(CAST(CASE WHEN r.l_linenumber IS NOT NULL
       |      THEN s.l_extendedprice * (1 - s.l_discount) * 0.5
-      |      ELSE s.l_extendedprice * (1 - s.l_discount) END AS DECIMAL(18,6))) AS DOUBLE), 2) AS eff_rev
+      |      ELSE s.l_extendedprice * (1 - s.l_discount) END AS DECIMAL(18,6))), 2) AS DOUBLE) AS eff_rev
       |FROM lineitem s LEFT JOIN r
       |  ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
       |GROUP BY s.l_orderkey
@@ -195,7 +195,7 @@ object TpcdsFlavor extends graft.QueryArea {
       |  SELECT 'rail' AS channel, p_brand, CAST(l_extendedprice AS DECIMAL(18,6)) AS rev
       |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'N')
       |SELECT coalesce(channel, 'ALL') AS channel, coalesce(p_brand, 'ALL') AS brand,
-      |  round(CAST(SUM(rev) AS DOUBLE), 2) AS rev
+      |  CAST(round(SUM(rev), 2) AS DOUBLE) AS rev
       |FROM ch GROUP BY GROUPING SETS ((channel, p_brand), (channel), ())
       |ORDER BY channel, brand""".stripMargin
 
@@ -299,7 +299,7 @@ object TpcdsFlavor extends graft.QueryArea {
       |best AS (
       |  SELECT o_custkey FROM spend
       |  WHERE tot > (SELECT 0.5 * MAX(tot) FROM spend))
-      |SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev,
+      |SELECT CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev,
       |  CAST(COUNT(*) AS BIGINT) AS n_lines
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
@@ -320,7 +320,7 @@ object TpcdsFlavor extends graft.QueryArea {
       |  SELECT CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS a
       |  FROM lineitem)
       |SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
-      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
       |FROM lineitem
       |WHERE l_partkey IN (SELECT l_partkey FROM common)
       |GROUP BY l_partkey
@@ -359,8 +359,8 @@ object TpcdsFlavor extends graft.QueryArea {
       |  SELECT l_suppkey, rev, row_number() OVER (ORDER BY rev ASC, l_suppkey) AS rk
       |  FROM perf)
       |SELECT CAST(b.rk AS BIGINT) AS rk,
-      |  b.l_suppkey AS best_supp, round(CAST(b.rev AS DOUBLE), 2) AS best_rev,
-      |  w.l_suppkey AS worst_supp, round(CAST(w.rev AS DOUBLE), 2) AS worst_rev
+      |  b.l_suppkey AS best_supp, CAST(round(b.rev, 2) AS DOUBLE) AS best_rev,
+      |  w.l_suppkey AS worst_supp, CAST(round(w.rev, 2) AS DOUBLE) AS worst_rev
       |FROM best b JOIN worst w ON b.rk = w.rk
       |WHERE b.rk <= 10 ORDER BY rk""".stripMargin
 
@@ -481,7 +481,7 @@ object TpcdsFlavor extends graft.QueryArea {
       |  WHERE rk <= 5)
       |SELECT GROUPING(n_name) + GROUPING(o_orderpriority) AS lochierarchy,
       |  n_name, o_orderpriority,
-      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -570,8 +570,8 @@ object TpcdsFlavor extends graft.QueryArea {
       |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
       |  GROUP BY 1, 2, 3)
       |SELECT a.supp, a.part, a.cnt AS cnt_1995, b.cnt AS cnt_1996,
-      |  round(CAST(a.spend AS DOUBLE), 2) AS spend_1995,
-      |  round(CAST(b.spend AS DOUBLE), 2) AS spend_1996
+      |  CAST(round(a.spend, 2) AS DOUBLE) AS spend_1995,
+      |  CAST(round(b.spend, 2) AS DOUBLE) AS spend_1996
       |FROM cs a JOIN cs b ON a.supp = b.supp AND a.part = b.part
       |  AND a.yr = 1995 AND b.yr = 1996
       |WHERE CAST(b.spend AS DOUBLE) > CAST(a.spend AS DOUBLE)
@@ -840,10 +840,10 @@ object TpcdsFlavor extends graft.QueryArea {
       |  cs1.supp_nation, cs1.cust_nation AS cust_nation_1,
       |  cs2.cust_nation AS cust_nation_2,
       |  cs1.cnt AS cnt_1, cs2.cnt AS cnt_2,
-      |  round(CAST(cs1.s1 AS DOUBLE), 2) AS rev_1,
-      |  round(CAST(cs2.s1 AS DOUBLE), 2) AS rev_2,
-      |  round(CAST(cs1.s2 AS DOUBLE), 2) AS qty_1,
-      |  round(CAST(cs2.s3 AS DOUBLE), 2) AS disc_2
+      |  CAST(round(cs1.s1, 2) AS DOUBLE) AS rev_1,
+      |  CAST(round(cs2.s1, 2) AS DOUBLE) AS rev_2,
+      |  CAST(round(cs1.s2, 2) AS DOUBLE) AS qty_1,
+      |  CAST(round(cs2.s3, 2) AS DOUBLE) AS disc_2
       |FROM cross_sales cs1 JOIN cross_sales cs2
       |  ON cs1.item_sk = cs2.item_sk
       |  AND cs1.store_name = cs2.store_name
@@ -878,7 +878,7 @@ object TpcdsFlavor extends graft.QueryArea {
       |  HAVING 2 * SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)))
       |       > (SELECT cmax FROM max_sales))
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_sales,
-      |  round(CAST(SUM(sales) AS DOUBLE), 2) AS total_sales
+      |  CAST(round(SUM(sales), 2) AS DOUBLE) AS total_sales
       |FROM (
       |  SELECT CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)) AS sales
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -943,7 +943,7 @@ object TpcdsFlavor extends graft.QueryArea {
       |       > 20 * (SELECT average_sales FROM avg_sales))
       |SELECT COALESCE(channel, 'ALL') AS channel,
       |  COALESCE(p_brand, 'ALL') AS brand,
-      |  round(CAST(SUM(sales) AS DOUBLE), 2) AS sales,
+      |  CAST(round(SUM(sales), 2) AS DOUBLE) AS sales,
       |  CAST(SUM(cnt) AS BIGINT) AS cnt
       |FROM ch
       |GROUP BY ROLLUP(channel, p_brand)

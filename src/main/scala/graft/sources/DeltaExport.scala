@@ -31,8 +31,10 @@ object DeltaExport {
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Percent-encode a relative path per the Delta spec (real writers
-    * encode anything a URI requires; '/' separators stay). */
-  private def encodePath(rel: String): String =
+    * encode anything a URI requires; '/' separators stay). Shared
+    * with DeltaRead.writeCheckpoint so checkpoints store paths in the
+    * same encoded form as the JSON log. */
+  private[sources] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).toASCIIString
 
   /** Export all not-yet-exported Lake snapshots as Delta commits.

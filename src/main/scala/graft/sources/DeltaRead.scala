@@ -63,19 +63,25 @@ object DeltaRead {
       .map(_.stripSuffix(".checkpoint.parquet").toLong).sorted.toSeq
   }
 
-  /** One replay pass: (live adds with partitionValues, partition
-    * columns, schema json or null). Starts from the newest checkpoint
-    * at or below `versionAsOf` when one exists (required once old
-    * JSON commits are vacuumed), then replays the JSON tail. */
+  /** A live add after replay: decoded path, partition values, and the
+    * size/modificationTime the log recorded for it (0 when an old log
+    * omitted them) — carried so checkpoints can store the real stats
+    * instead of placeholders. */
+  private case class LiveAdd(path: String, pvals: Map[String, String],
+      size: Long, modTime: Long)
+
+  /** One replay pass: (live adds, partition columns, schema json or
+    * null). Starts from the newest checkpoint at or below
+    * `versionAsOf` when one exists (required once old JSON commits
+    * are vacuumed), then replays the JSON tail. */
   private def replay(spark: SparkSession, table: String,
-      versionAsOf: Option[Long]): (Seq[(String, Map[String, String])],
-        Seq[String], String) = {
+      versionAsOf: Option[Long]): (Seq[LiveAdd], Seq[String], String) = {
     val f = fs(spark, table)
     val mapper = new ObjectMapper()
     val jsonVersions = versions(spark, table)
     val upTo = versionAsOf.getOrElse(
       (jsonVersions ++ checkpointVersions(spark, table)).max)
-    val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    val live = scala.collection.mutable.LinkedHashMap[String, LiveAdd]()
     var partCols: Seq[String] = Nil
     var schemaJson: String = null
 
@@ -93,11 +99,14 @@ object DeltaRead {
         }
       }
       if (cols.contains("add")) {
-        rows.select("add.path", "add.partitionValues")
+        rows.select("add.path", "add.partitionValues", "add.size", "add.modificationTime")
           .filter("add is not null and add.path is not null").collect().foreach { r =>
             val pvals = Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty)
               .filter(_._2 != null)
-            live(decodePath(r.getString(0))) = pvals
+            val p = decodePath(r.getString(0))
+            live(p) = LiveAdd(p, pvals,
+              if (r.isNullAt(2)) 0L else r.getLong(2),
+              if (r.isNullAt(3)) 0L else r.getLong(3))
           }
       }
     }
@@ -129,19 +138,22 @@ object DeltaRead {
           if (add.has("partitionValues"))
             add.get("partitionValues").fields().forEachRemaining(e =>
               if (!e.getValue.isNull) pvals(e.getKey) = e.getValue.asText())
-          live(decodePath(add.get("path").asText())) = pvals.toMap
+          val p = decodePath(add.get("path").asText())
+          live(p) = LiveAdd(p, pvals.toMap,
+            if (add.has("size")) add.get("size").asLong(0L) else 0L,
+            if (add.has("modificationTime")) add.get("modificationTime").asLong(0L) else 0L)
         }
         if (node.has("remove")) live -= decodePath(node.get("remove").get("path").asText())
       }
     }
-    (live.toSeq, partCols, schemaJson)
+    (live.values.toSeq, partCols, schemaJson)
   }
 
   /** Live data files after replaying the log through `versionAsOf`
     * (defaults to the latest commit). */
   def liveFiles(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): Seq[String] =
-    replay(spark, table, versionAsOf)._1.map(_._1)
+    replay(spark, table, versionAsOf)._1.map(_.path)
 
   /** Scan the table at a version — a plain parquet read over the live
     * file set, so pushdown/pruning behave exactly as on native data.
@@ -158,7 +170,7 @@ object DeltaRead {
     def abs(p: String) = p.startsWith("/") || p.contains(":/")
     def resolve(p: String) = if (abs(p)) p else s"$table/$p"
     if (partCols.isEmpty)
-      spark.read.parquet(adds.map(a => resolve(a._1)): _*)
+      spark.read.parquet(adds.map(a => resolve(a.path)): _*)
     else {
       import org.apache.spark.sql.functions.{col, lit}
       val schema = org.apache.spark.sql.types.DataType
@@ -166,8 +178,8 @@ object DeltaRead {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       // one pruned parquet read per distinct partition tuple; the
       // tuple's literals attach typed by the log schema
-      adds.groupBy(_._2).map { case (pvals, group) =>
-        val base = spark.read.parquet(group.map(a => resolve(a._1)): _*)
+      adds.groupBy(_.pvals).map { case (pvals, group) =>
+        val base = spark.read.parquet(group.map(a => resolve(a.path)): _*)
         partCols.foldLeft(base) { (df, c) =>
           val dt = schema.fields.find(_.name == c).map(_.dataType)
             .getOrElse(org.apache.spark.sql.types.StringType)
@@ -206,11 +218,19 @@ object DeltaRead {
     val schema = StructType(Seq(
       StructField("add", addT), StructField("metaData", mdT),
       StructField("protocol", protoT)))
+    // paths go back in percent-ENCODED form — the same form the JSON
+    // log stores — so replay's single decodePath pass is correct for
+    // both sources and external Delta readers see spec-conformant
+    // paths; absolute URIs (shallow clones) are kept verbatim, as in
+    // the log. size/modificationTime carry the replayed real values.
+    def reencode(p: String): String =
+      if (p.contains(":/")) p else DeltaExport.encodePath(p)
     val rows: Seq[Row] =
       Seq(Row(null, Row(s"graft-${Integer.toHexString(table.hashCode)}",
           schemaJson, partCols), null),
         Row(null, null, Row(1, 2))) ++
-      adds.map { case (p, pv) => Row(Row(p, pv, 1L, 0L, true), null, null) }
+      adds.map(a =>
+        Row(Row(reencode(a.path), a.pvals, a.size, a.modTime, true), null, null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
     val f = fs(spark, table)
@@ -257,7 +277,8 @@ object DeltaRead {
       sb.append(s"""{"remove":{"path":${mapper.writeValueAsString(p)},"deletionTimestamp":0,"dataChange":true}}""").append('\n')
     }
     named.foreach { p =>
-      sb.append(s"""{"add":{"path":${mapper.writeValueAsString(p)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""").append('\n')
+      val st = f.getFileStatus(new Path(s"$table/$p"))
+      sb.append(s"""{"add":{"path":${mapper.writeValueAsString(p)},"partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}""").append('\n')
     }
     val logPath = new Path(f"$table/_delta_log/$version%020d.json")
     val out = f.create(logPath, false)

@@ -65,7 +65,15 @@ object IcebergExport {
             sb.toString
           }
         val json = s"""{"format-version":2,"current-snapshot-id":$v,"snapshots":[$priorSnaps{"snapshot-id":$v,"manifest-list":${mapper.writeValueAsString(listPath)}}]}"""
-        val out = f.create(metaPath, true)
+        // exclusive create — the same OCC commit primitive as
+        // DeltaExport/LakeTx: a racing exporter conflicts instead of
+        // silently clobbering an already-published metadata version
+        val out =
+          try f.create(metaPath, false)
+          catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"concurrent Iceberg export detected at $metaPath — retry")
+          }
         try out.write(json.getBytes("UTF-8")) finally out.close()
       }
     }

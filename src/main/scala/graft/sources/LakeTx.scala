@@ -46,16 +46,48 @@ object LakeTx {
   def catalog(spark: SparkSession, root: String): Map[String, Int] =
     catalogAt(spark, root, latestCatalogVersion(spark, root))
 
-  private def catalogAt(spark: SparkSession, root: String, v: Long): Map[String, Int] = {
-    if (v == 0L) return Map.empty
-    val f = fs(spark, root)
-    val in = f.open(catalogFile(root, v))
+  private def parseCatalog(spark: SparkSession, p: Path): Map[String, Int] = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val node = new ObjectMapper().readTree(text)
     val out = scala.collection.mutable.Map[String, Int]()
     node.fields().forEachRemaining(e => out(e.getKey) = e.getValue.asInt)
     out.toMap
+  }
+
+  private def catalogAt(spark: SparkSession, root: String, v: Long): Map[String, Int] = {
+    if (v == 0L) {
+      // Migration path: a root committed with the pre-versioned format
+      // (single swap-by-rename `_catalog.json`) must not read as empty —
+      // that would drop every pinned table on the next commit. Fall back
+      // to the legacy file when no versioned catalog exists yet; the
+      // next commit publishes its content (plus the tx) as v1.
+      val legacy = new Path(s"$root/_catalog.json")
+      if (fs(spark, root).exists(legacy)) return parseCatalog(spark, legacy)
+      return Map.empty
+    }
+    parseCatalog(spark, catalogFile(root, v))
+  }
+
+  /** GC old immutable catalog versions (à la [[Lake.vacuum]]): keep the
+    * newest `keepLast` versioned files, delete the rest plus any legacy
+    * `_catalog.json` already superseded by a versioned commit. Readers
+    * of retained versions are untouched; the latest is never deleted. */
+  def vacuumCatalog(spark: SparkSession, root: String, keepLast: Int = 10): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val f = fs(spark, root)
+    val rootP = new Path(root)
+    if (!f.exists(rootP)) return Nil
+    val vs = f.listStatus(rootP).iterator.map(_.getPath.getName).collect {
+      case CatalogName(n) => n.toLong
+    }.toSeq.sorted
+    val drop = vs.dropRight(keepLast)
+    drop.foreach(v => f.delete(catalogFile(root, v), false))
+    val legacy = new Path(s"$root/_catalog.json")
+    if (vs.nonEmpty && f.exists(legacy)) f.delete(legacy, false)
+    drop
   }
 
   /** Atomically publish a multi-table write: each table's data commits
