@@ -76,20 +76,31 @@ object VectorIndex {
 
   /** Incremental maintenance: encode NEW corpus rows with the frozen
     * model and Lake-append them to the codes table — O(new rows), the
-    * existing index files are untouched. Returns rows appended. */
+    * existing index files are untouched. Returns the number of input
+    * rows appended (not the spill-multiplied codes-row count). */
   def append(newRows: DataFrame, idCol: String, vecCol: String,
       path: String): Long = {
     val model = load(newRows.sparkSession, path)
     writeCodes(newRows, idCol, vecCol, model, path, mode = "append")
   }
 
+  /** Encode + commit one Lake write; returns the number of INPUT rows
+    * this call indexed (new-commit codes rows / spill — `encode` emits
+    * exactly `spill` codes rows per input row), not the table total:
+    * on append the prior snapshot's files are diffed out. */
   private def writeCodes(corpus: DataFrame, idCol: String, vecCol: String,
       model: Model, path: String, mode: String): Long = {
+    val spark = corpus.sparkSession
     val encoded = encode(corpus, idCol, vecCol, model)
-    Lake.write(encoded, codesTable(path), Seq("cell"), mode = mode)
-    Lake.readSnapshot(corpus.sparkSession, codesTable(path),
-      Lake.currentVersion(corpus.sparkSession, codesTable(path)))
-      .files.map(_.rowCount).sum
+    val prev =
+      if (mode == "append") Lake.currentVersion(spark, codesTable(path)) else 0
+    val v = Lake.write(encoded, codesTable(path), Seq("cell"), mode = mode)
+    val prevFiles: Set[String] =
+      if (prev > 0) Lake.readSnapshot(spark, codesTable(path), prev)
+        .files.map(_.path).toSet
+      else Set.empty
+    Lake.readSnapshot(spark, codesTable(path), v)
+      .files.filterNot(f => prevFiles(f.path)).map(_.rowCount).sum / model.spill
   }
 
   /** (id, codes, cell) rows — `spill` rows per input row. Staged
@@ -119,7 +130,7 @@ object VectorIndex {
   }
 
   /** Load the frozen model — a driver-side KB read, zero Spark jobs
-    * (asserted in SimilaritySpec): this is what makes repeat queries
+    * (asserted in VectorIndexSpec): this is what makes repeat queries
     * against a standing index free of training work. */
   def load(spark: SparkSession, path: String): Model = {
     val f = fs(spark, path)

@@ -323,6 +323,30 @@ object Pipeline extends graft.QueryArea {
           k = 5, m = 3, ks = 8)
         .orderBy(col("qid"), col("rk"))
     }),
+    // PERSISTED-index gate (reference: docs/en/table_design/indexes/
+    // vector_index.md — the IVFPQ index is TABLE STATE built once and
+    // maintained on write, not a per-query training job): build into a
+    // temp Lake path, then query through the frozen model + cell-
+    // partitioned codes table. nprobe = c probes every cell and
+    // rerank >= corpus keeps the whole shortlist, so the answer is
+    // EXACTLY brute-force L2 top-5 over the deterministic fixture —
+    // pinned as a literal oracle. Zero-jobs model load, frozen-model
+    // append, spill dedup, and crash-mid-build are VectorIndexSpec's.
+    "sim_ivf_persisted" -> ((spark, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_vix_gate_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.operators.VectorIndex.build(
+        annFixtureCorpus(spark), "vec_id", "embedding", path,
+        c = 8, m = 3, ks = 8, spill = 2)
+      graft.operators.VectorIndex.topK(spark, path,
+          annFixtureCorpus(spark), "vec_id", "embedding",
+          annFixtureQueries(spark), "qid", "qvec",
+          k = 5, nprobe = 8, rerank = 400)
+        .orderBy(col("qid"), col("rk"))
+    }),
     // Planted-fixture k-means gate: full-corpus Lloyd on the
     // deterministic ANN fixture (repartition(1) pins accumulation
     // order, seeded hash-ordered init pins the seeds), so the learned
@@ -1184,6 +1208,27 @@ object Pipeline extends graft.QueryArea {
     // exact recall on this fixture, so both pin the same rows.
     "sim_lsh_topk" -> annFixtureTopkOracle,
     "sim_ivf_topk" -> annFixtureTopkOracle,
+    // Pinned from the deterministic full-probe run (nprobe = c,
+    // rerank >= corpus ⇒ exact brute-force L2 over the fixture; the
+    // same mod-97 duplicates give each query 2-3 exact l2=0 matches,
+    // then the 0.035712 shell, ties by vec_id). Regenerate with:
+    //   Pipeline.queries("sim_ivf_persisted")(spark, dir).show(30, false)
+    "sim_ivf_persisted" ->
+      """SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(l2 AS DOUBLE) AS l2, CAST(rk AS BIGINT) AS rk
+        |FROM (VALUES
+        |  (0, 100, 0.0, 1), (0, 197, 0.0, 2), (0, 294, 0.0, 3),
+        |  (0, 172, 0.035712, 4), (0, 269, 0.035712, 5),
+        |  (1, 140, 0.0, 1), (1, 237, 0.0, 2), (1, 115, 0.035712, 3),
+        |  (1, 165, 0.035712, 4), (1, 212, 0.035712, 5),
+        |  (2, 180, 0.0, 1), (2, 277, 0.0, 2), (2, 155, 0.035712, 3),
+        |  (2, 252, 0.035712, 4), (2, 108, 0.035712, 5),
+        |  (3, 123, 0.0, 1), (3, 220, 0.0, 2), (3, 148, 0.035712, 3),
+        |  (3, 195, 0.035712, 4), (3, 245, 0.035712, 5),
+        |  (4, 163, 0.0, 1), (4, 260, 0.0, 2), (4, 138, 0.035712, 3),
+        |  (4, 188, 0.035712, 4), (4, 235, 0.035712, 5)
+        |) t(qid, vec_id, l2, rk)
+        |ORDER BY qid, rk""".stripMargin,
     "sim_pq_topk" -> simPqTopkOracle,
     "sim_kmeans_assign" -> simKmeansAssignOracle,
     "corpus_bpe_train" -> bpeTrainOracle,
