@@ -49,10 +49,14 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = all(name)(spark, sfDir)
-        if (name.contains("_recall_"))
-          recallValues(name) =
-            try df.collect().head.getDouble(0) catch { case _: Throwable => -1.0 }
-        else df.write.format("noop").mode("overwrite").save()
+        if (name.contains("_recall_")) {
+          // a collect failure (e.g. the assert_true pinned-floor breach
+          // these gates exist to raise) must PROPAGATE to the outer
+          // catch — the gate then records -1.0 seconds and logs loudly,
+          // instead of masquerading as a successful run
+          val rows = df.collect()
+          recallValues(name) = if (rows.isEmpty) -1.0 else rows.head.getDouble(0)
+        } else df.write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0

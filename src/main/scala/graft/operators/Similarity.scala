@@ -283,8 +283,10 @@ object Similarity {
     * clustered corpora a true neighbor often sits just across a cell
     * boundary, and replicating boundary rows into their runner-up
     * cells recovers it at `spill`× the index storage — measured on
-    * the full-SF embeddings: recall@5 0.81 → 0.96 going spill 1→2 at
-    * c=16/nprobe=8. Scoring is exact cosine on every surviving pair,
+    * the full-SF embeddings: recall@5 0.75 → 0.93 going spill 1→2 at
+    * c=16/nprobe=8 (the xb_ivf_recall_fullsf gate pins a 0.90 floor
+    * on the spill=2 configuration). Scoring is exact cosine on every
+    * surviving pair,
     * so there is no rerank pass to add (nothing approximate to
     * refine); at spill=1 each row lives in exactly one cell and no
     * dedup runs (the single-assignment plan is unchanged), at

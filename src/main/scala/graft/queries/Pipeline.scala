@@ -134,23 +134,46 @@ object Pipeline extends graft.QueryArea {
     // meets_floor); Bench extracts the value into BENCH_FULL.json and
     // assert_true fails the run loudly if quality regresses past the
     // pinned floor.
+    // Ground truth is METRIC-MATCHED per index: ivf ranks by cosine →
+    // cosine truth; pq/ivf-pq rank + rerank by L2 → L2 truth (cosine
+    // truth on non-unit-norm embeddings would score cross-metric
+    // agreement, not index quality). The IVF-family gates run with
+    // spill = 2 (multi-assignment), the recall lever the floors below
+    // are pinned against — measured full-SF values in SCALING.md.
     "xb_ivf_recall_fullsf" -> ((spark, dir) =>
-      annRecall(spark, dir, floor = 0.70) { (corpus, qs) =>
+      annRecall(spark, dir, floor = 0.90) { (corpus, qs) =>
         graft.operators.Similarity.ivfTopK(
           corpus, "vec_id", "embedding", qs, "qid", "qvec",
-          k = 5, c = 16, nprobe = 8)
+          k = 5, c = 16, nprobe = 8, spill = 2)
       }),
     "xb_pq_recall_fullsf" -> ((spark, dir) =>
-      annRecall(spark, dir, floor = 0.85) { (corpus, qs) =>
+      annRecall(spark, dir, floor = 0.85, metric = "l2") { (corpus, qs) =>
         graft.operators.Similarity.pqTopK(
           corpus, "vec_id", "embedding", qs, "qid", "qvec",
           k = 5, m = 8, ks = 64, rerank = 200)
       }),
     "xb_ivfpq_recall_fullsf" -> ((spark, dir) =>
-      annRecall(spark, dir, floor = 0.60) { (corpus, qs) =>
+      annRecall(spark, dir, floor = 0.85, metric = "l2") { (corpus, qs) =>
         graft.operators.Similarity.ivfPqTopK(
           corpus, "vec_id", "embedding", qs, "qid", "qvec",
-          k = 5, c = 16, nprobe = 8, m = 8, ks = 64, rerank = 200)
+          k = 5, c = 16, nprobe = 8, m = 8, ks = 64, rerank = 200,
+          spill = 2)
+      }),
+    // The PERSISTED index path (frozen model + cell-partitioned codes
+    // table) measured on the same footing: build once per run into a
+    // temp path, recall of the partition-pruned query vs L2 truth.
+    "xb_ivfpersist_recall_fullsf" -> ((spark, dir) =>
+      annRecall(spark, dir, floor = 0.85, metric = "l2") { (corpus, qs) =>
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_vix_recall_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(path), true)
+        graft.operators.VectorIndex.build(corpus, "vec_id", "embedding",
+          path, c = 16, m = 8, ks = 64, spill = 2)
+        graft.operators.VectorIndex.topK(spark, path,
+          corpus, "vec_id", "embedding", qs, "qid", "qvec",
+          k = 5, nprobe = 8, rerank = 200)
       }),
     // MinHash-LSH candidate recall at full SF: of the TRUE >=0.8
     // Jaccard pairs (exact all-pairs ground truth over a bounded,
@@ -178,16 +201,22 @@ object Pipeline extends graft.QueryArea {
           "assert_true(recall >= 0.90, 'minhash LSH candidate recall below pinned 0.90 floor') is null"))
     }))
 
-  /** recall@5 over 20 full-SF queries: |approx ∩ truth| / 100. */
+  /** recall@5 over 20 full-SF queries: |approx ∩ truth| / 100.
+    * `metric` picks the ground truth — "cos" for cosine-ranked
+    * indexes, "l2" for the PQ family (which ranks and reranks by
+    * Euclidean distance). */
   private def annRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
-      floor: Double)(
+      floor: Double, metric: String = "cos")(
       index: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.filter(col("vec_id") >= 20)
-    val truth = graft.operators.Similarity.bruteForceTopK(
-        corpus, "vec_id", "embedding", qs, "qid", "qvec", k = 5)
+    val truth = (if (metric == "l2")
+        graft.operators.Similarity.bruteForceTopKL2(
+          corpus, "vec_id", "embedding", qs, "qid", "qvec", k = 5)
+      else graft.operators.Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", qs, "qid", "qvec", k = 5))
       .select(col("qid"), col("vec_id"))
     val approx = index(corpus, qs).select(col("qid"), col("vec_id"))
     truth.join(approx, Seq("qid", "vec_id"))
