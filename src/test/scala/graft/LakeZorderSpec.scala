@@ -166,6 +166,52 @@ class LakeZorderSpec extends SparkSuite {
     assert(LakeTx.read(spark, root, "a").select($"k").head.getLong(0) === 4L)
   }
 
+  test("vacuumCatalog GCs old versions, keeps retained + latest readable, survives legacy migration") {
+    import graft.sources.LakeTx
+    val root = java.nio.file.Files.createTempDirectory("graft-txvac").toString
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def catFiles(): Seq[String] = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.matches("_catalog-v\\d+\\.json")).sorted.toSeq
+    // 5 commits -> catalog versions v1..v5
+    (1 to 5).foreach { i =>
+      LakeTx.commit(spark, root, Map("a" -> (Seq((i.toLong, i * 10.0)).toDF("k", "v"), Seq.empty[String])))
+    }
+    assert(catFiles().length === 5)
+    val dropped = LakeTx.vacuumCatalog(spark, root, keepLast = 2)
+    assert(dropped === Seq(1L, 2L, 3L), s"expected v1-v3 dropped, got $dropped")
+    assert(catFiles() === Seq("_catalog-v000004.json", "_catalog-v000005.json"))
+    // the latest is intact and the retained penultimate version parses
+    assert(LakeTx.read(spark, root, "a").select($"k").head.getLong(0) === 5L)
+    val v4 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      scala.io.Source.fromFile(s"$root/_catalog-v000004.json").mkString)
+    assert(v4.get("a").asInt() === 4)
+    // keepLast larger than history is a no-op; the latest is never GC'd
+    assert(LakeTx.vacuumCatalog(spark, root, keepLast = 10) === Nil)
+    assert(LakeTx.vacuumCatalog(spark, root, keepLast = 1) === Seq(4L))
+    assert(LakeTx.read(spark, root, "a").select($"k").head.getLong(0) === 5L)
+
+    // legacy migration path: a root with ONLY the pre-versioned
+    // _catalog.json must survive vacuum untouched (nothing versioned
+    // supersedes it yet), and still migrate on the next commit
+    val legacyRoot = java.nio.file.Files.createTempDirectory("graft-txleg").toString
+    val va = Lake.write(Seq((1L, 1.0)).toDF("k", "v"), s"$legacyRoot/a", Nil)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$legacyRoot/_catalog.json"),
+      s"""{"a":$va}""".getBytes("UTF-8"))
+    assert(LakeTx.vacuumCatalog(spark, legacyRoot, keepLast = 1) === Nil)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$legacyRoot/_catalog.json")),
+      "un-superseded legacy catalog must not be GC'd")
+    assert(LakeTx.read(spark, legacyRoot, "a").select($"k").head.getLong(0) === 1L)
+    // next commit publishes v1 carrying the legacy pin for table a;
+    // vacuum then deletes the superseded legacy file and reads hold
+    LakeTx.commit(spark, legacyRoot, Map("b" -> (Seq((2L, 2.0)).toDF("k", "w"), Seq.empty[String])))
+    LakeTx.vacuumCatalog(spark, legacyRoot, keepLast = 1)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$legacyRoot/_catalog.json")),
+      "superseded legacy catalog should be GC'd")
+    assert(LakeTx.read(spark, legacyRoot, "a").select($"k").head.getLong(0) === 1L)
+    assert(LakeTx.read(spark, legacyRoot, "b").select($"k").head.getLong(0) === 2L)
+  }
+
   test("clone is a physically independent backup") {
     val src = java.nio.file.Files.createTempDirectory("graft-cl-src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-cl-dst").toString + "/bak"
