@@ -427,13 +427,13 @@ object TpcdsFlavor extends graft.QueryArea {
   private val yoyChannelRatioSql =
     """WITH agg AS (
       |  SELECT o_custkey,
-      |    SUM(CASE WHEN year(o_orderdate) = 1994 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS fast1,
       |    SUM(CASE WHEN year(o_orderdate) = 1995 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS fast1,
+      |    SUM(CASE WHEN year(o_orderdate) = 1996 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
       |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS fast2,
-      |    SUM(CASE WHEN year(o_orderdate) = 1994 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS std1,
       |    SUM(CASE WHEN year(o_orderdate) = 1995 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS std1,
+      |    SUM(CASE WHEN year(o_orderdate) = 1996 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
       |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS std2
       |  FROM orders GROUP BY o_custkey)
       |SELECT o_custkey,
@@ -954,8 +954,159 @@ object TpcdsFlavor extends graft.QueryArea {
     "tpcds_q23_best_customers" -> q23BestCustomersSql,
     "tpcds_q14_channel_intersect" -> q14ChannelIntersectSql)
 
+  // ---- tranche 11 (round 7): the YoY-customer CTE stack family ----
+  // Q4/Q11/Q74 (ref fe/fe-core/src/test/resources/sql/tpcds/
+  // query{4,11,74}.sql): ONE `year_total` CTE unioning channels under a
+  // sale_type tag, then 4-6 SELF-JOIN instances of it filtered on
+  // (sale_type, year), CASE-null-guarded growth-ratio comparisons.
+  // Distinct from tpcds_yoy_channel_ratio's CASE-pivot: the reference
+  // shape re-reads ONE logical CTE many times — the planner must
+  // either reuse the subquery or push distinct (type, year) filters
+  // into each instance. Channels map to o_orderpriority classes
+  // (uniform across years, unlike l_returnflag which flips to 'N'
+  // after mid-1995 and would empty the cross-year join).
+  private val q11YoyCteStackSql =
+    """WITH year_total AS (
+      |  SELECT o_custkey AS customer_id, c_name AS customer_name,
+      |    year(o_orderdate) AS dyear,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS year_total,
+      |    's' AS sale_type
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  GROUP BY o_custkey, c_name, year(o_orderdate)
+      |  UNION ALL
+      |  SELECT o_custkey, c_name, year(o_orderdate),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+      |    'w' AS sale_type
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |  GROUP BY o_custkey, c_name, year(o_orderdate))
+      |SELECT t_s_secyear.customer_id, t_s_secyear.customer_name,
+      |  round(CASE WHEN t_w_firstyear.year_total > 0
+      |    THEN t_w_secyear.year_total / t_w_firstyear.year_total ELSE 0.0 END, 4) AS w_growth,
+      |  round(CASE WHEN t_s_firstyear.year_total > 0
+      |    THEN t_s_secyear.year_total / t_s_firstyear.year_total ELSE 0.0 END, 4) AS s_growth
+      |FROM year_total t_s_firstyear, year_total t_s_secyear,
+      |     year_total t_w_firstyear, year_total t_w_secyear
+      |WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      |  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      |  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      |  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+      |  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+      |  AND t_s_firstyear.dyear = 1995 AND t_s_secyear.dyear = 1996
+      |  AND t_w_firstyear.dyear = 1995 AND t_w_secyear.dyear = 1996
+      |  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+      |  AND CASE WHEN t_w_firstyear.year_total > 0
+      |        THEN t_w_secyear.year_total / t_w_firstyear.year_total ELSE 0.0 END
+      |    > CASE WHEN t_s_firstyear.year_total > 0
+      |        THEN t_s_secyear.year_total / t_s_firstyear.year_total ELSE 0.0 END
+      |ORDER BY t_s_secyear.customer_id
+      |LIMIT 100""".stripMargin
+
+  // Q4's six-instance variant: three channels (priority classes), the
+  // comparison channel must out-grow BOTH others.
+  private val q4YoySixJoinSql =
+    """WITH year_total AS (
+      |  SELECT o_custkey AS customer_id, c_name AS customer_name,
+      |    year(o_orderdate) AS dyear,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS year_total,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 's'
+      |         WHEN o_orderpriority = '3-MEDIUM' THEN 'c' ELSE 'w' END AS sale_type
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY o_custkey, c_name, year(o_orderdate),
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 's'
+      |         WHEN o_orderpriority = '3-MEDIUM' THEN 'c' ELSE 'w' END)
+      |SELECT t_s_secyear.customer_id, t_s_secyear.customer_name,
+      |  round(t_c_secyear.year_total / t_c_firstyear.year_total, 4) AS c_growth,
+      |  round(t_s_secyear.year_total / t_s_firstyear.year_total, 4) AS s_growth,
+      |  round(t_w_secyear.year_total / t_w_firstyear.year_total, 4) AS w_growth
+      |FROM year_total t_s_firstyear, year_total t_s_secyear,
+      |     year_total t_c_firstyear, year_total t_c_secyear,
+      |     year_total t_w_firstyear, year_total t_w_secyear
+      |WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      |  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+      |  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+      |  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      |  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      |  AND t_s_firstyear.sale_type = 's' AND t_s_secyear.sale_type = 's'
+      |  AND t_c_firstyear.sale_type = 'c' AND t_c_secyear.sale_type = 'c'
+      |  AND t_w_firstyear.sale_type = 'w' AND t_w_secyear.sale_type = 'w'
+      |  AND t_s_firstyear.dyear = 1995 AND t_s_secyear.dyear = 1996
+      |  AND t_c_firstyear.dyear = 1995 AND t_c_secyear.dyear = 1996
+      |  AND t_w_firstyear.dyear = 1995 AND t_w_secyear.dyear = 1996
+      |  AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+      |  AND t_w_firstyear.year_total > 0
+      |  AND CASE WHEN t_c_firstyear.year_total > 0
+      |        THEN t_c_secyear.year_total / t_c_firstyear.year_total ELSE NULL END
+      |    > CASE WHEN t_s_firstyear.year_total > 0
+      |        THEN t_s_secyear.year_total / t_s_firstyear.year_total ELSE NULL END
+      |  AND CASE WHEN t_c_firstyear.year_total > 0
+      |        THEN t_c_secyear.year_total / t_c_firstyear.year_total ELSE NULL END
+      |    > CASE WHEN t_w_firstyear.year_total > 0
+      |        THEN t_w_secyear.year_total / t_w_firstyear.year_total ELSE NULL END
+      |ORDER BY t_s_secyear.customer_id
+      |LIMIT 100""".stripMargin
+
+  // Q78 (ref query78.sql): per-channel (year, item, customer) sales
+  // CTEs that EXCLUDE returned lines via LEFT JOIN + IS NULL against
+  // the returns set, then store LEFT JOINs the other two channels and
+  // reports store-vs-other-channel quantity ratio with COALESCE'd
+  // zero-fills. The returns set is
+  // the l_returnflag='R' line set keyed (l_orderkey, l_linenumber);
+  // channels map to l_linenumber classes (testdata has no l_shipmode).
+  private val q78ThreeChannelRatioSql =
+    """WITH ret AS (
+      |  SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber
+      |  FROM lineitem WHERE l_returnflag = 'R'),
+      |ss AS (
+      |  SELECT year(o_orderdate) AS sold_year, l_partkey AS item_sk,
+      |    o_custkey AS customer_sk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  LEFT JOIN ret ON r_orderkey = l_orderkey AND r_linenumber = l_linenumber
+      |  WHERE r_orderkey IS NULL AND l_linenumber IN (1, 2)
+      |  GROUP BY year(o_orderdate), l_partkey, o_custkey),
+      |ws AS (
+      |  SELECT year(o_orderdate) AS sold_year, l_partkey AS item_sk,
+      |    o_custkey AS customer_sk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  LEFT JOIN ret ON r_orderkey = l_orderkey AND r_linenumber = l_linenumber
+      |  WHERE r_orderkey IS NULL AND l_linenumber IN (3, 4)
+      |  GROUP BY year(o_orderdate), l_partkey, o_custkey),
+      |cs AS (
+      |  SELECT year(o_orderdate) AS sold_year, l_partkey AS item_sk,
+      |    o_custkey AS customer_sk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  LEFT JOIN ret ON r_orderkey = l_orderkey AND r_linenumber = l_linenumber
+      |  WHERE r_orderkey IS NULL AND l_linenumber >= 5
+      |  GROUP BY year(o_orderdate), l_partkey, o_custkey)
+      |SELECT ss.sold_year, ss.item_sk, ss.customer_sk,
+      |  round(ss.qty / (coalesce(ws.qty, 0) + coalesce(cs.qty, 0)), 2) AS ratio,
+      |  round(ss.qty, 2) AS store_qty, round(ss.sp, 2) AS store_sales_price,
+      |  round(coalesce(ws.qty, 0) + coalesce(cs.qty, 0), 2) AS other_chan_qty,
+      |  round(coalesce(ws.sp, 0) + coalesce(cs.sp, 0), 2) AS other_chan_sales_price
+      |FROM ss
+      |LEFT JOIN ws ON ws.sold_year = ss.sold_year AND ws.item_sk = ss.item_sk
+      |  AND ws.customer_sk = ss.customer_sk
+      |LEFT JOIN cs ON cs.sold_year = ss.sold_year AND cs.item_sk = ss.item_sk
+      |  AND cs.customer_sk = ss.customer_sk
+      |WHERE (coalesce(ws.qty, 0) > 0 OR coalesce(cs.qty, 0) > 0)
+      |  AND ss.sold_year = 1995
+      |ORDER BY ss.item_sk, ss.customer_sk
+      |LIMIT 100""".stripMargin
+
+  private val tranche11: Map[String, String] = Map(
+    "tpcds_yoy_cte_stack" -> q11YoyCteStackSql,
+    "tpcds_yoy_six_join" -> q4YoySixJoinSql,
+    "tpcds_three_channel_ratio" -> q78ThreeChannelRatioSql)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesTranche7 ++ (tranche2 ++ tranche9 ++ tranche10).map { case (name, sql) =>
+    queriesTranche7 ++ (tranche2 ++ tranche9 ++ tranche10 ++ tranche11).map { case (name, sql) =>
       name -> ((spark: SparkSession, dir: String) => sqlq(spark, dir)(sql))
     } ++ Map(
     // Q27/Q36: rollup with grouping-level indicator + rank inside level
@@ -1021,7 +1172,7 @@ object TpcdsFlavor extends graft.QueryArea {
         |FROM air a FULL OUTER JOIN rail r
         |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)))
 
-  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ tranche10 ++ Map(
+  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ Map(
     "tpcds_rollup_rank" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,
