@@ -207,6 +207,29 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // PARTITIONED Iceberg export: the Lake manifest's per-file
+    // partition values map into the manifest partition struct + a
+    // partition-specs entry; the reader restores the typed partition
+    // column from the manifest through the same FileIndex the native
+    // Lake uses (pruning asserted in IcebergReadSpec).
+    "src_iceberg_write_read_part" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_part")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 2 === 0),
+        table, Seq("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 2 === 1),
+        table, Seq("o_orderpriority"), mode = "append")
+      graft.sources.IcebergExport.exportIcebergMeta(spark, table)
+      graft.sources.IcebergRead.read(spark, table)
+        .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Hudi WRITE-path interop (sources/HudiExport.scala): Lake
     // commits export a .hoodie COW timeline over the SAME data files;
     // CoW deletes become replacecommit instants retiring file groups.
@@ -822,6 +845,12 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 1
         |ORDER BY version""".stripMargin,
+    "src_iceberg_write_read_part" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_delta_write_read" ->
       """SELECT 1 AS version, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

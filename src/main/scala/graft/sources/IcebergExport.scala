@@ -23,31 +23,60 @@ object IcebergExport {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Iceberg primitive type name for a partition-source Spark type —
+    * recorded per spec field so [[IcebergRead]] can restore the typed
+    * partition column from the manifest's (string-valued) struct. */
+  private def icebergType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.LongType => "long"
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType => "int"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case org.apache.spark.sql.types.FloatType => "float"
+    case org.apache.spark.sql.types.BooleanType => "boolean"
+    case org.apache.spark.sql.types.DateType => "date"
+    case org.apache.spark.sql.types.TimestampType => "timestamp"
+    case d: org.apache.spark.sql.types.DecimalType => s"decimal(${d.precision},${d.scale})"
+    case _ => "string"
+  }
+
   /** Export all not-yet-exported Lake snapshots as Iceberg snapshots.
-    * Returns the latest exported snapshot id. */
+    * Returns the latest exported snapshot id.
+    *
+    * Partitioned tables: the Lake manifest's per-file partition values
+    * are mapped into a `partition` struct on each `data_file` entry
+    * (identity transforms — Lake partitions are identity-partitioned),
+    * and the metadata.json carries the matching `partition-specs`
+    * entry, so a reader restores the typed partition columns FROM THE
+    * MANIFEST, never from directory-name inference. */
   def exportIcebergMeta(spark: SparkSession, table: String): Long = {
     val cur = Lake.currentVersion(spark, table)
     require(cur > 0, s"no committed Lake version at $table")
-    require(Lake.readSnapshot(spark, table, cur).partitionCols.isEmpty,
-      "IcebergExport: partitioned Lake tables are not exportable — the " +
-      "reader does not map manifest partition structs; use DeltaExport " +
-      "(partition values ride in the log) for partitioned tables")
     val f = fs(spark, table)
     val mapper = new ObjectMapper()
     (1 to cur).foreach { v =>
       val metaPath = new Path(f"$table/metadata/v$v%05d.metadata.json")
       if (!f.exists(metaPath)) {
         val snap = Lake.readSnapshot(spark, table, v)
+        val partCols = snap.partitionCols
+        val entrySchema = IcebergRead.manifestEntrySchemaFor(partCols)
+        val dataFileSchema = entrySchema.getField("data_file").schema()
         val entries = snap.files.map { lf =>
-          val dfRec = new GenericData.Record(
-            IcebergRead.manifestEntrySchema.getField("data_file").schema())
+          val dfRec = new GenericData.Record(dataFileSchema)
           dfRec.put("file_path", lf.path)
-          val e = new GenericData.Record(IcebergRead.manifestEntrySchema)
+          dfRec.put("file_size_in_bytes", Long.box(lf.sizeBytes))
+          dfRec.put("record_count", Long.box(lf.rowCount))
+          if (partCols.nonEmpty) {
+            val pRec = new GenericData.Record(
+              dataFileSchema.getField("partition").schema())
+            partCols.foreach(c => pRec.put(c, lf.partitionValues.getOrElse(c, null)))
+            dfRec.put("partition", pRec)
+          }
+          val e = new GenericData.Record(entrySchema)
           e.put("status", 1); e.put("data_file", dfRec); e
         }
         val manifestPath = s"$table/metadata/m$v.avro"
-        IcebergRead.writeAvro(spark, manifestPath,
-          IcebergRead.manifestEntrySchema, entries)
+        IcebergRead.writeAvro(spark, manifestPath, entrySchema, entries)
         val mf = new GenericData.Record(IcebergRead.manifestFileSchema)
         mf.put("manifest_path", manifestPath)
         val listPath = s"$table/metadata/snap-$v.avro"
@@ -64,7 +93,18 @@ object IcebergExport {
               sb.append(mapper.writeValueAsString(s)).append(','))
             sb.toString
           }
-        val json = s"""{"format-version":2,"current-snapshot-id":$v,"snapshots":[$priorSnaps{"snapshot-id":$v,"manifest-list":${mapper.writeValueAsString(listPath)}}]}"""
+        val specJson =
+          if (partCols.isEmpty) ""
+          else {
+            val schema = snap.schema
+            val fields = partCols.map { c =>
+              val dt = schema.fields.find(_.name == c)
+                .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
+              s"""{"name":${mapper.writeValueAsString(c)},"transform":"identity","type":${mapper.writeValueAsString(icebergType(dt))}}"""
+            }.mkString(",")
+            s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$fields]}],"""
+          }
+        val json = s"""{"format-version":2,$specJson"current-snapshot-id":$v,"snapshots":[$priorSnaps{"snapshot-id":$v,"manifest-list":${mapper.writeValueAsString(listPath)}}]}"""
         // exclusive create — the same OCC commit primitive as
         // DeltaExport/LakeTx: a racing exporter conflicts instead of
         // silently clobbering an already-published metadata version

@@ -58,9 +58,23 @@ object IcebergRead {
     } finally stream.close()
   }
 
+  /** One live data file: path, manifest partition-struct values
+    * (empty for unpartitioned / foreign writers without the field),
+    * and the spec's size/row stats when the writer recorded them. */
+  final case class DataFileEntry(path: String,
+      partitionValues: Map[String, String],
+      sizeBytes: Option[Long], recordCount: Option[Long])
+
   /** Data-file paths of a snapshot (default: current). */
   def dataFiles(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): Seq[String] = {
+      snapshotId: Option[Long] = None): Seq[String] =
+    dataFileEntries(spark, table, snapshotId).map(_.path)
+
+  /** Live data-file entries of a snapshot. Partition values come FROM
+    * THE MANIFEST's `data_file.partition` struct — never inferred from
+    * directory names (the DeltaRead lesson). */
+  def dataFileEntries(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): Seq[DataFileEntry] = {
     val mapper = new ObjectMapper()
     val f = fs(spark, table)
     val metaPath = latestMetadata(spark, table)
@@ -81,18 +95,108 @@ object IcebergRead {
       readAvroRecords(spark, m).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED
-        else Some(entry.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
+        else {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          def optLong(field: String): Option[Long] =
+            if (df.getSchema.getField(field) == null) None
+            else Option(df.get(field)).map(_.asInstanceOf[Long])
+          val parts: Map[String, String] =
+            if (df.getSchema.getField("partition") == null) Map.empty
+            else Option(df.get("partition").asInstanceOf[GenericRecord]) match {
+              case None => Map.empty
+              case Some(p) =>
+                import scala.jdk.CollectionConverters._
+                p.getSchema.getFields.asScala.flatMap(fl =>
+                  Option(p.get(fl.name())).map(v => fl.name() -> v.toString)).toMap
+            }
+          Some(DataFileEntry(df.get("file_path").toString, parts,
+            optLong("file_size_in_bytes"), optLong("record_count")))
+        }
       }
     }
   }
 
-  /** Snapshot scan — plain parquet over the snapshot's file set. */
+  /** The default partition spec's (name, iceberg-type) fields from the
+    * latest metadata.json; empty for unpartitioned tables. */
+  def partitionSpecFields(spark: SparkSession, table: String): Seq[(String, String)] = {
+    val mapper = new ObjectMapper()
+    val f = fs(spark, table)
+    val in = f.open(latestMetadata(spark, table))
+    val meta = try mapper.readTree(in) finally in.close()
+    val specs = meta.get("partition-specs")
+    if (specs == null || specs.size() == 0) return Nil
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    specs.forEach { sp =>
+      if (Option(sp.get("spec-id")).map(_.asInt).getOrElse(0) == specId)
+        sp.get("fields").forEach { fl =>
+          val tr = Option(fl.get("transform")).map(_.asText).getOrElse("identity")
+          if (tr == "identity")
+            buf += fl.get("name").asText ->
+              Option(fl.get("type")).map(_.asText).getOrElse("string")
+        }
+    }
+    buf.toSeq
+  }
+
+  /** Spark DataType for an iceberg primitive type name. */
+  private def sparkTypeOf(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case "long" => LongType
+      case "int" => IntegerType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "boolean" => BooleanType
+      case "date" => DateType
+      case "timestamp" | "timestamptz" => TimestampType
+      case d if d.startsWith("decimal") =>
+        DataType.fromDDL(d).asInstanceOf[DecimalType]
+      case _ => StringType
+    }
+  }
+
+  /** Snapshot scan. Unpartitioned: plain parquet over the file set.
+    * Partitioned: the data files don't store the partition columns, so
+    * the scan goes through the same manifest-backed FileIndex the
+    * native Lake uses — partition values and file stats come from the
+    * Iceberg manifest (plus one footer read for the data schema), the
+    * planner prunes partitions against the manifest, and nothing is
+    * inferred from directory names. */
   def read(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): DataFrame = {
-    val files = dataFiles(spark, table, snapshotId)
-    require(files.nonEmpty, s"snapshot has no data files: $table")
-    spark.read.parquet(files: _*)
+      snapshotId: Option[Long] = None): DataFrame =
+    readIndexed(spark, table, snapshotId)._1
+
+  /** As [[read]]; for partitioned tables also returns the FileIndex so
+    * tests can assert the manifest-driven partition pruning. */
+  def readIndexed(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): (DataFrame, Option[Lake.LakeFileIndex]) = {
+    val entries = dataFileEntries(spark, table, snapshotId)
+    require(entries.nonEmpty, s"snapshot has no data files: $table")
+    val specFields = partitionSpecFields(spark, table)
+    if (specFields.isEmpty)
+      return (spark.read.parquet(entries.map(_.path): _*), None)
+    val f = fs(spark, table)
+    val dataSchema = spark.read.parquet(entries.head.path).schema
+    val partFields = specFields.map { case (c, t) =>
+      org.apache.spark.sql.types.StructField(c, sparkTypeOf(t)) }
+    val fullSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.toSeq ++ partFields)
+    val lakeFiles = entries.map { e =>
+      val (size, mod) = e.sizeBytes match {
+        case Some(s) => (s, 0L)
+        case None => // foreign manifest without stats: stat once, driver-side
+          val st = f.getFileStatus(new Path(e.path))
+          (st.getLen, st.getModificationTime)
+      }
+      Lake.LakeFile(e.path, size, mod, e.recordCount.getOrElse(0L),
+        e.partitionValues)
+    }
+    val snap = Lake.Snapshot(
+      snapshotId.getOrElse(0L).toInt, 0L, fullSchema.json,
+      specFields.map(_._1), lakeFiles)
+    val (df, index) = Lake.indexedDataFrame(spark, table, snap)
+    (df, Some(index))
   }
 
   // ---- minimal spec-shaped layout writer (tests + gate) ----
@@ -103,6 +207,27 @@ object IcebergRead {
     .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
       .requiredString("file_path").endRecord()).noDefault()
     .endRecord()
+
+  /** Entry schema for exports: data_file carries the spec's
+    * `file_size_in_bytes` / `record_count` stats (so a reader plans
+    * splits without stat-ing the filesystem) and, when partitioned, a
+    * `partition` struct (identity values as nullable strings, one
+    * field per partition column) — the spec's partition-struct shape. */
+  private[sources] def manifestEntrySchemaFor(partitionCols: Seq[String]): Schema = {
+    var db = SchemaBuilder.record("data_file").fields()
+      .requiredString("file_path")
+      .optionalLong("file_size_in_bytes")
+      .optionalLong("record_count")
+    if (partitionCols.nonEmpty) {
+      var pb = SchemaBuilder.record("r102").fields()
+      partitionCols.foreach(c => pb = pb.optionalString(c))
+      db = db.name("partition").`type`(pb.endRecord()).noDefault()
+    }
+    SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .name("data_file").`type`(db.endRecord()).noDefault()
+      .endRecord()
+  }
 
   private[sources] val manifestFileSchema: Schema = SchemaBuilder.record("manifest_file")
     .fields().requiredString("manifest_path").endRecord()
@@ -146,15 +271,18 @@ object IcebergRead {
     }.toSeq
     f.delete(new Path(staging), true)
     val live = (if (carryForward) prior else Nil) ++ dataPaths
+    val entrySchema = manifestEntrySchemaFor(Nil)
     val entries = live.map { p =>
       val dfRec = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+        entrySchema.getField("data_file").schema())
       dfRec.put("file_path", p)
-      val e = new GenericData.Record(manifestEntrySchema)
+      dfRec.put("file_size_in_bytes",
+        Long.box(f.getFileStatus(new Path(p)).getLen))
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1); e.put("data_file", dfRec); e
     }
     val manifestPath = s"$table/metadata/m$version.avro"
-    writeAvro(spark, manifestPath, manifestEntrySchema, entries)
+    writeAvro(spark, manifestPath, entrySchema, entries)
     val mf = new GenericData.Record(manifestFileSchema)
     mf.put("manifest_path", manifestPath)
     val listPath = s"$table/metadata/snap-$snapId.avro"

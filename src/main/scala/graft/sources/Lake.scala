@@ -700,7 +700,15 @@ object Lake {
       versionAsOf: Option[Int] = None): (DataFrame, LakeFileIndex) = {
     val v = versionAsOf.getOrElse(currentVersion(spark, table))
     require(v > 0, s"no committed version at $table")
-    val snap = readSnapshot(spark, table, v)
+    indexedDataFrame(spark, table, readSnapshot(spark, table, v))
+  }
+
+  /** Manifest-backed relation for an arbitrary Snapshot — also the
+    * entry point other table-format readers (e.g. [[IcebergRead]] for
+    * partitioned tables) use to get partition pruning answered from
+    * THEIR manifests through the same FileIndex. */
+  private[sources] def indexedDataFrame(spark: SparkSession, table: String,
+      snap: Snapshot): (DataFrame, LakeFileIndex) = {
     val schema = snap.schema
     val partitionSchema = StructType(
       snap.partitionCols.flatMap(c => schema.fields.find(_.name == c)))

@@ -47,6 +47,41 @@ class IcebergReadSpec extends SparkSuite {
       === Set(1L, 3L, 4L))
   }
 
+  test("partitioned export: typed partition column restored from manifest, pruning from the manifest") {
+    import graft.sources.{IcebergExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-icepart").toString + "/t"
+    val df = Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"),
+      (4L, 40.0, "b"), (5L, 50.0, "c")).toDF("id", "v", "p")
+    Lake.write(df, table, Seq("p"))
+    Lake.write(Seq((6L, 60.0, "c")).toDF("id", "v", "p"), table, Seq("p"), mode = "append")
+    IcebergExport.exportIcebergMeta(spark, table)
+    // spec fields recorded with identity transform + source type
+    assert(IcebergRead.partitionSpecFields(spark, table) === Seq("p" -> "string"))
+    // full read restores the typed partition column from the manifest
+    val all = IcebergRead.read(spark, table)
+    assert(all.schema("p").dataType === org.apache.spark.sql.types.StringType)
+    assert(all.select($"id", $"p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"), (6L, "c")))
+    // a partition filter prunes FILES via the manifest-backed index —
+    // never touching directory names or non-matching files
+    val (pruned, Some(index)) = IcebergRead.readIndexed(spark, table): @unchecked
+    val got = pruned.filter($"p" === "c").select($"id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(5L, 6L))
+    assert(index.lastSelectedFileCount < index.totalFileCount,
+      s"partition filter selected ${index.lastSelectedFileCount} of ${index.totalFileCount} files — no pruning happened")
+    // snapshot-id time travel still works on the partitioned table
+    val v1 = IcebergRead.read(spark, table, Some(1L))
+    assert(v1.count() === 5)
+    // the sf-typed case: a LONG partition column round-trips typed
+    val t2 = java.nio.file.Files.createTempDirectory("graft-icepart2").toString + "/t"
+    Lake.write(Seq((1L, "x", 7L), (2L, "y", 8L)).toDF("id", "s", "k"), t2, Seq("k"))
+    IcebergExport.exportIcebergMeta(spark, t2)
+    assert(IcebergRead.partitionSpecFields(spark, t2) === Seq("k" -> "long"))
+    val r2 = IcebergRead.read(spark, t2)
+    assert(r2.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(r2.filter($"k" === 8L).select($"id").head.getLong(0) === 2L)
+  }
+
   test("unpadded HadoopCatalog metadata names: v10 beats v9 numerically") {
     val table = java.nio.file.Files.createTempDirectory("graft-ice10").toString
     IcebergRead.commitSnapshot(Seq((1L, "old")).toDF("id", "v").coalesce(1), table)
