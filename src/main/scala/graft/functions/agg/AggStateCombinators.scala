@@ -138,8 +138,11 @@ private[agg] final class DeclDriver(d: DeclarativeAggregate)
   }
 
   // MutableProjection.create = whole-stage-style codegen with an
-  // interpreted fallback — per-row update/merge over a big fact is
-  // 5-10× faster than InterpretedMutableProjection here.
+  // interpreted fallback. Measured (SCALING.md round-7 micro-bench):
+  // the keys_agg_state_generic gate is scan-dominated at sf0.1 (delta
+  // within noise) but codegen takes 29% off the gate wall at sf1
+  // (1.605 → 1.145 s) — the per-row update/merge term that grows with
+  // rows-per-state, i.e. the inner loop of a 100 TB fact scan.
   @transient private lazy val initProj =
     MutableProjection.create(d.initialValues)
   @transient private lazy val updateProj =

@@ -11,12 +11,16 @@ import graft.{Engine, Session, SparkEntry}
   * ≤~10x (linear in data, minus the amortizing floor); super-linear
   * rows are scale bugs to fix.
   *
-  * args: sf1Dir [sf01Dir]
+  * args: sf1Dir [sf01Dir] [set]  — set = "worst" (default) or
+  * "flights" (full TPC-H 22 + SSB 13, the per-row competitiveness
+  * flight with the statement floor amortized by 10x the rows)
   */
 object Sf1Probe {
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/graft_sf1")
     val sf01 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val set = args.lift(2).getOrElse("worst")
+
     val spark = Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
     Session.prepare(spark)
@@ -28,6 +32,20 @@ object Sf1Probe {
       "q1_pricing_summary", "corpus_bpe_pairs", "evt_peak_concurrency",
       "text_quality_gopher", "tpcds_resale_chain", "win_partition_topn",
       "text_decontaminate", "evt_rolling_wau", "dedup_minhash")
+
+    val flights = Seq(
+      "q1_pricing_summary", "q2_best_supplier", "q3_shipping_priority",
+      "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+      "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+      "q10_returned_items", "q11_important_parts", "q12_late_lines",
+      "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+      "q16_part_supplier_count", "q17_small_quantity_revenue",
+      "q18_large_volume_customer", "q19_disjunctive_revenue",
+      "q20_supplier_candidates", "q21_waiting_supplier",
+      "q22_sales_opportunity",
+      "ssb_q1_1", "ssb_q1_2", "ssb_q1_3", "ssb_q2_1", "ssb_q2_2", "ssb_q2_3",
+      "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4",
+      "ssb_q4_1", "ssb_q4_2", "ssb_q4_3")
 
     val lookup = SparkEntry.queries ++ graft.queries.Pipeline.benchOnly
     def time(name: String, dir: String): Double = {
@@ -42,11 +60,15 @@ object Sf1Probe {
 
     println("| query | sf0.1 s | sf1 s | 10× data → time × |")
     println("|---|---|---|---|")
-    for (name <- worst) {
+    var (sumA, sumB) = (0.0, 0.0)
+    val names = if (set == "flights") flights else worst
+    for (name <- names) {
       val a = time(name, sf01)
       val b = time(name, sf1)
+      sumA += a; sumB += b
       println(f"| $name | $a%.3f | $b%.3f | ${b / a}%.1f× |")
     }
+    println(f"| **total** | $sumA%.3f | $sumB%.3f | ${sumB / sumA}%.1f× |")
     spark.stop()
   }
 }
