@@ -230,6 +230,28 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // PARTITIONED Hudi export: timeline stats keyed by hive-style
+    // partitionPath (the HoodieCommitMetadata model); the reader
+    // restores partition columns from the TIMELINE keys through the
+    // manifest-backed FileIndex (pruning asserted in HudiReadSpec).
+    "src_hudi_write_read_part" -> ((spark, dir) => {
+      val table = tmpDir(dir, "hudi_part")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 2 === 0),
+        table, Seq("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 2 === 1),
+        table, Seq("o_orderpriority"), mode = "append")
+      graft.sources.HudiExport.exportHudiTimeline(spark, table)
+      graft.sources.HudiRead.read(spark, table)
+        .filter(col("o_orderpriority").isin("2-HIGH", "5-LOW"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Hudi WRITE-path interop (sources/HudiExport.scala): Lake
     // commits export a .hoodie COW timeline over the SAME data files;
     // CoW deletes become replacecommit instants retiring file groups.
@@ -850,6 +872,12 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_hudi_write_read_part" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderpriority IN ('2-HIGH', '5-LOW')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_delta_write_read" ->
       """SELECT 1 AS version, count(*) AS n,

@@ -25,13 +25,15 @@ object HudiExport {
 
   /** Export all not-yet-exported Lake snapshots as timeline instants.
     * Returns the latest instant string. */
+  /** Hudi-style partitionPath for a file: `col=value/...` in partition
+    * column order, values URL-encoded; "" for unpartitioned. */
+  private def partitionPathOf(cols: Seq[String], values: Map[String, String]): String =
+    cols.map(c => c + "=" + java.net.URLEncoder.encode(
+      values.getOrElse(c, "__HIVE_DEFAULT_PARTITION__"), "UTF-8")).mkString("/")
+
   def exportHudiTimeline(spark: SparkSession, table: String): String = {
     val cur = Lake.currentVersion(spark, table)
     require(cur > 0, s"no committed Lake version at $table")
-    require(Lake.readSnapshot(spark, table, cur).partitionCols.isEmpty,
-      "HudiExport: partitioned Lake tables are not exportable — " +
-      "partitionPath mapping is out of scope; use DeltaExport " +
-      "(partition values ride in the log) for partitioned tables")
     val f = fs(spark, table)
     val qualified = f.makeQualified(new Path(table)).toString
     val mapper = new ObjectMapper()
@@ -48,21 +50,36 @@ object HudiExport {
       val commitP = new Path(s"$table/.hoodie/$instant.commit")
       val replaceP = new Path(s"$table/.hoodie/$instant.replacecommit")
       if (!f.exists(commitP) && !f.exists(replaceP)) {
-        val now = Lake.readSnapshot(spark, table, v).files.map(x => rel(x.path)).toSet
-        val prev: Set[String] =
-          if (v == 1) Set.empty
-          else Lake.readSnapshot(spark, table, v - 1).files.map(x => rel(x.path)).toSet
-        val added = (now -- prev).toSeq.sorted
-        val removed = (prev -- now).toSeq.sorted
-        val stats = added.map { r =>
-          s"""{"fileId":${mapper.writeValueAsString(r)},"path":${mapper.writeValueAsString(r)}}"""
-        }
+        val snap = Lake.readSnapshot(spark, table, v)
+        val partCols = snap.partitionCols
+        // (relative path → (partitionPath, sizeBytes)) for this + prior
+        def fileMap(ver: Int): Map[String, (String, Long)] =
+          Lake.readSnapshot(spark, table, ver).files.map(x =>
+            rel(x.path) -> (partitionPathOf(partCols, x.partitionValues), x.sizeBytes)).toMap
+        val now = fileMap(v)
+        val prev: Map[String, (String, Long)] =
+          if (v == 1) Map.empty else fileMap(v - 1)
+        val added = (now.keySet -- prev.keySet).toSeq.sorted
+        val removed = (prev.keySet -- now.keySet).toSeq.sorted
+        // both maps keyed by partitionPath — the Hudi timeline model
+        // (HoodieCommitMetadata.partitionToWriteStats); a partitioned
+        // reader recovers each file's partition FROM THE TIMELINE
+        def grouped(keys: Seq[String], src: Map[String, (String, Long)]) =
+          keys.groupBy(k => src(k)._1).toSeq.sortBy(_._1)
         val body = new StringBuilder("{")
         if (removed.nonEmpty) {
-          val ids = removed.map(mapper.writeValueAsString).mkString(",")
-          body.append(s""""partitionToReplaceFileIds":{"":[$ids]},""")
+          val parts = grouped(removed, prev).map { case (pp, ks) =>
+            s"""${mapper.writeValueAsString(pp)}:[${ks.map(mapper.writeValueAsString).mkString(",")}]"""
+          }
+          body.append(s""""partitionToReplaceFileIds":{${parts.mkString(",")}},""")
         }
-        body.append(s""""partitionToWriteStats":{"":[${stats.mkString(",")}]}}""")
+        val statParts = grouped(added, now).map { case (pp, ks) =>
+          val stats = ks.map { r =>
+            s"""{"fileId":${mapper.writeValueAsString(r)},"path":${mapper.writeValueAsString(r)},"fileSizeInBytes":${now(r)._2}}"""
+          }
+          s"""${mapper.writeValueAsString(pp)}:[${stats.mkString(",")}]"""
+        }
+        body.append(s""""partitionToWriteStats":{${statParts.mkString(",")}}}""")
         val target = if (removed.nonEmpty) replaceP else commitP
         val out = f.create(target, false)
         try out.write(body.toString.getBytes("UTF-8")) finally out.close()

@@ -39,13 +39,23 @@ object HudiRead {
       .sorted.toSeq
   }
 
+  /** A live file slice: table-relative path, the timeline's
+    * partitionPath key it was written under, and the recorded size. */
+  final case class Slice(path: String, partitionPath: String,
+      sizeBytes: Option[Long])
+
   /** fileId → live base-file path at `instantAsOf` (default latest). */
   def liveSlices(spark: SparkSession, table: String,
-      instantAsOf: Option[String] = None): Map[String, String] = {
+      instantAsOf: Option[String] = None): Map[String, String] =
+    liveSliceDetails(spark, table, instantAsOf).map { case (k, s) => k -> s.path }
+
+  /** fileId → live [[Slice]] at `instantAsOf` (default latest). */
+  def liveSliceDetails(spark: SparkSession, table: String,
+      instantAsOf: Option[String] = None): Map[String, Slice] = {
     val f = fs(spark, table)
     val mapper = new ObjectMapper()
     val upTo = instantAsOf.getOrElse(instants(spark, table).last)
-    val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    val live = scala.collection.mutable.LinkedHashMap[String, Slice]()
     instants(spark, table).filter(_ <= upTo).foreach { i =>
       val commitP = new Path(s"$table/.hoodie/$i.commit")
       val p = if (f.exists(commitP)) commitP
@@ -65,8 +75,11 @@ object HudiRead {
         val parts = stats.fields()
         while (parts.hasNext) {
           val entry = parts.next()
+          val partitionPath = entry.getKey
           entry.getValue.forEach { ws =>
-            live(ws.get("fileId").asText()) = ws.get("path").asText()
+            live(ws.get("fileId").asText()) = Slice(
+              ws.get("path").asText(), partitionPath,
+              Option(ws.get("fileSizeInBytes")).map(_.asLong))
           }
         }
       }
@@ -76,14 +89,51 @@ object HudiRead {
 
   /** Snapshot scan at an instant: latest slice per file group. */
   def read(spark: SparkSession, table: String,
-      instantAsOf: Option[String] = None): DataFrame = {
-    val files = liveSlices(spark, table, instantAsOf).values.toSeq
-    if (files.isEmpty)
+      instantAsOf: Option[String] = None): DataFrame =
+    readIndexed(spark, table, instantAsOf)._1
+
+  /** As [[read]]; when the timeline is partitioned, the scan goes
+    * through the manifest-backed LakeFileIndex — partition columns are
+    * restored (as strings — hive path encoding is untyped) FROM THE
+    * TIMELINE's partitionPath keys, partition filters prune files
+    * before the scan, and the index is returned for test assertions.
+    * Unpartitioned timelines keep the plain basePath read. */
+  def readIndexed(spark: SparkSession, table: String,
+      instantAsOf: Option[String] = None): (DataFrame, Option[Lake.LakeFileIndex]) = {
+    val slices = liveSliceDetails(spark, table, instantAsOf).values.toSeq
+    if (slices.isEmpty)
       throw new IllegalArgumentException(s"no live slices at $table")
-    // basePath: slices under hive-style partition dirs (a Lake
-    // export's data/commit-N/p=x/…) recover their partition columns
-    spark.read.option("basePath", table)
-      .parquet(files.map(p => s"$table/$p"): _*)
+    if (slices.forall(_.partitionPath.isEmpty)) {
+      // basePath: slices under hive-style partition dirs (a Lake
+      // export's data/commit-N/p=x/…) recover their partition columns
+      return (spark.read.option("basePath", table)
+        .parquet(slices.map(s => s"$table/${s.path}"): _*), None)
+    }
+    def parsePath(pp: String): Seq[(String, String)] =
+      pp.split('/').toSeq.filter(_.nonEmpty).map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"bad partitionPath segment '$seg' in timeline")
+        seg.substring(0, i) ->
+          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      }
+    val partCols = parsePath(slices.find(_.partitionPath.nonEmpty).get.partitionPath).map(_._1)
+    val f = fs(spark, table)
+    val dataSchema = spark.read.parquet(s"$table/${slices.head.path}").schema
+    val fullSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.toSeq ++ partCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    val lakeFiles = slices.map { s =>
+      val abs = s"$table/${s.path}"
+      val (size, mod) = s.sizeBytes match {
+        case Some(b) => (b, 0L)
+        case None =>
+          val st = f.getFileStatus(new Path(abs)); (st.getLen, st.getModificationTime)
+      }
+      Lake.LakeFile(abs, size, mod, 0L, parsePath(s.partitionPath).toMap)
+    }
+    val snap = Lake.Snapshot(1, 0L, fullSchema.json, partCols, lakeFiles)
+    val (df, index) = Lake.indexedDataFrame(spark, table, snap)
+    (df, Some(index))
   }
 
   /** Minimal layout writer (one commit): each DataFrame partition of

@@ -46,4 +46,32 @@ class HudiReadSpec extends SparkSuite {
     assert(HudiExport.exportHudiTimeline(spark, table) === f"${4}%014d")
     assert(ids(None) === Set(1L, 3L, 4L))
   }
+
+  test("partitioned export: timeline-keyed partition restore + file pruning") {
+    import graft.sources.{HudiExport, HudiRead, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-hudipart").toString + "/t"
+    Lake.write(Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"),
+      (4L, 40.0, "b b")).toDF("id", "v", "p"), table, Seq("p"))
+    Lake.write(Seq((5L, 50.0, "c")).toDF("id", "v", "p"), table, Seq("p"), mode = "append")
+    HudiExport.exportHudiTimeline(spark, table)
+    // partitionPath keys carry the values (URL-encoded: "b b" round-trips)
+    val slices = HudiRead.liveSliceDetails(spark, table)
+    assert(slices.values.map(_.partitionPath).toSet
+      .forall(pp => pp.startsWith("p=")))
+    val all = HudiRead.read(spark, table)
+    assert(all.schema("p").dataType === org.apache.spark.sql.types.StringType)
+    assert(all.select($"id", $"p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b b"), (5L, "c")))
+    // a partition filter prunes files via the timeline-backed index
+    val (df, Some(index)) = HudiRead.readIndexed(spark, table): @unchecked
+    assert(df.filter($"p" === "c").select($"id").collect().map(_.getLong(0)).toSet === Set(5L))
+    assert(index.lastSelectedFileCount < index.totalFileCount,
+      s"selected ${index.lastSelectedFileCount}/${index.totalFileCount} — no pruning")
+    // CoW delete on a partitioned table still replays (replacecommit
+    // retires the partition's file group; re-export is incremental)
+    Lake.delete(spark, table, $"id" === 3L)
+    HudiExport.exportHudiTimeline(spark, table)
+    assert(HudiRead.read(spark, table).select($"id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 4L, 5L))
+  }
 }
