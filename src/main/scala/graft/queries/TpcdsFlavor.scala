@@ -1105,8 +1105,110 @@ object TpcdsFlavor extends graft.QueryArea {
     "tpcds_yoy_six_join" -> q4YoySixJoinSql,
     "tpcds_three_channel_ratio" -> q78ThreeChannelRatioSql)
 
+  // ---- tranche 12 (round 7): last dark distinguishing mechanics ----
+  // Q67: rank() WITHIN category over ROLLUP'd totals — the window
+  // runs over mixed grouping levels (detail + subtotal rows compete
+  // in one rank), grouping_id tags the level. Deterministic tie-break
+  // on every output column.
+  private val q67RollupRankTopnSql =
+    """WITH agg AS (
+      |  SELECT l_returnflag AS cat, l_linestatus AS cls,
+      |    year(l_shipdate) AS yr,
+      |    GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+      |      + GROUPING(year(l_shipdate)) AS gid,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM lineitem
+      |  GROUP BY ROLLUP(l_returnflag, l_linestatus, year(l_shipdate)))
+      |SELECT cat, cls, yr, gid, round(rev, 2) AS rev, rk
+      |FROM (
+      |  SELECT cat, cls, yr, gid, rev,
+      |    RANK() OVER (PARTITION BY cat
+      |      ORDER BY rev DESC NULLS LAST) AS rk
+      |  FROM agg)
+      |WHERE rk <= 5
+      |ORDER BY cat NULLS LAST, rk, gid, cls NULLS LAST, yr NULLS LAST""".stripMargin
+
+  // Q66: the wide conditional month pivot — two channel arms each
+  // pivot 12 monthly sums, UNION ALL, then one re-aggregation collapses
+  // the arms per group (the reference's 44-column web_v1/catalog_v1
+  // shape, narrowed to 6 months x 2 measures).
+  private val q66WideMonthPivotSql = {
+    val months = (1 to 6).map { m =>
+      s"""    SUM(CASE WHEN month(o_orderdate) = $m
+         |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS m$m""".stripMargin
+    }.mkString(",\n")
+    val outer = (1 to 6).map(m =>
+      s"  round(CAST(SUM(m$m) AS DOUBLE), 2) AS m$m").mkString(",\n")
+    s"""WITH chan AS (
+       |  SELECT n_name,
+       |$months
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    AND year(o_orderdate) = 1996
+       |  GROUP BY n_name
+       |  UNION ALL
+       |  SELECT n_name,
+       |$months
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |    AND year(o_orderdate) = 1996
+       |  GROUP BY n_name)
+       |SELECT n_name,
+       |$outer
+       |FROM chan GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  // Q76: NULL-key fact slices unioned across channels, counted per
+  // (channel, tagged column, year) — the "where did we lose the key"
+  // audit union. Null keys are synthesized via nullif on disjoint
+  // modulus classes (the testdata has no organic NULL keys).
+  private val q76NullKeyUnionSql =
+    """WITH u AS (
+      |  SELECT 'store' AS channel, 'suppkey' AS col_name,
+      |    year(o_orderdate) AS yr, l_extendedprice AS price
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE nullif(l_suppkey % 13, 0) IS NULL
+      |  UNION ALL
+      |  SELECT 'web', 'partkey', year(o_orderdate), l_extendedprice
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE nullif(l_partkey % 17, 0) IS NULL
+      |  UNION ALL
+      |  SELECT 'catalog', 'custkey', year(o_orderdate), l_extendedprice
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE nullif(o_custkey % 19, 0) IS NULL)
+      |SELECT channel, col_name, yr, count(*) AS n,
+      |  round(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+      |FROM u GROUP BY channel, col_name, yr
+      |ORDER BY channel, col_name, yr""".stripMargin
+
+  // Q65: (store, item) revenue vs a per-store scalar floor — the
+  // aggregate self-joined against its own per-group average, keeping
+  // items at <= 10% of the store's average revenue. The average is
+  // computed exactly (decimal sum / count) to stay engine-identical.
+  private val q65StoreItemFloorSql =
+    """WITH sa AS (
+      |  SELECT l_suppkey AS store, l_partkey AS item,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+      |sb AS (
+      |  SELECT store, CAST(SUM(rev) AS DOUBLE) / count(*) AS ave
+      |  FROM sa GROUP BY store)
+      |SELECT sa.store, sa.item, round(CAST(sa.rev AS DOUBLE), 2) AS rev
+      |FROM sa JOIN sb ON sa.store = sb.store
+      |WHERE CAST(sa.rev AS DOUBLE) <= 0.1 * sb.ave
+      |ORDER BY sa.store, sa.item
+      |LIMIT 100""".stripMargin
+
+  private val tranche12: Map[String, String] = Map(
+    "tpcds_rollup_rank_topn" -> q67RollupRankTopnSql,
+    "tpcds_wide_month_pivot" -> q66WideMonthPivotSql,
+    "tpcds_null_key_union" -> q76NullKeyUnionSql,
+    "tpcds_store_item_floor" -> q65StoreItemFloorSql)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesTranche7 ++ (tranche2 ++ tranche9 ++ tranche10 ++ tranche11).map { case (name, sql) =>
+    queriesTranche7 ++ (tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ tranche12).map { case (name, sql) =>
       name -> ((spark: SparkSession, dir: String) => sqlq(spark, dir)(sql))
     } ++ Map(
     // Q27/Q36: rollup with grouping-level indicator + rank inside level
@@ -1172,7 +1274,7 @@ object TpcdsFlavor extends graft.QueryArea {
         |FROM air a FULL OUTER JOIN rail r
         |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)))
 
-  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ Map(
+  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ tranche12 ++ Map(
     "tpcds_rollup_rank" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,
