@@ -32,14 +32,17 @@ object Aggregates extends graft.QueryArea {
         |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS spd
         |  FROM lineitem)
         |SELECT pair, round(num / sqrt(dx * dy), 6) AS corr FROM (
-        |  SELECT 'quantity_price' AS pair, n * sqp - sq * sp AS num,
-        |    n * sqq - sq * sq AS dx, n * spp - sp * sp AS dy FROM s
-        |  UNION ALL
-        |  SELECT 'quantity_discount', n * sqd - sq * sd,
-        |    n * sqq - sq * sq, n * sdd - sd * sd FROM s
-        |  UNION ALL
-        |  SELECT 'price_discount', n * spd - sp * sd,
-        |    n * spp - sp * sp, n * sdd - sd * sd FROM s)
+        |  SELECT pair,
+        |    CASE pair WHEN 'quantity_price' THEN n * sqp - sq * sp
+        |      WHEN 'quantity_discount' THEN n * sqd - sq * sd
+        |      ELSE n * spd - sp * sd END AS num,
+        |    CASE pair WHEN 'price_discount' THEN n * spp - sp * sp
+        |      ELSE n * sqq - sq * sq END AS dx,
+        |    CASE pair WHEN 'quantity_price' THEN n * spp - sp * sp
+        |      ELSE n * sdd - sd * sd END AS dy
+        |  FROM s CROSS JOIN (
+        |    SELECT pair FROM (VALUES ('quantity_price'),
+        |      ('quantity_discount'), ('price_discount')) t(pair)) p)
         |ORDER BY pair""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
