@@ -107,7 +107,20 @@ object Reports extends graft.QueryArea {
     // Association rules over the basket pairs: support, confidence
     // and lift for the top co-purchased part pairs — counts stay
     // exact integers until the final ratio.
-    "rpt_basket_lift" -> ((spark, dir) => sqlq(spark, dir)(basketLiftSql)),
+    // The distinct basket projection feeds FOUR consumers (basket
+    // count, item counts, both sides of the pair self-join); inlined
+    // CTEs re-run the distinct shuffle per consumer, so it is
+    // materialized ONCE (localCheckpoint — the persist-the-projection
+    // shape a 100 TB basket analysis needs) and the rest of the query
+    // reads the materialized view. Oracle stays the single SQL string.
+    "rpt_basket_lift" -> ((spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      spark.sql("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+        .localCheckpoint().createOrReplaceTempView("basket_li")
+      spark.sql(basketLiftSql.replace(
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM basket_li),"))
+    }),
     // EXPLAIN ANALYZE surface (plans/QueryProfile.scala): run TPC-H Q6
     // and report per-operator output-row metrics read from the
     // executed plan's SQL metrics — filter-survivor and result
