@@ -480,7 +480,7 @@ object Compat {
     f("cosine_similarity") { es => graft.functions.CosineSimilarity(es.head, es(1)) }
     f("l2_distance") { es => graft.functions.L2Distance(es.head, es(1)) }
     f("dot_product") { es => graft.functions.DotProduct(es.head, es(1)) }
-    buf.toList ++ CompatExtra.injections
+    buf.toList ++ CompatExtra.injections ++ CompatExtra2.injections
   }
 
   def register(spark: SparkSession): Unit = {

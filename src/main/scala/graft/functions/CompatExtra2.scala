@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Third tranche of reference function names (round-7 FnAudit sweep
+  * over `gensrc/script/functions.py`) — everything here composes
+  * existing Catalyst expressions, so it stays inside whole-stage
+  * codegen like [[CompatExtra]].
+  *
+  * Deliberately NOT registered (extending CompatExtra's documented
+  * skips): `__iceberg_transform_*` (FE partition-pruning internals),
+  * `esquery`/`http_request`/`get_query_profile` (service-backed),
+  * `uuid_numeric`/`uuid_v7_numeric` (LARGEINT return type — the
+  * documented largeint family skip), `dict_encode` (BE low-cardinality
+  * internal; the pattern lives in operators/Dictionary), `map_apply`/
+  * `array_sort_lambda` (FE rewrites them to lambda forms before the
+  * BE ever sees the name), `encode_sort_key` (BE sort-key internal),
+  * `is_role_in_session` (RBAC), `xx_hash3_128` (no public-classpath
+  * XXH3-128; xx_hash3_64 is covered). */
+object CompatExtra2 {
+
+  private def call(name: String, args: Expression*): Expression =
+    UnresolvedFunction(FunctionIdentifier(name), args, isDistinct = false)
+
+  private def lit(v: Any): Expression = Literal(v)
+
+  /** One-arg lambda `x -> body(x)` for higher-order functions. */
+  private def lam(body: Expression => Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    LambdaFunction(body(x), Seq(x))
+  }
+
+  /** Translate a Teradata format string (yyyy/mm/dd/hh/mi/ss, b for
+    * space) to java.time — reference `to_tera_timestamp`
+    * (`time_functions.cpp` teradata format parsing). */
+  private[functions] def teraToJavaFormat(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val s = fmt.toLowerCase
+    while (i < s.length) {
+      if (s.startsWith("yyyy", i)) { out.append("yyyy"); i += 4 }
+      else if (s.startsWith("yy", i)) { out.append("yy"); i += 2 }
+      else if (s.startsWith("mm", i)) { out.append("MM"); i += 2 }
+      else if (s.startsWith("dd", i)) { out.append("dd"); i += 2 }
+      else if (s.startsWith("hh24", i)) { out.append("HH"); i += 4 }
+      else if (s.startsWith("hh", i)) { out.append("HH"); i += 2 }
+      else if (s.startsWith("mi", i)) { out.append("mm"); i += 2 }
+      else if (s.startsWith("ss", i)) { out.append("ss"); i += 2 }
+      else if (s.charAt(i) == 'b') { out.append(' '); i += 1 }
+      else { val c = s.charAt(i)
+        if (c.isLetter) out.append('\'').append(c).append('\'') else out.append(c)
+        i += 1 }
+    }
+    out.toString
+  }
+
+  lazy val injections: Seq[(String, Seq[Expression] => Expression)] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, Seq[Expression] => Expression)]
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit =
+      buf += (name -> builder)
+
+    // --- string (string_functions.cpp) ---
+    // strpos(str, sub) — 1-based, 0 when absent (Presto semantics the
+    // reference adopted). The 3-arg instance form is FE-rewritten.
+    f("strpos") { es =>
+      require(es.length == 2, "strpos(str, substr)")
+      call("instr", es.head, es(1))
+    }
+    f("regexp_split") { es => call("split", es: _*) }
+    f("replace_old") { es => call("replace", es: _*) }
+    // bar(x, min, max, width) — ClickHouse-style block bar used by the
+    // reference's profile visualization; full blocks, clamped [0,width].
+    f("bar") { es =>
+      val Seq(x, mn, mx, w) = es.toSeq
+      val frac = Divide(Subtract(Cast(x, DoubleType), Cast(mn, DoubleType)),
+        Subtract(Cast(mx, DoubleType), Cast(mn, DoubleType)))
+      val n = call("greatest", lit(0),
+        call("least", Cast(w, IntegerType),
+          Cast(call("floor", Multiply(frac, Cast(w, DoubleType))), IntegerType)))
+      call("repeat", lit("█"), n)
+    }
+
+    // --- date/time (time_functions.cpp) ---
+    f("milliseconds_diff") { es =>
+      Subtract(call("unix_millis", Cast(es.head, TimestampType)),
+        call("unix_millis", Cast(es(1), TimestampType)))
+    }
+    // to_iso8601: DATE → yyyy-MM-dd; DATETIME → full T-form with
+    // microseconds (reference time_functions.cpp to_iso8601).
+    f("to_iso8601") { es =>
+      If(EqualTo(call("typeof", es.head), lit("date")),
+        call("date_format", es.head, lit("yyyy-MM-dd")),
+        call("date_format", es.head, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+    }
+    f("to_datetime_ntz") { es => Cast(es.head, TimestampNTZType) }
+    // joda-pattern pair: the common joda letters (yyyy MM dd HH mm ss
+    // EEE …) coincide with java.time, which is also how the reference
+    // maps them (jodatime_format → DateTimeFormatter).
+    f("jodatime_format") { es => call("date_format", es.head, es(1)) }
+    f("str_to_jodatime") { es => call("to_timestamp", es.head, es(1)) }
+    f("to_tera_timestamp") { es =>
+      val fmt = es(1) match {
+        case Literal(s, StringType) => String.valueOf(s)
+        case _ => throw new IllegalArgumentException(
+          "to_tera_timestamp format must be a string literal")
+      }
+      call("to_timestamp", es.head, lit(teraToJavaFormat(fmt)))
+    }
+    // yearweek(d) — MySQL mode 0: weeks start Sunday; days before the
+    // year's first Sunday belong to the PREVIOUS year's last week.
+    f("yearweek") { es =>
+      val d = Cast(es.head, DateType)
+      def jan1(dd: Expression) = call("trunc", dd, lit("year"))
+      // first Sunday of the year containing dd (dayofweek: 1=Sunday)
+      def firstSunday(dd: Expression) = {
+        val j = jan1(dd)
+        call("date_add", j, Pmod(Subtract(lit(8), call("dayofweek", j)), lit(7)))
+      }
+      def weekFrom(fs: Expression) =
+        Add(Cast(Divide(Cast(call("datediff", d, fs), DoubleType), lit(7.0)), IntegerType), lit(1))
+      val fsThis = firstSunday(d)
+      val prevYearDate = call("date_sub", jan1(d), lit(1))
+      val fsPrev = firstSunday(prevYearDate)
+      If(GreaterThanOrEqual(d, fsThis),
+        Add(Multiply(call("year", d), lit(100)), weekFrom(fsThis)),
+        Add(Multiply(call("year", prevYearDate), lit(100)), weekFrom(fsPrev)))
+    }
+
+    // --- numeric / misc ---
+    f("equiwidth_bucket") { es => call("width_bucket", es: _*) }
+    f("inet_aton") { es =>
+      val parts = call("split", es.head, lit("\\."))
+      val valid = And(EqualTo(call("size", parts), lit(4)),
+        Not(call("exists", parts,
+          lam(x => Or(Not(call("rlike", x, lit("^\\d{1,3}$"))),
+            GreaterThan(Cast(x, IntegerType), lit(255)))))))
+      def oct(i: Int) = Cast(call("element_at", parts, lit(i)), LongType)
+      If(valid,
+        Add(Add(Add(Multiply(oct(1), lit(16777216L)), Multiply(oct(2), lit(65536L))),
+          Multiply(oct(3), lit(256L))), oct(4)),
+        Literal(null, LongType))
+    }
+
+    // --- URL (url_functions) ---
+    f("url_extract_host") { es => call("parse_url", es.head, lit("HOST")) }
+    f("url_extract_parameter") { es =>
+      call("parse_url", es.head, lit("QUERY"), es(1)) }
+
+    // --- array ---
+    // array_top_n(arr, n): n largest values descending, nulls dropped
+    f("array_top_n") { es =>
+      call("slice",
+        call("reverse", call("array_sort",
+          call("filter", es.head, lam(x => IsNotNull(x))))),
+        lit(1), es(1))
+    }
+    f("distinct_map_keys") { es =>
+      // Spark maps cannot hold duplicate keys (last-wins applied at
+      // construction), so the reference's key-dedup is the identity
+      es.head
+    }
+
+    // --- bitmap (bitmap_functions.cpp; our bitmap = serialized binary) ---
+    f("bitmap_to_binary") { es => es.head }
+    f("bitmap_from_binary") { es => es.head }
+    f("bitmap_to_base64") { es => call("base64", es.head) }
+    f("base64_to_bitmap") { es => call("unbase64", es.head) }
+    // subset of values in [lo, hi)
+    f("bitmap_subset_in_range") { es =>
+      call("array_to_bitmap", call("filter", call("bitmap_to_array", es.head),
+        lam(x => And(GreaterThanOrEqual(x, es(1)), LessThan(x, es(2))))))
+    }
+    // up to `limit` ascending values starting at range_start
+    // (positive-limit form; the negative "backward" form is not mapped)
+    f("bitmap_subset_limit") { es =>
+      call("array_to_bitmap",
+        call("slice",
+          call("array_sort", call("filter", call("bitmap_to_array", es.head),
+            lam(x => GreaterThanOrEqual(x, es(1))))),
+          lit(1), es(2)))
+    }
+
+    // --- HLL (hyperloglog_functions.cpp; our hll = serialized binary) ---
+    f("hll_serialize") { es => es.head }
+    f("hll_deserialize") { es => es.head }
+
+    buf.toList
+  }
+}

@@ -73,6 +73,35 @@ object CompatKernels extends graft.QueryArea {
         |  FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // Round-7 FnAudit tranche (functions/CompatExtra2.scala): the
+    // deterministic scalar surface evaluated on literals, one row —
+    // oracle pins the exact values (DuckDB lacks parse_url/yearweek
+    // etc., so the mirror is a literal VALUES row, each value
+    // hand-derived from the reference semantics).
+    "compat_round7_fns" -> ((spark, dir) => sqlq(spark, dir)(
+      """SELECT
+        |  strpos('hello world', 'world') AS sp1, strpos('abc', 'z') AS sp0,
+        |  array_join(regexp_split('a1b22c333d', '\\d+'), '|') AS rs,
+        |  replace_old('aXbX', 'X', 'y') AS ro,
+        |  milliseconds_diff(timestamp'2024-01-02 00:00:01.250',
+        |                    timestamp'2024-01-02 00:00:00') AS md,
+        |  to_iso8601(timestamp'2024-03-05 06:07:08.123456') AS iso_ts,
+        |  to_iso8601(date'2024-03-05') AS iso_d,
+        |  CAST(equiwidth_bucket(7.0, 0.0, 10.0, 5) AS BIGINT) AS wb,
+        |  inet_aton('192.168.1.10') AS ia, inet_aton('1.2.3.299') AS ia_bad,
+        |  CAST(yearweek(date'2024-01-06') AS INT) AS yw_prev,
+        |  CAST(yearweek(date'2024-01-07') AS INT) AS yw_first,
+        |  CAST(yearweek(date'2024-12-31') AS INT) AS yw_last,
+        |  url_extract_host('https://docs.example.com/a/b?x=1&y=2') AS host,
+        |  url_extract_parameter('https://docs.example.com/a/b?x=1&y=2', 'y') AS param,
+        |  array_join(array_top_n(array(3, 1, NULL, 9, 7), 3), ',') AS topn,
+        |  bar(7, 0, 10, 10) AS bar7,
+        |  date_format(to_tera_timestamp('2024-03-05 06:07:08', 'yyyy-mm-dd hh24:mi:ss'),
+        |    'yyyy-MM-dd HH:mm:ss') AS tera,
+        |  date_format(str_to_jodatime('2024-03-05 06:07', 'yyyy-MM-dd HH:mm'),
+        |    'yyyy-MM-dd HH:mm') AS joda,
+        |  jodatime_format(timestamp'2024-03-05 06:07:08', 'yyyy-MM-dd HH:mm:ss') AS jodaf,
+        |  CAST(to_datetime_ntz(timestamp'2024-03-05 06:07:08') AS STRING) AS ntz""".stripMargin)),
     "compat_sum_map_fn" -> ((spark, dir) => sqlq(spark, dir)(
       """SELECT user_id, e.etype AS etype, round(e.total, 4) AS total
         |FROM (
@@ -145,5 +174,24 @@ object CompatKernels extends graft.QueryArea {
     "compat_sum_map_fn" ->
       """SELECT user_id, event_type AS etype,
         |  round(sum(value), 4) AS total
-        |FROM events GROUP BY user_id, event_type ORDER BY user_id, etype""".stripMargin)
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, etype""".stripMargin,
+    // literal mirror of the round-7 function tranche — every value
+    // hand-derived from the reference semantics (see gate comment)
+    "compat_round7_fns" ->
+      """SELECT CAST(sp1 AS INTEGER) AS sp1, CAST(sp0 AS INTEGER) AS sp0,
+        |  rs, ro, CAST(md AS BIGINT) AS md, iso_ts, iso_d,
+        |  CAST(wb AS BIGINT) AS wb, CAST(ia AS BIGINT) AS ia,
+        |  CAST(ia_bad AS BIGINT) AS ia_bad,
+        |  CAST(yw_prev AS INTEGER) AS yw_prev,
+        |  CAST(yw_first AS INTEGER) AS yw_first,
+        |  CAST(yw_last AS INTEGER) AS yw_last,
+        |  host, param, topn, bar7, tera, joda, jodaf, ntz
+        |FROM (VALUES (7, 0, 'a|b|c|d', 'ayby', 1250,
+        |  '2024-03-05T06:07:08.123456', '2024-03-05', 4, 3232235786, NULL,
+        |  202353, 202401, 202452, 'docs.example.com', '2', '9,7,3',
+        |  '███████', '2024-03-05 06:07:08', '2024-03-05 06:07',
+        |  '2024-03-05 06:07:08', '2024-03-05 06:07:08'))
+        | t(sp1, sp0, rs, ro, md, iso_ts, iso_d, wb, ia, ia_bad,
+        |   yw_prev, yw_first, yw_last, host, param, topn, bar7,
+        |   tera, joda, jodaf, ntz)""".stripMargin)
 }

@@ -260,4 +260,27 @@ class CompatFunctionsSpec extends SparkSuite {
       .head.get(0)
     assert(band === 8)
   }
+
+  test("round-7 bitmap tranche: base64/binary round trips and value subsets") {
+    // base64 round trip preserves the serialized bitmap exactly
+    assert(one(
+      "bitmap_to_string(base64_to_bitmap(bitmap_to_base64(bitmap_from_string('1,3,5,200'))))")
+      === "1,3,5,200")
+    // bitmap_to_binary/bitmap_from_binary are the identity on the
+    // (already-portable) serialized form
+    assert(one(
+      "bitmap_count(bitmap_from_binary(bitmap_to_binary(bitmap_from_string('7,9'))))") === 2L)
+    // subset in [lo, hi) — half-open per the reference
+    assert(one(
+      "bitmap_to_string(bitmap_subset_in_range(bitmap_from_string('1,3,5,7,9'), 3, 8))")
+      === "3,5,7")
+    // up to `limit` ascending values starting at range_start
+    assert(one(
+      "bitmap_to_string(bitmap_subset_limit(bitmap_from_string('1,3,5,7,9'), 4, 2))")
+      === "5,7")
+    // hll serialize/deserialize: identity on the sketch binary
+    assert(one(
+      "hll_sketch_estimate(hll_deserialize(hll_serialize(hll_raw_agg(c)))) FROM VALUES ('x'),('y') AS t(c)")
+      === 2L)
+  }
 }
