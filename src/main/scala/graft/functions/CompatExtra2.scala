@@ -187,6 +187,17 @@ object CompatExtra2 {
     f("hll_serialize") { es => es.head }
     f("hll_deserialize") { es => es.head }
 
+    // ai_query(model, prompt) — the SQL-visible form of the STUBBED
+    // inference (`be/src/exprs/ai_functions.h:24`): same deterministic
+    // label as operators/AiQuery.inferBatch, so the scalar and the
+    // batched mapPartitions surface agree; swap both for a real
+    // endpoint client together.
+    f("ai_query") { es =>
+      Cast(call("concat", lit("label_"),
+        Cast(Pmod(Multiply(call("coalesce", call("length", es(1)), lit(0)),
+          lit(31)), lit(5)), StringType)), StringType)
+    }
+
     buf.toList
   }
 }

@@ -282,5 +282,10 @@ class CompatFunctionsSpec extends SparkSuite {
     assert(one(
       "hll_sketch_estimate(hll_deserialize(hll_serialize(hll_raw_agg(c)))) FROM VALUES ('x'),('y') AS t(c)")
       === 2L)
+    // SQL ai_query agrees with the batched operator stub
+    assert(one("ai_query('m', 'hello')") ===
+      graft.operators.AiQuery.inferBatch("m", Seq("hello")).head)
+    assert(one("ai_query('m', CAST(NULL AS STRING))") ===
+      graft.operators.AiQuery.inferBatch("m", Seq(null)).head)
   }
 }
