@@ -72,15 +72,37 @@ object Lake {
   private def versionFile(table: String) = new Path(s"$table/metadata/VERSION")
   private def manifestFile(table: String, v: Int) = new Path(s"$table/metadata/v$v.json")
 
-  /** Current committed version, 0 if the table does not exist yet. */
+  private val ManifestName = """v(\d+)\.json""".r
+
+  /** Current committed version, 0 if the table does not exist yet.
+    *
+    * The MANIFEST CHAIN is authoritative — the exclusive create of
+    * `vN.json` is the commit point, so the highest N IS the current
+    * version. The VERSION file is only a cache: under racing
+    * committers its delete+rename update can lag or interleave, and
+    * trusting it alone would (a) show version 0 in the window between
+    * delete and rename and (b) let a slow older committer regress the
+    * table. max(hint, listed) closes both. */
   def currentVersion(spark: SparkSession, table: String): Int = {
     val f = fs(spark, table)
-    if (!f.exists(versionFile(table))) 0
-    else {
-      val in = f.open(versionFile(table))
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
-      finally in.close()
-    }
+    val hint =
+      if (!f.exists(versionFile(table))) 0
+      else {
+        val in = f.open(versionFile(table))
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        // the cache is written without coordination; a torn read of it
+        // must not fail the table — the manifest listing is authoritative
+        try text.toInt catch { case _: NumberFormatException => 0 }
+      }
+    val metaDir = new Path(s"$table/metadata")
+    val listed =
+      if (!f.exists(metaDir)) 0
+      else f.listStatus(metaDir).iterator.map(_.getPath.getName).collect {
+        case ManifestName(n) => n.toInt
+      }.foldLeft(0)(math.max)
+    math.max(hint, listed)
   }
 
   /** Commit a new snapshot. `mode` = "overwrite" (new snapshot contains
@@ -93,7 +115,11 @@ object Lake {
     val f = fs(spark, table)
     val prev = currentVersion(spark, table)
     val v = prev + 1
-    val commitDir = s"$table/data/commit-$v"
+    // staging dir carries a unique suffix: racing committers must not
+    // collide on the DATA path — the manifest's exclusive create below
+    // is the only arbiter, and the loser's orphaned files are vacuum
+    // fodder (the Delta/Iceberg staging contract)
+    val commitDir = s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
 
     val writer = if (partitionCols.nonEmpty)
       df.write.partitionBy(partitionCols: _*) else df.write
@@ -284,14 +310,40 @@ object Lake {
   }
 
   /** Commit point: VERSION rename — readers see old or new, never a mix. */
+  /** Refresh the VERSION cache file (the manifest publish that already
+    * happened IS the commit — see [[currentVersion]]). Best-effort:
+    * readers take max(hint, manifest chain), so a lost or lagging
+    * update is harmless. Each committer stages to its OWN temp file
+    * (a shared temp name was a stress-spec casualty) and publishes
+    * with an atomic replace; on local FS that goes through NIO so no
+    * stale Hadoop checksum file can poison later reads. */
   private def commitVersion(spark: SparkSession, table: String, v: Int): Unit = {
     val f = fs(spark, table)
-    val tmp = new Path(s"$table/metadata/.VERSION.tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(versionFile(table), false)
-    if (!f.rename(tmp, versionFile(table)))
-      throw new IllegalStateException(s"commit of $table v$v failed at VERSION rename")
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        val dest = java.nio.file.Paths.get(versionFile(table).toUri.getPath)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        // drop any checksum file a pre-NIO writer left for VERSION —
+        // an atomic replace below would otherwise mismatch it
+        java.nio.file.Files.deleteIfExists(dest.resolveSibling(".VERSION.crc"))
+        val tmp = java.nio.file.Files.createTempFile(dest.getParent, ".version", ".tmp")
+        try {
+          java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, dest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch { case _: java.io.IOException => // cache refresh is best-effort
+        } finally { val _ = java.nio.file.Files.deleteIfExists(tmp) }
+      case _ =>
+        val tmp = new Path(s"$table/metadata/.VERSION-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        try {
+          val out = f.create(tmp, true)
+          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+          f.delete(versionFile(table), false)
+          f.rename(tmp, versionFile(table))
+        } catch { case _: java.io.IOException => // best-effort
+        } finally { val _ = f.delete(tmp, false) }
+    }
   }
 
   /** Copy-on-write UPDATE: SET-style column assignments applied to
@@ -389,7 +441,7 @@ object Lake {
       touched.contains(new Path(fl.path).toUri.getPath))
 
     val v = prev + 1
-    val commitDir = s"$table/data/commit-$v"
+    val commitDir = s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
     // surviving target rows from touched files (matched keys dropped,
     // replaced by their source row below) + every source row
     val survivors = rewrite.groupBy(_.partitionValues).map { case (pvals, fls) =>
@@ -438,7 +490,7 @@ object Lake {
     val keep = big ++ small.filterNot(fl => groups.contains(fl.partitionValues))
 
     val v = prev + 1
-    val commitDir = s"$table/data/commit-$v"
+    val commitDir = s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val rebuilt = groups.map { case (pvals, fls) =>
       val nOut = math.max(1,
         math.ceil(fls.map(_.sizeBytes).sum.toDouble / targetFileBytes).toInt)
@@ -598,7 +650,7 @@ object Lake {
     if (rewrite.isEmpty) return snap.version
 
     val v = snap.version + 1
-    val commitDir = s"$table/data/commit-$v"
+    val commitDir = s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val rebuilt = rewrite.groupBy(_.partitionValues).map { case (pvals, fls) =>
       var df = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
       for (c <- snap.partitionCols) {
@@ -651,20 +703,48 @@ object Lake {
     * silently overwriting the first writer's commit (classic lost
     * update). The loser rereads and retries against the new state —
     * the same OCC contract every table-format catalog exposes. */
+  /** Atomically publish `value` at `p` with EXCLUSIVE-create
+    * semantics — the OCC commit primitive.
+    *
+    * On a local filesystem, a plain exclusive `create()` is visible
+    * BEFORE its bytes land, so a concurrent reader could parse a torn
+    * manifest (found by the OCC stress spec as checksum/EOF errors).
+    * There the publish is a hard link from a fully-written private
+    * temp file: `Files.createLink` is atomic, fails with EEXIST on a
+    * racing committer, and the manifest appears with its complete
+    * content or not at all — the local-FS equivalent of the atomic
+    * exclusive PUT object stores give Delta-style commits. Non-local
+    * filesystems keep the stream path (HDFS create is exclusive and
+    * readers can't open un-completed files). */
   private def writeJson(spark: SparkSession, table: String, p: Path,
       value: Object): Unit = {
     val f = fs(spark, table)
-    val out = try f.create(p, false) catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit detected at $p — reread and retry", e)
-      case e: java.io.IOException if e.getMessage != null &&
-          e.getMessage.contains("already exists") =>
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit detected at $p — reread and retry", e)
+    val bytes = graft.functions.JsonKernel.mapper.writeValueAsBytes(value)
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        val dest = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        val tmp = java.nio.file.Files.createTempFile(dest.getParent, ".publish", ".tmp")
+        try {
+          java.nio.file.Files.write(tmp, bytes)
+          try java.nio.file.Files.createLink(dest, tmp)
+          catch { case e: java.nio.file.FileAlreadyExistsException =>
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit detected at $p — reread and retry", e)
+          }
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      case _ =>
+        val out = try f.create(p, false) catch {
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit detected at $p — reread and retry", e)
+          case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.contains("already exists") =>
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit detected at $p — reread and retry", e)
+        }
+        try out.write(bytes) finally out.close()
     }
-    try out.write(graft.functions.JsonKernel.mapper.writeValueAsBytes(value))
-    finally out.close()
   }
 
   def readSnapshot(spark: SparkSession, table: String, version: Int): Snapshot = {

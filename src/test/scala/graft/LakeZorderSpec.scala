@@ -112,19 +112,66 @@ class LakeZorderSpec extends SparkSuite {
     assert(Lake.vacuum(spark, dir, retainLast = 1) === 0)
   }
 
-  test("concurrent commit of the same version is rejected, not lost") {
+  test("a racing writer's committed manifest is never clobbered or lost") {
     val dir = java.nio.file.Files.createTempDirectory("graft-occ").toString
     Lake.write(Seq((1L, "a")).toDF("id", "p"), dir, Nil) // v1
-    // a racing writer already created v2's manifest; our commit of v2
-    // must fail loudly instead of overwriting it
-    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/metadata/v2.json"), false)
-    out.write("{}".getBytes("UTF-8")); out.close()
-    intercept[java.util.ConcurrentModificationException] {
-      Lake.write(Seq((2L, "b")).toDF("id", "p"), dir, Nil)
-    }
-    // the racing writer's state is untouched and v1 still reads
+    // a racing writer already published v2's manifest (the manifest
+    // chain IS the commit record, VERSION is only a cache — it still
+    // says 1 here): the next committer must base on v2 and land as
+    // v3, leaving the racer's manifest byte-identical
+    val planted = java.nio.file.Paths.get(s"$dir/metadata/v2.json")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.json"), planted)
+    val plantedBytes = java.nio.file.Files.readAllBytes(planted)
+    assert(Lake.currentVersion(spark, dir) === 2,
+      "manifest chain must outrank the stale VERSION cache")
+    val v = Lake.write(Seq((2L, "b")).toDF("id", "p"), dir, Nil)
+    assert(v === 3, "commit must base on the racer's v2, not overwrite it")
+    assert(java.nio.file.Files.readAllBytes(planted).toSeq === plantedBytes.toSeq,
+      "racing writer's manifest was modified")
     assert(Lake.read(spark, dir, Some(1)).count() === 1)
+    assert(Lake.read(spark, dir).select($"id").head.getLong(0) === 2L)
+  }
+
+  test("OCC stress: 8 racing appenders with retry all land exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-occ-stress").toString
+    Lake.write(Seq((0L, -1)).toDF("id", "w"), dir, Nil) // v1 base
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val tasks = (1 to 8).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            (0 until 3).foreach { i =>
+              // commit with OCC retry: a loser re-reads and re-commits
+              var attempts = 0
+              var done = false
+              while (!done) {
+                attempts += 1
+                require(attempts <= 60, s"writer $w gave up after $attempts attempts")
+                try {
+                  Lake.write(Seq((w * 10L + i, w)).toDF("id", "w"), dir,
+                    Nil, mode = "append")
+                  done = true
+                } catch {
+                  case _: java.util.ConcurrentModificationException => // retry
+                }
+              }
+            }
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(errors.isEmpty, s"writer failures: ${errors.toArray.mkString(";")}")
+    // every committed row visible exactly once, version chain contiguous
+    val rows = Lake.read(spark, dir).select($"id").collect().map(_.getLong(0)).toSeq
+    assert(rows.length === 25, s"expected 25 rows, got ${rows.length}")
+    assert(rows.distinct.length === 25, "duplicate rows — a lost-update merged twice")
+    assert(Lake.currentVersion(spark, dir) === 25,
+      "one version per commit: 1 base + 24 appends")
+    // every intermediate version still time-travels (no torn manifests)
+    (1 to 25).foreach { v => assert(Lake.read(spark, dir, Some(v)).count() === v) }
   }
 
   test("multi-table tx: half-committed snapshots stay invisible") {
