@@ -66,11 +66,11 @@ object VectorIndex {
     val codebooks = Similarity.trainPqCodebooks(corpus, vecCol, m, ks, seed = seed)
     val model = Model(dim, c, m, ks, spill, seed, centroids, codebooks)
     val n = writeCodes(corpus, idCol, vecCol, model, path, mode = "overwrite")
-    // model is published LAST (exclusive create — the OCC commit
-    // primitive shared with LakeTx/DeltaExport): a crash mid-build
-    // leaves no readable index, a racing builder conflicts loudly
-    val out = f.create(modelPath(path), false)
-    try out.write(modelJson(model).getBytes("UTF-8")) finally out.close()
+    // model is published LAST (AtomicPublish — the shared torn-read-
+    // free OCC primitive): a crash mid-build leaves no readable index,
+    // a racing builder conflicts loudly
+    graft.sources.AtomicPublish.publish(spark, modelPath(path),
+      modelJson(model).getBytes("UTF-8"))
     n
   }
 

@@ -81,11 +81,9 @@ object DeltaExport {
           sb.append(s"""{"add":{"path":$p,"partitionValues":$pvals,"size":${lf.sizeBytes},"modificationTime":${lf.modifiedMs},"dataChange":true,"stats":$stats}}""").append('\n')
         }
         f.mkdirs(logPath.getParent)
-        val out =
-          try f.create(logPath, false)
-          catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => null }
-        if (out != null) {
-          try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+        try AtomicPublish.publish(spark, logPath, sb.toString.getBytes("UTF-8"))
+        catch { case _: java.util.ConcurrentModificationException =>
+          // another exporter already published this version — idempotent
         }
       }
       last = v - 1L

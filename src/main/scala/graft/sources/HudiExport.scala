@@ -81,8 +81,7 @@ object HudiExport {
         }
         body.append(s""""partitionToWriteStats":{${statParts.mkString(",")}}}""")
         val target = if (removed.nonEmpty) replaceP else commitP
-        val out = f.create(target, false)
-        try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+        AtomicPublish.publish(spark, target, body.toString.getBytes("UTF-8"))
       }
     }
     last

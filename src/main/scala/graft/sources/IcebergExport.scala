@@ -105,16 +105,14 @@ object IcebergExport {
             s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$fields]}],"""
           }
         val json = s"""{"format-version":2,$specJson"current-snapshot-id":$v,"snapshots":[$priorSnaps{"snapshot-id":$v,"manifest-list":${mapper.writeValueAsString(listPath)}}]}"""
-        // exclusive create — the same OCC commit primitive as
-        // DeltaExport/LakeTx: a racing exporter conflicts instead of
-        // silently clobbering an already-published metadata version
-        val out =
-          try f.create(metaPath, false)
-          catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            throw new IllegalStateException(
-              s"concurrent Iceberg export detected at $metaPath — retry")
-          }
-        try out.write(json.getBytes("UTF-8")) finally out.close()
+        // AtomicPublish — the shared torn-read-free OCC primitive: a
+        // racing exporter conflicts instead of silently clobbering an
+        // already-published metadata version
+        try AtomicPublish.publish(spark, metaPath, json.getBytes("UTF-8"))
+        catch { case e: java.util.ConcurrentModificationException =>
+          throw new IllegalStateException(
+            s"concurrent Iceberg export detected at $metaPath — retry", e)
+        }
       }
     }
     cur.toLong

@@ -703,49 +703,12 @@ object Lake {
     * silently overwriting the first writer's commit (classic lost
     * update). The loser rereads and retries against the new state —
     * the same OCC contract every table-format catalog exposes. */
-  /** Atomically publish `value` at `p` with EXCLUSIVE-create
-    * semantics — the OCC commit primitive.
-    *
-    * On a local filesystem, a plain exclusive `create()` is visible
-    * BEFORE its bytes land, so a concurrent reader could parse a torn
-    * manifest (found by the OCC stress spec as checksum/EOF errors).
-    * There the publish is a hard link from a fully-written private
-    * temp file: `Files.createLink` is atomic, fails with EEXIST on a
-    * racing committer, and the manifest appears with its complete
-    * content or not at all — the local-FS equivalent of the atomic
-    * exclusive PUT object stores give Delta-style commits. Non-local
-    * filesystems keep the stream path (HDFS create is exclusive and
-    * readers can't open un-completed files). */
+  /** Exclusive-create commit record — see [[AtomicPublish]] for the
+    * torn-read-free publish semantics. */
   private def writeJson(spark: SparkSession, table: String, p: Path,
-      value: Object): Unit = {
-    val f = fs(spark, table)
-    val bytes = graft.functions.JsonKernel.mapper.writeValueAsBytes(value)
-    f match {
-      case _: org.apache.hadoop.fs.LocalFileSystem =>
-        val dest = java.nio.file.Paths.get(p.toUri.getPath)
-        java.nio.file.Files.createDirectories(dest.getParent)
-        val tmp = java.nio.file.Files.createTempFile(dest.getParent, ".publish", ".tmp")
-        try {
-          java.nio.file.Files.write(tmp, bytes)
-          try java.nio.file.Files.createLink(dest, tmp)
-          catch { case e: java.nio.file.FileAlreadyExistsException =>
-            throw new java.util.ConcurrentModificationException(
-              s"concurrent commit detected at $p — reread and retry", e)
-          }
-        } finally java.nio.file.Files.deleteIfExists(tmp)
-      case _ =>
-        val out = try f.create(p, false) catch {
-          case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            throw new java.util.ConcurrentModificationException(
-              s"concurrent commit detected at $p — reread and retry", e)
-          case e: java.io.IOException if e.getMessage != null &&
-              e.getMessage.contains("already exists") =>
-            throw new java.util.ConcurrentModificationException(
-              s"concurrent commit detected at $p — reread and retry", e)
-        }
-        try out.write(bytes) finally out.close()
-    }
-  }
+      value: Object): Unit =
+    AtomicPublish.publish(spark, p,
+      graft.functions.JsonKernel.mapper.writeValueAsBytes(value))
 
   def readSnapshot(spark: SparkSession, table: String, version: Int): Snapshot = {
     val f = fs(spark, table)

@@ -113,19 +113,16 @@ object LakeTx {
       .map { case (t, v) => s"${mapper.writeValueAsString(t)}:$v" }
       .mkString("{", ",", "}")
     val f = fs(spark, root)
-    // Exclusive create of the NEXT catalog version is the atomic commit
-    // point (same OCC primitive as Lake's manifest path): a racing
-    // committer loses with FileAlreadyExistsException instead of
-    // silently clobbering, and a crash at any point leaves the previous
-    // catalog file fully intact and visible.
+    // Exclusive publish of the NEXT catalog version is the atomic
+    // commit point (AtomicPublish — torn-read-free): a racing
+    // committer loses loudly instead of silently clobbering, and a
+    // crash at any point leaves the previous catalog fully visible.
     val target = catalogFile(root, baseV + 1)
-    val out =
-      try f.create(target, false)
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent catalog commit detected at $target — retry the transaction")
-      }
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    try AtomicPublish.publish(spark, target, json.getBytes("UTF-8"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      throw new IllegalStateException(
+        s"concurrent catalog commit detected at $target — retry the transaction", e)
+    }
     next
   }
 
