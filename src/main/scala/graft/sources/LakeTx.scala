@@ -105,8 +105,16 @@ object LakeTx {
     require(writes.nonEmpty, "empty transaction")
     val baseV = expectedVersion.getOrElse(latestCatalogVersion(spark, root))
     val prior = catalogAt(spark, root, baseV)
+    // a racing transaction can also conflict at an underlying TABLE's
+    // manifest (both staged a write to the same table concurrently) —
+    // surface it as the same retryable transaction-conflict signal the
+    // catalog publish uses, so callers have ONE retry contract
     val next = prior ++ writes.map { case (t, (df, parts)) =>
-      t -> Lake.write(df, s"$root/$t", parts, mode = "overwrite")
+      try t -> Lake.write(df, s"$root/$t", parts, mode = "overwrite")
+      catch { case e: java.util.ConcurrentModificationException =>
+        throw new IllegalStateException(
+          s"transaction conflict on table $t — retry the transaction", e)
+      }
     }
     val mapper = new ObjectMapper()
     val json = next.toSeq.sortBy(_._1)

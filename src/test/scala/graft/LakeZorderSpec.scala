@@ -213,6 +213,77 @@ class LakeZorderSpec extends SparkSuite {
     assert(LakeTx.read(spark, root, "a").select($"k").head.getLong(0) === 4L)
   }
 
+  test("AtomicPublish: racing publishers — exactly one wins, content never torn") {
+    import graft.sources.AtomicPublish
+    val dir = java.nio.file.Files.createTempDirectory("graft-pub").toString
+    (0 until 10).foreach { round =>
+      val target = new org.apache.hadoop.fs.Path(s"$dir/commit-$round.json")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      try {
+        val barrier = new java.util.concurrent.CyclicBarrier(6)
+        (1 to 6).map { w =>
+          pool.submit(new Runnable { def run(): Unit = {
+            barrier.await()
+            // each writer publishes a complete, writer-tagged payload
+            val payload = s"""{"writer":$w,"pad":"${"x" * 4096}"}"""
+            try { AtomicPublish.publish(spark, target, payload.getBytes("UTF-8")); wins.incrementAndGet() }
+            catch { case _: java.util.ConcurrentModificationException => }
+          }})
+        }.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      assert(wins.get() === 1, s"round $round: ${wins.get()} writers claimed the publish")
+      // whoever won, the visible file is one writer's COMPLETE payload
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/commit-$round.json")), "UTF-8")
+      assert(text.matches("""\{"writer":\d,"pad":"x{4096}"\}"""),
+        s"round $round: torn or mixed content (${text.length} bytes)")
+    }
+  }
+
+  test("LakeTx stress: racing multi-table transactions retry to a consistent catalog") {
+    import graft.sources.LakeTx
+    val root = java.nio.file.Files.createTempDirectory("graft-txstress").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      (1 to 4).map { w =>
+        pool.submit(new Runnable { def run(): Unit = try {
+          (0 until 3).foreach { i =>
+            var attempts = 0
+            var done = false
+            while (!done) {
+              attempts += 1
+              require(attempts <= 60, s"tx writer $w gave up")
+              try {
+                // each tx updates its own table AND a shared table
+                LakeTx.commit(spark, root, Map(
+                  s"t$w" -> (Seq((i.toLong, w)).toDF("seq", "w"), Seq.empty[String]),
+                  "shared" -> (Seq((w * 10L + i, w)).toDF("seq", "w"), Seq.empty[String])))
+                done = true
+              } catch { case _: IllegalStateException => /* catalog race: retry */ }
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) } })
+      }.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(errors.isEmpty, s"tx failures: ${errors.toArray.mkString(";")}")
+    // 12 transactions → exactly 12 catalog versions, all tables pinned
+    val cat = LakeTx.catalog(spark, root)
+    assert(cat.keySet === Set("t1", "t2", "t3", "t4", "shared"))
+    // every per-writer table shows ITS latest committed write
+    (1 to 4).foreach { w =>
+      assert(LakeTx.read(spark, root, s"t$w").select($"seq").head.getLong(0) === 2L,
+        s"t$w lost its final write")
+    }
+    // the shared table's pinned version is one writer's real commit
+    assert(LakeTx.read(spark, root, "shared").count() === 1)
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val cats = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).count(_.matches("_catalog-v\\d+\\.json"))
+    assert(cats === 12, s"expected 12 catalog versions, got $cats")
+  }
+
   test("vacuumCatalog GCs old versions, keeps retained + latest readable, survives legacy migration") {
     import graft.sources.LakeTx
     val root = java.nio.file.Files.createTempDirectory("graft-txvac").toString
