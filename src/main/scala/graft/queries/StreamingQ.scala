@@ -172,6 +172,76 @@ object StreamingQ extends graft.QueryArea {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy(col("event_type"))
     }),
+    // Streaming ANN enrichment against the STANDING persisted index
+    // (the production retrieval shape: query embeddings arrive as a
+    // stream, each micro-batch runs the pruned-scan + ADC + rerank
+    // query against the frozen VectorIndex — zero training work per
+    // batch; multi-batch replay of the same machinery is covered by
+    // stream_lake_sink). Full probe + rerank >= corpus makes the
+    // batch answer EXACTLY the brute-force L2 top-k, so DuckDB
+    // recomputes the whole result independently with list_distance.
+    "stream_ann_enrich" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sann_${dir.replaceAll("[^0-9a-z]", "_")}"
+      // the index is STANDING state (build-if-absent, like production):
+      // the stream side of the gate is rebuilt fresh each run, the
+      // frozen index persists across runs and the timed cost is the
+      // per-batch query path
+      // small PQ params (m=4, ks=16): the ADC lookup tables embed the
+      // codebooks as plan literals, and per-micro-batch PLANNING time
+      // scales with that literal tree — full probe + exact rerank
+      // keeps the answer exact regardless of codebook size
+      val idxPath = s"$base/index-c8m4"
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      Seq("in", "out", "ckpt").foreach(d =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+      val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+      if (!f.exists(new org.apache.hadoop.fs.Path(s"$idxPath/_model.json")))
+        graft.operators.VectorIndex.build(corpus, "vec_id", "embedding",
+          idxPath, c = 8, m = 4, ks = 16, spill = 2)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.repartition(1).write.mode("overwrite").parquet(s"$base/in")
+      val stream = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      // micro-batch ANN state is query-count-sized, not scan-sized:
+      // 4 shuffle partitions keep the per-batch window/join overhead
+      // proportional to the work (see stream_join_enrich)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // the corpus float side is read by every micro-batch's rerank —
+      // cache it once across batches (the standing-state shape again)
+      val cachedCorpus = corpus.cache()
+      // per-batch answers are k x queries rows (driver-tiny by
+      // construction) — collect them instead of a parquet write+read
+      // round trip per batch
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.operators.VectorIndex.topK(spark, idxPath,
+                cachedCorpus, "vec_id", "embedding", batch, "qid", "qvec",
+                k = 3, nprobe = 8, rerank = 100000)
+              .collect().foreach(results.add)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        cachedCorpus.unpersist()
+      }
+      import scala.jdk.CollectionConverters._
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("l2", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rk", org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(results.asScala.toSeq, 1), outSchema)
+        .orderBy(col("qid"), col("rk"))
+    }),
     // Routine load with a seekable-offset ledger (streaming.RoutineLoad,
     // the Kafka contract): events become a 4-partition offset log; the
     // job consumes micro-batches, CRASHES between a sink write and the
@@ -244,6 +314,18 @@ object StreamingQ extends graft.QueryArea {
         |SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_ann_enrich" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20)
+        |SELECT qid, vec_id,
+        |  round(list_distance(CAST(qvec AS DOUBLE[]),
+        |                      CAST(embedding AS DOUBLE[])), 6) AS l2,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY list_distance(CAST(qvec AS DOUBLE[]),
+        |                           CAST(embedding AS DOUBLE[])), vec_id)
+        |    AS BIGINT) AS rk
+        |FROM q, c QUALIFY rk <= 3 ORDER BY qid, rk""".stripMargin,
     "stream_join_enrich" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
