@@ -584,4 +584,23 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "rolling WAU planned a day-range nested loop:\n" + plan)
   }
+
+  test("YoY CTE stack: the dead UNION arm is pruned per self-join instance") {
+    // the year_total CTE unions two channel arms; each of the 4 self-
+    // join instances filters sale_type to ONE literal, so Catalyst
+    // must fold the impossible arm away — 4 orders scans, not 8
+    val plan = planOf(SparkEntry.queries("tpcds_yoy_cte_stack")(spark, sf))
+    val orderScans = "orders\\.parquet".r.findAllIn(plan).size
+    assert(orderScans === 4,
+      s"expected 4 pruned orders scans (one per CTE instance), got $orderScans:\n" + plan)
+    // and the per-instance year filter reaches the scan
+    assert(plan.contains("PushedFilters"), "no pushdown info in scans")
+  }
+
+  test("six-instance YoY stack prunes to 6 orders scans with pushed year filters") {
+    val plan = planOf(SparkEntry.queries("tpcds_yoy_six_join")(spark, sf))
+    val orderScans = "orders\\.parquet".r.findAllIn(plan).size
+    assert(orderScans === 6,
+      s"expected 6 pruned orders scans (one per CTE instance), got $orderScans")
+  }
 }
