@@ -36,6 +36,12 @@ import graft.sources.Lake
   * only for the shortlist. */
 object VectorIndex {
 
+  /** Bump when the persisted layout (_model.json fields, codes-table
+    * shape) changes incompatibly — callers that key standing-index
+    * paths on (params, FormatVersion) then rebuild instead of loading
+    * a stale on-disk index with the new code. */
+  val FormatVersion: Int = 1
+
   /** The frozen trained state: coarse centroids + PQ codebooks. */
   final case class Model(dim: Int, c: Int, m: Int, ks: Int, spill: Int,
       seed: Long,
@@ -62,6 +68,8 @@ object VectorIndex {
       s"vector index already exists at $path — delete to rebuild")
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    require(spill >= 1 && spill <= c,
+      s"spill=$spill must be in [1, c=$c] — probeCells emits min(spill, c) entries per row")
     val centroids = Similarity.trainIvfCentroids(corpus, vecCol, c, seed = seed)
     val codebooks = Similarity.trainPqCodebooks(corpus, vecCol, m, ks, seed = seed)
     val model = Model(dim, c, m, ks, spill, seed, centroids, codebooks)
@@ -86,18 +94,18 @@ object VectorIndex {
 
   /** Encode + commit one Lake write; returns the number of INPUT rows
     * this call indexed (new-commit codes rows / spill — `encode` emits
-    * exactly `spill` codes rows per input row), not the table total:
-    * on append the prior snapshot's files are diffed out. */
+    * exactly `spill` codes rows per input row, guaranteed by the
+    * spill <= c validation in [[build]]), not the table total. The
+    * diff base is v-1 — the snapshot THIS commit was built on — so a
+    * concurrent appender landing in between never inflates the count. */
   private def writeCodes(corpus: DataFrame, idCol: String, vecCol: String,
       model: Model, path: String, mode: String): Long = {
     val spark = corpus.sparkSession
     val encoded = encode(corpus, idCol, vecCol, model)
-    val prev =
-      if (mode == "append") Lake.currentVersion(spark, codesTable(path)) else 0
     val v = Lake.write(encoded, codesTable(path), Seq("cell"), mode = mode)
     val prevFiles: Set[String] =
-      if (prev > 0) Lake.readSnapshot(spark, codesTable(path), prev)
-        .files.map(_.path).toSet
+      if (mode == "append" && v > 1)
+        Lake.readSnapshot(spark, codesTable(path), v - 1).files.map(_.path).toSet
       else Set.empty
     Lake.readSnapshot(spark, codesTable(path), v)
       .files.filterNot(f => prevFiles(f.path)).map(_.rowCount).sum / model.spill

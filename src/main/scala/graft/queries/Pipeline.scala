@@ -168,8 +168,12 @@ object Pipeline extends graft.QueryArea {
         // training across queries, so the timed run measures the
         // QUERY path (pruned scan + ADC + rerank) after the first
         // invocation built the standing index — the production shape
+        // path keyed on (format version, index params, data dir): a
+        // param or layout change must REBUILD, not silently measure a
+        // stale standing index against the pinned floor
         val path = System.getProperty("java.io.tmpdir") +
-          s"/graft_vix_recall_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+          s"/graft_vix_recall_fv${graft.operators.VectorIndex.FormatVersion}" +
+          s"_c16m8ks64s2_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
         val f = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/_model.json")))

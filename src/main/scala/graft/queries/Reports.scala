@@ -115,11 +115,17 @@ object Reports extends graft.QueryArea {
     // reads the materialized view. Oracle stays the single SQL string.
     "rpt_basket_lift" -> ((spark, dir) => {
       graft.Tables.registerAll(spark, dir)
-      spark.sql("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
-        .localCheckpoint().createOrReplaceTempView("basket_li")
-      spark.sql(basketLiftSql.replace(
-        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
-        "WITH li AS (SELECT l_orderkey, l_partkey FROM basket_li),"))
+      // materialize ONCE PER SESSION per dir — repeat invocations reuse
+      // the checkpointed view instead of accumulating leaked RDDs
+      val view = s"basket_li_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      if (!spark.catalog.tableExists(view))
+        spark.sql("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+          .localCheckpoint().createOrReplaceTempView(view)
+      val cte = "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+      require(basketLiftSql.contains(cte),
+        "basketLiftSql CTE drifted — update the materialized-view splice")
+      spark.sql(basketLiftSql.replace(cte,
+        s"WITH li AS (SELECT l_orderkey, l_partkey FROM $view),"))
     }),
     // EXPLAIN ANALYZE surface (plans/QueryProfile.scala): run TPC-H Q6
     // and report per-operator output-row metrics read from the

@@ -191,7 +191,7 @@ object StreamingQ extends graft.QueryArea {
       // codebooks as plan literals, and per-micro-batch PLANNING time
       // scales with that literal tree — full probe + exact rerank
       // keeps the answer exact regardless of codebook size
-      val idxPath = s"$base/index-c8m4"
+      val idxPath = s"$base/index-fv${graft.operators.VectorIndex.FormatVersion}-c8m4ks16s2"
       val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       Seq("in", "out", "ckpt").foreach(d =>
         f.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))

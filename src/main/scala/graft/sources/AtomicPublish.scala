@@ -38,16 +38,28 @@ object AtomicPublish {
           }
         } finally { val _ = java.nio.file.Files.deleteIfExists(tmp) }
       case _ =>
-        val out = try f.create(path, false) catch {
-          case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        // HDFS-style: write the FULL content to a private temp in the
+        // same directory, then rename — HDFS rename is atomic and
+        // FAILS when the destination exists, so the record appears
+        // complete-or-not-at-all and racers conflict loudly. (A plain
+        // exclusive create() would make the path visible before its
+        // bytes land: readers deriving the current version from the
+        // file listing would parse a torn record, and a writer crash
+        // between create and write would brick the version forever.)
+        // True object stores need a conditional-PUT implementation
+        // here; rename-as-copy stores are out of scope.
+        val tmp = new Path(path.getParent,
+          s".${path.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        try {
+          val out = f.create(tmp, false)
+          try out.write(bytes) finally out.close()
+          val renamed =
+            try f.rename(tmp, path)
+            catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+          if (!renamed)
             throw new java.util.ConcurrentModificationException(
-              s"concurrent commit detected at $path — reread and retry", e)
-          case e: java.io.IOException if e.getMessage != null &&
-              e.getMessage.contains("already exists") =>
-            throw new java.util.ConcurrentModificationException(
-              s"concurrent commit detected at $path — reread and retry", e)
-        }
-        try out.write(bytes) finally out.close()
+              s"concurrent commit detected at $path — reread and retry")
+        } finally { val _ = f.delete(tmp, false) }
     }
   }
 }

@@ -28,8 +28,14 @@ object HudiExport {
   /** Hudi-style partitionPath for a file: `col=value/...` in partition
     * column order, values URL-encoded; "" for unpartitioned. */
   private def partitionPathOf(cols: Seq[String], values: Map[String, String]): String =
-    cols.map(c => c + "=" + java.net.URLEncoder.encode(
-      values.getOrElse(c, "__HIVE_DEFAULT_PARTITION__"), "UTF-8")).mkString("/")
+    cols.map { c =>
+      // hive path escaping is PERCENT-encoding: URLEncoder's '+' for
+      // space would be read back literally by real Hudi/Hive consumers
+      val enc = java.net.URLEncoder.encode(
+        values.getOrElse(c, "__HIVE_DEFAULT_PARTITION__"), "UTF-8")
+        .replace("+", "%20")
+      c + "=" + enc
+    }.mkString("/")
 
   def exportHudiTimeline(spark: SparkSession, table: String): String = {
     val cur = Lake.currentVersion(spark, table)

@@ -103,20 +103,32 @@ object HudiRead {
     val slices = liveSliceDetails(spark, table, instantAsOf).values.toSeq
     if (slices.isEmpty)
       throw new IllegalArgumentException(s"no live slices at $table")
-    if (slices.forall(_.partitionPath.isEmpty)) {
+    def parsePath(pp: String): Option[Seq[(String, String)]] = {
+      val segs = pp.split('/').toSeq.filter(_.nonEmpty).map { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) return None
+        seg.substring(0, i) ->
+          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      }
+      Some(segs)
+    }
+    // the timeline-indexed path needs EVERY slice to carry a hive-style
+    // col=val partitionPath over one consistent column set; foreign
+    // Hudi tables often use values-only paths ('americas/brazil/…') or
+    // mix partitioned and unpartitioned stats — those keep the plain
+    // basePath read, which handles any directory layout
+    val parsed = slices.map(s => parsePath(s.partitionPath))
+    val colSets = parsed.map(_.map(_.map(_._1)))
+    val uniform = colSets.forall(_.isDefined) &&
+      colSets.flatten.map(_.toSet).distinct.size == 1 &&
+      colSets.flatten.headOption.exists(_.nonEmpty)
+    if (!uniform) {
       // basePath: slices under hive-style partition dirs (a Lake
       // export's data/commit-N/p=x/…) recover their partition columns
       return (spark.read.option("basePath", table)
         .parquet(slices.map(s => s"$table/${s.path}"): _*), None)
     }
-    def parsePath(pp: String): Seq[(String, String)] =
-      pp.split('/').toSeq.filter(_.nonEmpty).map { seg =>
-        val i = seg.indexOf('=')
-        require(i > 0, s"bad partitionPath segment '$seg' in timeline")
-        seg.substring(0, i) ->
-          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
-      }
-    val partCols = parsePath(slices.find(_.partitionPath.nonEmpty).get.partitionPath).map(_._1)
+    val partCols = parsed.head.get.map(_._1)
     val f = fs(spark, table)
     val dataSchema = spark.read.parquet(s"$table/${slices.head.path}").schema
     val fullSchema = org.apache.spark.sql.types.StructType(
@@ -129,7 +141,8 @@ object HudiRead {
         case None =>
           val st = f.getFileStatus(new Path(abs)); (st.getLen, st.getModificationTime)
       }
-      Lake.LakeFile(abs, size, mod, 0L, parsePath(s.partitionPath).toMap)
+      Lake.LakeFile(abs, size, mod, 0L,
+        parsePath(s.partitionPath).getOrElse(Nil).toMap)
     }
     val snap = Lake.Snapshot(1, 0L, fullSchema.json, partCols, lakeFiles)
     val (df, index) = Lake.indexedDataFrame(spark, table, snap)

@@ -139,7 +139,11 @@ object IcebergRead {
     buf.toSeq
   }
 
-  /** Spark DataType for an iceberg primitive type name. */
+  /** Spark DataType for an iceberg primitive type name, restricted to
+    * the types the manifest-backed FileIndex can cast a partition
+    * value string into. Timestamp/decimal identity partitions degrade
+    * to STRING (the manifest carries the literal value; the caller
+    * casts if needed) rather than failing scan planning. */
   private def sparkTypeOf(t: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     t match {
@@ -149,9 +153,6 @@ object IcebergRead {
       case "float" => FloatType
       case "boolean" => BooleanType
       case "date" => DateType
-      case "timestamp" | "timestamptz" => TimestampType
-      case d if d.startsWith("decimal") =>
-        DataType.fromDDL(d).asInstanceOf[DecimalType]
       case _ => StringType
     }
   }
@@ -200,13 +201,6 @@ object IcebergRead {
   }
 
   // ---- minimal spec-shaped layout writer (tests + gate) ----
-
-  private[sources] val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry")
-    .fields()
-    .requiredInt("status")
-    .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
-      .requiredString("file_path").endRecord()).noDefault()
-    .endRecord()
 
   /** Entry schema for exports: data_file carries the spec's
     * `file_size_in_bytes` / `record_count` stats (so a reader plans

@@ -72,6 +72,12 @@ object Lake {
   private def versionFile(table: String) = new Path(s"$table/metadata/VERSION")
   private def manifestFile(table: String, v: Int) = new Path(s"$table/metadata/v$v.json")
 
+  /** Unique data staging dir for version v: racing committers must not
+    * collide on the DATA path — the manifest publish is the only
+    * arbiter, and a loser's orphaned files are vacuum fodder. */
+  private def stagingDir(table: String, v: Int): String =
+    s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+
   private val ManifestName = """v(\d+)\.json""".r
 
   /** Current committed version, 0 if the table does not exist yet.
@@ -96,13 +102,24 @@ object Lake {
         // must not fail the table — the manifest listing is authoritative
         try text.toInt catch { case _: NumberFormatException => 0 }
       }
-    val metaDir = new Path(s"$table/metadata")
-    val listed =
-      if (!f.exists(metaDir)) 0
-      else f.listStatus(metaDir).iterator.map(_.getPath.getName).collect {
-        case ManifestName(n) => n.toInt
-      }.foldLeft(0)(math.max)
-    math.max(hint, listed)
+    // O(lag) probe forward from a valid hint (the common case is lag
+    // 0-1: two existence checks); the full O(#versions) listing runs
+    // only when the hint file is missing or garbage — keeping every
+    // read/write from paying a directory LIST proportional to table
+    // age on an object store.
+    if (hint > 0 && f.exists(manifestFile(table, hint))) {
+      var v = hint
+      while (f.exists(manifestFile(table, v + 1))) v += 1
+      v
+    } else {
+      val metaDir = new Path(s"$table/metadata")
+      val listed =
+        if (!f.exists(metaDir)) 0
+        else f.listStatus(metaDir).iterator.map(_.getPath.getName).collect {
+          case ManifestName(n) => n.toInt
+        }.foldLeft(0)(math.max)
+      math.max(hint, listed)
+    }
   }
 
   /** Commit a new snapshot. `mode` = "overwrite" (new snapshot contains
@@ -115,11 +132,7 @@ object Lake {
     val f = fs(spark, table)
     val prev = currentVersion(spark, table)
     val v = prev + 1
-    // staging dir carries a unique suffix: racing committers must not
-    // collide on the DATA path — the manifest's exclusive create below
-    // is the only arbiter, and the loser's orphaned files are vacuum
-    // fodder (the Delta/Iceberg staging contract)
-    val commitDir = s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val commitDir = stagingDir(table, v)
 
     val writer = if (partitionCols.nonEmpty)
       df.write.partitionBy(partitionCols: _*) else df.write
@@ -441,7 +454,7 @@ object Lake {
       touched.contains(new Path(fl.path).toUri.getPath))
 
     val v = prev + 1
-    val commitDir = s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val commitDir = stagingDir(table, v)
     // surviving target rows from touched files (matched keys dropped,
     // replaced by their source row below) + every source row
     val survivors = rewrite.groupBy(_.partitionValues).map { case (pvals, fls) =>
@@ -490,7 +503,7 @@ object Lake {
     val keep = big ++ small.filterNot(fl => groups.contains(fl.partitionValues))
 
     val v = prev + 1
-    val commitDir = s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val commitDir = stagingDir(table, v)
     val rebuilt = groups.map { case (pvals, fls) =>
       val nOut = math.max(1,
         math.ceil(fls.map(_.sizeBytes).sum.toDouble / targetFileBytes).toInt)
@@ -650,7 +663,7 @@ object Lake {
     if (rewrite.isEmpty) return snap.version
 
     val v = snap.version + 1
-    val commitDir = s"$table/data/commit-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val commitDir = stagingDir(table, v)
     val rebuilt = rewrite.groupBy(_.partitionValues).map { case (pvals, fls) =>
       var df = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
       for (c <- snap.partitionCols) {
@@ -822,6 +835,10 @@ object Lake {
       case IntegerType => raw.toInt
       case LongType => raw.toLong
       case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case BooleanType => raw.toBoolean
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
       case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
       case other => throw new IllegalArgumentException(
         s"unsupported lake partition type $other")
