@@ -8,10 +8,12 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
+    require(args.nonEmpty, "usage: ProfileQuery sfDir queryName [queryName...]")
     val dir = args.head
+    val all = SparkEntry.queries ++ graft.queries.Pipeline.benchOnly
     args.drop(1).foreach { name =>
       println(s"==== $name ====")
-      println(graft.plans.QueryProfile.profileString(SparkEntry.queries(name)(spark, dir)))
+      println(graft.plans.QueryProfile.profileString(all(name)(spark, dir)))
     }
     spark.stop()
   }

@@ -172,6 +172,11 @@ class LakeZorderSpec extends SparkSuite {
       "one version per commit: 1 base + 24 appends")
     // every intermediate version still time-travels (no torn manifests)
     (1 to 25).foreach { v => assert(Lake.read(spark, dir, Some(v)).count() === v) }
+    // losers' orphaned staging files are vacuum fodder; vacuum keeping
+    // all versions must delete ONLY orphans, never referenced files
+    Lake.vacuum(spark, dir, retainLast = 25)
+    assert(Lake.read(spark, dir).count() === 25)
+    (1 to 25).foreach { v => assert(Lake.read(spark, dir, Some(v)).count() === v) }
   }
 
   test("multi-table tx: half-committed snapshots stay invisible") {
