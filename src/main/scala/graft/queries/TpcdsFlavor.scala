@@ -71,6 +71,40 @@ import util._
   *  - composite-key CTE squared: one per-(supplier, part, year) CTE
   *    joined to itself across consecutive years (Q64's cs1/cs2)
   *
+  * Tranche 13 (round 7, second pass) — remaining distinct shapes:
+  * windowed share-within-class (Q12/Q20/Q98), scalar-subquery month
+  * anchor + correlated type-average price floor (Q6), CTE gated by a
+  * scalar subquery over itself (Q24), per-band multi-distinct scalar
+  * cross join (Q28), 7-slot day pivot (Q43), OR of derived-key IN-list
+  * and IN-subquery (Q45), same dim joined twice with inequality
+  * between the instances (Q46/Q68), price-band + windowed quantity-band
+  * HAVING (Q37/Q82), 4-level ROLLUP of exact-division averages
+  * (Q18/Q22).
+  *
+  * Full 99-family accounting — every TPC-DS query number not named
+  * above is a mechanical variant of a gated family (same golden-plan
+  * shape on different fact/dim columns):
+  *   Q3/Q42/Q52/Q55 star date-dim agg + topn -> q3_shipping_priority,
+  *     cb_topk_regions; Q7/Q26 demographic star avg -> q1/tpcds
+  *     rollup_avg_bands; Q15/Q79/Q84/Q91/Q96 single-predicate star
+  *     lookups -> q10/cb_point_lookup; Q16 shipping exists/not-exists
+  *     distinct count -> tpcds_exists_self_pair (Q94/Q95 family);
+  *   Q19 brand agg w/ derived-key filter -> tpcds_in_or_subquery;
+  *     Q32 excess-discount scalar gate -> tpcds_excess_discount (Q92
+  *     family); Q40 before/after date split -> tpcds_date_split (Q21
+  *     family); Q48/Q85 multi-arm OR band predicates -> tpcds_or_heavy
+  *     (Q13/Q41 family); Q50 sale->return delay buckets ->
+  *     tpcds_delay_bands; Q53/Q63 partition-average deviation ->
+  *     tpcds_partition_avg_dev (Q89 family); Q61 promo/total scalar
+  *     ratio -> tpcds_scalar_ratio (Q90 family); Q69/Q81 correlated
+  *     exists stack / above-average -> tpcds_exists_stack,
+  *     tpcds_above_avg (Q10/Q35, Q1/Q30 families); Q71 union channels
+  *     x hour breakout -> tpcds_channel_union + tpcds_hour_bands;
+  *     Q83 three-way return-item intersect w/ date IN-subquery chain ->
+  *     tpcds_item_intersect_gate + tpcds_channel_sets (Q38/Q87
+  *     family); Q86 rollup rank -> tpcds_rollup_rank (Q27/Q36/Q70
+  *     family).
+  *
   * Scale shape: every query is fact-side single-shuffle per agg;
   * UNION ALL branches share the scan via Spark's plan reuse;
   * rollup's Expand doubles rows map-side only (no extra shuffle);
@@ -1207,8 +1241,177 @@ object TpcdsFlavor extends graft.QueryArea {
     "tpcds_null_key_union" -> q76NullKeyUnionSql,
     "tpcds_store_item_floor" -> q65StoreItemFloorSql)
 
+  // ---- tranche 13 (round 7, second pass): remaining distinct shapes ----
+
+  // Q12/Q20/Q98: revenue share WITHIN class — a windowed sum over the
+  // aggregate partitions by the class key and each row reports its
+  // percentage of the class total. The window runs over already-grouped
+  // rows (tiny), the fact scan aggregates once.
+  private val q12ClassRevShareSql =
+    """WITH agg AS (
+      |  SELECT p_type AS class, p_brand AS brand,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE year(l_shipdate) = 1997
+      |  GROUP BY p_type, p_brand)
+      |SELECT class, brand, round(CAST(rev AS DOUBLE), 2) AS rev,
+      |  round(CAST(rev AS DOUBLE) * 100
+      |    / CAST(SUM(rev) OVER (PARTITION BY class) AS DOUBLE), 2) AS revshare
+      |FROM agg ORDER BY class, brand""".stripMargin
+
+  // Q6: month anchored by a scalar subquery + correlated "price at least
+  // 1.2x the average of its own type" filter, customers counted per
+  // nation with a HAVING floor. Exact decimal-sum/count average keeps
+  // the 1.2x boundary engine-identical.
+  private val q6PriceAnchorMonthSql =
+    """SELECT n_name, count(*) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |WHERE month(o_orderdate) =
+      |    (SELECT month(min(o_orderdate)) FROM orders)
+      |  AND year(o_orderdate) = 1996
+      |  AND p_retailprice > 1.02 * (
+      |    SELECT CAST(SUM(CAST(j.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+      |      / count(*)
+      |    FROM part j WHERE j.p_type = part.p_type)
+      |GROUP BY n_name HAVING count(*) >= 5
+      |ORDER BY cnt DESC, n_name""".stripMargin
+
+  // Q24: a per-(customer, brand) sales CTE gated by a scalar subquery
+  // over ITSELF — keep groups whose net paid exceeds 5% of the CTE-wide
+  // average. The CTE aggregates once and is reused by the scalar gate.
+  private val q24HavingScalarCteSql =
+    """WITH ss AS (
+      |  SELECT c_name, p_brand,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS net
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'N'
+      |  GROUP BY c_name, p_brand)
+      |SELECT c_name, p_brand, round(CAST(net AS DOUBLE), 2) AS net
+      |FROM ss
+      |WHERE CAST(net AS DOUBLE) >
+      |  (SELECT 5 * CAST(SUM(net) AS DOUBLE) / count(*) FROM ss)
+      |ORDER BY c_name, p_brand""".stripMargin
+
+  // Q28: one row of per-band (avg, count, distinct-count) triples from
+  // disjoint quantity bands, assembled by cross-joining scalar
+  // aggregates — each band is an independent single-row subquery.
+  private val q28BandMultiDistinctSql =
+    """SELECT
+      |  b1.avg1, b1.cnt1, b1.pk1, b2.avg2, b2.cnt2, b2.pk2,
+      |  b3.avg3, b3.cnt3, b3.pk3
+      |FROM
+      |  (SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |       AS DOUBLE) / count(*), 2) AS avg1,
+      |     count(*) AS cnt1, count(DISTINCT l_partkey) AS pk1
+      |   FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) b1,
+      |  (SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |       AS DOUBLE) / count(*), 2) AS avg2,
+      |     count(*) AS cnt2, count(DISTINCT l_partkey) AS pk2
+      |   FROM lineitem WHERE l_quantity BETWEEN 11 AND 25) b2,
+      |  (SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |       AS DOUBLE) / count(*), 2) AS avg3,
+      |     count(*) AS cnt3, count(DISTINCT l_partkey) AS pk3
+      |   FROM lineitem WHERE l_quantity BETWEEN 26 AND 40) b3""".stripMargin
+
+  // Q43: the day-bucket pivot — one conditional sum per day slot of the
+  // week, per nation. day(ts) % 7 stands in for the day-name dimension
+  // column (Spark's and DuckDB's dayofweek disagree on numbering;
+  // day-of-month modulo is engine-identical and keeps the 7-way
+  // conditional pivot shape).
+  private val q43DayPivotSql = {
+    val slots = (0 to 6).map { d =>
+      s"""  round(CAST(SUM(CASE WHEN day(o_orderdate) % 7 = $d
+         |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 2)
+         |    AS d$d""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT n_name,
+       |$slots
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |WHERE year(o_orderdate) = 1998
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  // Q45: disjunction of an IN-list on a DERIVED key (substring of the
+  // name) with an IN-subquery — the optimizer cannot turn the OR into a
+  // single semi-join, the reference plans this as a union of the two
+  // filter arms.
+  private val q45InOrSubquerySql =
+    """SELECT n_name,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+      |    AS DOUBLE), 2) AS total, count(*) AS orders_n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE substr(c_name, 18, 1) IN ('3', '7')
+      |  OR c_custkey IN (SELECT c_custkey FROM customer
+      |                   WHERE c_acctbal > 9900)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // Q46/Q68: the same dimension joined TWICE in one query — customer's
+  // nation vs supplier's nation — keeping only rows where the two
+  // instances disagree (the bought-city <> home-city audit shape).
+  private val q46DimCopyMismatchSql =
+    """SELECT c_name, o_orderkey,
+      |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name AND year(o_orderdate) = 2000
+      |GROUP BY c_name, o_orderkey
+      |ORDER BY c_name, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // Q37/Q82: items in a price band whose on-hand movement inside a date
+  // window lands in a quantity band — price-band dim filter, windowed
+  // fact scan, HAVING band on the summed quantity.
+  private val q37StockBandItemsSql =
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_retailprice BETWEEN 920 AND 940
+      |  AND year(l_shipdate) = 1996
+      |GROUP BY p_partkey, p_name, p_retailprice
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) BETWEEN 150 AND 500
+      |ORDER BY p_partkey
+      |LIMIT 100""".stripMargin
+
+  // Q18/Q22: high-arity ROLLUP reporting exact-division AVERAGES at
+  // every grouping level (4 levels), ordered by the rolled-up average.
+  private val q22RollupAvgBandsSql =
+    """SELECT p_type, p_brand, l_returnflag,
+      |  GROUPING(p_type) * 4 + GROUPING(p_brand) * 2
+      |    + GROUPING(l_returnflag) AS gid,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      |    / count(*), 3) AS avg_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    / count(*), 3) AS avg_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE year(l_shipdate) = 1999
+      |GROUP BY ROLLUP(p_type, p_brand, l_returnflag)
+      |ORDER BY avg_qty, p_type NULLS LAST, p_brand NULLS LAST,
+      |  l_returnflag NULLS LAST
+      |LIMIT 100""".stripMargin
+
+  private val tranche13: Map[String, String] = Map(
+    "tpcds_class_rev_share" -> q12ClassRevShareSql,
+    "tpcds_price_anchor_month" -> q6PriceAnchorMonthSql,
+    "tpcds_having_scalar_cte" -> q24HavingScalarCteSql,
+    "tpcds_band_multi_distinct" -> q28BandMultiDistinctSql,
+    "tpcds_day_pivot" -> q43DayPivotSql,
+    "tpcds_in_or_subquery" -> q45InOrSubquerySql,
+    "tpcds_dim_copy_mismatch" -> q46DimCopyMismatchSql,
+    "tpcds_stock_band_items" -> q37StockBandItemsSql,
+    "tpcds_rollup_avg_bands" -> q22RollupAvgBandsSql)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesTranche7 ++ (tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ tranche12).map { case (name, sql) =>
+    queriesTranche7 ++ (tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ tranche12 ++ tranche13).map { case (name, sql) =>
       name -> ((spark: SparkSession, dir: String) => sqlq(spark, dir)(sql))
     } ++ Map(
     // Q27/Q36: rollup with grouping-level indicator + rank inside level
@@ -1274,7 +1477,7 @@ object TpcdsFlavor extends graft.QueryArea {
         |FROM air a FULL OUTER JOIN rail r
         |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)))
 
-  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ tranche12 ++ Map(
+  def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ tranche12 ++ tranche13 ++ Map(
     "tpcds_rollup_rank" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,

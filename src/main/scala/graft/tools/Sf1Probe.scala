@@ -11,9 +11,10 @@ import graft.{Engine, Session, SparkEntry}
   * ≤~10x (linear in data, minus the amortizing floor); super-linear
   * rows are scale bugs to fix.
   *
-  * args: sf1Dir [sf01Dir] [set]  — set = "worst" (default) or
+  * args: sf1Dir [sf01Dir] [set]  — set = "worst" (default),
   * "flights" (full TPC-H 22 + SSB 13, the per-row competitiveness
-  * flight with the statement floor amortized by 10x the rows)
+  * flight with the statement floor amortized by 10x the rows), or
+  * "tpcds" (one representative per TPC-DS-mechanics family)
   */
 object Sf1Probe {
   def main(args: Array[String]): Unit = {
@@ -47,6 +48,18 @@ object Sf1Probe {
       "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4",
       "ssb_q4_1", "ssb_q4_2", "ssb_q4_3")
 
+    // TPC-DS-mechanics flight: one representative per distinguishing
+    // family, weighted toward the CTE-stack / self-join shapes whose
+    // scaling is least like TPC-H
+    val tpcds = Seq(
+      "tpcds_yoy_cte_stack", "tpcds_three_channel_ratio",
+      "tpcds_q64_sales_chain", "tpcds_rollup_rank_topn",
+      "tpcds_wide_month_pivot", "tpcds_channel_union",
+      "tpcds_moving_dev", "tpcds_cume_crossover", "tpcds_exists_stack",
+      "tpcds_store_item_floor", "tpcds_class_rev_share",
+      "tpcds_rollup_avg_bands", "tpcds_dim_copy_mismatch",
+      "tpcds_inventory_lag", "tpcds_decline_pairs")
+
     val lookup = SparkEntry.queries ++ graft.queries.Pipeline.benchOnly
     def time(name: String, dir: String): Double = {
       def run(): Double = {
@@ -61,7 +74,11 @@ object Sf1Probe {
     println("| query | sf0.1 s | sf1 s | 10× data → time × |")
     println("|---|---|---|---|")
     var (sumA, sumB) = (0.0, 0.0)
-    val names = if (set == "flights") flights else worst
+    val names = set match {
+      case "flights" => flights
+      case "tpcds"   => tpcds
+      case _         => worst
+    }
     for (name <- names) {
       val a = time(name, sf01)
       val b = time(name, sf1)

@@ -603,4 +603,33 @@ class PlanSpec extends SparkSuite {
     assert(orderScans === 6,
       s"expected 6 pruned orders scans (one per CTE instance), got $orderScans")
   }
+
+  test("IN-list OR IN-subquery plans one ExistenceJoin, no second orders scan") {
+    // Q45 shape: the disjunction of a local predicate with an
+    // IN-subquery must NOT rewrite to a union of two fact scans —
+    // Spark evaluates the subquery arm as an ExistenceJoin flag and
+    // filters on the OR of (flag, local predicate) in one pass
+    val plan = planOf(SparkEntry.queries("tpcds_in_or_subquery")(spark, sf))
+    assert(plan.contains("ExistenceJoin"),
+      "expected the IN-subquery arm as an ExistenceJoin:\n" + plan)
+    val orderScans = "orders\\.parquet".r.findAllIn(plan).size
+    assert(orderScans === 1,
+      s"fact must be scanned once, got $orderScans scans:\n" + plan)
+  }
+
+  test("share-within-class window runs over grouped rows, not the fact") {
+    // Q12/Q20/Q98 shape: one fact-side agg shuffle; the class-share
+    // window partitions the ALREADY-AGGREGATED rows (150 groups), so
+    // the Window operator must sit above the final HashAggregate and
+    // add at most one more (tiny) exchange
+    val df = SparkEntry.queries("tpcds_class_rev_share")(spark, sf)
+    val plan = planOf(df)
+    val winAt = plan.indexOf("Window")
+    val aggAt = plan.indexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      "Window must be above the aggregation (operate on grouped rows):\n" + plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"expected <=3 hash exchanges (agg, window, at most one more), got $exchanges:\n" + plan)
+  }
 }
