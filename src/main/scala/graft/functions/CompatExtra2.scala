@@ -19,7 +19,12 @@ import org.apache.spark.sql.types._
   * `array_sort_lambda` (FE rewrites them to lambda forms before the
   * BE ever sees the name), `encode_sort_key` (BE sort-key internal),
   * `is_role_in_session` (RBAC), `xx_hash3_128` (no public-classpath
-  * XXH3-128; xx_hash3_64 is covered). */
+  * XXH3-128; xx_hash3_64 is covered). `json_value` looks missing in a
+  * naive functions.py scrape but its registry row is COMMENTED OUT in
+  * the reference — not a real FE name. After the round-7 second pass
+  * below, FnAudit reports 27 misses over the 394 scraped names, all in
+  * the documented-skip families above (plus blake3/sm3/md5sum_numeric/
+  * get_variant_time from CompatExtra's list). */
 object CompatExtra2 {
 
   private def call(name: String, args: Expression*): Expression =
@@ -196,6 +201,47 @@ object CompatExtra2 {
       Cast(call("concat", lit("label_"),
         Cast(Pmod(Multiply(call("coalesce", call("length", es(1)), lit(0)),
           lit(31)), lit(5)), StringType)), StringType)
+    }
+
+    // --- round-7 second FnAudit pass: the last composable names ---
+    // dlog1 — MathFunctions::ln under a Teradata-ism name
+    // (functions.py:89 maps it straight to ln)
+    f("dlog1") { es => call("ln", es.head) }
+    // base64/hex decode pairs (string_functions.cpp): _binary returns
+    // VARBINARY, _string the UTF-8 reading of those bytes
+    f("base64_decode_binary") { es => call("unbase64", es.head) }
+    f("base64_decode_string") { es =>
+      Cast(call("unbase64", es.head), StringType) }
+    f("hex_decode_binary") { es => call("unhex", es.head) }
+    f("hex_decode_string") { es => Cast(call("unhex", es.head), StringType) }
+    // json_keys(json[, path]) (JsonFunctions::json_keys) — top-level
+    // key array; the path form keys the sub-object at path
+    f("json_keys") { es =>
+      if (es.length == 1) call("json_object_keys", es.head)
+      else call("json_object_keys", call("get_json_object", es.head, es(1)))
+    }
+    // json_string(json) (JsonFunctions::json_string): serialize to
+    // VARCHAR, unquoting scalar strings — exactly get_json_object at
+    // the root path
+    f("json_string") { es => call("get_json_object", es.head, lit("$")) }
+    // get_json_scalar(json, path): the value at path IF it is a
+    // scalar, NULL for object/array results (get_json_scalar_string)
+    f("get_json_scalar") { es =>
+      val v = call("get_json_object", es.head, es(1))
+      If(RLike(call("ltrim", v), Literal("^[\\[{]")), Literal(null, StringType), v)
+    }
+    // cosine_similarity_norm(a, b) — the unit-norm fast path
+    // (MathFunctions::cosine_similarity<TYPE_FLOAT, true>): inputs are
+    // pre-normalized, so similarity = the dot product
+    f("cosine_similarity_norm") { es =>
+      graft.functions.DotProduct(es.head, es(1)) }
+    // encode_fingerprint_sha256(any...) (EncryptionFunctions) —
+    // VARBINARY sha-256 fingerprint over the argument tuple; composed
+    // as sha2 over the -separated string encoding of the args
+    f("encode_fingerprint_sha256") { es =>
+      call("unhex", call("sha2",
+        call("concat_ws", lit("\u0001") +: es.map(e => Cast(e, StringType)): _*),
+        lit(256)))
     }
 
     buf.toList

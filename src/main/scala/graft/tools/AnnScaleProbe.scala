@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.{Engine, Session}
+import graft.operators.{Similarity, VectorIndex}
+
+/** Dev tool: the ANN scale story in one table — brute-force L2 top-k
+  * vs the persisted IVF-PQ index's QUERY path (partition-pruned codes
+  * scan + broadcast ADC + bounded rerank) across corpus scale dirs
+  * (see [[MakeScale]] with the `embeddings` tables filter for
+  * synthesizing 100x/1000x ANN corpora). Brute force is linear in
+  * corpus rows by construction; the standing index scans a constant
+  * 1/8 cell fraction of the m-byte codes plus a bounded rerank, so
+  * its wall grows with codes bytes, not vector bytes — the property
+  * that matters at 100 TB, where "scan the corpus floats per query"
+  * is not an option.
+  *
+  * The cell count follows the corpus (c ~ sqrt(n) rounded to a power
+  * of two, nprobe = c/8) — the production sizing rule: more cells =
+  * finer pruning, balanced against per-cell shortlist quality.
+  *
+  * args: dir...  (default /root/testdata/sf0.1 /tmp/graft_sf1)
+  */
+object AnnScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
+
+    val spark = Engine.session()
+    spark.sparkContext.setLogLevel("ERROR")
+    Session.prepare(spark)
+
+    def time(df: => DataFrame): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warm
+      (run() + run()) / 2
+    }
+
+    println("| corpus | rows | c/nprobe | brute L2 s | index query s | brute/index |")
+    println("|---|---|---|---|---|---|")
+    for (dir <- dirs) {
+      val emb = graft.queries.util.t(spark, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val n = corpus.count()
+
+      // c ~ sqrt(n) rounded to a power of two, floor 16, capped at 256
+      // (the encode pass costs c distance evals per row; past 256 the
+      // single-node build wall dominates the probe for no extra pruning
+      // signal — the probed fraction stays 1/8 regardless); probe 1/8
+      val c = math.min(256, math.max(16,
+        Integer.highestOneBit(math.sqrt(n.toDouble).toInt)))
+      val nprobe = math.max(2, c / 8)
+
+      val brute = time(Similarity.bruteForceTopKL2(
+        corpus, "vec_id", "embedding", qs, "qid", "qvec", k = 5))
+
+      // standing-index path keyed on (format version, params, dir) —
+      // built once (untimed), the timed runs measure the query path
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_vix_scale_fv${VectorIndex.FormatVersion}" +
+        s"_c${c}m8ks64s2_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/_model.json")))
+        VectorIndex.build(corpus, "vec_id", "embedding", path,
+          c = c, m = 8, ks = 64, spill = 2)
+      val indexed = time(VectorIndex.topK(spark, path,
+        corpus, "vec_id", "embedding", qs, "qid", "qvec",
+        k = 5, nprobe = nprobe, rerank = 200))
+
+      println(f"| $dir | $n | $c/$nprobe | $brute%.3f | $indexed%.3f | ${brute / indexed}%.1f× |")
+    }
+    spark.stop()
+  }
+}

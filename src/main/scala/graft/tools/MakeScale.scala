@@ -19,13 +19,23 @@ import graft.{Engine, Session}
   * duplication (hash buckets 10x deeper, pairs 100x) instead of the
   * operator's real growth.
   *
-  * args: srcDir dstDir replicas   (e.g. /root/testdata/sf0.1 /tmp/graft_sf1 10)
+  * `embeddings` replicas get a small deterministic per-replica jitter:
+  * exact-duplicate vectors would make every ANN neighborhood a stack
+  * of `replicas` identical points — cells and shortlists degenerate —
+  * while the jitter keeps replicas as near-duplicates (realistic
+  * neighborhood growth) without changing the value distribution.
+  *
+  * args: srcDir dstDir replicas [tables]   (tables = comma-separated
+  * subset to grow, e.g. `embeddings` for an ANN-only scale dir;
+  * default grows everything)
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = Engine.session()
     spark.sparkContext.setLogLevel("WARN")
     Session.prepare(spark)
@@ -34,22 +44,23 @@ object MakeScale {
     def off(df: DataFrame, col0: String): Long =
       df.agg(max(col(col0))).head.getLong(0) + 1L
 
-    val maxOrd = off(rd("orders"), "o_orderkey")
-    val maxCust = off(rd("customer"), "c_custkey")
-    val maxPart = off(rd("part"), "p_partkey")
-    val maxSupp = off(rd("supplier"), "s_suppkey")
-    val maxEvent = off(rd("events"), "event_id")
-    val maxUser = off(rd("events"), "user_id")
-    val maxDoc = off(rd("documents"), "doc_id")
-    val maxVec = off(rd("embeddings"), "vec_id")
+    lazy val maxOrd = off(rd("orders"), "o_orderkey")
+    lazy val maxCust = off(rd("customer"), "c_custkey")
+    lazy val maxPart = off(rd("part"), "p_partkey")
+    lazy val maxSupp = off(rd("supplier"), "s_suppkey")
+    lazy val maxEvent = off(rd("events"), "event_id")
+    lazy val maxUser = off(rd("events"), "user_id")
+    lazy val maxDoc = off(rd("documents"), "doc_id")
+    lazy val maxVec = off(rd("embeddings"), "vec_id")
 
     /** Union `replicas` copies with the given per-replica transform. */
-    def grow(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
-      val base = rd(name)
-      val out = (0 until replicas).map(i => tx(base, i)).reduce(_ unionByName _)
-      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[makescale] $name x$replicas -> $dst")
-    }
+    def grow(name: String)(tx: (DataFrame, Int) => DataFrame): Unit =
+      if (wanted(name)) {
+        val base = rd(name)
+        val out = (0 until replicas).map(i => tx(base, i)).reduce(_ unionByName _)
+        out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"[makescale] $name x$replicas -> $dst")
+      }
     def shift(c: String, step: Long, i: Int) = col(c) + lit(step * i)
 
     grow("lineitem") { (d, i) => d
@@ -74,9 +85,15 @@ object MakeScale {
         if (i == 0) col("text") else concat(col("text"), lit(s" zrep$i")))
       .withColumn("n_chars", length(col("text"))) }
     grow("embeddings") { (d, i) => d
-      .withColumn("vec_id", shift("vec_id", maxVec, i)) }
+      .withColumn("vec_id", shift("vec_id", maxVec, i))
+      // per-replica jitter (see scaladoc): deterministic in (replica,
+      // position), amplitude ~1% of the unit-ish component scale
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else expr(s"transform(embedding, (x, j) -> " +
+          s"cast(x + 0.003 * pmod($i * 31 + j, 7) - 0.009 as float))")) }
     // fixed dimensions: copy as-is (nation/region don't scale with SF)
-    Seq("nation", "region").foreach { n =>
+    Seq("nation", "region").filter(wanted).foreach { n =>
       rd(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
       println(s"[makescale] $n copied")
     }

@@ -13,8 +13,9 @@ import graft.{Engine, Session, SparkEntry}
   *
   * args: sf1Dir [sf01Dir] [set]  — set = "worst" (default),
   * "flights" (full TPC-H 22 + SSB 13, the per-row competitiveness
-  * flight with the statement floor amortized by 10x the rows), or
-  * "tpcds" (one representative per TPC-DS-mechanics family)
+  * flight with the statement floor amortized by 10x the rows),
+  * "tpcds" (one representative per TPC-DS-mechanics family), or
+  * "cb" (every ClickBench-mechanics gate, resolved dynamically)
   */
 object Sf1Probe {
   def main(args: Array[String]): Unit = {
@@ -77,6 +78,7 @@ object Sf1Probe {
     val names = set match {
       case "flights" => flights
       case "tpcds"   => tpcds
+      case "cb"      => SparkEntry.queries.keys.filter(_.startsWith("cb_")).toSeq.sorted
       case _         => worst
     }
     for (name <- names) {

@@ -288,4 +288,39 @@ class CompatFunctionsSpec extends SparkSuite {
     assert(one("ai_query('m', CAST(NULL AS STRING))") ===
       graft.operators.AiQuery.inferBatch("m", Seq(null)).head)
   }
+
+  test("round-7 second pass: decode pairs, json helpers, norm cosine, fingerprint") {
+    assert(math.abs(one("dlog1(exp(2.5d))").asInstanceOf[Double] - 2.5) < 1e-12)
+    // decode pairs invert the encode builtins
+    assert(one("base64_decode_string(base64('graft'))") === "graft")
+    assert(one("hex_decode_string(hex('graft'))") === "graft")
+    assert(new String(one("base64_decode_binary(base64('ab'))")
+      .asInstanceOf[Array[Byte]], "UTF-8") === "ab")
+    assert(new String(one("hex_decode_binary(hex('ab'))")
+      .asInstanceOf[Array[Byte]], "UTF-8") === "ab")
+    // json_keys: top-level and at-path key sets
+    assert(one("""json_keys('{"a":1,"b":{"c":2}}')""")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq === Seq("a", "b"))
+    assert(one("""json_keys('{"a":1,"b":{"c":2}}', '$.b')""")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq === Seq("c"))
+    // json_string serializes; scalar strings come back unquoted
+    assert(one("""json_string('{"a":1}')""") === """{"a":1}""")
+    assert(one("""json_string('"User ID"')""") === "User ID")
+    // get_json_scalar: scalars pass, object/array results are NULL
+    assert(one("""get_json_scalar('{"a":7}', '$.a')""") === "7")
+    assert(one("""get_json_scalar('{"a":{"b":1}}', '$.a')""") === null)
+    assert(one("""get_json_scalar('{"a":[1,2]}', '$.a')""") === null)
+    // unit-norm cosine == dot product == full cosine on unit vectors
+    assert(math.abs(one("cosine_similarity_norm(array(0.6f,0.8f), array(0.6f,0.8f))")
+      .asInstanceOf[Double] - 1.0) < 1e-6)
+    assert(math.abs(one("cosine_similarity_norm(array(1.0f,0.0f), array(0.0f,1.0f))")
+      .asInstanceOf[Double]) < 1e-6)
+    // fingerprint: deterministic, 32 bytes, argument-order sensitive
+    val fp = one("encode_fingerprint_sha256('a', 1, DATE '2020-01-01')")
+      .asInstanceOf[Array[Byte]]
+    assert(fp.length === 32)
+    assert(!java.util.Arrays.equals(fp,
+      one("encode_fingerprint_sha256('a', 2, DATE '2020-01-01')")
+        .asInstanceOf[Array[Byte]]))
+  }
 }
