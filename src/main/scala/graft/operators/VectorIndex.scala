@@ -175,8 +175,11 @@ object VectorIndex {
 
   /** ANN top-k against the PERSISTED index: probe → partition-pruned
     * codes scan → ADC score → exact-L2 rerank against the corpus
-    * floats. No training, no model fitting — the only jobs are the
-    * pruned scan, one broadcast join, and the shortlist joins.
+    * floats, with the shortlist's id set pushed into the corpus scan
+    * (row-group/file pruning — the corpus floats are READ only around
+    * the shortlist, not merely filtered after a full scan). No
+    * training, no model fitting — the only jobs are the pruned scan,
+    * one broadcast join, the shortlist collect, and the pruned rerank.
     *
     * The probed cells arrive as a pushed `cell IN (…)` disjunction
     * over the union of every query's probe set, so the Lake partition
@@ -216,11 +219,29 @@ object VectorIndex {
       else scored0.groupBy(col(queryId), col(corpusId))
         .agg(min(col("approx_l2")).as("approx_l2"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("approx_l2"), col(corpusId))
-    val shortlist = scored.withColumn("__rr", row_number().over(w))
+    val shortPlan = scored.withColumn("__rr", row_number().over(w))
       .filter(col("__rr") <= rerank)
       .select(col(queryId), col(corpusId))
-    val exact = shortlist
-      .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+    // The shortlist is BOUNDED at rerank rows per query, so collect it
+    // once (driver-small by construction, like the probed-cell set) and
+    // hand the candidate ids back to the corpus scan as a pushable
+    // filter: without this the exact rerank would join 4k shortlist
+    // rows against a full corpus scan — O(corpus) float I/O per query
+    // batch, the exact shape this index exists to avoid. With the id
+    // set pushed, parquet row-group stats (or Lake file pruning on an
+    // id-clustered corpus) skip everything outside the shortlist. Falls
+    // back to the plain join if the id set is too large to inline.
+    val shortRows = shortPlan.collect()
+    val shortlist = spark.createDataFrame(
+      java.util.Arrays.asList(shortRows: _*), shortPlan.schema)
+    val ids = shortRows.map(_.get(1)).distinct.toSeq
+    val corpusSide0 = corpus.select(col(corpusId), col(corpusVec))
+    val corpusSide =
+      if (ids.nonEmpty && ids.length <= 100000)
+        corpusSide0.filter(col(corpusId).isin(ids: _*))
+      else corpusSide0
+    val exact = broadcast(shortlist)
+      .join(corpusSide, Seq(corpusId))
       .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
       .select(col(queryId), col(corpusId),
         l2_distance(col(corpusVec), col(queryVec)).as("l2"))
