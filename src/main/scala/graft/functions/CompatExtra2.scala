@@ -225,10 +225,17 @@ object CompatExtra2 {
     // the root path
     f("json_string") { es => call("get_json_object", es.head, lit("$")) }
     // get_json_scalar(json, path): the value at path IF it is a
-    // scalar, NULL for object/array results (get_json_scalar_string)
+    // scalar, NULL for object/array results (get_json_scalar_string).
+    // Classified by the VARIANT type at the path (schema_of_variant),
+    // not by the extracted text's shape — a string scalar whose
+    // CONTENT looks like "{...}" still comes back as the scalar.
     f("get_json_scalar") { es =>
-      val v = call("get_json_object", es.head, es(1))
-      If(RLike(call("ltrim", v), Literal("^[\\[{]")), Literal(null, StringType), v)
+      val v = call("try_variant_get",
+        call("try_parse_json", es.head), es(1), lit("variant"))
+      val kind = call("schema_of_variant", v)
+      If(Or(StartsWith(kind, lit("OBJECT")), StartsWith(kind, lit("ARRAY"))),
+        Literal(null, StringType),
+        Cast(v, StringType))
     }
     // cosine_similarity_norm(a, b) — the unit-norm fast path
     // (MathFunctions::cosine_similarity<TYPE_FLOAT, true>): inputs are
@@ -236,12 +243,20 @@ object CompatExtra2 {
     f("cosine_similarity_norm") { es =>
       graft.functions.DotProduct(es.head, es(1)) }
     // encode_fingerprint_sha256(any...) (EncryptionFunctions) —
-    // VARBINARY sha-256 fingerprint over the argument tuple; composed
-    // as sha2 over the -separated string encoding of the args
+    // VARBINARY sha-256 fingerprint over the argument tuple. Each arg
+    // is netstring-encoded (N; for NULL, V<len>:<text> otherwise) so
+    // the encoding is injective: (x, NULL) != (x), and a value that
+    // contains any would-be separator cannot collide with a split
+    // tuple (concat_ws would silently drop NULLs and merge on
+    // separator-bearing strings).
     f("encode_fingerprint_sha256") { es =>
-      call("unhex", call("sha2",
-        call("concat_ws", lit("\u0001") +: es.map(e => Cast(e, StringType)): _*),
-        lit(256)))
+      val parts = es.map { e =>
+        val s = Cast(e, StringType)
+        If(IsNull(s), lit("N;"),
+          Concat(Seq(lit("V"), Cast(call("length", s), StringType),
+            lit(":"), s)))
+      }
+      call("unhex", call("sha2", Concat(parts), lit(256)))
     }
 
     buf.toList

@@ -189,6 +189,53 @@ object VectorIndex {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int = 8, rerank: Int = 200): DataFrame = {
+    val shortPlan = shortlistPlan(spark, path, corpusId,
+      queries, queryId, queryVec, nprobe, rerank)
+    // The shortlist is BOUNDED at rerank rows per query, so collect it
+    // once (driver-small by construction, like the probed-cell set) and
+    // hand the candidate ids back to the corpus scan as a pushable
+    // filter: without this the exact rerank would join a few thousand
+    // shortlist rows against a full corpus scan — O(corpus) float I/O
+    // per query batch, the exact shape this index exists to avoid.
+    // What the id filter buys: (a) the corpus never enters a shuffle —
+    // the rerank is a broadcast join against a LocalRelation; (b) the
+    // scan-side filter drops non-candidates before the join; (c) on an
+    // id-clustered corpus (Lake z-order / sorted write) the min/max
+    // range derived from the In set prunes files and row groups too.
+    // (A scattered id set over an unclustered corpus still reads the
+    // full file bytes — clustering is what converts the filter into
+    // I/O pruning.) Falls back to the plain join if the id set is too
+    // large to inline into a plan.
+    val shortRows = shortPlan.collect()
+    val shortlist = spark.createDataFrame(
+      java.util.Arrays.asList(shortRows: _*), shortPlan.schema)
+    val ids = shortRows.map(_.get(1)).distinct.toSeq
+    val corpusSide0 = corpus.select(col(corpusId), col(corpusVec))
+    val corpusSide =
+      if (ids.nonEmpty && ids.length <= 10000)
+        corpusSide0.filter(col(corpusId).isin(ids: _*))
+      else corpusSide0
+    val exact = broadcast(shortlist)
+      .join(corpusSide, Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
+      .select(col(queryId), col(corpusId),
+        l2_distance(col(corpusVec), col(queryVec)).as("l2"))
+    val w2 = Window.partitionBy(col(queryId)).orderBy(col("l2"), col(corpusId))
+    exact.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId),
+        round(col("l2"), 6).as("l2"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Phase 1 of [[topK]] as a DataFrame — probe → partition-pruned
+    * codes scan → broadcast ADC scoring → per-query shortlist window.
+    * Exposed so plan dumps/profiles can show the scored phase: topK
+    * COLLECTS this plan (the shortlist is bounded at rerank rows per
+    * query), so the DataFrame topK returns carries only the id-pruned
+    * rerank tail. */
+  def shortlistPlan(spark: SparkSession, path: String, corpusId: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      nprobe: Int, rerank: Int): DataFrame = {
     val model = load(spark, path)
     val m = model.m; val dsub = model.dsub
     // query side: probed cells + ADC lookup table (broadcast KBs)
@@ -219,36 +266,36 @@ object VectorIndex {
       else scored0.groupBy(col(queryId), col(corpusId))
         .agg(min(col("approx_l2")).as("approx_l2"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("approx_l2"), col(corpusId))
-    val shortPlan = scored.withColumn("__rr", row_number().over(w))
+    scored.withColumn("__rr", row_number().over(w))
       .filter(col("__rr") <= rerank)
       .select(col(queryId), col(corpusId))
-    // The shortlist is BOUNDED at rerank rows per query, so collect it
-    // once (driver-small by construction, like the probed-cell set) and
-    // hand the candidate ids back to the corpus scan as a pushable
-    // filter: without this the exact rerank would join 4k shortlist
-    // rows against a full corpus scan — O(corpus) float I/O per query
-    // batch, the exact shape this index exists to avoid. With the id
-    // set pushed, parquet row-group stats (or Lake file pruning on an
-    // id-clustered corpus) skip everything outside the shortlist. Falls
-    // back to the plain join if the id set is too large to inline.
-    val shortRows = shortPlan.collect()
-    val shortlist = spark.createDataFrame(
-      java.util.Arrays.asList(shortRows: _*), shortPlan.schema)
-    val ids = shortRows.map(_.get(1)).distinct.toSeq
-    val corpusSide0 = corpus.select(col(corpusId), col(corpusVec))
-    val corpusSide =
-      if (ids.nonEmpty && ids.length <= 100000)
-        corpusSide0.filter(col(corpusId).isin(ids: _*))
-      else corpusSide0
-    val exact = broadcast(shortlist)
-      .join(corpusSide, Seq(corpusId))
-      .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
-      .select(col(queryId), col(corpusId),
-        l2_distance(col(corpusVec), col(queryVec)).as("l2"))
-    val w2 = Window.partitionBy(col(queryId)).orderBy(col("l2"), col(corpusId))
-    exact.withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= k)
-      .select(col(queryId), col(corpusId),
-        round(col("l2"), 6).as("l2"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Build-if-absent standing index under the JVM tmpdir, keyed on
+    * (FormatVersion, params, source dir, SOURCE CONTENT tag). The tag
+    * hashes the (name, length, mtime) of every file under
+    * `sourceDir/embeddings.parquet`, so REGENERATING a source dir in
+    * place changes the key and forces a rebuild — a stale index
+    * trained on the old vectors can never be silently reused against
+    * new corpus floats. Returns the index path. */
+  def ensureBuilt(corpus: DataFrame, idCol: String, vecCol: String,
+      sourceDir: String, c: Int, m: Int, ks: Int, spill: Int): String = {
+    val spark = corpus.sparkSession
+    val src = new Path(s"$sourceDir/embeddings.parquet")
+    val f = fs(spark, src.toString)
+    val tag =
+      if (!f.exists(src)) "nosrc"
+      else {
+        val st = f.listStatus(src)
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString("|")
+        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(st))
+      }
+    val path = System.getProperty("java.io.tmpdir") +
+      s"/graft_vix_fv${FormatVersion}_c${c}m${m}ks${ks}s${spill}_" +
+      sourceDir.replaceAll("[^0-9a-zA-Z]", "_") + s"_$tag"
+    if (!f.exists(modelPath(path)))
+      build(corpus, idCol, vecCol, path, c = c, m = m, ks = ks, spill = spill)
+    path
   }
 }

@@ -65,12 +65,12 @@ object Pipeline extends graft.QueryArea {
   private val annDim = 12
   private def annVec(i: Int): Array[Float] =
     Array.tabulate(annDim)(j => ((i * 31 + j * 17) % 97) / 97.0f - 0.5f)
-  private def annFixtureCorpus(spark: SparkSession): DataFrame = {
+  private[graft] def annFixtureCorpus(spark: SparkSession): DataFrame = {
     import spark.implicits._
     (0 until 200).map(i => (100L + i, annVec(i))).toDF("vec_id", "embedding")
       .repartition(1)
   }
-  private def annFixtureQueries(spark: SparkSession): DataFrame = {
+  private[graft] def annFixtureQueries(spark: SparkSession): DataFrame = {
     import spark.implicits._
     // queries are exact copies of corpus vectors 100/140/180/220/260 —
     // each has a planted cosine-1.0 true nearest neighbor
@@ -167,18 +167,14 @@ object Pipeline extends graft.QueryArea {
         // build-if-absent: the persisted index exists to amortize
         // training across queries, so the timed run measures the
         // QUERY path (pruned scan + ADC + rerank) after the first
-        // invocation built the standing index — the production shape
-        // path keyed on (format version, index params, data dir): a
-        // param or layout change must REBUILD, not silently measure a
-        // stale standing index against the pinned floor
-        val path = System.getProperty("java.io.tmpdir") +
-          s"/graft_vix_recall_fv${graft.operators.VectorIndex.FormatVersion}" +
-          s"_c16m8ks64s2_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-        val f = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/_model.json")))
-          graft.operators.VectorIndex.build(corpus, "vec_id", "embedding",
-            path, c = 16, m = 8, ks = 64, spill = 2)
+        // invocation built the standing index. ensureBuilt keys the
+        // path on (format version, index params, data dir, source
+        // CONTENT tag): a param, layout, or DATA change must REBUILD,
+        // not silently measure a stale standing index against the
+        // pinned floor.
+        val path = graft.operators.VectorIndex.ensureBuilt(
+          corpus, "vec_id", "embedding", dir, c = 16, m = 8, ks = 64,
+          spill = 2)
         graft.operators.VectorIndex.topK(spark, path,
           corpus, "vec_id", "embedding", qs, "qid", "qvec",
           k = 5, nprobe = 8, rerank = 200)

@@ -62,16 +62,11 @@ object AnnScaleProbe {
       val brute = time(Similarity.bruteForceTopKL2(
         corpus, "vec_id", "embedding", qs, "qid", "qvec", k = 5))
 
-      // standing-index path keyed on (format version, params, dir) —
-      // built once (untimed), the timed runs measure the query path
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_vix_scale_fv${VectorIndex.FormatVersion}" +
-        s"_c${c}m8ks64s2_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val f = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/_model.json")))
-        VectorIndex.build(corpus, "vec_id", "embedding", path,
-          c = c, m = 8, ks = 64, spill = 2)
+      // same standing-index scheme as xb_ivfpersist_recall_fullsf:
+      // keyed on (format version, params, dir, source content tag) so
+      // a REGENERATED corpus dir forces a rebuild; built once, untimed
+      val path = VectorIndex.ensureBuilt(corpus, "vec_id", "embedding",
+        dir, c = c, m = 8, ks = 64, spill = 2)
       val indexed = time(VectorIndex.topK(spark, path,
         corpus, "vec_id", "embedding", qs, "qid", "qvec",
         k = 5, nprobe = nprobe, rerank = 200))

@@ -87,11 +87,15 @@ object MakeScale {
     grow("embeddings") { (d, i) => d
       .withColumn("vec_id", shift("vec_id", maxVec, i))
       // per-replica jitter (see scaladoc): deterministic in (replica,
-      // position), amplitude ~1% of the unit-ish component scale
+      // position), amplitude ~±0.04 on the unit-ish component scale.
+      // Modulus 251 (prime, > any realistic replica count) keeps the
+      // offset pattern distinct per replica — a small modulus would
+      // make replicas i and i+period byte-identical, reintroducing the
+      // exact-duplicate degeneracy this jitter exists to prevent.
       .withColumn("embedding",
         if (i == 0) col("embedding")
         else expr(s"transform(embedding, (x, j) -> " +
-          s"cast(x + 0.003 * pmod($i * 31 + j, 7) - 0.009 as float))")) }
+          s"cast(x + 0.0003 * (pmod($i * 53 + j * 17, 251) - 125) as float))")) }
     // fixed dimensions: copy as-is (nation/region don't scale with SF)
     Seq("nation", "region").filter(wanted).foreach { n =>
       rd(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")

@@ -310,6 +310,12 @@ class CompatFunctionsSpec extends SparkSuite {
     assert(one("""get_json_scalar('{"a":7}', '$.a')""") === "7")
     assert(one("""get_json_scalar('{"a":{"b":1}}', '$.a')""") === null)
     assert(one("""get_json_scalar('{"a":[1,2]}', '$.a')""") === null)
+    // a STRING scalar whose content looks like an object is a scalar —
+    // classification is by the variant type at the path, not the text
+    assert(one("""get_json_scalar('{"a":"{not an object}"}', '$.a')""")
+      === "{not an object}")
+    assert(one("""get_json_scalar('{"a":true}', '$.a')""") === "true")
+    assert(one("""get_json_scalar('not json {', '$.a')""") === null)
     // unit-norm cosine == dot product == full cosine on unit vectors
     assert(math.abs(one("cosine_similarity_norm(array(0.6f,0.8f), array(0.6f,0.8f))")
       .asInstanceOf[Double] - 1.0) < 1e-6)
@@ -322,5 +328,17 @@ class CompatFunctionsSpec extends SparkSuite {
     assert(!java.util.Arrays.equals(fp,
       one("encode_fingerprint_sha256('a', 2, DATE '2020-01-01')")
         .asInstanceOf[Array[Byte]]))
+    // injective encoding: a NULL arg is not droppable, and a value
+    // containing a would-be separator cannot collide with a split pair
+    def fpOf(sql: String) = one(sql).asInstanceOf[Array[Byte]]
+    assert(!java.util.Arrays.equals(
+      fpOf("encode_fingerprint_sha256('a', CAST(NULL AS STRING))"),
+      fpOf("encode_fingerprint_sha256('a')")))
+    assert(!java.util.Arrays.equals(
+      fpOf("encode_fingerprint_sha256('a', 'b')"),
+      fpOf("encode_fingerprint_sha256('ab')")))
+    assert(!java.util.Arrays.equals(
+      fpOf("encode_fingerprint_sha256('V1:a', 'b')"),
+      fpOf("encode_fingerprint_sha256('V1:a', 'c')")))
   }
 }
