@@ -26,7 +26,11 @@ import graft.sources.Lake
   *    probing `nprobe` cells partition-prunes to nprobe/c of the
   *    files before any row is read. Lake append = incremental index
   *    maintenance for new corpus rows (encoded with the FROZEN model
-  *    — the standard IVF contract; retrain by rebuilding).
+  *    — the standard IVF contract; retrain by rebuilding);
+  *  - `tombstones/` — optional Lake table of deleted ids (the
+  *    reference's delete-vector shape: deletes are recorded, applied
+  *    at read, folded away by compaction — [[delete]] /
+  *    [[compactDeletes]]).
   *
   * 100 TB shape: build cost is one bounded-sample training (driver,
   * MBs) + one encode pass over the corpus (scan-side expressions) +
@@ -55,6 +59,7 @@ object VectorIndex {
 
   private def modelPath(path: String) = new Path(s"$path/_model.json")
   private def codesTable(path: String) = s"$path/codes"
+  private def tombTable(path: String) = s"$path/tombstones"
 
   /** Train + encode + persist. Single-writer (build-once) semantics:
     * refuses to clobber an existing index — delete the directory to
@@ -84,13 +89,111 @@ object VectorIndex {
 
   /** Incremental maintenance: encode NEW corpus rows with the frozen
     * model and Lake-append them to the codes table — O(new rows), the
-    * existing index files are untouched. Returns the number of input
-    * rows appended (not the spill-multiplied codes-row count). */
+    * existing index files are untouched. Newer load wins (the
+    * reference's primary-key version order): appended ids are cleared
+    * from the tombstone set, so a delete-then-reload cycle revives the
+    * key with its new vector. The id's STALE codes rows (from before
+    * the delete) staying live is benign — codes rows only decide
+    * CANDIDACY and approx rank; the exact rerank distance always comes
+    * from the CURRENT corpus floats, and [[compactDeletes]]/rebuild
+    * retire the stale rows. Crash between the codes commit and the
+    * tombstone clear is conservative: the id stays dead until the next
+    * append or compaction. Returns the number of input rows appended
+    * (not the spill-multiplied codes-row count). */
   def append(newRows: DataFrame, idCol: String, vecCol: String,
       path: String): Long = {
-    val model = load(newRows.sparkSession, path)
-    writeCodes(newRows, idCol, vecCol, model, path, mode = "append")
+    val spark = newRows.sparkSession
+    val model = load(spark, path)
+    val n = writeCodes(newRows, idCol, vecCol, model, path, mode = "append")
+    tombstones(spark, path).foreach { ts =>
+      // ids present in BOTH the tombstone set and this append batch —
+      // the semi-join is distributed; the collected intersection is
+      // bounded by the tombstone count (itself capped at compaction)
+      val revived = ts
+        .join(newRows.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .distinct().collect().map(_.get(0)).toSeq
+      if (revived.nonEmpty)
+        Lake.delete(spark, tombTable(path), col("id").isin(revived: _*))
+    }
+    n
   }
+
+  /** Delete ids from the index WITHOUT touching the codes files — the
+    * reference's delete-vector shape (primary-key deletes are recorded
+    * as per-segment delete bitmaps applied at read, `be/src/storage/
+    * del_vector.h`; the vector index inherits them): the batch is
+    * appended to a `tombstones` Lake table (O(batch) write; concurrent
+    * deleters are serialized by the Lake commit OCC — the loser throws
+    * loudly and retries at the caller, the LakeTx contract), and every
+    * query anti-joins the broadcast tombstone set before the shortlist
+    * window, so dead ids neither appear in results nor consume
+    * shortlist slots. Cheap-delete / pay-at-read is the 100 TB trade:
+    * a CoW rewrite of codes files per delete batch would touch up to
+    * spill×|batch| files; fold the debt back with [[compactDeletes]]
+    * when the set grows.
+    *
+    * Newer load wins (the reference's primary-key version order): a
+    * later [[append]] of a tombstoned id REVIVES it — append clears
+    * the id from the tombstone set after its codes commit. Returns the
+    * number of distinct ids in this delete batch. */
+  def delete(ids: DataFrame, idCol: String, path: String): Long = {
+    val spark = ids.sparkSession
+    require(fs(spark, path).exists(modelPath(path)), s"no index at $path")
+    val batch = ids.select(col(idCol).as("id")).distinct()
+    val v = Lake.write(batch, tombTable(path), Seq.empty, mode = "append")
+    val prevFiles: Set[String] =
+      if (v > 1) Lake.readSnapshot(spark, tombTable(path), v - 1).files.map(_.path).toSet
+      else Set.empty
+    Lake.readSnapshot(spark, tombTable(path), v)
+      .files.filterNot(f => prevFiles(f.path)).map(_.rowCount).sum
+  }
+
+  /** The standing tombstone set, if any delete has ever COMMITTED.
+    * The probe is the committed manifest version, not bare directory
+    * existence — a first delete that crashed after staging its parquet
+    * but before the manifest publish left an uncommitted directory,
+    * and treating that as a table would brick every query on the
+    * index (Lake.read requires a committed version). An empty table
+    * (post-compaction) still returns Some — the anti-join against an
+    * empty broadcast is a no-op. */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val t = tombTable(path)
+    if (!fs(spark, t).exists(new Path(t))) None
+    else if (Lake.currentVersion(spark, t) == 0) None
+    else Some(Lake.read(spark, t).select(col("id")))
+  }
+
+  /** Fold the tombstone set into the codes table and clear it: a CoW
+    * delete rewrites ONLY the codes files containing a tombstoned id
+    * (cell-grouped, untouched files carry by reference), then the
+    * COLLECTED BATCH — not the whole table — is CoW-deleted from the
+    * tombstone set, so a delete() that lands concurrently between the
+    * collect and the clear survives to the next compaction instead of
+    * being silently discarded by a blanket truncate. Crash between
+    * the two commits is safe: already-applied tombstones mask ids
+    * that no longer exist — a no-op at query time — and the next
+    * compaction clears them. Run without concurrent APPENDS of
+    * tombstoned ids (the reference takes a compaction lock for the
+    * same reason): an append-revival racing the fold can lose its
+    * rows. The id set is collected driver-side (bounded by the cap
+    * below; Catalyst plans it as an InSet hash probe, and min/max
+    * file stats still prune on an id-clustered layout); a tombstone
+    * debt beyond the cap means delete-heavy churn — rebuild instead.
+    * Returns the number of ids folded in. */
+  def compactDeletes(spark: SparkSession, path: String): Long =
+    tombstones(spark, path) match {
+      case None => 0L
+      case Some(ts) =>
+        val ids = ts.distinct().collect().map(_.get(0)).toSeq
+        if (ids.isEmpty) 0L
+        else {
+          require(ids.length <= (1 << 20),
+            s"${ids.length} tombstoned ids exceed the driver-side compaction cap — rebuild the index")
+          Lake.delete(spark, codesTable(path), col("id").isin(ids: _*))
+          Lake.delete(spark, tombTable(path), col("id").isin(ids: _*))
+          ids.length.toLong
+        }
+    }
 
   /** Encode + commit one Lake write; returns the number of INPUT rows
     * this call indexed (new-commit codes rows / spill — `encode` emits
@@ -255,8 +358,16 @@ object VectorIndex {
     // partition pruning (queries are few; the set is driver-tiny)
     val probedCells = qlut.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = Lake.read(spark, codesTable(path))
+    val codesAll = Lake.read(spark, codesTable(path))
       .filter(col("cell").isin(probedCells: _*))
+    // deleted ids are masked HERE, before the shortlist window, so a
+    // dead id neither surfaces in results nor crowds a live candidate
+    // out of its rerank slot; the tombstone set is delete-batch-sized
+    // (broadcast), folded away by compactDeletes
+    val codes = tombstones(spark, path) match {
+      case Some(ts) => codesAll.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => codesAll
+    }
     val scored0 = codes.join(broadcast(qlut), Seq("cell"))
       .select(col(queryId), col("id").as(corpusId),
         sqrt((0 until m).map(s =>
@@ -294,7 +405,10 @@ object VectorIndex {
     val path = System.getProperty("java.io.tmpdir") +
       s"/graft_vix_fv${FormatVersion}_c${c}m${m}ks${ks}s${spill}_" +
       sourceDir.replaceAll("[^0-9a-zA-Z]", "_") + s"_$tag"
-    if (!f.exists(modelPath(path)))
+    // probe with the INDEX path's filesystem, not the source dir's —
+    // a remote sourceDir (s3://…) would otherwise ask the wrong FS
+    // about the local tmpdir model and re-build into an existing index
+    if (!fs(spark, path).exists(modelPath(path)))
       build(corpus, idCol, vecCol, path, c = c, m = m, ks = ks, spill = spill)
     path
   }

@@ -65,6 +65,13 @@ object Pipeline extends graft.QueryArea {
   private val annDim = 12
   private def annVec(i: Int): Array[Float] =
     Array.tabulate(annDim)(j => ((i * 31 + j * 17) % 97) / 97.0f - 0.5f)
+  /** The sim_ivf_persisted gate's standing-index path — shared with
+    * DumpPlans (which dumps the gate's phase-1 shortlist plan against
+    * the index the gate built), so the two can't drift apart. */
+  private[graft] def vixGatePath(dir: String): String =
+    System.getProperty("java.io.tmpdir") +
+      s"/graft_vix_gate_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+
   private[graft] def annFixtureCorpus(spark: SparkSession): DataFrame = {
     import spark.implicits._
     (0 until 200).map(i => (100L + i, annVec(i))).toDF("vec_id", "embedding")
@@ -366,14 +373,39 @@ object Pipeline extends graft.QueryArea {
     // pinned as a literal oracle. Zero-jobs model load, frozen-model
     // append, spill dedup, and crash-mid-build are VectorIndexSpec's.
     "sim_ivf_persisted" -> ((spark, dir) => {
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_vix_gate_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val path = vixGatePath(dir)
       val f = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       f.delete(new org.apache.hadoop.fs.Path(path), true)
       graft.operators.VectorIndex.build(
         annFixtureCorpus(spark), "vec_id", "embedding", path,
         c = 8, m = 3, ks = 8, spill = 2)
+      graft.operators.VectorIndex.topK(spark, path,
+          annFixtureCorpus(spark), "vec_id", "embedding",
+          annFixtureQueries(spark), "qid", "qvec",
+          k = 5, nprobe = 8, rerank = 400)
+        .orderBy(col("qid"), col("rk"))
+    }),
+    // Index DELETE gate (reference: primary-key deletes land as
+    // delete vectors applied at read — be/src/storage/del_vector.h —
+    // and the vector index inherits them): tombstone three ids, two of
+    // them query 0/1's planted exact matches, then full-probe + full-
+    // rerank query ⇒ EXACTLY brute-force L2 top-5 over the SURVIVING
+    // corpus (VectorIndexSpec proves that identity independently; the
+    // oracle pins the literals). The codes files are untouched by the
+    // delete — masking happens in the shortlist anti-join.
+    "sim_ivf_delete" -> ((spark, dir) => {
+      import spark.implicits._
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_vix_delgate_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.operators.VectorIndex.build(
+        annFixtureCorpus(spark), "vec_id", "embedding", path,
+        c = 8, m = 3, ks = 8, spill = 2)
+      graft.operators.VectorIndex.delete(
+        Seq(100L, 197L, 140L).toDF("vec_id"), "vec_id", path)
       graft.operators.VectorIndex.topK(spark, path,
           annFixtureCorpus(spark), "vec_id", "embedding",
           annFixtureQueries(spark), "qid", "qvec",
@@ -1254,6 +1286,29 @@ object Pipeline extends graft.QueryArea {
         |  (0, 172, 0.035712, 4), (0, 269, 0.035712, 5),
         |  (1, 140, 0.0, 1), (1, 237, 0.0, 2), (1, 115, 0.035712, 3),
         |  (1, 165, 0.035712, 4), (1, 212, 0.035712, 5),
+        |  (2, 180, 0.0, 1), (2, 277, 0.0, 2), (2, 155, 0.035712, 3),
+        |  (2, 252, 0.035712, 4), (2, 108, 0.035712, 5),
+        |  (3, 123, 0.0, 1), (3, 220, 0.0, 2), (3, 148, 0.035712, 3),
+        |  (3, 195, 0.035712, 4), (3, 245, 0.035712, 5),
+        |  (4, 163, 0.0, 1), (4, 260, 0.0, 2), (4, 138, 0.035712, 3),
+        |  (4, 188, 0.035712, 4), (4, 235, 0.035712, 5)
+        |) t(qid, vec_id, l2, rk)
+        |ORDER BY qid, rk""".stripMargin,
+    // Pinned from the deterministic full-probe run AFTER tombstoning
+    // ids 100/197/140: query 0 loses both its l2=0 twins (294 stays,
+    // the 0.071425 shell backfills ranks 4-5), query 1 loses its rank-1
+    // (262 backfills), queries 2-4 are untouched. VectorIndexSpec
+    // proves the masked full-probe result == brute-force L2 over the
+    // surviving corpus; these literals pin it for the driver. Regen:
+    //   Pipeline.queries("sim_ivf_delete")(spark, dir).show(30, false)
+    "sim_ivf_delete" ->
+      """SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(l2 AS DOUBLE) AS l2, CAST(rk AS BIGINT) AS rk
+        |FROM (VALUES
+        |  (0, 294, 0.0, 1), (0, 172, 0.035712, 2), (0, 269, 0.035712, 3),
+        |  (0, 147, 0.071425, 4), (0, 244, 0.071425, 5),
+        |  (1, 237, 0.0, 1), (1, 115, 0.035712, 2), (1, 165, 0.035712, 3),
+        |  (1, 212, 0.035712, 4), (1, 262, 0.035712, 5),
         |  (2, 180, 0.0, 1), (2, 277, 0.0, 2), (2, 155, 0.035712, 3),
         |  (2, 252, 0.035712, 4), (2, 108, 0.035712, 5),
         |  (3, 123, 0.0, 1), (3, 220, 0.0, 2), (3, 148, 0.035712, 3),

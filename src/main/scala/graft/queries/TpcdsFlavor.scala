@@ -1259,10 +1259,12 @@ object TpcdsFlavor extends graft.QueryArea {
       |    / CAST(SUM(rev) OVER (PARTITION BY class) AS DOUBLE), 2) AS revshare
       |FROM agg ORDER BY class, brand""".stripMargin
 
-  // Q6: month anchored by a scalar subquery + correlated "price at least
-  // 1.2x the average of its own type" filter, customers counted per
-  // nation with a HAVING floor. Exact decimal-sum/count average keeps
-  // the 1.2x boundary engine-identical.
+  // Q6: month anchored by a scalar subquery + correlated "price above
+  // the average of its own type" filter, customers counted per nation
+  // with a HAVING floor. The reference's Q6 uses 1.2x; this testdata's
+  // tight per-type price spread leaves 1.2x near-empty, so the gate
+  // uses 1.02x to stay selective but non-vacuous. Exact decimal-
+  // sum/count average keeps the multiplier boundary engine-identical.
   private val q6PriceAnchorMonthSql =
     """SELECT n_name, count(*) AS cnt
       |FROM customer JOIN nation ON c_nationkey = n_nationkey

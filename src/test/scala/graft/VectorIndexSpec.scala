@@ -131,6 +131,104 @@ class VectorIndexSpec extends SparkSuite {
       s"persisted query ($second jobs) should launch fewer jobs than per-query retraining ($retrain)")
   }
 
+  test("delete masks ids at read without touching codes files; exact result = brute force over survivors") {
+    val path = freshPath("delete")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 8, m = 8, ks = 16, spill = 2)
+    val victims = corpus.limit(40).select($"vec_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    val codesFilesBefore = graft.sources.Lake.readSnapshot(spark, s"$path/codes",
+      graft.sources.Lake.currentVersion(spark, s"$path/codes")).files.map(_.path).toSet
+    val deleted = VectorIndex.delete(victims, "vec_id", path)
+    assert(deleted === victimIds.size.toLong)
+    // cheap delete: the codes table's file set is untouched (tombstones only)
+    val codesFilesAfter = graft.sources.Lake.readSnapshot(spark, s"$path/codes",
+      graft.sources.Lake.currentVersion(spark, s"$path/codes")).files.map(_.path).toSet
+    assert(codesFilesAfter === codesFilesBefore)
+    // full probe + full rerank = exact over the surviving corpus
+    val got = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 8, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got.forall(t => !victimIds(t._2)), "a deleted id surfaced in topK")
+    val want = Similarity.bruteForceTopKL2(
+        corpus.filter(!$"vec_id".isin(victimIds.toSeq: _*)), "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
+  test("compactDeletes folds tombstones into codes (touched files only) and clears the set") {
+    val path = freshPath("compact")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 8, m = 8, ks = 16, spill = 2)
+    val victims = corpus.limit(25).select($"vec_id")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    VectorIndex.delete(victims, "vec_id", path)
+    val masked = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 8, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(VectorIndex.compactDeletes(spark, path) === victimIds.size.toLong)
+    // tombstone debt cleared; the physical codes rows are gone
+    import graft.sources.Lake
+    assert(Lake.read(spark, s"$path/tombstones").isEmpty)
+    assert(Lake.read(spark, s"$path/codes")
+      .filter($"id".isin(victimIds.toSeq: _*)).isEmpty)
+    // same answer before and after folding — compaction is invisible
+    val after = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 8, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(after === masked)
+    // a second compaction with no standing tombstones is a no-op
+    assert(VectorIndex.compactDeletes(spark, path) === 0L)
+  }
+
+  test("newer load wins: appending a tombstoned id revives it; other tombstones keep masking") {
+    val path = freshPath("revive")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 8, m = 8, ks = 16, spill = 2)
+    val someIds = corpus.select($"vec_id").orderBy($"vec_id")
+      .limit(2).collect().map(_.getLong(0))
+    val (reviveId, stayDeadId) = (someIds(0), someIds(1))
+    VectorIndex.delete(Seq(reviveId, stayDeadId).toDF("vec_id"), "vec_id", path)
+    // re-append one of the two deleted ids: the append clears ITS
+    // tombstone (reference primary-key version order — newer load
+    // wins); the other id stays dead. The revived id's stale codes
+    // rows are benign: codes decide candidacy only, the exact rerank
+    // distance comes from the current corpus floats.
+    VectorIndex.append(corpus.filter($"vec_id" === reviveId),
+      "vec_id", "embedding", path)
+    val probe = corpus.filter($"vec_id" === reviveId)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val revived = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+      probe, "qid", "qvec", k = 1, nprobe = 8, rerank = 50).head()
+    assert(revived.getLong(1) === reviveId && revived.getDouble(2) === 0.0)
+    val all = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 8, rerank = 1000)
+      .collect().map(_.getLong(1)).toSet
+    assert(!all(stayDeadId), "a still-tombstoned id surfaced after an unrelated append")
+    // compaction folds the remaining tombstone; the revived id survives
+    assert(VectorIndex.compactDeletes(spark, path) === 1L)
+    val afterCompact = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+      probe, "qid", "qvec", k = 1, nprobe = 8, rerank = 50).head()
+    assert(afterCompact.getLong(1) === reviveId && afterCompact.getDouble(2) === 0.0)
+  }
+
+  test("crash-mid-first-delete (staged tombstones, no manifest) does not brick queries") {
+    val path = freshPath("tombcrash")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 8, m = 8, ks = 16, spill = 1)
+    // simulate a delete() that died after staging parquet but before
+    // the manifest publish: a tombstones DIRECTORY with no committed
+    // version — queries must treat it as "no tombstones", not throw
+    val dir = new java.io.File(s"$path/tombstones/data/commit-00001-stale")
+    assert(dir.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "orphan.parquet"), "not a commit")
+    val r = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nprobe = 4, rerank = 100)
+    assert(r.count() === 50)
+  }
+
   test("build refuses to clobber; crash-mid-build (no model) leaves no readable index") {
     val path = freshPath("occ")
     VectorIndex.build(corpus, "vec_id", "embedding", path,
