@@ -229,6 +229,63 @@ class VectorIndexSpec extends SparkSuite {
     assert(r.count() === 50)
   }
 
+  test("OCC stress: racing deleters + concurrent compaction loop lose no delete batch") {
+    val path = freshPath("delstress")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 8, m = 8, ks = 16, spill = 1)
+    val victimIds = corpus.select($"vec_id").orderBy($"vec_id")
+      .limit(24).collect().map(_.getLong(0))
+    val batches = victimIds.grouped(4).toSeq // 6 deleters × 4 ids
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val deletersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    def retrying(what: String)(body: => Unit): Unit = {
+      var attempts = 0; var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 60, s"$what gave up after $attempts attempts")
+        try { body; done = true }
+        catch { case _: java.util.ConcurrentModificationException => }
+      }
+    }
+    try {
+      val deleters = batches.map { ids =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            retrying(s"delete ${ids.head}") {
+              VectorIndex.delete(ids.toSeq.toDF("vec_id"), "vec_id", path)
+            }
+            deletersDone.incrementAndGet()
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      // a compactor folding whatever it sees WHILE deletes land: the
+      // collected-batch clear (not a blanket truncate) is what keeps a
+      // batch committing mid-fold alive until the next pass
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = try {
+          while (deletersDone.get() < batches.size)
+            retrying("compact")(VectorIndex.compactDeletes(spark, path))
+        } catch { case t: Throwable => errors.add(t) }
+      })
+      (deleters :+ compactor).foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(errors.isEmpty, s"worker failures: ${errors.toArray.mkString(";")}")
+    // quiesce: fold any residue, then EVERY deleted id must be gone —
+    // from the query, the codes table, and the tombstone ledger
+    retrying("final compact")(VectorIndex.compactDeletes(spark, path))
+    assert(VectorIndex.compactDeletes(spark, path) === 0L)
+    val got = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 8, rerank = 1000)
+      .collect().map(_.getLong(1)).toSet
+    val lost = victimIds.filter(got)
+    assert(lost.isEmpty, s"deleted ids resurfaced after racing compaction: ${lost.mkString(",")}")
+    import graft.sources.Lake
+    assert(Lake.read(spark, s"$path/codes")
+      .filter($"id".isin(victimIds.toSeq: _*)).isEmpty)
+    assert(Lake.read(spark, s"$path/tombstones").isEmpty)
+  }
+
   test("build refuses to clobber; crash-mid-build (no model) leaves no readable index") {
     val path = freshPath("occ")
     VectorIndex.build(corpus, "vec_id", "embedding", path,
