@@ -46,12 +46,25 @@ object VectorIndex {
     * a stale on-disk index with the new code. */
   val FormatVersion: Int = 1
 
-  /** The frozen trained state: coarse centroids + PQ codebooks. */
+  /** The frozen trained state: coarse centroids + PQ codebooks.
+    * `metric` is "l2" or "cosine" (the reference's metric_type =
+    * l2_distance / cosine_similarity, vector_index.md): under cosine
+    * the codes are built over UNIT-NORMALIZED vectors — argmax cosine
+    * == argmin L2 on the unit sphere — and the exact rerank ranks by
+    * true cosine descending. */
   final case class Model(dim: Int, c: Int, m: Int, ks: Int, spill: Int,
-      seed: Long,
+      seed: Long, metric: String,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]]) {
     def dsub: Int = dim / m
+  }
+
+  /** Unit-normalize an ARRAY vector (double space). Zero vectors are
+    * undefined under cosine (the reference errors on them when
+    * is_vector_normed is violated; here they yield NaN and sort last). */
+  private def unitNorm(v: Column): Column = {
+    val d = sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    transform(v.cast("array<double>"), x => x / d)
   }
 
   private def fs(spark: SparkSession, p: String) =
@@ -66,18 +79,23 @@ object VectorIndex {
     * rebuild. Returns the number of corpus rows indexed. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       c: Int = 16, m: Int = 8, ks: Int = 64, spill: Int = 2,
-      seed: Long = 42L): Long = {
+      seed: Long = 42L, metric: String = "l2"): Long = {
     val spark = corpus.sparkSession
     val f = fs(spark, path)
     require(!f.exists(modelPath(path)),
       s"vector index already exists at $path — delete to rebuild")
+    require(Set("l2", "cosine")(metric), s"metric must be l2 or cosine, got $metric")
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     require(spill >= 1 && spill <= c,
       s"spill=$spill must be in [1, c=$c] — probeCells emits min(spill, c) entries per row")
-    val centroids = Similarity.trainIvfCentroids(corpus, vecCol, c, seed = seed)
-    val codebooks = Similarity.trainPqCodebooks(corpus, vecCol, m, ks, seed = seed)
-    val model = Model(dim, c, m, ks, spill, seed, centroids, codebooks)
+    // cosine trains AND encodes in unit-normed space (PQ codebooks are
+    // not norm-invariant, unlike the cosine-based cell assignment)
+    val trainSide = if (metric == "cosine")
+      corpus.withColumn(vecCol, unitNorm(col(vecCol))) else corpus
+    val centroids = Similarity.trainIvfCentroids(trainSide, vecCol, c, seed = seed)
+    val codebooks = Similarity.trainPqCodebooks(trainSide, vecCol, m, ks, seed = seed)
+    val model = Model(dim, c, m, ks, spill, seed, metric, centroids, codebooks)
     val n = writeCodes(corpus, idCol, vecCol, model, path, mode = "overwrite")
     // model is published LAST (AtomicPublish — the shared torn-read-
     // free OCC primitive): a crash mid-build leaves no readable index,
@@ -204,7 +222,9 @@ object VectorIndex {
   private def writeCodes(corpus: DataFrame, idCol: String, vecCol: String,
       model: Model, path: String, mode: String): Long = {
     val spark = corpus.sparkSession
-    val encoded = encode(corpus, idCol, vecCol, model)
+    val input = if (model.metric == "cosine")
+      corpus.withColumn(vecCol, unitNorm(col(vecCol))) else corpus
+    val encoded = encode(input, idCol, vecCol, model)
     val v = Lake.write(encoded, codesTable(path), Seq("cell"), mode = mode)
     val prevFiles: Set[String] =
       if (mode == "append" && v > 1)
@@ -260,9 +280,12 @@ object VectorIndex {
     }
     val cbs = scala.collection.mutable.ArrayBuffer[Array[Array[Double]]]()
     node.get("codebooks").forEach(sub => cbs += arr2(sub))
+    // metric is absent in pre-cosine indexes — those are L2 (the only
+    // metric that existed), so the default keeps them loadable
+    val metric = Option(node.get("metric")).map(_.asText()).getOrElse("l2")
     Model(node.get("dim").asInt(), node.get("c").asInt(),
       node.get("m").asInt(), node.get("ks").asInt(),
-      node.get("spill").asInt(), node.get("seed").asLong(),
+      node.get("spill").asInt(), node.get("seed").asLong(), metric,
       arr2(node.get("centroids")), cbs.toArray)
   }
 
@@ -271,7 +294,7 @@ object VectorIndex {
     def arr2(a: Array[Array[Double]]): String =
       a.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     s"""{"dim":${model.dim},"c":${model.c},"m":${model.m},"ks":${model.ks},""" +
-      s""""spill":${model.spill},"seed":${model.seed},""" +
+      s""""spill":${model.spill},"seed":${model.seed},"metric":"${model.metric}",""" +
       s""""centroids":${arr2(model.centroids)},""" +
       s""""codebooks":${model.codebooks.map(arr2).mkString("[", ",", "]")}}"""
   }
@@ -318,16 +341,29 @@ object VectorIndex {
       if (ids.nonEmpty && ids.length <= 10000)
         corpusSide0.filter(col(corpusId).isin(ids: _*))
       else corpusSide0
-    val exact = broadcast(shortlist)
+    // exact rerank in the INDEX's metric, against the original corpus
+    // floats (cosine is scale-invariant, so no re-normalization here):
+    // l2 ascending / cosine descending, ties by id — column named for
+    // the metric, matching the ad-hoc Similarity operators' shapes
+    val metric = load(spark, path).metric
+    val joined = broadcast(shortlist)
       .join(corpusSide, Seq(corpusId))
       .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
-      .select(col(queryId), col(corpusId),
-        l2_distance(col(corpusVec), col(queryVec)).as("l2"))
-    val w2 = Window.partitionBy(col(queryId)).orderBy(col("l2"), col(corpusId))
+    val (scoreName, exact, ord) =
+      if (metric == "cosine")
+        ("cos", joined.select(col(queryId), col(corpusId),
+          graft.functions.VectorFunctions.cosine_similarity(
+            col(corpusVec), col(queryVec)).as("cos")),
+          Seq(col("cos").desc, col(corpusId)))
+      else
+        ("l2", joined.select(col(queryId), col(corpusId),
+          l2_distance(col(corpusVec), col(queryVec)).as("l2")),
+          Seq(col("l2"), col(corpusId)))
+    val w2 = Window.partitionBy(col(queryId)).orderBy(ord: _*)
     exact.withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= k)
       .select(col(queryId), col(corpusId),
-        round(col("l2"), 6).as("l2"), col("rk").cast("long").as("rk"))
+        round(col(scoreName), 6).as(scoreName), col("rk").cast("long").as("rk"))
   }
 
   /** Phase 1 of [[topK]] as a DataFrame — probe → partition-pruned
@@ -341,10 +377,13 @@ object VectorIndex {
       nprobe: Int, rerank: Int): DataFrame = {
     val model = load(spark, path)
     val m = model.m; val dsub = model.dsub
-    // query side: probed cells + ADC lookup table (broadcast KBs)
+    // query side: probed cells + ADC lookup table (broadcast KBs);
+    // cosine probes in the same unit-normed space the codes live in
+    val qs0 = if (model.metric == "cosine")
+      queries.withColumn(queryVec, unitNorm(col(queryVec))) else queries
     val qsubs = (0 until m).map(s =>
       slice(col(queryVec).cast("array<double>"), s * dsub + 1, dsub).as(s"__qsub$s"))
-    val qsliced = queries.select(col(queryId) +: col(queryVec) +: qsubs: _*)
+    val qsliced = qs0.select(col(queryId) +: col(queryVec) +: qsubs: _*)
     val lut = array((0 until m).map { s =>
       array(model.codebooks(s).map { ct =>
         val d = l2_distance(col(s"__qsub$s"), typedlit(ct)); d * d
@@ -390,7 +429,8 @@ object VectorIndex {
     * trained on the old vectors can never be silently reused against
     * new corpus floats. Returns the index path. */
   def ensureBuilt(corpus: DataFrame, idCol: String, vecCol: String,
-      sourceDir: String, c: Int, m: Int, ks: Int, spill: Int): String = {
+      sourceDir: String, c: Int, m: Int, ks: Int, spill: Int,
+      metric: String = "l2"): String = {
     val spark = corpus.sparkSession
     val src = new Path(s"$sourceDir/embeddings.parquet")
     val f = fs(spark, src.toString)
@@ -403,13 +443,15 @@ object VectorIndex {
         Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(st))
       }
     val path = System.getProperty("java.io.tmpdir") +
-      s"/graft_vix_fv${FormatVersion}_c${c}m${m}ks${ks}s${spill}_" +
+      s"/graft_vix_fv${FormatVersion}_c${c}m${m}ks${ks}s${spill}" +
+      (if (metric == "l2") "" else s"_$metric") + "_" +
       sourceDir.replaceAll("[^0-9a-zA-Z]", "_") + s"_$tag"
     // probe with the INDEX path's filesystem, not the source dir's —
     // a remote sourceDir (s3://…) would otherwise ask the wrong FS
     // about the local tmpdir model and re-build into an existing index
     if (!fs(spark, path).exists(modelPath(path)))
-      build(corpus, idCol, vecCol, path, c = c, m = m, ks = ks, spill = spill)
+      build(corpus, idCol, vecCol, path, c = c, m = m, ks = ks,
+        spill = spill, metric = metric)
     path
   }
 }

@@ -386,6 +386,27 @@ object Pipeline extends graft.QueryArea {
           k = 5, nprobe = 8, rerank = 400)
         .orderBy(col("qid"), col("rk"))
     }),
+    // Cosine-metric persisted index (reference metric_type =
+    // cosine_similarity, vector_index.md): codes are built over unit-
+    // normalized vectors (argmax cosine == argmin L2 on the sphere),
+    // the exact rerank ranks by TRUE cosine desc against the raw
+    // floats. Full probe + full rerank ⇒ exactly brute-force cosine
+    // top-5 — the SAME pinned oracle as the ad-hoc LSH/IVF gates.
+    "sim_ivf_cosine" -> ((spark, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_vix_cosgate_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.operators.VectorIndex.build(
+        annFixtureCorpus(spark), "vec_id", "embedding", path,
+        c = 8, m = 3, ks = 8, spill = 2, metric = "cosine")
+      graft.operators.VectorIndex.topK(spark, path,
+          annFixtureCorpus(spark), "vec_id", "embedding",
+          annFixtureQueries(spark), "qid", "qvec",
+          k = 5, nprobe = 8, rerank = 400)
+        .orderBy(col("qid"), col("rk"))
+    }),
     // Index DELETE gate (reference: primary-key deletes land as
     // delete vectors applied at read — be/src/storage/del_vector.h —
     // and the vector index inherits them): tombstone three ids, two of
@@ -1273,6 +1294,9 @@ object Pipeline extends graft.QueryArea {
     // exact recall on this fixture, so both pin the same rows.
     "sim_lsh_topk" -> annFixtureTopkOracle,
     "sim_ivf_topk" -> annFixtureTopkOracle,
+    // the cosine persisted index at full probe + full rerank is exact
+    // brute-force cosine — same pinned fixture literals
+    "sim_ivf_cosine" -> annFixtureTopkOracle,
     // Pinned from the deterministic full-probe run (nprobe = c,
     // rerank >= corpus ⇒ exact brute-force L2 over the fixture; the
     // same mod-97 duplicates give each query 2-3 exact l2=0 matches,

@@ -229,6 +229,46 @@ class VectorIndexSpec extends SparkSuite {
     assert(r.count() === 50)
   }
 
+  test("cosine metric: full-probe topK equals brute-force cosine exactly on non-unit vectors") {
+    val path = freshPath("cosine")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 16, m = 8, ks = 64, spill = 2, metric = "cosine")
+    assert(VectorIndex.load(spark, path).metric === "cosine")
+    // corpus embeddings are NOT unit-norm, so this exercises the
+    // normalize-at-encode + normalize-at-probe path end to end; the
+    // exact rerank ranks by true cosine desc against the raw floats
+    val got = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 16, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
+  test("cosine metric: partial-probe recall@5 >= 0.85 vs cosine truth; append normalizes too") {
+    val path = freshPath("cosrecall")
+    val partA = corpus.filter($"vec_id" < 400)
+    val partB = corpus.filter($"vec_id" >= 400)
+    VectorIndex.build(partA, "vec_id", "embedding", path,
+      c = 16, m = 8, ks = 64, spill = 2, metric = "cosine")
+    VectorIndex.append(partB, "vec_id", "embedding", path)
+    val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 8, rerank = 200)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.85, s"cosine recall@5 $recall below 0.85")
+    // a query equal to an APPENDED vector scores cosine 1.0 at rank 1
+    val probe = partB.limit(1).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val probeId = probe.head().getLong(0)
+    val hit = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+      probe, "qid", "qvec", k = 1, nprobe = 8, rerank = 50).head()
+    assert(hit.getLong(1) === probeId && math.abs(hit.getDouble(2) - 1.0) < 1e-6)
+  }
+
   test("OCC stress: racing deleters + concurrent compaction loop lose no delete batch") {
     val path = freshPath("delstress")
     VectorIndex.build(corpus, "vec_id", "embedding", path,
