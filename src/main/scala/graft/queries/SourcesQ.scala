@@ -465,6 +465,25 @@ object SourcesQ extends graft.QueryArea {
     // query prunes files on BOTH dimensions before the scan (skip
     // counts asserted in LakeZorderSpec; this gate proves the
     // clustered write + skipping read returns exactly the right rows)
+    // Manifest-level NGRAM bloom file skipping (reference
+    // Ngram_Bloom_Filter_Index.md — LIKE '%s%' acceleration; also
+    // Bloomfilter_index.md's point-equality form, spec-covered): one
+    // 3-gram bloom per (file, column) in the Lake snapshot, probed at
+    // plan time with the SAME xxhash64 the build ran, so a substring
+    // scan reads only files whose bloom admits every gram. Pruning
+    // drops FILES, never rows — the predicate is re-applied, and
+    // BloomIndexSpec proves result equality with the unpruned filter.
+    "src_lake_ngram_like" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_ngram")
+      graft.sources.Formats.deleteDir(spark, table)
+      val docs = t(spark, dir, "documents").repartition(8, col("doc_id"))
+      graft.sources.Lake.write(docs, table, Nil)
+      graft.sources.BloomIndex.buildIndex(spark, table, ngramCols = Seq("text"))
+      graft.sources.BloomIndex
+        .readWhereContains(spark, table, "text", "table value")
+        .df.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "src_lake_zorder" -> ((spark, dir) => {
       val table = tmpDir(dir, "lake_z")
       graft.sources.Formats.deleteDir(spark, table)
@@ -732,6 +751,10 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_ngram_like" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE text LIKE '%table value%'
+        |ORDER BY doc_id""".stripMargin,
     "src_lake_zorder" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,

@@ -57,9 +57,19 @@ object Lake {
     * footer at commit time and served to the data-skipping pruner
     * without reopening files. Empty for columns whose type has no
     * supported stats (nested, decimal). */
+  /** `blooms`: optional per-file bloom filters for secondary-index
+    * file skipping (the reference's BITMAP/BLOOMFILTER/NGRAMBF index
+    * family applied at manifest granularity instead of per segment) —
+    * key = "`ng<N>:<col>`" (n-gram bloom, serves `LIKE '%s%'`) or
+    * "`val:<col>`" (whole-value bloom, serves point equality), value =
+    * base64 bit array. Built/backfilled by [[BloomIndex.buildIndex]];
+    * CoW rewrites DROP a rewritten file's blooms (conservative: a file
+    * without a bloom is always kept by the pruner) until the next
+    * backfill. */
   final case class LakeFile(path: String, sizeBytes: Long, modifiedMs: Long,
       rowCount: Long, partitionValues: Map[String, String],
-      stats: Map[String, (String, String)] = Map.empty)
+      stats: Map[String, (String, String)] = Map.empty,
+      blooms: Map[String, String] = Map.empty)
 
   final case class Snapshot(version: Int, createdAtMs: Long, schemaJson: String,
       partitionCols: Seq[String], files: Seq[LakeFile]) {
@@ -704,6 +714,11 @@ object Lake {
         }
         fm.put("stats", sm)
       }
+      if (lf.blooms.nonEmpty) {
+        val bm = new java.util.LinkedHashMap[String, Object]()
+        lf.blooms.foreach { case (k2, v2) => bm.put(k2, v2) }
+        fm.put("blooms", bm)
+      }
       fm
     }.asJava)
     m
@@ -745,8 +760,28 @@ object Lake {
             Option(fm.get("stats"))
               .map(_.asInstanceOf[java.util.Map[String, java.util.List[String]]]
                 .asScala.map { case (k, v) => k -> (v.get(0), v.get(1)) }.toMap)
+              .getOrElse(Map.empty),
+            Option(fm.get("blooms"))
+              .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
               .getOrElse(Map.empty))
         })
+  }
+
+  /** Commit a METADATA-ONLY amendment — the given snapshot's files
+    * (same data, e.g. with bloom-index entries attached) as the next
+    * version. OCC: amending a version that is no longer current fails
+    * loudly rather than silently dropping a concurrent commit's files;
+    * the exclusive manifest create guards the version race itself. */
+  private[sources] def commitAmended(spark: SparkSession, table: String,
+      amended: Snapshot): Int = {
+    val prev = currentVersion(spark, table)
+    require(prev == amended.version,
+      s"concurrent commit: amending v${amended.version} but $table is at v$prev")
+    val v = prev + 1
+    val snap = amended.copy(version = v, createdAtMs = System.currentTimeMillis())
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snap))
+    commitVersion(spark, table, v)
+    v
   }
 
   /** Snapshot read with time travel; returns the DataFrame plus the

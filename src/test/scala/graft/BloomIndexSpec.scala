@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BloomIndex, Lake}
+
+/** Manifest-level bloom file skipping (n-gram for LIKE '%s%', whole-
+  * value for equality): pruning must DROP files, never rows — every
+  * result is checked against the unpruned filter. */
+class BloomIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_bloom_$tag").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("ngram index prunes files on a rare substring and loses no rows") {
+    val dir = freshTable("ngram")
+    val docs = table("documents").repartition(8, $"doc_id")
+    Lake.write(docs, dir, Nil)
+    assert(BloomIndex.buildIndex(spark, dir, ngramCols = Seq("text")) === 8L)
+    // a needle that exists in few documents: pick the first doc's first
+    // 12 characters — present in >= 1 doc by construction
+    val needle = docs.select(substring($"text", 1, 12)).head().getString(0)
+    val pruned = BloomIndex.readWhereContains(spark, dir, "text", needle)
+    val want = Lake.read(spark, dir).filter($"text".contains(needle))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val got = pruned.df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture needle matched nothing — vacuous test")
+    assert(pruned.totalFiles === 8)
+    // an absent needle must prune EVERY file (no gram can be present)
+    val none = BloomIndex.readWhereContains(spark, dir, "text", "zq9xv7kq9zzz")
+    assert(none.keptFiles === 0 && none.df.isEmpty)
+  }
+
+  test("needle shorter than n cannot prune but stays correct") {
+    val dir = freshTable("short")
+    Lake.write(table("documents").repartition(4, $"doc_id"), dir, Nil)
+    BloomIndex.buildIndex(spark, dir, ngramCols = Seq("text"))
+    val r = BloomIndex.readWhereContains(spark, dir, "text", "ag")
+    assert(r.keptFiles === r.totalFiles)
+    val want = Lake.read(spark, dir).filter($"text".contains("ag")).count()
+    assert(r.df.count() === want && want > 0)
+  }
+
+  test("value bloom serves equality; CoW rewrite drops blooms conservatively; backfill re-indexes") {
+    val dir = freshTable("value")
+    Lake.write(table("documents").repartition(6, $"doc_id"), dir, Nil)
+    BloomIndex.buildIndex(spark, dir, valueCols = Seq("lang"))
+    val lang = table("documents").select($"lang").head().getString(0)
+    val hit = BloomIndex.readWhereEquals(spark, dir, "lang", lang)
+    val want = Lake.read(spark, dir).filter($"lang" === lang).count()
+    assert(hit.df.count() === want && want > 0)
+    // equality on an absent value prunes everything
+    val miss = BloomIndex.readWhereEquals(spark, dir, "lang", "xx-absent")
+    assert(miss.keptFiles === 0)
+    // CoW delete rewrites SOME files — their blooms are dropped, so
+    // they are kept at probe time (conservative), and results stay
+    // correct; the rest keep their blooms by reference
+    val someId = Lake.read(spark, dir).select($"doc_id").head().getLong(0)
+    Lake.delete(spark, dir, col("doc_id") === someId)
+    val snap = Lake.readSnapshot(spark, dir, Lake.currentVersion(spark, dir))
+    val without = snap.files.count(_.blooms.isEmpty)
+    assert(without >= 1, "CoW rewrite should produce at least one bloom-less file")
+    assert(snap.files.exists(_.blooms.nonEmpty), "untouched files must keep blooms")
+    val afterCow = BloomIndex.readWhereEquals(spark, dir, "lang", "xx-absent")
+    assert(afterCow.keptFiles === without,
+      "bloom-less files must survive every probe until backfilled")
+    // backfill touches ONLY the bloom-less files, then pruning is full again
+    assert(BloomIndex.buildIndex(spark, dir, valueCols = Seq("lang")) === without.toLong)
+    assert(BloomIndex.readWhereEquals(spark, dir, "lang", "xx-absent").keptFiles === 0)
+    val again = BloomIndex.readWhereEquals(spark, dir, "lang", lang)
+    assert(again.df.count() === Lake.read(spark, dir).filter($"lang" === lang).count())
+  }
+
+  test("buildIndex is idempotent and rejects partition/non-string columns") {
+    val dir = freshTable("guards")
+    Lake.write(table("documents").withColumn("bucket", pmod($"doc_id", lit(2)).cast("string"))
+      .repartition(4, $"doc_id"), dir, Seq("bucket"))
+    BloomIndex.buildIndex(spark, dir, ngramCols = Seq("text"))
+    assert(BloomIndex.buildIndex(spark, dir, ngramCols = Seq("text")) === 0L)
+    intercept[IllegalArgumentException] {
+      BloomIndex.buildIndex(spark, dir, ngramCols = Seq("bucket"))
+    }
+    intercept[IllegalArgumentException] {
+      BloomIndex.buildIndex(spark, dir, valueCols = Seq("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      BloomIndex.buildIndex(spark, dir)
+    }
+  }
+}
