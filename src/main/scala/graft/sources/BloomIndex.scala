@@ -81,6 +81,28 @@ object BloomIndex {
 
   private def ngramKey(col: String, n: Int) = s"ng$n:$col"
   private def valueKey(col: String) = s"val:$col"
+  private val NgKey = "^ng(\\d+):(.*)$".r
+
+  /** Probe helpers for [[Lake.LakeFileIndex]]'s automatic pruner —
+    * `Lake.read(...).filter($"text".contains("x"))` consults these for
+    * every pushed Contains/StartsWith/EndsWith/string-equality filter,
+    * so bloom skipping needs no dedicated read API. A file without the
+    * relevant bloom, or a needle shorter than the gram size, keeps the
+    * file (conservative). */
+  private[sources] def mayContainSubstring(blooms: Map[String, String],
+      c: String, needle: String): Boolean =
+    blooms.collectFirst {
+      case (NgKey(nStr, col), b64) if col == c =>
+        val hs = grams(needle, nStr.toInt).map(hash)
+        hs.isEmpty || {
+          val b = Bloom.fromBase64(b64); hs.forall(b.mightContain)
+        }
+    }.getOrElse(true)
+
+  private[sources] def mayContainValue(blooms: Map[String, String],
+      c: String, value: String): Boolean =
+    blooms.get(valueKey(c))
+      .forall(b64 => Bloom.fromBase64(b64).mightContain(hash(value)))
 
   /** Build (or BACKFILL) per-file blooms for `ngramCols` (3-gram by
     * default — serves substring predicates) and/or `valueCols` (whole
@@ -167,21 +189,16 @@ object BloomIndex {
 
   /** `col LIKE '%needle%'` through the n-gram blooms: a file survives
     * only if every n-gram of the needle might be present (or the file
-    * has no bloom). Needles shorter than n cannot prune. */
+    * has no bloom). Needles shorter than n cannot prune. Pruning is
+    * manifest-side (the same [[mayContainSubstring]] the automatic
+    * FileIndex path consults), exposed here with the file counts so
+    * callers and tests can assert the skip. */
   def readWhereContains(spark: SparkSession, table: String,
-      c: String, needle: String, n: Int = 3): PrunedRead = {
+      c: String, needle: String): PrunedRead = {
     val snap = Lake.readSnapshot(spark, table,
       Lake.currentVersion(spark, table))
-    val key = ngramKey(c, n)
-    val needHashes = grams(needle, n).map(hash)
-    val kept = snap.files.filter { lf =>
-      lf.blooms.get(key) match {
-        case Some(b64) if needHashes.nonEmpty =>
-          val b = Bloom.fromBase64(b64)
-          needHashes.forall(b.mightContain)
-        case _ => true
-      }
-    }
+    val kept = snap.files.filter(lf =>
+      mayContainSubstring(lf.blooms, c, needle))
     val (df, _) = Lake.indexedDataFrame(spark, table, snap.copy(files = kept))
     PrunedRead(df.filter(col(c).contains(needle)), kept.size, snap.files.size)
   }
@@ -191,13 +208,7 @@ object BloomIndex {
       c: String, value: String): PrunedRead = {
     val snap = Lake.readSnapshot(spark, table,
       Lake.currentVersion(spark, table))
-    val h = hash(value)
-    val kept = snap.files.filter { lf =>
-      lf.blooms.get(valueKey(c)) match {
-        case Some(b64) => Bloom.fromBase64(b64).mightContain(h)
-        case None => true
-      }
-    }
+    val kept = snap.files.filter(lf => mayContainValue(lf.blooms, c, value))
     val (df, _) = Lake.indexedDataFrame(spark, table, snap.copy(files = kept))
     PrunedRead(df.filter(col(c) === value), kept.size, snap.files.size)
   }

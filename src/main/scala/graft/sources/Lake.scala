@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Contains, EndsWith, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
@@ -928,8 +928,25 @@ object Lake {
 
     private def mayMatch(lf: LakeFile, e: Expression): Boolean = e match {
       case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
-        litKey(dt, v).forall(k => bounds(lf, a).forall { case (mn, mx) =>
+        val inBounds = litKey(dt, v).forall(k => bounds(lf, a).forall { case (mn, mx) =>
           cmp(mn, k) <= 0 && cmp(k, mx) <= 0 })
+        // string equality also consults the file's value bloom and —
+        // since equality implies containment — its n-gram bloom
+        val bloomOk = dt match {
+          case StringType =>
+            BloomIndex.mayContainValue(lf.blooms, a.name, v.toString) &&
+            BloomIndex.mayContainSubstring(lf.blooms, a.name, v.toString)
+          case _ => true
+        }
+        inBounds && bloomOk
+      // substring-shaped predicates prune through the n-gram blooms
+      // (BloomIndex.buildIndex) — a prefix/suffix is also a substring
+      case Contains(a: AttributeReference, Literal(v, StringType)) if v != null =>
+        BloomIndex.mayContainSubstring(lf.blooms, a.name, v.toString)
+      case StartsWith(a: AttributeReference, Literal(v, StringType)) if v != null =>
+        BloomIndex.mayContainSubstring(lf.blooms, a.name, v.toString)
+      case EndsWith(a: AttributeReference, Literal(v, StringType)) if v != null =>
+        BloomIndex.mayContainSubstring(lf.blooms, a.name, v.toString)
       case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
         mayMatch(lf, EqualTo(a, Literal(v, dt)))
       case LessThan(a: AttributeReference, Literal(v, dt)) if v != null =>

@@ -75,6 +75,37 @@ class BloomIndexSpec extends SparkSuite {
     assert(again.df.count() === Lake.read(spark, dir).filter($"lang" === lang).count())
   }
 
+  test("automatic pruning: pushed contains()/equality filters consult blooms via the FileIndex") {
+    val dir = freshTable("auto")
+    Lake.write(table("documents").repartition(8, $"doc_id"), dir, Nil)
+    BloomIndex.buildIndex(spark, dir,
+      ngramCols = Seq("text"), valueCols = Seq("lang"))
+    // absent substring through the PLAIN read path: every file is
+    // bloom-skipped at plan time — no dedicated API involved
+    val (df, idx) = Lake.readIndexed(spark, dir)
+    assert(df.filter($"text".contains("zq9xv7kq9zzz")).count() === 0)
+    assert(idx.lastStatsSkippedFileCount === 8,
+      s"expected all 8 files bloom-skipped, got ${idx.lastStatsSkippedFileCount}")
+    // absent VALUE equality chosen INSIDE the min/max range so the
+    // min/max stats CANNOT prune — only the value bloom can
+    val minLang = Lake.read(spark, dir).agg(min($"lang")).head().getString(0)
+    val fake = minLang + "~absent"
+    val (df2, idx2) = Lake.readIndexed(spark, dir)
+    assert(df2.filter($"lang" === fake).count() === 0)
+    assert(idx2.lastStatsSkippedFileCount === 8,
+      s"value bloom should skip all 8 files for an in-range absent value")
+    // a PRESENT needle loses no rows through the automatic path
+    val needle = table("documents").select(substring($"text", 1, 12)).head().getString(0)
+    val (df3, _) = Lake.readIndexed(spark, dir)
+    val got = df3.filter($"text".contains(needle)).count()
+    val want = table("documents").filter($"text".contains(needle)).count()
+    assert(got === want && want > 0)
+    // startsWith is a substring too — prunes on an absent prefix
+    val (df4, idx4) = Lake.readIndexed(spark, dir)
+    assert(df4.filter($"text".startsWith("zq9xv7kq9zzz")).count() === 0)
+    assert(idx4.lastStatsSkippedFileCount === 8)
+  }
+
   test("buildIndex is idempotent and rejects partition/non-string columns") {
     val dir = freshTable("guards")
     Lake.write(table("documents").withColumn("bucket", pmod($"doc_id", lit(2)).cast("string"))
