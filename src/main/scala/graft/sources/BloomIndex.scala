@@ -150,23 +150,34 @@ object BloomIndex {
             s"cast(pmod(xxhash64(__g) + i * (shiftrightunsigned(xxhash64(__g), 33) * 2 + 1), ${m}L) as int))"))
             .as("__p"))
     }
-    val all = (ngramCols.map(c => posFor(c, ngramKey(c, n))) ++
+    // pack bits EXECUTOR-side: the driver receives one (file, key,
+    // base64) row per bloom — KBs each, manifest-scale in count — not
+    // the raw positions (128 KB per bloom at the default m). Inline
+    // manifest blooms are the right trade to ~10k files per table;
+    // past that a table format shards index blobs into sidecars
+    // (Iceberg puffin) — out of scope here and noted in COVERAGE.
+    import spark.implicits._
+    val packed = (ngramCols.map(c => posFor(c, ngramKey(c, n))) ++
         valueCols.map(c => posFor(c, valueKey(c))))
       .reduce(_ union _)
       .distinct()
+      .groupBy(col("__f"), col("__k"))
+      .agg(collect_set(col("__p")).as("__ps"))
+      .as[(String, String, Array[Int])]
+      .map { case (f, key, ps) =>
+        val b = Bloom.empty(bitsLog2, k)
+        ps.foreach(b.setBit)
+        (f, key, b.toBase64)
+      }
       .collect()
     // normalize path comparison: input_file_name returns a URI
     // (file:///…, possibly percent-encoded); manifest paths are
     // Hadoop Path strings (file:/…) — compare decoded URI paths
     def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val byFile = all.groupBy(r => norm(r.getString(0)))
-    val bloomed: Map[String, Map[String, String]] = byFile.map { case (f, rows) =>
-      f -> rows.groupBy(_.getString(1)).map { case (key, ps) =>
-        val b = Bloom.empty(bitsLog2, k)
-        ps.foreach(r => b.setBit(r.getInt(2)))
-        key -> b.toBase64
+    val bloomed: Map[String, Map[String, String]] =
+      packed.groupBy(t => norm(t._1)).map { case (f, rows) =>
+        f -> rows.map(t => t._2 -> t._3).toMap
       }
-    }
     val updated = snap.files.map { lf =>
       bloomed.get(norm(lf.path)) match {
         case Some(bm) => lf.copy(blooms = lf.blooms ++ bm)
