@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Engine, Session}
@@ -53,39 +53,48 @@ object MakeScale {
     lazy val maxDoc = off(rd("documents"), "doc_id")
     lazy val maxVec = off(rd("embeddings"), "vec_id")
 
-    /** Union `replicas` copies with the given per-replica transform. */
-    def grow(name: String)(tx: (DataFrame, Int) => DataFrame): Unit =
+    /** One plan per table: base × broadcast replica ids, transform
+      * parameterized by the `__r` COLUMN. The naive alternative — a
+      * `replicas`-arm union with per-replica literal plans — is
+      * O(replicas) in plan size and grinds Catalyst to a halt by
+      * ~10000 arms (and would do the same on a real cluster); the
+      * cross join is one constant-size plan whose row generation is
+      * scan-side and parallel (the base is repartitioned so each task
+      * emits its slice of every replica). */
+    def grow(name: String)(tx: (DataFrame, Column) => DataFrame): Unit =
       if (wanted(name)) {
-        val base = rd(name)
-        val out = (0 until replicas).map(i => tx(base, i)).reduce(_ unionByName _)
+        val reps = spark.range(replicas).select(col("id").cast("int").as("__r"))
+        val base = rd(name).repartition(32)
+        val out = tx(base.crossJoin(broadcast(reps)), col("__r")).drop("__r")
         out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
         println(s"[makescale] $name x$replicas -> $dst")
       }
-    def shift(c: String, step: Long, i: Int) = col(c) + lit(step * i)
+    def shift(c: String, step: Long, r: Column) = col(c) + lit(step) * r
 
-    grow("lineitem") { (d, i) => d
-      .withColumn("l_orderkey", shift("l_orderkey", maxOrd, i))
-      .withColumn("l_partkey", shift("l_partkey", maxPart, i))
-      .withColumn("l_suppkey", shift("l_suppkey", maxSupp, i)) }
-    grow("orders") { (d, i) => d
-      .withColumn("o_orderkey", shift("o_orderkey", maxOrd, i))
-      .withColumn("o_custkey", shift("o_custkey", maxCust, i)) }
-    grow("customer") { (d, i) => d
-      .withColumn("c_custkey", shift("c_custkey", maxCust, i)) }
-    grow("part") { (d, i) => d
-      .withColumn("p_partkey", shift("p_partkey", maxPart, i)) }
-    grow("supplier") { (d, i) => d
-      .withColumn("s_suppkey", shift("s_suppkey", maxSupp, i)) }
-    grow("events") { (d, i) => d
-      .withColumn("event_id", shift("event_id", maxEvent, i))
-      .withColumn("user_id", shift("user_id", maxUser, i)) }
-    grow("documents") { (d, i) => d
-      .withColumn("doc_id", shift("doc_id", maxDoc, i))
+    grow("lineitem") { (d, r) => d
+      .withColumn("l_orderkey", shift("l_orderkey", maxOrd, r))
+      .withColumn("l_partkey", shift("l_partkey", maxPart, r))
+      .withColumn("l_suppkey", shift("l_suppkey", maxSupp, r)) }
+    grow("orders") { (d, r) => d
+      .withColumn("o_orderkey", shift("o_orderkey", maxOrd, r))
+      .withColumn("o_custkey", shift("o_custkey", maxCust, r)) }
+    grow("customer") { (d, r) => d
+      .withColumn("c_custkey", shift("c_custkey", maxCust, r)) }
+    grow("part") { (d, r) => d
+      .withColumn("p_partkey", shift("p_partkey", maxPart, r)) }
+    grow("supplier") { (d, r) => d
+      .withColumn("s_suppkey", shift("s_suppkey", maxSupp, r)) }
+    grow("events") { (d, r) => d
+      .withColumn("event_id", shift("event_id", maxEvent, r))
+      .withColumn("user_id", shift("user_id", maxUser, r)) }
+    grow("documents") { (d, r) => d
+      .withColumn("doc_id", shift("doc_id", maxDoc, r))
       .withColumn("text",
-        if (i == 0) col("text") else concat(col("text"), lit(s" zrep$i")))
+        when(r === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zrep"), r.cast("string"))))
       .withColumn("n_chars", length(col("text"))) }
-    grow("embeddings") { (d, i) => d
-      .withColumn("vec_id", shift("vec_id", maxVec, i))
+    grow("embeddings") { (d, r) => d
+      .withColumn("vec_id", shift("vec_id", maxVec, r))
       // per-replica jitter (see scaladoc): deterministic in (replica,
       // position), amplitude ~±0.04 on the unit-ish component scale.
       // Modulus 251 (prime, > any realistic replica count) keeps the
@@ -93,9 +102,9 @@ object MakeScale {
       // make replicas i and i+period byte-identical, reintroducing the
       // exact-duplicate degeneracy this jitter exists to prevent.
       .withColumn("embedding",
-        if (i == 0) col("embedding")
-        else expr(s"transform(embedding, (x, j) -> " +
-          s"cast(x + 0.0003 * (pmod($i * 53 + j * 17, 251) - 125) as float))")) }
+        when(r === 0, col("embedding")).otherwise(
+          expr("transform(embedding, (x, j) -> " +
+            "cast(x + 0.0003 * (pmod(__r * 53 + j * 17, 251) - 125) as float))"))) }
     // fixed dimensions: copy as-is (nation/region don't scale with SF)
     Seq("nation", "region").filter(wanted).foreach { n =>
       rd(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
