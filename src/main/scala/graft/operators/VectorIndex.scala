@@ -122,16 +122,25 @@ object VectorIndex {
       path: String): Long = {
     val spark = newRows.sparkSession
     val model = load(spark, path)
+    // the tombstone version observed BEFORE this append's codes
+    // commit: only tombstones at or below it are provably OLDER than
+    // the append and eligible for revival — a delete landing anywhere
+    // after carries a higher seq and survives the `seq <= tv` guard
+    // (the newest operation on a key wins, never silently loses)
+    val t = tombTable(path)
+    val tv = if (fs(spark, t).exists(new Path(t)))
+      Lake.currentVersion(spark, t) else 0
     val n = writeCodes(newRows, idCol, vecCol, model, path, mode = "append")
-    tombstones(spark, path).foreach { ts =>
+    if (tv > 0) {
       // ids present in BOTH the tombstone set and this append batch —
       // the semi-join is distributed; the collected intersection is
       // bounded by the tombstone count (itself capped at compaction)
-      val revived = ts
+      val revived = Lake.read(spark, t, Some(tv)).select(col("id"))
         .join(newRows.select(col(idCol).as("id")), Seq("id"), "left_semi")
         .distinct().collect().map(_.get(0)).toSeq
       if (revived.nonEmpty)
-        Lake.delete(spark, tombTable(path), col("id").isin(revived: _*))
+        Lake.delete(spark, t,
+          col("id").isin(revived: _*) && col("seq") <= lit(tv))
     }
     n
   }
@@ -157,7 +166,15 @@ object VectorIndex {
   def delete(ids: DataFrame, idCol: String, path: String): Long = {
     val spark = ids.sparkSession
     require(fs(spark, path).exists(modelPath(path)), s"no index at $path")
+    // each row carries the tombstone-table version this write targets:
+    // revival/compaction clears are then guarded `seq <= observed
+    // version`, so a DELETE committed after an append/compact read its
+    // snapshot can never be erased by that clear (lost delete). The
+    // stamp is prev+1 read just before the commit — an OCC loser's
+    // retry recomputes it.
+    val seq = Lake.currentVersion(spark, tombTable(path)) + 1
     val batch = ids.select(col(idCol).as("id")).distinct()
+      .withColumn("seq", lit(seq))
     val v = Lake.write(batch, tombTable(path), Seq.empty, mode = "append")
     val prevFiles: Set[String] =
       if (v > 1) Lake.readSnapshot(spark, tombTable(path), v - 1).files.map(_.path).toSet
@@ -201,14 +218,21 @@ object VectorIndex {
   def compactDeletes(spark: SparkSession, path: String): Long =
     tombstones(spark, path) match {
       case None => 0L
-      case Some(ts) =>
-        val ids = ts.distinct().collect().map(_.get(0)).toSeq
+      case Some(_) =>
+        // pin the fold to the version the ids were COLLECTED from:
+        // the clear's `seq <= tv` guard leaves any tombstone that
+        // commits mid-fold for the next compaction instead of erasing
+        // a delete the codes rewrite never saw
+        val tv = Lake.currentVersion(spark, tombTable(path))
+        val ids = Lake.read(spark, tombTable(path), Some(tv))
+          .select(col("id")).distinct().collect().map(_.get(0)).toSeq
         if (ids.isEmpty) 0L
         else {
           require(ids.length <= (1 << 20),
             s"${ids.length} tombstoned ids exceed the driver-side compaction cap — rebuild the index")
           Lake.delete(spark, codesTable(path), col("id").isin(ids: _*))
-          Lake.delete(spark, tombTable(path), col("id").isin(ids: _*))
+          Lake.delete(spark, tombTable(path),
+            col("id").isin(ids: _*) && col("seq") <= lit(tv))
           ids.length.toLong
         }
     }
@@ -315,7 +339,8 @@ object VectorIndex {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int = 8, rerank: Int = 200): DataFrame = {
-    val shortPlan = shortlistPlan(spark, path, corpusId,
+    val model = load(spark, path)
+    val shortPlan = shortlistPlanOf(spark, model, path, corpusId,
       queries, queryId, queryVec, nprobe, rerank)
     // The shortlist is BOUNDED at rerank rows per query, so collect it
     // once (driver-small by construction, like the probed-cell set) and
@@ -344,17 +369,20 @@ object VectorIndex {
     // exact rerank in the INDEX's metric, against the original corpus
     // floats (cosine is scale-invariant, so no re-normalization here):
     // l2 ascending / cosine descending, ties by id — column named for
-    // the metric, matching the ad-hoc Similarity operators' shapes
-    val metric = load(spark, path).metric
+    // the metric, matching the ad-hoc Similarity operators' shapes.
+    // The cosine DESC order must pin NaN (a zero vector's 0/0) LAST:
+    // Spark sorts NaN above every real double, so a bare desc would
+    // hand the dead vector rank 1 of every query — nanvl maps it
+    // below the cosine floor for ORDERING while the output keeps NaN.
     val joined = broadcast(shortlist)
       .join(corpusSide, Seq(corpusId))
       .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
     val (scoreName, exact, ord) =
-      if (metric == "cosine")
+      if (model.metric == "cosine")
         ("cos", joined.select(col(queryId), col(corpusId),
           graft.functions.VectorFunctions.cosine_similarity(
             col(corpusVec), col(queryVec)).as("cos")),
-          Seq(col("cos").desc, col(corpusId)))
+          Seq(nanvl(col("cos"), lit(-2d)).desc, col(corpusId)))
       else
         ("l2", joined.select(col(queryId), col(corpusId),
           l2_distance(col(corpusVec), col(queryVec)).as("l2")),
@@ -374,8 +402,18 @@ object VectorIndex {
     * rerank tail. */
   def shortlistPlan(spark: SparkSession, path: String, corpusId: String,
       queries: DataFrame, queryId: String, queryVec: String,
+      nprobe: Int, rerank: Int): DataFrame =
+    shortlistPlanOf(spark, load(spark, path), path, corpusId,
+      queries, queryId, queryVec, nprobe, rerank)
+
+  /** [[shortlistPlan]] with the model already in hand — topK loads the
+    * model exactly once per call (the JSON carries every centroid and
+    * codebook double; re-parsing it just to read one field is a
+    * pointless second FS round-trip on the query path). */
+  private def shortlistPlanOf(spark: SparkSession, model: Model,
+      path: String, corpusId: String,
+      queries: DataFrame, queryId: String, queryVec: String,
       nprobe: Int, rerank: Int): DataFrame = {
-    val model = load(spark, path)
     val m = model.m; val dsub = model.dsub
     // query side: probed cells + ADC lookup table (broadcast KBs);
     // cosine probes in the same unit-normed space the codes live in

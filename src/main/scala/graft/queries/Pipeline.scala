@@ -65,12 +65,13 @@ object Pipeline extends graft.QueryArea {
   private val annDim = 12
   private def annVec(i: Int): Array[Float] =
     Array.tabulate(annDim)(j => ((i * 31 + j * 17) % 97) / 97.0f - 0.5f)
-  /** The sim_ivf_persisted gate's standing-index path — shared with
-    * DumpPlans (which dumps the gate's phase-1 shortlist plan against
-    * the index the gate built), so the two can't drift apart. */
-  private[graft] def vixGatePath(dir: String): String =
+  /** The persisted-index gates' tmp paths, one per tag — shared with
+    * DumpPlans (which dumps the persisted gate's phase-1 shortlist
+    * plan against the index that gate built), so path construction
+    * lives in exactly one place and cannot drift. */
+  private[graft] def vixGatePath(dir: String, tag: String = "gate"): String =
     System.getProperty("java.io.tmpdir") +
-      s"/graft_vix_gate_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      s"/graft_vix_${tag}_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
 
   private[graft] def annFixtureCorpus(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -393,8 +394,7 @@ object Pipeline extends graft.QueryArea {
     // floats. Full probe + full rerank ⇒ exactly brute-force cosine
     // top-5 — the SAME pinned oracle as the ad-hoc LSH/IVF gates.
     "sim_ivf_cosine" -> ((spark, dir) => {
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_vix_cosgate_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val path = vixGatePath(dir, "cosgate")
       val f = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       f.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -417,8 +417,7 @@ object Pipeline extends graft.QueryArea {
     // delete — masking happens in the shortlist anti-join.
     "sim_ivf_delete" -> ((spark, dir) => {
       import spark.implicits._
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_vix_delgate_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val path = vixGatePath(dir, "delgate")
       val f = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       f.delete(new org.apache.hadoop.fs.Path(path), true)

@@ -83,6 +83,26 @@ object BloomIndex {
   private def valueKey(col: String) = s"val:$col"
   private val NgKey = "^ng(\\d+):(.*)$".r
 
+  // The pruner calls the probe helpers once per FILE per predicate —
+  // 10k-file table => 10k calls with the same needle and a few
+  // thousand distinct base64 strings. Bounded memo maps keep the gram
+  // hashing O(1 per needle) and the base64 decode O(1 per distinct
+  // bloom); cleared wholesale at the cap (planner-driven working sets
+  // are small — the cap only guards pathological churn).
+  private val gramHashCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Long]]()
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Bloom]()
+  private def gramHashes(needle: String, n: Int): Seq[Long] = {
+    if (gramHashCache.size > 4096) gramHashCache.clear()
+    gramHashCache.computeIfAbsent((needle, n),
+      _ => grams(needle, n).map(hash))
+  }
+  private def decoded(b64: String): Bloom = {
+    if (bloomCache.size > 4096) bloomCache.clear()
+    bloomCache.computeIfAbsent(b64, Bloom.fromBase64)
+  }
+
   /** Probe helpers for [[Lake.LakeFileIndex]]'s automatic pruner —
     * `Lake.read(...).filter($"text".contains("x"))` consults these for
     * every pushed Contains/StartsWith/EndsWith/string-equality filter,
@@ -93,16 +113,14 @@ object BloomIndex {
       c: String, needle: String): Boolean =
     blooms.collectFirst {
       case (NgKey(nStr, col), b64) if col == c =>
-        val hs = grams(needle, nStr.toInt).map(hash)
-        hs.isEmpty || {
-          val b = Bloom.fromBase64(b64); hs.forall(b.mightContain)
-        }
+        val hs = gramHashes(needle, nStr.toInt)
+        hs.isEmpty || { val b = decoded(b64); hs.forall(b.mightContain) }
     }.getOrElse(true)
 
   private[sources] def mayContainValue(blooms: Map[String, String],
       c: String, value: String): Boolean =
     blooms.get(valueKey(c))
-      .forall(b64 => Bloom.fromBase64(b64).mightContain(hash(value)))
+      .forall(b64 => decoded(b64).mightContain(hash(value)))
 
   /** Build (or BACKFILL) per-file blooms for `ngramCols` (3-gram by
     * default — serves substring predicates) and/or `valueCols` (whole
@@ -140,11 +158,18 @@ object BloomIndex {
       .parquet(todo.map(_.path): _*)
       .withColumn("__f", input_file_name())
     val posFor: (String, String) => DataFrame = (c, key) => {
-      val gramsCol =
-        if (key.startsWith("val:")) array(col(c))
-        else expr(s"transform(sequence(1, greatest(length($c) - ${n - 1}, 0)), " +
-          s"i -> substring($c, i, $n))")
-      raw.select(col("__f"), explode(gramsCol).as("__g"))
+      // rows that can't contribute are FILTERED, not sequenced to an
+      // empty range: sequence(1, 0) defaults to step -1 and yields
+      // [1, 0] — two junk grams per short row and a build/probe gram
+      // definition mismatch (driver grams() emits nothing for them)
+      val (src, gramsCol) =
+        if (key.startsWith("val:"))
+          (raw.filter(col(c).isNotNull), array(col(c)))
+        else
+          (raw.filter(length(col(c)) >= n),
+            expr(s"transform(sequence(1, length($c) - ${n - 1}), " +
+              s"i -> substring($c, i, $n))"))
+      src.select(col("__f"), explode(gramsCol).as("__g"))
         .select(col("__f"), lit(key).as("__k"),
           explode(expr(s"transform(sequence(0, ${k - 1}), i -> " +
             s"cast(pmod(xxhash64(__g) + i * (shiftrightunsigned(xxhash64(__g), 33) * 2 + 1), ${m}L) as int))"))
@@ -171,22 +196,27 @@ object BloomIndex {
       }
       .collect()
     // normalize path comparison: input_file_name returns a URI
-    // (file:///…, possibly percent-encoded); manifest paths are
-    // Hadoop Path strings (file:/…) — compare decoded URI paths
-    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    // (file:///…, PERCENT-ENCODED); manifest paths are raw FileStatus
+    // strings (file:/…). Decode ONLY the input_file_name side — the
+    // same idiom as Lake's CoW touched-file discovery; decoding both
+    // would corrupt manifest paths legitimately containing '%'.
     val bloomed: Map[String, Map[String, String]] =
-      packed.groupBy(t => norm(t._1)).map { case (f, rows) =>
-        f -> rows.map(t => t._2 -> t._3).toMap
-      }
+      packed.groupBy(t => java.net.URLDecoder.decode(
+          new org.apache.hadoop.fs.Path(t._1).toUri.getPath, "UTF-8"))
+        .map { case (f, rows) => f -> rows.map(t => t._2 -> t._3).toMap }
+    val todoPaths = todo.map(_.path).toSet
     val updated = snap.files.map { lf =>
-      bloomed.get(norm(lf.path)) match {
-        case Some(bm) => lf.copy(blooms = lf.blooms ++ bm)
-        case None if todo.exists(_.path == lf.path) =>
-          // an indexed file yielding ZERO positions (all rows null or
-          // shorter than n): an empty bloom — prunes every probe
-          lf.copy(blooms = lf.blooms ++
-            wanted.map(_ -> Bloom.empty(bitsLog2, k).toBase64).toMap)
-        case None => lf
+      if (!todoPaths(lf.path)) lf
+      else {
+        val built = bloomed.getOrElse(
+          new org.apache.hadoop.fs.Path(lf.path).toUri.getPath, Map.empty)
+        // every WANTED key gets an entry, per key: the built bloom, or
+        // an EMPTY one when the column yielded zero positions in this
+        // file (all rows null / shorter than n — prunes every probe).
+        // A partial attach would re-select the file on every future
+        // buildIndex call and never install the empty bloom.
+        lf.copy(blooms = lf.blooms ++ wanted.map(w =>
+          w -> built.getOrElse(w, Bloom.empty(bitsLog2, k).toBase64)).toMap)
       }
     }
     Lake.commitAmended(spark, table, snap.copy(files = updated))

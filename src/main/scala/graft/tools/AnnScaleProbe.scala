@@ -76,7 +76,10 @@ object AnnScaleProbe {
       // delete set. Restored afterwards by dropping the tombstones
       // table wholesale (a separate Lake table under the index path),
       // so the shared standing index is byte-identical for later runs.
-      val batch = math.max(1000L, n / 100).min(n).toInt
+      // The batch is CAPPED at 10% of the corpus: a fixed floor on a
+      // tiny dir would tombstone most of the index and time a near-
+      // empty query instead of the masking overhead.
+      val batch = math.max(1L, n / 100).min(n / 10).max(1L).toInt
       VectorIndex.delete(corpus.select(col("vec_id")).limit(batch),
         "vec_id", path)
       val masked = time(VectorIndex.topK(spark, path,

@@ -47,10 +47,20 @@ object BloomScaleProbe {
       val docs = graft.queries.util.t(spark, dir, "documents")
       val n = docs.count()
       val files = math.max(8, (n / 4000).toInt)
+      // table path carries a SOURCE CONTENT tag (same scheme as
+      // VectorIndex.ensureBuilt): regenerating the source dir in
+      // place changes the key and forces a rebuild — stale tables
+      // and blooms are never silently reused against new documents
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val f = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tag =
+        if (!f.exists(srcPath)) "nosrc"
+        else Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+          f.listStatus(srcPath)
+            .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+            .sorted.mkString("|")))
       val table = System.getProperty("java.io.tmpdir") +
-        s"/graft_bloomscale_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val f = new org.apache.hadoop.fs.Path(table)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        s"/graft_bloomscale_${dir.replaceAll("[^0-9a-zA-Z]", "_")}_$tag"
       if (!f.exists(new org.apache.hadoop.fs.Path(table)) ||
           Lake.currentVersion(spark, table) == 0) {
         f.delete(new org.apache.hadoop.fs.Path(table), true)

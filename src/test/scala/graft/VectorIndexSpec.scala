@@ -229,6 +229,26 @@ class VectorIndexSpec extends SparkSuite {
     assert(r.count() === 50)
   }
 
+  test("version order: delete -> append revives -> delete again kills (newest op wins)") {
+    val path = freshPath("versionorder")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 8, m = 8, ks = 16, spill = 2)
+    val x = corpus.select($"vec_id").orderBy($"vec_id").head().getLong(0)
+    val xDf = corpus.filter($"vec_id" === x)
+    val probe = xDf.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def topId() = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+      probe, "qid", "qvec", k = 1, nprobe = 8, rerank = 50).head().getLong(1)
+    VectorIndex.delete(xDf.select($"vec_id"), "vec_id", path)
+    assert(topId() !== x)
+    VectorIndex.append(xDf, "vec_id", "embedding", path) // revives
+    assert(topId() === x)
+    VectorIndex.delete(xDf.select($"vec_id"), "vec_id", path) // newer delete wins
+    assert(topId() !== x)
+    // and a later append revives again — the cycle is stable
+    VectorIndex.append(xDf, "vec_id", "embedding", path)
+    assert(topId() === x)
+  }
+
   test("cosine metric: full-probe topK equals brute-force cosine exactly on non-unit vectors") {
     val path = freshPath("cosine")
     VectorIndex.build(corpus, "vec_id", "embedding", path,
