@@ -106,6 +106,34 @@ class BloomIndexSpec extends SparkSuite {
     assert(idx4.lastStatsSkippedFileCount === 8)
   }
 
+  test("randomized (seeded): needles drawn from the data are never lost end to end") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 2).foreach { round =>
+      val docs = Seq.tabulate(300) { i =>
+        val words = Seq.fill(rnd.nextInt(12) + 1)(
+          Seq.fill(rnd.nextInt(8) + 1)(('a' + rnd.nextInt(26)).toChar).mkString)
+        (i.toLong, words.mkString(" "))
+      }
+      val dir = freshTable(s"prop$round")
+      Lake.write(docs.toDF("doc_id", "text").repartition(5, $"doc_id"), dir, Nil)
+      BloomIndex.buildIndex(spark, dir, ngramCols = Seq("text"))
+      (0 until 8).foreach { _ =>
+        val t = docs(rnd.nextInt(docs.size))._2
+        if (t.length >= 3) {
+          val start = rnd.nextInt(t.length - 2)
+          val len = math.min(t.length - start, rnd.nextInt(10) + 3)
+          val needle = t.substring(start, start + len)
+          val got = BloomIndex.readWhereContains(spark, dir, "text", needle)
+            .df.select($"doc_id").collect().map(_.getLong(0)).toSet
+          val want = Lake.read(spark, dir).filter($"text".contains(needle))
+            .select($"doc_id").collect().map(_.getLong(0)).toSet
+          assert(got === want, s"needle '$needle' lost rows through the bloom path")
+          assert(want.nonEmpty, s"needle '$needle' drawn from the data matched nothing")
+        }
+      }
+    }
+  }
+
   test("buildIndex is idempotent and rejects partition/non-string columns") {
     val dir = freshTable("guards")
     Lake.write(table("documents").withColumn("bucket", pmod($"doc_id", lit(2)).cast("string"))
