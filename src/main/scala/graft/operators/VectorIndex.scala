@@ -439,10 +439,18 @@ object VectorIndex {
       .filter(col("cell").isin(probedCells: _*))
     // deleted ids are masked HERE, before the shortlist window, so a
     // dead id neither surfaces in results nor crowds a live candidate
-    // out of its rerank slot; the tombstone set is delete-batch-sized
-    // (broadcast), folded away by compactDeletes
+    // out of its rerank slot. Bounded tombstone sets (the common case
+    // between compactions) become a NOT-IN InSet pushed into the codes
+    // scan — a per-row hash probe, no join operator, no broadcast, and
+    // measurably steadier than the anti-join at 10^5 dead ids; only an
+    // over-cap set falls back to the broadcast anti-join.
     val codes = tombstones(spark, path) match {
-      case Some(ts) => codesAll.join(broadcast(ts), Seq("id"), "left_anti")
+      case Some(ts) =>
+        val sample = ts.distinct().limit(100001).collect()
+        if (sample.isEmpty) codesAll
+        else if (sample.length <= 100000)
+          codesAll.filter(!col("id").isin(sample.map(_.get(0)).toSeq: _*))
+        else codesAll.join(broadcast(ts), Seq("id"), "left_anti")
       case None => codesAll
     }
     val scored0 = codes.join(broadcast(qlut), Seq("cell"))
