@@ -106,6 +106,57 @@ class BloomIndexSpec extends SparkSuite {
     assert(idx4.lastStatsSkippedFileCount === 8)
   }
 
+  test("OCC: buildIndex racing concurrent appends never loses files or rows") {
+    val dir = freshTable("occ")
+    Lake.write(table("documents").limit(200).repartition(4, $"doc_id"), dir, Nil)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def retrying(what: String)(body: => Unit): Unit = {
+      var attempts = 0; var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 60, s"$what gave up")
+        try { body; done = true } catch {
+          case _: java.util.ConcurrentModificationException =>
+          case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") =>
+        }
+      }
+    }
+    try {
+      val appender = pool.submit(new Runnable {
+        def run(): Unit = try {
+          (0 until 4).foreach { i =>
+            val batch = table("documents")
+              .filter($"doc_id" >= 200 + i * 50 && $"doc_id" < 250 + i * 50)
+            retrying(s"append $i")(Lake.write(batch, dir, Nil, mode = "append"))
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+      val indexer = pool.submit(new Runnable {
+        def run(): Unit = try {
+          (0 until 4).foreach { _ =>
+            retrying("buildIndex")(
+              BloomIndex.buildIndex(spark, dir, ngramCols = Seq("text")))
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+      Seq(appender, indexer).foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(errors.isEmpty, s"worker failures: ${errors.toArray.mkString(";")}")
+    // no append lost: exactly the 400 distinct doc_ids written
+    assert(Lake.read(spark, dir).select($"doc_id").distinct().count() === 400)
+    // a final backfill indexes whatever the races left bloom-less, and
+    // pruned reads stay row-exact afterwards
+    BloomIndex.buildIndex(spark, dir, ngramCols = Seq("text"))
+    val needle = table("documents").select(substring($"text", 1, 12)).head().getString(0)
+    val got = BloomIndex.readWhereContains(spark, dir, "text", needle)
+      .df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val want = Lake.read(spark, dir).filter($"text".contains(needle))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want && want.nonEmpty)
+  }
+
   test("randomized (seeded): needles drawn from the data are never lost end to end") {
     val rnd = new scala.util.Random(1234)
     (0 until 2).foreach { round =>
