@@ -484,6 +484,24 @@ object SourcesQ extends graft.QueryArea {
         .df.select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // Sort-key clustered write (reference Prefix_index_sort_key.md —
+    // rows ordered by the key; the sparse prefix index serves leading-
+    // column lookups): range-partition + in-file sort means manifest
+    // min/max boxes are tight on the leading column, so the range
+    // predicate below reads O(matching files). LakeZorderSpec asserts
+    // the actual file-skip counts; this gate pins result correctness.
+    "src_lake_sortkey_prune" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_sk")
+      graft.sources.Formats.deleteDir(spark, table)
+      val l = t(spark, dir, "lineitem").select(col("l_orderkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      graft.sources.Lake.sortKeyWrite(l, table, Seq("l_orderkey"), nFiles = 8)
+      graft.sources.Lake.read(spark, table)
+        .filter(col("l_orderkey").between(1000, 3000))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("price"))
+    }),
     "src_lake_zorder" -> ((spark, dir) => {
       val table = tmpDir(dir, "lake_z")
       graft.sources.Formats.deleteDir(spark, table)
@@ -751,6 +769,11 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_sortkey_prune" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
     "src_lake_ngram_like" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE text LIKE '%table value%'

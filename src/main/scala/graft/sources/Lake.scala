@@ -181,6 +181,28 @@ object Lake {
     v
   }
 
+  /** Sort-key clustered write — the reference's table sort key /
+    * prefix index (`docs/en/table_design/indexes/
+    * Prefix_index_sort_key.md`: rows ordered by the key, a sparse
+    * prefix index serves leading-column lookups). Spark-native form:
+    * range-partition + sort on `sortCols`, so every file covers a
+    * tight [min,max] box on the LEADING columns and the manifest
+    * stats pruner answers a leading-key point/range predicate with
+    * O(matching files) I/O. Works for any orderable type (strings
+    * included — unlike [[zorderWrite]]'s numeric quantization), at
+    * the cost of tight boxes only for the sort prefix; cluster on
+    * the z-curve instead when several independent dimensions need
+    * skipping at once. */
+  def sortKeyWrite(df: DataFrame, table: String, sortCols: Seq[String],
+      nFiles: Int, mode: String = "overwrite",
+      partitionCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.col
+    require(sortCols.nonEmpty, "sortKeyWrite needs at least one sort column")
+    val sc = sortCols.map(col)
+    write(df.repartitionByRange(nFiles, sc: _*).sortWithinPartitions(sc: _*),
+      table, partitionCols, mode)
+  }
+
   /** Z-order clustered write (the Delta OPTIMIZE ZORDER / Iceberg
     * rewrite shape): rows are laid out along a Morton curve over
     * `zCols`, so every output file covers a tight hyper-rectangle in

@@ -48,6 +48,20 @@ class LakeZorderSpec extends SparkSuite {
     assert(index.lastStatsSkippedFileCount === index.totalFileCount)
   }
 
+  test("sortKeyWrite: leading-key predicates prune to the matching slice (string keys too)") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_sortkey").toString
+    Lake.sortKeyWrite(mkData, dir, Seq("tag"), nFiles = 8)
+    val (lake, index) = Lake.readIndexed(spark, dir)
+    // a 10% range on the string sort key touches ~1 of 8 files
+    val n = lake.filter($"tag" >= "row-001000" && $"tag" < "row-002000").count()
+    assert(n === 1000L)
+    assert(index.lastStatsSkippedFileCount >= 6,
+      s"expected most of 8 files skipped, got ${index.lastStatsSkippedFileCount}")
+    // point lookup on the key: one file survives
+    assert(lake.filter($"tag" === "row-004321").count() === 1L)
+    assert(index.lastStatsSkippedFileCount === index.totalFileCount - 1)
+  }
+
   test("z-order clustering skips files on the NON-leading dimension where linear order cannot") {
     val linDir = java.nio.file.Files.createTempDirectory("lake_lin").toString
     val zDir = java.nio.file.Files.createTempDirectory("lake_z").toString
