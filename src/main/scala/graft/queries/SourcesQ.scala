@@ -484,6 +484,26 @@ object SourcesQ extends graft.QueryArea {
         .df.select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // Generated columns (reference generated_columns.md: `col AS expr`
+    // materialized at load + transparent query rewrite): the filter
+    // below is written as month(o_orderdate) but the optimizer
+    // substitutes the STORED o_month column (GeneratedColumnsSpec
+    // asserts the plan + the file pruning via the month sort key) —
+    // correctness pinned here against the recompute-everything oracle.
+    "src_lake_generated_col" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_gen")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      graft.plans.GeneratedColumns.write(o, table,
+        Seq("o_month" -> "month(o_orderdate)"),
+        sortBy = Seq("o_month"), nFiles = 8)
+      graft.plans.GeneratedColumns.register(spark, table)
+      graft.sources.Lake.read(spark, table)
+        .filter(month(col("o_orderdate")) === 3)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+    }),
     // Sort-key clustered write (reference Prefix_index_sort_key.md —
     // rows ordered by the key; the sparse prefix index serves leading-
     // column lookups): range-partition + in-file sort means manifest
@@ -769,6 +789,10 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_generated_col" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE month(o_orderdate) = 3""".stripMargin,
     "src_lake_sortkey_prune" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,

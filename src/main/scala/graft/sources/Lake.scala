@@ -71,9 +71,23 @@ object Lake {
       stats: Map[String, (String, String)] = Map.empty,
       blooms: Map[String, String] = Map.empty)
 
+  /** `props`: free-form table properties carried snapshot-to-snapshot
+    * (appends inherit, CoW rewrites inherit; an overwrite write resets
+    * them — re-attach with [[setProps]]). Used for generated-column
+    * specs (`generated.<col>` -> expr SQL); absent in older manifests. */
   final case class Snapshot(version: Int, createdAtMs: Long, schemaJson: String,
-      partitionCols: Seq[String], files: Seq[LakeFile]) {
+      partitionCols: Seq[String], files: Seq[LakeFile],
+      props: Map[String, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  /** Merge properties into the current snapshot as a metadata-only
+    * commit (null value removes a key). OCC via [[commitAmended]]. */
+  def setProps(spark: SparkSession, table: String,
+      add: Map[String, String]): Int = {
+    val snap = readSnapshot(spark, table, currentVersion(spark, table))
+    val merged = (snap.props ++ add).filter(_._2 != null)
+    commitAmended(spark, table, snap.copy(props = merged))
   }
 
   private def fs(spark: SparkSession, path: String) =
@@ -173,8 +187,9 @@ object Lake {
       StructType(old.fields.map(_.copy(nullable = true)) ++
         newSchema.fields.filterNot(f => old.fieldNames.contains(f.name)))
     }.getOrElse(newSchema)
+    // appends inherit table properties; a fresh overwrite starts clean
     val snap = Snapshot(v, System.currentTimeMillis(), schema.json,
-      partitionCols, files)
+      partitionCols, files, prevSnap.map(_.props).getOrElse(Map.empty))
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snap))
 
     commitVersion(spark, table, v)
@@ -504,7 +519,7 @@ object Lake {
     writer.mode("errorifexists").parquet(commitDir)
 
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir))
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir), snap.props)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -552,7 +567,7 @@ object Lake {
     writer.mode("errorifexists").parquet(commitDir)
 
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir))
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir), snap.props)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -577,7 +592,7 @@ object Lake {
     require(kept.nonEmpty, "retention would drop every partition")
     val v = prev + 1
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, kept)
+      snap.partitionCols, kept, snap.props)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -627,7 +642,7 @@ object Lake {
     val snap = readSnapshot(spark, table, toVersion)
     val v = current + 1
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, snap.files)
+      snap.partitionCols, snap.files, snap.props)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -661,7 +676,7 @@ object Lake {
       fl.copy(path = dstPath.toString)
     }
     val snapNew = Snapshot(1, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, copied)
+      snap.partitionCols, copied, snap.props)
     writeJson(spark, dst, manifestFile(dst, 1), snapshotToJava(snapNew))
     commitVersion(spark, dst, 1)
     1
@@ -710,7 +725,7 @@ object Lake {
     writer.mode("errorifexists").parquet(commitDir)
 
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir))
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir), snap.props)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -722,6 +737,11 @@ object Lake {
     m.put("createdAtMs", Long.box(s.createdAtMs))
     m.put("schemaJson", s.schemaJson)
     m.put("partitionCols", s.partitionCols.asJava)
+    if (s.props.nonEmpty) {
+      val pm = new java.util.LinkedHashMap[String, Object]()
+      s.props.foreach { case (k2, v2) => pm.put(k2, v2) }
+      m.put("props", pm)
+    }
     m.put("files", s.files.map { lf =>
       val fm = new java.util.LinkedHashMap[String, Object]()
       fm.put("path", lf.path)
@@ -786,7 +806,10 @@ object Lake {
             Option(fm.get("blooms"))
               .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
               .getOrElse(Map.empty))
-        })
+        },
+      Option(m.get("props"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+        .getOrElse(Map.empty))
   }
 
   /** Commit a METADATA-ONLY amendment — the given snapshot's files
@@ -879,6 +902,11 @@ object Lake {
     * (row-group pruning + predicate pushdown). */
   final class LakeFileIndex(table: String, snap: Snapshot,
       override val partitionSchema: StructType) extends FileIndex {
+
+    /** The Lake table path this index serves — lets plan rules (e.g.
+      * [[graft.plans.GeneratedColumns]]) identify the table behind a
+      * LogicalRelation. */
+    def tablePath: String = table
 
     /** files surviving partition pruning in the last listFiles call —
       * asserted by PlanSpec. */

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GeneratedColumns
+import graft.sources.Lake
+
+/** Generated columns: materialize-on-write, spec persistence in table
+  * properties, and the transparent rewrite that turns a matching
+  * expression into the stored column — which is what converts a
+  * row-level predicate into file skipping. */
+class GeneratedColumnsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_gen_$tag").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def mkOrders = table("orders")
+    .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+
+
+  test("write materializes the column, records the spec, and append/CoW inherit it") {
+    val dir = freshTable("basic")
+    GeneratedColumns.write(mkOrders, dir,
+      Seq("o_month" -> "month(o_orderdate)"))
+    val snap = Lake.readSnapshot(spark, dir, Lake.currentVersion(spark, dir))
+    assert(snap.props("generated.o_month") === "month(o_orderdate)")
+    val read = Lake.read(spark, dir)
+    assert(read.columns.contains("o_month"))
+    assert(read.filter($"o_month" =!= month($"o_orderdate")).isEmpty)
+    // append through plain Lake.write keeps the specs (props inherit)
+    Lake.write(read.limit(5), dir, Nil, mode = "append")
+    val snap2 = Lake.readSnapshot(spark, dir, Lake.currentVersion(spark, dir))
+    assert(snap2.props("generated.o_month") === "month(o_orderdate)")
+    // CoW delete keeps them too
+    val k = read.select($"o_orderkey").head().getLong(0)
+    Lake.delete(spark, dir, col("o_orderkey") === k)
+    val snap3 = Lake.readSnapshot(spark, dir, Lake.currentVersion(spark, dir))
+    assert(snap3.props("generated.o_month") === "month(o_orderdate)")
+  }
+
+  test("rewrite: a filter on the defining expression reads the stored column and prunes files") {
+    val dir = freshTable("rewrite")
+    GeneratedColumns.write(mkOrders, dir,
+      Seq("o_month" -> "month(o_orderdate)"),
+      sortBy = Seq("o_month"), nFiles = 8)
+    GeneratedColumns.register(spark, dir)
+    // the query writes the EXPRESSION; the optimized plan must carry
+    // the stored attribute instead (no month() call over o_orderdate)
+    val (df, idx) = Lake.readIndexed(spark, dir)
+    val q = df.filter(month($"o_orderdate") === 3)
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as("total"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("month("),
+      s"month() survived the rewrite:\n$optimized")
+    // result identical to the un-rewritten computation
+    val want = mkOrders.filter(month($"o_orderdate") === 3)
+      .agg(count(lit(1)), sum($"o_totalprice".cast("decimal(18,6)")).cast("double"))
+      .head()
+    val got = q.head()
+    assert(got.getLong(0) === want.getLong(0) && got.getDouble(1) === want.getDouble(1))
+    // the month predicate, now an attribute on the sort key, PRUNES:
+    // one month ~ 1/12 of the data over 8 month-clustered files
+    assert(idx.lastStatsSkippedFileCount >= 5,
+      s"expected most files skipped via the generated sort key, got ${idx.lastStatsSkippedFileCount}")
+  }
+
+  test("rewrite leaves non-matching expressions and unregistered tables alone") {
+    val dir = freshTable("nomatch")
+    GeneratedColumns.write(mkOrders, dir,
+      Seq("o_month" -> "month(o_orderdate)"))
+    GeneratedColumns.register(spark, dir)
+    val df = Lake.read(spark, dir)
+    // a DIFFERENT expression is untouched
+    val q1 = df.filter(year($"o_orderdate") === 1996)
+    assert(q1.queryExecution.optimizedPlan.toString.contains("year("))
+    assert(q1.count() === mkOrders.filter(year($"o_orderdate") === 1996).count())
+    // same expression over a NON-registered table is untouched
+    val plain = freshTable("plain")
+    Lake.write(mkOrders, plain, Nil)
+    val q2 = Lake.read(spark, plain).filter(month($"o_orderdate") === 3)
+    assert(q2.queryExecution.optimizedPlan.toString.contains("month("))
+  }
+
+  test("projection and grouping sites rewrite too") {
+    val dir = freshTable("agg")
+    GeneratedColumns.write(mkOrders, dir,
+      Seq("o_month" -> "month(o_orderdate)"))
+    GeneratedColumns.register(spark, dir)
+    val df = Lake.read(spark, dir)
+    val q = df.groupBy(month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n")).orderBy($"m")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("month("))
+    val want = mkOrders.groupBy(month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n")).orderBy($"m")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val got = q.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+}
