@@ -173,7 +173,11 @@ object VectorIndex {
     // stamp is prev+1 read just before the commit — an OCC loser's
     // retry recomputes it.
     val seq = Lake.currentVersion(spark, tombTable(path)) + 1
-    val batch = ids.select(col(idCol).as("id")).distinct()
+    // a NULL id cannot be tombstoned (and would poison the read-time
+    // NOT-IN mask: one null in the set makes the predicate NULL for
+    // every row — everything disappears)
+    val batch = ids.select(col(idCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
       .withColumn("seq", lit(seq))
     val v = Lake.write(batch, tombTable(path), Seq.empty, mode = "append")
     val prevFiles: Set[String] =
@@ -181,6 +185,24 @@ object VectorIndex {
       else Set.empty
     Lake.readSnapshot(spark, tombTable(path), v)
       .files.filterNot(f => prevFiles(f.path)).map(_.rowCount).sum
+  }
+
+  /** Collected tombstone id set for the InSet mask, memoized on the
+    * tombstone-table VERSION (the set is immutable between commits —
+    * without the memo every topK against a deleted-from index pays a
+    * tombstone scan + collect per query). Returns null when the set
+    * exceeds the inline cap (caller falls back to the anti-join).
+    * Bounded: cleared wholesale past 64 (version, path) entries. */
+  private val tombCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Any]]()
+  private def tombstoneIds(spark: SparkSession, path: String,
+      ts: DataFrame): Seq[Any] = {
+    val v = Lake.currentVersion(spark, tombTable(path))
+    if (tombCache.size > 64) tombCache.clear()
+    tombCache.computeIfAbsent((path, v), _ => {
+      val sample = ts.distinct().limit(100001).collect()
+      if (sample.length <= 100000) sample.map(_.get(0)).toSeq else null
+    })
   }
 
   /** The standing tombstone set, if any delete has ever COMMITTED.
@@ -446,10 +468,12 @@ object VectorIndex {
     // over-cap set falls back to the broadcast anti-join.
     val codes = tombstones(spark, path) match {
       case Some(ts) =>
-        val sample = ts.distinct().limit(100001).collect()
-        if (sample.isEmpty) codesAll
-        else if (sample.length <= 100000)
-          codesAll.filter(!col("id").isin(sample.map(_.get(0)).toSeq: _*))
+        val ids = tombstoneIds(spark, path, ts)
+        if (ids != null && ids.isEmpty) codesAll
+        else if (ids != null)
+          // isNull-or-not-in keeps any null-id codes rows (they are
+          // not tombstonable) and sidesteps NOT IN's null poisoning
+          codesAll.filter(col("id").isNull || !col("id").isin(ids: _*))
         else codesAll.join(broadcast(ts), Seq("id"), "left_anti")
       case None => codesAll
     }

@@ -499,10 +499,22 @@ object SourcesQ extends graft.QueryArea {
         Seq("o_month" -> "month(o_orderdate)"),
         sortBy = Seq("o_month"), nFiles = 8)
       graft.plans.GeneratedColumns.register(spark, table)
-      graft.sources.Lake.read(spark, table)
-        .filter(month(col("o_orderdate")) === 3)
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+      // opt-in conf scoping (the RangeJoinRewrite convention): the
+      // rule must be inert for every OTHER gate in this session, so
+      // enable only around THIS gate's planning + execution — the
+      // result is pinned as collected rows, and the gate FAILS LOUDLY
+      // if the substitution did not actually fire
+      spark.conf.set(graft.plans.GeneratedColumns.EnabledKey, "true")
+      try {
+        val q = graft.sources.Lake.read(spark, table)
+          .filter(month(col("o_orderdate")) === 3)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        require(!q.queryExecution.optimizedPlan.toString.contains("month("),
+          "generated-column rewrite did not fire")
+        val rows = q.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+      } finally spark.conf.unset(graft.plans.GeneratedColumns.EnabledKey)
     }),
     // Sort-key clustered write (reference Prefix_index_sort_key.md —
     // rows ordered by the key; the sparse prefix index serves leading-

@@ -82,10 +82,15 @@ object Lake {
   }
 
   /** Merge properties into the current snapshot as a metadata-only
-    * commit (null value removes a key). OCC via [[commitAmended]]. */
+    * commit (null value removes a key). OCC via [[commitAmended]];
+    * pass `expectVersion` to PIN the amendment to a specific data
+    * commit — a concurrent commit landing in between then fails the
+    * amend loudly instead of stamping the props onto someone else's
+    * snapshot. */
   def setProps(spark: SparkSession, table: String,
-      add: Map[String, String]): Int = {
-    val snap = readSnapshot(spark, table, currentVersion(spark, table))
+      add: Map[String, String], expectVersion: Option[Int] = None): Int = {
+    val v = expectVersion.getOrElse(currentVersion(spark, table))
+    val snap = readSnapshot(spark, table, v)
     val merged = (snap.props ++ add).filter(_._2 != null)
     commitAmended(spark, table, snap.copy(props = merged))
   }
@@ -187,9 +192,20 @@ object Lake {
       StructType(old.fields.map(_.copy(nullable = true)) ++
         newSchema.fields.filterNot(f => old.fieldNames.contains(f.name)))
     }.getOrElse(newSchema)
-    // appends inherit table properties; a fresh overwrite starts clean
+    // appends inherit table properties; a fresh overwrite starts
+    // clean. EXCEPTION: a `generated.<c>` spec whose column `c` is
+    // absent from this append's input is DROPPED — the appended files
+    // surface NULL for it, so the spec's promise (column == expr) no
+    // longer holds table-wide and a registered rewrite against it
+    // would silently lose the appended rows. Append through
+    // GeneratedColumns.append to keep specs materialized.
+    val inherited = prevSnap.map(_.props).getOrElse(Map.empty).filter {
+      case (k, _) if k.startsWith("generated.") =>
+        df.schema.fieldNames.contains(k.stripPrefix("generated."))
+      case _ => true
+    }
     val snap = Snapshot(v, System.currentTimeMillis(), schema.json,
-      partitionCols, files, prevSnap.map(_.props).getOrElse(Map.empty))
+      partitionCols, files, inherited)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snap))
 
     commitVersion(spark, table, v)

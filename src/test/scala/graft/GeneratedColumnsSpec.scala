@@ -47,6 +47,7 @@ class GeneratedColumnsSpec extends SparkSuite {
       Seq("o_month" -> "month(o_orderdate)"),
       sortBy = Seq("o_month"), nFiles = 8)
     GeneratedColumns.register(spark, dir)
+    spark.conf.set(GeneratedColumns.EnabledKey, "true")
     // the query writes the EXPRESSION; the optimized plan must carry
     // the stored attribute instead (no month() call over o_orderdate)
     val (df, idx) = Lake.readIndexed(spark, dir)
@@ -66,6 +67,12 @@ class GeneratedColumnsSpec extends SparkSuite {
     // one month ~ 1/12 of the data over 8 month-clustered files
     assert(idx.lastStatsSkippedFileCount >= 5,
       s"expected most files skipped via the generated sort key, got ${idx.lastStatsSkippedFileCount}")
+    // the rule is OPT-IN: with the conf unset the same query keeps
+    // its expression (inert outside its users, the sibling-rule
+    // convention)
+    spark.conf.unset(GeneratedColumns.EnabledKey)
+    val off = Lake.read(spark, dir).filter(month($"o_orderdate") === 3)
+    assert(off.queryExecution.optimizedPlan.toString.contains("month("))
   }
 
   test("rewrite leaves non-matching expressions and unregistered tables alone") {
@@ -73,6 +80,7 @@ class GeneratedColumnsSpec extends SparkSuite {
     GeneratedColumns.write(mkOrders, dir,
       Seq("o_month" -> "month(o_orderdate)"))
     GeneratedColumns.register(spark, dir)
+    spark.conf.set(GeneratedColumns.EnabledKey, "true")
     val df = Lake.read(spark, dir)
     // a DIFFERENT expression is untouched
     val q1 = df.filter(year($"o_orderdate") === 1996)
@@ -83,6 +91,7 @@ class GeneratedColumnsSpec extends SparkSuite {
     Lake.write(mkOrders, plain, Nil)
     val q2 = Lake.read(spark, plain).filter(month($"o_orderdate") === 3)
     assert(q2.queryExecution.optimizedPlan.toString.contains("month("))
+    spark.conf.unset(GeneratedColumns.EnabledKey)
   }
 
   test("projection and grouping sites rewrite too") {
@@ -90,6 +99,7 @@ class GeneratedColumnsSpec extends SparkSuite {
     GeneratedColumns.write(mkOrders, dir,
       Seq("o_month" -> "month(o_orderdate)"))
     GeneratedColumns.register(spark, dir)
+    spark.conf.set(GeneratedColumns.EnabledKey, "true")
     val df = Lake.read(spark, dir)
     val q = df.groupBy(month($"o_orderdate").as("m"))
       .agg(count(lit(1)).as("n")).orderBy($"m")
@@ -99,5 +109,48 @@ class GeneratedColumnsSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     val got = q.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(got === want)
+    spark.conf.unset(GeneratedColumns.EnabledKey)
+  }
+
+  test("plain append lacking the column drops the spec; re-register evicts; changed spec is honored") {
+    val dir = freshTable("drop")
+    GeneratedColumns.write(mkOrders, dir, Seq("o_month" -> "month(o_orderdate)"))
+    GeneratedColumns.register(spark, dir)
+    spark.conf.set(GeneratedColumns.EnabledKey, "true")
+    try {
+      // GeneratedColumns.append keeps the spec materialized
+      GeneratedColumns.append(mkOrders.limit(3), dir)
+      assert(Lake.readSnapshot(spark, dir, Lake.currentVersion(spark, dir))
+        .props.contains("generated.o_month"))
+      // a PLAIN append without the column DROPS the spec — inherited
+      // metadata must not promise a column the new files don't carry
+      Lake.write(mkOrders.limit(2), dir, Nil, mode = "append")
+      val snap = Lake.readSnapshot(spark, dir, Lake.currentVersion(spark, dir))
+      assert(!snap.props.contains("generated.o_month"))
+      // re-register notices and EVICTS: the query keeps its expression
+      // and counts every row, including the spec-less appended ones
+      GeneratedColumns.register(spark, dir)
+      val q = Lake.read(spark, dir).filter(month($"o_orderdate") === 3)
+      assert(q.queryExecution.optimizedPlan.toString.contains("month("))
+      assert(q.count() ===
+        Lake.read(spark, dir).collect()
+          .count(r => r.getTimestamp(r.fieldIndex("o_orderdate"))
+            .toLocalDateTime.getMonthValue == 3))
+      // a CHANGED spec on rebuild must serve the NEW definition, not a
+      // cached template of the old one
+      val dir2 = freshTable("respec")
+      GeneratedColumns.write(mkOrders, dir2, Seq("o_g" -> "month(o_orderdate)"))
+      GeneratedColumns.register(spark, dir2)
+      Lake.read(spark, dir2).filter(month($"o_orderdate") === 3).count()
+      GeneratedColumns.write(mkOrders, dir2, Seq("o_g" -> "year(o_orderdate)"))
+      GeneratedColumns.register(spark, dir2)
+      val qy = Lake.read(spark, dir2).filter(year($"o_orderdate") === 1996)
+      assert(!qy.queryExecution.optimizedPlan.toString.contains("year("),
+        "changed spec not honored — stale cache")
+      val qm = Lake.read(spark, dir2).filter(month($"o_orderdate") === 3)
+      assert(qm.queryExecution.optimizedPlan.toString.contains("month("),
+        "old spec still rewriting after the definition changed")
+      assert(qy.count() === mkOrders.filter(year($"o_orderdate") === 1996).count())
+    } finally spark.conf.unset(GeneratedColumns.EnabledKey)
   }
 }
