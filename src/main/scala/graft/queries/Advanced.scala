@@ -47,6 +47,45 @@ object Advanced extends graft.QueryArea {
       } finally spark.conf.unset(graft.plans.TablePrune.EnabledKey)
       spark.read.parquet(root).orderBy(col("l_returnflag"))
     }),
+    // ANALYZE-driven CBO (reference FE statistic/ ANALYZE jobs +
+    // StatisticsCalculator + Histogram feeding join reorder and
+    // distribution choice): testdata tables registered in the session
+    // catalog, ANALYZE FOR COLUMNS with equi-height histograms, then a
+    // join chain planned under cost-based join reorder. The oracle is
+    // the same SQL over the raw tables — equal results prove the
+    // stats-driven replan is semantics-preserving; CboSpec asserts the
+    // plan flips themselves.
+    "opt_cbo_stats_join" -> ((spark, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cbo_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.plans.CboStats.register(spark, "cbo_orders", s"$dir/orders.parquet")
+      graft.plans.CboStats.register(spark, "cbo_customer", s"$dir/customer.parquet")
+      graft.plans.CboStats.register(spark, "cbo_nation", s"$dir/nation.parquet")
+      graft.plans.CboStats.analyze(spark, "cbo_orders",
+        Seq("o_custkey", "o_totalprice"), histogram = true)
+      graft.plans.CboStats.analyze(spark, "cbo_customer",
+        Seq("c_custkey", "c_nationkey"), histogram = false)
+      graft.plans.CboStats.analyze(spark, "cbo_nation",
+        Seq("n_nationkey", "n_name"), histogram = false)
+      require(graft.plans.CboStats.columnStats(spark, "cbo_orders")
+        .filter(col("histogram_bins") > 0).count() >= 1,
+        "ANALYZE did not persist histograms")
+      val prev = spark.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try {
+        spark.sql(
+          """SELECT n_name, count(*) AS n_orders,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+            |FROM cbo_orders JOIN cbo_customer ON o_custkey = c_custkey
+            |JOIN cbo_nation ON c_nationkey = n_nationkey
+            |WHERE o_totalprice > 150000
+            |GROUP BY n_name""".stripMargin)
+          .write.mode("overwrite").parquet(root) // plan + run INSIDE the conf window
+      } finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.cbo.joinReorder.enabled", p)
+        case None => spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      }
+      spark.read.parquet(root).orderBy(col("n_name"))
+    }),
     // Query cache (reference be/src/exec/query_cache/): per-partition
     // partial-agg reuse with predicate-based splitting. A first query
     // over [01-05, 01-15] populates per-day partials; the gate's
@@ -224,6 +263,13 @@ object Advanced extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "opt_cbo_stats_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_totalprice > 150000
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "prune_cardinality_joins" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty

@@ -74,6 +74,48 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Fast schema evolution DDL: ADD COLUMN (old files surface NULL),
+    // append fills it, RENAME COLUMN (metadata-only logical mapping),
+    // DROP COLUMN — all without rewriting a data file; oracle rebuilds
+    // the same logical table relationally
+    "src_lake_alter_columns" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_alter")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 2 === 0), table, Nil)
+      graft.sources.Lake.addColumn(spark, table, "flag",
+        org.apache.spark.sql.types.StringType)
+      graft.sources.Lake.write(
+        o.filter(col("o_orderkey") % 2 === 1).withColumn("flag", lit("late")),
+        table, Nil, mode = "append")
+      graft.sources.Lake.renameColumn(spark, table, "o_totalprice", "price")
+      graft.sources.Lake.dropColumn(spark, table, "o_orderpriority")
+      graft.sources.Lake.read(spark, table)
+        .groupBy(coalesce(col("flag"), lit("none")).as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double").as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("flag"))
+    }),
+    // Merge-on-read DELETE: two stacked positional delete vectors —
+    // no data file rewritten, read masks via broadcast anti-join on
+    // (file, row_index); oracle = plain NOT-predicate filter
+    "src_lake_delete_mor" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_mor")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o, table, Seq("o_orderpriority"))
+      graft.sources.Lake.deleteMor(spark, table, col("o_totalprice") > 250000)
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 7 === 0)
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Compaction: three append commits leave 3 small files per
     // partition; compact() rewrites them into ~one per partition with
     // byte-identical rows (oracle = the plain table aggregate)
@@ -846,6 +888,24 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_alter_columns" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey, o_totalprice AS price, NULL AS flag
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'late'
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(flag, 'none') AS flag, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  max(o_orderkey) AS max_key
+        |FROM ev GROUP BY coalesce(flag, 'none') ORDER BY flag""".stripMargin,
+    "src_lake_delete_mor" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_totalprice > 250000) AND NOT (o_orderkey % 7 = 0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_lake_delete" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,

@@ -74,10 +74,19 @@ object Lake {
   /** `props`: free-form table properties carried snapshot-to-snapshot
     * (appends inherit, CoW rewrites inherit; an overwrite write resets
     * them — re-attach with [[setProps]]). Used for generated-column
-    * specs (`generated.<col>` -> expr SQL); absent in older manifests. */
+    * specs (`generated.<col>` -> expr SQL); absent in older manifests.
+    *
+    * `dvFiles`: merge-on-read positional delete-vector sidecars (see
+    * [[deleteMor]]) — parquet files of (`__file`, `__pos`) pairs naming
+    * rows of THIS snapshot's data files that are logically deleted.
+    * Readers mask them out ([[read]]); [[foldDeletes]] rewrites the
+    * affected data files and clears the list. Appends inherit the
+    * sidecars (the kept files' deletes still apply); an overwrite
+    * resets them with everything else. */
   final case class Snapshot(version: Int, createdAtMs: Long, schemaJson: String,
       partitionCols: Seq[String], files: Seq[LakeFile],
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      dvFiles: Seq[String] = Nil) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -163,8 +172,17 @@ object Lake {
     val v = prev + 1
     val commitDir = stagingDir(table, v)
 
+    val prevSnap = if (mode == "append" && prev > 0)
+      Some(readSnapshot(spark, table, prev)) else None
+    // appends address columns by their LOGICAL names; files keep the
+    // stable PHYSICAL names, so map pending renames back before writing
+    val dfPhys = prevSnap.map { ps =>
+      renameMap(ps).foldLeft(df) { case (d, (phys, logical)) =>
+        if (d.columns.contains(logical)) d.withColumnRenamed(logical, phys) else d }
+    }.getOrElse(df)
+
     val writer = if (partitionCols.nonEmpty)
-      df.write.partitionBy(partitionCols: _*) else df.write
+      dfPhys.write.partitionBy(partitionCols: _*) else dfPhys.write
     writer.mode("errorifexists").parquet(commitDir)
 
     // Manifest entries for the files just written: partition values are
@@ -173,8 +191,6 @@ object Lake {
     // planner can serve without touching data pages).
     val newFiles = listCommitFiles(spark, commitDir)
 
-    val prevSnap = if (mode == "append" && prev > 0)
-      Some(readSnapshot(spark, table, prev)) else None
     val files = prevSnap.map(_.files ++ newFiles).getOrElse(newFiles)
     // Snapshot schema: all fields nullable (Spark writes parquet fields
     // as optional, and add-column evolution surfaces pre-evolution files
@@ -183,7 +199,7 @@ object Lake {
     // schema: old columns keep their position, new columns go last, and
     // a type change for an existing name is rejected (that would need a
     // rewrite, not a manifest update).
-    val newSchema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val newSchema = StructType(dfPhys.schema.fields.map(_.copy(nullable = true)))
     val schema = prevSnap.map { ps =>
       val old = ps.schema
       for (of <- old.fields; nf <- newSchema.fields.find(_.name == of.name))
@@ -201,11 +217,14 @@ object Lake {
     // GeneratedColumns.append to keep specs materialized.
     val inherited = prevSnap.map(_.props).getOrElse(Map.empty).filter {
       case (k, _) if k.startsWith("generated.") =>
-        df.schema.fieldNames.contains(k.stripPrefix("generated."))
+        dfPhys.schema.fieldNames.contains(k.stripPrefix("generated."))
       case _ => true
     }
+    // appends also inherit pending delete vectors — the carried-over
+    // files' deleted rows must stay deleted; a fresh overwrite resets.
     val snap = Snapshot(v, System.currentTimeMillis(), schema.json,
-      partitionCols, files, inherited)
+      partitionCols, files, inherited,
+      prevSnap.map(_.dvFiles).getOrElse(Nil))
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snap))
 
     commitVersion(spark, table, v)
@@ -307,9 +326,15 @@ object Lake {
         statuses.toSeq.map { st =>
           (() => {
             val rel = st.getPath.toString.stripPrefix(qualified).stripPrefix("/")
+            // partitionBy writes Hive-ESCAPED dir segments ('%' -> %25,
+            // ':' -> %3A, ...): store the LOGICAL value in the manifest
+            // so pruning comparisons, CoW partition re-attachment, and
+            // readers all see the user's value, and a re-write
+            // re-escapes through partitionBy symmetrically.
             val pvals = rel.split("/").dropRight(1).flatMap { seg =>
               seg.split("=", 2) match {
-                case Array(k, vl) => Some(k -> vl)
+                case Array(k, vl) => Some(k -> org.apache.spark.sql.catalyst
+                  .catalog.ExternalCatalogUtils.unescapePathName(vl))
                 case _ => None
               }
             }.toMap
@@ -434,7 +459,7 @@ object Lake {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val prev = currentVersion(spark, table)
     require(prev > 0, s"no committed version at $table")
-    val snap = readSnapshot(spark, table, prev)
+    val snap = foldIfPending(spark, table, readSnapshot(spark, table, prev))
     val schema = snap.schema
     assignments.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"unknown column $c")
@@ -470,9 +495,239 @@ object Lake {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val prev = currentVersion(spark, table)
     require(prev > 0, s"no committed version at $table")
-    val snap = readSnapshot(spark, table, prev)
+    val snap = foldIfPending(spark, table, readSnapshot(spark, table, prev))
     rewriteTouched(spark, table, snap, predicate)(
       _.filter(not(coalesce(predicate, lit(false)))))
+  }
+
+  /** Merge-on-read DELETE — the reference primary-key table's delete
+    * vector path (`be/src/storage/del_vector.cpp`: deletes recorded as
+    * positional bitmaps beside immutable segments, applied at read
+    * time, folded in by compaction) re-expressed Spark-first. Where
+    * copy-on-write [[delete]] rewrites every touched file — at 100 TB
+    * a 0.01% GDPR-erasure delete can rewrite terabytes — this writes
+    * ONE tiny sidecar of (file, row-position) pairs and commits a
+    * manifest that lists it: write cost is O(matched rows), not
+    * O(touched bytes). Readers mask the positions with a broadcast
+    * anti-join ([[maskDeletes]]); [[foldDeletes]] (or any subsequent
+    * CoW operation, which auto-folds) rewrites the affected files and
+    * clears the vectors.
+    *
+    * SQL DELETE semantics ([[delete]] parity): NULL-predicate rows are
+    * kept. Re-deleting already-masked rows finds no new positions and
+    * commits nothing. Returns the new version (or the current one when
+    * nothing matched). */
+  def deleteMor(spark: SparkSession, table: String, predicate: Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    val (raw, _) = indexedDataFrame(spark, table, snap)
+    // tag positions FIRST, then mask pending deletes, so stacked calls
+    // never record the same position twice
+    val tagged = applyRenames(raw
+      .withColumn("__graft_dv_file", col("_metadata.file_path"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index")), snap)
+    val alive = if (snap.dvFiles.isEmpty) tagged
+      else tagged.join(
+        org.apache.spark.sql.functions.broadcast(dvReader(spark, snap)),
+        Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+    val v = prev + 1
+    val sidecar =
+      s"$table/deletes/dv-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    // repartition(1): only the matched (file, pos) pairs shuffle — the
+    // predicate scan itself stays fully parallel
+    alive.filter(coalesce(predicate, lit(false)))
+      .select(col("__graft_dv_file"), col("__graft_dv_pos"))
+      .repartition(1)
+      .write.mode("errorifexists").parquet(sidecar)
+    val matched = listCommitFiles(spark, sidecar).map(_.rowCount).sum
+    if (matched == 0) { fs(spark, table).delete(new Path(sidecar), true); return prev }
+    val snapNew = snap.copy(version = v,
+      createdAtMs = System.currentTimeMillis(),
+      dvFiles = snap.dvFiles :+ sidecar)
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
+  }
+
+  /** Fold pending delete vectors into the data: rewrite ONLY the files
+    * that actually carry deleted positions (masked through the same
+    * manifest-backed index the vectors were recorded against, so the
+    * file-path representation matches by construction), carry every
+    * clean file into the new snapshot by reference, and clear
+    * `dvFiles`. The reference's compaction applying accumulated
+    * DelVecs to produce clean segments. Old snapshots keep their
+    * sidecars and stay readable; [[vacuum]] GCs unreferenced sidecars.
+    * Returns the new version (or the current one when no vectors are
+    * pending). */
+  def foldDeletes(spark: SparkSession, table: String): Int = {
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    if (snap.dvFiles.isEmpty) return prev
+    // files named by any DV entry — manifest-scale, driver-resident.
+    // DV paths render as _metadata.file_path (URL-encoded URI); manifest
+    // paths are raw FileStatus strings — decode only the DV side, the
+    // rewriteTouched convention.
+    val dvPaths = dvReader(spark, snap).select("__graft_dv_file").distinct()
+      .collect().map(r => java.net.URLDecoder.decode(
+        new Path(r.getString(0)).toUri.getPath, "UTF-8")).toSet
+    val (rewrite, keep) = snap.files.partition(fl =>
+      dvPaths.contains(new Path(fl.path).toUri.getPath))
+    val v = prev + 1
+    if (rewrite.isEmpty) {
+      // every entry references an expired file — metadata-only clear
+      val snapNew = snap.copy(version = v,
+        createdAtMs = System.currentTimeMillis(), dvFiles = Nil)
+      writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+      commitVersion(spark, table, v)
+      return v
+    }
+    val commitDir = stagingDir(table, v)
+    // read the dirty files through the SAME LakeFileIndex machinery the
+    // mask uses (partition values re-attached from the manifest), apply
+    // the mask, write clean replacements
+    val sub = snap.copy(files = rewrite)
+    val (dirty, _) = indexedDataFrame(spark, table, sub)
+    val cleaned = maskDeletes(spark, dirty, sub)
+      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val writer = if (snap.partitionCols.nonEmpty)
+      cleaned.write.partitionBy(snap.partitionCols: _*) else cleaned.write
+    writer.mode("errorifexists").parquet(commitDir)
+    val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir), snap.props)
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
+  }
+
+  /** CoW operations and compaction read data files RAW (their file
+    * rewrites bypass the mask), so a table with pending delete vectors
+    * folds them first — one bounded rewrite of the dirty files, after
+    * which the raw reads are correct. Pending column renames
+    * materialize too ([[renameColumn]]): the CoW machinery binds
+    * predicates and schemas by name, and one explicit rewrite is
+    * cheaper to reason about than threading a name map through every
+    * rewrite path. */
+  private def foldIfPending(spark: SparkSession, table: String,
+      snap: Snapshot): Snapshot = {
+    val s1 = if (snap.dvFiles.isEmpty) snap
+      else readSnapshot(spark, table, foldDeletes(spark, table))
+    if (!s1.props.keys.exists(_.startsWith("rename."))) s1
+    else readSnapshot(spark, table, materializeRenames(spark, table, s1))
+  }
+
+  // ---------------------------------------------------------------------
+  // Fast schema evolution — metadata-only ALTER TABLE (the reference's
+  // fast schema evolution: ADD/DROP/RENAME COLUMN are FE catalog
+  // operations, no data rewrite; docs/en/sql-reference ALTER_TABLE).
+  // ---------------------------------------------------------------------
+
+  /** ADD COLUMN: metadata-only — the new nullable field joins the
+    * snapshot schema; every existing file simply surfaces NULL for it
+    * (the same mechanism append-evolution uses). */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      dt: DataType): Int = {
+    val snap = currentSnap(spark, table)
+    require(!snap.schema.fieldNames.contains(name), s"column $name exists")
+    val schema = StructType(snap.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    commitAmended(spark, table, snap.copy(schemaJson = schema.json))
+  }
+
+  /** DROP COLUMN: metadata-only — the field leaves the snapshot
+    * schema; data files keep the physical column, the parquet scan
+    * just never projects it, and the next rewrite of each file sheds
+    * it physically. Time travel to pre-drop versions still sees it. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+    val snap = currentSnap(spark, table)
+    require(snap.schema.fieldNames.contains(name), s"unknown column $name")
+    require(!snap.partitionCols.contains(name),
+      s"cannot drop partition column $name")
+    val schema = StructType(snap.schema.fields.filterNot(_.name == name))
+    require(schema.fields.nonEmpty, "cannot drop the last column")
+    // a generated-column spec for (or defined over) the dropped column
+    // no longer holds — drop those specs with it
+    val props = snap.props.filterNot { case (k, v) =>
+      (k.startsWith("generated.") &&
+        (k.stripPrefix("generated.") == name || v.contains(name))) ||
+      (k.startsWith("rename.") && k.stripPrefix("rename.") == name)
+    }
+    commitAmended(spark, table,
+      snap.copy(schemaJson = schema.json, props = props))
+  }
+
+  /** RENAME COLUMN: metadata-only — the manifest schema keeps the
+    * PHYSICAL (on-file) name; a `rename.<physical> = <logical>` table
+    * property renders it under the new name at the read boundary
+    * ([[applyRenames]]) and appends map it back ([[write]]). Pruning,
+    * stats, and blooms keep working untouched: pushed filters resolve
+    * through the projection to the physical attribute. CoW operations
+    * materialize pending renames first (one rewrite, [[foldIfPending]])
+    * so their name-bound machinery stays simple. */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Int = {
+    val snap = currentSnap(spark, table)
+    val logical = logicalNames(snap)
+    require(logical.contains(from), s"unknown column $from")
+    require(!logical.contains(to), s"column $to exists")
+    require(!snap.partitionCols.contains(from),
+      s"cannot rename partition column $from")
+    // physical name behind `from` (it may itself be a pending rename)
+    val phys = snap.props.find { case (k, v) =>
+      k.startsWith("rename.") && v == from }
+      .map(_._1.stripPrefix("rename.")).getOrElse(from)
+    commitAmended(spark, table,
+      snap.copy(props = snap.props + (s"rename.$phys" -> to)))
+  }
+
+  private def currentSnap(spark: SparkSession, table: String): Snapshot = {
+    val v = currentVersion(spark, table)
+    require(v > 0, s"no committed version at $table")
+    readSnapshot(spark, table, v)
+  }
+
+  /** The table's user-visible column names (renames applied). */
+  private def logicalNames(snap: Snapshot): Seq[String] = {
+    val ren = renameMap(snap)
+    snap.schema.fieldNames.toSeq.map(n => ren.getOrElse(n, n))
+  }
+
+  /** physical -> logical pending renames. */
+  private def renameMap(snap: Snapshot): Map[String, String] =
+    snap.props.collect { case (k, v) if k.startsWith("rename.") =>
+      k.stripPrefix("rename.") -> v }
+
+  /** Render a physical-schema DataFrame under the logical names. */
+  private def applyRenames(df: DataFrame, snap: Snapshot): DataFrame = {
+    val ren = renameMap(snap)
+    if (ren.isEmpty) df
+    else ren.foldLeft(df) { case (d, (phys, logical)) =>
+      d.withColumnRenamed(phys, logical) }
+  }
+
+  /** One-time rewrite that bakes pending renames into the files and
+    * clears the `rename.*` props — called lazily by CoW operations. */
+  private def materializeRenames(spark: SparkSession, table: String,
+      snap: Snapshot): Int = {
+    val ren = renameMap(snap)
+    if (ren.isEmpty) return snap.version
+    val (raw, _) = indexedDataFrame(spark, table, snap)
+    val renamed = applyRenames(raw, snap)
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      f.copy(name = ren.getOrElse(f.name, f.name))))
+    val v = snap.version + 1
+    val commitDir = stagingDir(table, v)
+    val writer = if (snap.partitionCols.nonEmpty)
+      renamed.write.partitionBy(snap.partitionCols: _*) else renamed.write
+    writer.mode("errorifexists").parquet(commitDir)
+    val snapNew = Snapshot(v, System.currentTimeMillis(), newSchema.json,
+      snap.partitionCols, listCommitFiles(spark, commitDir),
+      snap.props.filterNot(_._1.startsWith("rename.")), snap.dvFiles)
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
   }
 
   /** Copy-on-write MERGE INTO (full-row upsert semantics, the lake
@@ -493,9 +748,10 @@ object Lake {
   def merge(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String]): Int = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit}
-    val prev = currentVersion(spark, table)
-    require(prev > 0, s"no committed version at $table")
-    val snap = readSnapshot(spark, table, prev)
+    val prev0 = currentVersion(spark, table)
+    require(prev0 > 0, s"no committed version at $table")
+    val snap = foldIfPending(spark, table, readSnapshot(spark, table, prev0))
+    val prev = snap.version
     val schema = snap.schema
     keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown key $k"))
     val src = source.select(schema.fieldNames.toSeq.map(n =>
@@ -554,9 +810,10 @@ object Lake {
       smallFileBytes: Long = 32L << 20,
       targetFileBytes: Long = 128L << 20): Int = {
     import org.apache.spark.sql.functions.{col, lit}
-    val prev = currentVersion(spark, table)
-    require(prev > 0, s"no committed version at $table")
-    val snap = readSnapshot(spark, table, prev)
+    val prev0 = currentVersion(spark, table)
+    require(prev0 > 0, s"no committed version at $table")
+    val snap = foldIfPending(spark, table, readSnapshot(spark, table, prev0))
+    val prev = snap.version
     val schema = snap.schema
     val dataSchema = StructType(
       schema.fields.filterNot(fd => snap.partitionCols.contains(fd.name)))
@@ -607,8 +864,11 @@ object Lake {
     if (kept.size == snap.files.size) return prev
     require(kept.nonEmpty, "retention would drop every partition")
     val v = prev + 1
+    // delete-vector entries for expired files go dead but stay listed:
+    // the mask anti-join simply never matches them, and foldDeletes
+    // ignores entries whose file left the snapshot.
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, kept, snap.props)
+      snap.partitionCols, kept, snap.props, snap.dvFiles)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -641,6 +901,19 @@ object Lake {
       }
       toDelete.foreach { p => if (f.delete(p, false)) removed += 1 }
     }
+    // delete-vector sidecar GC: a sidecar dir referenced by no retained
+    // snapshot (folded away, or its snapshot expired) is dead weight.
+    // Sidecar names are uuid-unique, so name-match is exact.
+    val refDvNames = keepVersions
+      .flatMap(v => readSnapshot(spark, table, v).dvFiles)
+      .map(p => new Path(p).getName).toSet
+    val delDir = new Path(s"$table/deletes")
+    if (f.exists(delDir)) {
+      f.listStatus(delDir).foreach { st =>
+        if (!refDvNames.contains(st.getPath.getName) &&
+            f.delete(st.getPath, true)) removed += 1
+      }
+    }
     (1 until keepVersions.head).foreach { v =>
       f.delete(manifestFile(table, v), false)
     }
@@ -658,7 +931,7 @@ object Lake {
     val snap = readSnapshot(spark, table, toVersion)
     val v = current + 1
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, snap.files, snap.props)
+      snap.partitionCols, snap.files, snap.props, snap.dvFiles)
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -689,10 +962,29 @@ object Lake {
       f.mkdirs(dstPath.getParent)
       org.apache.hadoop.fs.FileUtil.copy(
         srcPath.getFileSystem(conf), srcPath, f, dstPath, false, conf)
-      fl.copy(path = dstPath.toString)
+      // store the QUALIFIED path (like listCommitFiles does) so
+      // _metadata.file_path at read time matches the rewritten
+      // delete-vector entries
+      fl.copy(path = f.makeQualified(dstPath).toString)
+    }
+    // pending delete vectors travel with the clone: copy each sidecar,
+    // rewriting its file references from the source root to the
+    // destination root (both in the qualified-URI form
+    // _metadata.file_path renders) so the mask keeps matching the
+    // copied data files.
+    val dvCopied = snap.dvFiles.zipWithIndex.map { case (d, i) =>
+      val out = s"$dst/deletes/dv-clone-1-$i"
+      val qualifiedDst = f.makeQualified(new Path(dst)).toString
+      spark.read.schema(DvSchema).parquet(d)
+        .withColumn("__graft_dv_file", org.apache.spark.sql.functions
+          .regexp_replace(org.apache.spark.sql.functions.col("__graft_dv_file"),
+            java.util.regex.Pattern.quote(qualifiedSrc),
+            java.util.regex.Matcher.quoteReplacement(qualifiedDst)))
+        .repartition(1).write.mode("errorifexists").parquet(out)
+      out
     }
     val snapNew = Snapshot(1, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, copied, snap.props)
+      snap.partitionCols, copied, snap.props, dvCopied)
     writeJson(spark, dst, manifestFile(dst, 1), snapshotToJava(snapNew))
     commitVersion(spark, dst, 1)
     1
@@ -758,6 +1050,7 @@ object Lake {
       s.props.foreach { case (k2, v2) => pm.put(k2, v2) }
       m.put("props", pm)
     }
+    if (s.dvFiles.nonEmpty) m.put("dvFiles", s.dvFiles.asJava)
     m.put("files", s.files.map { lf =>
       val fm = new java.util.LinkedHashMap[String, Object]()
       fm.put("path", lf.path)
@@ -825,7 +1118,10 @@ object Lake {
         },
       Option(m.get("props"))
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      Option(m.get("dvFiles"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Nil))
   }
 
   /** Commit a METADATA-ONLY amendment — the given snapshot's files
@@ -847,12 +1143,48 @@ object Lake {
 
   /** Snapshot read with time travel; returns the DataFrame plus the
     * manifest-backed FileIndex (exposed so tests can assert the
-    * pruned file selection). */
+    * pruned file selection). When the snapshot carries merge-on-read
+    * delete vectors ([[deleteMor]]) the DataFrame is MASKED — deleted
+    * positions anti-joined away — while the index still describes the
+    * raw file set. */
   def readIndexed(spark: SparkSession, table: String,
       versionAsOf: Option[Int] = None): (DataFrame, LakeFileIndex) = {
     val v = versionAsOf.getOrElse(currentVersion(spark, table))
     require(v > 0, s"no committed version at $table")
-    indexedDataFrame(spark, table, readSnapshot(spark, table, v))
+    val snap = readSnapshot(spark, table, v)
+    val (df, index) = indexedDataFrame(spark, table, snap)
+    (applyRenames(maskDeletes(spark, df, snap), snap), index)
+  }
+
+  /** Parquet schema of a delete-vector sidecar: the target data file
+    * (as `_metadata.file_path` renders it) and the 0-based row position
+    * within that file (`_metadata.row_index`). */
+  private val DvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("__graft_dv_file", StringType),
+    org.apache.spark.sql.types.StructField("__graft_dv_pos", LongType)))
+
+  private def dvReader(spark: SparkSession, snap: Snapshot): DataFrame =
+    spark.read.schema(DvSchema).parquet(snap.dvFiles: _*)
+
+  /** Apply a snapshot's delete vectors to its scan: tag each row with
+    * (file, position) from the parquet reader's metadata column and
+    * anti-join the DV sidecars. The DV side is broadcast BY CONTRACT —
+    * [[deleteMor]] is the small-delete path (GDPR erasure, dedup
+    * fixes); bulk deletes belong to copy-on-write [[delete]]. At 100 TB
+    * the masked scan therefore costs one broadcast hash lookup per row,
+    * no shuffle, and files without deletes pass through the same plan
+    * untouched. */
+  private def maskDeletes(spark: SparkSession, df: DataFrame,
+      snap: Snapshot): DataFrame = {
+    if (snap.dvFiles.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      df.withColumn("__graft_dv_file", col("_metadata.file_path"))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(dvReader(spark, snap)),
+          Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+        .drop("__graft_dv_file", "__graft_dv_pos")
+    }
   }
 
   /** Manifest-backed relation for an arbitrary Snapshot — also the
