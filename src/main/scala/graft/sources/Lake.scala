@@ -566,13 +566,7 @@ object Lake {
     require(prev > 0, s"no committed version at $table")
     val snap = readSnapshot(spark, table, prev)
     if (snap.dvFiles.isEmpty) return prev
-    // files named by any DV entry — manifest-scale, driver-resident.
-    // DV paths render as _metadata.file_path (URL-encoded URI); manifest
-    // paths are raw FileStatus strings — decode only the DV side, the
-    // rewriteTouched convention.
-    val dvPaths = dvReader(spark, snap).select("__graft_dv_file").distinct()
-      .collect().map(r => java.net.URLDecoder.decode(
-        new Path(r.getString(0)).toUri.getPath, "UTF-8")).toSet
+    val dvPaths = dvDirtyPaths(spark, snap)
     val (rewrite, keep) = snap.files.partition(fl =>
       dvPaths.contains(new Path(fl.path).toUri.getPath))
     val v = prev + 1
@@ -1152,9 +1146,44 @@ object Lake {
     val v = versionAsOf.getOrElse(currentVersion(spark, table))
     require(v > 0, s"no committed version at $table")
     val snap = readSnapshot(spark, table, v)
-    val (df, index) = indexedDataFrame(spark, table, snap)
-    (applyRenames(maskDeletes(spark, df, snap), snap), index)
+    if (snap.dvFiles.isEmpty) {
+      val (df, index) = indexedDataFrame(spark, table, snap)
+      (applyRenames(df, snap), index)
+    } else {
+      // Split the scan at PLAN time using the vectors' distinct-file
+      // set (sidecar read + driver-resident manifest-scale set): files
+      // without deletes scan at full speed — no metadata column, no
+      // anti-join — and only the dirty subset pays the mask. At 100 TB
+      // with a 0.1% delete this keeps ~99.9% of the scan on the
+      // untouched fast path.
+      val dirtySet = dvDirtyPaths(spark, snap)
+      val (dirty, clean) = snap.files.partition(fl =>
+        dirtySet.contains(new Path(fl.path).toUri.getPath))
+      val index = new LakeFileIndex(table, snap, StructType(
+        snap.partitionCols.flatMap(c => snap.schema.fields.find(_.name == c))))
+      val cleanDf = if (clean.isEmpty) None
+        else Some(indexedDataFrame(spark, table, snap.copy(files = clean))._1)
+      val dirtyDf = if (dirty.isEmpty) None
+        else Some(maskDeletes(spark,
+          indexedDataFrame(spark, table, snap.copy(files = dirty))._1, snap))
+      val merged = (cleanDf, dirtyDf) match {
+        case (Some(c), Some(d)) => c.unionByName(d)
+        case (Some(c), None) => c
+        case (None, Some(d)) => d
+        case (None, None) => indexedDataFrame(spark, table, snap)._1
+      }
+      (applyRenames(merged, snap), index)
+    }
   }
+
+  /** Decoded filesystem paths of every data file named by a pending
+    * delete vector — DV entries render as `_metadata.file_path`
+    * (URL-encoded URI), manifest paths as raw FileStatus strings;
+    * decode the DV side only (the rewriteTouched convention). */
+  private def dvDirtyPaths(spark: SparkSession, snap: Snapshot): Set[String] =
+    dvReader(spark, snap).select("__graft_dv_file").distinct()
+      .collect().map(r => java.net.URLDecoder.decode(
+        new Path(r.getString(0)).toUri.getPath, "UTF-8")).toSet
 
   /** Parquet schema of a delete-vector sidecar: the target data file
     * (as `_metadata.file_path` renders it) and the 0-based row position
