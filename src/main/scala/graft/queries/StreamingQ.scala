@@ -63,6 +63,49 @@ object StreamingQ extends graft.QueryArea {
         .filter(col("rk") <= 3)
         .orderBy(col("day"), col("rk"))
     }),
+    // Watermark late-data semantics through the REAL micro-batch path,
+    // across TWO checkpoint-resumed AvailableNow runs: run 1 ingests
+    // days 1-18 (watermark advances to max-36h ~ Jan 17); run 2
+    // re-injects day-3 duplicates — now far below the watermark, so
+    // the engine must DROP them — alongside on-time days 19-30. The
+    // append-mode sink therefore holds exactly one finalized window
+    // per (day, type) for every day whose window end <= final
+    // watermark, with day 3 counted ONCE. The oracle recomputes the
+    // emitted-day set and per-day counts from the raw table; any
+    // late-row leak doubles day 3 and hash-fails.
+    "stream_late_data" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_slate_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, base)
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val cut = lit("2024-01-19").cast("timestamp")
+      val run1 = e.filter(col("ts") < cut)
+      val lateDupes = e.filter(
+        date_trunc("day", col("ts")) === lit("2024-01-03").cast("timestamp"))
+      val run2 = e.filter(col("ts") >= cut).unionByName(lateDupes)
+
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(e.schema).parquet(s"$base/in")
+          .withWatermark("ts", "36 hours")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+        val q = stream.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      run1.write.mode("overwrite").parquet(s"$base/in")
+      runOnce()
+      run2.write.mode("append").parquet(s"$base/in")
+      runOnce()
+      spark.read.parquet(s"$base/out")
+        .select(date_format(col("wstart"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"))
+        .orderBy(col("day"), col("event_type"))
+    }),
     // Streaming dedup through the REAL micro-batch path: events with
     // planted duplicate rows (x3 for id%3, again for id%7) flow through
     // a file stream into dropDuplicatesWithinWatermark keyed on the PK;
@@ -335,6 +378,13 @@ object StreamingQ extends graft.QueryArea {
       """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_late_data" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events, m
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= mx - INTERVAL 36 HOUR
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
