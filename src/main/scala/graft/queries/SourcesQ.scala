@@ -180,6 +180,125 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Merge-on-read MERGE INTO: same upsert semantics as
+    // src_lake_merge but the commit appends the source as new files
+    // and delete-vectors the replaced positions — no target file
+    // rewritten (the reference primary-key load path); matched keys
+    // use a DIFFERENT modulus so both gates stay independent
+    "src_lake_merge_mor" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_mrgmor")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 4 =!= 1),
+        table, Seq("o_orderpriority"))
+      val src = o.filter(col("o_orderkey") % 6 === 2 || col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 6 === 2, col("o_totalprice") * 3)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderpriority"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"))
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Primary-key __op load (reference Load_to_Primary_Key_tables.md
+    // §"UPSERT and DELETE"): one batch deletes keys %10==3, doubles
+    // totalprice for keys %10==7, and inserts the %5==0 keys the base
+    // excluded — committed as one MoR snapshot
+    "src_lake_op_load" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_opload")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 5 =!= 0), table, Nil)
+      val src = o.filter(col("o_orderkey") % 10 === 3 ||
+          col("o_orderkey") % 10 === 7 || col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 7, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderpriority"),
+          when(col("o_orderkey") % 10 === 3, 1).otherwise(0).as("__op"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"),
+        opCol = Some("__op"))
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Conditional update (reference Load_to_Primary_Key_tables.md
+    // §"Conditional updates"): ver = o_orderkey % 7 on the target; the
+    // source writes ver=3, so only keys with %7 <= 3 accept the update
+    // — out-of-order protection, rejected rows keep value AND position
+    "src_lake_merge_condition" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_mrgcond")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+      val base = o.select(col("o_orderkey"),
+        (col("o_orderkey") % 7).cast("int").as("ver"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(base, table, Nil)
+      val src = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(3).cast("int").as("ver"),
+          (col("o_totalprice") * 10).as("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"),
+        mergeCondition = Some("ver"))
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          sum(col("ver").cast("long")).as("sum_ver"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Row-mode partial update (reference Load_to_Primary_Key_tables.md
+    // §"Partial updates"): the source carries (key, totalprice) only —
+    // matched rows keep their priority/status from the target, inserted
+    // rows get NULL there
+    "src_lake_partial_update" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_partupd")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"), col("o_orderstatus"))
+      graft.sources.Lake.write(o, table, Nil)
+      val src = o.filter(col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("o_totalprice"))
+        .unionByName(o.filter(col("o_orderkey") % 4 === 1)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit(5.0).as("o_totalprice")))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"),
+        partialUpdate = true)
+      graft.sources.Lake.read(spark, table)
+        .groupBy(coalesce(col("o_orderpriority"), lit("none")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          count(col("o_orderstatus")).as("n_status"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("prio"))
+    }),
+    // Merge-on-read UPDATE: same SET semantics as src_lake_update but
+    // the commit appends new row images + delete-vectors the old
+    // positions — no file rewritten (different modulus keeps the two
+    // gates independent)
+    "src_lake_update_mor" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_updmor")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o, table, Seq("o_orderpriority"))
+      graft.sources.Lake.updateMor(spark, table,
+        col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 1.2)))
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Time travel: three commits (overwrite, append, overwrite) — each
     // snapshot version stays readable because data files are immutable
     // and manifests are per-version. The output reads all three
@@ -888,6 +1007,80 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_merge_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 4 <> 1),
+        |src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 6 = 2 THEN o_totalprice * 3
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 6 = 2 OR o_orderkey % 4 = 1),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_op_load" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 5 <> 0),
+        |ups AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 7 OR o_orderkey % 5 = 0),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 10 <> 3
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+        |  UNION ALL SELECT * FROM ups)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_merge_condition" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <= 3
+        |      THEN 3 ELSE CAST(o_orderkey % 7 AS INT) END AS ver,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <= 3
+        |      THEN o_totalprice * 10 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(SUM(ver) AS BIGINT) AS sum_ver
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_partial_update" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 4 = 2 THEN o_totalprice + 1000
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority, o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, CAST(5.0 AS DOUBLE), NULL, NULL
+        |  FROM orders WHERE o_orderkey % 4 = 1)
+        |SELECT coalesce(o_orderpriority, 'none') AS prio, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS n_status,
+        |  max(o_orderkey) AS max_key
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "src_lake_update_mor" ->
+      """WITH upd AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority = '2-HIGH' AND o_orderkey % 5 = 0
+        |      THEN o_totalprice * CAST(1.2 AS DOUBLE) ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM upd GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_lake_alter_columns" ->
       """WITH ev AS (
         |  SELECT o_orderkey, o_totalprice AS price, NULL AS flag

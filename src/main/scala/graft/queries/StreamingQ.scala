@@ -168,6 +168,48 @@ object StreamingQ extends graft.QueryArea {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy(col("event_type"))
     }),
+    // Streaming → ACID lake sink through MERGE-ON-READ
+    // (streaming/Streams.lakeMorUpsertSink): same latest-event-per-user
+    // contract as stream_lake_sink, but each micro-batch lands as
+    // appended files + a delete-vector sidecar — NO target file
+    // rewrite, the reference primary-key routine-load path. Waves are
+    // fed in REVERSE event order so the merge condition must reject
+    // late-arriving older rows for the state to converge.
+    "stream_lake_mor_sink" -> ((spark, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_smlake_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, base)
+      val e = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      Seq(2, 1, 0).zipWithIndex.foreach { case (slice, i) =>
+        val staging = s"$base/stage$slice"
+        e.filter(col("event_id") % 3 === slice).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        f.rename(part, new org.apache.hadoop.fs.Path(s"$base/in/wave$i.parquet"))
+        f.delete(new org.apache.hadoop.fs.Path(staging), true)
+      }
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val q = graft.streaming.Streams.lakeMorUpsertSink(
+        stream, Seq("user_id"), "event_id", s"$base/table", s"$base/ckpt")
+      q.awaitTermination(180000)
+      val table = s"$base/table"
+      val cur = graft.sources.Lake.currentVersion(spark, table)
+      require(cur >= 3, "expected one lake commit per micro-batch")
+      val v1 = graft.sources.Lake.readSnapshot(spark, table, 1)
+      val vN = graft.sources.Lake.readSnapshot(spark, table, cur)
+      require(v1.files.map(_.path).forall(vN.files.map(_.path).contains),
+        "MoR sink must never rewrite an initial data file")
+      require(vN.dvFiles.nonEmpty,
+        "replaced positions must land as delete vectors")
+      graft.sources.Lake.read(spark, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))
+    }),
     // Stream-stream inner join through the REAL micro-batch path: the
     // metadata side (value > 100) joins the full stream on event_id
     // inside a ±1 h event-time band; both sides carry watermarks so
@@ -340,6 +382,15 @@ object StreamingQ extends graft.QueryArea {
         |SELECT day, term, n, rk FROM r WHERE rk <= 3
         |ORDER BY day, rk""".stripMargin,
     "stream_lake_sink" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events e JOIN latest l
+        |  ON e.user_id = l.user_id AND e.event_id = l.event_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "stream_lake_mor_sink" ->
       """WITH latest AS (
         |  SELECT user_id, max(event_id) AS event_id
         |  FROM events GROUP BY user_id)

@@ -551,6 +551,232 @@ object Lake {
     v
   }
 
+  /** Merge-on-read MERGE INTO (upsert) — the reference PRIMARY-KEY
+    * table's write path (`be/src/storage/` primary index + DelVec:
+    * a load appends new segments and marks replaced positions
+    * deleted, no segment rewrite): source rows REPLACE key-matched
+    * target rows and the rest INSERT, committed as ONE snapshot that
+    * appends the source as new data files and records the replaced
+    * positions in a delete-vector sidecar. Cost is O(matched + new
+    * rows) regardless of how many files the matches touch — where
+    * copy-on-write [[merge]] rewrites every touched file, this
+    * rewrites none; reads mask the replaced positions until
+    * [[foldDeletes]]/compaction. Source must be key-distinct.
+    *
+    * The three reference primary-key LOAD modes
+    * (`docs/en/loading/Load_to_Primary_Key_tables.md`) ride the same
+    * commit:
+    *  - `opCol` — the `__op` field (doc §"UPSERT and DELETE", lines
+    *    40-46): 0/NULL = UPSERT, 1 = DELETE; the column never lands in
+    *    the table. A key must carry ONE op per batch.
+    *  - `mergeCondition` — conditional update (doc §"Conditional
+    *    updates"): a matched source row lands only when its value in
+    *    that non-key column is >= the target row's (out-of-order
+    *    protection; a NULL source value never wins; DELETEs are
+    *    unconditional per the doc).
+    *  - `partialUpdate` — row-mode partial update (doc §"Partial
+    *    updates"): the source carries the keys plus a SUBSET of
+    *    columns; matched rows keep their current values for the
+    *    unprovided columns (fetched from the one masked target scan),
+    *    inserts get NULL there. Provided-NULL wins, matching
+    *    `KeysModels` partial-upsert semantics. Partition columns must
+    *    be provided.
+    *
+    * Scale: the target is scanned ONCE, semi-joined down to the
+    * touched-key slice (O(batch) rows, pinned), which then serves the
+    * condition lookup, the partial-column fill, and the delete-vector
+    * positions; the batch side is broadcast-bound (a load batch, not a
+    * table). Returns the committed version (or the current one when
+    * the batch lands nothing). */
+  def mergeMor(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], opCol: Option[String] = None,
+      mergeCondition: Option[String] = None,
+      partialUpdate: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    val logical = logicalNames(snap)
+    keys.foreach(k => require(logical.contains(k), s"unknown key $k"))
+    val ren = renameMap(snap) // physical -> logical
+    val phys = snap.schema
+    val logicalOf = (p: String) => ren.getOrElse(p, p)
+
+    // __op split: 0/NULL upserts, 1 deletes; anything else is an error
+    val (upsSrc, delKeys) = opCol match {
+      case None => (source, None)
+      case Some(c) =>
+        require(source.columns.contains(c), s"missing op column $c")
+        require(!logical.contains(c),
+          s"op column $c collides with a table column")
+        val op = coalesce(col(c).cast("int"), lit(0))
+        val ups = source.filter(op === 0).drop(c)
+        val dels = source.filter(op === 1)
+          .select(keys.map(col): _*).distinct().localCheckpoint(true)
+        (ups, Some(dels))
+    }
+    mergeCondition.foreach(c => require(
+      logical.contains(c) && !keys.contains(c),
+      s"merge condition must be a non-key table column, got $c"))
+
+    // the logical columns the batch provides; full mode = all of them
+    val allLogical = phys.fields.toSeq.map(fd => logicalOf(fd.name))
+    val provided: Seq[String] =
+      if (!partialUpdate) allLogical
+      else {
+        val p = allLogical.filter(upsSrc.columns.contains)
+        keys.foreach(k => require(p.contains(k), s"source missing key $k"))
+        snap.partitionCols.foreach(pc => require(p.contains(logicalOf(pc)),
+          s"partial update must provide partition column ${logicalOf(pc)}"))
+        p
+      }
+    mergeCondition.foreach(c => require(provided.contains(c),
+      s"source must provide the merge-condition column $c"))
+    val typeOf = phys.fields.toSeq
+      .map(fd => (logicalOf(fd.name), fd.dataType)).toMap
+    // source arrives under logical names: cast to the table's types
+    val srcTyped = upsSrc.select(provided.map(lg =>
+      col(lg).cast(typeOf(lg)).as(lg)): _*)
+    val upsKeys = srcTyped.select(keys.map(col): _*).distinct()
+      .localCheckpoint(true)
+    delKeys.foreach(dk => require(
+      upsKeys.join(dk, keys, "left_semi").isEmpty,
+      "a key carries both UPSERT and DELETE in one batch"))
+    val touchKeys = delKeys.fold(upsKeys)(dk => upsKeys.unionByName(dk))
+
+    // ONE masked target scan, shrunk to the touched-key slice
+    val (raw, _) = indexedDataFrame(spark, table, snap)
+    val tagged = applyRenames(raw
+      .withColumn("__graft_dv_file", col("_metadata.file_path"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index")), snap)
+    val alive = if (snap.dvFiles.isEmpty) tagged
+      else tagged.join(broadcast(dvReader(spark, snap)),
+        Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+    val needOld = mergeCondition.isDefined || partialUpdate
+    val touchedRaw = alive.join(broadcast(touchKeys), keys, "left_semi")
+    // featured paths reuse the slice three ways — pin it (O(batch) rows)
+    val touched = if (needOld) touchedRaw.localCheckpoint(true) else touchedRaw
+
+    // conditional update: matched rows lose unless src.cond >= tgt.cond
+    val accepted = mergeCondition match {
+      case None => srcTyped
+      case Some(c) =>
+        val tgtCond = touched.select(
+          (keys.map(col) :+ col(c).as("__graft_tgt_cond")): _*)
+        srcTyped.join(broadcast(tgtCond), keys, "left")
+          .filter(col("__graft_tgt_cond").isNull ||
+            col(c) >= col("__graft_tgt_cond"))
+          .drop("__graft_tgt_cond")
+    }
+    // partial update: carry unprovided columns from the matched row
+    val unprovided = allLogical.filterNot(provided.contains)
+    val upsFull =
+      if (unprovided.isEmpty) accepted.select(allLogical.map(col): _*)
+      else {
+        val oldVals = touched.select((keys ++ unprovided).map(col): _*)
+        accepted.join(broadcast(oldVals), keys, "left")
+          .select(allLogical.map(col): _*)
+      }
+    val srcPhys = ren.foldLeft(upsFull) { case (d, (p, lg)) =>
+      if (d.columns.contains(lg)) d.withColumnRenamed(lg, p) else d }
+
+    // replaced/deleted positions: accepted upsert keys + delete keys
+    val acceptedKeys =
+      if (mergeCondition.isEmpty) upsKeys
+      else accepted.select(keys.map(col): _*).distinct()
+    val dvKeys = delKeys.fold(acceptedKeys)(dk =>
+      acceptedKeys.unionByName(dk))
+    val v = prev + 1
+    val sidecar =
+      s"$table/deletes/dv-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    touched.join(broadcast(dvKeys), keys, "left_semi")
+      .select(col("__graft_dv_file"), col("__graft_dv_pos"))
+      .repartition(1)
+      .write.mode("errorifexists").parquet(sidecar)
+    val matched = listCommitFiles(spark, sidecar).map(_.rowCount).sum
+    if (matched == 0) fs(spark, table).delete(new Path(sidecar), true)
+
+    // append the accepted rows as new data files (physical names)
+    val commitDir = stagingDir(table, v)
+    val writer = if (snap.partitionCols.nonEmpty)
+      srcPhys.write.partitionBy(snap.partitionCols: _*) else srcPhys.write
+    writer.mode("errorifexists").parquet(commitDir)
+    val newFiles = listCommitFiles(spark, commitDir).filter(_.rowCount > 0)
+    if (newFiles.isEmpty) fs(spark, table).delete(new Path(commitDir), true)
+    if (matched == 0 && newFiles.isEmpty) return prev
+
+    val snapNew = snap.copy(version = v,
+      createdAtMs = System.currentTimeMillis(),
+      files = snap.files ++ newFiles,
+      dvFiles = if (matched == 0) snap.dvFiles else snap.dvFiles :+ sidecar)
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
+  }
+
+  /** Merge-on-read UPDATE: rows matching `predicate` get their
+    * positions delete-vectored and their re-computed images appended
+    * as new files — the reference primary-key UPDATE landing through
+    * the DelVec path (an UPDATE is a load of the new row versions;
+    * `be/src/storage/del_vector.cpp`). Where copy-on-write [[update]]
+    * rewrites every touched file, this writes O(matched rows): at
+    * 100 TB a point update costs KBs, not the touched gigabytes.
+    * NULL-predicate rows are untouched (SQL UPDATE semantics);
+    * assignments cast to the snapshot type so the schema never
+    * drifts. Partition-column assignment is allowed (the new image
+    * just lands in its new partition — no repartitioning rewrite
+    * exists in MoR). Returns the new version (or the current one when
+    * nothing matched). */
+  def updateMor(spark: SparkSession, table: String, predicate: Column,
+      assignments: Map[String, Column]): Int = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val prev = currentVersion(spark, table)
+    require(prev > 0, s"no committed version at $table")
+    val snap = readSnapshot(spark, table, prev)
+    val ren = renameMap(snap)
+    val logicalOf = (p: String) => ren.getOrElse(p, p)
+    val logical = logicalNames(snap)
+    assignments.keys.foreach(c =>
+      require(logical.contains(c), s"unknown column $c"))
+    val (raw, _) = indexedDataFrame(spark, table, snap)
+    val tagged = applyRenames(raw
+      .withColumn("__graft_dv_file", col("_metadata.file_path"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index")), snap)
+    val alive = if (snap.dvFiles.isEmpty) tagged
+      else tagged.join(broadcast(dvReader(spark, snap)),
+        Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+    // pin the matched slice so positions and new images agree by
+    // construction (one scan; O(matched) rows resident)
+    val matchedRows = alive.filter(coalesce(predicate, lit(false)))
+      .localCheckpoint(true)
+    val v = prev + 1
+    val sidecar =
+      s"$table/deletes/dv-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    matchedRows.select(col("__graft_dv_file"), col("__graft_dv_pos"))
+      .repartition(1)
+      .write.mode("errorifexists").parquet(sidecar)
+    val matched = listCommitFiles(spark, sidecar).map(_.rowCount).sum
+    if (matched == 0) { fs(spark, table).delete(new Path(sidecar), true); return prev }
+    val images = matchedRows.select(snap.schema.fields.toSeq.map { fd =>
+      val lg = logicalOf(fd.name)
+      assignments.get(lg) match {
+        case Some(a) => a.cast(fd.dataType).as(fd.name)
+        case None => col(lg).as(fd.name)
+      }
+    }: _*)
+    val commitDir = stagingDir(table, v)
+    val writer = if (snap.partitionCols.nonEmpty)
+      images.write.partitionBy(snap.partitionCols: _*) else images.write
+    writer.mode("errorifexists").parquet(commitDir)
+    val snapNew = snap.copy(version = v,
+      createdAtMs = System.currentTimeMillis(),
+      files = snap.files ++ listCommitFiles(spark, commitDir),
+      dvFiles = snap.dvFiles :+ sidecar)
+    writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
+    commitVersion(spark, table, v)
+    v
+  }
+
   /** Fold pending delete vectors into the data: rewrite ONLY the files
     * that actually carry deleted positions (masked through the same
     * manifest-backed index the vectors were recorded against, so the
@@ -1236,6 +1462,25 @@ object Lake {
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Int] = None): DataFrame =
     readIndexed(spark, table, versionAsOf)._1
+
+  /** Newest version committed at-or-before `tsMs` — AS OF TIMESTAMP
+    * resolution (the Delta/Iceberg timestamp-travel contract: each
+    * snapshot's commit time is its manifest's `createdAtMs`). Manifest
+    * reads only, O(#versions). */
+  def versionAt(spark: SparkSession, table: String, tsMs: Long): Int = {
+    val current = currentVersion(spark, table)
+    require(current > 0, s"no committed version at $table")
+    val v = (1 to current).takeWhile(v =>
+      readSnapshot(spark, table, v).createdAtMs <= tsMs).lastOption
+    require(v.nonEmpty,
+      s"no snapshot of $table at or before $tsMs (earliest is v1)")
+    v.get
+  }
+
+  /** Time travel by wall clock: read the snapshot current at `tsMs`. */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+      tsMs: Long): DataFrame =
+    read(spark, table, Some(versionAt(spark, table, tsMs)))
 
   /** Snapshot diff — the CDC-out surface between two table versions
     * (what an incremental consumer replays): full outer join on the

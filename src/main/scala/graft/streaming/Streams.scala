@@ -195,6 +195,46 @@ object Streams {
       .start()
   }
 
+  /** Streaming micro-batches into an ACID Lake table through the
+    * MERGE-ON-READ path — the reference's routine load landing in a
+    * PRIMARY-key table exactly as the BE does it (append new
+    * segments, delete-vector the replaced positions; no rewrite,
+    * `be/src/storage/del_vector.cpp`): each batch is deduped to one
+    * row per key (highest versionCol wins) and applied via
+    * [[graft.sources.Lake.mergeMor]] with `mergeCondition =
+    * versionCol`, so a replayed or out-of-order batch converges — an
+    * older row than the key's current version is rejected WITHOUT
+    * touching the target row's position.
+    *
+    * Scale: this is the sink shape that survives sustained ingest at
+    * 100 TB — per batch the write cost is O(batch rows) (new files +
+    * one position sidecar), where [[lakeUpsertSink]]'s copy-on-write
+    * merge rewrites every touched file every batch. Compaction debt
+    * is deferred to [[graft.sources.Lake.foldDeletes]] on the user's
+    * schedule, exactly like the reference's background compaction
+    * applying accumulated DelVecs. */
+  def lakeMorUpsertSink(stream: DataFrame, keys: Seq[String],
+      versionCol: String, table: String, checkpoint: String): StreamingQuery = {
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+        val deduped = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (graft.sources.Lake.currentVersion(spark, table) == 0)
+          graft.sources.Lake.write(deduped, table, Nil)
+        else
+          graft.sources.Lake.mergeMor(spark, table, deduped, keys,
+            mergeCondition = Some(versionCol))
+        ()
+      }
+      .start()
+  }
+
   /** Incremental-MV writer: stream an aggregation into a parquet dir
     * in append mode per completed window (the Structured-Streaming
     * equivalent of an ASYNC incremental MV refresh). */

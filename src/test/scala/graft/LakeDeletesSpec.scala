@@ -174,6 +174,63 @@ class LakeDeletesSpec extends SparkSuite {
     assert(Lake.read(spark, dir).count() === 1900L)
   }
 
+  test("mergeMor upserts without rewriting any data file") {
+    val dir = tmp("mor_merge")
+    Lake.write(mkOrders.repartition(4), dir, Nil)
+    val before = Lake.readSnapshot(spark, dir, 1)
+    // replace k in [0,50), insert k in [5000,5050)
+    val src = spark.range(0, 100).select(
+      when($"id" < 50, $"id").otherwise($"id" + 4950).as("k"),
+      lit(99).cast("int").as("grp"), lit(-5.0).as("price"))
+    val v = Lake.mergeMor(spark, dir, src, Seq("k"))
+    val after = Lake.readSnapshot(spark, dir, v)
+    assert(before.files.map(_.path).forall(after.files.map(_.path).contains),
+      "original data files must carry by reference")
+    assert(after.dvFiles.size === 1)
+    val out = Lake.read(spark, dir)
+    assert(out.count() === 2050L)
+    assert(out.filter($"grp" === 99).count() === 100L)
+    assert(out.filter($"k" < 50 && $"grp" =!= 99).count() === 0L,
+      "replaced rows still visible")
+    // fold keeps the merged state
+    Lake.foldDeletes(spark, dir)
+    assert(Lake.read(spark, dir).filter($"grp" === 99).count() === 100L)
+    assert(Lake.read(spark, dir).count() === 2050L)
+  }
+
+  test("mergeMor insert-only commits no delete vector; stacks on prior deleteMor") {
+    val dir = tmp("mor_merge2")
+    Lake.write(mkOrders, dir, Nil)
+    Lake.deleteMor(spark, dir, $"k" < 100)
+    // insert-only merge: keys all new
+    val ins = spark.range(9000, 9010).select($"id".as("k"),
+      lit(1).cast("int").as("grp"), lit(0.0).as("price"))
+    val v = Lake.mergeMor(spark, dir, ins, Seq("k"))
+    assert(Lake.readSnapshot(spark, dir, v).dvFiles.size === 1, "no new DV expected")
+    assert(Lake.read(spark, dir).count() === 1910L)
+    // upsert over still-masked rows: k<100 are deleted, so a source
+    // row with k=50 INSERTS (no position match)
+    Lake.mergeMor(spark, dir, spark.range(50, 51).select($"id".as("k"),
+      lit(7).cast("int").as("grp"), lit(1.0).as("price")), Seq("k"))
+    val out = Lake.read(spark, dir)
+    assert(out.filter($"k" === 50).count() === 1L)
+    assert(out.filter($"k" === 50).select($"grp").as[Int].head() === 7)
+  }
+
+  test("timestamp time travel resolves the snapshot current at a wall clock") {
+    val dir = tmp("mor_ts")
+    Lake.write(mkOrders, dir, Nil)
+    Thread.sleep(15)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    Lake.deleteMor(spark, dir, $"k" < 1000)
+    assert(Lake.versionAt(spark, dir, t1) === 1)
+    assert(Lake.readAsOfTimestamp(spark, dir, t1).count() === 2000L)
+    assert(Lake.readAsOfTimestamp(spark, dir, System.currentTimeMillis())
+      .count() === 1000L)
+    intercept[IllegalArgumentException] { Lake.versionAt(spark, dir, 1000L) }
+  }
+
   test("manifest JSON round-trips dvFiles; old manifests read as empty") {
     val dir = tmp("mor_json")
     Lake.write(mkOrders, dir, Nil)

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Lake
+
+/** The reference primary-key LOAD modes riding the merge-on-read
+  * commit (`docs/en/loading/Load_to_Primary_Key_tables.md`): the
+  * `__op` upsert/delete field, conditional updates
+  * (`merge_condition`), row-mode partial updates — plus the MoR
+  * flavor of UPDATE (new row images appended, old positions
+  * delete-vectored).
+  */
+class LakeMorLoadSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkOrders = spark.range(0, 2000)
+    .select($"id".as("k"), ($"id" % 7).cast("int").as("grp"),
+      ($"id" * 31 % 1000).cast("double").as("price"))
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("__op load mixes upserts, deletes, and inserts in one commit") {
+    val dir = tmp("mor_op")
+    Lake.write(mkOrders.repartition(4), dir, Nil)
+    val before = Lake.readSnapshot(spark, dir, 1)
+    // delete k in [0,100), upsert k in [100,200) to grp 50, insert
+    // k in [9000,9100)
+    val src = spark.range(0, 300).select(
+      when($"id" < 200, $"id").otherwise($"id" + 8800).as("k"),
+      lit(50).cast("int").as("grp"), lit(1.0).as("price"),
+      when($"id" < 100, 1).otherwise(0).as("__op"))
+    val v = Lake.mergeMor(spark, dir, src, Seq("k"), opCol = Some("__op"))
+    val after = Lake.readSnapshot(spark, dir, v)
+    assert(before.files.map(_.path).forall(after.files.map(_.path).contains),
+      "no target file may be rewritten")
+    assert(after.dvFiles.size === 1)
+    val out = Lake.read(spark, dir)
+    assert(out.count() === 2000L) // -100 deleted +100 inserted
+    assert(out.filter($"k" < 100).count() === 0L, "deletes applied")
+    assert(out.filter($"k" >= 100 && $"k" < 200 && $"grp" === 50)
+      .count() === 100L, "upserts applied")
+    assert(out.filter($"k" >= 9000).count() === 100L, "inserts applied")
+    // the op column never lands in the table
+    assert(!out.columns.contains("__op"))
+  }
+
+  test("__op load rejects a key carrying both ops; op column name clash") {
+    val dir = tmp("mor_op2")
+    Lake.write(mkOrders, dir, Nil)
+    val both = Seq((5L, 0), (5L, 1)).toDF("k", "__op")
+      .withColumn("grp", lit(1)).withColumn("price", lit(0.0))
+    intercept[IllegalArgumentException] {
+      Lake.mergeMor(spark, dir, both, Seq("k"), opCol = Some("__op"))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.mergeMor(spark, dir, mkOrders, Seq("k"), opCol = Some("grp"))
+    }
+  }
+
+  test("merge condition: only source rows with cond >= target land") {
+    val dir = tmp("mor_cond")
+    Lake.write(mkOrders.repartition(4), dir, Nil)
+    // target grp = k % 7; source grp = 3 for k < 700 → accepted only
+    // where k % 7 <= 3 (k%7 in 0..3 = 400 of the 700 keys)
+    val src = spark.range(0, 700).select($"id".as("k"),
+      lit(3).cast("int").as("grp"), lit(-1.0).as("price"))
+    val v = Lake.mergeMor(spark, dir, src, Seq("k"),
+      mergeCondition = Some("grp"))
+    val out = Lake.read(spark, dir)
+    assert(out.count() === 2000L)
+    assert(out.filter($"price" === -1.0).count() === 400L)
+    // rejected rows keep their original values AND positions (no DV)
+    assert(out.filter($"k" < 700 && $"grp" > 3 && $"price" === -1.0)
+      .count() === 0L)
+    assert(out.filter($"k" === 6).select($"grp").as[Int].head() === 6)
+    // a NULL source condition never wins
+    val nullSrc = Seq((0L, null.asInstanceOf[Integer], 7.0))
+      .toDF("k", "grp", "price")
+    Lake.mergeMor(spark, dir, nullSrc, Seq("k"), mergeCondition = Some("grp"))
+    assert(Lake.read(spark, dir).filter($"k" === 0)
+      .select($"price").as[Double].head() === -1.0)
+    // unmatched (insert) rows land regardless of condition
+    val ins = Seq((5000L, 0, 9.0)).toDF("k", "grp", "price")
+    Lake.mergeMor(spark, dir, ins, Seq("k"), mergeCondition = Some("grp"))
+    assert(Lake.read(spark, dir).filter($"k" === 5000L).count() === 1L)
+    assert(v === 2)
+  }
+
+  test("merge condition rejecting every row commits nothing") {
+    val dir = tmp("mor_cond2")
+    Lake.write(mkOrders, dir, Nil)
+    val src = spark.range(0, 50).select($"id".as("k"),
+      lit(-1).cast("int").as("grp"), lit(0.0).as("price"))
+    val v = Lake.mergeMor(spark, dir, src, Seq("k"),
+      mergeCondition = Some("grp"))
+    assert(v === 1, "no-op load must not advance the version")
+    assert(Lake.read(spark, dir).count() === 2000L)
+  }
+
+  test("partial update carries unprovided columns on match, NULL on insert") {
+    val dir = tmp("mor_part")
+    Lake.write(mkOrders.repartition(4), dir, Nil)
+    // update price for k < 100 (grp carried), insert k in [8000,8010)
+    val src = spark.range(0, 110).select(
+      when($"id" < 100, $"id").otherwise($"id" + 7900).as("k"),
+      lit(123.5).as("price"))
+    val v = Lake.mergeMor(spark, dir, src, Seq("k"), partialUpdate = true)
+    val out = Lake.read(spark, dir)
+    assert(out.count() === 2010L)
+    val upd = out.filter($"k" < 100)
+    assert(upd.filter($"price" === 123.5).count() === 100L)
+    // grp carried from the pre-update rows: k % 7
+    assert(upd.filter($"grp" =!= ($"k" % 7).cast("int")).count() === 0L)
+    val ins = out.filter($"k" >= 8000)
+    assert(ins.count() === 10L)
+    assert(ins.filter($"grp".isNull).count() === 10L, "insert gets NULL")
+    // provided-NULL wins: explicit NULL price lands as NULL
+    val nullPrice = Seq((0L, null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "price")
+    Lake.mergeMor(spark, dir, nullPrice, Seq("k"), partialUpdate = true)
+    val r0 = Lake.read(spark, dir).filter($"k" === 0)
+    assert(r0.filter($"price".isNull).count() === 1L)
+    assert(r0.select($"grp").as[Int].head() === 0, "grp still carried")
+    assert(v === 2)
+  }
+
+  test("partial update must provide keys and partition columns") {
+    val dir = tmp("mor_part2")
+    Lake.write(mkOrders, dir, Seq("grp"))
+    val noPart = spark.range(0, 5).select($"id".as("k"), lit(1.0).as("price"))
+    intercept[IllegalArgumentException] {
+      Lake.mergeMor(spark, dir, noPart, Seq("k"), partialUpdate = true)
+    }
+    val noKey = spark.range(0, 5).select(lit(1.0).as("price"))
+    intercept[IllegalArgumentException] {
+      Lake.mergeMor(spark, dir, noKey, Seq("k"), partialUpdate = true)
+    }
+  }
+
+  test("op + condition + partial compose in one load") {
+    val dir = tmp("mor_all")
+    Lake.write(mkOrders.repartition(4), dir, Nil)
+    // source provides k, grp (condition col), __op — price unprovided.
+    // deletes k in [0,10) unconditionally; upserts k in [10,30) with
+    // grp=3 (accepted only where k%7<=3, price carried)
+    val src = spark.range(0, 30).select($"id".as("k"),
+      lit(3).cast("int").as("grp"),
+      when($"id" < 10, 1).otherwise(0).as("__op"))
+    Lake.mergeMor(spark, dir, src, Seq("k"), opCol = Some("__op"),
+      mergeCondition = Some("grp"), partialUpdate = true)
+    val out = Lake.read(spark, dir)
+    assert(out.filter($"k" < 10).count() === 0L, "deletes unconditional")
+    val accepted = (10 until 30).count(_ % 7 <= 3)
+    assert(out.filter($"k" >= 10 && $"k" < 30 && $"grp" === 3).count() ===
+      accepted.toLong)
+    // accepted rows carried their price: k*31 % 1000
+    assert(out.filter($"k" >= 10 && $"k" < 30 && $"grp" === 3 &&
+      $"price" =!= ($"k" * 31 % 1000).cast("double")).count() === 0L)
+    assert(out.count() === 1990L)
+  }
+
+  test("updateMor rewrites no file; new images appended, positions masked") {
+    val dir = tmp("mor_upd")
+    Lake.write(mkOrders.repartition(4), dir, Nil)
+    val before = Lake.readSnapshot(spark, dir, 1)
+    val v = Lake.updateMor(spark, dir, $"k" % 10 === 3,
+      Map("price" -> ($"price" * 2), "grp" -> lit(99)))
+    val after = Lake.readSnapshot(spark, dir, v)
+    assert(before.files.map(_.path).forall(after.files.map(_.path).contains))
+    assert(after.dvFiles.size === 1)
+    val out = Lake.read(spark, dir)
+    assert(out.count() === 2000L)
+    assert(out.filter($"grp" === 99).count() === 200L)
+    assert(out.filter($"k" % 10 === 3 &&
+      $"price" =!= ($"k" * 31 % 1000).cast("double") * 2).count() === 0L)
+    // NULL predicate rows kept; nothing-matched returns current version
+    assert(Lake.updateMor(spark, dir,
+      when($"k" === -1, lit(true)), Map("grp" -> lit(0))) === v)
+    // fold keeps the state
+    Lake.foldDeletes(spark, dir)
+    assert(Lake.read(spark, dir).filter($"grp" === 99).count() === 200L)
+  }
+
+  test("updateMor can move rows across partitions") {
+    val dir = tmp("mor_updpart")
+    Lake.write(mkOrders, dir, Seq("grp"))
+    Lake.updateMor(spark, dir, $"k" < 70, Map("grp" -> lit(42)))
+    val out = Lake.read(spark, dir)
+    assert(out.filter($"grp" === 42).count() === 70L)
+    assert(out.filter($"k" < 70 && $"grp" =!= 42).count() === 0L)
+    assert(out.count() === 2000L)
+    // partition pruning still works on the new partition value
+    assert(out.filter($"grp" === 42).select(sum($"k")).as[Long].head() ===
+      (0 until 70).map(_.toLong).sum)
+  }
+}
