@@ -391,6 +391,32 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // MoR Iceberg export: a Lake table carrying live delete vectors
+    // (deleteMor + mergeMor, unfolded) exports as format v2 POSITION
+    // DELETES — content=1 delete manifest listing a (file_path, pos)
+    // parquet — and the Iceberg read masks exactly what Lake.read
+    // masks, no fold required
+    "src_iceberg_mor_roundtrip" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_mor")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 9 =!= 5), table, Nil)
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 9 === 2)
+      val src = o.filter(col("o_orderkey") % 9 === 5 || col("o_orderkey") % 9 === 7)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 9 === 7, col("o_totalprice") * 4)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderpriority"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"))
+      graft.sources.IcebergExport.exportIcebergMeta(spark, table)
+      graft.sources.IcebergRead.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // PARTITIONED Hudi export: timeline stats keyed by hive-style
     // partitionPath (the HoodieCommitMetadata model); the reader
     // restores partition columns from the TIMELINE keys through the
@@ -1017,6 +1043,24 @@ object SourcesQ extends graft.QueryArea {
         |      ELSE o_totalprice END AS o_totalprice,
         |    o_orderpriority
         |  FROM orders WHERE o_orderkey % 6 = 2 OR o_orderkey % 4 = 1),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_iceberg_mor_roundtrip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 9 <> 5 AND o_orderkey % 9 <> 2),
+        |src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 9 = 7 THEN o_totalprice * 4
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 9 = 5 OR o_orderkey % 9 = 7),
         |merged AS (
         |  SELECT * FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)

@@ -50,17 +50,32 @@ object DeltaExport {
       require(!r.contains(":"), s"cannot relativize $p against $qualified")
       r
     }
+    // Snapshots carrying merge-on-read delete vectors are NOT
+    // expressible as whole-file add/remove actions (Delta's own
+    // deletion-vector encoding — RoaringBitmap sidecars — is out of
+    // scope): a naive export would serve deleted rows as live. Export
+    // the DV-free snapshots only, diffing clean-to-clean (for a table
+    // that never used MoR this is the identical v → v-1 mapping); the
+    // CURRENT snapshot must be clean or the exported table would lag
+    // the Lake state — fold first.
+    require(Lake.readSnapshot(spark, table, cur).dvFiles.isEmpty,
+      s"current Lake snapshot v$cur carries pending delete vectors — " +
+        s"run Lake.foldDeletes before Delta export (or export via " +
+        s"IcebergExport, which emits format v2 position deletes)")
+    val cleanVs = (1 to cur).filter(v =>
+      Lake.readSnapshot(spark, table, v).dvFiles.isEmpty)
     var last = -1L
-    (1 to cur).foreach { v =>
-      val logPath = new Path(f"$table/_delta_log/${v - 1}%020d.json")
+    cleanVs.zipWithIndex.foreach { case (v, dv) =>
+      val logPath = new Path(f"$table/_delta_log/$dv%020d.json")
       if (!f.exists(logPath)) {
         val snap = Lake.readSnapshot(spark, table, v)
         val prev: Map[String, Lake.LakeFile] =
-          if (v == 1) Map.empty
-          else Lake.readSnapshot(spark, table, v - 1).files.map(x => rel(x.path) -> x).toMap
+          if (dv == 0) Map.empty
+          else Lake.readSnapshot(spark, table, cleanVs(dv - 1)).files
+            .map(x => rel(x.path) -> x).toMap
         val nowFiles = snap.files.map(x => rel(x.path) -> x).toMap
         val sb = new StringBuilder
-        if (v == 1) {
+        if (dv == 0) {
           sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
           val schemaStr = mapper.writeValueAsString(snap.schemaJson)
           val partCols = mapper.writeValueAsString(snap.partitionCols.toArray)
@@ -86,7 +101,7 @@ object DeltaExport {
           // another exporter already published this version — idempotent
         }
       }
-      last = v - 1L
+      last = dv.toLong
     }
     // protocol checkpoints every 10 Delta versions: once written, the
     // JSON commits they cover can be cleaned and readers still enter

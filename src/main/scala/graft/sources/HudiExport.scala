@@ -49,8 +49,19 @@ object HudiExport {
       r
     }
     f.mkdirs(new Path(s"$table/.hoodie"))
+    // Hudi CoW readers take every listed base file whole — a snapshot
+    // with pending delete vectors would export deleted rows as live.
+    // Export the DV-free snapshots only (timeline instants keep their
+    // Lake version stamps; gaps are legal in a Hudi timeline), diffing
+    // clean-to-clean; the CURRENT snapshot must be clean — fold first.
+    require(Lake.readSnapshot(spark, table, cur).dvFiles.isEmpty,
+      s"current Lake snapshot v$cur carries pending delete vectors — " +
+        s"run Lake.foldDeletes before Hudi export (or export via " +
+        s"IcebergExport, which emits format v2 position deletes)")
+    val cleanVs = (1 to cur).filter(v =>
+      Lake.readSnapshot(spark, table, v).dvFiles.isEmpty)
     var last = ""
-    (1 to cur).foreach { v =>
+    cleanVs.zipWithIndex.foreach { case (v, i) =>
       val instant = f"$v%014d"
       last = instant
       val commitP = new Path(s"$table/.hoodie/$instant.commit")
@@ -64,7 +75,7 @@ object HudiExport {
             rel(x.path) -> (partitionPathOf(partCols, x.partitionValues), x.sizeBytes)).toMap
         val now = fileMap(v)
         val prev: Map[String, (String, Long)] =
-          if (v == 1) Map.empty else fileMap(v - 1)
+          if (i == 0) Map.empty else fileMap(cleanVs(i - 1))
         val added = (now.keySet -- prev.keySet).toSeq.sorted
         val removed = (prev.keySet -- now.keySet).toSeq.sorted
         // both maps keyed by partitionPath — the Hudi timeline model

@@ -79,9 +79,58 @@ object IcebergExport {
         IcebergRead.writeAvro(spark, manifestPath, entrySchema, entries)
         val mf = new GenericData.Record(IcebergRead.manifestFileSchema)
         mf.put("manifest_path", manifestPath)
+        // pending delete vectors export as format v2 POSITION DELETES:
+        // the sidecars' (_metadata-rendered file, pos) rows translate
+        // to manifest-form data-file paths through a driver-built
+        // exact-string table (bounded by #files), land as ONE sorted
+        // (file_path, pos) parquet, and are listed by a content=1
+        // delete manifest — so an Iceberg v2 reader sees exactly the
+        // rows Lake.read serves, no fold required before export
+        val listEntries = if (snap.dvFiles.isEmpty) Seq(mf) else {
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__graft_dv_file",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__graft_dv_pos",
+              org.apache.spark.sql.types.LongType)))
+          val dv = spark.read.schema(dvSchema).parquet(snap.dvFiles: _*)
+          val targets = dv.select("__graft_dv_file").distinct()
+            .collect().map(_.getString(0))
+          val byNorm = snap.files.map(lf =>
+            IcebergRead.normPath(lf.path) -> lf.path).toMap
+          import spark.implicits._
+          val trans = targets.toSeq.flatMap(t =>
+            byNorm.get(IcebergRead.normPath(t)).map(raw => (t, raw)))
+            .toDF("__graft_dv_file", "file_path")
+          val staging = s"$table/metadata/_pdel_stage_$v"
+          dv.join(broadcast(trans), Seq("__graft_dv_file"))
+            .select(col("file_path"), col("__graft_dv_pos").as("pos"))
+            .repartition(1).sortWithinPartitions(col("file_path"), col("pos"))
+            .write.mode("overwrite").parquet(staging)
+          val delPath = s"$table/metadata/pdel-$v.parquet"
+          val part = f.listStatus(new Path(staging))
+            .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+          f.delete(new Path(delPath), false)
+          f.rename(part, new Path(delPath))
+          f.delete(new Path(staging), true)
+          val delEntrySchema = IcebergRead.manifestEntrySchemaFor(Nil)
+          val dfRec = new GenericData.Record(
+            delEntrySchema.getField("data_file").schema())
+          dfRec.put("file_path", delPath)
+          dfRec.put("file_size_in_bytes",
+            Long.box(f.getFileStatus(new Path(delPath)).getLen))
+          val e = new GenericData.Record(delEntrySchema)
+          e.put("status", 1); e.put("data_file", dfRec)
+          val delManifest = s"$table/metadata/dm$v.avro"
+          IcebergRead.writeAvro(spark, delManifest, delEntrySchema, Seq(e))
+          val dmf = new GenericData.Record(IcebergRead.manifestFileSchema)
+          dmf.put("manifest_path", delManifest)
+          dmf.put("content", Int.box(1))
+          Seq(mf, dmf)
+        }
         val listPath = s"$table/metadata/snap-$v.avro"
         IcebergRead.writeAvro(spark, listPath,
-          IcebergRead.manifestFileSchema, Seq(mf))
+          IcebergRead.manifestFileSchema, listEntries)
         // carry the prior snapshot chain forward for time travel
         val priorSnaps =
           if (v == 1) ""

@@ -70,11 +70,12 @@ object IcebergRead {
       snapshotId: Option[Long] = None): Seq[String] =
     dataFileEntries(spark, table, snapshotId).map(_.path)
 
-  /** Live data-file entries of a snapshot. Partition values come FROM
-    * THE MANIFEST's `data_file.partition` struct — never inferred from
-    * directory names (the DeltaRead lesson). */
-  def dataFileEntries(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): Seq[DataFileEntry] = {
+  /** Manifest (path, content) pairs of a snapshot's manifest list —
+    * content 0 = data manifest, 1 = delete manifest (format v2
+    * `manifest_file.content`, read BY NAME so v1 lists and foreign
+    * writers without the field default to data). */
+  private def manifestsOf(spark: SparkSession, table: String,
+      snapshotId: Option[Long]): Seq[(String, Int)] = {
     val mapper = new ObjectMapper()
     val f = fs(spark, table)
     val metaPath = latestMetadata(spark, table)
@@ -89,32 +90,53 @@ object IcebergRead {
         manifestList = s.get("manifest-list").asText()
     }
     require(manifestList != null, s"snapshot $wanted not in metadata")
-    val manifests = readAvroRecords(spark, manifestList)
-      .map(_.get("manifest_path").toString)
-    manifests.flatMap { m =>
-      readAvroRecords(spark, m).flatMap { entry =>
-        val status = entry.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED
-        else {
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          def optLong(field: String): Option[Long] =
-            if (df.getSchema.getField(field) == null) None
-            else Option(df.get(field)).map(_.asInstanceOf[Long])
-          val parts: Map[String, String] =
-            if (df.getSchema.getField("partition") == null) Map.empty
-            else Option(df.get("partition").asInstanceOf[GenericRecord]) match {
-              case None => Map.empty
-              case Some(p) =>
-                import scala.jdk.CollectionConverters._
-                p.getSchema.getFields.asScala.flatMap(fl =>
-                  Option(p.get(fl.name())).map(v => fl.name() -> v.toString)).toMap
-            }
-          Some(DataFileEntry(df.get("file_path").toString, parts,
-            optLong("file_size_in_bytes"), optLong("record_count")))
-        }
-      }
+    readAvroRecords(spark, manifestList).map { mf =>
+      val content =
+        if (mf.getSchema.getField("content") == null) 0
+        else Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+      (mf.get("manifest_path").toString, content)
     }
   }
+
+  private def entriesOf(spark: SparkSession, manifest: String): Seq[DataFileEntry] =
+    readAvroRecords(spark, manifest).flatMap { entry =>
+      val status = entry.get("status").asInstanceOf[Int]
+      if (status == 2) None // DELETED
+      else {
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        def optLong(field: String): Option[Long] =
+          if (df.getSchema.getField(field) == null) None
+          else Option(df.get(field)).map(_.asInstanceOf[Long])
+        val parts: Map[String, String] =
+          if (df.getSchema.getField("partition") == null) Map.empty
+          else Option(df.get("partition").asInstanceOf[GenericRecord]) match {
+            case None => Map.empty
+            case Some(p) =>
+              import scala.jdk.CollectionConverters._
+              p.getSchema.getFields.asScala.flatMap(fl =>
+                Option(p.get(fl.name())).map(v => fl.name() -> v.toString)).toMap
+          }
+        Some(DataFileEntry(df.get("file_path").toString, parts,
+          optLong("file_size_in_bytes"), optLong("record_count")))
+      }
+    }
+
+  /** Live data-file entries of a snapshot. Partition values come FROM
+    * THE MANIFEST's `data_file.partition` struct — never inferred from
+    * directory names (the DeltaRead lesson). */
+  def dataFileEntries(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): Seq[DataFileEntry] =
+    manifestsOf(spark, table, snapshotId).filter(_._2 == 0)
+      .flatMap(m => entriesOf(spark, m._1))
+
+  /** Position-delete files of a snapshot (format v2 merge-on-read:
+    * parquet files of (`file_path`, `pos`) rows recording deleted
+    * row ordinals, listed by content=1 delete manifests). Empty for
+    * v1 / append-only tables. */
+  def positionDeleteFiles(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): Seq[String] =
+    manifestsOf(spark, table, snapshotId).filter(_._2 == 1)
+      .flatMap(m => entriesOf(spark, m._1)).map(_.path)
 
   /** The default partition spec's (name, iceberg-type) fields from the
     * latest metadata.json; empty for unpartitioned tables. */
@@ -168,15 +190,89 @@ object IcebergRead {
       snapshotId: Option[Long] = None): DataFrame =
     readIndexed(spark, table, snapshotId)._1
 
+  /** Decoded absolute path — the normalization both manifest-raw
+    * (`FileStatus.toString`) and `_metadata.file_path` (percent-
+    * encoded URI) renderings reduce to, so the two can be compared
+    * (the `Lake.dvDirtyPaths` convention). */
+  private[sources] def normPath(s: String): String =
+    java.net.URLDecoder.decode(new Path(s).toUri.getPath, "UTF-8")
+
+  /** The `_metadata.file_path` rendering of a manifest-raw path:
+    * scheme (+ authority when present) + percent-encoded path — what
+    * Spark's parquet reader reports for the file, reconstructed so
+    * delete rows can be translated to the scan's join key without a
+    * per-row decode on the data side. Verified against a real scan in
+    * IcebergReadSpec (path with spaces). */
+  private[sources] def metaRendering(raw: String): String = {
+    val u = new Path(raw).toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty).orNull
+    new java.net.URI(u.getScheme, auth, u.getPath, null, null).toString
+  }
+
+  /** Mask a data scan with position-delete rows: translate each delete
+    * row's manifest-form `file_path` to the `_metadata.file_path`
+    * rendering through a driver-built (bounded by #files) exact-string
+    * translation table, then broadcast anti-join on (file, pos) — the
+    * delete side is batch-scale by the MoR contract. */
+  private def maskPositionDeletes(spark: SparkSession, df: DataFrame,
+      entries: Seq[DataFileEntry], deleteFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val delSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
+    val dels = spark.read.schema(delSchema).parquet(deleteFiles: _*)
+    // distinct target strings are ≤ #files — driver-resident by design
+    val targets = dels.select("file_path").distinct()
+      .collect().map(_.getString(0))
+    val byNorm = entries.map(e => normPath(e.path) -> e.path).toMap
+    import spark.implicits._
+    val trans = targets.toSeq.flatMap(t =>
+      byNorm.get(normPath(t)).map(raw => (t, metaRendering(raw))))
+      .toDF("file_path", "__meta_file")
+    val keyed = dels.join(broadcast(trans), Seq("file_path"))
+      .select(col("__meta_file").as("__if"), col("pos").as("__ip"))
+    df.withColumn("__if", col("_metadata.file_path"))
+      .withColumn("__ip", col("_metadata.row_index"))
+      .join(broadcast(keyed), Seq("__if", "__ip"), "left_anti")
+      .drop("__if", "__ip")
+  }
+
   /** As [[read]]; for partitioned tables also returns the FileIndex so
-    * tests can assert the manifest-driven partition pruning. */
+    * tests can assert the manifest-driven partition pruning. When the
+    * snapshot carries position-delete files (format v2 merge-on-read)
+    * the scan splits at plan time: files without deletes scan at full
+    * speed, only the dirty subset pays the (file, pos) anti-join —
+    * the same clean/dirty split [[Lake.readIndexed]] uses. */
   def readIndexed(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): (DataFrame, Option[Lake.LakeFileIndex]) = {
     val entries = dataFileEntries(spark, table, snapshotId)
     require(entries.nonEmpty, s"snapshot has no data files: $table")
+    val deleteFiles = positionDeleteFiles(spark, table, snapshotId)
     val specFields = partitionSpecFields(spark, table)
-    if (specFields.isEmpty)
-      return (spark.read.parquet(entries.map(_.path): _*), None)
+    if (specFields.isEmpty) {
+      if (deleteFiles.isEmpty)
+        return (spark.read.parquet(entries.map(_.path): _*), None)
+      val delSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType)))
+      val dirtyNorm = spark.read.schema(delSchema).parquet(deleteFiles: _*)
+        .select("file_path").distinct().collect()
+        .map(r => normPath(r.getString(0))).toSet
+      val (dirty, clean) = entries.partition(e => dirtyNorm.contains(normPath(e.path)))
+      val cleanDf = if (clean.isEmpty) None
+        else Some(spark.read.parquet(clean.map(_.path): _*))
+      val dirtyDf = if (dirty.isEmpty) None
+        else Some(maskPositionDeletes(spark,
+          spark.read.parquet(dirty.map(_.path): _*), dirty, deleteFiles))
+      return ((cleanDf, dirtyDf) match {
+        case (Some(c), Some(d)) => c.unionByName(d)
+        case (Some(c), None) => c
+        case (None, Some(d)) => d
+        case (None, None) => spark.read.parquet(entries.map(_.path): _*)
+      }, None)
+    }
     val f = fs(spark, table)
     val dataSchema = spark.read.parquet(entries.head.path).schema
     val partFields = specFields.map { case (c, t) =>
@@ -196,8 +292,34 @@ object IcebergRead {
     val snap = Lake.Snapshot(
       snapshotId.getOrElse(0L).toInt, 0L, fullSchema.json,
       specFields.map(_._1), lakeFiles)
-    val (df, index) = Lake.indexedDataFrame(spark, table, snap)
-    (df, Some(index))
+    if (deleteFiles.isEmpty) {
+      val (df, index) = Lake.indexedDataFrame(spark, table, snap)
+      return (df, Some(index))
+    }
+    // partitioned + position deletes: clean/dirty split through the
+    // manifest-backed FileIndex, mask only the dirty subset
+    val delSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType)))
+    val dirtyNorm = spark.read.schema(delSchema).parquet(deleteFiles: _*)
+      .select("file_path").distinct().collect()
+      .map(r => normPath(r.getString(0))).toSet
+    val (dirtyLf, cleanLf) = lakeFiles.partition(lf =>
+      dirtyNorm.contains(normPath(lf.path)))
+    val (_, index) = Lake.indexedDataFrame(spark, table, snap)
+    val cleanDf = if (cleanLf.isEmpty) None
+      else Some(Lake.indexedDataFrame(spark, table, snap.copy(files = cleanLf))._1)
+    val dirtyDf = if (dirtyLf.isEmpty) None
+      else Some(maskPositionDeletes(spark,
+        Lake.indexedDataFrame(spark, table, snap.copy(files = dirtyLf))._1,
+        entries, deleteFiles))
+    val merged = (cleanDf, dirtyDf) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) => Lake.indexedDataFrame(spark, table, snap)._1
+    }
+    (merged, Some(index))
   }
 
   // ---- minimal spec-shaped layout writer (tests + gate) ----
@@ -223,8 +345,11 @@ object IcebergRead {
       .endRecord()
   }
 
+  /** Manifest-list entry: `content` distinguishes data (0/absent)
+    * from delete (1) manifests — the format v2 field; writers that
+    * never emit deletes leave it null and readers default to data. */
   private[sources] val manifestFileSchema: Schema = SchemaBuilder.record("manifest_file")
-    .fields().requiredString("manifest_path").endRecord()
+    .fields().requiredString("manifest_path").optionalInt("content").endRecord()
 
   private[sources] def writeAvro(spark: SparkSession, path: String, schema: Schema,
       records: Seq[GenericRecord]): Unit = {

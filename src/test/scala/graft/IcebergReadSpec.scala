@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.IcebergRead
+import org.apache.spark.sql.functions.{lit, sum}
 
 /** Iceberg metadata→manifest-list→manifest→files replay: appends,
   * overwrite snapshots, snapshot-id time travel. */
@@ -80,6 +81,76 @@ class IcebergReadSpec extends SparkSuite {
     val r2 = IcebergRead.read(spark, t2)
     assert(r2.schema("k").dataType === org.apache.spark.sql.types.LongType)
     assert(r2.filter($"k" === 8L).select($"id").head.getLong(0) === 2L)
+  }
+
+  test("MoR export: delete vectors land as format v2 position deletes") {
+    import graft.sources.{IcebergExport, Lake}
+    // a path WITH SPACES: the delete-row translation must bridge the
+    // percent-encoded _metadata rendering and the raw manifest form
+    val table = java.nio.file.Files.createTempDirectory("graft-ice mor").toString + "/t 1"
+    val df = spark.range(0, 1000).select($"id".as("k"),
+      ($"id" % 5).cast("int").as("g"), ($"id" * 3).cast("double").as("x"))
+    Lake.write(df.repartition(4), table, Nil)
+    Lake.deleteMor(spark, table, $"k" % 10 === 3)
+    Lake.mergeMor(spark, table,
+      spark.range(0, 50).select($"id".as("k"), lit(9).cast("int").as("g"),
+        lit(-1.0).as("x")), Seq("k"))
+    IcebergExport.exportIcebergMeta(spark, table)
+    assert(IcebergRead.positionDeleteFiles(spark, table).size === 1)
+    // current snapshot: Iceberg read equals the masked Lake read
+    val ice = IcebergRead.read(spark, table)
+    val lake = Lake.read(spark, table)
+    assert(ice.count() === lake.count())
+    assert(ice.agg(sum($"k"), sum($"x")).collect()(0) ===
+      lake.agg(sum($"k"), sum($"x")).collect()(0))
+    assert(ice.filter($"g" === 9).count() === 50L)
+    assert(ice.filter($"k" % 10 === 3 && $"g" =!= 9).count() === 0L)
+    // time travel: v1 has no delete manifest and reads unmasked
+    assert(IcebergRead.positionDeleteFiles(spark, table, Some(1L)).isEmpty)
+    assert(IcebergRead.read(spark, table, Some(1L)).count() === 1000L)
+    // v2 (deleteMor only) masks the deletes but not the merge
+    assert(IcebergRead.read(spark, table, Some(2L)).count() === 900L)
+  }
+
+  test("MoR export: partitioned table masks through the manifest index") {
+    import graft.sources.{IcebergExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-icemp").toString + "/t"
+    val df = spark.range(0, 600).select($"id".as("k"),
+      ($"id" % 3).cast("string").as("p"), ($"id" * 2).cast("double").as("x"))
+    Lake.write(df, table, Seq("p"))
+    Lake.deleteMor(spark, table, $"k" < 100)
+    IcebergExport.exportIcebergMeta(spark, table)
+    val ice = IcebergRead.read(spark, table)
+    assert(ice.count() === 500L)
+    assert(ice.filter($"k" < 100).count() === 0L)
+    assert(ice.filter($"p" === "1").count() ===
+      (100 until 600).count(_ % 3 == 1).toLong)
+    assert(ice.schema("p").dataType === org.apache.spark.sql.types.StringType)
+  }
+
+  test("Delta/Hudi export skip DV snapshots; dirty current fails loudly") {
+    import graft.sources.{DeltaExport, DeltaRead, HudiExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-dmor").toString + "/t"
+    Lake.write(spark.range(0, 100).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x")), table, Nil)
+    Lake.deleteMor(spark, table, $"k" < 10)          // v2 dirty
+    intercept[IllegalArgumentException] {
+      DeltaExport.exportDeltaLog(spark, table)
+    }
+    intercept[IllegalArgumentException] {
+      HudiExport.exportHudiTimeline(spark, table)
+    }
+    Lake.foldDeletes(spark, table)                    // v3 clean
+    DeltaExport.exportDeltaLog(spark, table)
+    // two clean snapshots → Delta versions 0 and 1; v2 is skipped
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val logs = f.listStatus(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+      .map(_.getPath.getName).filter(_.endsWith(".json")).sorted
+    assert(logs.length === 2)
+    assert(DeltaRead.read(spark, table).count() === 90L)
+    assert(DeltaRead.read(spark, table).filter($"k" < 10).count() === 0L)
+    HudiExport.exportHudiTimeline(spark, table)
+    assert(graft.sources.HudiRead.read(spark, table).count() === 90L)
   }
 
   test("unpadded HadoopCatalog metadata names: v10 beats v9 numerically") {
