@@ -417,6 +417,36 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Iceberg v2 CDC upserts: three commitCdcBatch batches (the
+    // Flink-upsert-sink shape — per batch one data file + one
+    // equality-delete file of the batch's keys at the same sequence
+    // number), read back with sequence-aware equality-delete masking:
+    // older images erased, tombstoned keys gone unless re-inserted
+    "src_iceberg_cdc_upserts" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_cdc")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.IcebergRead.commitCdcBatch(o, table, Seq("o_orderkey"))
+      graft.sources.IcebergRead.commitCdcBatch(
+        o.filter(col("o_orderkey") % 7 === 3)
+          .select(col("o_orderkey"), (col("o_totalprice") * 10).as("o_totalprice"),
+            col("o_orderpriority")),
+        table, Seq("o_orderkey"),
+        deleteKeys = Some(o.filter(col("o_orderkey") % 7 === 5)
+          .select(col("o_orderkey"))))
+      graft.sources.IcebergRead.commitCdcBatch(
+        o.filter(col("o_orderkey") % 14 === 5)
+          .select(col("o_orderkey"), lit(1.0).as("o_totalprice"),
+            col("o_orderpriority")),
+        table, Seq("o_orderkey"))
+      graft.sources.IcebergRead.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // PARTITIONED Hudi export: timeline stats keyed by hive-style
     // partitionPath (the HoodieCommitMetadata model); the reader
     // restores partition columns from the TIMELINE keys through the
@@ -1047,6 +1077,20 @@ object SourcesQ extends graft.QueryArea {
         |  SELECT * FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
         |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_iceberg_cdc_upserts" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice * 10
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 5
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(1.0 AS DOUBLE), o_orderpriority
+        |  FROM orders WHERE o_orderkey % 14 = 5)
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

@@ -60,22 +60,27 @@ object IcebergRead {
 
   /** One live data file: path, manifest partition-struct values
     * (empty for unpartitioned / foreign writers without the field),
-    * and the spec's size/row stats when the writer recorded them. */
+    * the spec's size/row stats when the writer recorded them, the
+    * file's data sequence number (0 when the writer never emitted
+    * one), and the data_file `content` code (0 data, 1 position
+    * deletes, 2 equality deletes). */
   final case class DataFileEntry(path: String,
       partitionValues: Map[String, String],
-      sizeBytes: Option[Long], recordCount: Option[Long])
+      sizeBytes: Option[Long], recordCount: Option[Long],
+      seq: Long = 0L, fileContent: Int = 0)
 
   /** Data-file paths of a snapshot (default: current). */
   def dataFiles(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): Seq[String] =
     dataFileEntries(spark, table, snapshotId).map(_.path)
 
-  /** Manifest (path, content) pairs of a snapshot's manifest list —
-    * content 0 = data manifest, 1 = delete manifest (format v2
-    * `manifest_file.content`, read BY NAME so v1 lists and foreign
-    * writers without the field default to data). */
+  /** Manifest (path, content, sequenceNumber) triples of a snapshot's
+    * manifest list — content 0 = data manifest, 1 = delete manifest
+    * (format v2 `manifest_file.content`); both fields read BY NAME so
+    * v1 lists and foreign writers without them default to data /
+    * sequence 0. */
   private def manifestsOf(spark: SparkSession, table: String,
-      snapshotId: Option[Long]): Seq[(String, Int)] = {
+      snapshotId: Option[Long]): Seq[(String, Int, Long)] = {
     val mapper = new ObjectMapper()
     val f = fs(spark, table)
     val metaPath = latestMetadata(spark, table)
@@ -91,22 +96,28 @@ object IcebergRead {
     }
     require(manifestList != null, s"snapshot $wanted not in metadata")
     readAvroRecords(spark, manifestList).map { mf =>
-      val content =
-        if (mf.getSchema.getField("content") == null) 0
-        else Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-      (mf.get("manifest_path").toString, content)
+      def optField[A](name: String): Option[A] =
+        if (mf.getSchema.getField(name) == null) None
+        else Option(mf.get(name)).map(_.asInstanceOf[A])
+      (mf.get("manifest_path").toString,
+        optField[Int]("content").getOrElse(0),
+        optField[Long]("sequence_number").getOrElse(0L))
     }
   }
 
-  private def entriesOf(spark: SparkSession, manifest: String): Seq[DataFileEntry] =
+  /** Manifest entries; per-entry `sequence_number` when the writer
+    * recorded one, else inherited from the manifest-list entry (the
+    * spec's sequence-number inheritance). */
+  private def entriesOf(spark: SparkSession, manifest: String,
+      inheritSeq: Long = 0L): Seq[DataFileEntry] =
     readAvroRecords(spark, manifest).flatMap { entry =>
       val status = entry.get("status").asInstanceOf[Int]
       if (status == 2) None // DELETED
       else {
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        def optLong(field: String): Option[Long] =
-          if (df.getSchema.getField(field) == null) None
-          else Option(df.get(field)).map(_.asInstanceOf[Long])
+        def optLong(rec: GenericRecord, field: String): Option[Long] =
+          if (rec.getSchema.getField(field) == null) None
+          else Option(rec.get(field)).map(_.asInstanceOf[Long])
         val parts: Map[String, String] =
           if (df.getSchema.getField("partition") == null) Map.empty
           else Option(df.get("partition").asInstanceOf[GenericRecord]) match {
@@ -116,8 +127,12 @@ object IcebergRead {
               p.getSchema.getFields.asScala.flatMap(fl =>
                 Option(p.get(fl.name())).map(v => fl.name() -> v.toString)).toMap
           }
+        val fileContent =
+          if (df.getSchema.getField("content") == null) 0
+          else Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
         Some(DataFileEntry(df.get("file_path").toString, parts,
-          optLong("file_size_in_bytes"), optLong("record_count")))
+          optLong(df, "file_size_in_bytes"), optLong(df, "record_count"),
+          optLong(entry, "sequence_number").getOrElse(inheritSeq), fileContent))
       }
     }
 
@@ -127,16 +142,30 @@ object IcebergRead {
   def dataFileEntries(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): Seq[DataFileEntry] =
     manifestsOf(spark, table, snapshotId).filter(_._2 == 0)
-      .flatMap(m => entriesOf(spark, m._1))
+      .flatMap(m => entriesOf(spark, m._1, m._3))
 
   /** Position-delete files of a snapshot (format v2 merge-on-read:
     * parquet files of (`file_path`, `pos`) rows recording deleted
-    * row ordinals, listed by content=1 delete manifests). Empty for
-    * v1 / append-only tables. */
+    * row ordinals, listed by content=1 delete manifests). Entries
+    * whose data_file `content` says equality (2) are excluded. Empty
+    * for v1 / append-only tables. */
   def positionDeleteFiles(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): Seq[String] =
     manifestsOf(spark, table, snapshotId).filter(_._2 == 1)
-      .flatMap(m => entriesOf(spark, m._1)).map(_.path)
+      .flatMap(m => entriesOf(spark, m._1, m._3))
+      .filter(_.fileContent != 2).map(_.path)
+
+  /** Equality-delete files of a snapshot: (path, sequenceNumber)
+    * pairs from content=1 delete manifests whose data_file `content`
+    * is 2 — the Flink-CDC-style MoR encoding where a delete row's
+    * KEY VALUES erase every matching row in data files with a LOWER
+    * sequence number (the file's own re-inserted rows, sequenced at
+    * or above the delete, survive). */
+  def equalityDeleteFiles(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): Seq[(String, Long)] =
+    manifestsOf(spark, table, snapshotId).filter(_._2 == 1)
+      .flatMap(m => entriesOf(spark, m._1, m._3))
+      .filter(_.fileContent == 2).map(e => (e.path, e.seq))
 
   /** The default partition spec's (name, iceberg-type) fields from the
     * latest metadata.json; empty for unpartitioned tables. */
@@ -201,19 +230,23 @@ object IcebergRead {
     * scheme (+ authority when present) + percent-encoded path — what
     * Spark's parquet reader reports for the file, reconstructed so
     * delete rows can be translated to the scan's join key without a
-    * per-row decode on the data side. Verified against a real scan in
+    * per-row decode on the data side. Scheme-less manifest paths are
+    * filesystem-qualified first (the scan always reports a scheme);
+    * an EMPTY authority normalizes away (Spark's listing renders
+    * `file:/…`, not `file:///…`). Verified against a real scan in
     * IcebergReadSpec (path with spaces). */
-  private[sources] def metaRendering(raw: String): String = {
-    val u = new Path(raw).toUri
+  private[sources] def metaRendering(spark: SparkSession, raw: String): String = {
+    val u = fs(spark, raw).makeQualified(new Path(raw)).toUri
     val auth = Option(u.getAuthority).filter(_.nonEmpty).orNull
     new java.net.URI(u.getScheme, auth, u.getPath, null, null).toString
   }
 
-  /** Mask a data scan with position-delete rows: translate each delete
-    * row's manifest-form `file_path` to the `_metadata.file_path`
-    * rendering through a driver-built (bounded by #files) exact-string
-    * translation table, then broadcast anti-join on (file, pos) — the
-    * delete side is batch-scale by the MoR contract. */
+  /** Mask a (file, pos)-tagged data scan with position-delete rows:
+    * translate each delete row's manifest-form `file_path` to the
+    * `_metadata.file_path` rendering through a driver-built (bounded
+    * by #files) exact-string translation table, then broadcast
+    * anti-join on the scan's `__if`/`__ip` tag columns — the delete
+    * side is batch-scale by the MoR contract. */
   private def maskPositionDeletes(spark: SparkSession, df: DataFrame,
       entries: Seq[DataFileEntry], deleteFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
@@ -229,50 +262,101 @@ object IcebergRead {
     val byNorm = entries.map(e => normPath(e.path) -> e.path).toMap
     import spark.implicits._
     val trans = targets.toSeq.flatMap(t =>
-      byNorm.get(normPath(t)).map(raw => (t, metaRendering(raw))))
+      byNorm.get(normPath(t)).map(raw => (t, metaRendering(spark, raw))))
       .toDF("file_path", "__meta_file")
     val keyed = dels.join(broadcast(trans), Seq("file_path"))
       .select(col("__meta_file").as("__if"), col("pos").as("__ip"))
-    df.withColumn("__if", col("_metadata.file_path"))
-      .withColumn("__ip", col("_metadata.row_index"))
-      .join(broadcast(keyed), Seq("__if", "__ip"), "left_anti")
-      .drop("__if", "__ip")
+    df.join(broadcast(keyed), Seq("__if", "__ip"), "left_anti")
+  }
+
+  /** Mask a data scan with equality-delete rows: the scan is tagged
+    * with its file's sequence number through a driver-built
+    * (metadata-rendered path → seq) broadcast table, delete files are
+    * grouped by their key-column signature (spec-conformant equality
+    * deletes carry exactly the equality columns), and each group
+    * null-safe anti-joins on the keys with the residual condition
+    * `dataSeq < deleteSeq` — so a CDC upsert's re-inserted row
+    * (sequenced at the delete or above) survives its own delete. */
+  private def maskEqualityDeletes(spark: SparkSession, df: DataFrame,
+      entries: Seq[DataFileEntry], eqDels: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
+    val trans = entries.map(e => (metaRendering(spark, e.path), e.seq))
+      .toDF("__if", "__ieseq")
+    var cur = df.join(broadcast(trans), Seq("__if"), "left")
+    val byKeys = eqDels.groupBy { case (p, _) =>
+      spark.read.parquet(p).columns.toSeq.sorted }
+    byKeys.foreach { case (keys, files) =>
+      val dels = files.map { case (p, s) =>
+        spark.read.parquet(p)
+          .select(keys.map(k => col(k).as(s"__ied_$k")): _*)
+          .withColumn("__iedseq", lit(s))
+      }.reduce(_ unionByName _)
+      val cond = keys.map(k => cur(k) <=> dels(s"__ied_$k"))
+        .reduce(_ && _) && cur("__ieseq") < dels("__iedseq")
+      cur = cur.join(broadcast(dels), cond, "left_anti")
+    }
+    cur.drop("__ieseq")
+  }
+
+  /** Clean/dirty split + delete masking shared by the unpartitioned
+    * and manifest-indexed scans: files untouched by position deletes
+    * and sequenced at-or-above every equality delete scan at full
+    * speed; only the dirty subset pays the anti-joins. */
+  private def maskedScan(spark: SparkSession, entries: Seq[DataFileEntry],
+      posFiles: Seq[String], eqDels: Seq[(String, Long)])(
+      mk: Seq[DataFileEntry] => DataFrame): DataFrame = {
+    if (posFiles.isEmpty && eqDels.isEmpty) return mk(entries)
+    val posDirty: Set[String] =
+      if (posFiles.isEmpty) Set.empty
+      else {
+        val delSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file_path",
+            org.apache.spark.sql.types.StringType)))
+        spark.read.schema(delSchema).parquet(posFiles: _*)
+          .select("file_path").distinct().collect()
+          .map(r => normPath(r.getString(0))).toSet
+      }
+    val maxEq = if (eqDels.isEmpty) Long.MinValue else eqDels.map(_._2).max
+    val (dirty, clean) = entries.partition(e =>
+      posDirty.contains(normPath(e.path)) || e.seq < maxEq)
+    val cleanDf = if (clean.isEmpty) None else Some(mk(clean))
+    val dirtyDf = if (dirty.isEmpty) None else {
+      import org.apache.spark.sql.functions.col
+      // tag ONCE off the raw scan — _metadata resolves only on the
+      // relation itself, not through the mask joins' projections
+      var d = mk(dirty)
+        .withColumn("__if", col("_metadata.file_path"))
+        .withColumn("__ip", col("_metadata.row_index"))
+      if (posFiles.nonEmpty) d = maskPositionDeletes(spark, d, dirty, posFiles)
+      if (eqDels.nonEmpty) d = maskEqualityDeletes(spark, d, dirty, eqDels)
+      Some(d.drop("__if", "__ip"))
+    }
+    (cleanDf, dirtyDf) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) => mk(entries)
+    }
   }
 
   /** As [[read]]; for partitioned tables also returns the FileIndex so
     * tests can assert the manifest-driven partition pruning. When the
-    * snapshot carries position-delete files (format v2 merge-on-read)
-    * the scan splits at plan time: files without deletes scan at full
-    * speed, only the dirty subset pays the (file, pos) anti-join —
-    * the same clean/dirty split [[Lake.readIndexed]] uses. */
+    * snapshot carries position- or equality-delete files (format v2
+    * merge-on-read) the scan splits at plan time: files without
+    * deletes scan at full speed, only the dirty subset pays the
+    * anti-joins — the same clean/dirty split [[Lake.readIndexed]]
+    * uses. */
   def readIndexed(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): (DataFrame, Option[Lake.LakeFileIndex]) = {
     val entries = dataFileEntries(spark, table, snapshotId)
     require(entries.nonEmpty, s"snapshot has no data files: $table")
     val deleteFiles = positionDeleteFiles(spark, table, snapshotId)
+    val eqDels = equalityDeleteFiles(spark, table, snapshotId)
     val specFields = partitionSpecFields(spark, table)
-    if (specFields.isEmpty) {
-      if (deleteFiles.isEmpty)
-        return (spark.read.parquet(entries.map(_.path): _*), None)
-      val delSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("file_path",
-          org.apache.spark.sql.types.StringType)))
-      val dirtyNorm = spark.read.schema(delSchema).parquet(deleteFiles: _*)
-        .select("file_path").distinct().collect()
-        .map(r => normPath(r.getString(0))).toSet
-      val (dirty, clean) = entries.partition(e => dirtyNorm.contains(normPath(e.path)))
-      val cleanDf = if (clean.isEmpty) None
-        else Some(spark.read.parquet(clean.map(_.path): _*))
-      val dirtyDf = if (dirty.isEmpty) None
-        else Some(maskPositionDeletes(spark,
-          spark.read.parquet(dirty.map(_.path): _*), dirty, deleteFiles))
-      return ((cleanDf, dirtyDf) match {
-        case (Some(c), Some(d)) => c.unionByName(d)
-        case (Some(c), None) => c
-        case (None, Some(d)) => d
-        case (None, None) => spark.read.parquet(entries.map(_.path): _*)
-      }, None)
-    }
+    if (specFields.isEmpty)
+      return (maskedScan(spark, entries, deleteFiles, eqDels)(es =>
+        spark.read.parquet(es.map(_.path): _*)), None)
     val f = fs(spark, table)
     val dataSchema = spark.read.parquet(entries.head.path).schema
     val partFields = specFields.map { case (c, t) =>
@@ -292,33 +376,17 @@ object IcebergRead {
     val snap = Lake.Snapshot(
       snapshotId.getOrElse(0L).toInt, 0L, fullSchema.json,
       specFields.map(_._1), lakeFiles)
-    if (deleteFiles.isEmpty) {
+    if (deleteFiles.isEmpty && eqDels.isEmpty) {
       val (df, index) = Lake.indexedDataFrame(spark, table, snap)
       return (df, Some(index))
     }
-    // partitioned + position deletes: clean/dirty split through the
+    // partitioned + deletes: clean/dirty split through the
     // manifest-backed FileIndex, mask only the dirty subset
-    val delSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("file_path",
-        org.apache.spark.sql.types.StringType)))
-    val dirtyNorm = spark.read.schema(delSchema).parquet(deleteFiles: _*)
-      .select("file_path").distinct().collect()
-      .map(r => normPath(r.getString(0))).toSet
-    val (dirtyLf, cleanLf) = lakeFiles.partition(lf =>
-      dirtyNorm.contains(normPath(lf.path)))
+    val lfByPath = lakeFiles.map(lf => lf.path -> lf).toMap
     val (_, index) = Lake.indexedDataFrame(spark, table, snap)
-    val cleanDf = if (cleanLf.isEmpty) None
-      else Some(Lake.indexedDataFrame(spark, table, snap.copy(files = cleanLf))._1)
-    val dirtyDf = if (dirtyLf.isEmpty) None
-      else Some(maskPositionDeletes(spark,
-        Lake.indexedDataFrame(spark, table, snap.copy(files = dirtyLf))._1,
-        entries, deleteFiles))
-    val merged = (cleanDf, dirtyDf) match {
-      case (Some(c), Some(d)) => c.unionByName(d)
-      case (Some(c), None) => c
-      case (None, Some(d)) => d
-      case (None, None) => Lake.indexedDataFrame(spark, table, snap)._1
-    }
+    val merged = maskedScan(spark, entries, deleteFiles, eqDels)(es =>
+      Lake.indexedDataFrame(spark, table,
+        snap.copy(files = es.map(e => lfByPath(e.path))))._1)
     (merged, Some(index))
   }
 
@@ -358,6 +426,101 @@ object IcebergRead {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, out)
     try records.foreach(w.append) finally w.close()
+  }
+
+  /** Commit a CDC upsert batch in the format v2 merge-on-read shape a
+    * Flink/Iceberg upsert sink produces: the batch's rows land as a
+    * NEW data file at the next sequence number, and the batch's KEY
+    * VALUES land as an EQUALITY-DELETE file at the same sequence —
+    * erasing any older image of each key, while the batch's own rows
+    * survive because the spec applies an equality delete only to
+    * sequences strictly BELOW its own. Optional `deleteKeys` rows are
+    * tombstones: keys erased without replacement. The batch should be
+    * key-distinct (duplicate keys in one batch both land). Prior
+    * manifests carry forward verbatim at their recorded sequences.
+    * Cost is O(batch) metadata + data per commit at any table size.
+    * Returns the snapshot id. */
+  def commitCdcBatch(upserts: DataFrame, table: String,
+      keyCols: Seq[String],
+      deleteKeys: Option[DataFrame] = None): Long = {
+    val spark = upserts.sparkSession
+    keyCols.foreach(k => require(upserts.columns.contains(k),
+      s"upsert batch missing key column $k"))
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/data"))
+    f.mkdirs(new Path(s"$table/metadata"))
+    val version = {
+      val dir = new Path(s"$table/metadata")
+      f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".metadata.json"))
+        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+        .foldLeft(0L)(math.max) + 1
+    }
+    val seq = version
+    def onefile(df: DataFrame, dest: String): String = {
+      val staging = s"$table/_staging_cdc_$version"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.rename(part, new Path(dest))
+      f.delete(new Path(staging), true); dest
+    }
+    val dataPath = onefile(upserts, s"$table/data/cdc-$version.parquet")
+    val delKeys = {
+      val fromUpserts = upserts.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      deleteKeys.fold(fromUpserts)(d =>
+        fromUpserts.unionByName(d.select(
+          keyCols.map(org.apache.spark.sql.functions.col): _*))).distinct()
+    }
+    val delPath = onefile(delKeys, s"$table/data/cdc-eqdel-$version.parquet")
+    // rich v2 schemas: per-entry sequence numbers + data_file content
+    val dfSchema = SchemaBuilder.record("data_file").fields()
+      .requiredString("file_path").optionalInt("content")
+      .optionalLong("file_size_in_bytes").endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status").optionalLong("sequence_number")
+      .name("data_file").`type`(dfSchema).noDefault().endRecord()
+    val listSchema = SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path").optionalInt("content")
+      .optionalLong("sequence_number").endRecord()
+    def entry(file: String, content: Int) = {
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", file); d.put("content", Int.box(content))
+      d.put("file_size_in_bytes",
+        Long.box(f.getFileStatus(new Path(file)).getLen))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("sequence_number", Long.box(seq))
+      e.put("data_file", d); e
+    }
+    val mData = s"$table/metadata/cdc-m$version.avro"
+    writeAvro(spark, mData, entrySchema, Seq(entry(dataPath, 0)))
+    val mDel = s"$table/metadata/cdc-dm$version.avro"
+    writeAvro(spark, mDel, entrySchema, Seq(entry(delPath, 2)))
+    // carry prior manifests verbatim at their recorded (content, seq)
+    val prior: Seq[(String, Int, Long)] =
+      if (version == 1) Nil else manifestsOf(spark, table, None)
+    def listEntry(m: String, content: Int, s: Long) = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", m); r.put("content", Int.box(content))
+      r.put("sequence_number", Long.box(s)); r
+    }
+    val listPath = s"$table/metadata/snap-cdc-$version.avro"
+    writeAvro(spark, listPath, listSchema,
+      prior.map(p => listEntry(p._1, p._2, p._3)) :+
+        listEntry(mData, 0, seq) :+ listEntry(mDel, 1, seq))
+    val mapper = new ObjectMapper()
+    val priorSnaps = if (version == 1) "" else {
+      val in = f.open(latestMetadata(spark, table))
+      val meta = try mapper.readTree(in) finally in.close()
+      val sb = new StringBuilder
+      meta.get("snapshots").forEach(s =>
+        sb.append(mapper.writeValueAsString(s)).append(','))
+      sb.toString
+    }
+    val json = s"""{"format-version":2,"current-snapshot-id":$version,"snapshots":[$priorSnaps{"snapshot-id":$version,"manifest-list":${mapper.writeValueAsString(listPath)}}]}"""
+    val out = f.create(new Path(f"$table/metadata/v$version%05d.metadata.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    version
   }
 
   /** Append a snapshot: the DataFrame's rows become data files listed

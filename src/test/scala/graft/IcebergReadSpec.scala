@@ -153,6 +153,101 @@ class IcebergReadSpec extends SparkSuite {
     assert(graft.sources.HudiRead.read(spark, table).count() === 90L)
   }
 
+  test("equality deletes (CDC shape): sequence-aware key masking + re-insert survival") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val table = java.nio.file.Files.createTempDirectory("graft-iceeq").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/data"))
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/metadata"))
+    def onefile(df: org.apache.spark.sql.DataFrame, dest: String): String = {
+      val staging = s"$table/_stage_${dest.hashCode.abs}"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.rename(part, new org.apache.hadoop.fs.Path(dest))
+      f.delete(new org.apache.hadoop.fs.Path(staging), true); dest
+    }
+    // seq 1: keys 1..10 "old"; seq 2: key 3 re-inserted as "new"
+    val pA = onefile(spark.range(1, 11).select($"id", lit("old").as("v")),
+      s"$table/data/a.parquet")
+    val pB = onefile(Seq((3L, "new")).toDF("id", "v"), s"$table/data/b.parquet")
+    // equality delete at seq 2: keys 3 and 5 (erases seq-1 rows only)
+    val pD = onefile(Seq(3L, 5L).toDF("id"), s"$table/data/eqdel.parquet")
+    // position delete: (file A, pos 0) — erases key 1
+    val pP = onefile(Seq((pA, 0L)).toDF("file_path", "pos"),
+      s"$table/data/posdel.parquet")
+    // foreign-writer manifests: per-entry sequence numbers for data,
+    // list-level inheritance for the deletes
+    val dfSchema = SchemaBuilder.record("data_file").fields()
+      .requiredString("file_path").optionalInt("content").endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status").optionalLong("sequence_number")
+      .name("data_file").`type`(dfSchema).noDefault().endRecord()
+    val listSchema = SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path").optionalInt("content")
+      .optionalLong("sequence_number").endRecord()
+    def avro(path: String, schema: org.apache.avro.Schema,
+        recs: Seq[GenericRecord]): String = {
+      val out = f.create(new org.apache.hadoop.fs.Path(path), true)
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out); try recs.foreach(w.append) finally w.close(); path
+    }
+    def entry(file: String, seq: java.lang.Long, content: java.lang.Integer) = {
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", file); if (content != null) d.put("content", content)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); if (seq != null) e.put("sequence_number", seq)
+      e.put("data_file", d); e
+    }
+    val mA = avro(s"$table/metadata/mA.avro", entrySchema, Seq(entry(pA, 1L, 0)))
+    val mB = avro(s"$table/metadata/mB.avro", entrySchema, Seq(entry(pB, 2L, 0)))
+    val mD = avro(s"$table/metadata/mD.avro", entrySchema, Seq(entry(pD, null, 2)))
+    val mP = avro(s"$table/metadata/mP.avro", entrySchema, Seq(entry(pP, null, 1)))
+    def listEntry(m: String, content: Int, seq: Long) = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", m); r.put("content", Int.box(content))
+      r.put("sequence_number", Long.box(seq)); r
+    }
+    val list = avro(s"$table/metadata/snap-1.avro", listSchema, Seq(
+      listEntry(mA, 0, 1L), listEntry(mB, 0, 2L),
+      listEntry(mD, 1, 2L), listEntry(mP, 1, 2L)))
+    val json = s"""{"format-version":2,"current-snapshot-id":1,"snapshots":[{"snapshot-id":1,"manifest-list":"$list"}]}"""
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$table/metadata/v1.metadata.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+
+    assert(IcebergRead.equalityDeleteFiles(spark, table) === Seq((pD, 2L)))
+    assert(IcebergRead.positionDeleteFiles(spark, table) === Seq(pP))
+    val got = IcebergRead.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 1 position-deleted; 3 "old" and 5 equality-deleted; 3 "new"
+    // survives its own delete (seq 2 is not < 2)
+    assert(got === (Set(2L, 4L, 6L, 7L, 8L, 9L, 10L).map(_ -> "old") + (3L -> "new")))
+  }
+
+  test("commitCdcBatch: upsert stream converges to latest image per key") {
+    val table = java.nio.file.Files.createTempDirectory("graft-icecdc").toString + "/t"
+    // batch 1: keys 1..5 v=10x; batch 2: upsert 2,3 v=99, tombstone 5
+    IcebergRead.commitCdcBatch(
+      spark.range(1, 6).select($"id", ($"id" * 10).as("v")), table, Seq("id"))
+    assert(IcebergRead.read(spark, table).count() === 5L)
+    IcebergRead.commitCdcBatch(
+      Seq((2L, 99L), (3L, 99L)).toDF("id", "v"), table, Seq("id"),
+      deleteKeys = Some(Seq(5L).toDF("id")))
+    val got = IcebergRead.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(1L -> 10L, 2L -> 99L, 3L -> 99L, 4L -> 40L))
+    // time travel: snapshot 1 shows the pre-upsert images
+    val v1 = IcebergRead.read(spark, table, Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1 === Set(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> 50L))
+    // batch 3 re-inserts a tombstoned key
+    IcebergRead.commitCdcBatch(Seq((5L, 7L)).toDF("id", "v"), table, Seq("id"))
+    assert(IcebergRead.read(spark, table).filter($"id" === 5L)
+      .select($"v").head.getLong(0) === 7L)
+  }
+
   test("unpadded HadoopCatalog metadata names: v10 beats v9 numerically") {
     val table = java.nio.file.Files.createTempDirectory("graft-ice10").toString
     IcebergRead.commitSnapshot(Seq((1L, "old")).toDF("id", "v").coalesce(1), table)
