@@ -50,4 +50,64 @@ object Dictionary {
       .drop(codeCol)
       .withColumnRenamed("value", codeCol)
   }
+
+  // ---- persisted incremental global dictionary ----
+
+  /** Upsert a batch of values into a PERSISTED global dictionary
+    * backed by a Lake table of (value STRING, id LONG) — the
+    * reference's AUTO_INCREMENT global-dict acceleration
+    * (`docs/en/using_starrocks/query_acceleration_with_auto_increment.md`:
+    * map string keys to integer ids once at load time, then
+    * COUNT(DISTINCT) and joins run on 8-byte ids). Unlike [[build]]'s
+    * dense ranks, ids here are STABLE across loads: existing values
+    * keep their id, new values get fresh ids above the table's
+    * high-water mark — unique and monotonically increasing with gaps
+    * allowed, the AUTO_INCREMENT contract.
+    *
+    * Scale: new-value discovery is one anti-join of the batch's
+    * distinct values against the dict; id assignment is
+    * `monotonically_increasing_id` plus the persisted high-water
+    * offset — no global sort, no single-partition window, no dict
+    * scan for max(id) (the next offset rides the snapshot props; the
+    * per-load id budget is numPartitions × 2^33, burned from a
+    * 63-bit space). Concurrent loaders are safe: the append and the
+    * props ride Lake's OCC, so a racing loader conflicts and retries
+    * rather than double-assigning. Returns the dict version. */
+  def upsertGlobalDict(spark: org.apache.spark.sql.SparkSession,
+      dictTable: String, values: DataFrame, valueCol: String): Int = {
+    val vals = values.select(col(valueCol).cast("string").as("value"))
+      .filter(col("value").isNotNull).distinct()
+    val cur = graft.sources.Lake.currentVersion(spark, dictTable)
+    val offset =
+      if (cur == 0) 1L
+      else graft.sources.Lake.readSnapshot(spark, dictTable, cur)
+        .props.getOrElse("dict.nextId", "1").toLong
+    val fresh =
+      if (cur == 0) vals.localCheckpoint(true)
+      else vals.join(graft.sources.Lake.read(spark, dictTable)
+        .select(col("value")), Seq("value"), "left_anti")
+        .localCheckpoint(true)
+    if (cur > 0 && fresh.isEmpty) return cur
+    val assigned = fresh.withColumn("id",
+      monotonically_increasing_id() + lit(offset))
+    val parts = math.max(assigned.rdd.getNumPartitions, 1)
+    val v = graft.sources.Lake.write(assigned, dictTable, Nil,
+      mode = if (cur == 0) "overwrite" else "append")
+    // ids live in [offset, offset + parts*2^33); persist the ceiling
+    graft.sources.Lake.setProps(spark, dictTable,
+      Map("dict.nextId" -> (offset + (parts.toLong << 33)).toString),
+      expectVersion = Some(v))
+  }
+
+  /** Attach the dictionary id for `valueCol` as `<valueCol>_id`
+    * (NULL for values never loaded into the dict). The dict side can
+    * be arbitrarily large — this is a plain keyed join, broadcast
+    * only when the planner decides it fits. */
+  def encodeGlobal(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, valueCol: String, dictTable: String): DataFrame = {
+    val d = graft.sources.Lake.read(spark, dictTable)
+      .select(col("value").as(valueCol), col("id").as(s"${valueCol}_id"))
+    df.withColumn(valueCol, col(valueCol).cast("string"))
+      .join(d, Seq(valueCol), "left")
+  }
 }

@@ -132,6 +132,34 @@ object Advanced extends graft.QueryArea {
         .select(col("o_orderpriority"), col("n"), round(col("rev"), 2).as("rev"))
         .orderBy(col("o_orderpriority"))
     }),
+    // PERSISTED incremental global dictionary (the reference's
+    // AUTO_INCREMENT global-dict acceleration): two loads — the
+    // second repeating half the first's keys — must keep every
+    // already-assigned id stable, assign unique fresh ids to the new
+    // keys, and make COUNT(DISTINCT id) agree with COUNT(DISTINCT
+    // key). Ids themselves are nondeterministic (monotonic with
+    // gaps), so the gate emits id-INDEPENDENT invariants.
+    "dict_global_incremental" -> ((spark, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_gdict_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, root)
+      val o = t(spark, dir, "orders")
+        .select(concat(lit("c"), col("o_custkey")).as("cust"), col("o_orderpriority"))
+      graft.operators.Dictionary.upsertGlobalDict(spark, root,
+        o.filter(col("o_custkey") % 2 === 0), "cust")
+      val ids1 = graft.sources.Lake.read(spark, root)
+        .select(col("value"), col("id").as("id1"))
+      graft.operators.Dictionary.upsertGlobalDict(spark, root, o, "cust")
+      val dict2 = graft.sources.Lake.read(spark, root)
+      val changed = ids1.join(dict2, Seq("value"))
+        .filter(col("id") =!= col("id1")).count()
+      val enc = graft.operators.Dictionary.encodeGlobal(spark, o, "cust", root)
+      enc.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("cust")).as("n_values"),
+          countDistinct(col("cust_id")).as("n_ids"),
+          count(when(col("cust_id").isNull, 1)).as("n_unmapped"))
+        .withColumn("n_changed", lit(changed))
+        .orderBy(col("o_orderpriority"))
+    }),
     // PCT refresh: partition-change-tracking — mutate one base
     // partition between refreshes; only it recomputes (asserted), and
     // the final MV equals the oracle's recompute of the mutated base.
@@ -263,6 +291,13 @@ object Advanced extends graft.QueryArea {
     }))
 
   def oracles: Map[String, String] = Map(
+    "dict_global_incremental" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_values,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_ids,
+        |  CAST(0 AS BIGINT) AS n_unmapped,
+        |  CAST(0 AS BIGINT) AS n_changed
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "opt_cbo_stats_join" ->
       """SELECT n_name, count(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -299,6 +299,41 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Policy-driven maintenance (the reference's background
+    // compaction loop): five tiny appends build small-file debt that
+    // maybeCompact pays with a compact; a MoR delete then builds
+    // delete-vector debt that a second maybeCompact pays with a fold;
+    // below thresholds it does nothing. Readback must equal the
+    // post-delete state — maintenance never changes query results.
+    "src_lake_auto_compact" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_autoc")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 5 === 0), table, Nil)
+      (1 to 4).foreach(i => graft.sources.Lake.write(
+        o.filter(col("o_orderkey") % 5 === i), table, Nil, mode = "append"))
+      val before = graft.sources.Lake.compactionScore(spark, table,
+        smallFileBytes = 512L << 20)
+      require(before.smallFiles >= 4, "fixture must build small-file debt")
+      val v1 = graft.sources.Lake.maybeCompact(spark, table,
+        smallFileBytes = 512L << 20)
+      require(v1.nonEmpty, "small-file debt must trigger compaction")
+      require(graft.sources.Lake.compactionScore(spark, table,
+        smallFileBytes = 512L << 20).files < before.files,
+        "compaction must shrink the file count")
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 7 === 1)
+      val v2 = graft.sources.Lake.maybeCompact(spark, table,
+        smallFileBytes = 1L, maxDvRatio = 0.01)
+      require(v2.nonEmpty &&
+        graft.sources.Lake.readSnapshot(spark, table, v2.get).dvFiles.isEmpty,
+        "DV debt must trigger a fold")
+      require(graft.sources.Lake.maybeCompact(spark, table,
+        smallFileBytes = 1L).isEmpty, "no debt -> no action")
+      graft.sources.Lake.read(spark, table)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    }),
     // Time travel: three commits (overwrite, append, overwrite) — each
     // snapshot version stays readable because data files are immutable
     // and manifests are per-version. The output reads all three
@@ -1081,6 +1116,11 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_auto_compact" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 7 <> 1""".stripMargin,
     "src_iceberg_cdc_upserts" ->
       """WITH merged AS (
         |  SELECT o_orderkey,

@@ -1066,6 +1066,55 @@ object Lake {
     v
   }
 
+  /** A table's compaction debt, manifest/footer reads only (no data
+    * scan): file counts, small-file count, and merge-on-read
+    * delete-vector rows vs total rows. */
+  final case class CompactionScore(files: Int, smallFiles: Int,
+      dvRows: Long, totalRows: Long) {
+    /** Fraction of stored rows that are delete-vector-masked. */
+    def dvRatio: Double =
+      if (totalRows == 0L) 0.0 else dvRows.toDouble / totalRows
+  }
+
+  /** Score the current snapshot's compaction debt — the
+    * manifest-side analog of the reference's compaction scheduling
+    * (`be/src/storage/compaction_manager.cpp` picks tablets by
+    * compaction score — segment count — in descending order;
+    * `compaction_candidate.h:62-64`): small-file count drives the
+    * rewrite-worthiness, delete-vector rows the fold-worthiness. */
+  def compactionScore(spark: SparkSession, table: String,
+      smallFileBytes: Long = 32L << 20): CompactionScore = {
+    val snap = currentSnap(spark, table)
+    val dvRows = snap.dvFiles.map(d =>
+      listCommitFiles(spark, d).map(_.rowCount).sum).sum
+    CompactionScore(snap.files.size,
+      snap.files.count(_.sizeBytes < smallFileBytes),
+      dvRows, snap.files.map(_.rowCount).sum)
+  }
+
+  /** Policy-driven maintenance — the reference's BACKGROUND
+    * compaction loop expressed as one idempotent call a scheduler
+    * (or a streaming sink's batch hook) invokes after loads: when
+    * the small-file count reaches `minSmallFiles`, [[compact]] (which
+    * also folds pending delete vectors); otherwise, when the
+    * delete-vector row ratio exceeds `maxDvRatio`, [[foldDeletes]]
+    * alone (the bounded dirty-file rewrite). Below both thresholds
+    * nothing runs — sustained MoR ingest pays compaction only when
+    * the debt is real. Returns the new version, or None when no
+    * action was warranted. */
+  def maybeCompact(spark: SparkSession, table: String,
+      smallFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20,
+      minSmallFiles: Int = 4,
+      maxDvRatio: Double = 0.05): Option[Int] = {
+    val score = compactionScore(spark, table, smallFileBytes)
+    if (score.smallFiles >= minSmallFiles)
+      Some(compact(spark, table, smallFileBytes, targetFileBytes))
+    else if (score.dvRatio > maxDvRatio)
+      Some(foldDeletes(spark, table))
+    else None
+  }
+
   /** Partition retention (TTL enforcement — the reference's dynamic
     * partition DROP): commit a new snapshot WITHOUT the files whose
     * `partCol` value fails `keep`. A pure manifest operation — no data

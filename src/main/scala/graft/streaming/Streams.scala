@@ -214,7 +214,8 @@ object Streams {
     * schedule, exactly like the reference's background compaction
     * applying accumulated DelVecs. */
   def lakeMorUpsertSink(stream: DataFrame, keys: Seq[String],
-      versionCol: String, table: String, checkpoint: String): StreamingQuery = {
+      versionCol: String, table: String, checkpoint: String,
+      maintain: Boolean = false): StreamingQuery = {
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -230,6 +231,9 @@ object Streams {
         else
           graft.sources.Lake.mergeMor(spark, table, deduped, keys,
             mergeCondition = Some(versionCol))
+        // the reference's background compaction hook: pay small-file /
+        // delete-vector debt only when the policy says it is real
+        if (maintain) { graft.sources.Lake.maybeCompact(spark, table); () }
         ()
       }
       .start()
