@@ -299,6 +299,31 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Row-level change feed (Delta-CDF shape) at O(delta) cost: a
+    // mergeMor (upsert %12==1 doubled + insert the %3==0 keys the
+    // base excluded) then a deleteMor (%12==5) — changes(1,3) must
+    // emit the inserts, the upserts' OLD images as deletes, and the
+    // deleted rows, all derived from manifests without a table scan
+    "src_lake_changes" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_chg")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 3 =!= 0), table, Nil)
+      val src = o.filter(col("o_orderkey") % 12 === 1 || col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 12 === 1, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"))
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 12 === 5)
+      graft.sources.Lake.changes(spark, table, 1, 3)
+        .groupBy(col("__change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .select(col("change_type"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+        .orderBy(col("change_type"))
+    }),
     // Policy-driven maintenance (the reference's background
     // compaction loop): five tiny appends build small-file debt that
     // maybeCompact pays with a compact; a MoR delete then builds
@@ -1116,6 +1141,25 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_changes" ->
+      """WITH ins2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 12 = 1 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 12 = 1 OR o_orderkey % 3 = 0),
+        |del2 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 12 = 1),
+        |del3 AS (
+        |  -- %12=5 implies %3=2, so these rows are all base-original
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 12 = 5),
+        |changes AS (
+        |  SELECT 'insert' AS change_type, * FROM ins2
+        |  UNION ALL SELECT 'delete', * FROM del2
+        |  UNION ALL SELECT 'delete', * FROM del3)
+        |SELECT change_type, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM changes GROUP BY change_type ORDER BY change_type""".stripMargin,
     "src_lake_auto_compact" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,

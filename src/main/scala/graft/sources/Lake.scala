@@ -1531,6 +1531,69 @@ object Lake {
       tsMs: Long): DataFrame =
     read(spark, table, Some(versionAt(spark, table, tsMs)))
 
+  /** Row-level change feed between two versions at O(changed-rows)
+    * cost — the Delta CDF / Iceberg changelog shape, derived purely
+    * from manifests: a version that only ADDS data files and delete
+    * vectors (append, [[mergeMor]], [[deleteMor]], [[updateMor]] —
+    * the sustained-ingest commits) yields its added files' rows as
+    * `insert` and its new delete vectors' old row images as `delete`
+    * (an upsert therefore appears as delete(old) + insert(new), the
+    * retraction model an incremental consumer folds by key). Nothing
+    * table-sized is read: inserts scan only the added files, deletes
+    * scan only the files the new vectors name.
+    *
+    * A version that REMOVED files (copy-on-write DML, compact, fold)
+    * is not expressible from manifests alone — the call fails loudly
+    * pointing at [[snapshotDiff]], the keyed O(table) fallback.
+    * Columns: the table's columns plus `__change_type` and
+    * `__commit_version`. The version range is walked one commit at a
+    * time (poll-sized by contract — a CDC consumer tails the log). */
+  def changes(spark: SparkSession, table: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(fromVersion >= 1 && toVersion > fromVersion &&
+      toVersion <= currentVersion(spark, table),
+      s"bad change range v$fromVersion..v$toVersion")
+    val steps = ((fromVersion + 1) to toVersion).map { v =>
+      val prev = readSnapshot(spark, table, v - 1)
+      val cur = readSnapshot(spark, table, v)
+      val prevPaths = prev.files.map(_.path).toSet
+      val removed = prevPaths -- cur.files.map(_.path).toSet
+      require(removed.isEmpty,
+        s"version $v of $table rewrote ${removed.size} file(s) " +
+          s"(copy-on-write/compaction) — use snapshotDiff for that range")
+      val added = cur.files.filterNot(f => prevPaths.contains(f.path))
+      val newDvs = cur.dvFiles.filterNot(prev.dvFiles.toSet)
+      val cols = logicalNames(cur).map(col)
+      val ins = if (added.isEmpty) None else Some(
+        applyRenames(indexedDataFrame(spark, table,
+          cur.copy(files = added))._1, cur)
+          .select(cols: _*)
+          .withColumn("__change_type", lit("insert")))
+      val del = if (newDvs.isEmpty) None else {
+        val dv = spark.read.schema(DvSchema).parquet(newDvs: _*)
+        val dirtyNorm = dv.select("__graft_dv_file").distinct().collect()
+          .map(r => java.net.URLDecoder.decode(
+            new Path(r.getString(0)).toUri.getPath, "UTF-8")).toSet
+        val dirty = prev.files.filter(f =>
+          dirtyNorm.contains(new Path(f.path).toUri.getPath))
+        val tagged = applyRenames(indexedDataFrame(spark, table,
+          prev.copy(files = dirty))._1
+          .withColumn("__graft_dv_file", col("_metadata.file_path"))
+          .withColumn("__graft_dv_pos", col("_metadata.row_index")), prev)
+        Some(tagged.join(broadcast(dv),
+            Seq("__graft_dv_file", "__graft_dv_pos"), "left_semi")
+          .select(cols: _*)
+          .withColumn("__change_type", lit("delete")))
+      }
+      (ins ++ del).reduceOption(_ unionByName _)
+        .map(_.withColumn("__commit_version", lit(v)))
+    }
+    val parts = steps.flatten
+    require(parts.nonEmpty, s"no changes in v$fromVersion..v$toVersion")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Snapshot diff — the CDC-out surface between two table versions
     * (what an incremental consumer replays): full outer join on the
     * primary key between the two manifest-backed reads, each row

@@ -182,6 +182,44 @@ class LakeMorLoadSpec extends SparkSuite {
     assert(Lake.read(spark, dir).filter($"grp" === 99).count() === 200L)
   }
 
+  test("changes: MoR commits replay as insert/delete rows at O(delta)") {
+    val dir = tmp("mor_chg")
+    Lake.write(mkOrders.repartition(4), dir, Nil)               // v1
+    // v2: upsert k in [0,50) (delete old + insert new), insert [5000,5010)
+    Lake.mergeMor(spark, dir, spark.range(0, 60).select(
+      when($"id" < 50, $"id").otherwise($"id" + 4950).as("k"),
+      lit(77).cast("int").as("grp"), lit(0.5).as("price")), Seq("k"))
+    // v3: delete k in [100,150)
+    Lake.deleteMor(spark, dir, $"k" >= 100 && $"k" < 150)
+    val ch = Lake.changes(spark, dir, 1, 3)
+    val ins = ch.filter($"__change_type" === "insert")
+    val del = ch.filter($"__change_type" === "delete")
+    assert(ins.count() === 60L)
+    assert(ins.filter($"grp" === 77).count() === 60L)
+    assert(del.count() === 100L) // 50 replaced + 50 deleted
+    // the delete rows carry the OLD images (grp = k % 7, not 77)
+    assert(del.filter($"grp" === 77).count() === 0L)
+    assert(del.filter($"__commit_version" === 2 && $"k" >= 50).count() === 0L)
+    // replay: v1 minus deletes plus inserts equals the live read
+    val v1 = Lake.read(spark, dir, Some(1))
+    val replayed = v1.join(del.select($"k", $"grp", $"price"),
+        Seq("k", "grp", "price"), "left_anti")
+      .unionByName(ins.select($"k", $"grp", $"price"))
+    val live = Lake.read(spark, dir)
+    assert(replayed.count() === live.count())
+    assert(replayed.agg(sum($"k"), sum($"price")).collect()(0) ===
+      live.agg(sum($"k"), sum($"price")).collect()(0))
+    // an updateMor shows as a delete/insert pair for the same key
+    Lake.updateMor(spark, dir, $"k" === 200, Map("price" -> lit(9.9)))
+    val ch4 = Lake.changes(spark, dir, 3, 4)
+    assert(ch4.filter($"k" === 200).count() === 2L)
+    // a CoW rewrite in the range fails loudly
+    Lake.delete(spark, dir, $"k" === 201)
+    intercept[IllegalArgumentException] {
+      Lake.changes(spark, dir, 4, Lake.currentVersion(spark, dir)).collect()
+    }
+  }
+
   test("updateMor can move rows across partitions") {
     val dir = tmp("mor_updpart")
     Lake.write(mkOrders, dir, Seq("grp"))
