@@ -701,6 +701,43 @@ object SourcesQ extends graft.QueryArea {
             .cast("double").as("total"))
         .orderBy(col("b"))
     }),
+    // IVM powered by the MANIFEST change feed: same retraction
+    // application as mv_delta_apply, but the deltas come from
+    // Lake.changes — O(changed rows), no table rescan and no keyed
+    // full-outer join. This is the maintenance path that holds at
+    // 100 TB: the MV update cost follows the LOAD size, not the
+    // table size. Output must equal a full recompute at v3.
+    "mv_delta_apply_cdc" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_ivmcdc")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 4 =!= 2), table, Nil)
+      val src = o.filter(col("o_orderkey") % 8 === 1 || col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 8 === 1, col("o_totalprice") + 5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"))
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 8 === 3)
+      val bucket = (c: Column) => (c % 5).cast("int")
+      val baseAgg = graft.sources.Lake.read(spark, table, Some(1))
+        .groupBy(bucket(col("o_orderkey")).as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("s"))
+      val deltas = graft.sources.Lake.changes(spark, table, 1, 3)
+        .groupBy(bucket(col("o_orderkey")).as("b"))
+        .agg(
+          sum(when(col("__change_type") === "insert", 1L).otherwise(-1L)).as("dn"),
+          sum(when(col("__change_type") === "insert",
+              col("o_totalprice").cast("decimal(18,6)"))
+            .otherwise(-col("o_totalprice").cast("decimal(18,6)"))).as("ds"))
+      baseAgg.join(deltas, Seq("b"), "full_outer")
+        .select(col("b"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")) +
+            coalesce(col("ds"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")))
+            .cast("double").as("total"))
+        .orderBy(col("b"))
+    }),
     // Snapshot diff (Lake.snapshotDiff): CDC-out between two versions
     // — v1 holds keys %3∈{0,1}; v2 overwrites with %3∈{1,2} and bumps
     // the %3==1 prices, so every key classifies deterministically:
@@ -1141,6 +1178,17 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "mv_delta_apply_cdc" ->
+      """WITH final AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice + 5
+        |      ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 4 <> 2 AND o_orderkey % 8 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 2)
+        |SELECT CAST(o_orderkey % 5 AS INT) AS b, count(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY b ORDER BY b""".stripMargin,
     "src_lake_changes" ->
       """WITH ins2 AS (
         |  SELECT o_orderkey,
