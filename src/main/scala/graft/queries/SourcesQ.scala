@@ -299,6 +299,27 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Load-triggered schema evolution: an evolving MoR load carrying
+    // a column the table lacks ADD-COLUMNs it (metadata-only) and
+    // lands — pre-existing rows read the new column as NULL, the
+    // load's rows carry it
+    "src_lake_evolve_load" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_evo")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o, table, Nil)
+      val src = t(spark, dir, "orders").filter(col("o_orderkey") % 6 === 1)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderpriority").as("tag"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"),
+        autoEvolve = true)
+      graft.sources.Lake.read(spark, table)
+        .groupBy(coalesce(col("tag"), lit("none")).as("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("tag"))
+    }),
     // Row-level change feed (Delta-CDF shape) at O(delta) cost: a
     // mergeMor (upsert %12==1 doubled + insert the %3==0 keys the
     // base excluded) then a deleteMor (%12==5) — changes(1,3) must
@@ -1178,6 +1199,17 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_lake_evolve_load" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS tag FROM orders
+        |  WHERE o_orderkey % 6 <> 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 6 = 1)
+        |SELECT coalesce(tag, 'none') AS tag, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY coalesce(tag, 'none') ORDER BY tag""".stripMargin,
     "mv_delta_apply_cdc" ->
       """WITH final AS (
         |  SELECT o_orderkey,

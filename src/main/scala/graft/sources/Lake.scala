@@ -581,6 +581,9 @@ object Lake {
     *    inserts get NULL there. Provided-NULL wins, matching
     *    `KeysModels` partial-upsert semantics. Partition columns must
     *    be provided.
+    *  - `autoEvolve` — load-triggered schema change: source columns
+    *    the table lacks ADD COLUMN (metadata-only) before the load;
+    *    off by default (extra columns are ignored).
     *
     * Scale: the target is scanned ONCE, semi-joined down to the
     * touched-key slice (O(batch) rows, pinned), which then serves the
@@ -591,8 +594,19 @@ object Lake {
   def mergeMor(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], opCol: Option[String] = None,
       mergeCondition: Option[String] = None,
-      partialUpdate: Boolean = false): Int = {
+      partialUpdate: Boolean = false,
+      autoEvolve: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    // schema evolution on load (the reference's load-triggered schema
+    // change): source columns the table lacks become metadata-only
+    // ADD COLUMNs first — old files read them as NULL, this load's
+    // files carry them. Without the flag extra source columns are
+    // ignored (the safe default: a typo must not mutate the schema).
+    if (autoEvolve) {
+      val known = logicalNames(currentSnap(spark, table)).toSet ++ opCol
+      source.schema.fields.filterNot(f => known.contains(f.name))
+        .foreach(f => addColumn(spark, table, f.name, f.dataType))
+    }
     val prev = currentVersion(spark, table)
     require(prev > 0, s"no committed version at $table")
     val snap = readSnapshot(spark, table, prev)

@@ -160,6 +160,27 @@ class LakeMorLoadSpec extends SparkSuite {
     assert(out.count() === 1990L)
   }
 
+  test("autoEvolve: a load carrying a new column ADD-COLUMNs first") {
+    val dir = tmp("mor_evolve")
+    Lake.write(mkOrders, dir, Nil)
+    val src = spark.range(0, 10).select($"id".as("k"),
+      lit(1).cast("int").as("grp"), lit(2.0).as("price"),
+      lit("tagged").as("note"))
+    // default: the unknown column is ignored, schema unchanged
+    Lake.mergeMor(spark, dir, src, Seq("k"))
+    assert(!Lake.read(spark, dir).columns.contains("note"))
+    // autoEvolve: column added, old rows read NULL, load rows carry it
+    Lake.mergeMor(spark, dir, src, Seq("k"), autoEvolve = true)
+    val out = Lake.read(spark, dir)
+    assert(out.columns.contains("note"))
+    assert(out.filter($"note" === "tagged").count() === 10L)
+    assert(out.filter($"note".isNull).count() === 1990L)
+    // a second evolving load with the same column is a plain load
+    Lake.mergeMor(spark, dir, src.withColumn("note", lit("again")),
+      Seq("k"), autoEvolve = true)
+    assert(Lake.read(spark, dir).filter($"note" === "again").count() === 10L)
+  }
+
   test("updateMor rewrites no file; new images appended, positions masked") {
     val dir = tmp("mor_upd")
     Lake.write(mkOrders.repartition(4), dir, Nil)
