@@ -407,6 +407,49 @@ object SourcesQ extends graft.QueryArea {
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
     }),
+    // Delta COLUMN MAPPING (mode=name — how real writers implement
+    // RENAME/DROP COLUMN without rewrites): the data files carry
+    // opaque physical names (col-xxxx) and the log schema maps them
+    // to logical names via field metadata; the reader must serve the
+    // logical schema with dropped physical columns never leaking
+    "src_delta_colmap" -> ((spark, dir) => {
+      val table = tmpDir(dir, "delta_cmap")
+      graft.sources.Formats.deleteDir(spark, table)
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey").as("col-k1"), col("o_totalprice").as("col-p2"),
+          col("o_orderpriority").as("col-x3"), lit("legacy").as("col-gone"))
+      val staging = s"$table/_stage"
+      o.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.rename(part, new org.apache.hadoop.fs.Path(s"$table/d1.parquet"))
+      f.delete(new org.apache.hadoop.fs.Path(staging), true)
+      import org.apache.spark.sql.types._
+      def mapped(lg: String, ph: String, dt: DataType) =
+        StructField(lg, dt, nullable = true, new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", ph).build())
+      val schema = StructType(Seq(
+        mapped("o_orderkey", "col-k1", LongType),
+        mapped("o_totalprice", "col-p2", DoubleType),
+        mapped("o_orderpriority", "col-x3", StringType)))
+      val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(schema.json)
+      val out = f.create(new org.apache.hadoop.fs.Path(
+        f"$table/_delta_log/${0L}%020d.json"), true)
+      try out.write((
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+        s"""{"metaData":{"id":"cm","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""" + "\n" +
+        """{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n"
+        ).getBytes("UTF-8")) finally out.close()
+      graft.sources.DeltaRead.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Delta WRITE-path interop (sources/DeltaExport.scala; reference
     // ICEBERG/HIVE_TABLE_SINK, DataSinks.thrift:45-65): native Lake
     // commits (append + CoW delete) export an incremental _delta_log,
@@ -1199,6 +1242,11 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_delta_colmap" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_lake_evolve_load" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_totalprice, NULL AS tag FROM orders
