@@ -222,6 +222,70 @@ object StreamingQ extends graft.QueryArea {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy(col("event_type"))
     }),
+    // Exactly-once CDC subscription (streaming/ChangeFeed): an MV is
+    // maintained by POLLING the lake table's manifest change feed —
+    // each poll applies the (cursor, current] retraction deltas and
+    // advances the cursor only after the versioned state lands, so a
+    // simulated crash-and-replay (failBeforeCommit) converges to the
+    // same state. Three MoR commits, two polls (one replayed), a
+    // no-news no-op poll; the final MV must equal a full recompute.
+    "stream_lake_cdc_poll" -> ((spark, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdcpoll_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, root)
+      val table = s"$root/tbl"
+      val ledger = s"$root/cursor"
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bucket = (c: org.apache.spark.sql.Column) => (c % 5).cast("int")
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 4 =!= 2), table, Nil)
+      graft.sources.Lake.read(spark, table, Some(1))
+        .groupBy(bucket(col("o_orderkey")).as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(28,6)").as("s"))
+        .write.mode("overwrite").parquet(s"$root/mv-v1")
+      def applyDeltas(ch: org.apache.spark.sql.DataFrame, from: Int, to: Int): Unit = {
+        val prev = spark.read.parquet(s"$root/mv-v$from")
+        val deltas = ch.groupBy(bucket(col("o_orderkey")).as("b"))
+          .agg(
+            sum(when(col("__change_type") === "insert", 1L).otherwise(-1L)).as("dn"),
+            sum(when(col("__change_type") === "insert",
+                col("o_totalprice").cast("decimal(18,6)"))
+              .otherwise(-col("o_totalprice").cast("decimal(18,6)"))).as("ds"))
+        prev.join(deltas, Seq("b"), "full_outer")
+          .select(col("b"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("s"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")) +
+              coalesce(col("ds"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")))
+              .cast("decimal(28,6)").as("s"))
+          .write.mode("overwrite").parquet(s"$root/mv-v$to")
+      }
+      // v2: upsert %8==1 (price+5), insert the %4==2 keys — then poll
+      val src2 = o.filter(col("o_orderkey") % 8 === 1 || col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 8 === 1, col("o_totalprice") + 5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.sources.Lake.mergeMor(spark, table, src2, Seq("o_orderkey"))
+      val w1 = graft.streaming.ChangeFeed.poll(spark, table, ledger)(applyDeltas)
+      require(w1.contains((1, 2)), s"expected window (1,2), got $w1")
+      // v3 delete %8==3; v4 upsert %8==6 (the v2-inserted rows) ×3
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 8 === 3)
+      graft.sources.Lake.mergeMor(spark, table,
+        o.filter(col("o_orderkey") % 8 === 6)
+          .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice")),
+        Seq("o_orderkey"))
+      // crash after apply, before cursor commit — then replay
+      try {
+        graft.streaming.ChangeFeed.poll(spark, table, ledger,
+          failBeforeCommit = true)(applyDeltas)
+        require(false, "simulated crash must throw")
+      } catch { case _: IllegalStateException => }
+      val w2 = graft.streaming.ChangeFeed.poll(spark, table, ledger)(applyDeltas)
+      require(w2.contains((2, 4)), s"expected replayed window (2,4), got $w2")
+      require(graft.streaming.ChangeFeed.poll(spark, table, ledger)(applyDeltas).isEmpty,
+        "no new versions -> poll must be a no-op")
+      spark.read.parquet(s"$root/mv-v4")
+        .select(col("b"), col("n"), col("s").cast("double").as("total"))
+        .orderBy(col("b"))
+    }),
     // Stream-stream inner join through the REAL micro-batch path: the
     // metadata side (value > 100) joins the full stream on event_id
     // inside a ±1 h event-time band; both sides carry watermarks so
@@ -402,6 +466,20 @@ object StreamingQ extends graft.QueryArea {
         |FROM events e JOIN latest l
         |  ON e.user_id = l.user_id AND e.event_id = l.event_id
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "stream_lake_cdc_poll" ->
+      """WITH final AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice + 5
+        |      ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 4 <> 2 AND o_orderkey % 8 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 8 = 6 THEN o_totalprice * 3
+        |      ELSE o_totalprice END
+        |  FROM orders WHERE o_orderkey % 4 = 2)
+        |SELECT CAST(o_orderkey % 5 AS INT) AS b, count(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY b ORDER BY b""".stripMargin,
     "stream_lake_mor_sink" ->
       """WITH latest AS (
         |  SELECT user_id, max(event_id) AS event_id

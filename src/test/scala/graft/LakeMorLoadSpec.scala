@@ -241,6 +241,26 @@ class LakeMorLoadSpec extends SparkSuite {
     }
   }
 
+  test("ChangeFeed cursor: initialVersion seeds the first poll; windows chain") {
+    import graft.streaming.ChangeFeed
+    val dir = tmp("mor_cf")
+    val ledger = s"$dir/../cursor_${System.nanoTime()}"
+    Lake.write(mkOrders, dir, Nil)                            // v1
+    Lake.mergeMor(spark, dir, spark.range(0, 5).select($"id".as("k"),
+      lit(1).cast("int").as("grp"), lit(0.0).as("price")), Seq("k")) // v2
+    // consumer whose baseline was built at v2: first poll sees nothing
+    assert(ChangeFeed.poll(spark, dir, ledger, initialVersion = 2)(
+      (_, _, _) => ()).isEmpty)
+    Lake.deleteMor(spark, dir, $"k" >= 1990)                  // v3
+    var seen: Option[(Int, Int)] = None
+    var rows = -1L
+    ChangeFeed.poll(spark, dir, ledger, initialVersion = 2) { (ch, f, t) =>
+      seen = Some((f, t)); rows = ch.count() }
+    assert(seen === Some((2, 3)))
+    assert(rows === 10L)
+    assert(ChangeFeed.readCursor(spark, ledger) === Some(3))
+  }
+
   test("updateMor can move rows across partitions") {
     val dir = tmp("mor_updpart")
     Lake.write(mkOrders, dir, Seq("grp"))
