@@ -18,7 +18,13 @@ import graft.sources.Lake
   *
   * Scale: each poll moves O(rows changed since the cursor) — the
   * feed is manifest-derived, so a poll against a 100 TB table that
-  * ingested one batch reads one batch. */
+  * ingested one batch reads one batch.
+  *
+  * Retention contract (the Delta-CDF constraint): a poll reads the
+  * manifests and data files of every version in (cursor, current], so
+  * [[Lake.vacuum]]'s `retainLast` must cover the slowest consumer's
+  * lag — a cursor older than the retained window fails the poll
+  * (missing manifest) rather than serving partial changes. */
 object ChangeFeed {
 
   private def fs(spark: SparkSession, p: String) =

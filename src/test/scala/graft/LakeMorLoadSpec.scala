@@ -241,6 +241,25 @@ class LakeMorLoadSpec extends SparkSuite {
     }
   }
 
+  test("changes on a partitioned table carries partition columns") {
+    val dir = tmp("mor_chgpart")
+    Lake.write(mkOrders, dir, Seq("grp"))
+    Lake.mergeMor(spark, dir, spark.range(0, 20).select($"id".as("k"),
+      lit(3).cast("int").as("grp"), lit(1.5).as("price")), Seq("k"))
+    Lake.deleteMor(spark, dir, $"k" >= 1900 && $"grp" === 2)
+    val ch = Lake.changes(spark, dir, 1, 3)
+    assert(ch.columns.contains("grp"))
+    val ins = ch.filter($"__change_type" === "insert")
+    assert(ins.count() === 20L && ins.filter($"grp" === 3).count() === 20L)
+    val del = ch.filter($"__change_type" === "delete")
+    // 20 replaced old images (grp = k % 7) + the grp-2 range deletes
+    val grp2Deleted = (1900 until 2000).count(_ % 7 == 2)
+    assert(del.filter($"__commit_version" === 3).count() === grp2Deleted.toLong)
+    assert(del.filter($"__commit_version" === 2).count() === 20L)
+    assert(del.filter($"__commit_version" === 2 && $"grp" === ($"k" % 7).cast("int"))
+      .count() === 20L, "old images carry their original partition value")
+  }
+
   test("ChangeFeed cursor: initialVersion seeds the first poll; windows chain") {
     import graft.streaming.ChangeFeed
     val dir = tmp("mor_cf")
