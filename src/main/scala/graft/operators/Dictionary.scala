@@ -70,33 +70,52 @@ object Dictionary {
     * offset — no global sort, no single-partition window, no dict
     * scan for max(id) (the next offset rides the snapshot props; the
     * per-load id budget is numPartitions × 2^33, burned from a
-    * 63-bit space). Concurrent loaders are safe: the append and the
-    * props ride Lake's OCC, so a racing loader conflicts and retries
-    * rather than double-assigning. Returns the dict version. */
+    * 63-bit space). Concurrent loaders are safe: the id range is
+    * RESERVED first — an OCC props commit pinned to the version the
+    * offset was read from — so a racing loader conflicts before any
+    * row lands; a crash after the reservation wastes the range (gaps
+    * are allowed), and a lost ceiling prop is recovered by a one-off
+    * max(id) scan. Returns the dict version. */
   def upsertGlobalDict(spark: org.apache.spark.sql.SparkSession,
       dictTable: String, values: DataFrame, valueCol: String): Int = {
     val vals = values.select(col(valueCol).cast("string").as("value"))
       .filter(col("value").isNotNull).distinct()
     val cur = graft.sources.Lake.currentVersion(spark, dictTable)
-    val offset =
-      if (cur == 0) 1L
-      else graft.sources.Lake.readSnapshot(spark, dictTable, cur)
-        .props.getOrElse("dict.nextId", "1").toLong
     val fresh =
       if (cur == 0) vals.localCheckpoint(true)
       else vals.join(graft.sources.Lake.read(spark, dictTable)
         .select(col("value")), Seq("value"), "left_anti")
         .localCheckpoint(true)
     if (cur > 0 && fresh.isEmpty) return cur
+    val parts = math.max(fresh.rdd.getNumPartitions, 1).toLong
+    if (cur == 0) {
+      // first build: write rows with ids from 1, then record the
+      // ceiling. A racing first build conflicts on the v1 commit; a
+      // crash before setProps is healed by the scan-max fallback below.
+      val assigned = fresh.withColumn("id",
+        monotonically_increasing_id() + lit(1L))
+      val v = graft.sources.Lake.write(assigned, dictTable, Nil)
+      return graft.sources.Lake.setProps(spark, dictTable,
+        Map("dict.nextId" -> (1L + (parts << 33)).toString),
+        expectVersion = Some(v))
+    }
+    // RESERVE the id range FIRST (an OCC metadata commit pinned to the
+    // current version — a racing loader conflicts here, BEFORE any row
+    // lands, so duplicate ids are impossible; a crash after the
+    // reservation merely wastes the range, which AUTO_INCREMENT
+    // permits), then write the rows inside it. If a past crash lost
+    // the ceiling prop, recover it from the table itself.
+    val snap = graft.sources.Lake.readSnapshot(spark, dictTable, cur)
+    val offset = snap.props.get("dict.nextId").map(_.toLong).getOrElse {
+      graft.sources.Lake.read(spark, dictTable)
+        .agg(max(col("id"))).head.getLong(0) + 1L
+    }
+    graft.sources.Lake.setProps(spark, dictTable,
+      Map("dict.nextId" -> (offset + (parts << 33)).toString),
+      expectVersion = Some(cur))
     val assigned = fresh.withColumn("id",
       monotonically_increasing_id() + lit(offset))
-    val parts = math.max(assigned.rdd.getNumPartitions, 1)
-    val v = graft.sources.Lake.write(assigned, dictTable, Nil,
-      mode = if (cur == 0) "overwrite" else "append")
-    // ids live in [offset, offset + parts*2^33); persist the ceiling
-    graft.sources.Lake.setProps(spark, dictTable,
-      Map("dict.nextId" -> (offset + (parts.toLong << 33)).toString),
-      expectVersion = Some(v))
+    graft.sources.Lake.write(assigned, dictTable, Nil, mode = "append")
   }
 
   /** Attach the dictionary id for `valueCol` as `<valueCol>_id`

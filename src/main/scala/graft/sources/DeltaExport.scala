@@ -58,20 +58,26 @@ object DeltaExport {
     // that never used MoR this is the identical v → v-1 mapping); the
     // CURRENT snapshot must be clean or the exported table would lag
     // the Lake state — fold first.
-    require(Lake.readSnapshot(spark, table, cur).dvFiles.isEmpty,
+    // one manifest read per version per CALL (memoized): the clean
+    // filter + per-version diffs would otherwise re-read each JSON
+    // up to three times, and export-after-every-commit workflows call
+    // this often
+    val snapCache = scala.collection.mutable.Map[Int, Lake.Snapshot]()
+    def snapOf(v: Int) = snapCache.getOrElseUpdate(v,
+      Lake.readSnapshot(spark, table, v))
+    require(snapOf(cur).dvFiles.isEmpty,
       s"current Lake snapshot v$cur carries pending delete vectors — " +
         s"run Lake.foldDeletes before Delta export (or export via " +
         s"IcebergExport, which emits format v2 position deletes)")
-    val cleanVs = (1 to cur).filter(v =>
-      Lake.readSnapshot(spark, table, v).dvFiles.isEmpty)
+    val cleanVs = (1 to cur).filter(v => snapOf(v).dvFiles.isEmpty)
     var last = -1L
     cleanVs.zipWithIndex.foreach { case (v, dv) =>
       val logPath = new Path(f"$table/_delta_log/$dv%020d.json")
       if (!f.exists(logPath)) {
-        val snap = Lake.readSnapshot(spark, table, v)
+        val snap = snapOf(v)
         val prev: Map[String, Lake.LakeFile] =
           if (dv == 0) Map.empty
-          else Lake.readSnapshot(spark, table, cleanVs(dv - 1)).files
+          else snapOf(cleanVs(dv - 1)).files
             .map(x => rel(x.path) -> x).toMap
         val nowFiles = snap.files.map(x => rel(x.path) -> x).toMap
         val sb = new StringBuilder

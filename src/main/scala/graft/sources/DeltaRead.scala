@@ -186,16 +186,17 @@ object DeltaRead {
         Some(f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
       else None
     }.toMap
-    def unmap(df: DataFrame): DataFrame = {
-      val renamed = physOf.foldLeft(df) { case (d, (logical, phys)) =>
-        if (d.columns.contains(phys) && phys != logical)
-          d.withColumnRenamed(phys, logical) else d }
-      // project the logical schema: a mapped table's files may carry
-      // physical columns of since-dropped fields
-      if (physOf.isEmpty) renamed
-      else renamed.select(schema.fieldNames.filter(renamed.columns.contains)
-        .map(col).toIndexedSeq: _*)
-    }
+    // one projection, not sequential renames: a pair of RENAMEs can
+    // SWAP two names (logical 'a' ↔ physical 'b'), where rename-by-
+    // rename would collide; the select binds every logical field to
+    // its physical source simultaneously and drops since-dropped
+    // fields' physical columns
+    def unmap(df: DataFrame): DataFrame =
+      if (physOf.isEmpty) df
+      else df.select(schema.fields.toIndexedSeq.flatMap { fd =>
+        val phys = physOf.getOrElse(fd.name, fd.name)
+        if (df.columns.contains(phys)) Some(df(phys).as(fd.name)) else None
+      }: _*)
     if (partCols.isEmpty)
       unmap(spark.read.parquet(adds.map(a => resolve(a.path)): _*))
     else {

@@ -54,12 +54,15 @@ object HudiExport {
     // Export the DV-free snapshots only (timeline instants keep their
     // Lake version stamps; gaps are legal in a Hudi timeline), diffing
     // clean-to-clean; the CURRENT snapshot must be clean — fold first.
-    require(Lake.readSnapshot(spark, table, cur).dvFiles.isEmpty,
+    // one manifest read per version per call (the DeltaExport memo)
+    val snapCache = scala.collection.mutable.Map[Int, Lake.Snapshot]()
+    def snapOf(v: Int) = snapCache.getOrElseUpdate(v,
+      Lake.readSnapshot(spark, table, v))
+    require(snapOf(cur).dvFiles.isEmpty,
       s"current Lake snapshot v$cur carries pending delete vectors — " +
         s"run Lake.foldDeletes before Hudi export (or export via " +
         s"IcebergExport, which emits format v2 position deletes)")
-    val cleanVs = (1 to cur).filter(v =>
-      Lake.readSnapshot(spark, table, v).dvFiles.isEmpty)
+    val cleanVs = (1 to cur).filter(v => snapOf(v).dvFiles.isEmpty)
     var last = ""
     cleanVs.zipWithIndex.foreach { case (v, i) =>
       val instant = f"$v%014d"
@@ -67,11 +70,11 @@ object HudiExport {
       val commitP = new Path(s"$table/.hoodie/$instant.commit")
       val replaceP = new Path(s"$table/.hoodie/$instant.replacecommit")
       if (!f.exists(commitP) && !f.exists(replaceP)) {
-        val snap = Lake.readSnapshot(spark, table, v)
+        val snap = snapOf(v)
         val partCols = snap.partitionCols
         // (relative path → (partitionPath, sizeBytes)) for this + prior
         def fileMap(ver: Int): Map[String, (String, Long)] =
-          Lake.readSnapshot(spark, table, ver).files.map(x =>
+          snapOf(ver).files.map(x =>
             rel(x.path) -> (partitionPathOf(partCols, x.partitionValues), x.sizeBytes)).toMap
         val now = fileMap(v)
         val prev: Map[String, (String, Long)] =

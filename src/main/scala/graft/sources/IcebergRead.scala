@@ -414,10 +414,13 @@ object IcebergRead {
   }
 
   /** Manifest-list entry: `content` distinguishes data (0/absent)
-    * from delete (1) manifests — the format v2 field; writers that
-    * never emit deletes leave it null and readers default to data. */
+    * from delete (1) manifests, `sequence_number` orders commits for
+    * equality-delete application — both format v2 fields; writers
+    * that never emit deletes leave them null and readers default to
+    * data / sequence 0. */
   private[sources] val manifestFileSchema: Schema = SchemaBuilder.record("manifest_file")
-    .fields().requiredString("manifest_path").optionalInt("content").endRecord()
+    .fields().requiredString("manifest_path").optionalInt("content")
+    .optionalLong("sequence_number").endRecord()
 
   private[sources] def writeAvro(spark: SparkSession, path: String, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
@@ -531,8 +534,6 @@ object IcebergRead {
       carryForward: Boolean = true): Long = {
     val spark = df.sparkSession
     val f = fs(spark, table)
-    val prior = try dataFiles(spark, table, None)
-      catch { case _: Exception => Nil }
     val version = {
       val dir = new Path(s"$table/metadata")
       if (!f.exists(dir)) 1L
@@ -552,9 +553,18 @@ object IcebergRead {
       f.rename(p, new Path(dest)); dest
     }.toSeq
     f.delete(new Path(staging), true)
-    val live = (if (carryForward) prior else Nil) ++ dataPaths
+    // the new manifest lists ONLY this commit's files; carried state
+    // rides the PRIOR manifest-list entries verbatim — flattening
+    // prior data files into a fresh manifest would silently DROP any
+    // delete manifests (and their sequence numbers) a CDC writer
+    // (commitCdcBatch) produced, resurrecting deleted rows
+    val priorManifests: Seq[(String, Int, Long)] =
+      if (!carryForward) Nil
+      else try manifestsOf(spark, table, None)
+      catch { case _: Exception => Nil }
+    val seq = priorManifests.map(_._3).foldLeft(0L)(math.max) + 1
     val entrySchema = manifestEntrySchemaFor(Nil)
-    val entries = live.map { p =>
+    val entries = dataPaths.map { p =>
       val dfRec = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       dfRec.put("file_path", p)
@@ -565,10 +575,15 @@ object IcebergRead {
     }
     val manifestPath = s"$table/metadata/m$version.avro"
     writeAvro(spark, manifestPath, entrySchema, entries)
-    val mf = new GenericData.Record(manifestFileSchema)
-    mf.put("manifest_path", manifestPath)
+    def listEntry(m: String, content: Int, s: Long) = {
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", m); r.put("content", Int.box(content))
+      r.put("sequence_number", Long.box(s)); r
+    }
     val listPath = s"$table/metadata/snap-$snapId.avro"
-    writeAvro(spark, listPath, manifestFileSchema, Seq(mf))
+    writeAvro(spark, listPath, manifestFileSchema,
+      priorManifests.map(p => listEntry(p._1, p._2, p._3)) :+
+        listEntry(manifestPath, 0, seq))
     val mapper = new ObjectMapper()
     // keep prior snapshots in the metadata so snapshotId time travel works
     val priorSnaps = try {

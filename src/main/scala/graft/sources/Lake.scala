@@ -623,7 +623,14 @@ object Lake {
         require(source.columns.contains(c), s"missing op column $c")
         require(!logical.contains(c),
           s"op column $c collides with a table column")
-        val op = coalesce(col(c).cast("int"), lit(0))
+        // 0/NULL = upsert, 1 = delete; anything else — including a
+        // value that fails the int cast ('delete', 'd') — is an error,
+        // never a silent drop or a delete applied as an upsert
+        val rawOp = col(c).cast("int")
+        require(source.filter((col(c).isNotNull && rawOp.isNull) ||
+            (rawOp.isNotNull && rawOp =!= 0 && rawOp =!= 1)).isEmpty,
+          s"op column $c must be 0 (upsert), 1 (delete), or NULL")
+        val op = coalesce(rawOp, lit(0))
         val ups = source.filter(op === 0).drop(c)
         val dels = source.filter(op === 1)
           .select(keys.map(col): _*).distinct().localCheckpoint(true)
@@ -813,7 +820,8 @@ object Lake {
     if (rewrite.isEmpty) {
       // every entry references an expired file — metadata-only clear
       val snapNew = snap.copy(version = v,
-        createdAtMs = System.currentTimeMillis(), dvFiles = Nil)
+        createdAtMs = System.currentTimeMillis(), dvFiles = Nil,
+        props = snap.props + (s"commit.op.v$v" -> "fold"))
       writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
       commitVersion(spark, table, v)
       return v
@@ -829,8 +837,11 @@ object Lake {
     val writer = if (snap.partitionCols.nonEmpty)
       cleaned.write.partitionBy(snap.partitionCols: _*) else cleaned.write
     writer.mode("errorifexists").parquet(commitDir)
+    // the commit.op marker says "logical no-op, files rewritten" — the
+    // change feed ([[changes]]) walks past it instead of failing
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir), snap.props)
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir),
+      snap.props + (s"commit.op.v$v" -> "fold"))
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -1073,8 +1084,10 @@ object Lake {
       rebuilt.write.partitionBy(snap.partitionCols: _*) else rebuilt.write
     writer.mode("errorifexists").parquet(commitDir)
 
+    // logical no-op marker: the change feed walks past this commit
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir), snap.props)
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir),
+      snap.props + (s"commit.op.v$v" -> "compact"))
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -1122,11 +1135,19 @@ object Lake {
       minSmallFiles: Int = 4,
       maxDvRatio: Double = 0.05): Option[Int] = {
     val score = compactionScore(spark, table, smallFileBytes)
-    if (score.smallFiles >= minSmallFiles)
-      Some(compact(spark, table, smallFileBytes, targetFileBytes))
-    else if (score.dvRatio > maxDvRatio)
-      Some(foldDeletes(spark, table))
-    else None
+    val before = currentVersion(spark, table)
+    // compact can be a structural no-op (small files spread one per
+    // partition) — only report an action when a version actually
+    // committed, falling through to the fold check otherwise
+    if (score.smallFiles >= minSmallFiles) {
+      val v = compact(spark, table, smallFileBytes, targetFileBytes)
+      if (v != before) return Some(v)
+    }
+    if (score.dvRatio > maxDvRatio) {
+      val b2 = currentVersion(spark, table)
+      val v = foldDeletes(spark, table)
+      if (v != b2) Some(v) else None
+    } else None
   }
 
   /** Partition retention (TTL enforcement — the reference's dynamic
@@ -1556,26 +1577,36 @@ object Lake {
     * table-sized is read: inserts scan only the added files, deletes
     * scan only the files the new vectors name.
     *
-    * A version that REMOVED files (copy-on-write DML, compact, fold)
-    * is not expressible from manifests alone — the call fails loudly
-    * pointing at [[snapshotDiff]], the keyed O(table) fallback.
+    * Commits that change no logical rows are transparent: metadata-only
+    * amendments (setProps, ADD/DROP/RENAME COLUMN) yield nothing, and
+    * [[foldDeletes]]/[[compact]] rewrites — logical no-ops that DO
+    * remove files — stamp a `commit.op.v<N>` marker the walk skips, so
+    * background maintenance never wedges a consumer. A version that
+    * removed files WITHOUT such a marker (copy-on-write DML) is not
+    * expressible from manifests alone — the call fails loudly pointing
+    * at [[snapshotDiff]], the keyed O(table) fallback.
     * Columns: the table's columns plus `__change_type` and
-    * `__commit_version`. The version range is walked one commit at a
-    * time (poll-sized by contract — a CDC consumer tails the log). */
+    * `__commit_version`. A window with no row changes returns an EMPTY
+    * frame (a poll must be able to advance over quiet commits). The
+    * version range is walked one commit at a time (poll-sized by
+    * contract — a CDC consumer tails the log). */
   def changes(spark: SparkSession, table: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(fromVersion >= 1 && toVersion > fromVersion &&
       toVersion <= currentVersion(spark, table),
       s"bad change range v$fromVersion..v$toVersion")
+    val latest = readSnapshot(spark, table, toVersion)
     val steps = ((fromVersion + 1) to toVersion).map { v =>
       val prev = readSnapshot(spark, table, v - 1)
       val cur = readSnapshot(spark, table, v)
+      val maintenance = cur.props.contains(s"commit.op.v$v")
       val prevPaths = prev.files.map(_.path).toSet
       val removed = prevPaths -- cur.files.map(_.path).toSet
-      require(removed.isEmpty,
+      require(removed.isEmpty || maintenance,
         s"version $v of $table rewrote ${removed.size} file(s) " +
-          s"(copy-on-write/compaction) — use snapshotDiff for that range")
+          s"(copy-on-write DML) — use snapshotDiff for that range")
+      if (maintenance) None else {
       val added = cur.files.filterNot(f => prevPaths.contains(f.path))
       val newDvs = cur.dvFiles.filterNot(prev.dvFiles.toSet)
       val cols = logicalNames(cur).map(col)
@@ -1586,9 +1617,7 @@ object Lake {
           .withColumn("__change_type", lit("insert")))
       val del = if (newDvs.isEmpty) None else {
         val dv = spark.read.schema(DvSchema).parquet(newDvs: _*)
-        val dirtyNorm = dv.select("__graft_dv_file").distinct().collect()
-          .map(r => java.net.URLDecoder.decode(
-            new Path(r.getString(0)).toUri.getPath, "UTF-8")).toSet
+        val dirtyNorm = dvDirtyPaths(spark, prev.copy(dvFiles = newDvs))
         val dirty = prev.files.filter(f =>
           dirtyNorm.contains(new Path(f.path).toUri.getPath))
         val tagged = applyRenames(indexedDataFrame(spark, table,
@@ -1602,10 +1631,19 @@ object Lake {
       }
       (ins ++ del).reduceOption(_ unionByName _)
         .map(_.withColumn("__commit_version", lit(v)))
+      }
     }
     val parts = steps.flatten
-    require(parts.nonEmpty, s"no changes in v$fromVersion..v$toVersion")
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (parts.isEmpty) {
+      // quiet window (metadata-only / maintenance commits): an EMPTY
+      // change frame with the table's schema, so consumers advance
+      val cols = logicalNames(latest).map(col)
+      applyRenames(indexedDataFrame(spark, table, latest)._1, latest)
+        .select(cols: _*)
+        .withColumn("__change_type", lit("insert"))
+        .withColumn("__commit_version", lit(toVersion))
+        .filter(lit(false))
+    } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Snapshot diff — the CDC-out surface between two table versions

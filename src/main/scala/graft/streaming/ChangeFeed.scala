@@ -30,21 +30,28 @@ object ChangeFeed {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Last applied version, or None before the first poll. */
+  /** Last applied version, or None before the first poll. A crash
+    * inside [[commitCursor]]'s delete-then-rename window leaves only
+    * the fully-written `.tmp` — recover from it rather than falling
+    * back to `initialVersion` and replaying all history (or failing
+    * on vacuumed versions). */
   def readCursor(spark: SparkSession, ledgerPath: String): Option[Int] = {
     val f = fs(spark, ledgerPath)
-    val p = new Path(ledgerPath)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-      Some(new String(bytes, "UTF-8").trim.toInt)
-    }
+    def slurp(p: Path): Option[Int] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        Some(new String(bytes, "UTF-8").trim.toInt)
+      }
+    slurp(new Path(ledgerPath)).orElse(slurp(new Path(ledgerPath + ".tmp")))
   }
 
   def commitCursor(spark: SparkSession, ledgerPath: String, v: Int): Unit = {
     val f = fs(spark, ledgerPath)
     val tmp = new Path(ledgerPath + ".tmp")
+    // the tmp file is COMPLETE before the live file is deleted, so
+    // readCursor can always recover the newest committed value
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     f.delete(new Path(ledgerPath), false)

@@ -88,6 +88,38 @@ class DeltaReadSpec extends SparkSuite {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("column mapping: swapped logical/physical names bind correctly") {
+    import org.apache.spark.sql.types._
+    val table = java.nio.file.Files.createTempDirectory("graft-dcms").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+    val staging = s"$table/_stage"
+    // physical columns literally named "a" and "b" — but logical "a"
+    // maps to physical "b" and vice versa (two RENAMEs swapped them)
+    Seq((1L, 100L)).toDF("a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$table/d1.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    def mapped(lg: String, ph: String) =
+      StructField(lg, LongType, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", ph).build())
+    val schema = StructType(Seq(mapped("a", "b"), mapped("b", "a")))
+    val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    val out = f.create(new org.apache.hadoop.fs.Path(
+      f"$table/_delta_log/${0L}%020d.json"), false)
+    try out.write((
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""" + "\n" +
+      """{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n"
+      ).getBytes("UTF-8")) finally out.close()
+    val r = DeltaRead.read(spark, table).head
+    // logical a reads physical b's value and vice versa
+    assert((r.getLong(0), r.getLong(1)) === ((100L, 1L)))
+  }
+
   test("column mapping: partitionValues keyed by physical name") {
     import org.apache.spark.sql.types._
     val table = java.nio.file.Files.createTempDirectory("graft-dcmp").toString + "/t"

@@ -59,6 +59,17 @@ class GlobalDictSpec extends SparkSuite {
     assert(Lake.read(spark, dict).filter($"value" === "fresh").count() === 1L)
   }
 
+  test("maybeCompact: a structurally-impossible compact reports no action") {
+    val dir = tmp("mcomp2")
+    // 5 small files, one per partition — compact has nothing to group
+    Lake.write(spark.range(0, 500).select($"id".as("k"),
+      ($"id" % 5).cast("int").as("p")).coalesce(1), dir, Seq("p"))
+    val s = Lake.compactionScore(spark, dir, smallFileBytes = 512L << 20)
+    assert(s.smallFiles >= 4)
+    assert(Lake.maybeCompact(spark, dir, smallFileBytes = 512L << 20).isEmpty,
+      "no version committed -> no action reported")
+  }
+
   test("maybeCompact: small files trigger compact, DV debt triggers fold") {
     val dir = tmp("mcomp")
     // 6 tiny appends -> small-file debt

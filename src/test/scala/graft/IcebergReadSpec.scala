@@ -248,6 +248,21 @@ class IcebergReadSpec extends SparkSuite {
       .select($"v").head.getLong(0) === 7L)
   }
 
+  test("commitSnapshot append preserves a CDC table's delete manifests") {
+    val table = java.nio.file.Files.createTempDirectory("graft-icemix").toString + "/t"
+    IcebergRead.commitCdcBatch(
+      spark.range(1, 6).select($"id", ($"id" * 10).as("v")), table, Seq("id"))
+    IcebergRead.commitCdcBatch(
+      Seq((2L, 99L)).toDF("id", "v"), table, Seq("id"),
+      deleteKeys = Some(Seq(5L).toDF("id")))
+    // a plain append by the OTHER writer must not resurrect the
+    // erased images (old id=2 at v=20, tombstoned id=5)
+    IcebergRead.commitSnapshot(Seq((9L, 90L)).toDF("id", "v").coalesce(1), table)
+    val got = IcebergRead.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(1L -> 10L, 2L -> 99L, 3L -> 30L, 4L -> 40L, 9L -> 90L))
+  }
+
   test("unpadded HadoopCatalog metadata names: v10 beats v9 numerically") {
     val table = java.nio.file.Files.createTempDirectory("graft-ice10").toString
     IcebergRead.commitSnapshot(Seq((1L, "old")).toDF("id", "v").coalesce(1), table)

@@ -241,6 +241,51 @@ class LakeMorLoadSpec extends SparkSuite {
     }
   }
 
+  test("changes: metadata-only and fold/compact commits are transparent") {
+    val dir = tmp("mor_chgmeta")
+    Lake.write(mkOrders.repartition(4), dir, Nil)
+    Lake.setProps(spark, dir, Map("note" -> "x"))          // v2 metadata-only
+    // quiet window: EMPTY frame, not an error (a poll must advance)
+    val quiet = Lake.changes(spark, dir, 1, 2)
+    assert(quiet.count() === 0L)
+    assert(quiet.columns.contains("__change_type"))
+    Lake.deleteMor(spark, dir, $"k" < 100)                  // v3
+    Lake.foldDeletes(spark, dir)                            // v4 (marked)
+    Lake.mergeMor(spark, dir, spark.range(0, 10).select($"id".as("k"),
+      lit(9).cast("int").as("grp"), lit(1.0).as("price")), Seq("k")) // v5
+    // the fold removed files but is a logical no-op — the walk skips it
+    val ch = Lake.changes(spark, dir, 2, 5)
+    assert(ch.filter($"__change_type" === "delete" &&
+      $"__commit_version" === 3).count() === 100L)
+    assert(ch.filter($"__commit_version" === 4).count() === 0L)
+    assert(ch.filter($"__change_type" === "insert").count() === 10L)
+    // ChangeFeed.poll advances over a trailing metadata-only commit
+    import graft.streaming.ChangeFeed
+    val ledger = s"$dir/../cur_${System.nanoTime()}"
+    ChangeFeed.commitCursor(spark, ledger, 5)
+    Lake.setProps(spark, dir, Map("note" -> "y"))           // v6
+    var polled = -1L
+    assert(ChangeFeed.poll(spark, dir, ledger) { (c, _, _) =>
+      polled = c.count() }.contains((5, 6)))
+    assert(polled === 0L)
+    assert(ChangeFeed.readCursor(spark, ledger) === Some(6))
+  }
+
+  test("__op values outside 0/1/NULL fail loudly") {
+    val dir = tmp("mor_opbad")
+    Lake.write(mkOrders, dir, Nil)
+    val bad = Seq((1L, 2), (2L, 0)).toDF("k", "__op")
+      .withColumn("grp", lit(1)).withColumn("price", lit(0.0))
+    intercept[IllegalArgumentException] {
+      Lake.mergeMor(spark, dir, bad, Seq("k"), opCol = Some("__op"))
+    }
+    val stringy = Seq((1L, "delete")).toDF("k", "__op")
+      .withColumn("grp", lit(1)).withColumn("price", lit(0.0))
+    intercept[IllegalArgumentException] {
+      Lake.mergeMor(spark, dir, stringy, Seq("k"), opCol = Some("__op"))
+    }
+  }
+
   test("changes on a partitioned table carries partition columns") {
     val dir = tmp("mor_chgpart")
     Lake.write(mkOrders, dir, Seq("grp"))
