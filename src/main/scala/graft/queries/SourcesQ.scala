@@ -450,6 +450,45 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Delta DELETION VECTORS (how modern writers delete without
+    // rewriting): a foreign-shaped table whose add carries a u-stored
+    // roaring-bitmap descriptor; the read must mask exactly the
+    // vector's row positions — here every rank%10==3 position of the
+    // orderkey-sorted single file, which the oracle reproduces with
+    // row_number
+    "src_delta_dv_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "delta_dv")
+      graft.sources.Formats.deleteDir(spark, table)
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+      val staging = s"$table/_stage"
+      o.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.rename(part, new org.apache.hadoop.fs.Path(s"$table/d1.parquet"))
+      f.delete(new org.apache.hadoop.fs.Path(staging), true)
+      val n = o.count()
+      val positions = (3L until n by 10L).toArray
+      val d = graft.sources.DeltaDv.writeUuidDv(spark, table, positions)
+      val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(o.schema.json)
+      val out = f.create(new org.apache.hadoop.fs.Path(
+        f"$table/_delta_log/${0L}%020d.json"), true)
+      try out.write((
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""" + "\n" +
+        s"""{"metaData":{"id":"dv","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[]}}""" + "\n" +
+        s"""{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}""" + "\n"
+        ).getBytes("UTF-8")) finally out.close()
+      graft.sources.DeltaRead.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // Delta WRITE-path interop (sources/DeltaExport.scala; reference
     // ICEBERG/HIVE_TABLE_SINK, DataSinks.thrift:45-65): native Lake
     // commits (append + CoW delete) export an incremental _delta_log,
@@ -1242,6 +1281,16 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_delta_dv_read" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM r WHERE pos % 10 <> 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_delta_colmap" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,

@@ -50,48 +50,70 @@ object DeltaExport {
       require(!r.contains(":"), s"cannot relativize $p against $qualified")
       r
     }
-    // Snapshots carrying merge-on-read delete vectors are NOT
-    // expressible as whole-file add/remove actions (Delta's own
-    // deletion-vector encoding — RoaringBitmap sidecars — is out of
-    // scope): a naive export would serve deleted rows as live. Export
-    // the DV-free snapshots only, diffing clean-to-clean (for a table
-    // that never used MoR this is the identical v → v-1 mapping); the
-    // CURRENT snapshot must be clean or the exported table would lag
-    // the Lake state — fold first.
-    // one manifest read per version per CALL (memoized): the clean
-    // filter + per-version diffs would otherwise re-read each JSON
-    // up to three times, and export-after-every-commit workflows call
-    // this often
+    // one manifest read per version per CALL (memoized): the DV-state
+    // computation + per-version diffs would otherwise re-read each
+    // JSON several times, and export-after-every-commit workflows
+    // call this often
     val snapCache = scala.collection.mutable.Map[Int, Lake.Snapshot]()
     def snapOf(v: Int) = snapCache.getOrElseUpdate(v,
       Lake.readSnapshot(spark, table, v))
-    require(snapOf(cur).dvFiles.isEmpty,
-      s"current Lake snapshot v$cur carries pending delete vectors — " +
-        s"run Lake.foldDeletes before Delta export (or export via " +
-        s"IcebergExport, which emits format v2 position deletes)")
-    val cleanVs = (1 to cur).filter(v => snapOf(v).dvFiles.isEmpty)
+    // merge-on-read delete vectors export as Delta DELETION VECTORS:
+    // a data file whose cumulative masked-position set changed between
+    // versions is removed and re-ADDED with a roaring-bitmap
+    // descriptor (the protocol's DV-upgrade shape) — no fold needed.
+    // Per version, the cumulative (relative data file → positions)
+    // map; sidecar rows are batch-scale by the MoR contract, so the
+    // driver-side collect is bounded.
+    val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__graft_dv_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__graft_dv_pos",
+        org.apache.spark.sql.types.LongType)))
+    def normPath(s: String): String = java.net.URLDecoder.decode(
+      new Path(s).toUri.getPath, "UTF-8")
+    val dvCache = scala.collection.mutable.Map[Int, Map[String, Array[Long]]]()
+    def dvStateOf(v: Int): Map[String, Array[Long]] = dvCache.getOrElseUpdate(v, {
+      val snap = snapOf(v)
+      if (snap.dvFiles.isEmpty) Map.empty
+      else {
+        val byNorm = snap.files.map(lf => normPath(lf.path) -> rel(lf.path)).toMap
+        spark.read.schema(dvSchema).parquet(snap.dvFiles: _*)
+          .collect()
+          .groupBy(r => normPath(r.getString(0)))
+          .flatMap { case (n, rows) =>
+            byNorm.get(n).map(_ -> rows.map(_.getLong(1)).sorted) }
+          .toMap
+      }
+    })
     var last = -1L
-    cleanVs.zipWithIndex.foreach { case (v, dv) =>
+    (1 to cur).foreach { v =>
+      val dv = v - 1
       val logPath = new Path(f"$table/_delta_log/$dv%020d.json")
       if (!f.exists(logPath)) {
         val snap = snapOf(v)
         val prev: Map[String, Lake.LakeFile] =
-          if (dv == 0) Map.empty
-          else snapOf(cleanVs(dv - 1)).files
-            .map(x => rel(x.path) -> x).toMap
+          if (v == 1) Map.empty
+          else snapOf(v - 1).files.map(x => rel(x.path) -> x).toMap
         val nowFiles = snap.files.map(x => rel(x.path) -> x).toMap
+        val dvNow = dvStateOf(v)
+        val dvPrev = if (v == 1) Map.empty[String, Array[Long]] else dvStateOf(v - 1)
+        // carried files whose vector grew (or appeared) re-add upgraded
+        val dvChanged = (nowFiles.keySet & prev.keySet).filter(r =>
+          !java.util.Arrays.equals(
+            dvNow.getOrElse(r, Array.emptyLongArray),
+            dvPrev.getOrElse(r, Array.emptyLongArray)))
         val sb = new StringBuilder
-        if (dv == 0) {
-          sb.append("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""").append('\n')
+        if (v == 1) {
+          sb.append("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""").append('\n')
           val schemaStr = mapper.writeValueAsString(snap.schemaJson)
           val partCols = mapper.writeValueAsString(snap.partitionCols.toArray)
-          sb.append(s"""{"metaData":{"id":"graft-${Integer.toHexString(table.hashCode)}","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":$partCols,"configuration":{},"createdTime":${snap.createdAtMs}}}""").append('\n')
+          sb.append(s"""{"metaData":{"id":"graft-${Integer.toHexString(table.hashCode)}","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":$partCols,"configuration":{"delta.enableDeletionVectors":"true"},"createdTime":${snap.createdAtMs}}}""").append('\n')
         }
-        (prev.keySet -- nowFiles.keySet).toSeq.sorted.foreach { r =>
+        ((prev.keySet -- nowFiles.keySet) ++ dvChanged).toSeq.sorted.foreach { r =>
           val p = mapper.writeValueAsString(encodePath(r))
           sb.append(s"""{"remove":{"path":$p,"deletionTimestamp":${snap.createdAtMs},"dataChange":true}}""").append('\n')
         }
-        (nowFiles.keySet -- prev.keySet).toSeq.sorted.foreach { r =>
+        ((nowFiles.keySet -- prev.keySet) ++ dvChanged).toSeq.sorted.foreach { r =>
           val lf = nowFiles(r)
           val p = mapper.writeValueAsString(encodePath(r))
           val pvals = {
@@ -99,7 +121,11 @@ object DeltaExport {
             mapper.writeValueAsString(lf.partitionValues.asJava)
           }
           val stats = mapper.writeValueAsString(s"""{"numRecords":${lf.rowCount}}""")
-          sb.append(s"""{"add":{"path":$p,"partitionValues":$pvals,"size":${lf.sizeBytes},"modificationTime":${lf.modifiedMs},"dataChange":true,"stats":$stats}}""").append('\n')
+          val dvField = dvNow.get(r).filter(_.nonEmpty).map { positions =>
+            val d = DeltaDv.writeUuidDv(spark, table, positions)
+            s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+          }.getOrElse("")
+          sb.append(s"""{"add":{"path":$p,"partitionValues":$pvals,"size":${lf.sizeBytes},"modificationTime":${lf.modifiedMs},"dataChange":true,"stats":$stats$dvField}}""").append('\n')
         }
         f.mkdirs(logPath.getParent)
         try AtomicPublish.publish(spark, logPath, sb.toString.getBytes("UTF-8"))
@@ -111,10 +137,13 @@ object DeltaExport {
     }
     // protocol checkpoints every 10 Delta versions: once written, the
     // JSON commits they cover can be cleaned and readers still enter
-    // at the checkpoint (DeltaRead.writeCheckpoint)
+    // at the checkpoint (DeltaRead.writeCheckpoint). Versions whose
+    // live adds carry deletion vectors are skipped — the checkpoint
+    // schema cannot hold the descriptors.
     val have = DeltaRead.checkpointVersions(spark, table).toSet
-    (10L to last by 10L).filterNot(have).foreach(v =>
-      DeltaRead.writeCheckpoint(spark, table, Some(v)))
+    (10L to last by 10L).filterNot(have)
+      .filter(dv => snapOf(dv.toInt + 1).dvFiles.isEmpty)
+      .foreach(v => DeltaRead.writeCheckpoint(spark, table, Some(v)))
     last
   }
 }

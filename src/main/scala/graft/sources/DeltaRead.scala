@@ -63,12 +63,14 @@ object DeltaRead {
       .map(_.stripSuffix(".checkpoint.parquet").toLong).sorted.toSeq
   }
 
-  /** A live add after replay: decoded path, partition values, and the
+  /** A live add after replay: decoded path, partition values, the
     * size/modificationTime the log recorded for it (0 when an old log
     * omitted them) — carried so checkpoints can store the real stats
-    * instead of placeholders. */
+    * instead of placeholders — and the deletion-vector descriptor
+    * when the writer attached one (a re-add of the same path replaces
+    * the previous descriptor, the protocol's DV-upgrade shape). */
   private case class LiveAdd(path: String, pvals: Map[String, String],
-      size: Long, modTime: Long)
+      size: Long, modTime: Long, dv: Option[DeltaDv.Descriptor] = None)
 
   /** One replay pass: (live adds, partition columns, schema json or
     * null). Starts from the newest checkpoint at or below
@@ -99,6 +101,15 @@ object DeltaRead {
         }
       }
       if (cols.contains("add")) {
+        // a foreign checkpoint may carry deletion-vector descriptors;
+        // silently ignoring them would serve deleted rows — fail loudly
+        // (JSON-tail replay of the same table DOES apply them)
+        val addSchema = rows.schema("add").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        if (addSchema.fieldNames.contains("deletionVector"))
+          require(rows.filter("add is not null and add.deletionVector is not null")
+            .isEmpty, s"checkpoint at $table carries deletion vectors " +
+              s"this replay path cannot apply from parquet form")
         rows.select("add.path", "add.partitionValues", "add.size", "add.modificationTime")
           .filter("add is not null and add.path is not null").collect().foreach { r =>
             val pvals = Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty)
@@ -139,9 +150,22 @@ object DeltaRead {
             add.get("partitionValues").fields().forEachRemaining(e =>
               if (!e.getValue.isNull) pvals(e.getKey) = e.getValue.asText())
           val p = decodePath(add.get("path").asText())
+          val dv = if (!add.has("deletionVector") ||
+              add.get("deletionVector").isNull) None
+            else {
+              val d = add.get("deletionVector")
+              Some(DeltaDv.Descriptor(
+                d.get("storageType").asText(),
+                d.get("pathOrInlineDv").asText(),
+                if (d.has("offset") && !d.get("offset").isNull)
+                  d.get("offset").asInt() else 0,
+                d.get("sizeInBytes").asInt(),
+                d.get("cardinality").asLong()))
+            }
           live(p) = LiveAdd(p, pvals.toMap,
             if (add.has("size")) add.get("size").asLong(0L) else 0L,
-            if (add.has("modificationTime")) add.get("modificationTime").asLong(0L) else 0L)
+            if (add.has("modificationTime")) add.get("modificationTime").asLong(0L) else 0L,
+            dv)
         }
         if (node.has("remove")) live -= decodePath(node.get("remove").get("path").asText())
       }
@@ -197,14 +221,47 @@ object DeltaRead {
         val phys = physOf.getOrElse(fd.name, fd.name)
         if (df.columns.contains(phys)) Some(df(phys).as(fd.name)) else None
       }: _*)
+    // deletion vectors: resolve each descriptor's row indexes
+    // driver-side (cardinality is load-batch-scale by the MoR
+    // contract), split the scan into clean/dirty files, and broadcast
+    // anti-join the dirty subset on (_metadata.file_path, row_index)
+    // — the Lake/Iceberg masking shape
+    def maskDv(df: DataFrame, group: Seq[LiveAdd]): DataFrame = {
+      import spark.implicits._
+      val dirty = group.filter(a => a.dv.exists(_.cardinality > 0))
+      if (dirty.isEmpty) return df
+      val pairs = dirty.flatMap { a =>
+        val meta = IcebergRead.metaRendering(spark, resolve(a.path))
+        DeltaDv.resolve(spark, table, a.dv.get).map(pos => (meta, pos))
+      }.toDF("__df", "__dp")
+      df.withColumn("__df", col("_metadata.file_path"))
+        .withColumn("__dp", col("_metadata.row_index"))
+        .join(org.apache.spark.sql.functions.broadcast(pairs),
+          Seq("__df", "__dp"), "left_anti")
+        .drop("__df", "__dp")
+    }
+    def scanWithDv(group: Seq[LiveAdd]): DataFrame = {
+      val (dirty, clean) = group.partition(_.dv.exists(_.cardinality > 0))
+      val cleanDf = if (clean.isEmpty) None
+        else Some(unmap(spark.read.parquet(clean.map(a => resolve(a.path)): _*)))
+      val dirtyDf = if (dirty.isEmpty) None
+        else Some(unmap(maskDv(
+          spark.read.parquet(dirty.map(a => resolve(a.path)): _*), dirty)))
+      (cleanDf, dirtyDf) match {
+        case (Some(c), Some(d)) => c.unionByName(d)
+        case (Some(c), None) => c
+        case (None, Some(d)) => d
+        case (None, None) => unmap(spark.read.parquet(group.map(a => resolve(a.path)): _*))
+      }
+    }
     if (partCols.isEmpty)
-      unmap(spark.read.parquet(adds.map(a => resolve(a.path)): _*))
+      scanWithDv(adds)
     else {
       // one pruned parquet read per distinct partition tuple; the
       // tuple's literals attach typed by the log schema (mapped
       // tables key partitionValues by the physical name)
       adds.groupBy(_.pvals).map { case (pvals, group) =>
-        val base = unmap(spark.read.parquet(group.map(a => resolve(a.path)): _*))
+        val base = scanWithDv(group)
         partCols.foldLeft(base) { (df, c) =>
           val dt = schema.fields.find(_.name == c).map(_.dataType)
             .getOrElse(org.apache.spark.sql.types.StringType)
@@ -229,6 +286,12 @@ object DeltaRead {
     import org.apache.spark.sql.types._
     val v = version.getOrElse(versions(spark, table).last)
     val (adds, partCols, schemaJson) = replay(spark, table, Some(v))
+    // this checkpoint schema has no deletionVector column — writing
+    // one for a DV-carrying table would silently resurrect deleted
+    // rows once the JSON tail is cleaned
+    require(adds.forall(_.dv.isEmpty),
+      s"live adds of $table@v$v carry deletion vectors — checkpointing " +
+        s"would drop them; compact the DVs first")
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),

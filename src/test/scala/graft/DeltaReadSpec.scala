@@ -154,6 +154,77 @@ class DeltaReadSpec extends SparkSuite {
     assert((r.getLong(0), r.getLong(1), r.getString(2)) === ((1L, 2L, "west")))
   }
 
+  test("deletion vectors: u/i storage masked on read; upgrade; checkpoint guard") {
+    import graft.sources.DeltaDv
+    // codec round trip incl. a multi-bitmap (>2^32) index
+    val big = Array(1L, 99L, (5L << 32) | 7L)
+    assert(DeltaDv.deserialize(DeltaDv.serialize(big)).sorted === big.sorted)
+    assert(DeltaDv.z85Decode(DeltaDv.z85Encode(Array[Byte](1, 2, 3, 4)))
+      .toSeq === Seq[Byte](1, 2, 3, 4))
+
+    val table = java.nio.file.Files.createTempDirectory("graft-ddv").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+    def onefile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val staging = s"$table/_stage_${dest.hashCode.abs}"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.rename(part, new org.apache.hadoop.fs.Path(s"$table/$dest"))
+      f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    onefile(spark.range(0, 100).orderBy($"id").select($"id"), "d1.parquet")
+    onefile(spark.range(100, 200).orderBy($"id").select($"id"), "d2.parquet")
+    val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(spark.range(0, 1).select($"id").schema.json)
+    // d1: u-stored DV masking rows 3 and 7; d2: inline DV masking row 0
+    val du = DeltaDv.writeUuidDv(spark, table, Array(3L, 7L))
+    val inlineData = DeltaDv.serialize(Array(0L))
+    def dvJson(d: DeltaDv.Descriptor) =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    val di = DeltaDv.Descriptor("i", DeltaDv.z85Encode(inlineData), 0,
+      inlineData.length, 1)
+    def log(v: Long, body: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(
+        f"$table/_delta_log/$v%020d.json"), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    log(0L,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""" + "\n" +
+      s"""{"metaData":{"id":"dv","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[]}}""" + "\n" +
+      s"""{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(du)}}}""" + "\n" +
+      s"""{"add":{"path":"d2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(di)}}}""" + "\n")
+    val got = DeltaRead.read(spark, table).collect().map(_.getLong(0)).toSet
+    assert(got === ((0L until 200L).toSet -- Set(3L, 7L, 100L)))
+    // DV upgrade: a later add of d1 with a wider vector replaces it
+    val du2 = DeltaDv.writeUuidDv(spark, table, Array(3L, 7L, 9L))
+    log(1L,
+      s"""{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false,"deletionVector":${dvJson(du2)}}}""" + "\n")
+    assert(DeltaRead.read(spark, table).count() === 196L)
+    // time travel to v0 re-serves row 9
+    assert(DeltaRead.read(spark, table, Some(0L)).count() === 197L)
+    // checkpointing would drop the vectors — refused
+    intercept[IllegalArgumentException] {
+      DeltaRead.writeCheckpoint(spark, table)
+    }
+    // CRC tamper detection
+    // tamper every vector file (only the CURRENT add's is read)
+    f.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath).filter(_.getName.startsWith("deletion_vector_"))
+      .foreach { victim =>
+        val bytes = {
+          val in = f.open(victim)
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        }
+        bytes(6) = (bytes(6) ^ 0x7f).toByte
+        val out = f.create(victim, true)
+        try out.write(bytes) finally out.close()
+      }
+    intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, table).count()
+    }
+  }
+
   test("url-encoded paths decode for membership and scan resolution") {
     val table = java.nio.file.Files.createTempDirectory("graft-denc").toString
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -128,29 +128,32 @@ class IcebergReadSpec extends SparkSuite {
     assert(ice.schema("p").dataType === org.apache.spark.sql.types.StringType)
   }
 
-  test("Delta/Hudi export skip DV snapshots; dirty current fails loudly") {
+  test("Delta export emits deletion vectors for MoR snapshots; Hudi refuses dirty") {
     import graft.sources.{DeltaExport, DeltaRead, HudiExport, Lake}
     val table = java.nio.file.Files.createTempDirectory("graft-dmor").toString + "/t"
     Lake.write(spark.range(0, 100).select($"id".as("k"),
       ($"id" * 2).cast("double").as("x")), table, Nil)
     Lake.deleteMor(spark, table, $"k" < 10)          // v2 dirty
-    intercept[IllegalArgumentException] {
-      DeltaExport.exportDeltaLog(spark, table)
-    }
+    // Delta expresses the MoR state as a DV-upgraded re-add — no fold
+    DeltaExport.exportDeltaLog(spark, table)
+    assert(DeltaRead.read(spark, table).count() === 90L)
+    assert(DeltaRead.read(spark, table).filter($"k" < 10).count() === 0L)
+    // Delta time travel: v0 (pre-delete) unmasked
+    assert(DeltaRead.read(spark, table, Some(0L)).count() === 100L)
+    // Hudi has no row-level encoding — dirty current still refuses
     intercept[IllegalArgumentException] {
       HudiExport.exportHudiTimeline(spark, table)
     }
-    Lake.foldDeletes(spark, table)                    // v3 clean
+    // stacked MoR commits upgrade the vector again
+    Lake.deleteMor(spark, table, $"k" >= 95)          // v3
     DeltaExport.exportDeltaLog(spark, table)
-    // two clean snapshots → Delta versions 0 and 1; v2 is skipped
-    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val logs = f.listStatus(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
-      .map(_.getPath.getName).filter(_.endsWith(".json")).sorted
-    assert(logs.length === 2)
-    assert(DeltaRead.read(spark, table).count() === 90L)
-    assert(DeltaRead.read(spark, table).filter($"k" < 10).count() === 0L)
+    assert(DeltaRead.read(spark, table).count() === 85L)
+    // after a fold, the export returns to plain adds and Hudi works
+    Lake.foldDeletes(spark, table)                    // v4
+    DeltaExport.exportDeltaLog(spark, table)
+    assert(DeltaRead.read(spark, table).count() === 85L)
     HudiExport.exportHudiTimeline(spark, table)
-    assert(graft.sources.HudiRead.read(spark, table).count() === 90L)
+    assert(graft.sources.HudiRead.read(spark, table).count() === 85L)
   }
 
   test("equality deletes (CDC shape): sequence-aware key masking + re-insert survival") {
