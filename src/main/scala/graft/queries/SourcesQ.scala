@@ -450,6 +450,33 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Delta CDF (table_changes shape) derived from log actions alone:
+    // a MoR lake history (mergeMor upsert %10==2 tripled + insert the
+    // %4==3 keys the base excluded, then deleteMor %10==6) exports as
+    // DV-upgraded re-adds, and DeltaRead.changes must emit the same
+    // retraction rows Lake.changes derives from the manifests —
+    // inserts, the upserts' OLD images, and the newly-masked deletes
+    "src_delta_cdf_changes" -> ((spark, dir) => {
+      val table = tmpDir(dir, "delta_cdf")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 4 =!= 3), table, Nil)
+      val src = o.filter(col("o_orderkey") % 10 === 2 || col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 2, col("o_totalprice") * 3)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"))
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 10 === 6)
+      graft.sources.DeltaExport.exportDeltaLog(spark, table)
+      graft.sources.DeltaRead.changes(spark, table, 0L, 2L)
+        .groupBy(col("__change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .select(col("change_type"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+        .orderBy(col("change_type"))
+    }),
     // Delta DELETION VECTORS (how modern writers delete without
     // rewriting): a foreign-shaped table whose add carries a u-stored
     // roaring-bitmap descriptor; the read must mask exactly the
@@ -1281,6 +1308,26 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_delta_cdf_changes" ->
+      """WITH ins2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice * 3
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 2 OR o_orderkey % 4 = 3),
+        |del2 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 2),
+        |del3 AS (
+        |  -- %10=6 is even, so disjoint from both the %4=3 inserts and
+        |  -- the %10=2 upserts: all base-original rows
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 6),
+        |changes AS (
+        |  SELECT 'insert' AS change_type, * FROM ins2
+        |  UNION ALL SELECT 'delete', * FROM del2
+        |  UNION ALL SELECT 'delete', * FROM del3)
+        |SELECT change_type, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM changes GROUP BY change_type ORDER BY change_type""".stripMargin,
     "src_delta_dv_read" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_totalprice, o_orderpriority,

@@ -274,6 +274,115 @@ object DeltaRead {
     }
   }
 
+  /** Row-level change feed between two Delta versions — the
+    * table_changes / CDF shape, derived from the log actions alone:
+    * per commit, fresh `add`s (minus their own deletion-vector mask)
+    * emit as `insert`; true `remove`s (path gone from the live set)
+    * emit their previously-visible rows as `delete`; a DV-UPGRADED
+    * re-add (remove+add of the same path with a wider vector — the
+    * shape [[DeltaExport]] writes for merge-on-read commits) emits
+    * only the NEWLY-masked positions as `delete`. Retraction model:
+    * an update is delete(old) + insert(new); consumers fold by key.
+    * Cost is O(changed rows + dirty files) per commit — nothing
+    * table-sized. Columns: the table's plus `__change_type` and
+    * `__commit_version` (the [[Lake.changes]] contract, so consumers
+    * are interchangeable). */
+  def changes(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
+    val f = fs(spark, table)
+    val mapper = new ObjectMapper()
+    val known = versions(spark, table)
+    require(fromVersion >= 0 && toVersion > fromVersion &&
+      known.contains(toVersion),
+      s"bad change range v$fromVersion..v$toVersion")
+    def abs(p: String) = p.startsWith("/") || p.contains(":/")
+    def resolve(p: String) = if (abs(p)) p else s"$table/$p"
+    def dvPositions(d: Option[DeltaDv.Descriptor]): Array[Long] =
+      d.filter(_.cardinality > 0)
+        .map(DeltaDv.resolve(spark, table, _)).getOrElse(Array.emptyLongArray)
+    // rows of `path` restricted to / excluding a position set
+    def rowsAt(path: String, positions: Array[Long], keep: Boolean): DataFrame = {
+      val df = spark.read.parquet(resolve(path))
+        .withColumn("__dp", col("_metadata.row_index"))
+      val pairs = positions.toSeq.toDF("__dp")
+      val joined =
+        if (keep) df.join(broadcast(pairs), Seq("__dp"), "left_semi")
+        else df.join(broadcast(pairs), Seq("__dp"), "left_anti")
+      joined.drop("__dp")
+    }
+    val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
+      require(known.contains(v),
+        s"commit $v of $table is cleaned — cannot derive changes")
+      // adds/removes of THIS commit only
+      val adds = scala.collection.mutable.LinkedHashMap[String, Option[DeltaDv.Descriptor]]()
+      val removes = scala.collection.mutable.LinkedHashSet[String]()
+      val in = f.open(new Path(f"$table/_delta_log/$v%020d.json"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) {
+          val add = node.get("add")
+          val dv = if (!add.has("deletionVector") ||
+              add.get("deletionVector").isNull) None
+            else {
+              val d = add.get("deletionVector")
+              Some(DeltaDv.Descriptor(d.get("storageType").asText(),
+                d.get("pathOrInlineDv").asText(),
+                if (d.has("offset") && !d.get("offset").isNull)
+                  d.get("offset").asInt() else 0,
+                d.get("sizeInBytes").asInt(), d.get("cardinality").asLong()))
+            }
+          adds(decodePath(add.get("path").asText())) = dv
+        }
+        if (node.has("remove"))
+          removes += decodePath(node.get("remove").get("path").asText())
+      }
+      if (adds.isEmpty && removes.isEmpty) None
+      else {
+        // prior live state resolves which removes are upgrades
+        val (prevAdds, _, _) = replay(spark, table, Some(v - 1))
+        val prevByPath = prevAdds.map(a => a.path -> a).toMap
+        val upgraded = adds.keySet.filter(prevByPath.contains)
+        val fresh = adds.keySet.filterNot(prevByPath.contains)
+        val dropped = removes.filterNot(adds.contains)
+          .filter(prevByPath.contains)
+        val ins = fresh.toSeq.map { p =>
+          val masked = dvPositions(adds(p))
+          if (masked.isEmpty) spark.read.parquet(resolve(p))
+          else rowsAt(p, masked, keep = false)
+        }.map(_.withColumn("__change_type", lit("insert")))
+        val delFull = dropped.toSeq.map { p =>
+          val prevMask = dvPositions(prevByPath(p).dv)
+          (if (prevMask.isEmpty) spark.read.parquet(resolve(p))
+           else rowsAt(p, prevMask, keep = false))
+            .withColumn("__change_type", lit("delete"))
+        }
+        val delUpgraded = upgraded.toSeq.flatMap { p =>
+          val before = dvPositions(prevByPath(p).dv).toSet
+          val newly = dvPositions(adds(p)).filterNot(before)
+          if (newly.isEmpty) None
+          else Some(rowsAt(p, newly, keep = true)
+            .withColumn("__change_type", lit("delete")))
+        }
+        (ins ++ delFull ++ delUpgraded).reduceOption(_ unionByName _)
+          .map(_.withColumn("__commit_version", lit(v)))
+      }
+    }
+    require(steps.nonEmpty || known.exists(v =>
+      v > fromVersion && v <= toVersion), s"no commits in range")
+    steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        // quiet window: empty frame with the table's change schema
+        read(spark, table, Some(toVersion))
+          .withColumn("__change_type", lit("insert"))
+          .withColumn("__commit_version", lit(toVersion))
+          .filter(lit(false))
+      }
+  }
+
   /** Write a protocol checkpoint at `version` (default: latest): one
     * parquet snapshot of the live action set (add rows + metaData +
     * protocol) plus the `_last_checkpoint` pointer. After this, JSON

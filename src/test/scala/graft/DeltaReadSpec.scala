@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.DeltaRead
+import org.apache.spark.sql.functions.{count, lit, sum, when}
 
 /** Delta-protocol log replay: adds, tombstones, time travel, and
   * rejection of non-delta directories. */
@@ -223,6 +224,36 @@ class DeltaReadSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       DeltaRead.read(spark, table).count()
     }
+  }
+
+  test("changes: Delta CDF over an exported MoR table equals Lake.changes") {
+    import graft.sources.{DeltaExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-dcdf").toString + "/t"
+    Lake.write(spark.range(0, 500).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x")).repartition(3), table, Nil) // v1
+    Lake.mergeMor(spark, table, spark.range(0, 30).select(
+      when($"id" < 20, $"id").otherwise($"id" + 970).as("k"),
+      lit(-1.0).as("x")), Seq("k"))                                   // v2
+    Lake.deleteMor(spark, table, $"k" >= 400 && $"k" < 450)           // v3
+    DeltaExport.exportDeltaLog(spark, table)
+    val viaDelta = DeltaRead.changes(spark, table, 0L, 2L)
+    val viaLake = Lake.changes(spark, table, 1, 3)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"__change_type").agg(
+        count(lit(1)).as("n"), sum($"k").as("sk"), sum($"x").as("sx"))
+      .orderBy($"__change_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(agg(viaDelta) === agg(viaLake))
+    // inserts: 20 upserts + 10 inserts; deletes: 20 old images + 50
+    assert(viaDelta.filter($"__change_type" === "insert").count() === 30L)
+    assert(viaDelta.filter($"__change_type" === "delete").count() === 70L)
+    // version attribution survives the export (Delta v = Lake v - 1)
+    assert(viaDelta.filter($"__commit_version" === 1).count() === 50L)
+    assert(viaDelta.filter($"__commit_version" === 2).count() === 50L)
+    // quiet window on a fresh export is empty, not an error
+    assert(DeltaRead.changes(spark, table, 0L, 2L)
+      .filter(lit(false)).count() === 0L)
   }
 
   test("url-encoded paths decode for membership and scan resolution") {
