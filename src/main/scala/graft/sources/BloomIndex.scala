@@ -74,11 +74,30 @@ object BloomIndex {
 
   /** Case-sensitive character n-grams (the reference's default;
     * gram_num rows shorter than n contribute nothing and are only
-    * reachable by a needle shorter than n, which disables pruning). */
-  private[sources] def grams(s: String, n: Int): Seq[String] =
-    if (s == null || s.length < n) Seq.empty
-    else (0 to s.length - n).map(i => s.substring(i, i + n))
-
+    * reachable by a needle shorter than n, which disables pruning).
+    *
+    * Counts and slices by Unicode CODE POINTS, not UTF-16 units — the
+    * executor build pipeline uses Spark `length`/`substring`, which
+    * are code-point based, so a UTF-16 `String.substring` here would
+    * hash grams that were never indexed for supplementary characters
+    * (emoji etc.) and turn bloom pruning into silent row loss. */
+  private[sources] def grams(s: String, n: Int): Seq[String] = {
+    if (s == null) return Seq.empty
+    val cpLen = s.codePointCount(0, s.length)
+    if (cpLen < n) Seq.empty
+    else {
+      val b = Seq.newBuilder[String]
+      var start = 0 // UTF-16 offset of gram's first code point
+      var i = 0
+      while (i <= cpLen - n) {
+        val end = s.offsetByCodePoints(start, n)
+        b += s.substring(start, end)
+        start = s.offsetByCodePoints(start, 1)
+        i += 1
+      }
+      b.result()
+    }
+  }
   private def ngramKey(col: String, n: Int) = s"ng$n:$col"
   private def valueKey(col: String) = s"val:$col"
   private val NgKey = "^ng(\\d+):(.*)$".r

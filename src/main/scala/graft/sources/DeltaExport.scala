@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   * actions are the FILE DIFF between consecutive snapshots (add for
   * new files, remove for files dropped by CoW delete/update/compact),
   * so the log replays to exactly the snapshot's live set. Commit 0
-  * carries protocol (minReader 1 / minWriter 2) + metaData with the
+  * carries protocol (minReader 1 / minWriter 2; upgraded to 3/7 +
+  * the deletionVectors feature only by the first DV-carrying commit)
+  * + metaData with the
   * table schema and partition columns; adds carry per-file stats
   * (numRecords from the manifest — no file reopens). Paths are
   * RELATIVE to the table root and percent-encoded per the protocol.
@@ -85,6 +87,21 @@ object DeltaExport {
           .toMap
       }
     })
+    // protocol staging: commit 0 declares the LEGACY {1,2} protocol
+    // unless version 1 itself carries deletion vectors; the first
+    // DV-carrying version upgrades in-commit to 3/7 + the
+    // deletionVectors feature (the protocol allows a later protocol
+    // action) — so DV-free exports stay readable by every
+    // spec-compliant Delta reader, not only DV-capable ones
+    lazy val firstDvVersion: Option[Int] =
+      (1 to cur).find(v => dvStateOf(v).values.exists(_.nonEmpty))
+    def dvProtocol = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    def metaDataAction(snap: Lake.Snapshot, withDvConf: Boolean): String = {
+      val schemaStr = mapper.writeValueAsString(snap.schemaJson)
+      val partCols = mapper.writeValueAsString(snap.partitionCols.toArray)
+      val conf = if (withDvConf) """{"delta.enableDeletionVectors":"true"}""" else "{}"
+      s"""{"metaData":{"id":"graft-${Integer.toHexString(table.hashCode)}","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":$partCols,"configuration":$conf,"createdTime":${snap.createdAtMs}}}"""
+    }
     var last = -1L
     (1 to cur).foreach { v =>
       val dv = v - 1
@@ -104,10 +121,17 @@ object DeltaExport {
             dvPrev.getOrElse(r, Array.emptyLongArray)))
         val sb = new StringBuilder
         if (v == 1) {
-          sb.append("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""").append('\n')
-          val schemaStr = mapper.writeValueAsString(snap.schemaJson)
-          val partCols = mapper.writeValueAsString(snap.partitionCols.toArray)
-          sb.append(s"""{"metaData":{"id":"graft-${Integer.toHexString(table.hashCode)}","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":$partCols,"configuration":{"delta.enableDeletionVectors":"true"},"createdTime":${snap.createdAtMs}}}""").append('\n')
+          val dvHere = firstDvVersion.contains(1)
+          sb.append(
+            if (dvHere) dvProtocol
+            else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+            .append('\n')
+          sb.append(metaDataAction(snap, withDvConf = dvHere)).append('\n')
+        } else if (firstDvVersion.contains(v)) {
+          // in-commit upgrade: protocol 3/7 + metaData re-emit with
+          // the deletionVectors table feature enabled
+          sb.append(dvProtocol).append('\n')
+          sb.append(metaDataAction(snap, withDvConf = true)).append('\n')
         }
         ((prev.keySet -- nowFiles.keySet) ++ dvChanged).toSeq.sorted.foreach { r =>
           val p = mapper.writeValueAsString(encodePath(r))

@@ -286,7 +286,10 @@ object DeltaRead {
     * Cost is O(changed rows + dirty files) per commit — nothing
     * table-sized. Columns: the table's plus `__change_type` and
     * `__commit_version` (the [[Lake.changes]] contract, so consumers
-    * are interchangeable). */
+    * are interchangeable) — including PARTITION columns (attached as
+    * typed literals from each add's partitionValues; data files don't
+    * store them) and with column-mapped tables unmapped physical →
+    * logical through the same projection [[read]] uses. */
   def changes(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
@@ -315,8 +318,10 @@ object DeltaRead {
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
       require(known.contains(v),
         s"commit $v of $table is cleaned — cannot derive changes")
-      // adds/removes of THIS commit only
-      val adds = scala.collection.mutable.LinkedHashMap[String, Option[DeltaDv.Descriptor]]()
+      // adds/removes of THIS commit only (pvals kept — data files
+      // don't store partition columns, the emitted rows must)
+      val adds = scala.collection.mutable.LinkedHashMap[
+        String, (Option[DeltaDv.Descriptor], Map[String, String])]()
       val removes = scala.collection.mutable.LinkedHashSet[String]()
       val in = f.open(new Path(f"$table/_delta_log/$v%020d.json"))
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -335,13 +340,47 @@ object DeltaRead {
                   d.get("offset").asInt() else 0,
                 d.get("sizeInBytes").asInt(), d.get("cardinality").asLong()))
             }
-          adds(decodePath(add.get("path").asText())) = dv
+          val pvals = scala.collection.mutable.Map[String, String]()
+          if (add.has("partitionValues"))
+            add.get("partitionValues").fields().forEachRemaining(e =>
+              if (!e.getValue.isNull) pvals(e.getKey) = e.getValue.asText())
+          adds(decodePath(add.get("path").asText())) = (dv, pvals.toMap)
         }
         if (node.has("remove"))
           removes += decodePath(node.get("remove").get("path").asText())
       }
       if (adds.isEmpty && removes.isEmpty) None
       else {
+        // schema AT THIS COMMIT drives the unmap projection and the
+        // partition-literal types — the read()-path contract
+        val (_, partCols, schemaJson) = replay(spark, table, Some(v))
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val physOf: Map[String, String] = schema.fields.flatMap { f =>
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            Some(f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
+          else None
+        }.toMap
+        // physical → logical rename + partition-literal attach, then
+        // project to the logical fields the frame can serve (union
+        // across steps fills evolution gaps by name)
+        def finish(df: DataFrame, pvals: Map[String, String]): DataFrame = {
+          val unmapped =
+            if (physOf.isEmpty) df
+            else df.select(schema.fields.toIndexedSeq.flatMap { fd =>
+              val phys = physOf.getOrElse(fd.name, fd.name)
+              if (df.columns.contains(phys)) Some(df(phys).as(fd.name)) else None
+            }: _*)
+          val withParts = partCols.foldLeft(unmapped) { (d, c) =>
+            val dt = schema.fields.find(_.name == c).map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.StringType)
+            val pv = pvals.getOrElse(c,
+              pvals.getOrElse(physOf.getOrElse(c, c), null))
+            d.withColumn(c, lit(pv).cast(dt))
+          }
+          withParts.select(schema.fieldNames.toIndexedSeq
+            .filter(withParts.columns.contains).map(col): _*)
+        }
         // prior live state resolves which removes are upgrades
         val (prevAdds, _, _) = replay(spark, table, Some(v - 1))
         val prevByPath = prevAdds.map(a => a.path -> a).toMap
@@ -350,24 +389,27 @@ object DeltaRead {
         val dropped = removes.filterNot(adds.contains)
           .filter(prevByPath.contains)
         val ins = fresh.toSeq.map { p =>
-          val masked = dvPositions(adds(p))
-          if (masked.isEmpty) spark.read.parquet(resolve(p))
-          else rowsAt(p, masked, keep = false)
+          val masked = dvPositions(adds(p)._1)
+          finish(
+            if (masked.isEmpty) spark.read.parquet(resolve(p))
+            else rowsAt(p, masked, keep = false), adds(p)._2)
         }.map(_.withColumn("__change_type", lit("insert")))
         val delFull = dropped.toSeq.map { p =>
           val prevMask = dvPositions(prevByPath(p).dv)
-          (if (prevMask.isEmpty) spark.read.parquet(resolve(p))
-           else rowsAt(p, prevMask, keep = false))
+          finish(
+            if (prevMask.isEmpty) spark.read.parquet(resolve(p))
+            else rowsAt(p, prevMask, keep = false), prevByPath(p).pvals)
             .withColumn("__change_type", lit("delete"))
         }
         val delUpgraded = upgraded.toSeq.flatMap { p =>
           val before = dvPositions(prevByPath(p).dv).toSet
-          val newly = dvPositions(adds(p)).filterNot(before)
+          val newly = dvPositions(adds(p)._1).filterNot(before)
           if (newly.isEmpty) None
-          else Some(rowsAt(p, newly, keep = true)
+          else Some(finish(rowsAt(p, newly, keep = true), prevByPath(p).pvals)
             .withColumn("__change_type", lit("delete")))
         }
-        (ins ++ delFull ++ delUpgraded).reduceOption(_ unionByName _)
+        (ins ++ delFull ++ delUpgraded)
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
           .map(_.withColumn("__commit_version", lit(v)))
       }
     }

@@ -466,7 +466,8 @@ object Lake {
       require(!snap.partitionCols.contains(c),
         s"cannot UPDATE partition column $c (that is a repartitioning rewrite)")
     }
-    rewriteTouched(spark, table, snap, predicate) { df =>
+    rewriteTouched(spark, table, snap, predicate,
+      Some(invalidateGeneratedSpecs(snap.props, assignments.keySet))) { df =>
       df.select(schema.fields.toSeq.map { fd =>
         assignments.get(fd.name) match {
           case Some(a) => when(coalesce(predicate, lit(false)),
@@ -729,7 +730,10 @@ object Lake {
     val snapNew = snap.copy(version = v,
       createdAtMs = System.currentTimeMillis(),
       files = snap.files ++ newFiles,
-      dvFiles = if (matched == 0) snap.dvFiles else snap.dvFiles :+ sidecar)
+      dvFiles = if (matched == 0) snap.dvFiles else snap.dvFiles :+ sidecar,
+      // load-provided columns carry arbitrary values (upserted and
+      // inserted rows alike) — specs over them are no longer promises
+      props = invalidateGeneratedSpecs(snap.props, provided.toSet))
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -792,7 +796,8 @@ object Lake {
     val snapNew = snap.copy(version = v,
       createdAtMs = System.currentTimeMillis(),
       files = snap.files ++ listCommitFiles(spark, commitDir),
-      dvFiles = snap.dvFiles :+ sidecar)
+      dvFiles = snap.dvFiles :+ sidecar,
+      props = invalidateGeneratedSpecs(snap.props, assignments.keySet))
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -1036,7 +1041,10 @@ object Lake {
     writer.mode("errorifexists").parquet(commitDir)
 
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir), snap.props)
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir),
+      // whole-row replacement from the source: every column is
+      // effectively assigned, so no generated spec survives
+      invalidateGeneratedSpecs(snap.props, schema.fieldNames.toSet))
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v
@@ -1273,17 +1281,21 @@ object Lake {
     }
     // pending delete vectors travel with the clone: copy each sidecar,
     // rewriting its file references from the source root to the
-    // destination root (both in the qualified-URI form
-    // _metadata.file_path renders) so the mask keeps matching the
-    // copied data files.
+    // destination root. Sidecar __graft_dv_file values are the
+    // PERCENT-ENCODED _metadata.file_path rendering (a space is %20,
+    // a literal '%' is %25) — so the prefix being replaced must be
+    // the metaRendering form of the roots, not the raw qualified
+    // path, or a root containing URI-encodable characters would
+    // never match and the cloned mask would silently drop nothing.
     val dvCopied = snap.dvFiles.zipWithIndex.map { case (d, i) =>
       val out = s"$dst/deletes/dv-clone-1-$i"
-      val qualifiedDst = f.makeQualified(new Path(dst)).toString
+      val metaSrc = IcebergRead.metaRendering(spark, src)
+      val metaDst = IcebergRead.metaRendering(spark, dst)
       spark.read.schema(DvSchema).parquet(d)
         .withColumn("__graft_dv_file", org.apache.spark.sql.functions
           .regexp_replace(org.apache.spark.sql.functions.col("__graft_dv_file"),
-            java.util.regex.Pattern.quote(qualifiedSrc),
-            java.util.regex.Matcher.quoteReplacement(qualifiedDst)))
+            "^" + java.util.regex.Pattern.quote(metaSrc),
+            java.util.regex.Matcher.quoteReplacement(metaDst)))
         .repartition(1).write.mode("errorifexists").parquet(out)
       out
     }
@@ -1294,13 +1306,31 @@ object Lake {
     1
   }
 
+  /** `generated.<c>` specs invalidated by a DML writing `assigned`
+    * columns are dropped from the committed props: once the target
+    * column or any column its expression references can carry
+    * arbitrary assigned values, the spec's table-wide promise
+    * (stored column == expr) no longer holds and a registered
+    * [[graft.plans.GeneratedColumns]] rewrite against it would return
+    * wrong rows. Mirrors the dropColumn / plain-append invalidation
+    * (same textual source-reference check as [[dropColumn]]'s). */
+  private def invalidateGeneratedSpecs(props: Map[String, String],
+      assigned: Set[String]): Map[String, String] =
+    props.filterNot { case (k, v) =>
+      k.startsWith("generated.") && {
+        assigned.contains(k.stripPrefix("generated.")) ||
+          assigned.exists(v.contains)
+      }
+    }
+
   /** Shared CoW machinery: find the files with rows matching
     * `predicate`, rebuild ONLY those through `transform` (partition
     * columns re-attached from manifest values first), commit untouched
     * files + rewritten output as the next snapshot. Returns the new
     * version, or the current one when no file matched. */
   private def rewriteTouched(spark: SparkSession, table: String,
-      snap: Snapshot, predicate: Column)(
+      snap: Snapshot, predicate: Column,
+      propsOut: Option[Map[String, String]] = None)(
       transform: DataFrame => DataFrame): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit}
     val schema = snap.schema
@@ -1337,7 +1367,8 @@ object Lake {
     writer.mode("errorifexists").parquet(commitDir)
 
     val snapNew = Snapshot(v, System.currentTimeMillis(), snap.schemaJson,
-      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir), snap.props)
+      snap.partitionCols, keep ++ listCommitFiles(spark, commitDir),
+      propsOut.getOrElse(snap.props))
     writeJson(spark, table, manifestFile(table, v), snapshotToJava(snapNew))
     commitVersion(spark, table, v)
     v

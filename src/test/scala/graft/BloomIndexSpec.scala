@@ -185,6 +185,33 @@ class BloomIndexSpec extends SparkSuite {
     }
   }
 
+  test("supplementary characters: driver grams are code-point sliced like the executor's") {
+    val dir = freshTable("emoji")
+    // doc 2 is findable ONLY if the driver-side probe slices grams by
+    // code points — a UTF-16 substring would hash grams spanning
+    // surrogate halves that the executor (Spark length/substring =
+    // code points) never indexed, and the file would be pruned away
+    val docs = Seq(
+      (1L, "plain ascii document body"),
+      (2L, "marker x🌍y🌍z endmarker"), // x🌍y🌍z
+      (3L, "héllo wörld latin-1 text")).toDF("doc_id", "text")
+    Lake.write(docs.repartition(3, $"doc_id"), dir, Nil)
+    assert(BloomIndex.buildIndex(spark, dir, ngramCols = Seq("text")) >= 2L)
+    // needle 🌍y🌍 = 3 code points (5 UTF-16 units): exactly one gram
+    val hit = BloomIndex.readWhereContains(spark, dir, "text",
+      "🌍y🌍")
+    assert(hit.df.select($"doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(2L))
+    assert(hit.keptFiles < hit.totalFiles,
+      "the emoji needle should prune the ascii-only files")
+    // needle 🌍y = 2 code points (< n): pruning disabled, still correct
+    val short = BloomIndex.readWhereContains(spark, dir, "text",
+      "🌍y")
+    assert(short.keptFiles === short.totalFiles)
+    assert(short.df.select($"doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(2L))
+  }
+
   test("buildIndex is idempotent and rejects partition/non-string columns") {
     val dir = freshTable("guards")
     Lake.write(table("documents").withColumn("bucket", pmod($"doc_id", lit(2)).cast("string"))

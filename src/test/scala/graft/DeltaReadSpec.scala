@@ -256,6 +256,107 @@ class DeltaReadSpec extends SparkSuite {
       .filter(lit(false)).count() === 0L)
   }
 
+  test("changes: partitioned table attaches partition columns, typed from the log") {
+    import graft.sources.{DeltaExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-dcdfp").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select($"id".as("k"),
+      when($"id" % 2 === 0, "even").otherwise("odd").as("p"),
+      ($"id" * 3).cast("double").as("x"))
+    Lake.write(mk(0, 200), table, Seq("p"))          // v1 -> Delta commit 0
+    Lake.write(mk(200, 240), table, Seq("p"), mode = "append") // v2 -> commit 1
+    Lake.deleteMor(spark, table, $"k" < 20)          // v3 -> commit 2
+    DeltaExport.exportDeltaLog(spark, table)
+    val viaDelta = DeltaRead.changes(spark, table, 0L, 2L)
+    assert(viaDelta.columns.contains("p"),
+      "partition column missing from the CDF rows")
+    val viaLake = Lake.changes(spark, table, 1, 3)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"__change_type", $"p").agg(
+        count(lit(1)).as("n"), sum($"k").as("sk"), sum($"x").as("sx"))
+      .orderBy($"__change_type", $"p")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(agg(viaDelta) === agg(viaLake))
+    // inserts of commit 1 land in both partitions with real values
+    assert(viaDelta.filter($"__change_type" === "insert" && $"p" === "even")
+      .count() === 20L)
+    assert(viaDelta.filter($"p".isNull).count() === 0L,
+      "partition values must never surface as NULL")
+  }
+
+  test("changes: column-mapped table emits logical names") {
+    import org.apache.spark.sql.types._
+    val table = java.nio.file.Files.createTempDirectory("graft-dcdfm").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+    def onefile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val staging = s"$table/_stage_${dest.hashCode.abs}"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.rename(part, new org.apache.hadoop.fs.Path(s"$table/$dest"))
+      f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    onefile(Seq((1L, "a"), (2L, "b")).toDF("col-a1", "col-b2"), "d1.parquet")
+    onefile(Seq((3L, "c")).toDF("col-a1", "col-b2"), "d2.parquet")
+    def mapped(lg: String, ph: String, dt: DataType) =
+      StructField(lg, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", ph).build())
+    val schema = StructType(Seq(
+      mapped("id", "col-a1", LongType), mapped("v", "col-b2", StringType)))
+    val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    def log(v: Long, body: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(
+        f"$table/_delta_log/$v%020d.json"), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    log(0L,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""" + "\n" +
+      """{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+    log(1L,
+      """{"add":{"path":"d2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
+      """{"remove":{"path":"d1.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+    val ch = DeltaRead.changes(spark, table, 0L, 1L)
+    assert(ch.columns.toSeq.sorted ===
+      Seq("__change_type", "__commit_version", "id", "v"),
+      s"physical names leaked: ${ch.columns.mkString(",")}")
+    val got = ch.collect().map(r => (r.getAs[String]("__change_type"),
+      r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(got === Set(("insert", 3L, "c"),
+      ("delete", 1L, "a"), ("delete", 2L, "b")))
+  }
+
+  test("export protocol: DV-free log is {1,2}; first DV commit upgrades in-place") {
+    import graft.sources.{DeltaExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-dproto").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def logText(v: Long): String = {
+      val in = f.open(new org.apache.hadoop.fs.Path(f"$table/_delta_log/$v%020d.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    Lake.write(spark.range(0, 100).select($"id".as("k")), table, Nil) // v1
+    Lake.write(spark.range(100, 120).select($"id".as("k")), table, Nil,
+      mode = "append")                                               // v2
+    DeltaExport.exportDeltaLog(spark, table)
+    // no deletion vectors anywhere: spec-baseline protocol, no features
+    assert(logText(0L).contains(""""minReaderVersion":1"""))
+    assert(!logText(0L).contains("deletionVectors"))
+    assert(!logText(1L).contains("protocol"))
+    // a MoR delete introduces DVs: the NEW commit upgrades the protocol
+    Lake.deleteMor(spark, table, $"k" < 10)                          // v3
+    DeltaExport.exportDeltaLog(spark, table)
+    assert(logText(0L).contains(""""minReaderVersion":1"""),
+      "already-exported commits must not be rewritten")
+    assert(logText(2L).contains(""""minReaderVersion":3""") &&
+      logText(2L).contains("deletionVectors") &&
+      logText(2L).contains("metaData"),
+      "the first DV commit must carry the protocol upgrade + metaData")
+    // the upgraded log still reads correctly, masked
+    assert(DeltaRead.read(spark, table).count() === 110L)
+  }
+
   test("url-encoded paths decode for membership and scan resolution") {
     val table = java.nio.file.Files.createTempDirectory("graft-denc").toString
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -153,4 +153,49 @@ class GeneratedColumnsSpec extends SparkSuite {
       assert(qy.count() === mkOrders.filter(year($"o_orderdate") === 1996).count())
     } finally spark.conf.unset(GeneratedColumns.EnabledKey)
   }
+
+  test("DML writing a spec's target or source column invalidates the spec") {
+    def specKeys(d: String): Set[String] =
+      Lake.readSnapshot(spark, d, Lake.currentVersion(spark, d))
+        .props.keys.filter(_.startsWith("generated.")).toSet
+
+    // CoW UPDATE of an UNRELATED column keeps the spec
+    val dir = freshTable("dml_cow")
+    GeneratedColumns.write(mkOrders, dir, Seq("o_month" -> "month(o_orderdate)"))
+    val k = Lake.read(spark, dir).select($"o_orderkey").head().getLong(0)
+    Lake.update(spark, dir, col("o_orderkey") === k,
+      Map("o_totalprice" -> lit(0)))
+    assert(specKeys(dir) === Set("generated.o_month"))
+    // CoW UPDATE of the SOURCE column drops it — the stored o_month no
+    // longer equals month(o_orderdate) for the reassigned row
+    Lake.update(spark, dir, col("o_orderkey") === k,
+      Map("o_orderdate" -> lit("1997-01-15").cast("timestamp")))
+    assert(specKeys(dir) === Set.empty[String])
+
+    // MoR UPDATE assigning the generated TARGET column drops it
+    val dir2 = freshTable("dml_mor")
+    GeneratedColumns.write(mkOrders, dir2, Seq("o_month" -> "month(o_orderdate)"))
+    Lake.updateMor(spark, dir2, col("o_orderkey") === k,
+      Map("o_month" -> lit(99)))
+    assert(specKeys(dir2) === Set.empty[String])
+
+    // whole-row CoW MERGE replaces every column — no spec survives
+    val dir3 = freshTable("dml_merge")
+    GeneratedColumns.write(mkOrders, dir3, Seq("o_month" -> "month(o_orderdate)"))
+    val src = Lake.read(spark, dir3).limit(2).withColumn("o_month", lit(77))
+    Lake.merge(spark, dir3, src, Seq("o_orderkey"))
+    assert(specKeys(dir3) === Set.empty[String])
+
+    // MoR partial-update load touching only an unrelated column keeps
+    // the spec; a full-row load drops it
+    val dir4 = freshTable("dml_mormerge")
+    GeneratedColumns.write(mkOrders, dir4, Seq("o_month" -> "month(o_orderdate)"))
+    val partial = Lake.read(spark, dir4).limit(2)
+      .select($"o_orderkey", lit(1.0).as("o_totalprice"))
+    Lake.mergeMor(spark, dir4, partial, Seq("o_orderkey"), partialUpdate = true)
+    assert(specKeys(dir4) === Set("generated.o_month"))
+    val full = Lake.read(spark, dir4).limit(2).withColumn("o_month", lit(55))
+    Lake.mergeMor(spark, dir4, full, Seq("o_orderkey"))
+    assert(specKeys(dir4) === Set.empty[String])
+  }
 }

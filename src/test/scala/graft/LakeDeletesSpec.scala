@@ -136,6 +136,27 @@ class LakeDeletesSpec extends SparkSuite {
     assert(Lake.read(spark, dst).count() === expect)
   }
 
+  test("clone from a source root with URI-encodable characters keeps the mask") {
+    // sidecar __graft_dv_file values store the PERCENT-ENCODED
+    // _metadata.file_path rendering; the clone's prefix rewrite must
+    // therefore match against the encoded source root — a raw-path
+    // match silently keeps the source references and resurrects
+    // deleted rows in the clone
+    val src = tmp("mor clone enc") + "/a b"
+    val dst = tmp("mor_clone_enc_dst") + "/t"
+    Lake.write(mkOrders, src, Nil)
+    Lake.deleteMor(spark, src, $"grp" === 0)
+    Lake.clone(spark, src, dst)
+    val expect = (0 until 2000).count(_ % 7 != 0).toLong
+    assert(Lake.read(spark, dst).count() === expect,
+      "deleted rows reappeared in the clone — DV path rewrite missed")
+    val dvEntries = Lake.readSnapshot(spark, dst, 1).dvFiles
+      .flatMap(d => spark.read.parquet(d).select("__graft_dv_file")
+        .collect().map(_.getString(0)))
+    assert(dvEntries.nonEmpty && dvEntries.forall(!_.contains("a%20b")),
+      s"cloned sidecars still reference the source root: ${dvEntries.head}")
+  }
+
   test("vacuum GCs sidecars no retained snapshot references") {
     val dir = tmp("mor_vacuum")
     Lake.write(mkOrders, dir, Nil)          // v1
