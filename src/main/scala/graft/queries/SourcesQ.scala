@@ -581,6 +581,36 @@ object SourcesQ extends graft.QueryArea {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
+    // TRANSFORM-partitioned Iceberg: the ecosystem-default layouts
+    // (`days(ts)` + `bucket(N, key)`) written spec-shaped
+    // (partition-specs with non-identity transforms, schemas section
+    // for source-id) and read back with TRANSFORM-AWARE file pruning
+    // — a date range prunes through the monotonic day transform, a
+    // key equality prunes through the murmur3 bucket (skip counts
+    // asserted in IcebergReadSpec; here correctness vs the oracle)
+    "src_iceberg_write_read_transform" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_transform")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .filter(col("o_orderdate") >= lit("1996-03-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+      graft.sources.IcebergExport.commitTransformSnapshot(o.coalesce(1),
+        table, Seq("o_orderdate" -> "day", "o_custkey" -> "bucket[4]"))
+      val minKey = o.agg(min(col("o_custkey"))).head.getLong(0)
+      val rangeProbe = graft.sources.IcebergRead.readPruned(spark, table,
+        col("o_orderdate") >= lit("1996-03-10") &&
+          col("o_orderdate") < lit("1996-03-20"))
+      val bucketProbe = graft.sources.IcebergRead.readPruned(spark, table,
+        col("o_custkey") === lit(minKey))
+      Seq(1 -> rangeProbe, 2 -> bucketProbe).map { case (tag, pr) =>
+        pr.df.agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"))
+          .select(lit(tag).as("probe"), col("n"), col("total"), col("min_key"))
+      }.reduce(_ unionByName _).orderBy(col("probe"))
+    }),
     // MoR Iceberg export: a Lake table carrying live delete vectors
     // (deleteMor + mergeMor, unfolded) exports as format v2 POSITION
     // DELETES — content=1 delete manifest listing a (file_path, pos)
@@ -1598,6 +1628,23 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 1
         |ORDER BY version""".stripMargin,
+    "src_iceberg_write_read_transform" ->
+      """WITH slice AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01')
+        |SELECT 1 AS probe, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key
+        |FROM slice
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-10'
+        |  AND o_orderdate < TIMESTAMP '1996-03-20'
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+        |  min(o_orderkey)
+        |FROM slice WHERE o_custkey = (SELECT min(o_custkey) FROM slice)
+        |ORDER BY probe""".stripMargin,
     "src_iceberg_write_read_part" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,

@@ -40,6 +40,130 @@ object IcebergExport {
     case _ => "string"
   }
 
+  /** Write a TRANSFORM-partitioned Iceberg table (format v2) from a
+    * DataFrame — the ecosystem-default layouts (`days(ts)`,
+    * `bucket(N, id)`, `truncate(W, s)`) that [[exportIcebergMeta]]'s
+    * identity-only path cannot produce. `specs` maps source column →
+    * transform string ([[IcebergTransforms.parse]] syntax). Unlike the
+    * Lake export, data files KEEP every source column (the Iceberg
+    * norm — the partition struct is derivable metadata, not storage),
+    * so a reader needs no column re-attachment; the manifest's
+    * partition struct carries the transformed values and the
+    * metadata.json records the spec (with a `schemas` section so
+    * `source-id` resolves) for [[IcebergRead.readPruned]]'s
+    * transform-aware file skipping.
+    *
+    * Scale shape: one shuffle-free `partitionBy` write (the transform
+    * columns are computed per-row, codegen except the murmur3 bucket
+    * UDF), manifest metadata is O(files) on the driver. `carryForward`
+    * appends to the prior snapshot's live set; without it the new
+    * snapshot replaces the table. Returns the snapshot id. */
+  def commitTransformSnapshot(df: org.apache.spark.sql.DataFrame,
+      table: String, specs: Seq[(String, String)],
+      carryForward: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.col
+    import IcebergTransforms.{Transform => Tr}
+    require(specs.nonEmpty, "no partition spec — use commitSnapshot")
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val mapper = new ObjectMapper()
+    val parsed: Seq[(String, Tr)] = specs.map { case (src, t) =>
+      require(df.columns.contains(src), s"unknown source column $src")
+      (src, IcebergTransforms.parse(t))
+    }
+    val ptCols = parsed.indices.map(i => s"__pt$i")
+    val staged = parsed.zip(ptCols).foldLeft(df) { case (d, ((src, t), pc)) =>
+      d.withColumn(pc,
+        IcebergTransforms.applyColumn(t, df.schema(src).dataType, col(src)))
+    }
+    val version = {
+      val dir = new Path(s"$table/metadata")
+      if (!f.exists(dir)) 1L
+      else f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".metadata.json"))
+        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+        .foldLeft(0L)(math.max) + 1
+    }
+    val staging = s"$table/_staging_tr$version"
+    staged.write.partitionBy(ptCols: _*).mode("overwrite").parquet(staging)
+    // walk the hive layout: each data file sits under
+    // __pt0=<v>/.../__ptN=<v>; dir values are hive-escaped
+    def unescape(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+    val found = scala.collection.mutable.ArrayBuffer[(Path, Seq[String])]()
+    def walk(p: Path, vals: List[String]): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          walk(st.getPath, unescape(name.substring(name.indexOf('=') + 1)) :: vals)
+        else if (name.endsWith(".parquet"))
+          found += ((st.getPath, vals.reverse))
+      }
+    walk(new Path(staging), Nil)
+    require(found.nonEmpty, "transform write produced no data files")
+    f.mkdirs(new Path(s"$table/data"))
+    val partNames = parsed.map { case (src, t) => IcebergTransforms.fieldName(src, t) }
+    val entrySchema = IcebergRead.manifestEntrySchemaFor(partNames)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val entries = found.zipWithIndex.map { case ((p, vals), i) =>
+      val dest = s"$table/data/t$version-$i.parquet"
+      f.rename(p, new Path(dest))
+      val dfRec = new GenericData.Record(dataFileSchema)
+      dfRec.put("file_path", dest)
+      dfRec.put("file_size_in_bytes",
+        Long.box(f.getFileStatus(new Path(dest)).getLen))
+      val pRec = new GenericData.Record(dataFileSchema.getField("partition").schema())
+      partNames.zip(vals).foreach { case (n, v) =>
+        pRec.put(n, if (v == "__HIVE_DEFAULT_PARTITION__") null else v) }
+      dfRec.put("partition", pRec)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("data_file", dfRec); e
+    }.toSeq
+    f.delete(new Path(staging), true)
+    val manifestPath = s"$table/metadata/tm$version.avro"
+    IcebergRead.writeAvro(spark, manifestPath, entrySchema, entries)
+    val priorManifests: Seq[(String, Int, Long)] =
+      if (!carryForward || version == 1L) Nil
+      else IcebergRead.manifestTriples(spark, table, None)
+    val seq = priorManifests.map(_._3).foldLeft(0L)(math.max) + 1
+    def listEntry(m: String, content: Int, s: Long) = {
+      val r = new GenericData.Record(IcebergRead.manifestFileSchema)
+      r.put("manifest_path", m); r.put("content", Int.box(content))
+      r.put("sequence_number", Long.box(s)); r
+    }
+    val listPath = s"$table/metadata/snap-tr$version.avro"
+    IcebergRead.writeAvro(spark, listPath, IcebergRead.manifestFileSchema,
+      priorManifests.map(p => listEntry(p._1, p._2, p._3)) :+
+        listEntry(manifestPath, 0, seq))
+    // schemas section with field ids so partition-spec source-id
+    // resolves (the spec's requirement; readers map id -> name)
+    val fieldIds = df.schema.fields.zipWithIndex.map { case (fd, i) => fd.name -> (i + 1) }.toMap
+    val schemaFields = df.schema.fields.zipWithIndex.map { case (fd, i) =>
+      s"""{"id":${i + 1},"name":${mapper.writeValueAsString(fd.name)},"required":false,"type":${mapper.writeValueAsString(icebergType(fd.dataType))}}"""
+    }.mkString(",")
+    val specFields = parsed.zipWithIndex.map { case ((src, t), i) =>
+      val srcT = icebergType(df.schema(src).dataType)
+      s"""{"name":${mapper.writeValueAsString(IcebergTransforms.fieldName(src, t))},"transform":"${IcebergTransforms.render(t)}","source-id":${fieldIds(src)},"field-id":${1000 + i},"type":${mapper.writeValueAsString(IcebergTransforms.resultType(t, srcT))}}"""
+    }.mkString(",")
+    val priorSnaps =
+      if (version == 1L) ""
+      else {
+        val in = f.open(IcebergRead.latestMetadata(spark, table))
+        val meta = try mapper.readTree(in) finally in.close()
+        val sb = new StringBuilder
+        meta.get("snapshots").forEach(s =>
+          sb.append(mapper.writeValueAsString(s)).append(','))
+        sb.toString
+      }
+    val json = s"""{"format-version":2,"schemas":[{"type":"struct","schema-id":0,"fields":[$schemaFields]}],"current-schema-id":0,"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFields]}],"current-snapshot-id":$version,"snapshots":[$priorSnaps{"snapshot-id":$version,"manifest-list":${mapper.writeValueAsString(listPath)}}]}"""
+    val metaPath = new Path(f"$table/metadata/v$version%05d.metadata.json")
+    try AtomicPublish.publish(spark, metaPath, json.getBytes("UTF-8"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      throw new IllegalStateException(
+        s"concurrent Iceberg commit detected at $metaPath — retry", e)
+    }
+    version
+  }
+
   /** Export all not-yet-exported Lake snapshots as Iceberg snapshots.
     * Returns the latest exported snapshot id.
     *

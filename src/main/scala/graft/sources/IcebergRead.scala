@@ -144,6 +144,12 @@ object IcebergRead {
     manifestsOf(spark, table, snapshotId).filter(_._2 == 0)
       .flatMap(m => entriesOf(spark, m._1, m._3))
 
+  /** [[manifestsOf]] for sibling writers that carry prior manifests
+    * forward ([[IcebergExport.commitTransformSnapshot]]). */
+  private[sources] def manifestTriples(spark: SparkSession, table: String,
+      snapshotId: Option[Long]): Seq[(String, Int, Long)] =
+    manifestsOf(spark, table, snapshotId)
+
   /** Position-delete files of a snapshot (format v2 merge-on-read:
     * parquet files of (`file_path`, `pos`) rows recording deleted
     * row ordinals, listed by content=1 delete manifests). Entries
@@ -185,6 +191,60 @@ object IcebergRead {
           if (tr == "identity")
             buf += fl.get("name").asText ->
               Option(fl.get("type")).map(_.asText).getOrElse("string")
+        }
+    }
+    buf.toSeq
+  }
+
+  /** One field of the default partition spec, TRANSFORM-AWARE:
+    * `sourceName` resolves through the metadata's `schemas` section
+    * (source-id → field name); identity fields without a schemas
+    * section (this repo's Lake export predates it) fall back to the
+    * spec-field name, which identity makes equal by construction. */
+  final case class SpecField(name: String,
+      transform: IcebergTransforms.Transform,
+      sourceName: Option[String], resultType: String)
+
+  /** The full default partition spec — every field including
+    * year/month/day/hour/bucket/truncate transforms (the identity-only
+    * view is [[partitionSpecFields]], kept for the Lake-export read
+    * path whose data files lack the partition columns). */
+  def partitionSpecFull(spark: SparkSession, table: String): Seq[SpecField] = {
+    val mapper = new ObjectMapper()
+    val f = fs(spark, table)
+    val in = f.open(latestMetadata(spark, table))
+    val meta = try mapper.readTree(in) finally in.close()
+    val specs = meta.get("partition-specs")
+    if (specs == null || specs.size() == 0) return Nil
+    // schemas: field id -> name (current schema)
+    val idToName = scala.collection.mutable.Map[Int, String]()
+    val schemas = meta.get("schemas")
+    if (schemas != null) {
+      val curId = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
+      schemas.forEach { sc =>
+        if (Option(sc.get("schema-id")).map(_.asInt).getOrElse(0) == curId) {
+          val flds = sc.get("fields")
+          if (flds != null) flds.forEach(fl =>
+            idToName(fl.get("id").asInt) = fl.get("name").asText)
+        }
+      }
+    }
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val buf = scala.collection.mutable.ArrayBuffer[SpecField]()
+    specs.forEach { sp =>
+      if (Option(sp.get("spec-id")).map(_.asInt).getOrElse(0) == specId)
+        sp.get("fields").forEach { fl =>
+          val trStr = Option(fl.get("transform")).map(_.asText).getOrElse("identity")
+          val tr = try Some(IcebergTransforms.parse(trStr)) catch {
+            case _: IllegalArgumentException => None // void etc: unprunable, keep files
+          }
+          tr.foreach { t =>
+            val name = fl.get("name").asText
+            val src = Option(fl.get("source-id")).map(_.asInt).flatMap(idToName.get)
+              .orElse(if (t.kind == "identity") Some(name) else None)
+            buf += SpecField(name, t, src,
+              Option(fl.get("type")).map(_.asText).getOrElse("string"))
+          }
         }
     }
     buf.toSeq
@@ -388,6 +448,140 @@ object IcebergRead {
       Lake.indexedDataFrame(spark, table,
         snap.copy(files = es.map(e => lfByPath(e.path))))._1)
     (merged, Some(index))
+  }
+
+  /** Result of a transform-pruned scan: the (already filtered) frame
+    * plus the file-skip evidence. */
+  final case class PrunedScan(df: DataFrame, keptFiles: Int, totalFiles: Int)
+
+  /** TRANSFORM-AWARE pruned scan: plan-time file skipping for tables
+    * partitioned by `days(ts)` / `bucket(N, id)` / `truncate(W, s)` —
+    * the ecosystem-default Iceberg layouts ([[partitionSpecFull]]).
+    * The predicate is resolved and constant-folded against the scan
+    * (so literals arrive typed), its conjuncts are converted into
+    * constraints on the manifest's partition-struct values via
+    * [[IcebergTransforms.applyLiteral]], and only surviving files are
+    * read. Equality/IN prune every transform; ranges prune the
+    * order-preserving ones (never bucket). Unrecognized conjunct
+    * shapes keep all files, and the FULL predicate is re-applied to
+    * the surviving rows — pruning can only skip I/O, never change
+    * results (the BloomIndex contract). Data files must carry the
+    * source columns (true for [[IcebergExport.commitTransformSnapshot]]
+    * and ecosystem writers; the Lake identity export reads through
+    * [[readIndexed]]'s manifest-backed index instead). */
+  def readPruned(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      snapshotId: Option[Long] = None): PrunedScan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val entries = dataFileEntries(spark, table, snapshotId)
+    require(entries.nonEmpty, s"snapshot has no data files: $table")
+    val spec = partitionSpecFull(spark, table)
+    val base = spark.read.parquet(entries.map(_.path): _*)
+    val schema = base.schema
+    // resolve + constant-fold the predicate against the real scan so
+    // each conjunct carries typed Catalyst literals
+    val optimized = base.filter(predicate).queryExecution.optimizedPlan
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val conds = optimized.collect {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        conjuncts(fl.condition)
+    }.flatten
+    // transformed-literal normalization: Long-comparable, String, or
+    // unsupported (no constraint — conservative)
+    def norm(v: Any): Option[Either[Long, String]] = v match {
+      case null => None
+      case l: Long => Some(scala.util.Left(l))
+      case i: Int => Some(scala.util.Left(i.toLong))
+      case s: Short => Some(scala.util.Left(s.toLong))
+      case b: Byte => Some(scala.util.Left(b.toLong))
+      case s: String => Some(scala.util.Right(s))
+      case _ => None
+    }
+    def transformed(fld: SpecField, dt: org.apache.spark.sql.types.DataType,
+        v: Any): Option[Either[Long, String]] =
+      try norm(IcebergTransforms.applyLiteral(fld.transform, dt, v))
+      catch { case _: IllegalArgumentException => None }
+    // identity partition values render as the COLUMN's string form —
+    // only integer/string sources compare faithfully against a
+    // transformed literal; other identity types defer to readIndexed
+    def comparable(fld: SpecField, dt: org.apache.spark.sql.types.DataType): Boolean =
+      fld.transform.kind != "identity" || (dt match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })
+    def pval(e: DataFileEntry, fld: SpecField): Option[String] =
+      e.partitionValues.get(fld.name)
+    def cmp(s: String, t: Either[Long, String], op: Int): Boolean = t match {
+      // op: 0 eq, -1 pval<=t, +1 pval>=t
+      case scala.util.Left(l) =>
+        try { val p = s.toLong; if (op == 0) p == l else if (op < 0) p <= l else p >= l }
+        catch { case _: NumberFormatException => true } // foreign rendering: keep
+      case scala.util.Right(str) => op == 0 && s == str // string ranges: only eq prunes
+    }
+    type EntryPred = DataFileEntry => Boolean
+    def fieldsFor(src: String): Seq[SpecField] =
+      spec.filter(f => f.sourceName.contains(src) &&
+        schema.fields.exists(_.name == src) &&
+        comparable(f, schema.fields.find(_.name == src).get.dataType))
+    def dtOf(src: String) = schema.fields.find(_.name == src).get.dataType
+    def eqPreds(src: String, v: Any): Seq[EntryPred] =
+      fieldsFor(src).flatMap { fld =>
+        transformed(fld, dtOf(src), v).map { t => (e: DataFileEntry) =>
+          pval(e, fld).forall(cmp(_, t, 0)) }
+      }
+    def rangePreds(src: String, v: Any, op: Int): Seq[EntryPred] =
+      fieldsFor(src).filter(f => IcebergTransforms.isMonotonic(f.transform))
+        .flatMap { fld =>
+          transformed(fld, dtOf(src), v).map { t => (e: DataFileEntry) =>
+            pval(e, fld).forall(cmp(_, t, op)) }
+        }
+    val preds: Seq[EntryPred] = conds.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        eqPreds(a.name, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        eqPreds(a.name, v)
+      case In(a: AttributeReference, elems)
+          if elems.nonEmpty && elems.forall {
+            case Literal(v, _) => v != null; case _ => false } =>
+        // a file survives if ANY element admits it, per spec field
+        fieldsFor(a.name).flatMap { fld =>
+          val ts = elems.collect { case Literal(v, _) =>
+            transformed(fld, dtOf(a.name), v) }.flatten
+          if (ts.size != elems.size) None
+          else Some((e: DataFileEntry) =>
+            pval(e, fld).forall(s => ts.exists(cmp(s, _, 0))))
+        }
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        rangePreds(a.name, v, +1)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        rangePreds(a.name, v, +1)
+      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        rangePreds(a.name, v, -1)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        rangePreds(a.name, v, -1)
+      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
+        rangePreds(a.name, v, -1) // v > a  =>  a < v
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        rangePreds(a.name, v, -1)
+      case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
+        rangePreds(a.name, v, +1)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        rangePreds(a.name, v, +1)
+      case _ => Nil
+    }
+    val kept = entries.filter(e => preds.forall(_(e)))
+    val posFiles = positionDeleteFiles(spark, table, snapshotId)
+    val eqDels = equalityDeleteFiles(spark, table, snapshotId)
+    val df =
+      if (kept.isEmpty) base.filter(predicate).limit(0)
+      else maskedScan(spark, kept, posFiles, eqDels)(es =>
+        spark.read.parquet(es.map(_.path): _*)).filter(predicate)
+    PrunedScan(df, kept.size, entries.size)
   }
 
   // ---- minimal spec-shaped layout writer (tests + gate) ----

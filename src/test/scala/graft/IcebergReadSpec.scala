@@ -283,4 +283,130 @@ class IcebergReadSpec extends SparkSuite {
       .select($"id").collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L, 2L), "reader served the stale v9 snapshot")
   }
+
+  test("partition transforms: murmur3 + bucket/temporal/truncate match the spec's test vectors") {
+    import graft.sources.IcebergTransforms
+    import org.apache.spark.sql.types._
+    // Appendix B 32-bit hash requirements (published reference values)
+    assert(IcebergTransforms.hashLong(34L) === 2017239379)
+    assert(IcebergTransforms.hashString("iceberg") === 1210000089)
+    assert(IcebergTransforms.hashLong(
+      java.time.LocalDate.of(2017, 11, 16).toEpochDay) === -653330422)
+    assert(IcebergTransforms.hashLong(1510871468000000L) === -2047944441)
+    // transform literal semantics (ordinals since 1970)
+    val d = IcebergTransforms.parse("day")
+    val epochDay = java.time.LocalDate.of(2017, 11, 16).toEpochDay.toInt
+    assert(IcebergTransforms.applyLiteral(d, DateType, epochDay) ===
+      epochDay.toLong)
+    assert(IcebergTransforms.applyLiteral(
+      IcebergTransforms.parse("year"), DateType, epochDay) === 47L)
+    assert(IcebergTransforms.applyLiteral(
+      IcebergTransforms.parse("month"), DateType, epochDay) === 47L * 12 + 10)
+    assert(IcebergTransforms.applyLiteral(
+      IcebergTransforms.parse("hour"), TimestampType, 1510871468000000L) ===
+      1510871468000000L / 3600000000L)
+    // negative (pre-1970) instants FLOOR, never truncate toward zero
+    assert(IcebergTransforms.applyLiteral(d, TimestampType, -1L) === -1L)
+    assert(IcebergTransforms.applyLiteral(
+      IcebergTransforms.parse("truncate[10]"), LongType, -7L) === -10L)
+    assert(IcebergTransforms.applyLiteral(
+      IcebergTransforms.parse("truncate[2]"), StringType, "x🌍y🌍z") === "x🌍")
+    // write-side Column and read-side literal agree row by row
+    val df = spark.range(-5, 5).select(
+      org.apache.spark.sql.functions.expr(
+        "timestamp_micros(id * 86400000000 + id * 1234567)").as("ts"),
+      $"id", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("s"), $"id").as("s"))
+    for (t <- Seq("day", "hour", "year", "month", "bucket[7]"))
+      df.select($"ts", IcebergTransforms.applyColumn(
+          IcebergTransforms.parse(t), TimestampType, $"ts").as("got"))
+        .collect().foreach { r =>
+          val t0 = r.getTimestamp(0)
+          val micros = Math.floorDiv(t0.getTime, 1000L) * 1000000L +
+            t0.getNanos / 1000
+          assert(r.getLong(1) === IcebergTransforms.applyLiteral(
+            IcebergTransforms.parse(t), TimestampType, micros),
+            s"transform $t drifted between Column and literal at $micros")
+        }
+    df.select($"id", IcebergTransforms.applyColumn(
+        IcebergTransforms.parse("bucket[16]"), LongType, $"id").as("b"))
+      .collect().foreach(r => assert(r.getLong(1) ===
+        IcebergTransforms.applyLiteral(
+          IcebergTransforms.parse("bucket[16]"), LongType, r.getLong(0))))
+  }
+
+  test("transform-partitioned write -> pruned read: days + bucket skip files, lose no rows") {
+    import graft.sources.{IcebergExport, IcebergTransforms}
+    val table = java.nio.file.Files.createTempDirectory("graft-icetr").toString + "/t"
+    val df = spark.range(0, 3000).select(
+      $"id".as("k"),
+      org.apache.spark.sql.functions.expr(
+        "timestamp_micros(86400000000 * cast(id % 30 as long) + 1500000000000000)").as("ts"),
+      ($"id" % 100).as("cust"),
+      ($"id" * 2).cast("double").as("x"))
+    val snap = IcebergExport.commitTransformSnapshot(df.coalesce(1), table,
+      Seq("ts" -> "day", "cust" -> "bucket[8]"))
+    assert(snap === 1L)
+    // unpruned read sees everything, source columns intact
+    val all = IcebergRead.read(spark, table)
+    assert(all.count() === 3000)
+    assert(all.columns.toSet === Set("k", "ts", "cust", "x"))
+    // a one-day + one-customer probe prunes most of the 30*8 files
+    val day0 = new java.sql.Timestamp(1500000000000L)
+    val pr = IcebergRead.readPruned(spark, table,
+      $"ts" === day0 && $"cust" === 40L)
+    val want = all.filter($"ts" === org.apache.spark.sql.functions.lit(day0) &&
+      $"cust" === 40L).select($"k").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty, "fixture probe matched nothing — vacuous")
+    assert(pr.df.select($"k").collect().map(_.getLong(0)).toSet === want)
+    assert(pr.totalFiles > 100 && pr.keptFiles === 1,
+      s"expected 1 of ${pr.totalFiles} files kept, got ${pr.keptFiles}")
+    // a date RANGE prunes through the monotonic day transform
+    val lo = new java.sql.Timestamp(1500000000000L + 5L * 86400000L)
+    val hi = new java.sql.Timestamp(1500000000000L + 9L * 86400000L)
+    val rg = IcebergRead.readPruned(spark, table, $"ts" >= lo && $"ts" < hi)
+    val wantRg = all.filter($"ts" >= org.apache.spark.sql.functions.lit(lo) &&
+      $"ts" < org.apache.spark.sql.functions.lit(hi)).count()
+    assert(rg.df.count() === wantRg && wantRg > 0)
+    assert(rg.keptFiles <= 5 * 8 && rg.keptFiles < rg.totalFiles,
+      s"range kept ${rg.keptFiles}/${rg.totalFiles}")
+    // bucket must NOT range-prune (hash is order-destroying)
+    val bad = IcebergRead.readPruned(spark, table, $"cust" > 90L)
+    assert(bad.keptFiles === bad.totalFiles)
+    assert(bad.df.count() === all.filter($"cust" > 90L).count())
+    // IN-list prunes per element
+    val in3 = IcebergRead.readPruned(spark, table,
+      $"cust".isin(1L, 2L, 3L) && $"ts" === day0)
+    assert(in3.keptFiles <= 3)
+    assert(in3.df.count() ===
+      all.filter($"cust".isin(1L, 2L, 3L) &&
+        $"ts" === org.apache.spark.sql.functions.lit(day0)).count())
+  }
+
+  test("transform-partitioned append carries prior snapshots; truncate prunes strings by code points") {
+    import graft.sources.{IcebergExport, IcebergTransforms}
+    val table = java.nio.file.Files.createTempDirectory("graft-icetr2").toString + "/t"
+    def batch(tag: String, lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id".as("k"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(tag), $"id" % 5).as("name"))
+    val s1 = IcebergExport.commitTransformSnapshot(
+      batch("alpha", 0, 100), table, Seq("name" -> "truncate[3]"))
+    val s2 = IcebergExport.commitTransformSnapshot(
+      batch("beta", 100, 200), table, Seq("name" -> "truncate[3]"))
+    assert((s1, s2) === ((1L, 2L)))
+    assert(IcebergRead.read(spark, table).count() === 200)
+    assert(IcebergRead.read(spark, table, Some(1L)).count() === 100)
+    // equality on a string prunes through truncate[3]
+    val pr = IcebergRead.readPruned(spark, table, $"name" === "beta3")
+    assert(pr.df.count() === 20 && pr.keptFiles < pr.totalFiles)
+    // the alpha-prefixed files are all skipped
+    assert(pr.keptFiles <= pr.totalFiles / 2,
+      s"kept ${pr.keptFiles}/${pr.totalFiles}")
+    // a predicate no transform serves keeps everything, stays correct
+    val none = IcebergRead.readPruned(spark, table, $"k" % 7 === 0)
+    assert(none.keptFiles === none.totalFiles)
+    assert(none.df.count() ===
+      IcebergRead.read(spark, table).filter($"k" % 7 === 0).count())
+  }
 }
