@@ -736,6 +736,35 @@ object SourcesQ extends graft.QueryArea {
     // groups; commit 2 REWRITES group g0 (copy-on-write slice
     // replacement: %3==0 rows swap to %3==2). Snapshot at commit 1 =
     // {0,1}; latest = {2,1}. Oracle from the base table.
+    // Hudi MERGE-ON-READ: base file groups + HoodieLog-format delta
+    // log files (Avro upsert blocks, delete-key blocks) resolve per
+    // record key in timeline order — update + delete + re-insert land
+    // on the final image, the same rows compaction would materialize.
+    // The plain read() delegates to the merge automatically, so a
+    // streaming-ingest table can never serve stale base rows.
+    "src_hudi_mor_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "hudi_mor")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.HudiRead.commit(table, Map(
+        "g0" -> o.filter(col("o_orderkey") % 2 === 0),
+        "g1" -> o.filter(col("o_orderkey") % 2 === 1)))
+      // delta 1: zero out the price of keys % 10 == 0, delete % 10 == 4
+      graft.sources.HudiRead.deltaCommit(table, "g0", "o_orderkey",
+        Some(o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", lit(0.0))),
+        o.filter(col("o_orderkey") % 10 === 4)
+          .select(col("o_orderkey")).collect().map(_.getLong(0).toString).toSeq)
+      // delta 2: re-insert half the deleted keys at price -1
+      graft.sources.HudiRead.deltaCommit(table, "g0", "o_orderkey",
+        Some(o.filter(col("o_orderkey") % 20 === 4)
+          .withColumn("o_totalprice", lit(-1.0))))
+      graft.sources.HudiRead.read(spark, table)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          sum(when(col("o_totalprice") === -1.0, 1).otherwise(0)).as("reinserted"))
+    }),
     "src_hudi_read" -> ((spark, dir) => {
       val table = tmpDir(dir, "hudi_ext")
       graft.sources.Formats.deleteDir(spark, table)
@@ -1592,6 +1621,17 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 = 2
         |ORDER BY snap""".stripMargin,
+    "src_hudi_mor_read" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 10 <> 4
+        |  UNION ALL
+        |  SELECT o_orderkey, -1.0 FROM orders WHERE o_orderkey % 20 = 4)
+        |SELECT count(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN p = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS reinserted
+        |FROM merged""".stripMargin,
     "src_hudi_read" ->
       """SELECT 1 AS snap, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

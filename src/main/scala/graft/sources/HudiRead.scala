@@ -16,9 +16,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Replay: commits in instant order; each write stat maps fileId →
   * base file path; later commits REPLACE a file group's slice
   * (copy-on-write semantics). Snapshot read = latest slice per group,
-  * scanned as plain parquet (pushdown/pruning as usual). MOR log
-  * files and replacecommit/clustering are out of scope — COW
-  * snapshot reads only, the 90% read path. */
+  * scanned as plain parquet (pushdown/pruning as usual).
+  *
+  * MERGE-ON-READ: `.deltacommit` instants append LOG FILES to a file
+  * group ([[HudiLog]] blocks — Avro upsert records + delete keys);
+  * the snapshot read resolves base + logs per group by RECORD KEY
+  * (`hoodie.table.recordkey.fields` from `.hoodie/hoodie.properties`),
+  * folding blocks in timeline order so upsert→delete→re-insert lands
+  * on the final image, exactly the resolution a compaction would
+  * materialize. A base-file rewrite (compaction) retires the group's
+  * earlier logs. [[read]] detects pending logs and DELEGATES to the
+  * merge — a streaming-ingest MoR table can never serve stale
+  * base-only rows silently. Log deltas are load-batch scale by the
+  * MoR contract (the Delta-DV / Iceberg-position-delete bound), so
+  * the per-group fold is driver-resident metadata work, and the base
+  * scan stays a plain pruned parquet read at any table size. */
 object HudiRead {
 
   private def fs(spark: SparkSession, p: String) =
@@ -34,8 +46,10 @@ object HudiRead {
     if (!f.exists(dir)) throw new IllegalArgumentException(
       s"not a hudi table (no .hoodie): $table")
     f.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.endsWith(".commit") || n.endsWith(".replacecommit"))
-      .map(_.stripSuffix(".replacecommit").stripSuffix(".commit"))
+      .filter(n => n.endsWith(".commit") || n.endsWith(".replacecommit") ||
+        n.endsWith(".deltacommit"))
+      .map(_.stripSuffix(".replacecommit").stripSuffix(".deltacommit")
+        .stripSuffix(".commit"))
       .sorted.toSeq
   }
 
@@ -49,17 +63,30 @@ object HudiRead {
       instantAsOf: Option[String] = None): Map[String, String] =
     liveSliceDetails(spark, table, instantAsOf).map { case (k, s) => k -> s.path }
 
+  /** A file group's state: the live base [[Slice]] plus its pending
+    * MoR log files (table-relative, timeline order). A base rewrite
+    * retires the logs it absorbed. */
+  final case class GroupState(base: Slice, logs: Seq[String])
+
   /** fileId → live [[Slice]] at `instantAsOf` (default latest). */
   def liveSliceDetails(spark: SparkSession, table: String,
-      instantAsOf: Option[String] = None): Map[String, Slice] = {
+      instantAsOf: Option[String] = None): Map[String, Slice] =
+    liveGroups(spark, table, instantAsOf).map { case (k, g) => k -> g.base }
+
+  /** fileId → [[GroupState]] at `instantAsOf`: the COW base replay
+    * plus per-group log files appended by `.deltacommit` instants
+    * (write stats whose path is a `.log.` file append rather than
+    * replace). */
+  def liveGroups(spark: SparkSession, table: String,
+      instantAsOf: Option[String] = None): Map[String, GroupState] = {
     val f = fs(spark, table)
     val mapper = new ObjectMapper()
     val upTo = instantAsOf.getOrElse(instants(spark, table).last)
-    val live = scala.collection.mutable.LinkedHashMap[String, Slice]()
+    val live = scala.collection.mutable.LinkedHashMap[String, GroupState]()
     instants(spark, table).filter(_ <= upTo).foreach { i =>
-      val commitP = new Path(s"$table/.hoodie/$i.commit")
-      val p = if (f.exists(commitP)) commitP
-        else new Path(s"$table/.hoodie/$i.replacecommit")
+      val p = Seq(s"$i.commit", s"$i.deltacommit", s"$i.replacecommit")
+        .map(n => new Path(s"$table/.hoodie/$n")).find(f.exists)
+        .getOrElse(throw new IllegalStateException(s"instant $i vanished"))
       val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -77,9 +104,16 @@ object HudiRead {
           val entry = parts.next()
           val partitionPath = entry.getKey
           entry.getValue.forEach { ws =>
-            live(ws.get("fileId").asText()) = Slice(
-              ws.get("path").asText(), partitionPath,
-              Option(ws.get("fileSizeInBytes")).map(_.asLong))
+            val fileId = ws.get("fileId").asText()
+            val path = ws.get("path").asText()
+            if (path.contains(".log.")) {
+              val g = live.getOrElse(fileId, throw new IllegalArgumentException(
+                s"deltacommit $i logs to unknown file group $fileId"))
+              live(fileId) = g.copy(logs = g.logs :+ path)
+            } else
+              // a fresh base slice absorbs/retires the group's logs
+              live(fileId) = GroupState(Slice(path, partitionPath,
+                Option(ws.get("fileSizeInBytes")).map(_.asLong)), Nil)
           }
         }
       }
@@ -87,10 +121,16 @@ object HudiRead {
     live.toMap
   }
 
-  /** Snapshot scan at an instant: latest slice per file group. */
+  /** Snapshot scan at an instant: latest slice per file group. A
+    * table with PENDING MoR LOGS delegates to [[readMor]] — base-only
+    * rows would be silently stale, the one failure mode a lakehouse
+    * reader must never have. */
   def read(spark: SparkSession, table: String,
-      instantAsOf: Option[String] = None): DataFrame =
-    readIndexed(spark, table, instantAsOf)._1
+      instantAsOf: Option[String] = None): DataFrame = {
+    val groups = liveGroups(spark, table, instantAsOf)
+    if (groups.values.exists(_.logs.nonEmpty)) readMor(spark, table, instantAsOf)
+    else readIndexed(spark, table, instantAsOf)._1
+  }
 
   /** As [[read]]; when the timeline is partitioned, the scan goes
     * through the manifest-backed LakeFileIndex — partition columns are
@@ -147,6 +187,128 @@ object HudiRead {
     val snap = Lake.Snapshot(1, 0L, fullSchema.json, partCols, lakeFiles)
     val (df, index) = Lake.indexedDataFrame(spark, table, snap)
     (df, Some(index))
+  }
+
+  /** The table's record-key field from `.hoodie/hoodie.properties`
+    * (`hoodie.table.recordkey.fields`) — how real Hudi tables declare
+    * the merge key; required for any MoR read. */
+  def recordKeyField(spark: SparkSession, table: String): Option[String] = {
+    val p = new Path(s"$table/.hoodie/hoodie.properties")
+    val f = fs(spark, table)
+    if (!f.exists(p)) return None
+    val props = new java.util.Properties()
+    val in = f.open(p)
+    try props.load(in) finally in.close()
+    Option(props.getProperty("hoodie.table.recordkey.fields"))
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** MERGE-ON-READ snapshot: per file group, fold the pending log
+    * blocks in timeline order onto a key → final-image map (upsert
+    * replaces, delete tombstones, re-insert revives — the resolution
+    * compaction would materialize), then assemble
+    * `base ⟕ anti(touched keys) ∪ final upsert images` as one Spark
+    * plan: the base stays a full-speed parquet scan, the log side is
+    * a broadcast-scale local relation (load-batch bound by the MoR
+    * contract). Groups without logs scan clean. */
+  def readMor(spark: SparkSession, table: String,
+      instantAsOf: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val groups = liveGroups(spark, table, instantAsOf)
+    if (groups.isEmpty)
+      throw new IllegalArgumentException(s"no live slices at $table")
+    val (dirty, clean) = groups.values.toSeq.partition(_.logs.nonEmpty)
+    if (dirty.isEmpty) return readIndexed(spark, table, instantAsOf)._1
+    val keyField = recordKeyField(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has MoR log files but no hoodie.table.recordkey.fields — " +
+          "cannot merge without the record key"))
+    val dataSchema = spark.read.parquet(s"$table/${dirty.head.base.path}").schema
+    require(dataSchema.fieldNames.contains(keyField),
+      s"record key $keyField missing from the base schema")
+    // fold each dirty group's blocks in order: key -> Some(final row)
+    // (upsert) | None (tombstone). Driver-resident by the MoR bound.
+    val upserts = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val touched = scala.collection.mutable.ArrayBuffer[String]()
+    dirty.foreach { g =>
+      val state = scala.collection.mutable.LinkedHashMap[String, Option[org.apache.spark.sql.Row]]()
+      g.logs.foreach { rel =>
+        HudiLog.readLogFile(spark, s"$table/$rel").foreach {
+          case HudiLog.Data(_, _, recs) => recs.foreach { r =>
+            val k = Option(r.get(keyField)).map(_.toString).getOrElse(
+              throw new IllegalArgumentException(s"log record with NULL key in $rel"))
+            state(k) = Some(HudiLog.avroToRow(dataSchema, r))
+          }
+          case HudiLog.Delete(_, keys) => keys.foreach(k => state(k) = None)
+        }
+      }
+      state.foreach { case (k, img) =>
+        touched += k
+        img.foreach(upserts += _)
+      }
+    }
+    val dirtyBase = spark.read.parquet(dirty.map(g => s"$table/${g.base.path}"): _*)
+    import spark.implicits._
+    val touchedDf = touched.toSeq.toDF("__hk")
+    val survivors = dirtyBase
+      .withColumn("__hk", col(keyField).cast("string"))
+      .join(broadcast(touchedDf), Seq("__hk"), "left_anti")
+      .drop("__hk")
+    val upsertDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(upserts.toSeq, 1), dataSchema)
+    val merged = survivors.unionByName(upsertDf)
+    if (clean.isEmpty) merged
+    else merged.unionByName(
+      spark.read.parquet(clean.map(g => s"$table/${g.base.path}"): _*))
+  }
+
+  /** MoR WRITE: append an upsert/delete batch to a file group as a
+    * log file + `.deltacommit` instant (the streaming-ingest shape a
+    * Hudi upsert sink produces). Also stamps
+    * `hoodie.properties`' record-key field on first use (and refuses
+    * a conflicting one later). Returns the instant. */
+  def deltaCommit(table: String, fileId: String, keyField: String,
+      upserts: Option[DataFrame], deleteKeys: Seq[String] = Nil): String = {
+    require(upserts.nonEmpty || deleteKeys.nonEmpty, "empty delta batch")
+    val spark = upserts.map(_.sparkSession)
+      .getOrElse(org.apache.spark.sql.SparkSession.active)
+    val f = fs(spark, table)
+    val groups = liveGroups(spark, table, None)
+    val g = groups.getOrElse(fileId, throw new IllegalArgumentException(
+      s"unknown file group $fileId at $table"))
+    recordKeyField(spark, table) match {
+      case Some(k) => require(k == keyField,
+        s"table record key is $k, not $keyField")
+      case None =>
+        val props = new java.util.Properties()
+        props.setProperty("hoodie.table.recordkey.fields", keyField)
+        props.setProperty("hoodie.table.type", "MERGE_ON_READ")
+        val out = f.create(new Path(s"$table/.hoodie/hoodie.properties"), false)
+        try props.store(out, null) finally out.close()
+    }
+    val instant = f"${instants0(spark, table).size + 1}%014d"
+    val blocks = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    upserts.foreach { df =>
+      require(df.columns.contains(keyField), s"batch missing key $keyField")
+      val dataSchema = spark.read.parquet(s"$table/${g.base.path}").schema
+      val avro = HudiLog.avroSchemaFor(dataSchema)
+      val rows = df.select(dataSchema.fieldNames.map(
+        org.apache.spark.sql.functions.col).toIndexedSeq: _*).collect()
+      blocks += HudiLog.dataBlockBytes(instant, avro,
+        rows.toSeq.map(HudiLog.rowToAvro(avro, dataSchema, _)))
+    }
+    if (deleteKeys.nonEmpty)
+      blocks += HudiLog.deleteBlockBytes(instant, deleteKeys)
+    val dir = Option(new Path(g.base.path).getParent)
+      .map(_.toString).filterNot(_ == "").map(_ + "/").getOrElse("")
+    val rel = s"$dir.${fileId}_$instant.log.${g.logs.size + 1}_0-0-0"
+    HudiLog.writeLogFile(spark, s"$table/$rel", blocks.toSeq)
+    val mapper = new ObjectMapper()
+    val stat = s"""{"fileId":${mapper.writeValueAsString(fileId)},"path":${mapper.writeValueAsString(rel)},"fileSizeInBytes":${f.getFileStatus(new Path(s"$table/$rel")).getLen}}"""
+    val json = s"""{"partitionToWriteStats":{${mapper.writeValueAsString(g.base.partitionPath)}:[$stat]}}"""
+    val out = f.create(new Path(s"$table/.hoodie/$instant.deltacommit"), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    instant
   }
 
   /** Minimal layout writer (one commit): each DataFrame partition of

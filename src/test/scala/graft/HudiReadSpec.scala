@@ -74,4 +74,91 @@ class HudiReadSpec extends SparkSuite {
     assert(HudiRead.read(spark, table).select($"id").collect().map(_.getLong(0)).toSet
       === Set(1L, 2L, 4L, 5L))
   }
+
+  test("log codec: data/delete blocks round-trip; unknown block types skip by length") {
+    import graft.sources.HudiLog
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("x", DoubleType),
+      StructField("ts", TimestampType)))
+    val avro = HudiLog.avroSchemaFor(st)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "a", 1.5, java.sql.Timestamp.valueOf("2020-01-02 03:04:05.123456")),
+      org.apache.spark.sql.Row(2L, null, null, null))
+    val path = java.nio.file.Files.createTempDirectory("graft-hlog").toString + "/l.log.1"
+    HudiLog.writeLogFile(spark, path, Seq(
+      HudiLog.dataBlockBytes("001", avro, rows.map(HudiLog.rowToAvro(avro, st, _))),
+      // an unknown block type must be skipped, not fail the read
+      {
+        val b = HudiLog.deleteBlockBytes("001", Seq("zz"))
+        // patch the block-type int (offset: 6B magic + 4B version)
+        val bb = java.nio.ByteBuffer.wrap(b, 10, 4); bb.putInt(99); b
+      },
+      HudiLog.deleteBlockBytes("002", Seq("1"))))
+    val blocks = HudiLog.readLogFile(spark, path)
+    assert(blocks.size === 2)
+    val HudiLog.Data(i1, _, recs) = blocks(0): @unchecked
+    assert(i1 === "001" && recs.size === 2)
+    assert(HudiLog.avroToRow(st, recs(0)) === rows(0))
+    assert(HudiLog.avroToRow(st, recs(1)) === rows(1))
+    val HudiLog.Delete(i2, keys) = blocks(1): @unchecked
+    assert(i2 === "002" && keys === Seq("1"))
+  }
+
+  test("merge-on-read: upserts/deletes/re-inserts resolve to the final image") {
+    val table = java.nio.file.Files.createTempDirectory("graft-hmor").toString
+    val g0 = spark.range(0, 100).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x"))
+    val g1 = spark.range(100, 200).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x"))
+    HudiRead.commit(table, Map("g0" -> g0, "g1" -> g1))
+    // delta 1: update k in [0,10), delete [90,95)
+    HudiRead.deltaCommit(table, "g0", "k",
+      Some(spark.range(0, 10).select($"id".as("k"), org.apache.spark.sql
+        .functions.lit(-1.0).as("x"))),
+      (90L until 95L).map(_.toString))
+    // delta 2 on the same group: re-insert a deleted key, delete an
+    // updated one — block ORDER must win, not block type
+    HudiRead.deltaCommit(table, "g0", "k",
+      Some(Seq((92L, 555.0)).toDF("k", "x")), Seq("3"))
+    val got = HudiRead.read(spark, table) // auto-delegates to readMor
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // survivors: 100 + 100 - 5 deleted + 1 re-insert - 1 delete = 195
+    assert(got.size === 195)
+    assert((0L until 10L).filterNot(_ == 3L).forall(k => got(k) === -1.0),
+      "delta-1 upserts lost")
+    assert(!got.contains(3L), "delta-2 delete of an updated key lost")
+    assert(got(92L) === 555.0, "re-insert after delete lost")
+    assert(Seq(90L, 91L, 93L, 94L).forall(!got.contains(_)))
+    assert(got(150L) === 300.0, "clean group g1 disturbed")
+    // as-of BEFORE the deltas reads the clean base
+    val i1 = HudiRead.instants(spark, table).head
+    assert(HudiRead.read(spark, table, Some(i1)).count() === 200L)
+    // a base rewrite (compaction shape) retires the group's logs
+    val folded = HudiRead.read(spark, table).filter($"k" < 100 || $"k" >= 100)
+    HudiRead.commit(table, Map("g0" ->
+      HudiRead.read(spark, table).filter($"k" < 100)))
+    val groups = HudiRead.liveGroups(spark, table)
+    assert(groups("g0").logs.isEmpty, "base rewrite must retire logs")
+    assert(HudiRead.read(spark, table).count() === 195L)
+  }
+
+  test("merge-on-read guards: stale-silent reads impossible, key required") {
+    val table = java.nio.file.Files.createTempDirectory("graft-hmorg").toString
+    HudiRead.commit(table, Map("g0" ->
+      spark.range(0, 10).select($"id".as("k"), $"id".cast("double").as("x"))))
+    HudiRead.deltaCommit(table, "g0", "k",
+      Some(Seq((0L, 9.9)).toDF("k", "x")))
+    // plain read() reflects the log — never base-only
+    assert(HudiRead.read(spark, table).filter($"k" === 0L)
+      .head.getDouble(1) === 9.9)
+    // conflicting key field refused
+    intercept[IllegalArgumentException] {
+      HudiRead.deltaCommit(table, "g0", "x", Some(Seq((1L, 2.0)).toDF("k", "x")))
+    }
+    // unknown file group refused
+    intercept[IllegalArgumentException] {
+      HudiRead.deltaCommit(table, "nope", "k", Some(Seq((1L, 2.0)).toDF("k", "x")))
+    }
+  }
 }
