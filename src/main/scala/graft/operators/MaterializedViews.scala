@@ -31,6 +31,73 @@ object MaterializedViews {
 
   private def path(baseDir: String, name: String) = s"$baseDir/$name"
 
+  /** Incremental maintenance of an aggregate MV carrying
+    * NON-DECOMPOSABLE aggregates (MIN/MAX) from a row-level change
+    * feed — the reference keeps retractable min/max state for its
+    * stream MVs (`be/src/exprs/agg/stream/retract_maxmin.h`); the
+    * Spark-native shape is change-feed-driven re-aggregation of ONLY
+    * the groups whose standing extreme a delete might have retracted.
+    *
+    * Inputs are projected to fixed column names: `mv` = the standing
+    * aggregate `(g, n, s, mn, mx)`; `changes` = the feed
+    * `(g, v, __change_type)` ([[graft.sources.Lake.changes]] /
+    * DeltaRead.changes contract: updates arrive as delete(old) +
+    * insert(new)); `base` = the CURRENT base table projected to
+    * `(g, v)`. Maintenance:
+    *  - count/sum apply as retraction deltas (never rescan);
+    *  - an INSERT can only extend an extreme: `mn' = least(mn, ins)`;
+    *  - a DELETE at or beyond a group's standing extreme forces that
+    *    group onto the rescan list; deletes strictly inside
+    *    `(mn, mx)` cannot move either extreme and stay delta-only.
+    * The rescan re-aggregates `base` filtered to the affected groups
+    * (an IN filter on `g` — partition/file-prunable when the base is
+    * partitioned or clustered by the group), so the recompute cost is
+    * O(affected groups' data), not O(table). The affected-group key
+    * list is collected driver-side — bounded by the CHANGED group
+    * count, load-batch scale by the feed contract, never table scale.
+    * Groups whose count reaches zero drop out. Returns the maintained
+    * `(g, n, s, mn, mx)`. */
+  def applyDeltaMinMax(mv: DataFrame, changes: DataFrame,
+      base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ct = col("__change_type")
+    val ins = ct === "insert"
+    val deltas = changes.groupBy(col("g")).agg(
+      sum(when(ins, 1L).otherwise(-1L)).as("dn"),
+      sum(when(ins, col("v")).otherwise(-col("v"))).as("ds"),
+      min(when(ins, col("v"))).as("ins_mn"),
+      max(when(ins, col("v"))).as("ins_mx"),
+      min(when(!ins, col("v"))).as("del_mn"),
+      max(when(!ins, col("v"))).as("del_mx"))
+    val joined = mv.join(deltas, Seq("g"), "full_outer")
+    // a delete at/below the standing min or at/beyond the standing
+    // max may retract it; a group with deletes but NO standing row
+    // (feed ahead of the MV) also rescans rather than guessing
+    val needsRescan = (col("del_mn").isNotNull || col("del_mx").isNotNull) &&
+      (col("mn").isNull || col("del_mn") <= col("mn") ||
+        col("del_mx") >= col("mx"))
+    val rescanKeys = joined.filter(needsRescan).select(col("g"))
+      .collect().map(_.get(0))
+    val deltaOnly = joined.filter(!coalesce(needsRescan, lit(false)))
+      .select(col("g"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0).cast(mv.schema("s").dataType)) +
+          coalesce(col("ds"), lit(0).cast(mv.schema("s").dataType)))
+          .cast(mv.schema("s").dataType).as("s"),
+        least(col("mn"), col("ins_mn")).as("mn"),
+        greatest(col("mx"), col("ins_mx")).as("mx"))
+      .filter(col("n") > 0)
+    if (rescanKeys.isEmpty) deltaOnly
+    else {
+      val rescanned = base.filter(col("g").isin(rescanKeys.toIndexedSeq: _*))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast(mv.schema("s").dataType).as("s"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      deltaOnly.unionByName(rescanned)
+    }
+  }
+
   /** Full (SYNC-style) refresh: recompute and atomically replace.
     * If the MV is registered for auto-rewrite, refresh THROUGH
     * [[graft.plans.MvRewrite.register]]: it deregisters first (so the

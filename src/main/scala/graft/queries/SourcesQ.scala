@@ -927,6 +927,40 @@ object SourcesQ extends graft.QueryArea {
             .cast("double").as("total"))
         .orderBy(col("b"))
     }),
+    // IVM with NON-decomposable aggregates: min/max cannot apply a
+    // delete as a retraction delta — a delete that removes the
+    // standing extreme forces that GROUP (only) to re-aggregate from
+    // the base; inserts extend extremes delta-only
+    // (MaterializedViews.applyDeltaMinMax; the bounded-rescan plan is
+    // asserted in MvRewriteSpec). Output must equal a full recompute.
+    "mv_delta_apply_minmax" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_ivmmx")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o, table, Nil)                       // v1
+      graft.sources.Lake.deleteMor(spark, table,
+        col("o_orderkey") % 7 === 0)                                // v2
+      graft.sources.Lake.mergeMor(spark, table,
+        o.filter(col("o_orderkey") % 9 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 100000),
+        Seq("o_orderkey"))                                          // v3
+      val bucket = (c: Column) => (c % 5).cast("int")
+      def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+        bucket(col("o_orderkey")).as("g"),
+        col("o_totalprice").cast("decimal(18,6)").as("v"))
+      val mvV1 = proj(graft.sources.Lake.read(spark, table, Some(1)))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val feed = graft.sources.Lake.changes(spark, table, 1, 3)
+        .select(bucket(col("o_orderkey")).as("g"),
+          col("o_totalprice").cast("decimal(18,6)").as("v"),
+          col("__change_type"))
+      graft.operators.MaterializedViews
+        .applyDeltaMinMax(mvV1, feed, proj(graft.sources.Lake.read(spark, table)))
+        .select(col("g"), col("n"), col("s").cast("double").as("total"),
+          col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
+        .orderBy(col("g"))
+    }),
     // Snapshot diff (Lake.snapshotDiff): CDC-out between two versions
     // — v1 holds keys %3∈{0,1}; v2 overwrites with %3∈{1,2} and bumps
     // the %3==1 prices, so every key classifies deterministically:
@@ -1413,6 +1447,17 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY coalesce(tag, 'none') ORDER BY tag""".stripMargin,
+    "mv_delta_apply_minmax" ->
+      """WITH final AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 9 = 1 THEN o_totalprice + 100000
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 0 OR o_orderkey % 9 = 1)
+        |SELECT CAST(o_orderkey % 5 AS INT) AS g, count(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(MIN(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS mn,
+        |  CAST(MAX(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS mx
+        |FROM final GROUP BY 1 ORDER BY g""".stripMargin,
     "mv_delta_apply_cdc" ->
       """WITH final AS (
         |  SELECT o_orderkey,

@@ -159,4 +159,57 @@ class MvRewriteSpec extends SparkSuite with BeforeAndAfterAll {
     assert(!scanPaths(dailyRevenue).exists(_.contains("daily_revenue")))
     MvRewrite.register(spark, "daily_revenue", dailyRevenue, mvPath)
   }
+
+  test("min/max IVM: delete at the extreme rescans ONLY affected groups; inner deletes never rescan") {
+    import graft.operators.MaterializedViews
+    import graft.sources.Lake
+    val dir = Files.createTempDirectory("graft_ivm_mx").toString + "/t"
+    // base partitioned BY THE GROUP so the rescan's IN-filter prunes
+    // files — the bounded-rescan contract is observable in the index
+    val base0 = spark.range(0, 1000).select(
+      ($"id" % 10).cast("int").as("g"), ($"id" * 3 % 997).cast("double").as("v"))
+    Lake.write(base0.repartition($"g"), dir, Seq("g"))
+    val mv = Lake.read(spark, dir).groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        min($"v").as("mn"), max($"v").as("mx"))
+      .localCheckpoint(true)
+    // the max of group 3: delete it (forces rescan of g=3 only) and
+    // delete a strictly-inner value of group 7 (no rescan)
+    val mx3 = mv.filter($"g" === 3).head.getAs[Double]("mx")
+    Lake.delete(spark, dir, $"g" === 3 && $"v" === mx3)
+    val inner7 = Lake.read(spark, dir).filter($"g" === 7)
+      .orderBy($"v").limit(3).orderBy($"v".desc).limit(1)
+      .head.getAs[Double]("v") // third-smallest: strictly inside (mn, mx)
+    Lake.delete(spark, dir, $"g" === 7 && $"v" === inner7)
+    val feed = Seq((3, mx3, "delete"), (7, inner7, "delete"))
+      .toDF("g", "v", "__change_type")
+    val (baseDf, index) = Lake.readIndexed(spark, dir)
+    val got = MaterializedViews.applyDeltaMinMax(mv, feed,
+      baseDf.select($"g", $"v")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val want = Lake.read(spark, dir).groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got === want, "maintained MV != full recompute")
+    // ONLY group 3's files were rescanned (1 of 10 partitions)
+    assert(index.lastSelectedFileCount < index.totalFileCount,
+      s"rescan read ${index.lastSelectedFileCount}/${index.totalFileCount} files — not group-bounded")
+    assert(index.lastSelectedFileCount === index.totalFileCount / 10,
+      s"rescan touched ${index.lastSelectedFileCount} files, expected one partition's")
+
+    // insert-only maintenance never plans the base at all
+    val feed2 = Seq((5, 99999.0, "insert"), (11, 1.0, "insert"))
+      .toDF("g", "v", "__change_type")
+    val (baseDf2, index2) = Lake.readIndexed(spark, dir)
+    val got2 = MaterializedViews.applyDeltaMinMax(mv, feed2,
+      baseDf2.select($"g", $"v")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(index2.lastSelectedFileCount === -1,
+      "insert-only feed must not touch the base")
+    assert(got2(5)._3 === 99999.0, "insert must extend the max delta-only")
+    assert(got2(11) === ((1L, 1.0, 1.0)), "new group from inserts")
+  }
 }
