@@ -190,20 +190,42 @@ object VectorIndex {
   /** Collected tombstone id set for the InSet mask, memoized on the
     * tombstone-table VERSION (the set is immutable between commits —
     * without the memo every topK against a deleted-from index pays a
-    * tombstone scan + collect per query). Returns null when the set
-    * exceeds the inline cap (caller falls back to the anti-join).
-    * Bounded: cleared wholesale past 64 (version, path) entries. */
+    * tombstone scan + collect per query). Returns None when the set
+    * exceeds the inline cap (caller falls back to the anti-join) —
+    * stored as an OPTION so the over-cap verdict memoizes too
+    * (`computeIfAbsent` never stores a null mapping, so a bare null
+    * sentinel would re-collect the 100k+1-row probe on EVERY query
+    * against an over-cap index until compaction — exactly the case
+    * the memo exists for). Bounded: cleared wholesale past 64
+    * (version, path) entries. */
   private val tombCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Any]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[Seq[Any]]]()
   private def tombstoneIds(spark: SparkSession, path: String,
-      ts: DataFrame): Seq[Any] = {
+      ts: DataFrame): Option[Seq[Any]] = {
     val v = Lake.currentVersion(spark, tombTable(path))
     if (tombCache.size > 64) tombCache.clear()
     tombCache.computeIfAbsent((path, v), _ => {
-      val sample = ts.distinct().limit(100001).collect()
-      if (sample.length <= 100000) sample.map(_.get(0)).toSeq else null
+      val sample = ts.distinct().limit(tombInlineCap + 1).collect()
+      if (sample.length <= tombInlineCap) Some(sample.map(_.get(0)).toSeq)
+      else None
     })
   }
+
+  /** Test hook: number of memoized tombstone verdicts for an index
+    * (over-cap ones included — the regression this guards). */
+  private[graft] def tombMemoCount(path: String): Int = {
+    import scala.jdk.CollectionConverters._
+    tombCache.keySet.asScala.count(_._1 == path)
+  }
+
+  /** Inline caps, overridable as TEST SEAMS only (forcing the
+    * over-cap paths without 100k-row fixtures): [[tombInlineCap]]
+    * bounds the tombstone InSet pushed into the codes scan;
+    * [[inlineIdCap]] bounds the shortlist In-list pushed into the
+    * corpus scan — past it the rerank keeps a min/max range filter +
+    * broadcast semi-join instead. */
+  private[graft] var tombInlineCap: Int = 100000
+  private[graft] var inlineIdCap: Int = 10000
 
   /** The standing tombstone set, if any delete has ever COMMITTED.
     * The probe is the committed manifest version, not bare directory
@@ -377,17 +399,40 @@ object VectorIndex {
     // range derived from the In set prunes files and row groups too.
     // (A scattered id set over an unclustered corpus still reads the
     // full file bytes — clustering is what converts the filter into
-    // I/O pruning.) Falls back to the plain join if the id set is too
-    // large to inline into a plan.
+    // I/O pruning.) A LARGE query batch whose distinct candidate set
+    // exceeds the inline cap must not silently revert to O(corpus)
+    // float I/O: it keeps a pushable MIN/MAX RANGE filter derived
+    // from the id set (still prunes files on a clustered corpus) and
+    // drops non-candidates through a broadcast semi-join before any
+    // vector math — the corpus is scanned at most once, and never
+    // with a 10k+-element In-list inlined into the plan.
     val shortRows = shortPlan.collect()
     val shortlist = spark.createDataFrame(
       java.util.Arrays.asList(shortRows: _*), shortPlan.schema)
     val ids = shortRows.map(_.get(1)).distinct.toSeq
     val corpusSide0 = corpus.select(col(corpusId), col(corpusVec))
+    def idRange: Option[org.apache.spark.sql.Column] = ids.headOption.flatMap {
+      case _: Long =>
+        val ls = ids.map(_.asInstanceOf[Long])
+        Some(col(corpusId) >= lit(ls.min) && col(corpusId) <= lit(ls.max))
+      case _: Int =>
+        val is = ids.map(_.asInstanceOf[Int])
+        Some(col(corpusId) >= lit(is.min) && col(corpusId) <= lit(is.max))
+      case _: String =>
+        val ss = ids.map(_.asInstanceOf[String])
+        Some(col(corpusId) >= lit(ss.min) && col(corpusId) <= lit(ss.max))
+      case _ => None
+    }
     val corpusSide =
-      if (ids.nonEmpty && ids.length <= 10000)
+      if (ids.isEmpty) corpusSide0
+      else if (ids.length <= inlineIdCap)
         corpusSide0.filter(col(corpusId).isin(ids: _*))
-      else corpusSide0
+      else {
+        val ranged = idRange.map(corpusSide0.filter).getOrElse(corpusSide0)
+        ranged.join(
+          broadcast(shortlist.select(col(corpusId)).distinct()),
+          Seq(corpusId), "left_semi")
+      }
     // exact rerank in the INDEX's metric, against the original corpus
     // floats (cosine is scale-invariant, so no re-normalization here):
     // l2 ascending / cosine descending, ties by id — column named for
@@ -468,13 +513,14 @@ object VectorIndex {
     // over-cap set falls back to the broadcast anti-join.
     val codes = tombstones(spark, path) match {
       case Some(ts) =>
-        val ids = tombstoneIds(spark, path, ts)
-        if (ids != null && ids.isEmpty) codesAll
-        else if (ids != null)
-          // isNull-or-not-in keeps any null-id codes rows (they are
-          // not tombstonable) and sidesteps NOT IN's null poisoning
-          codesAll.filter(col("id").isNull || !col("id").isin(ids: _*))
-        else codesAll.join(broadcast(ts), Seq("id"), "left_anti")
+        tombstoneIds(spark, path, ts) match {
+          case Some(ids) if ids.isEmpty => codesAll
+          case Some(ids) =>
+            // isNull-or-not-in keeps any null-id codes rows (they are
+            // not tombstonable) and sidesteps NOT IN's null poisoning
+            codesAll.filter(col("id").isNull || !col("id").isin(ids: _*))
+          case None => codesAll.join(broadcast(ts), Seq("id"), "left_anti")
+        }
       case None => codesAll
     }
     val scored0 = codes.join(broadcast(qlut), Seq("cell"))

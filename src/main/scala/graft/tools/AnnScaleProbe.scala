@@ -42,8 +42,8 @@ object AnnScaleProbe {
       (run() + run()) / 2
     }
 
-    println("| corpus | rows | c/nprobe | brute L2 s | index query s | brute/index | masked query s (1% tombstoned) |")
-    println("|---|---|---|---|---|---|---|")
+    println("| corpus | rows | c/nprobe | brute L2 s | index query s | brute/index | 100-query batch s | masked query s (1% tombstoned) |")
+    println("|---|---|---|---|---|---|---|---|")
     for (dir <- dirs) {
       val emb = graft.queries.util.t(spark, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
@@ -71,6 +71,16 @@ object AnnScaleProbe {
         corpus, "vec_id", "embedding", qs, "qid", "qvec",
         k = 5, nprobe = nprobe, rerank = 200))
 
+      // LARGE batch: 100 queries × rerank 200 drives the distinct
+      // shortlist past the 10k inline cap, exercising the range +
+      // broadcast-semi-join fallback (pre-fix this silently reverted
+      // to an unpruned corpus join — brute-shaped float I/O)
+      val qsBig = emb.filter(col("vec_id") >= 20 && col("vec_id") < 120)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val bigBatch = time(VectorIndex.topK(spark, path,
+        corpus, "vec_id", "embedding", qsBig, "qid", "qvec",
+        k = 5, nprobe = nprobe, rerank = 200))
+
       // tombstone overhead: mask ~1% of the corpus and re-time — the
       // per-query cost of the broadcast anti-join against a standing
       // delete set. Restored afterwards by dropping the tombstones
@@ -90,7 +100,7 @@ object AnnScaleProbe {
       f.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
 
       println(f"| $dir | $n | $c/$nprobe | $brute%.3f | $indexed%.3f | " +
-        f"${brute / indexed}%.1f× | $masked%.3f (${batch} dead) |")
+        f"${brute / indexed}%.1f× | $bigBatch%.3f | $masked%.3f (${batch} dead) |")
     }
     spark.stop()
   }

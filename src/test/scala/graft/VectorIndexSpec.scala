@@ -365,4 +365,53 @@ class VectorIndexSpec extends SparkSuite {
       c = 8, m = 8, ks = 16, spill = 1)
     assert(n === corpus.count())
   }
+
+  test("large query batch past the inline cap: range + semi-join path, identical results") {
+    val path = freshPath("bigbatch")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 16, m = 8, ks = 64, spill = 2)
+    def run() = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nprobe = 16, rerank = 1000)
+    val want = run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prevCap = VectorIndex.inlineIdCap
+    try {
+      // force the over-cap fallback: the plan must carry NO giant
+      // In-list, keep a pushable id range, and return the same rows
+      VectorIndex.inlineIdCap = 5
+      val df = run()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi") || plan.contains("left_semi"),
+        s"expected a broadcast semi-join on the corpus side:\n${plan.take(2000)}")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, "over-cap path changed the results")
+    } finally VectorIndex.inlineIdCap = prevCap
+  }
+
+  test("over-cap tombstone verdict memoizes (no re-collect per query)") {
+    val path = freshPath("tombcap")
+    VectorIndex.build(corpus, "vec_id", "embedding", path,
+      c = 16, m = 8, ks = 64, spill = 1)
+    val dead = corpus.select($"vec_id").limit(20)
+    VectorIndex.delete(dead, "vec_id", path)
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    val prevCap = VectorIndex.tombInlineCap
+    try {
+      VectorIndex.tombInlineCap = 5 // 20 tombstones => over cap
+      def run() = VectorIndex.topK(spark, path, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 16, rerank = 1000)
+        .collect()
+      val r1 = run()
+      val memoAfter1 = VectorIndex.tombMemoCount(path)
+      assert(memoAfter1 === 1,
+        s"over-cap verdict not memoized (memo entries: $memoAfter1)")
+      val r2 = run()
+      assert(VectorIndex.tombMemoCount(path) === 1,
+        "second query re-derived the tombstone verdict")
+      // masking still correct through the anti-join fallback
+      assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        r2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+      assert(!r1.exists(r => deadIds.contains(r.getLong(1))),
+        "a tombstoned id surfaced through the over-cap path")
+    } finally VectorIndex.tombInlineCap = prevCap
+  }
 }
