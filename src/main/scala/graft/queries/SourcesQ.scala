@@ -477,6 +477,33 @@ object SourcesQ extends graft.QueryArea {
           col("min_key"), col("max_key"))
         .orderBy(col("change_type"))
     }),
+    // Delta CDF WRITE side: the export materializes each non-append
+    // commit's row-level changes as _change_data parquet + cdc
+    // actions (PROTOCOL.md §Change Data Files); changesCdf replays
+    // the feed FROM THOSE FILES — an independent reader path that
+    // must agree with the oracle's recomputation (and, per
+    // DeltaReadSpec, row-for-row with Lake.changes).
+    "src_delta_cdf_write" -> ((spark, dir) => {
+      val table = tmpDir(dir, "delta_cdfw")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 5 =!= 4), table, Nil)
+      val src = o.filter(col("o_orderkey") % 10 === 1 || col("o_orderkey") % 5 === 4)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 1, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.sources.Lake.mergeMor(spark, table, src, Seq("o_orderkey"))
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 10 === 7)
+      graft.sources.DeltaExport.exportDeltaLog(spark, table, withCdf = true)
+      graft.sources.DeltaRead.changesCdf(spark, table, 0L, 2L)
+        .groupBy(col("__change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .select(col("change_type"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+        .orderBy(col("change_type"))
+    }),
     // Delta DELETION VECTORS (how modern writers delete without
     // rewriting): a foreign-shaped table whose add carries a u-stored
     // roaring-bitmap descriptor; the read must mask exactly the
@@ -575,6 +602,27 @@ object SourcesQ extends graft.QueryArea {
       graft.sources.IcebergExport.exportIcebergMeta(spark, table)
       graft.sources.IcebergRead.read(spark, table)
         .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // BITMAP index (the reference's low-cardinality per-value index,
+    // at file granularity): exact per-file distinct-value sets in the
+    // manifest serve =/IN pruning on a sort-key-clustered column with
+    // zero false positives — consulted automatically by the pushed
+    // filter through the FileIndex (skip counts asserted in
+    // BitmapIndexSpec; here correctness vs the oracle).
+    "src_lake_bitmap_index" -> ((spark, dir) => {
+      val table = tmpDir(dir, "lake_bmi")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Lake.sortKeyWrite(o, table, Seq("o_orderpriority"), nFiles = 10)
+      graft.sources.BitmapIndex.buildIndex(spark, table, Seq("o_orderpriority"))
+      graft.sources.Lake.read(spark, table)
+        .filter(col("o_orderpriority").isin("1-URGENT", "4-NOT SPECIFIED"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
@@ -1401,6 +1449,24 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_delta_cdf_write" ->
+      """WITH ins2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 1 OR o_orderkey % 5 = 4),
+        |del2 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 1),
+        |del3 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 7),
+        |changes AS (
+        |  SELECT 'insert' AS change_type, * FROM ins2
+        |  UNION ALL SELECT 'delete', * FROM del2
+        |  UNION ALL SELECT 'delete', * FROM del3)
+        |SELECT change_type, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM changes GROUP BY change_type ORDER BY change_type""".stripMargin,
     "src_delta_cdf_changes" ->
       """WITH ins2 AS (
         |  SELECT o_orderkey,
@@ -1713,6 +1779,12 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 1
         |ORDER BY version""".stripMargin,
+    "src_lake_bitmap_index" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_iceberg_write_read_transform" ->
       """WITH slice AS (
         |  SELECT * FROM orders

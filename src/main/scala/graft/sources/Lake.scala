@@ -1613,9 +1613,17 @@ object Lake {
     * [[foldDeletes]]/[[compact]] rewrites — logical no-ops that DO
     * remove files — stamp a `commit.op.v<N>` marker the walk skips, so
     * background maintenance never wedges a consumer. A version that
-    * removed files WITHOUT such a marker (copy-on-write DML) is not
-    * expressible from manifests alone — the call fails loudly pointing
-    * at [[snapshotDiff]], the keyed O(table) fallback.
+    * removed files WITHOUT such a marker (copy-on-write DML) emits a
+    * FILE-LEVEL retraction: every surviving row of each removed file
+    * (the pre-image, masked by the prior delete vectors) as `delete`
+    * plus every row of the commit's added files as `insert`. Rows the
+    * rewrite carried through unchanged emit a self-cancelling
+    * delete+insert pair — net-correct under the retraction model a
+    * consumer folds by key, at O(touched files) cost, never
+    * table-sized — so a feed subscription survives an occasional CoW
+    * UPDATE interleaved with MoR loads instead of wedging
+    * mid-subscription. ([[snapshotDiff]] remains the keyed,
+    * minimal-delta alternative when a primary key is known.)
     * Columns: the table's columns plus `__change_type` and
     * `__commit_version`. A window with no row changes returns an EMPTY
     * frame (a poll must be able to advance over quiet commits). The
@@ -1634,9 +1642,6 @@ object Lake {
       val maintenance = cur.props.contains(s"commit.op.v$v")
       val prevPaths = prev.files.map(_.path).toSet
       val removed = prevPaths -- cur.files.map(_.path).toSet
-      require(removed.isEmpty || maintenance,
-        s"version $v of $table rewrote ${removed.size} file(s) " +
-          s"(copy-on-write DML) — use snapshotDiff for that range")
       if (maintenance) None else {
       val added = cur.files.filterNot(f => prevPaths.contains(f.path))
       val newDvs = cur.dvFiles.filterNot(prev.dvFiles.toSet)
@@ -1660,7 +1665,20 @@ object Lake {
           .select(cols: _*)
           .withColumn("__change_type", lit("delete")))
       }
-      (ins ++ del).reduceOption(_ unionByName _)
+      // a CoW rewrite (files removed, no maintenance marker): the
+      // removed files' PRE-IMAGES retract — their rows as they were
+      // visible at v-1, so the prior delete vectors mask here exactly
+      // as a v-1 read would
+      val cowDel = if (removed.isEmpty) None else {
+        val removedFiles = prev.files.filter(f => removed.contains(f.path))
+        val sub = prev.copy(files = removedFiles)
+        Some(applyRenames(
+            maskDeletes(spark, indexedDataFrame(spark, table, sub)._1, sub),
+            prev)
+          .select(cols: _*)
+          .withColumn("__change_type", lit("delete")))
+      }
+      (ins ++ del ++ cowDel).reduceOption(_ unionByName _)
         .map(_.withColumn("__commit_version", lit(v)))
       }
     }
@@ -1805,7 +1823,11 @@ object Lake {
             BloomIndex.mayContainSubstring(lf.blooms, a.name, v.toString)
           case _ => true
         }
-        inBounds && bloomOk
+        // exact low-cardinality value sets (BitmapIndex) prune any
+        // renderable-type equality — In delegates here per element
+        val bitmapOk = !BitmapIndex.renderable(dt) ||
+          BitmapIndex.mayContainValue(lf.blooms, a.name, v.toString)
+        inBounds && bloomOk && bitmapOk
       // substring-shaped predicates prune through the n-gram blooms
       // (BloomIndex.buildIndex) — a prefix/suffix is also a substring
       case Contains(a: AttributeReference, Literal(v, StringType)) if v != null =>
