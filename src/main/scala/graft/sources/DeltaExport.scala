@@ -40,8 +40,24 @@ object DeltaExport {
     new java.net.URI(null, null, rel, null).toASCIIString
 
   /** Export all not-yet-exported Lake snapshots as Delta commits.
-    * Returns the latest Delta version written (or -1 for none). */
-  def exportDeltaLog(spark: SparkSession, table: String): Long = {
+    * Returns the latest Delta version written (or -1 for none).
+    *
+    * `withCdf` additionally materializes the CHANGE DATA FEED write
+    * side (delta.io PROTOCOL.md §Change Data Files): any commit that
+    * is not a pure append gets its row-level changes
+    * ([[Lake.changes]] for the one-version window) written as
+    * `_change_data/` parquet carrying the table's columns plus
+    * `_change_type`, referenced by `cdc` actions in the commit — so
+    * an external CDF reader consumes OUR deletes/upserts without
+    * reconstructing them from add/remove + deletion vectors. Pure
+    * appends emit no cdc action (the spec lets readers derive inserts
+    * from their dataChange adds); maintenance rewrites (fold/compact)
+    * emit an EMPTY cdc file — "files moved, no logical change" —
+    * instead of the spurious remove+add churn a derivation would see.
+    * Cost: O(changed rows) per commit, the same bound as the feed
+    * itself. */
+  def exportDeltaLog(spark: SparkSession, table: String,
+      withCdf: Boolean = false): Long = {
     val cur = Lake.currentVersion(spark, table)
     require(cur > 0, s"no committed Lake version at $table")
     val f = fs(spark, table)
@@ -99,7 +115,10 @@ object DeltaExport {
     def metaDataAction(snap: Lake.Snapshot, withDvConf: Boolean): String = {
       val schemaStr = mapper.writeValueAsString(snap.schemaJson)
       val partCols = mapper.writeValueAsString(snap.partitionCols.toArray)
-      val conf = if (withDvConf) """{"delta.enableDeletionVectors":"true"}""" else "{}"
+      val entries =
+        (if (withDvConf) Seq(""""delta.enableDeletionVectors":"true"""") else Nil) ++
+        (if (withCdf) Seq(""""delta.enableChangeDataFeed":"true"""") else Nil)
+      val conf = entries.mkString("{", ",", "}")
       s"""{"metaData":{"id":"graft-${Integer.toHexString(table.hashCode)}","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":$partCols,"configuration":$conf,"createdTime":${snap.createdAtMs}}}"""
     }
     var last = -1L
@@ -132,6 +151,31 @@ object DeltaExport {
           // the deletionVectors table feature enabled
           sb.append(dvProtocol).append('\n')
           sb.append(metaDataAction(snap, withDvConf = true)).append('\n')
+        }
+        // change-data files BEFORE the remove/add actions (order is
+        // irrelevant to the protocol; grouping keeps the log legible)
+        if (withCdf) {
+          val removed = prev.keySet -- nowFiles.keySet
+          val pureAppend = v > 1 && removed.isEmpty && dvChanged.isEmpty
+          val isV1 = v == 1
+          if (!pureAppend && !isV1) {
+            val changed = Lake.changes(spark, table, v - 1, v)
+              .withColumnRenamed("__change_type", "_change_type")
+              .drop("__commit_version")
+            val staging = s"$table/_cdc_stage_$v"
+            changed.coalesce(1).write.mode("overwrite").parquet(staging)
+            val parts = f.listStatus(new Path(staging))
+              .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            f.mkdirs(new Path(s"$table/_change_data"))
+            parts.zipWithIndex.foreach { case (part, i) =>
+              val relCdc = s"_change_data/cdc-$dv-$i.parquet"
+              f.delete(new Path(s"$table/$relCdc"), false)
+              f.rename(part, new Path(s"$table/$relCdc"))
+              val size = f.getFileStatus(new Path(s"$table/$relCdc")).getLen
+              sb.append(s"""{"cdc":{"path":${mapper.writeValueAsString(encodePath(relCdc))},"partitionValues":{},"size":$size,"dataChange":false}}""").append('\n')
+            }
+            f.delete(new Path(staging), true)
+          }
         }
         ((prev.keySet -- nowFiles.keySet) ++ dvChanged).toSeq.sorted.foreach { r =>
           val p = mapper.writeValueAsString(encodePath(r))

@@ -425,6 +425,59 @@ object DeltaRead {
       }
   }
 
+  /** Change feed via the WRITER-side change-data files (delta.io
+    * PROTOCOL.md §Change Data Files): a commit carrying `cdc` actions
+    * serves its changes from those `_change_data/` parquet files —
+    * the spec's reader rule: when any cdc action is present, it is
+    * authoritative for the commit and add/remove actions are ignored
+    * for change purposes (an empty cdc set ⇒ a rewrite with no
+    * logical change). Commits WITHOUT cdc actions fall back to the
+    * action-derived [[changes]] for that one-version window, so a log
+    * with mixed CDF and plain commits reads end to end. Emits the
+    * [[graft.sources.Lake.changes]] contract columns
+    * (`__change_type`, `__commit_version`). */
+  def changesCdf(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val f = fs(spark, table)
+    val mapper = new ObjectMapper()
+    val known = versions(spark, table)
+    require(fromVersion >= 0 && toVersion > fromVersion &&
+      known.contains(toVersion),
+      s"bad change range v$fromVersion..v$toVersion")
+    def abs(p: String) = p.startsWith("/") || p.contains(":/")
+    def resolve(p: String) = if (abs(p)) p else s"$table/$p"
+    val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
+      require(known.contains(v),
+        s"commit $v of $table is cleaned — cannot derive changes")
+      val in = f.open(new Path(f"$table/_delta_log/$v%020d.json"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val cdcPaths = text.linesIterator.filter(_.nonEmpty).flatMap { line =>
+        val node = mapper.readTree(line)
+        if (node.has("cdc")) Some(decodePath(node.get("cdc").get("path").asText()))
+        else None
+      }.toSeq
+      if (cdcPaths.isEmpty) {
+        // no cdc action: the action-derived feed covers this commit
+        val one = changes(spark, table, v - 1, v)
+        if (one.isEmpty) None else Some(one)
+      } else {
+        val rows = spark.read.parquet(cdcPaths.map(resolve): _*)
+        if (rows.isEmpty) None
+        else Some(rows
+          .withColumnRenamed("_change_type", "__change_type")
+          .withColumn("__commit_version", lit(v)))
+      }
+    }
+    steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(
+        read(spark, table, Some(toVersion))
+          .withColumn("__change_type", lit("insert"))
+          .withColumn("__commit_version", lit(toVersion))
+          .filter(lit(false)))
+  }
+
   /** Write a protocol checkpoint at `version` (default: latest): one
     * parquet snapshot of the live action set (add rows + metaData +
     * protocol) plus the `_last_checkpoint` pointer. After this, JSON

@@ -234,11 +234,56 @@ class LakeMorLoadSpec extends SparkSuite {
     Lake.updateMor(spark, dir, $"k" === 200, Map("price" -> lit(9.9)))
     val ch4 = Lake.changes(spark, dir, 3, 4)
     assert(ch4.filter($"k" === 200).count() === 2L)
-    // a CoW rewrite in the range fails loudly
-    Lake.delete(spark, dir, $"k" === 201)
-    intercept[IllegalArgumentException] {
-      Lake.changes(spark, dir, 4, Lake.currentVersion(spark, dir)).collect()
-    }
+  }
+
+  test("changes: a CoW rewrite emits file-level retractions, net-equal to snapshotDiff; poll survives") {
+    val dir = tmp("mor_chgcow")
+    Lake.write(mkOrders.repartition(4), dir, Nil)                // v1
+    // MoR load, then an interleaved CoW UPDATE, then another MoR load
+    Lake.mergeMor(spark, dir, spark.range(0, 20).select($"id".as("k"),
+      lit(50).cast("int").as("grp"), lit(2.0).as("price")), Seq("k")) // v2
+    Lake.update(spark, dir, $"k" >= 500 && $"k" < 520,
+      Map("price" -> lit(111.0)))                                // v3+ (auto-fold first)
+    val v3 = Lake.currentVersion(spark, dir)
+    Lake.deleteMor(spark, dir, $"k" >= 900 && $"k" < 910)        // v4
+    val v4 = Lake.currentVersion(spark, dir)
+    val ch = Lake.changes(spark, dir, 1, v4)
+    // carried rows of rewritten files appear as self-cancelling
+    // delete+insert pairs: folding the feed by full row value must
+    // equal the keyed snapshotDiff's net effect
+    val net = ch.groupBy($"k", $"grp", $"price")
+      .agg(sum(when($"__change_type" === "insert", 1).otherwise(-1)).as("d"))
+      .filter($"d" =!= 0)
+    val sd = Lake.snapshotDiff(spark, dir, "k", 1, v4, withValues = true)
+      .filter($"status" =!= "unchanged")
+    // every net change matches the keyed diff
+    val netIns = net.filter($"d" > 0).count()
+    val netDel = net.filter($"d" < 0).count()
+    assert(netIns === sd.filter($"status" === "inserted").count() +
+      sd.filter($"status" === "changed").count(),
+      "net inserts != keyed diff inserts+changed")
+    assert(netDel === sd.filter($"status" === "deleted").count() +
+      sd.filter($"status" === "changed").count(),
+      "net deletes != keyed diff deleted+changed")
+    // replay closure (multiset): v1 + feed inserts - feed deletes == live
+    val v1r = Lake.read(spark, dir, Some(1))
+    val del = ch.filter($"__change_type" === "delete").select($"k", $"grp", $"price")
+    val ins = ch.filter($"__change_type" === "insert").select($"k", $"grp", $"price")
+    val replayed = v1r.unionByName(ins).exceptAll(del)
+    val live = Lake.read(spark, dir).select($"k", $"grp", $"price")
+    assert(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+      "replayed state != live state")
+    // ChangeFeed.poll spans the CoW step without wedging, cursor advances
+    import graft.streaming.ChangeFeed
+    val ledger = s"$dir/../cow_cur_${System.nanoTime()}"
+    ChangeFeed.commitCursor(spark, ledger, 1)
+    var polledRows = -1L
+    val win = ChangeFeed.poll(spark, dir, ledger) { (c, _, _) =>
+      polledRows = c.count() }
+    assert(win.contains((1, v4)))
+    assert(polledRows === ch.count())
+    assert(ChangeFeed.readCursor(spark, ledger) === Some(v4))
+    assert(v3 >= 3, "update should have committed after the merge")
   }
 
   test("changes: metadata-only and fold/compact commits are transparent") {
