@@ -93,23 +93,55 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate PAIRS: returns (id_a, id_b,
     * n_shared_bands) for candidates sharing >= 1 band, with ids
-    * ordered a < b. bands * rowsPerBand must == numHashes. */
+    * ordered a < b. bands * rowsPerBand must == numHashes.
+    *
+    * SUPER-SPREADER guard (`bucketCap`): the bucket self-join is
+    * quadratic in bucket size, and a corpus with a large
+    * mutual-near-duplicate cluster (boilerplate, templated pages,
+    * replicated shards) lands the whole cluster in one bucket per
+    * band — the sf10 decade probe measured 27.5× wall for 10× docs
+    * from exactly this (SCALING.md round-8). Buckets above the cap
+    * switch to STAR pairing: each member pairs with the bucket's
+    * MIN id only — O(|bucket|) pairs. Under the keep-lowest-id dedup
+    * contract the star is semantics-preserving for genuine clusters
+    * (every member verifies against the representative, and the
+    * representative is the id [[minhashDedup]] would keep); what it
+    * forgoes is member↔member pairs inside an over-cap bucket whose
+    * members are NOT all similar to the min — LSH false positives in
+    * degenerate buckets, the accepted trade every production LSH
+    * dedup makes. Below the cap the exact all-pairs join runs
+    * unchanged. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      bucketCap: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    require(bucketCap >= 2, s"bucketCap=$bucketCap cannot form pairs")
     val sig = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
     // explode band signatures: band index + hash of that band's slice
-    val banded = sig.select(col("__id"), posexplode(
+    val banded0 = sig.select(col("__id"), posexplode(
       array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => col("__sig")(b * rowsPerBand + r)): _*))
       }: _*))).withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bandsig")
-    val l = banded.select(col("__band"), col("__bandsig"), col("__id").as("id_a"))
-    val r = banded.select(col("__band"), col("__bandsig"), col("__id").as("id_b"))
-    l.join(r, Seq("__band", "__bandsig"))
+    // one window pass tags bucket size + the bucket representative —
+    // same shuffle key as the join, no extra exchange shape
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band"), col("__bandsig"))
+    val banded = banded0
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__brep", min(col("__id")).over(w))
+    val small = banded.filter(col("__bn") <= bucketCap)
+    val l = small.select(col("__band"), col("__bandsig"), col("__id").as("id_a"))
+    val r = small.select(col("__band"), col("__bandsig"), col("__id").as("id_b"))
+    val exact = l.join(r, Seq("__band", "__bandsig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val starred = banded.filter(col("__bn") > bucketCap &&
+        col("__id") =!= col("__brep"))
+      .select(col("__brep").as("id_a"), col("__id").as("id_b"))
+    exact.unionByName(starred)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -148,14 +180,16 @@ object Dedup {
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4,
+      bucketCap: Int = 64): DataFrame = {
     // Candidate pairs fan out three ways below (both candIds union
     // branches + the verify join); localCheckpoint materializes the
     // full shingle→minhash→LSH pipeline ONCE instead of relying on
     // exchange reuse to cover 3 re-executions. Pair count is bounded
     // by band collisions (near-dup clusters), a small fraction of the
     // corpus — cheap to pin.
-    val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes,
+        bands, bucketCap)
       .localCheckpoint(true)
     // Verify needs shingles only for ids that appear in a candidate pair
     // (a small fraction of the corpus); semi-join prune BEFORE the

@@ -14,8 +14,11 @@ import graft.{Engine, Session, SparkEntry}
   * args: sf1Dir [sf01Dir] [set]  — set = "worst" (default),
   * "flights" (full TPC-H 22 + SSB 13, the per-row competitiveness
   * flight with the statement floor amortized by 10x the rows),
-  * "tpcds" (one representative per TPC-DS-mechanics family), or
-  * "cb" (every ClickBench-mechanics gate, resolved dynamically)
+  * "tpcds" (one representative per TPC-DS-mechanics family),
+  * "cb" (every ClickBench-mechanics gate, resolved dynamically), or
+  * "tail" (the sf1 flight's worst growers + the dedup/percentile
+  * family — the set whose NEXT decade decides fixed-cost artifact
+  * vs real super-linear term; run with sf10 as dir1, sf1 as dir2)
   */
 object Sf1Probe {
   def main(args: Array[String]): Unit = {
@@ -61,6 +64,15 @@ object Sf1Probe {
       "tpcds_rollup_avg_bands", "tpcds_dim_copy_mismatch",
       "tpcds_inventory_lag", "tpcds_decline_pairs")
 
+    // the sf1 decade's tail growers (q14 8.3x, q4/q18 4.4x, ssb_q3_3
+    // 2.9x) + the dedup/percentile family: one more decade tells
+    // whether these are amortizing fixed costs or super-linear terms
+    val tail = Seq(
+      "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customer",
+      "ssb_q3_3", "dedup_minhash", "dedup_semantic", "dedup_substring_spans",
+      "agg_percentiles", "agg_weighted_percentile", "percentile_tdigest",
+      "text_decontaminate", "evt_rolling_wau")
+
     val lookup = SparkEntry.queries ++ graft.queries.Pipeline.benchOnly
     def time(name: String, dir: String): Double = {
       def run(): Double = {
@@ -79,6 +91,9 @@ object Sf1Probe {
       case "flights" => flights
       case "tpcds"   => tpcds
       case "cb"      => SparkEntry.queries.keys.filter(_.startsWith("cb_")).toSeq.sorted
+      case "tail"    => tail
+      case other if other.startsWith("only:") =>
+        other.stripPrefix("only:").split(",").toSeq // ad-hoc re-probe subset
       case _         => worst
     }
     for (name <- names) {

@@ -242,4 +242,36 @@ class DedupSpec extends SparkSuite {
     val originals = emb.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept === originals)
   }
+
+  test("super-spreader buckets: star pairing bounds pairs and preserves keep-lowest dedup") {
+    import spark.implicits._
+    // a 40-member mutual near-duplicate cluster (identical text ⇒ one
+    // bucket per band) + unrelated docs: the all-pairs join would emit
+    // 40·39/2 pairs per band; the capped path must emit O(cluster)
+    // star pairs yet dedup to the same survivors
+    val cluster = (0L until 40L).map(i =>
+      (100L + i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val solo = Seq(
+      (1L, "completely different words about economic policy review"),
+      (2L, "unrelated second text on maritime navigation techniques"))
+    val docs = (cluster ++ solo).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashDedup(docs, "doc_id", "text",
+        bucketCap = Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val capped = Dedup.minhashDedup(docs, "doc_id", "text", bucketCap = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped === uncapped, "star pairing changed the dedup result")
+    assert(capped === Set(1L, 2L, 100L), "cluster must collapse to its min id")
+    // pair volume is linear in the over-cap bucket, not quadratic
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", bucketCap = 8)
+    assert(pairs.count() === 39L,
+      s"expected 39 star pairs, got ${pairs.count()}")
+    val pairsUncapped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      bucketCap = Int.MaxValue)
+    assert(pairsUncapped.count() === (40L * 39) / 2)
+    // below the cap the exact all-pairs path is untouched
+    val small = Dedup.minhashLshPairs(docs.filter($"doc_id" < 110), "doc_id",
+      "text", bucketCap = 256)
+    assert(small.count() === (10L * 9) / 2)
+  }
 }
