@@ -413,6 +413,12 @@ object IcebergRead {
     require(entries.nonEmpty, s"snapshot has no data files: $table")
     val deleteFiles = positionDeleteFiles(spark, table, snapshotId)
     val eqDels = equalityDeleteFiles(spark, table, snapshotId)
+    // transform-partitioned tables (any non-identity spec field, no
+    // row-level deletes) route through the TransformFileIndex so a
+    // plain read().filter(...) prunes files automatically
+    if (deleteFiles.isEmpty && eqDels.isEmpty &&
+        partitionSpecFull(spark, table).exists(_.transform.kind != "identity"))
+      return (readTransformIndexed(spark, table, snapshotId)._1, None)
     val specFields = partitionSpecFields(spark, table)
     if (specFields.isEmpty)
       return (maskedScan(spark, entries, deleteFiles, eqDels)(es =>
@@ -454,6 +460,77 @@ object IcebergRead {
     * plus the file-skip evidence. */
   final case class PrunedScan(df: DataFrame, keptFiles: Int, totalFiles: Int)
 
+  /** FileIndex over a TRANSFORM-partitioned snapshot's data files —
+    * the automatic twin of [[readPruned]]: pushed data filters reach
+    * [[listFiles]] as resolved Catalyst conjuncts, are converted into
+    * partition-struct constraints through the SAME
+    * [[transformEntryPredicates]] core, and non-matching files never
+    * enter the scan. `Lake.read`-style usage —
+    * `IcebergRead.read(...).filter($"ts" === d)` — therefore prunes
+    * `days(ts)`-partitioned tables with no dedicated API, the
+    * BloomIndex/BitmapIndex contract. Source columns live IN the
+    * data files (the transform-writer norm), so the partition schema
+    * is empty and no column re-attachment happens. */
+  final class TransformFileIndex(table: String,
+      entries: Seq[DataFileEntry], spec: Seq[SpecField],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      sizes: Map[String, Long])
+      extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+    @volatile var lastSelectedFileCount: Int = -1
+    val totalFileCount: Int = entries.size
+
+    override def rootPaths: Seq[Path] = Seq(new Path(table))
+    override def partitionSchema: org.apache.spark.sql.types.StructType =
+      new org.apache.spark.sql.types.StructType()
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[PartitionDirectory] = {
+      val preds = transformEntryPredicates(dataFilters, spec, dataSchema)
+      val kept =
+        if (preds.isEmpty) entries
+        else entries.filter(e => preds.forall(_(e)))
+      lastSelectedFileCount = kept.size
+      val statuses = kept.map(e => new org.apache.hadoop.fs.FileStatus(
+        sizes(e.path), false, 1, 128L * 1024 * 1024, 0L,
+        new Path(e.path))).toArray
+      Seq(PartitionDirectory(InternalRow.empty, statuses))
+    }
+    override def inputFiles: Array[String] = entries.map(_.path).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = sizes.values.sum
+  }
+
+  /** Indexed scan of a transform-partitioned snapshot: the returned
+    * frame prunes pushed filters through [[TransformFileIndex]]; the
+    * index is returned so tests assert the skip counts. Requires a
+    * delete-free snapshot (MoR masks re-route through the masked
+    * scan, unpruned — correctness first). */
+  def readTransformIndexed(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): (DataFrame, TransformFileIndex) = {
+    val entries = dataFileEntries(spark, table, snapshotId)
+    require(entries.nonEmpty, s"snapshot has no data files: $table")
+    val spec = partitionSpecFull(spark, table)
+    require(spec.exists(_.transform.kind != "identity"),
+      s"$table has no transform partition fields — use readIndexed")
+    require(positionDeleteFiles(spark, table, snapshotId).isEmpty &&
+      equalityDeleteFiles(spark, table, snapshotId).isEmpty,
+      s"$table carries row-level deletes — the masked scan serves it")
+    val f = fs(spark, table)
+    val dataSchema = spark.read.parquet(entries.head.path).schema
+    val sizes = entries.map(e => e.path -> e.sizeBytes.getOrElse(
+      f.getFileStatus(new Path(e.path)).getLen)).toMap
+    val index = new TransformFileIndex(table, entries, spec, dataSchema, sizes)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, index.partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty)(spark)
+    (spark.baseRelationToDataFrame(rel), index)
+  }
+
   /** TRANSFORM-AWARE pruned scan: plan-time file skipping for tables
     * partitioned by `days(ts)` / `bucket(N, id)` / `truncate(W, s)` —
     * the ecosystem-default Iceberg layouts ([[partitionSpecFull]]).
@@ -489,6 +566,28 @@ object IcebergRead {
       case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         conjuncts(fl.condition)
     }.flatten
+    val preds = transformEntryPredicates(conds, spec, schema)
+    val kept = entries.filter(e => preds.forall(_(e)))
+    val posFiles = positionDeleteFiles(spark, table, snapshotId)
+    val eqDels = equalityDeleteFiles(spark, table, snapshotId)
+    val df =
+      if (kept.isEmpty) base.filter(predicate).limit(0)
+      else maskedScan(spark, kept, posFiles, eqDels)(es =>
+        spark.read.parquet(es.map(_.path): _*)).filter(predicate)
+    PrunedScan(df, kept.size, entries.size)
+  }
+
+  /** Transform-aware per-entry keep predicates from resolved
+    * conjuncts — the shared core of [[readPruned]] (explicit API) and
+    * [[TransformFileIndex]] (automatic plan-time pruning). Every
+    * unrecognized shape contributes NO constraint: pruning can only
+    * skip I/O, never drop rows (the BloomIndex contract — the full
+    * predicate re-applies on the surviving scan either way). */
+  private[sources] def transformEntryPredicates(
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      spec: Seq[SpecField],
+      schema: org.apache.spark.sql.types.StructType): Seq[DataFileEntry => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
     // transformed-literal normalization: Long-comparable, String, or
     // unsupported (no constraint — conservative)
     def norm(v: Any): Option[Either[Long, String]] = v match {
@@ -540,7 +639,7 @@ object IcebergRead {
           transformed(fld, dtOf(src), v).map { t => (e: DataFileEntry) =>
             pval(e, fld).forall(cmp(_, t, op)) }
         }
-    val preds: Seq[EntryPred] = conds.flatMap {
+    conds.flatMap {
       case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
         eqPreds(a.name, v)
       case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
@@ -574,14 +673,6 @@ object IcebergRead {
         rangePreds(a.name, v, +1)
       case _ => Nil
     }
-    val kept = entries.filter(e => preds.forall(_(e)))
-    val posFiles = positionDeleteFiles(spark, table, snapshotId)
-    val eqDels = equalityDeleteFiles(spark, table, snapshotId)
-    val df =
-      if (kept.isEmpty) base.filter(predicate).limit(0)
-      else maskedScan(spark, kept, posFiles, eqDels)(es =>
-        spark.read.parquet(es.map(_.path): _*)).filter(predicate)
-    PrunedScan(df, kept.size, entries.size)
   }
 
   // ---- minimal spec-shaped layout writer (tests + gate) ----

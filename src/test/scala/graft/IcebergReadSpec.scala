@@ -381,6 +381,16 @@ class IcebergReadSpec extends SparkSuite {
     assert(in3.df.count() ===
       all.filter($"cust".isin(1L, 2L, 3L) &&
         $"ts" === org.apache.spark.sql.functions.lit(day0)).count())
+    // AUTOMATIC path: a pushed filter on a plain read() prunes through
+    // the TransformFileIndex — no dedicated API
+    val (auto, tfi) = IcebergRead.readTransformIndexed(spark, table)
+    assert(auto.filter($"ts" === day0 && $"cust" === 40L)
+      .select($"k").collect().map(_.getLong(0)).toSet === want)
+    assert(tfi.lastSelectedFileCount === 1,
+      s"automatic prune kept ${tfi.lastSelectedFileCount}/${tfi.totalFileCount}")
+    // plain read() takes the same indexed route on transform tables
+    assert(IcebergRead.read(spark, table)
+      .filter($"cust" === 40L && $"ts" === day0).count() === want.size.toLong)
   }
 
   test("transform-partitioned append carries prior snapshots; truncate prunes strings by code points") {
