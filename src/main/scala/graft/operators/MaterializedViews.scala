@@ -130,6 +130,86 @@ object MaterializedViews {
   def read(spark: SparkSession, baseDir: String, name: String): DataFrame =
     spark.read.parquet(path(baseDir, name))
 
+  /** Current state of a [[maintainMinMaxMv]] MV (pointer-resolved). */
+  def readMinMaxMv(spark: SparkSession, mvDir: String): DataFrame = {
+    val f = new org.apache.hadoop.fs.Path(mvDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$mvDir/_current")
+    require(f.exists(p), s"no maintained MV at $mvDir")
+    val in = f.open(p)
+    val v = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    spark.read.parquet(s"$mvDir/state-v$v")
+  }
+
+  /** STANDING min/max MV maintained from the Lake change-feed
+    * subscription — [[applyDeltaMinMax]] composed with
+    * [[graft.streaming.ChangeFeed.poll]]'s exactly-once ledger: one
+    * poll applies the (cursor, current] retraction window to the MV
+    * state and publishes the new state KEYED BY the `to` version
+    * (state-v<N> directory + pointer-file swap), so a crash between
+    * apply and cursor commit replays into the same versioned
+    * directory — idempotent, the exactly-once recipe the
+    * stream_lake_cdc_poll gate proves for counts, now carrying
+    * non-decomposable aggregates. First poll bootstraps the state
+    * from a full aggregate at the table's current version.
+    *
+    * `gv` produces the (group, value) Columns over any frame carrying
+    * the table's columns — applied to base reads and feed windows
+    * alike. Returns the applied window (None = nothing new). Cost per
+    * poll: O(changed rows) + a bounded rescan of extreme-retracting
+    * groups ([[applyDeltaMinMax]]'s contract). */
+  def maintainMinMaxMv(spark: SparkSession, table: String,
+      mvDir: String, ledgerPath: String,
+      gv: DataFrame => (org.apache.spark.sql.Column, org.apache.spark.sql.Column),
+      failBeforeCommit: Boolean = false): Option[(Int, Int)] = {
+    import org.apache.spark.sql.functions._
+    val f = new org.apache.hadoop.fs.Path(mvDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def statePath(v: Int) = s"$mvDir/state-v$v"
+    def pointer = new org.apache.hadoop.fs.Path(s"$mvDir/_current")
+    def readPointer: Option[Int] =
+      if (!f.exists(pointer)) None
+      else {
+        val in = f.open(pointer)
+        val b = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        Some(new String(b, "UTF-8").trim.toInt)
+      }
+    def projGv(df: DataFrame): DataFrame = {
+      val (g, v) = gv(df); df.select(g.as("g"), v.as("v"))
+    }
+    def aggAll(df: DataFrame): DataFrame = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    readPointer match {
+      case None =>
+        // bootstrap: full aggregate at the CURRENT version; the
+        // ledger seeds there so the first real poll starts after it
+        val cur = graft.sources.Lake.currentVersion(spark, table)
+        aggAll(projGv(graft.sources.Lake.read(spark, table)))
+          .write.mode("overwrite").parquet(statePath(cur))
+        val out = f.create(pointer, true)
+        try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+        graft.streaming.ChangeFeed.commitCursor(spark, ledgerPath, cur)
+        Some((0, cur))
+      case Some(stateV) =>
+        graft.streaming.ChangeFeed.poll(spark, table, ledgerPath,
+          initialVersion = stateV, failBeforeCommit = failBeforeCommit) { (changes, from, to) =>
+          val mv = spark.read.parquet(statePath(from))
+          val (g, v) = gv(changes)
+          val feed = changes.select(g.as("g"), v.as("v"), col("__change_type"))
+          val updated = applyDeltaMinMax(mv, feed,
+            projGv(graft.sources.Lake.read(spark, table)))
+          // versioned state + pointer swap: a replayed window rewrites
+          // state-v<to> identically, never corrupts state-v<from>
+          updated.write.mode("overwrite").parquet(statePath(to))
+          val out = f.create(pointer, true)
+          try out.write(to.toString.getBytes("UTF-8")) finally out.close()
+        }
+    }
+  }
+
   final case class PctReport(refreshed: Seq[String], removed: Seq[String], unchanged: Int)
 
   /** Partition-change-tracking (PCT) refresh — the reference's

@@ -1009,6 +1009,42 @@ object SourcesQ extends graft.QueryArea {
           col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
         .orderBy(col("g"))
     }),
+    // STANDING min/max MV maintained through the exactly-once
+    // change-feed subscription (maintainMinMaxMv = applyDeltaMinMax ∘
+    // ChangeFeed.poll, versioned state + pointer swap): bootstrap at
+    // v1, two polls apply a delete wave (extreme retraction →
+    // group-bounded rescan), an upsert wave, and a MoR update — the
+    // final state must equal a full recompute
+    "mv_minmax_poll" -> ((spark, dir) => {
+      val table = tmpDir(dir, "mv_mxp_t")
+      val mvDir = tmpDir(dir, "mv_mxp_s")
+      graft.sources.Formats.deleteDir(spark, table)
+      graft.sources.Formats.deleteDir(spark, mvDir)
+      val ledger = s"$mvDir/cursor"
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o, table, Nil)                     // v1
+      val gv = (df: org.apache.spark.sql.DataFrame) =>
+        ((col("o_orderkey") % 5).cast("int"),
+          col("o_totalprice").cast("decimal(18,6)"))
+      def poll() = graft.operators.MaterializedViews
+        .maintainMinMaxMv(spark, table, mvDir, ledger, gv)
+      poll()                                                      // bootstrap @ v1
+      graft.sources.Lake.deleteMor(spark, table,
+        col("o_orderkey") % 6 === 0)                              // v2
+      graft.sources.Lake.mergeMor(spark, table,
+        o.filter(col("o_orderkey") % 11 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 50000),
+        Seq("o_orderkey"))                                        // v3
+      poll()                                                      // applies (1,3]
+      graft.sources.Lake.updateMor(spark, table,
+        col("o_orderkey") % 10 === 9,
+        Map("o_totalprice" -> (col("o_totalprice") * 0.5)))       // v4
+      poll()                                                      // applies (3,4]
+      graft.operators.MaterializedViews.readMinMaxMv(spark, mvDir)
+        .select(col("g"), col("n"), col("s").cast("double").as("total"),
+          col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
+        .orderBy(col("g"))
+    }),
     // Snapshot diff (Lake.snapshotDiff): CDC-out between two versions
     // — v1 holds keys %3∈{0,1}; v2 overwrites with %3∈{1,2} and bumps
     // the %3==1 prices, so every key classifies deterministically:
@@ -1513,6 +1549,22 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY coalesce(tag, 'none') ORDER BY tag""".stripMargin,
+    "mv_minmax_poll" ->
+      """WITH boosted AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 1 THEN o_totalprice + 50000
+        |         ELSE o_totalprice END AS p0
+        |  FROM orders
+        |  WHERE o_orderkey % 6 <> 0 OR o_orderkey % 11 = 1),
+        |final AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 9 THEN p0 * 0.5 ELSE p0 END AS p
+        |  FROM boosted)
+        |SELECT CAST(o_orderkey % 5 AS INT) AS g, count(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(MIN(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS mn,
+        |  CAST(MAX(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS mx
+        |FROM final GROUP BY 1 ORDER BY g""".stripMargin,
     "mv_delta_apply_minmax" ->
       """WITH final AS (
         |  SELECT o_orderkey,

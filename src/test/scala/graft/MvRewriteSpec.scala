@@ -212,4 +212,36 @@ class MvRewriteSpec extends SparkSuite with BeforeAndAfterAll {
     assert(got2(5)._3 === 99999.0, "insert must extend the max delta-only")
     assert(got2(11) === ((1L, 1.0, 1.0)), "new group from inserts")
   }
+
+  test("maintained min/max MV: exactly-once across a crash between apply and cursor commit") {
+    import graft.operators.MaterializedViews
+    import graft.sources.Lake
+    val table = Files.createTempDirectory("graft_mvp_t").toString + "/t"
+    val mvDir = Files.createTempDirectory("graft_mvp_s").toString
+    val ledger = s"$mvDir/cursor"
+    Lake.write(spark.range(0, 500).select(($"id" % 4).cast("int").as("g"),
+      ($"id" * 7 % 501).cast("double").as("p")), table, Nil)     // v1
+    val gv = (df: DataFrame) => (col("g"), col("p").cast("decimal(18,6)"))
+    def poll(fail: Boolean = false) = MaterializedViews
+      .maintainMinMaxMv(spark, table, mvDir, ledger, gv, failBeforeCommit = fail)
+    assert(poll().contains((0, 1)))                              // bootstrap
+    Lake.deleteMor(spark, table, $"g" === 2 && $"p" > 400)       // v2: retracts max
+    intercept[IllegalStateException] { poll(fail = true) }       // crash after apply
+    // replay converges: same window re-applies into the same state
+    assert(poll().contains((1, 2)))
+    val got = MaterializedViews.readMinMaxMv(spark, mvDir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDecimal(3).doubleValue(), r.getDecimal(4).doubleValue())))
+      .toMap
+    val want = Lake.read(spark, table).groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        min($"p".cast("decimal(18,6)")).as("mn"),
+        max($"p".cast("decimal(18,6)")).as("mx"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue())))
+      .toMap
+    assert(got === want, "post-crash replay diverged from recompute")
+    // a quiet poll is a no-op, cursor stays
+    assert(poll() === None)
+  }
 }
