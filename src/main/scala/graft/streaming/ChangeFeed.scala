@@ -78,4 +78,26 @@ object ChangeFeed {
     commitCursor(spark, ledgerPath, cur)
     Some((cursor, cur))
   }
+
+  /** [[poll]] against a DELTA table (any writer's — this repo's
+    * export or a foreign one): the same ledger discipline over
+    * [[graft.sources.DeltaRead.changesCdf]], which serves writer-side
+    * `_change_data` files when the commit carries `cdc` actions and
+    * falls back to the action-derived feed otherwise. The cursor
+    * stores the last applied DELTA version (0-based — seed
+    * `initialVersion = 0` to start after the initial commit, whose
+    * rows are the baseline, not changes). */
+  def pollDelta(spark: SparkSession, table: String, ledgerPath: String,
+      initialVersion: Int = 0, failBeforeCommit: Boolean = false)(
+      apply: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
+    val cursor = readCursor(spark, ledgerPath).getOrElse(initialVersion)
+    val cur = graft.sources.DeltaRead.versions(spark, table).last.toInt
+    if (cur <= cursor) return None
+    apply(graft.sources.DeltaRead.changesCdf(spark, table, cursor.toLong,
+      cur.toLong), cursor, cur)
+    if (failBeforeCommit)
+      throw new IllegalStateException("simulated crash before cursor commit")
+    commitCursor(spark, ledgerPath, cur)
+    Some((cursor, cur))
+  }
 }

@@ -328,6 +328,71 @@ class DeltaReadSpec extends SparkSuite {
       ("delete", 1L, "a"), ("delete", 2L, "b")))
   }
 
+  test("CDF write side: cdc files replay row-for-row with Lake.changes; fold is an empty cdc; appends derive") {
+    import graft.sources.{DeltaExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-dcdfw").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Lake.write(spark.range(0, 300).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x")).repartition(2), table, Nil)  // v1
+    Lake.mergeMor(spark, table, spark.range(0, 20).select($"id".as("k"),
+      lit(-5.0).as("x")), Seq("k"))                                    // v2
+    Lake.deleteMor(spark, table, $"k" >= 250)                          // v3
+    Lake.foldDeletes(spark, table)                                     // v4 (maintenance)
+    Lake.write(spark.range(300, 320).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x")), table, Nil, mode = "append") // v5
+    DeltaExport.exportDeltaLog(spark, table, withCdf = true)
+    def logText(v: Long): String = {
+      val in = f.open(new org.apache.hadoop.fs.Path(f"$table/_delta_log/$v%020d.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    // MoR commits carry cdc actions; the fold's cdc is an EMPTY file;
+    // the pure append carries none (derivable from its adds)
+    assert(logText(1L).contains("\"cdc\"") && logText(2L).contains("\"cdc\""))
+    assert(logText(3L).contains("\"cdc\""), "fold should write an empty cdc")
+    assert(!logText(4L).contains("\"cdc\""), "pure append must not write cdc")
+    assert(logText(0L).contains("delta.enableChangeDataFeed"))
+    // row-for-row equality with the native feed (Delta v = Lake v - 1)
+    val viaCdf = DeltaRead.changesCdf(spark, table, 0L, 4L)
+      .withColumn("__commit_version", $"__commit_version" + 1)
+    val viaLake = Lake.changes(spark, table, 1, 5)
+    assert(viaCdf.exceptAll(viaLake).isEmpty && viaLake.exceptAll(viaCdf).isEmpty,
+      "CDF file replay != manifest-derived feed")
+    // fold contributed nothing; append derived as inserts
+    assert(viaCdf.filter($"__commit_version" === 4).count() === 0L)
+    assert(viaCdf.filter($"__commit_version" === 5 &&
+      $"__change_type" === "insert").count() === 20L)
+  }
+
+  test("Delta-side CDC subscription: pollDelta windows chain over CDF, crash replays") {
+    import graft.sources.{DeltaExport, Lake}
+    import graft.streaming.ChangeFeed
+    val table = java.nio.file.Files.createTempDirectory("graft-dpoll").toString + "/t"
+    val ledger = table + "/../cursor"
+    Lake.write(spark.range(0, 200).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x")), table, Nil)            // v1 -> Delta 0
+    Lake.deleteMor(spark, table, $"k" < 20)                       // v2 -> Delta 1
+    DeltaExport.exportDeltaLog(spark, table, withCdf = true)
+    var seen = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
+    def poll(fail: Boolean = false) =
+      ChangeFeed.pollDelta(spark, table, ledger, failBeforeCommit = fail) {
+        (c, from, to) => seen += ((from, to, c.count()))
+      }
+    assert(poll().contains((0, 1)))
+    assert(seen.last === ((0, 1, 20L)), s"got ${seen.last}")
+    // new commit, crash between apply and cursor, then replay
+    Lake.mergeMor(spark, table, spark.range(0, 5).select($"id".as("k"),
+      lit(-1.0).as("x")), Seq("k"))                               // v3 -> Delta 2
+    DeltaExport.exportDeltaLog(spark, table, withCdf = true)
+    intercept[IllegalStateException] { poll(fail = true) }
+    assert(poll().contains((1, 2)))
+    // the replayed window saw the same rows twice (at-least-once
+    // apply; idempotence is the consumer's versioned-state job)
+    assert(seen.count(w => w._1 == 1 && w._2 == 2) === 2)
+    assert(seen.filter(w => w._1 == 1).forall(_._3 === 5L),
+      "upsert of 5 fresh keys should emit 5 inserts")
+    assert(poll() === None, "quiet table must no-op")
+  }
+
   test("export protocol: DV-free log is {1,2}; first DV commit upgrades in-place") {
     import graft.sources.{DeltaExport, Lake}
     val table = java.nio.file.Files.createTempDirectory("graft-dproto").toString + "/t"
