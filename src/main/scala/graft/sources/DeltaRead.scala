@@ -438,7 +438,7 @@ object DeltaRead {
     * (`__change_type`, `__commit_version`). */
   def changesCdf(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, when}
     val f = fs(spark, table)
     val mapper = new ObjectMapper()
     val known = versions(spark, table)
@@ -467,6 +467,13 @@ object DeltaRead {
         if (rows.isEmpty) None
         else Some(rows
           .withColumnRenamed("_change_type", "__change_type")
+          // foreign writers (Spark+Delta) emit updates as
+          // update_preimage/update_postimage pairs; under this feed's
+          // retraction contract those ARE delete(old)/insert(new)
+          .withColumn("__change_type",
+            when(col("__change_type") === "update_preimage", lit("delete"))
+              .when(col("__change_type") === "update_postimage", lit("insert"))
+              .otherwise(col("__change_type")))
           .withColumn("__commit_version", lit(v)))
       }
     }

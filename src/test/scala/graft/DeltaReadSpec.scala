@@ -363,6 +363,46 @@ class DeltaReadSpec extends SparkSuite {
       $"__change_type" === "insert").count() === 20L)
   }
 
+  test("foreign CDF commits: update_preimage/postimage map onto the retraction contract") {
+    val table = java.nio.file.Files.createTempDirectory("graft-dcdffx").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+    def onefile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val staging = s"$table/_stage_${dest.hashCode.abs}"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.rename(part, new org.apache.hadoop.fs.Path(s"$table/$dest"))
+      f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    onefile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "d1.parquet")
+    onefile(Seq((1L, "a2"), (2L, "b")).toDF("id", "v"), "d2.parquet")
+    // a Spark+Delta-style update commit: cdc file with pre/postimage
+    onefile(Seq((1L, "a", "update_preimage"), (1L, "a2", "update_postimage"))
+      .toDF("id", "v", "_change_type"), "_change_data/c1.parquet")
+    val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(Seq((1L, "a")).toDF("id", "v").schema.json)
+    def log(v: Long, body: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(
+        f"$table/_delta_log/$v%020d.json"), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    log(0L,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""" + "\n" +
+      """{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+    log(1L,
+      """{"cdc":{"path":"_change_data/c1.parquet","partitionValues":{},"size":1,"dataChange":false}}""" + "\n" +
+      """{"add":{"path":"d2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
+      """{"remove":{"path":"d1.parquet","deletionTimestamp":1,"dataChange":true}}""" + "\n")
+    val ch = DeltaRead.changesCdf(spark, table, 0L, 1L)
+      .collect().map(r => (r.getAs[String]("__change_type"),
+        r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    // the cdc file is authoritative (no d1/d2-derived rows), and the
+    // update pair arrives as delete(old) + insert(new)
+    assert(ch === Set(("delete", 1L, "a"), ("insert", 1L, "a2")))
+  }
+
   test("Delta-side CDC subscription: pollDelta windows chain over CDF, crash replays") {
     import graft.sources.{DeltaExport, Lake}
     import graft.streaming.ChangeFeed
