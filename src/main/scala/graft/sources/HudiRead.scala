@@ -223,6 +223,15 @@ object HudiRead {
       throw new IllegalArgumentException(
         s"$table has MoR log files but no hoodie.table.recordkey.fields — " +
           "cannot merge without the record key"))
+    // hive-partitioned groups keep their partition values in DIRECTORY
+    // names, which a direct file read cannot restore — merging would
+    // silently emit rows WITHOUT the partition columns. Refuse loudly;
+    // compaction (a base rewrite retiring the logs) restores the CoW
+    // read path, which does recover them from the timeline.
+    require(dirty.forall(_.base.partitionPath.isEmpty),
+      s"$table has pending logs on hive-partitioned file groups — " +
+        "the merge cannot restore directory-encoded partition columns; " +
+        "compact (rewrite the base) and use the timeline-indexed read")
     val dataSchema = spark.read.parquet(s"$table/${dirty.head.base.path}").schema
     require(dataSchema.fieldNames.contains(keyField),
       s"record key $keyField missing from the base schema")
