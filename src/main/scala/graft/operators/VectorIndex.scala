@@ -419,8 +419,21 @@ object VectorIndex {
         val is = ids.map(_.asInstanceOf[Int])
         Some(col(corpusId) >= lit(is.min) && col(corpusId) <= lit(is.max))
       case _: String =>
+        // min/max must use Spark's UTF-8 BINARY order (= code-point
+        // order), not JVM UTF-16 compareTo — past the BMP they
+        // disagree and a UTF-16 range could exclude real candidates
+        val cpOrd = new Ordering[String] {
+          def compare(a: String, b: String): Int = {
+            val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
+            while (ai.hasNext && bi.hasNext) {
+              val c = Integer.compare(ai.nextInt(), bi.nextInt())
+              if (c != 0) return c
+            }
+            java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+          }
+        }
         val ss = ids.map(_.asInstanceOf[String])
-        Some(col(corpusId) >= lit(ss.min) && col(corpusId) <= lit(ss.max))
+        Some(col(corpusId) >= lit(ss.min(cpOrd)) && col(corpusId) <= lit(ss.max(cpOrd)))
       case _ => None
     }
     val corpusSide =

@@ -163,16 +163,47 @@ object DeltaExport {
               .withColumnRenamed("__change_type", "_change_type")
               .drop("__commit_version")
             val staging = s"$table/_cdc_stage_$v"
-            changed.coalesce(1).write.mode("overwrite").parquet(staging)
-            val parts = f.listStatus(new Path(staging))
-              .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            val partCols = snap.partitionCols
+            // change files must NOT store partition columns in-file —
+            // a spec-compliant CDF reader derives them from each cdc
+            // action's partitionValues (the add-action treatment)
+            if (partCols.isEmpty) changed.coalesce(1)
+              .write.mode("overwrite").parquet(staging)
+            else changed.write.partitionBy(partCols: _*)
+              .mode("overwrite").parquet(staging)
+            def unescape(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+            val found = scala.collection.mutable.ArrayBuffer[(Path, Map[String, String])]()
+            def walk(p: Path, vals: Map[String, String]): Unit =
+              f.listStatus(p).foreach { st =>
+                val name = st.getPath.getName
+                if (st.isDirectory && name.contains("=")) {
+                  val k = name.substring(0, name.indexOf('='))
+                  walk(st.getPath,
+                    vals + (k -> unescape(name.substring(name.indexOf('=') + 1))))
+                } else if (name.endsWith(".parquet")) found += ((st.getPath, vals))
+              }
+            walk(new Path(staging), Map.empty)
+            if (found.isEmpty) {
+              // maintenance rewrite: partitionBy of an empty feed
+              // writes no files, but the EMPTY cdc marker must exist —
+              // without it readers re-derive spurious remove/add churn
+              changed.limit(0).coalesce(1).write.mode("overwrite").parquet(staging)
+              walk(new Path(staging), Map.empty)
+            }
             f.mkdirs(new Path(s"$table/_change_data"))
-            parts.zipWithIndex.foreach { case (part, i) =>
+            found.zipWithIndex.foreach { case ((part, vals), i) =>
               val relCdc = s"_change_data/cdc-$dv-$i.parquet"
               f.delete(new Path(s"$table/$relCdc"), false)
               f.rename(part, new Path(s"$table/$relCdc"))
               val size = f.getFileStatus(new Path(s"$table/$relCdc")).getLen
-              sb.append(s"""{"cdc":{"path":${mapper.writeValueAsString(encodePath(relCdc))},"partitionValues":{},"size":$size,"dataChange":false}}""").append('\n')
+              val pj = {
+                import scala.jdk.CollectionConverters._
+                val m = new java.util.LinkedHashMap[String, String]()
+                partCols.foreach(c => m.put(c,
+                  vals.get(c).filter(_ != "__HIVE_DEFAULT_PARTITION__").orNull))
+                mapper.writeValueAsString(m)
+              }
+              sb.append(s"""{"cdc":{"path":${mapper.writeValueAsString(encodePath(relCdc))},"partitionValues":$pj,"size":$size,"dataChange":false}}""").append('\n')
             }
             f.delete(new Path(staging), true)
           }

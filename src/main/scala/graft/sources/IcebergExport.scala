@@ -76,14 +76,7 @@ object IcebergExport {
       d.withColumn(pc,
         IcebergTransforms.applyColumn(t, df.schema(src).dataType, col(src)))
     }
-    val version = {
-      val dir = new Path(s"$table/metadata")
-      if (!f.exists(dir)) 1L
-      else f.listStatus(dir).map(_.getPath.getName)
-        .filter(_.endsWith(".metadata.json"))
-        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
-        .foldLeft(0L)(math.max) + 1
-    }
+    val version = IcebergRead.nextVersion(f, table)
     val staging = s"$table/_staging_tr$version"
     staged.write.partitionBy(ptCols: _*).mode("overwrite").parquet(staging)
     // walk the hive layout: each data file sits under

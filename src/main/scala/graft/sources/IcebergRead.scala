@@ -47,6 +47,23 @@ object IcebergRead {
     metas.maxBy(p => (versionOf(p).getOrElse(-1L), p.getName))
   }
 
+  /** Next commit version: max over PARSEABLE metadata versions + 1.
+    * UUID-style metadata names (foreign writers) parse to None and are
+    * ignored rather than crashing the append — same digit tolerance as
+    * [[latestMetadata]]. */
+  private[sources] def nextVersion(f: org.apache.hadoop.fs.FileSystem, table: String): Long = {
+    val dir = new Path(s"$table/metadata")
+    if (!f.exists(dir)) 1L
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".metadata.json"))
+      .flatMap { n =>
+        val stem = n.stripSuffix(".metadata.json")
+        val digits = if (stem.startsWith("v")) stem.drop(1) else stem.takeWhile(_.isDigit)
+        if (digits.nonEmpty && digits.forall(_.isDigit)) Some(digits.toLong) else None
+      }
+      .foldLeft(0L)(math.max) + 1
+  }
+
   private def readAvroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
     val f = fs(spark, path)
     val in = f.open(new Path(path))
@@ -604,23 +621,62 @@ object IcebergRead {
       try norm(IcebergTransforms.applyLiteral(fld.transform, dt, v))
       catch { case _: IllegalArgumentException => None }
     // identity partition values render as the COLUMN's string form —
-    // only integer/string sources compare faithfully against a
-    // transformed literal; other identity types defer to readIndexed
+    // integer/string sources compare directly; date/timestamp sources
+    // compare through render-aware epoch parsing (see entryOrdinal)
     def comparable(fld: SpecField, dt: org.apache.spark.sql.types.DataType): Boolean =
       fld.transform.kind != "identity" || (dt match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.StringType => true
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType => true
         case _ => false
       })
     def pval(e: DataFileEntry, fld: SpecField): Option[String] =
       e.partitionValues.get(fld.name)
-    def cmp(s: String, t: Either[Long, String], op: Int): Boolean = t match {
+    // Entry-value ordinal for a Long-comparable transformed literal:
+    // plain digits first (ordinal renderings); identity date/timestamp
+    // entries may instead render human-readable (`yyyy-MM-dd`,
+    // ISO-micros) — parse those to the literal's epoch unit (days /
+    // micros). None = unrecognized foreign rendering → keep the file.
+    def entryOrdinal(dt: org.apache.spark.sql.types.DataType, kind: String)(
+        s: String): Option[Long] =
+      try Some(s.toLong) catch { case _: NumberFormatException =>
+        if (kind != "identity") None
+        else try dt match {
+          case org.apache.spark.sql.types.DateType =>
+            Some(java.time.LocalDate.parse(s).toEpochDay)
+          case org.apache.spark.sql.types.TimestampType =>
+            val iso = s.replace(' ', 'T').stripSuffix("Z")
+            val ldt = java.time.LocalDateTime.parse(iso)
+            Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L)
+          case _ => None
+        } catch { case _: java.time.format.DateTimeParseException => None }
+      }
+    // code-point order = Spark's UTF-8 binary string ordering; JVM
+    // String.compareTo is UTF-16 order, which disagrees past the BMP
+    def cpCompare(a: String, b: String): Int = {
+      val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
+      while (ai.hasNext && bi.hasNext) {
+        val c = Integer.compare(ai.nextInt(), bi.nextInt())
+        if (c != 0) return c
+      }
+      java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+    }
+    def cmp(fld: SpecField, dt: org.apache.spark.sql.types.DataType)(
+        s: String, t: Either[Long, String], op: Int): Boolean = t match {
       // op: 0 eq, -1 pval<=t, +1 pval>=t
       case scala.util.Left(l) =>
-        try { val p = s.toLong; if (op == 0) p == l else if (op < 0) p <= l else p >= l }
-        catch { case _: NumberFormatException => true } // foreign rendering: keep
-      case scala.util.Right(str) => op == 0 && s == str // string ranges: only eq prunes
+        entryOrdinal(dt, fld.transform.kind)(s) match {
+          case Some(p) => if (op == 0) p == l else if (op < 0) p <= l else p >= l
+          case None => true // foreign rendering: keep
+        }
+      case scala.util.Right(str) =>
+        // monotonic string transforms (identity, truncate prefixes)
+        // preserve code-point order, so ranges prune lexicographically
+        if (op == 0) s == str
+        else { val c = cpCompare(s, str); if (op < 0) c <= 0 else c >= 0 }
     }
     type EntryPred = DataFileEntry => Boolean
     def fieldsFor(src: String): Seq[SpecField] =
@@ -631,13 +687,13 @@ object IcebergRead {
     def eqPreds(src: String, v: Any): Seq[EntryPred] =
       fieldsFor(src).flatMap { fld =>
         transformed(fld, dtOf(src), v).map { t => (e: DataFileEntry) =>
-          pval(e, fld).forall(cmp(_, t, 0)) }
+          pval(e, fld).forall(cmp(fld, dtOf(src))(_, t, 0)) }
       }
     def rangePreds(src: String, v: Any, op: Int): Seq[EntryPred] =
       fieldsFor(src).filter(f => IcebergTransforms.isMonotonic(f.transform))
         .flatMap { fld =>
           transformed(fld, dtOf(src), v).map { t => (e: DataFileEntry) =>
-            pval(e, fld).forall(cmp(_, t, op)) }
+            pval(e, fld).forall(cmp(fld, dtOf(src))(_, t, op)) }
         }
     conds.flatMap {
       case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
@@ -653,7 +709,7 @@ object IcebergRead {
             transformed(fld, dtOf(a.name), v) }.flatten
           if (ts.size != elems.size) None
           else Some((e: DataFileEntry) =>
-            pval(e, fld).forall(s => ts.exists(cmp(s, _, 0))))
+            pval(e, fld).forall(s => ts.exists(cmp(fld, dtOf(a.name))(s, _, 0))))
         }
       case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
         rangePreds(a.name, v, +1)
@@ -737,13 +793,7 @@ object IcebergRead {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/data"))
     f.mkdirs(new Path(s"$table/metadata"))
-    val version = {
-      val dir = new Path(s"$table/metadata")
-      f.listStatus(dir).map(_.getPath.getName)
-        .filter(_.endsWith(".metadata.json"))
-        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
-        .foldLeft(0L)(math.max) + 1
-    }
+    val version = nextVersion(f, table)
     val seq = version
     def onefile(df: DataFrame, dest: String): String = {
       val staging = s"$table/_staging_cdc_$version"
@@ -819,14 +869,7 @@ object IcebergRead {
       carryForward: Boolean = true): Long = {
     val spark = df.sparkSession
     val f = fs(spark, table)
-    val version = {
-      val dir = new Path(s"$table/metadata")
-      if (!f.exists(dir)) 1L
-      else f.listStatus(dir).map(_.getPath.getName)
-        .filter(_.endsWith(".metadata.json"))
-        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
-        .foldLeft(0L)(math.max) + 1
-    }
+    val version = nextVersion(f, table)
     val snapId = version
     val staging = s"$table/_staging_v$version"
     df.write.mode("overwrite").parquet(staging)

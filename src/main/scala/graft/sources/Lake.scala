@@ -901,7 +901,7 @@ object Lake {
     // no longer holds — drop those specs with it
     val props = snap.props.filterNot { case (k, v) =>
       (k.startsWith("generated.") &&
-        (k.stripPrefix("generated.") == name || v.contains(name))) ||
+        (k.stripPrefix("generated.") == name || referencesColumn(v, name))) ||
       (k.startsWith("rename.") && k.stripPrefix("rename.") == name)
     }
     commitAmended(spark, table,
@@ -1306,6 +1306,16 @@ object Lake {
     1
   }
 
+  /** Identifier-boundary column-reference check for generated-spec
+    * expressions: `a` matches the IDENTIFIER a (bare or backquoted),
+    * never the letter inside `abc` or a string literal's text —
+    * substring matching would let a one-char column name invalidate
+    * every spec table-wide. */
+  private[sources] def referencesColumn(expr: String, c: String): Boolean =
+    "`([^`]+)`|[A-Za-z_][A-Za-z0-9_]*".r.findAllMatchIn(expr).exists { m =>
+      (if (m.group(1) != null) m.group(1) else m.matched) == c
+    }
+
   /** `generated.<c>` specs invalidated by a DML writing `assigned`
     * columns are dropped from the committed props: once the target
     * column or any column its expression references can carry
@@ -1313,13 +1323,13 @@ object Lake {
     * (stored column == expr) no longer holds and a registered
     * [[graft.plans.GeneratedColumns]] rewrite against it would return
     * wrong rows. Mirrors the dropColumn / plain-append invalidation
-    * (same textual source-reference check as [[dropColumn]]'s). */
+    * (same identifier-boundary reference check as [[dropColumn]]'s). */
   private def invalidateGeneratedSpecs(props: Map[String, String],
       assigned: Set[String]): Map[String, String] =
     props.filterNot { case (k, v) =>
       k.startsWith("generated.") && {
         assigned.contains(k.stripPrefix("generated.")) ||
-          assigned.exists(v.contains)
+          assigned.exists(referencesColumn(v, _))
       }
     }
 
@@ -1760,6 +1770,11 @@ object Lake {
       case ShortType => raw.toShort
       case ByteType => raw.toByte
       case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case TimestampType =>
+        // hive renders `yyyy-MM-dd HH:mm:ss[.S…]`; session TZ is UTC
+        val ldt = java.time.LocalDateTime.parse(
+          raw.replace(' ', 'T').stripSuffix("Z"))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
       case other => throw new IllegalArgumentException(
         s"unsupported lake partition type $other")
     }

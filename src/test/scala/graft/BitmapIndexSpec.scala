@@ -107,4 +107,24 @@ class BitmapIndexSpec extends SparkSuite {
       BitmapIndex.buildIndex(spark, pdir, Seq("nope"))
     }
   }
+
+  test("table path with URL-special characters: index keys match, no silent empty sets") {
+    // '+' decodes to ' ' under URLDecoder — pre-fix the build keyed
+    // byFile with a decode the lookup lacked, so every file missed and
+    // committed an EMPTY value set: each equality probe then pruned
+    // ALL files and returned zero rows
+    val base = java.nio.file.Files.createTempDirectory("graft_bmi_enc").toFile
+    val dir = new java.io.File(base, "a+b %41").getAbsolutePath
+    val df = spark.range(0, 500).select(($"id" % 4).cast("int").as("g"), $"id".as("k"))
+    Lake.sortKeyWrite(df, dir, Seq("g"), nFiles = 4)
+    BitmapIndex.buildIndex(spark, dir, Seq("g"))
+    val snap = Lake.readSnapshot(spark, dir, Lake.currentVersion(spark, dir))
+    // every indexed entry is NON-empty (the data has no all-null file)
+    snap.files.foreach(lf =>
+      assert(lf.blooms.get("bv:g").exists(_.nonEmpty),
+        s"empty bitmap set committed for ${lf.path}"))
+    val pr = BitmapIndex.readWhereEquals(spark, dir, "g", "2")
+    assert(pr.df.count() === df.filter($"g" === 2).count())
+    assert(pr.keptFiles > 0 && pr.keptFiles < pr.totalFiles)
+  }
 }

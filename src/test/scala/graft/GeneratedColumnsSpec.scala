@@ -198,4 +198,20 @@ class GeneratedColumnsSpec extends SparkSuite {
     Lake.mergeMor(spark, dir4, full, Seq("o_orderkey"))
     assert(specKeys(dir4) === Set.empty[String])
   }
+
+  test("invalidation matches identifiers, not substrings: assigning `a` keeps a spec over `abc`") {
+    def specKeys(d: String): Set[String] =
+      Lake.readSnapshot(spark, d, Lake.currentVersion(spark, d))
+        .props.keys.filter(_.startsWith("generated.")).toSet
+    val dir = freshTable("dml_onechar")
+    val df = spark.range(0, 50).select($"id".as("k"),
+      ($"id" % 7).as("a"), ($"id" % 11).as("abc"))
+    GeneratedColumns.write(df, dir,
+      Seq("g_abc" -> "abc * 2", "g_a" -> "a + 1"))
+    assert(specKeys(dir) === Set("generated.g_abc", "generated.g_a"))
+    // assigning `a` must drop ONLY the spec referencing the identifier
+    // a — a substring check would also kill g_abc (and did, pre-fix)
+    Lake.update(spark, dir, col("k") === 3L, Map("a" -> lit(0)))
+    assert(specKeys(dir) === Set("generated.g_abc"))
+  }
 }

@@ -419,4 +419,93 @@ class IcebergReadSpec extends SparkSuite {
     assert(none.df.count() ===
       IcebergRead.read(spark, table).filter($"k" % 7 === 0).count())
   }
+
+  test("string RANGE predicates prune lexicographically through truncate, losing no rows") {
+    import graft.sources.IcebergExport
+    val table = java.nio.file.Files.createTempDirectory("graft-icesr").toString + "/t"
+    def batch(tag: String, lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id".as("k"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(tag), $"id" % 5).as("name"))
+    IcebergExport.commitTransformSnapshot(
+      batch("alpha", 0, 100), table, Seq("name" -> "truncate[3]"))
+    IcebergExport.commitTransformSnapshot(
+      batch("beta", 100, 200), table, Seq("name" -> "truncate[3]"))
+    val all = IcebergRead.read(spark, table)
+    // >= "beta" must keep every beta file (alp < bet prunes) — the
+    // pre-fix cmp returned false for ALL string ranges, silently
+    // pruning every file and returning an empty result
+    val ge = IcebergRead.readPruned(spark, table, $"name" >= "beta")
+    val wantGe = all.filter($"name" >= "beta").count()
+    assert(wantGe === 100L)
+    assert(ge.df.count() === wantGe)
+    assert(ge.keptFiles > 0 && ge.keptFiles < ge.totalFiles,
+      s"range kept ${ge.keptFiles}/${ge.totalFiles}")
+    // the other direction prunes beta files
+    val lt = IcebergRead.readPruned(spark, table, $"name" < "b")
+    assert(lt.df.count() === all.filter($"name" < "b").count())
+    assert(lt.df.count() === 100L)
+    assert(lt.keptFiles < lt.totalFiles)
+    // the AUTOMATIC TransformFileIndex path (plain read().filter)
+    // takes the same predicates — assert no row loss there either
+    assert(IcebergRead.read(spark, table)
+      .filter($"name" >= "beta").count() === wantGe)
+  }
+
+  test("identity date/timestamp partitions prune eq + ranges via render-aware parsing") {
+    import graft.sources.IcebergExport
+    import org.apache.spark.sql.functions.expr
+    val table = java.nio.file.Files.createTempDirectory("graft-iceid").toString + "/t"
+    val df = spark.range(0, 300).select(
+      $"id".as("k"),
+      expr("date_add(date '2024-01-01', cast(id % 10 as int))").as("d"),
+      expr("timestamp_micros(1700000000000000 + 3600000000 * cast(id % 6 as long))").as("ts"))
+    IcebergExport.commitTransformSnapshot(df.coalesce(1), table,
+      Seq("d" -> "identity"))
+    val all = IcebergRead.read(spark, table)
+    assert(all.count() === 300)
+    // equality on the identity date prunes to one of ten day-files —
+    // the entry renders `2024-01-03`, the literal is epoch DAYS; the
+    // pre-fix comparable() refused DateType so nothing pruned
+    val one = java.sql.Date.valueOf("2024-01-03")
+    val pr = IcebergRead.readPruned(spark, table, $"d" === one)
+    assert(pr.totalFiles === 10 && pr.keptFiles === 1,
+      s"kept ${pr.keptFiles}/${pr.totalFiles}")
+    assert(pr.df.count() === all.filter($"d" === one).count())
+    assert(pr.df.count() === 30L)
+    // identity is monotonic: a date RANGE prunes too (Jan 8/9/10)
+    val lo = java.sql.Date.valueOf("2024-01-08")
+    val rg = IcebergRead.readPruned(spark, table, $"d" >= lo)
+    assert(rg.keptFiles === 3, s"kept ${rg.keptFiles}/${rg.totalFiles}")
+    assert(rg.df.count() === all.filter($"d" >= lo).count())
+    // identity TIMESTAMP partitions (hive-rendered `yyyy-MM-dd HH:mm:ss`)
+    val t2 = java.nio.file.Files.createTempDirectory("graft-iceidts").toString + "/t"
+    IcebergExport.commitTransformSnapshot(df.coalesce(1), t2,
+      Seq("ts" -> "identity"))
+    val allTs = IcebergRead.read(spark, t2)
+    val oneTs = new java.sql.Timestamp(1700000000000L + 2L * 3600000L)
+    val prTs = IcebergRead.readPruned(spark, t2, $"ts" === oneTs)
+    assert(prTs.totalFiles === 6 && prTs.keptFiles === 1,
+      s"kept ${prTs.keptFiles}/${prTs.totalFiles}")
+    assert(prTs.df.count() === allTs.filter($"ts" === oneTs).count())
+    assert(prTs.df.count() === 50L)
+  }
+
+  test("appending to a table with UUID-style metadata names commits instead of crashing") {
+    val table = java.nio.file.Files.createTempDirectory("graft-iceuuid").toString
+    IcebergRead.commitSnapshot(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    // a foreign writer's metadata name: no v-prefix, not numeric
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s"$table/metadata/v00001.metadata.json")
+    val alien = new org.apache.hadoop.fs.Path(
+      s"$table/metadata/00000-8a9f1c2e-dead-beef-cafe-123456789abc.metadata.json")
+    org.apache.hadoop.fs.FileUtil.copy(f, src, f, alien, false,
+      spark.sparkContext.hadoopConfiguration)
+    // pre-fix: NumberFormatException on the UUID stem
+    val s2 = IcebergRead.commitSnapshot(
+      Seq((2L, "b")).toDF("id", "v").coalesce(1), table)
+    assert(s2 === 2L)
+    assert(IcebergRead.read(spark, table).count() === 2)
+  }
 }
