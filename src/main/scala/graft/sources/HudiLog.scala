@@ -201,8 +201,15 @@ object HudiLog {
   /** Parse every block of a log file, in write order. Unknown block
     * types are SKIPPED by their recorded length (the format's forward-
     * compat contract), never errors. */
-  def readLogFile(spark: SparkSession, path: String): Seq[Block] = {
-    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def readLogFile(spark: SparkSession, path: String): Seq[Block] =
+    readLogFile(spark.sparkContext.hadoopConfiguration, path)
+
+  /** Session-free variant for EXECUTOR-side decode (the distributed
+    * MoR fold ships log paths, not records — each task decodes its
+    * files against the task-local Hadoop configuration). */
+  def readLogFile(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[Block] = {
+    val f = new Path(path).getFileSystem(conf)
     val st = f.getFileStatus(new Path(path))
     val raw = new Array[Byte](st.getLen.toInt)
     val in0 = f.open(new Path(path))

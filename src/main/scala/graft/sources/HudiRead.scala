@@ -138,20 +138,24 @@ object HudiRead {
     * TIMELINE's partitionPath keys, partition filters prune files
     * before the scan, and the index is returned for test assertions.
     * Unpartitioned timelines keep the plain basePath read. */
+  /** Hive-style `col=val/col2=val2` partitionPath → ordered pairs;
+    * None for values-only or otherwise unparseable layouts. */
+  private def parseHivePath(pp: String): Option[Seq[(String, String)]] = {
+    val segs = pp.split('/').toSeq.filter(_.nonEmpty).map { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) return None
+      seg.substring(0, i) ->
+        java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+    }
+    Some(segs)
+  }
+
   def readIndexed(spark: SparkSession, table: String,
       instantAsOf: Option[String] = None): (DataFrame, Option[Lake.LakeFileIndex]) = {
     val slices = liveSliceDetails(spark, table, instantAsOf).values.toSeq
     if (slices.isEmpty)
       throw new IllegalArgumentException(s"no live slices at $table")
-    def parsePath(pp: String): Option[Seq[(String, String)]] = {
-      val segs = pp.split('/').toSeq.filter(_.nonEmpty).map { seg =>
-        val i = seg.indexOf('=')
-        if (i <= 0) return None
-        seg.substring(0, i) ->
-          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
-      }
-      Some(segs)
-    }
+    def parsePath(pp: String): Option[Seq[(String, String)]] = parseHivePath(pp)
     // the timeline-indexed path needs EVERY slice to carry a hive-style
     // col=val partitionPath over one consistent column set; foreign
     // Hudi tables often use values-only paths ('americas/brazil/…') or
@@ -203,43 +207,106 @@ object HudiRead {
       .map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Pending-log volume cap for the DRIVER-side MoR fold: dirty
+    * groups whose total log bytes exceed this switch to the
+    * DISTRIBUTED fold (log paths shipped to executors, per-key window
+    * over timeline order) — a table whose compaction lags thousands of
+    * deltacommits must never accumulate every pending record in
+    * driver memory. `private[graft] var` so specs can force the path. */
+  private[graft] var morInlineLogBytesCap: Long = 64L << 20
+
   /** MERGE-ON-READ snapshot: per file group, fold the pending log
     * blocks in timeline order onto a key → final-image map (upsert
     * replaces, delete tombstones, re-insert revives — the resolution
     * compaction would materialize), then assemble
     * `base ⟕ anti(touched keys) ∪ final upsert images` as one Spark
-    * plan: the base stays a full-speed parquet scan, the log side is
-    * a broadcast-scale local relation (load-batch bound by the MoR
-    * contract). Groups without logs scan clean. */
+    * plan: the base stays a full-speed parquet scan; the log side is
+    * a broadcast-scale local relation while pending bytes fit
+    * [[morInlineLogBytesCap]], and a DISTRIBUTED decode + per-(group,
+    * key) window past it — either way nothing table-sized ever sits
+    * on the driver. Groups without logs scan clean.
+    *
+    * PARTITIONED tables: each group's directory-encoded partition
+    * columns are restored from the timeline's `partitionPath` (hive
+    * `col=val` segments, attached as string literals before the union
+    * — the [[readIndexed]] typing). Only groups whose partitionPath
+    * is UNPARSEABLE (values-only layouts) still refuse. */
   def readMor(spark: SparkSession, table: String,
       instantAsOf: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val groups = liveGroups(spark, table, instantAsOf)
     if (groups.isEmpty)
       throw new IllegalArgumentException(s"no live slices at $table")
-    val (dirty, clean) = groups.values.toSeq.partition(_.logs.nonEmpty)
-    if (dirty.isEmpty) return readIndexed(spark, table, instantAsOf)._1
+    val pairs = groups.toSeq
+    val (dirtyP, cleanP) = pairs.partition(_._2.logs.nonEmpty)
+    if (dirtyP.isEmpty) return readIndexed(spark, table, instantAsOf)._1
+    val dirty = dirtyP.map(_._2); val clean = cleanP.map(_._2)
     val keyField = recordKeyField(spark, table).getOrElse(
       throw new IllegalArgumentException(
         s"$table has MoR log files but no hoodie.table.recordkey.fields — " +
           "cannot merge without the record key"))
-    // hive-partitioned groups keep their partition values in DIRECTORY
-    // names, which a direct file read cannot restore — merging would
-    // silently emit rows WITHOUT the partition columns. Refuse loudly;
-    // compaction (a base rewrite retiring the logs) restores the CoW
-    // read path, which does recover them from the timeline.
-    require(dirty.forall(_.base.partitionPath.isEmpty),
-      s"$table has pending logs on hive-partitioned file groups — " +
-        "the merge cannot restore directory-encoded partition columns; " +
-        "compact (rewrite the base) and use the timeline-indexed read")
+    // partition columns live in DIRECTORY names; restore them from the
+    // timeline's partitionPath per group. Values-only layouts (no k=v)
+    // can't name the columns — refuse loudly, compaction restores the
+    // timeline-indexed CoW path.
+    val allG = dirty ++ clean
+    val unpartitioned = allG.forall(_.base.partitionPath.isEmpty)
+    val partCols: Seq[String] =
+      if (unpartitioned) Nil
+      else {
+        val parsed = allG.map(g => parseHivePath(g.base.partitionPath))
+        require(parsed.forall(_.exists(_.nonEmpty)) &&
+            parsed.flatten.map(_.map(_._1).toSet).distinct.size == 1,
+          s"$table has pending logs under a non-hive partitionPath layout — " +
+            "the merge cannot name the directory-encoded partition columns; " +
+            "compact (rewrite the base) and use the timeline-indexed read")
+        parsed.head.get.map(_._1)
+      }
+    def withParts(df: DataFrame, pp: String): DataFrame =
+      if (partCols.isEmpty) df
+      else parseHivePath(pp).get.foldLeft(df) { case (d, (k, v)) =>
+        d.withColumn(k, lit(v)) }
+    val f = fs(spark, table)
     val dataSchema = spark.read.parquet(s"$table/${dirty.head.base.path}").schema
     require(dataSchema.fieldNames.contains(keyField),
       s"record key $keyField missing from the base schema")
-    // fold each dirty group's blocks in order: key -> Some(final row)
-    // (upsert) | None (tombstone). Driver-resident by the MoR bound.
-    val upserts = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val totalLogBytes = dirty.flatMap(_.logs)
+      .map(rel => f.getFileStatus(new Path(s"$table/$rel")).getLen).sum
+    // (touched keys, final upsert images w/ partition cols, broadcastable?)
+    val (touchedDf, upsertDf, logSideSmall) =
+      if (totalLogBytes <= morInlineLogBytesCap)
+        driverFold(spark, table, dirtyP, keyField, dataSchema, withParts)
+      else
+        distributedFold(spark, table, dirtyP, keyField, dataSchema, partCols)
+    // dirty bases per partition tuple, partition columns attached
+    val dirtyBase = dirty.groupBy(_.base.partitionPath).map { case (pp, gs) =>
+      withParts(spark.read.parquet(gs.map(g => s"$table/${g.base.path}"): _*), pp)
+    }.reduce(_ unionByName _)
+    val survivors = dirtyBase
+      .withColumn("__hk", col(keyField).cast("string"))
+      .join(if (logSideSmall) broadcast(touchedDf) else touchedDf,
+        Seq("__hk"), "left_anti")
+      .drop("__hk")
+    val merged = survivors.unionByName(upsertDf)
+    if (clean.isEmpty) merged
+    else merged.unionByName(
+      clean.groupBy(_.base.partitionPath).map { case (pp, gs) =>
+        withParts(spark.read.parquet(gs.map(g => s"$table/${g.base.path}"): _*), pp)
+      }.reduce(_ unionByName _))
+  }
+
+  /** In-memory fold (pending bytes ≤ [[morInlineLogBytesCap]]): per
+    * group, key → final image in timeline order; returns broadcastable
+    * touched keys + a LocalRelation of upsert images. */
+  private def driverFold(spark: SparkSession, table: String,
+      dirtyP: Seq[(String, GroupState)], keyField: String,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      withParts: (DataFrame, String) => DataFrame): (DataFrame, DataFrame, Boolean) = {
+    import spark.implicits._
+    // (partitionPath, final image) per surviving key
+    val upserts = scala.collection.mutable.ArrayBuffer[(String, org.apache.spark.sql.Row)]()
     val touched = scala.collection.mutable.ArrayBuffer[String]()
-    dirty.foreach { g =>
+    dirtyP.foreach { case (_, g) =>
       val state = scala.collection.mutable.LinkedHashMap[String, Option[org.apache.spark.sql.Row]]()
       g.logs.foreach { rel =>
         HudiLog.readLogFile(spark, s"$table/$rel").foreach {
@@ -253,22 +320,86 @@ object HudiRead {
       }
       state.foreach { case (k, img) =>
         touched += k
-        img.foreach(upserts += _)
+        img.foreach(r => upserts += ((g.base.partitionPath, r)))
       }
     }
-    val dirtyBase = spark.read.parquet(dirty.map(g => s"$table/${g.base.path}"): _*)
-    import spark.implicits._
-    val touchedDf = touched.toSeq.toDF("__hk")
-    val survivors = dirtyBase
-      .withColumn("__hk", col(keyField).cast("string"))
-      .join(broadcast(touchedDf), Seq("__hk"), "left_anti")
-      .drop("__hk")
-    val upsertDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(upserts.toSeq, 1), dataSchema)
-    val merged = survivors.unionByName(upsertDf)
-    if (clean.isEmpty) merged
-    else merged.unionByName(
-      spark.read.parquet(clean.map(g => s"$table/${g.base.path}"): _*))
+    val upsertDf = upserts.groupBy(_._1).map { case (pp, rows) =>
+      withParts(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(_._2).toSeq, 1), dataSchema), pp)
+    }.reduceOption(_ unionByName _).getOrElse {
+      withParts(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema),
+        dirtyP.head._2.base.partitionPath)
+    }
+    (touched.toSeq.toDF("__hk"), upsertDf, true)
+  }
+
+  /** Distributed fold for deep log backlogs: ship (group, ord, path)
+    * triples to executors, decode there ([[HudiLog.readLogFile]] with
+    * the task-local Hadoop conf), resolve the final image per (group,
+    * key) with one window over the timeline order, and re-attach each
+    * group's partition values through a broadcast gid→tuple map. The
+    * driver holds only file PATHS; shuffle is O(pending log records). */
+  private def distributedFold(spark: SparkSession, table: String,
+      dirtyP: Seq[(String, GroupState)], keyField: String,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): (DataFrame, DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val logMeta: Seq[(String, Int, String)] = dirtyP.flatMap { case (gid, g) =>
+      g.logs.zipWithIndex.map { case (rel, i) => (gid, i, s"$table/$rel") }
+    }
+    val foldSchema = StructType(
+      Seq(StructField("__gid", StringType), StructField("__ord", LongType),
+        StructField("__hk", StringType), StructField("__del", BooleanType)) ++
+      dataSchema.fields)
+    val nData = dataSchema.size
+    val schemaB = dataSchema // serialized into the closure
+    val rdd = spark.sparkContext
+      .parallelize(logMeta, math.max(1, math.min(logMeta.size, 256)))
+      .flatMap { case (gid, ord, path) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        var seq = ord.toLong << 32 // per-group timeline order
+        HudiLog.readLogFile(conf, path).foreach {
+          case HudiLog.Data(_, _, recs) => recs.foreach { r =>
+            seq += 1
+            val k = Option(r.get(keyField)).map(_.toString).getOrElse(
+              throw new IllegalArgumentException(s"log record with NULL key in $path"))
+            out += org.apache.spark.sql.Row.fromSeq(
+              Seq(gid, seq, k, false) ++ HudiLog.avroToRow(schemaB, r).toSeq)
+          }
+          case HudiLog.Delete(_, keys) => keys.foreach { k =>
+            seq += 1
+            out += org.apache.spark.sql.Row.fromSeq(
+              Seq(gid, seq, k, true) ++ Seq.fill(nData)(null))
+          }
+        }
+        out
+      }
+    val foldDf = spark.createDataFrame(rdd, foldSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__gid", "__hk").orderBy(col("__ord").desc)
+    val latest = foldDf.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val ups0 = latest.filter(!col("__del"))
+      .select((Seq(col("__gid")) ++ dataSchema.fieldNames.map(col)): _*)
+    val upsertDf =
+      if (partCols.isEmpty) ups0.drop("__gid")
+      else {
+        // gid → partition tuple: #dirty groups rows, broadcast-scale
+        val gidRows = dirtyP.map { case (gid, g) =>
+          org.apache.spark.sql.Row.fromSeq(
+            gid +: partCols.map(c => parseHivePath(g.base.partitionPath)
+              .flatMap(_.find(_._1 == c)).map(_._2).orNull))
+        }
+        val gidSchema = StructType(StructField("__gid", StringType) +:
+          partCols.map(c => StructField(c, StringType)))
+        val gidDf = spark.createDataFrame(
+          java.util.Arrays.asList(gidRows: _*), gidSchema)
+        ups0.join(broadcast(gidDf), Seq("__gid")).drop("__gid")
+      }
+    (foldDf.select(col("__hk")).distinct(), upsertDf, false)
   }
 
   /** MoR WRITE: append an upsert/delete batch to a file group as a

@@ -16,11 +16,19 @@ import graft.sources.HudiRead
   * (the alternative, rewriting the file group per batch, scales with
   * the group).
   *
-  * args: rowCounts...  (default 1000000 4000000 16000000)
+  * args: rowCounts...  (default 1000000 4000000 16000000);
+  * `deep` appends the DEEP-BACKLOG section: 100 uncompacted
+  * deltacommits against one base, driver fold vs the distributed fold
+  * ([[HudiRead.morInlineLogBytesCap]] forced to 0) — the guard that
+  * keeps a compaction-lagging table from accumulating every pending
+  * record in driver memory.
   */
 object HudiMorProbe {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+    val numeric = args.toSeq.filter(_.forall(_.isDigit)).map(_.toLong)
+    val deep = args.contains("deep")
+    val sizes = if (numeric.nonEmpty) numeric
+      else if (deep) Nil
       else Seq(1000000L, 4000000L, 16000000L)
 
     val spark = Engine.session()
@@ -52,6 +60,35 @@ object HudiMorProbe {
       val mor = time(HudiRead.read(spark, table)
         .agg(count(lit(1)), sum($"price")).collect())
       println(f"| $n | $clean%.2f | $mor%.2f | ${mor / clean}%.1f× | 20k |")
+      graft.sources.Formats.deleteDir(spark, table)
+    }
+
+    if (deep) {
+      val n = 4000000L
+      val batches = 100
+      val perBatch = 2000L
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_hmor_deep"
+      graft.sources.Formats.deleteDir(spark, table)
+      val base = spark.range(0, n).select($"id".as("k"),
+        ($"id" % 997).as("grp"), ($"id" * 31 % 100000).cast("double").as("price"))
+      HudiRead.commit(table, Map("g0" -> base))
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { i =>
+        HudiRead.deltaCommit(table, "g0", "k",
+          Some(spark.range(i * perBatch, (i + 1) * perBatch)
+            .select($"id".as("k"), ($"id" % 997).as("grp"),
+              lit(-i.toDouble).as("price"))))
+      }
+      val ingest = (System.nanoTime() - t0) / 1e9
+      def readWall(): Double = time(HudiRead.read(spark, table)
+        .agg(count(lit(1)), sum($"price")).collect())
+      val driver = readWall()
+      val cap = HudiRead.morInlineLogBytesCap
+      HudiRead.morInlineLogBytesCap = 0L
+      val dist = try readWall() finally HudiRead.morInlineLogBytesCap = cap
+      println(s"\nDEEP BACKLOG: $batches uncompacted deltacommits × $perBatch rows on a $n-row base")
+      println("| ingest s | driver-fold read s | distributed-fold read s |")
+      println(f"| $ingest%.1f | $driver%.2f | $dist%.2f |")
       graft.sources.Formats.deleteDir(spark, table)
     }
     spark.stop()

@@ -125,6 +125,15 @@ class HudiReadSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // survivors: 100 + 100 - 5 deleted + 1 re-insert - 1 delete = 195
     assert(got.size === 195)
+    // the DISTRIBUTED fold resolves the same block order (delete vs
+    // re-insert of the same key across deltacommits)
+    val cap = HudiRead.morInlineLogBytesCap
+    try {
+      HudiRead.morInlineLogBytesCap = 0L
+      assert(HudiRead.read(spark, table)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap === got,
+        "distributed fold != driver fold")
+    } finally HudiRead.morInlineLogBytesCap = cap
     assert((0L until 10L).filterNot(_ == 3L).forall(k => got(k) === -1.0),
       "delta-1 upserts lost")
     assert(!got.contains(3L), "delta-2 delete of an updated key lost")
@@ -141,6 +150,47 @@ class HudiReadSpec extends SparkSuite {
     val groups = HudiRead.liveGroups(spark, table)
     assert(groups("g0").logs.isEmpty, "base rewrite must retire logs")
     assert(HudiRead.read(spark, table).count() === 195L)
+  }
+
+  test("merge-on-read over a PARTITIONED table: partition columns restored from the timeline") {
+    import graft.sources.{HudiExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-hmorp").toString + "/t"
+    Lake.write(spark.range(0, 300).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x"),
+      ($"id" % 3).cast("string").as("p")).coalesce(1), table, Seq("p"))
+    graft.sources.HudiExport.exportHudiTimeline(spark, table)
+    val byPart = HudiRead.liveGroups(spark, table).toSeq
+      .groupBy(_._2.base.partitionPath)
+    assert(byPart.keySet === Set("p=0", "p=1", "p=2"))
+    // one file group per partition so the delta batches target the
+    // group holding the keys (Hudi logs are per-group)
+    assert(byPart.values.forall(_.size === 1))
+    val gA = byPart("p=0").head._1
+    val gB = byPart("p=1").head._1
+    // logs on TWO partitions: upserts + a delete on p=0, upsert on p=1
+    HudiRead.deltaCommit(table, gA, "k",
+      Some(Seq((0L, -1.0), (3L, -1.0), (6L, -1.0)).toDF("k", "x")), Seq("9"))
+    HudiRead.deltaCommit(table, gB, "k", Some(Seq((1L, -2.0)).toDF("k", "x")))
+    def readAll() = HudiRead.read(spark, table)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Double]("x"), r.getAs[String]("p")))).toMap
+    val got = readAll()
+    // pre-fix this whole read REFUSED ("cannot restore directory-
+    // encoded partition columns"); now every row carries p
+    assert(got.size === 299, s"expected 299 rows, got ${got.size}")
+    assert(got(0L) === ((-1.0, "0")) && got(3L) === ((-1.0, "0")))
+    assert(got(1L) === ((-2.0, "1")), "upsert on second partition lost")
+    assert(!got.contains(9L), "delete lost")
+    assert(got(2L) === ((4.0, "2")), "clean partition disturbed")
+    assert(got(12L) === ((24.0, "0")), "untouched key in dirty group disturbed")
+    // partition filters stay correct through the merge
+    assert(HudiRead.read(spark, table).filter($"p" === "2").count() === 100L)
+    // deep-backlog path: force the DISTRIBUTED fold, bit-equal result
+    val cap = HudiRead.morInlineLogBytesCap
+    try {
+      HudiRead.morInlineLogBytesCap = 0L
+      assert(readAll() === got, "distributed fold != driver fold")
+    } finally HudiRead.morInlineLogBytesCap = cap
   }
 
   test("merge-on-read guards: stale-silent reads impossible, key required") {
