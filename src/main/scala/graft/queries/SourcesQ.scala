@@ -504,6 +504,26 @@ object SourcesQ extends graft.QueryArea {
           col("min_key"), col("max_key"))
         .orderBy(col("change_type"))
     }),
+    // Delta CHECKPOINT of a DV-LIVE version (PROTOCOL.md §Checkpoints:
+    // deletionVector descriptors ride in the checkpoint's add struct):
+    // export a MoR-deleted table, checkpoint the last version, then
+    // DELETE every covered JSON commit — the read must bootstrap from
+    // the checkpoint parquet alone and still mask the deleted rows.
+    "src_delta_checkpoint_dv" -> ((spark, dir) => {
+      val table = tmpDir(dir, "delta_ckdv")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o, table, Nil)
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 7 === 0)
+      graft.sources.DeltaExport.exportDeltaLog(spark, table)
+      val ck = graft.sources.DeltaRead.writeCheckpoint(spark, table)
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      (0L to ck).foreach(v => f.delete(new org.apache.hadoop.fs.Path(
+        f"$table/_delta_log/$v%020d.json"), false))
+      graft.sources.DeltaRead.read(spark, table)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+    }),
     // Delta DELETION VECTORS (how modern writers delete without
     // rewriting): a foreign-shaped table whose add carries a u-stored
     // roaring-bitmap descriptor; the read must mask exactly the
@@ -812,6 +832,90 @@ object SourcesQ extends graft.QueryArea {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
           sum(when(col("o_totalprice") === -1.0, 1).otherwise(0)).as("reinserted"))
+    }),
+    // Hudi MERGE-ON-READ over a PARTITIONED timeline: partition values
+    // live only in directory names + the timeline's partitionPath; the
+    // merge restores them per dirty group (string literals, the
+    // readIndexed typing) — pre-r9 this read refused outright. Logs
+    // land on TWO partitions; a third stays clean and scans full-speed.
+    "src_hudi_mor_read_part" -> ((spark, dir) => {
+      val table = tmpDir(dir, "hudi_mor_part")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 3).cast("string").as("p"))
+      graft.sources.Lake.write(o.coalesce(1), table, Seq("p"))
+      graft.sources.HudiExport.exportHudiTimeline(spark, table)
+      val byPart = graft.sources.HudiRead.liveGroups(spark, table).toSeq
+        .groupBy(_._2.base.partitionPath)
+      val g0 = byPart("p=0").head._1
+      val g1 = byPart("p=1").head._1
+      val base = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      // p=0 group: zero out %30==0, delete %30==6; p=1 group: %30==1 -> -1
+      graft.sources.HudiRead.deltaCommit(table, g0, "o_orderkey",
+        Some(base.filter(col("o_orderkey") % 30 === 0)
+          .withColumn("o_totalprice", lit(0.0))),
+        base.filter(col("o_orderkey") % 30 === 6)
+          .select(col("o_orderkey")).collect().map(_.getLong(0).toString).toSeq)
+      graft.sources.HudiRead.deltaCommit(table, g1, "o_orderkey",
+        Some(base.filter(col("o_orderkey") % 30 === 1)
+          .withColumn("o_totalprice", lit(-1.0))))
+      graft.sources.HudiRead.read(spark, table)
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("p"))
+    }),
+    // Paimon append-only interop (sources/PaimonRead.scala): snapshot
+    // chain + time travel over the schema/snapshot/manifest layout —
+    // the last lake family the reference reads (connector/paimon/,
+    // ConnectorType PAIMON) that this repo previously could not.
+    "src_paimon_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_app")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val s1 = graft.sources.PaimonRead.commitAppend(
+        o.filter(col("o_orderkey") % 3 <= 1), table)
+      graft.sources.PaimonRead.commitAppend(
+        o.filter(col("o_orderkey") % 3 === 2), table)
+      val reads = Seq(1 -> Some(s1), 2 -> None).map { case (tag, snap) =>
+        graft.sources.PaimonRead.read(spark, table, snap)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(tag).as("snap"), col("n"), col("total"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("snap"))
+    }),
+    // Paimon PRIMARY-KEY table: LSM sorted runs (system columns
+    // _KEY_*/_SEQUENCE_NUMBER/_VALUE_KIND) merge to the newest image
+    // per key — upsert, delete, re-insert land exactly as a Paimon
+    // compaction would materialize them; the gate also compacts and
+    // re-reads, so both the merge-on-read and the compacted paths
+    // produce the oracle's rows.
+    "src_paimon_pk_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_pk")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 3).cast("string").as("p"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(0.0)),
+        table, Seq("o_orderkey"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey"), col("p")),
+        table, Seq("o_orderkey"), deletes = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 20 === 4).withColumn("o_totalprice", lit(-1.0)),
+        table, Seq("o_orderkey"))
+      def agg(df: org.apache.spark.sql.DataFrame, tag: Int) =
+        df.groupBy(col("p")).agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+          .select(lit(tag).as("phase"), col("p"), col("n"), col("total"))
+      val merged = agg(graft.sources.PaimonRead.read(spark, table), 1)
+      graft.sources.PaimonRead.compact(spark, table)
+      val compacted = agg(graft.sources.PaimonRead.read(spark, table), 2)
+      merged.unionByName(compacted).orderBy(col("phase"), col("p"))
     }),
     "src_hudi_read" -> ((spark, dir) => {
       val table = tmpDir(dir, "hudi_ext")
@@ -1523,6 +1627,10 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM changes GROUP BY change_type ORDER BY change_type""".stripMargin,
+    "src_delta_checkpoint_dv" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
     "src_delta_dv_read" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_totalprice, o_orderpriority,
@@ -1795,6 +1903,43 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  CAST(SUM(CASE WHEN p = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS reinserted
         |FROM merged""".stripMargin,
+    "src_hudi_mor_read_part" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 30 = 0 THEN 0.0
+        |         WHEN o_orderkey % 30 = 1 THEN -1.0
+        |         ELSE o_totalprice END AS price,
+        |    CAST(o_orderkey % 3 AS VARCHAR) AS p
+        |  FROM orders WHERE o_orderkey % 30 <> 6)
+        |SELECT p, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM merged GROUP BY p ORDER BY p""".stripMargin,
+    "src_paimon_read" ->
+      """SELECT 1 AS snap, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 <= 1
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM orders
+        |ORDER BY snap""".stripMargin,
+    "src_paimon_pk_read" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 20 = 4 THEN -1.0
+        |         WHEN o_orderkey % 10 = 0 THEN 0.0
+        |         ELSE o_totalprice END AS price,
+        |    CAST(o_orderkey % 3 AS VARCHAR) AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <> 4 OR o_orderkey % 20 = 4),
+        |agg AS (
+        |  SELECT p, count(*) AS n,
+        |    CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM merged GROUP BY p)
+        |SELECT 1 AS phase, p, n, total FROM agg
+        |UNION ALL
+        |SELECT 2, p, n, total FROM agg
+        |ORDER BY phase, p""".stripMargin,
     "src_hudi_read" ->
       """SELECT 1 AS snap, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

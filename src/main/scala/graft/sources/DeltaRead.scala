@@ -97,27 +97,41 @@ object DeltaRead {
           val names = md.schema.fieldNames
           if (names.contains("schemaString")) schemaJson = md.getAs[String]("schemaString")
           if (names.contains("partitionColumns"))
-            partCols = Option(md.getAs[Seq[String]]("partitionColumns")).getOrElse(Nil)
+            // parquet hands back a MUTABLE ArraySeq; assigning it to a
+            // 2.13 `Seq` (= immutable.Seq) checkcasts and throws
+            partCols = Option(md.getAs[scala.collection.Seq[String]](
+              "partitionColumns")).map(_.toList).getOrElse(Nil)
         }
       }
       if (cols.contains("add")) {
-        // a foreign checkpoint may carry deletion-vector descriptors;
-        // silently ignoring them would serve deleted rows — fail loudly
-        // (JSON-tail replay of the same table DOES apply them)
+        // deletion-vector descriptors ride in the add struct per
+        // PROTOCOL.md §Checkpoints — parse them so a checkpoint of a
+        // DV-live version replays losslessly (DESCRIPTOR fields only;
+        // the roaring sidecar bytes stay where pathOrInlineDv points)
         val addSchema = rows.schema("add").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        if (addSchema.fieldNames.contains("deletionVector"))
-          require(rows.filter("add is not null and add.deletionVector is not null")
-            .isEmpty, s"checkpoint at $table carries deletion vectors " +
-              s"this replay path cannot apply from parquet form")
-        rows.select("add.path", "add.partitionValues", "add.size", "add.modificationTime")
+        val withDv = addSchema.fieldNames.contains("deletionVector")
+        val sel = Seq("add.path", "add.partitionValues", "add.size",
+          "add.modificationTime") ++ (if (withDv) Seq("add.deletionVector") else Nil)
+        rows.select(sel.head, sel.tail: _*)
           .filter("add is not null and add.path is not null").collect().foreach { r =>
             val pvals = Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty)
               .filter(_._2 != null)
             val p = decodePath(r.getString(0))
+            val dv = if (!withDv || r.isNullAt(4)) None else {
+              val d = r.getStruct(4)
+              Some(DeltaDv.Descriptor(
+                d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"),
+                if (d.isNullAt(d.fieldIndex("offset"))) 0
+                else d.getAs[Int]("offset"),
+                d.getAs[Int]("sizeInBytes"),
+                d.getAs[Long]("cardinality")))
+            }
             live(p) = LiveAdd(p, pvals,
               if (r.isNullAt(2)) 0L else r.getLong(2),
-              if (r.isNullAt(3)) 0L else r.getLong(3))
+              if (r.isNullAt(3)) 0L else r.getLong(3),
+              dv)
           }
       }
     }
@@ -453,17 +467,45 @@ object DeltaRead {
       val in = f.open(new Path(f"$table/_delta_log/$v%020d.json"))
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val cdcPaths = text.linesIterator.filter(_.nonEmpty).flatMap { line =>
+      // per cdc action: (path, partitionValues) — per the protocol,
+      // change files don't store partition columns in-file; they come
+      // from the action, attached as typed literals (the read() shape)
+      val cdcActions = text.linesIterator.filter(_.nonEmpty).flatMap { line =>
         val node = mapper.readTree(line)
-        if (node.has("cdc")) Some(decodePath(node.get("cdc").get("path").asText()))
-        else None
+        if (node.has("cdc")) {
+          val c = node.get("cdc")
+          val pv = scala.collection.mutable.LinkedHashMap[String, String]()
+          if (c.has("partitionValues"))
+            c.get("partitionValues").fields().forEachRemaining(e =>
+              pv += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+          Some((decodePath(c.get("path").asText()), pv.toMap))
+        } else None
       }.toSeq
-      if (cdcPaths.isEmpty) {
+      if (cdcActions.isEmpty) {
         // no cdc action: the action-derived feed covers this commit
         val one = changes(spark, table, v - 1, v)
         if (one.isEmpty) None else Some(one)
       } else {
-        val rows = spark.read.parquet(cdcPaths.map(resolve): _*)
+        val (_, partCols, schemaJson) = replay(spark, table, Some(v))
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val physOf: Map[String, String] = schema.fields.flatMap { fd =>
+          if (fd.metadata.contains("delta.columnMapping.physicalName"))
+            Some(fd.name -> fd.metadata.getString("delta.columnMapping.physicalName"))
+          else None
+        }.toMap
+        // one pruned read per distinct partition tuple; columns the
+        // file already embeds win (pre-partitionValues exports)
+        val rows = cdcActions.groupBy(_._2).map { case (pvals, group) =>
+          val base = spark.read.parquet(group.map(g => resolve(g._1)): _*)
+          partCols.filterNot(base.columns.contains).foldLeft(base) { (df, c) =>
+            val dt = schema.fields.find(_.name == c).map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.StringType)
+            val pv = pvals.getOrElse(c,
+              pvals.getOrElse(physOf.getOrElse(c, c), null))
+            df.withColumn(c, lit(pv).cast(dt))
+          }
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
         if (rows.isEmpty) None
         else Some(rows
           .withColumnRenamed("_change_type", "__change_type")
@@ -497,25 +539,33 @@ object DeltaRead {
     import org.apache.spark.sql.types._
     val v = version.getOrElse(versions(spark, table).last)
     val (adds, partCols, schemaJson) = replay(spark, table, Some(v))
-    // this checkpoint schema has no deletionVector column — writing
-    // one for a DV-carrying table would silently resurrect deleted
-    // rows once the JSON tail is cleaned
-    require(adds.forall(_.dv.isEmpty),
-      s"live adds of $table@v$v carry deletion vectors — checkpointing " +
-        s"would drop them; compact the DVs first")
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    // add actions carry their deletionVector descriptor per
+    // PROTOCOL.md §Checkpoints — a DV-live version checkpoints
+    // losslessly (pre-r9 this refused; a reader bootstrapping a
+    // DV-bearing export had to replay the full JSON log)
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvT)))
     val mdT = StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType))))
+    val hasDv = adds.exists(_.dv.exists(_.cardinality > 0))
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val schema = StructType(Seq(
       StructField("add", addT), StructField("metaData", mdT),
       StructField("protocol", protoT)))
@@ -526,12 +576,19 @@ object DeltaRead {
     // the log. size/modificationTime carry the replayed real values.
     def reencode(p: String): String =
       if (p.contains(":/")) p else DeltaExport.encodePath(p)
+    def dvRow(a: LiveAdd): Row = a.dv.filter(_.cardinality > 0).map(d =>
+      Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+        d.cardinality)).orNull
+    val protoRow =
+      if (hasDv) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+      else Row(1, 2, null, null)
     val rows: Seq[Row] =
       Seq(Row(null, Row(s"graft-${Integer.toHexString(table.hashCode)}",
-          schemaJson, partCols), null),
-        Row(null, null, Row(1, 2))) ++
+          schemaJson, partCols.toList), null),
+        Row(null, null, protoRow)) ++
       adds.map(a =>
-        Row(Row(reencode(a.path), a.pvals, a.size, a.modTime, true), null, null))
+        Row(Row(reencode(a.path), a.pvals, a.size, a.modTime, true, dvRow(a)),
+          null, null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
     val f = fs(spark, table)

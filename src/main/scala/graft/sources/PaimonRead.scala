@@ -1,0 +1,629 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.SchemaBuilder
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Reader + minimal layout writer for APACHE PAIMON tables (public
+  * format: paimon.apache.org/docs/master/concepts/spec/ — a
+  * `schema/schema-<id>` JSON chain, `snapshot/snapshot-<id>` JSON
+  * commits pointing at Avro `manifest-list-*` files, which name Avro
+  * `manifest-*` files, whose entries add/delete the LSM data files
+  * under `<partition>/bucket-<n>/`). The reference ships a Paimon
+  * connector (`fe/fe-core/src/main/java/com/starrocks/connector/paimon/`,
+  * `ConnectorType.java` lists PAIMON beside HUDI/DELTALAKE/ICEBERG);
+  * this is the Spark-native equivalent over the open layout, no
+  * paimon-bundle jar required — the same stance as [[DeltaRead]],
+  * [[HudiRead]], [[IcebergRead]].
+  *
+  * Table kinds:
+  *  - APPEND-ONLY (no primaryKeys in the schema): live data files scan
+  *    as plain parquet/orc; partition columns attach per manifest
+  *    partition tuple as typed literals, so a partition filter
+  *    constant-folds non-matching branches away (static pruning).
+  *  - PRIMARY-KEY (LSM): data files are sorted runs carrying the
+  *    spec's system fields (`_KEY_<pk>` duplicated key columns,
+  *    `_SEQUENCE_NUMBER`, `_VALUE_KIND` row kind: 0 +I, 1 -U, 2 +U,
+  *    3 -D) ahead of the value row; the snapshot read resolves the
+  *    LATEST image per key — one window over `_SEQUENCE_NUMBER` —
+  *    and drops keys whose winning kind retracts (-U/-D). That is
+  *    exactly the merge a Paimon compaction materializes, and
+  *    [[compact]] persists it (commitKind COMPACT, delete entries
+  *    retire the absorbed runs).
+  *
+  * Replay: live set at snapshot N = fold of the snapshot's
+  * baseManifestList then deltaManifestList entries in order (_KIND 0
+  * adds a file, 1 deletes it). Time travel = read `snapshot-<id>`
+  * directly; `snapshot/LATEST` is the hint file.
+  *
+  * Documented deviation: real Paimon serializes each manifest entry's
+  * partition tuple as a BinaryRow; this layout renders it as a JSON
+  * object of column → string (the information content the spec
+  * requires, minus an internal binary codec no public document
+  * specifies byte-for-byte). Readers of FOREIGN Paimon tables would
+  * need that codec; everything else (layout, naming, replay, merge
+  * semantics) follows the published spec.
+  *
+  * 100 TB: manifests are O(files) driver metadata; the PK merge is one
+  * hash-partitioned window keyed by the primary key (the LSM
+  * merge-on-read cost, amortized by [[compact]]); append scans are
+  * plain pruned parquet reads. Nothing row-scale ever sits on the
+  * driver. */
+object PaimonRead {
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val SeqCol = "_SEQUENCE_NUMBER"
+  private val KindCol = "_VALUE_KIND"
+  private val KeyPrefix = "_KEY_"
+
+  // ---- schema (schema/schema-<id> JSON) -----------------------------
+
+  final case class TableSchema(id: Long, fields: Seq[StructField],
+      partitionKeys: Seq[String], primaryKeys: Seq[String],
+      options: Map[String, String]) {
+    def struct: StructType = StructType(fields)
+  }
+
+  /** Spark type → Paimon SQL type string (spec's DataType rendering). */
+  private[sources] def paimonType(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "STRING"
+    case BinaryType => "BYTES"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP(6)"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"unsupported paimon type mapping for $other")
+  }
+
+  private val DecimalRe = "DECIMAL\\((\\d+),\\s*(\\d+)\\)".r
+  private val TimestampRe = "TIMESTAMP\\((\\d+)\\)".r
+  private val VarcharRe = "(?:VARCHAR|CHAR)\\((\\d+)\\)".r
+
+  /** Paimon SQL type string → Spark type; `NOT NULL` suffixes strip. */
+  private[sources] def sparkType(s: String): DataType =
+    s.trim.stripSuffix(" NOT NULL").toUpperCase match {
+      case "BOOLEAN" => BooleanType
+      case "TINYINT" => ByteType
+      case "SMALLINT" => ShortType
+      case "INT" | "INTEGER" => IntegerType
+      case "BIGINT" => LongType
+      case "FLOAT" => FloatType
+      case "DOUBLE" => DoubleType
+      case "STRING" | "VARCHAR" | "CHAR" => StringType
+      case VarcharRe(_) => StringType
+      case "BYTES" | "BINARY" | "VARBINARY" => BinaryType
+      case "DATE" => DateType
+      case TimestampRe(_) => TimestampType
+      case "TIMESTAMP" => TimestampType
+      case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported paimon type $other")
+    }
+
+  private def schemaById(spark: SparkSession, table: String, id: Long): TableSchema = {
+    val f = fs(spark, table)
+    val in = f.open(new Path(s"$table/schema/schema-$id"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = new ObjectMapper().readTree(text)
+    val fields = scala.collection.mutable.ArrayBuffer[StructField]()
+    node.get("fields").forEach { fn =>
+      fields += StructField(fn.get("name").asText(),
+        sparkType(fn.get("type").asText()))
+    }
+    def strSeq(k: String): Seq[String] = {
+      val n = node.get(k)
+      if (n == null) Nil
+      else { val b = scala.collection.mutable.ArrayBuffer[String]()
+        n.forEach(x => b += x.asText()); b.toSeq }
+    }
+    val opts = scala.collection.mutable.Map[String, String]()
+    val on = node.get("options")
+    if (on != null) on.fields().forEachRemaining(e =>
+      opts += e.getKey -> e.getValue.asText())
+    TableSchema(id, fields.toSeq, strSeq("partitionKeys"),
+      strSeq("primaryKeys"), opts.toMap)
+  }
+
+  // ---- snapshots (snapshot/snapshot-<id> JSON + LATEST hint) --------
+
+  final case class Snap(id: Long, schemaId: Long, baseManifestList: String,
+      deltaManifestList: String, commitKind: String)
+
+  /** Latest snapshot id: the LATEST hint when present and valid, else
+    * max over snapshot-<id> names (hints are advisory per the spec). */
+  def latestSnapshotId(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/snapshot")
+    if (!f.exists(dir)) throw new IllegalArgumentException(
+      s"not a paimon table (no snapshot/): $table")
+    val ids = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("snapshot-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption)
+    require(ids.nonEmpty, s"no snapshots under $table/snapshot")
+    val hinted = scala.util.Try {
+      val in = f.open(new Path(s"$table/snapshot/LATEST"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }.toOption
+    hinted.filter(ids.contains).getOrElse(ids.max)
+  }
+
+  private def snapshotOf(spark: SparkSession, table: String, id: Long): Snap = {
+    val f = fs(spark, table)
+    val p = new Path(s"$table/snapshot/snapshot-$id")
+    require(f.exists(p), s"$table has no snapshot $id")
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val n = new ObjectMapper().readTree(text)
+    Snap(n.get("id").asLong, n.get("schemaId").asLong,
+      n.get("baseManifestList").asText(), n.get("deltaManifestList").asText(),
+      Option(n.get("commitKind")).map(_.asText()).getOrElse("APPEND"))
+  }
+
+  // ---- manifests (Avro) ---------------------------------------------
+
+  /** One manifest entry: _KIND 0 add / 1 delete of `fileName` in
+    * (`partition`, `bucket`); stats + LSM metadata from _FILE. */
+  final case class FileEntry(kind: Int, partition: Map[String, String],
+      bucket: Int, fileName: String, sizeBytes: Long, rowCount: Long,
+      minSeq: Long, maxSeq: Long, level: Int)
+
+  private[sources] val manifestEntrySchema: org.apache.avro.Schema =
+    SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("_KIND")
+      .requiredString("_PARTITION") // JSON col->value (see deviation note)
+      .requiredInt("_BUCKET")
+      .name("_FILE").`type`(SchemaBuilder.record("data_file_meta").fields()
+        .requiredString("_FILE_NAME")
+        .requiredLong("_FILE_SIZE")
+        .requiredLong("_ROW_COUNT")
+        .requiredLong("_MIN_SEQUENCE_NUMBER")
+        .requiredLong("_MAX_SEQUENCE_NUMBER")
+        .requiredInt("_LEVEL")
+        .endRecord()).noDefault()
+      .endRecord()
+
+  private[sources] val manifestListSchema: org.apache.avro.Schema =
+    SchemaBuilder.record("manifest_file_meta").fields()
+      .requiredString("_FILE_NAME")
+      .requiredLong("_FILE_SIZE")
+      .endRecord()
+
+  private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(path))
+    val stream = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer[GenericRecord]()
+      while (stream.hasNext) buf += stream.next()
+      buf.toSeq
+    } finally stream.close()
+  }
+
+  private def writeAvro(spark: SparkSession, path: String,
+      schema: org.apache.avro.Schema, records: Seq[GenericRecord]): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(path), true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private def parsePartitionJson(s: String): Map[String, String] = {
+    if (s.isEmpty || s == "{}") return Map.empty
+    val n = new ObjectMapper().readTree(s)
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    n.fields().forEachRemaining(e =>
+      m += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+    m.toMap
+  }
+
+  private def entriesOf(spark: SparkSession, table: String,
+      manifestList: String): Seq[FileEntry] =
+    readAvro(spark, s"$table/manifest/$manifestList").flatMap { lm =>
+      val mf = lm.get("_FILE_NAME").toString
+      readAvro(spark, s"$table/manifest/$mf").map { e =>
+        val fileRec = e.get("_FILE").asInstanceOf[GenericRecord]
+        FileEntry(e.get("_KIND").asInstanceOf[Int],
+          parsePartitionJson(e.get("_PARTITION").toString),
+          e.get("_BUCKET").asInstanceOf[Int],
+          fileRec.get("_FILE_NAME").toString,
+          fileRec.get("_FILE_SIZE").asInstanceOf[Long],
+          fileRec.get("_ROW_COUNT").asInstanceOf[Long],
+          fileRec.get("_MIN_SEQUENCE_NUMBER").asInstanceOf[Long],
+          fileRec.get("_MAX_SEQUENCE_NUMBER").asInstanceOf[Long],
+          fileRec.get("_LEVEL").asInstanceOf[Int])
+      }
+    }
+
+  /** Live data files at a snapshot: base-list then delta-list entries
+    * folded in order — _KIND 1 retires the (partition, bucket, name)
+    * key an earlier add introduced (the compaction shape). */
+  def liveFiles(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): Seq[FileEntry] = {
+    val id = snapshotId.getOrElse(latestSnapshotId(spark, table))
+    val snap = snapshotOf(spark, table, id)
+    val live = scala.collection.mutable.LinkedHashMap[(String, Int, String), FileEntry]()
+    (entriesOf(spark, table, snap.baseManifestList) ++
+      entriesOf(spark, table, snap.deltaManifestList)).foreach { e =>
+      val key = (e.partition.toSeq.sorted.mkString(","), e.bucket, e.fileName)
+      if (e.kind == 0) live(key) = e else live.remove(key)
+    }
+    live.values.toSeq
+  }
+
+  private def partitionDir(partition: Map[String, String],
+      partitionKeys: Seq[String]): String =
+    partitionKeys.map { k =>
+      val v = partition.getOrElse(k, null)
+      s"$k=${if (v == null) "__DEFAULT__" else
+        java.net.URLEncoder.encode(v, "UTF-8").replace("+", "%20")}"
+    }.mkString("/")
+
+  private def dataPath(table: String, e: FileEntry,
+      partitionKeys: Seq[String]): String = {
+    val pd = partitionDir(e.partition, partitionKeys)
+    val prefix = if (pd.isEmpty) table else s"$table/$pd"
+    s"$prefix/bucket-${e.bucket}/${e.fileName}"
+  }
+
+  // ---- read -----------------------------------------------------------
+
+  /** Snapshot scan (default latest). Append tables scan plain; PK
+    * tables resolve the newest image per key and drop retractions.
+    * Partition columns attach per manifest tuple as literals CAST to
+    * the schema type, so `read(..).filter($"p" === x)` constant-folds
+    * the other partitions' branches away at optimization time. */
+  def read(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val id = snapshotId.getOrElse(latestSnapshotId(spark, table))
+    val snap = snapshotOf(spark, table, id)
+    val schema = schemaById(spark, table, snap.schemaId)
+    val files = liveFiles(spark, table, Some(id))
+    val valueCols = schema.fields.map(_.name)
+      .filterNot(schema.partitionKeys.contains)
+    def scanGroup(group: Seq[FileEntry]): DataFrame = {
+      val (orc, parq) = group.partition(_.fileName.endsWith(".orc"))
+      val dfs = Seq(
+        if (parq.nonEmpty) Some(spark.read.parquet(
+          parq.map(e => dataPath(table, e, schema.partitionKeys)): _*)) else None,
+        if (orc.nonEmpty) Some(spark.read.orc(
+          orc.map(e => dataPath(table, e, schema.partitionKeys)): _*)) else None
+      ).flatten
+      dfs.reduce(_ unionByName _)
+    }
+    if (files.isEmpty) {
+      // an empty table still answers with the schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
+    }
+    val byPartition = files.groupBy(_.partition)
+    val scans = byPartition.toSeq.map { case (pvals, group) =>
+      val base = scanGroup(group)
+      schema.partitionKeys.foldLeft(base) { (df, k) =>
+        val dt = schema.fields.find(_.name == k).map(_.dataType)
+          .getOrElse(StringType)
+        df.withColumn(k, lit(pvals.getOrElse(k, null)).cast(dt))
+      }
+    }
+    val all = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (schema.primaryKeys.isEmpty)
+      all.select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    else {
+      // LSM merge: newest sequence per key wins; -U/-D retract. Key
+      // identity comes from the _KEY_ system columns when the file
+      // carries them (the spec's PK file shape), else the value cols.
+      val keyCols = schema.primaryKeys.map { k =>
+        if (all.columns.contains(s"$KeyPrefix$k")) s"$KeyPrefix$k" else k
+      }
+      require(all.columns.contains(SeqCol) && all.columns.contains(KindCol),
+        s"$table: primary-key table data files lack $SeqCol/$KindCol")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 &&
+          (col(KindCol) === 0 || col(KindCol) === 2))
+        .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    }
+  }
+
+  // ---- minimal spec-shaped layout writer (tests + gates) -------------
+
+  private def nextSnapshotId(f: org.apache.hadoop.fs.FileSystem,
+      table: String): Long = {
+    val dir = new Path(s"$table/snapshot")
+    if (!f.exists(dir)) 1L
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("snapshot-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption)
+      .foldLeft(0L)(math.max) + 1
+  }
+
+  private def latestSchemaId(f: org.apache.hadoop.fs.FileSystem,
+      table: String): Option[Long] = {
+    val dir = new Path(s"$table/schema")
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("schema-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("schema-").toLong).toOption)
+      .sorted.lastOption
+  }
+
+  private def writeSchemaFile(spark: SparkSession, table: String, id: Long,
+      fields: Seq[StructField], partitionKeys: Seq[String],
+      primaryKeys: Seq[String], options: Map[String, String]): Unit = {
+    val mapper = graft.functions.JsonKernel.mapper
+    val fjson = fields.zipWithIndex.map { case (fd, i) =>
+      s"""{"id":$i,"name":${mapper.writeValueAsString(fd.name)},"type":${mapper.writeValueAsString(paimonType(fd.dataType))}}"""
+    }.mkString(",")
+    def arr(xs: Seq[String]) =
+      xs.map(mapper.writeValueAsString).mkString("[", ",", "]")
+    val opts = options.map { case (k, v) =>
+      s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"version":3,"id":$id,"fields":[$fjson],"highestFieldId":${fields.size - 1},"partitionKeys":${arr(partitionKeys)},"primaryKeys":${arr(primaryKeys)},"options":$opts}"""
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/schema"))
+    val out = f.create(new Path(s"$table/schema/schema-$id"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def entryRecord(e: FileEntry): GenericRecord = {
+    val mapper = graft.functions.JsonKernel.mapper
+    val fileRec = new GenericData.Record(
+      manifestEntrySchema.getField("_FILE").schema())
+    fileRec.put("_FILE_NAME", e.fileName)
+    fileRec.put("_FILE_SIZE", e.sizeBytes)
+    fileRec.put("_ROW_COUNT", e.rowCount)
+    fileRec.put("_MIN_SEQUENCE_NUMBER", e.minSeq)
+    fileRec.put("_MAX_SEQUENCE_NUMBER", e.maxSeq)
+    fileRec.put("_LEVEL", e.level)
+    val r = new GenericData.Record(manifestEntrySchema)
+    r.put("_KIND", e.kind)
+    val pm = new java.util.LinkedHashMap[String, String]()
+    e.partition.foreach { case (k, v) => pm.put(k, v) }
+    r.put("_PARTITION", mapper.writeValueAsString(pm))
+    r.put("_BUCKET", e.bucket)
+    r.put("_FILE", fileRec)
+    r
+  }
+
+  /** Commit `entries` as snapshot `id`: one delta manifest, a base
+    * list referencing every PRIOR manifest (the spec's reuse — base
+    * state is the fold of earlier manifests, never rewritten). */
+  private def commitEntries(spark: SparkSession, table: String, id: Long,
+      schemaId: Long, entries: Seq[FileEntry], commitKind: String): Long = {
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/manifest"))
+    f.mkdirs(new Path(s"$table/snapshot"))
+    val manifestName = f"manifest-$id%05d-0"
+    writeAvro(spark, s"$table/manifest/$manifestName", manifestEntrySchema,
+      entries.map(entryRecord))
+    def listRec(name: String): GenericRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("_FILE_NAME", name)
+      r.put("_FILE_SIZE",
+        f.getFileStatus(new Path(s"$table/manifest/$name")).getLen)
+      r
+    }
+    // prior manifests in commit order = the base state
+    val prior: Seq[String] =
+      if (id == 1) Nil
+      else {
+        val prevSnap = snapshotOf(spark, table, id - 1)
+        val prevBase = readAvro(spark, s"$table/manifest/${prevSnap.baseManifestList}")
+          .map(_.get("_FILE_NAME").toString)
+        val prevDelta = readAvro(spark, s"$table/manifest/${prevSnap.deltaManifestList}")
+          .map(_.get("_FILE_NAME").toString)
+        prevBase ++ prevDelta
+      }
+    val baseList = f"manifest-list-$id%05d-base"
+    val deltaList = f"manifest-list-$id%05d-delta"
+    writeAvro(spark, s"$table/manifest/$baseList", manifestListSchema,
+      prior.map(listRec))
+    writeAvro(spark, s"$table/manifest/$deltaList", manifestListSchema,
+      Seq(listRec(manifestName)))
+    val rows = entries.filter(_.kind == 0).map(_.rowCount).sum
+    val json =
+      s"""{"version":3,"id":$id,"schemaId":$schemaId,"baseManifestList":"$baseList","deltaManifestList":"$deltaList","commitKind":"$commitKind","timeMillis":${System.currentTimeMillis()},"deltaRecordCount":$rows}"""
+    val out = f.create(new Path(s"$table/snapshot/snapshot-$id"), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val hint = f.create(new Path(s"$table/snapshot/LATEST"), true)
+    try hint.write(id.toString.getBytes("UTF-8")) finally hint.close()
+    id
+  }
+
+  /** Stage `df` partitioned by (partition dirs, bucket), walk the hive
+    * layout, move each part under `<p=v>/bucket-<n>/` and return its
+    * manifest entries. */
+  private def stageDataFiles(df: DataFrame, table: String, id: Long,
+      partitionKeys: Seq[String], bucketCol: Option[String],
+      seq: Long, level: Int): Seq[FileEntry] = {
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val staging = s"$table/_staging_$id"
+    val layoutCols = partitionKeys ++ bucketCol.toSeq
+    if (layoutCols.isEmpty) df.coalesce(1).write.mode("overwrite").parquet(staging)
+    else df.write.partitionBy(layoutCols: _*).mode("overwrite").parquet(staging)
+    def unescape(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val found = scala.collection.mutable.ArrayBuffer[(Path, Map[String, String])]()
+    def walk(p: Path, vals: Map[String, String]): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          walk(st.getPath, vals + (name.substring(0, name.indexOf('=')) ->
+            unescape(name.substring(name.indexOf('=') + 1))))
+        else if (name.endsWith(".parquet")) found += ((st.getPath, vals))
+      }
+    walk(new Path(staging), Map.empty)
+    val entries = found.zipWithIndex.map { case ((part, vals), i) =>
+      val partition = partitionKeys.map(k => k ->
+        vals.get(k).filter(_ != "__HIVE_DEFAULT_PARTITION__").orNull).toMap
+      val bucket = bucketCol.flatMap(vals.get).map(_.toInt).getOrElse(0)
+      val fileName = f"data-$id%05d-$i.parquet"
+      val pd = partitionDir(partition, partitionKeys)
+      val destDir = (if (pd.isEmpty) table else s"$table/$pd") + s"/bucket-$bucket"
+      f.mkdirs(new Path(destDir))
+      val dest = s"$destDir/$fileName"
+      f.delete(new Path(dest), false)
+      f.rename(part, new Path(dest))
+      val st = f.getFileStatus(new Path(dest))
+      // rowCount from the staged frame is not tracked per file; record
+      // the file-level count via a cheap parquet footer read
+      val rc = spark.read.parquet(dest).count()
+      FileEntry(0, partition, bucket, fileName, st.getLen, rc, seq, seq, level)
+    }.toSeq
+    f.delete(new Path(staging), true)
+    entries
+  }
+
+  /** First commit of an APPEND-ONLY table (schema-0 + snapshot-1);
+    * later calls append a snapshot. */
+  def commitAppend(df: DataFrame, table: String,
+      partitionKeys: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    partitionKeys.foreach(k => require(df.columns.contains(k),
+      s"unknown partition column $k"))
+    val schemaId = latestSchemaId(f, table).getOrElse {
+      writeSchemaFile(spark, table, 0, df.schema.fields.toSeq, partitionKeys,
+        Nil, Map("file.format" -> "parquet"))
+      0L
+    }
+    val id = nextSnapshotId(f, table)
+    val entries = stageDataFiles(df, table, id, partitionKeys, None, id, 0)
+    commitEntries(spark, table, id, schemaId, entries, "APPEND")
+  }
+
+  /** Upsert commit of a PRIMARY-KEY table. The first call creates the
+    * schema (pk + optional partition keys + fixed `numBuckets`); every
+    * call writes one sorted run per (partition, bucket) carrying the
+    * spec's system columns, at sequence = snapshot id (this writer
+    * commits key-unique batches, enforced below). `deletes` rows need
+    * only the key columns — they land as -D retractions. */
+  def commitPk(df: DataFrame, table: String, primaryKeys: Seq[String],
+      partitionKeys: Seq[String] = Nil, numBuckets: Int = 2,
+      deletes: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{abs => fabs, col, hash, lit, pmod}
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    require(primaryKeys.nonEmpty, "primary-key commit without keys")
+    val schemaId = latestSchemaId(f, table) match {
+      case Some(sid) =>
+        val sch = schemaById(spark, table, sid)
+        require(sch.primaryKeys == primaryKeys,
+          s"table primary keys are ${sch.primaryKeys}, not $primaryKeys")
+        sid
+      case None =>
+        require(!deletes, "cannot open a table with a delete batch")
+        writeSchemaFile(spark, table, 0, df.schema.fields.toSeq,
+          partitionKeys, primaryKeys,
+          Map("file.format" -> "parquet", "bucket" -> numBuckets.toString))
+        0L
+    }
+    val sch = schemaById(spark, table, schemaId)
+    val buckets = sch.options.get("bucket").map(_.toInt).getOrElse(numBuckets)
+    primaryKeys.foreach(k => require(df.columns.contains(k),
+      s"batch missing key column $k"))
+    require(df.groupBy(primaryKeys.map(col): _*).count()
+      .filter(col("count") > 1).isEmpty,
+      "paimon PK batch must be key-unique (sequence ties are undefined)")
+    val id = nextSnapshotId(f, table)
+    // delete batches must carry the PARTITION columns too: the
+    // tombstone has to land in the same (partition, bucket) group as
+    // the rows it kills, or a per-group compaction would drop the
+    // tombstone in one group while the base image survives in another
+    if (deletes) sch.partitionKeys.foreach(k =>
+      require(df.columns.contains(k),
+        s"delete batch must carry partition column $k — the tombstone " +
+          "lands in the key's partition"))
+    // value row per schema (deletes carry nulls), system cols ahead
+    val valued = sch.fields.foldLeft(df) { (d, fd) =>
+      if (d.columns.contains(fd.name)) d
+      else {
+        require(deletes, s"upsert batch missing column ${fd.name}")
+        d.withColumn(fd.name, lit(null).cast(fd.dataType))
+      }
+    }
+    val sys = primaryKeys.foldLeft(valued) { (d, k) =>
+      d.withColumn(s"$KeyPrefix$k", col(k)) }
+      .withColumn(SeqCol, lit(id))
+      .withColumn(KindCol, lit(if (deletes) 3 else 2).cast("tinyint"))
+      .withColumn("__bucket",
+        pmod(fabs(hash(primaryKeys.map(col): _*)), lit(buckets)))
+    val entries = stageDataFiles(sys, table, id, sch.partitionKeys,
+      Some("__bucket"), id, 0)
+    commitEntries(spark, table, id, schemaId, entries, "APPEND")
+  }
+
+  /** Materialize the merged PK state: per (partition, bucket) rewrite
+    * live runs into one max-level file and RETIRE them with delete
+    * entries — commitKind COMPACT, the LSM compaction shape. Readers
+    * at older snapshots still see the original runs. */
+  def compact(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val f = fs(spark, table)
+    val cur = latestSnapshotId(spark, table)
+    val sch = schemaById(spark, table, snapshotOf(spark, table, cur).schemaId)
+    require(sch.primaryKeys.nonEmpty, "compact targets primary-key tables")
+    val files = liveFiles(spark, table, Some(cur))
+    val id = nextSnapshotId(f, table)
+    val maxLevel = files.map(_.level).foldLeft(0)(math.max) + 1
+    val adds = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    files.groupBy(e => (e.partition, e.bucket)).foreach { case ((pvals, bucket), group) =>
+      val paths = group.map(e => dataPath(table, e, sch.partitionKeys))
+      val all = spark.read.parquet(paths: _*)
+      val keyCols = sch.primaryKeys.map(k =>
+        if (all.columns.contains(s"$KeyPrefix$k")) s"$KeyPrefix$k" else k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+      // winning TOMBSTONES are KEPT as rows (read() filters kinds):
+      // the group-local merge cannot prove no other group holds an
+      // older image of the key, so dropping a -D here could resurrect
+      // one — retention is O(deleted keys), reclaimed when a later
+      // compaction's group holds only the tombstone... which is this
+      // same rule, so they persist; correctness over bytes
+      val merged = all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+      val staging = s"$table/_compact_$id-$bucket"
+      merged.coalesce(1).write.mode("overwrite").parquet(staging)
+      val parts = f.listStatus(new Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val fileName = f"data-$id%05d-c$bucket-$i.parquet"
+        val pd = partitionDir(pvals, sch.partitionKeys)
+        val destDir = (if (pd.isEmpty) table else s"$table/$pd") + s"/bucket-$bucket"
+        val dest = s"$destDir/$fileName"
+        f.rename(part, new Path(dest))
+        val maxSeq = group.map(_.maxSeq).foldLeft(0L)(math.max)
+        adds += FileEntry(0, pvals, bucket, fileName,
+          f.getFileStatus(new Path(dest)).getLen,
+          spark.read.parquet(dest).count(), 0L, maxSeq, maxLevel)
+      }
+      f.delete(new Path(staging), true)
+    }
+    val retires = files.map(_.copy(kind = 1))
+    commitEntries(spark, table, id,
+      snapshotOf(spark, table, cur).schemaId, retires ++ adds.toSeq, "COMPACT")
+  }
+}

@@ -204,10 +204,19 @@ class DeltaReadSpec extends SparkSuite {
     assert(DeltaRead.read(spark, table).count() === 196L)
     // time travel to v0 re-serves row 9
     assert(DeltaRead.read(spark, table, Some(0L)).count() === 197L)
-    // checkpointing would drop the vectors — refused
-    intercept[IllegalArgumentException] {
-      DeltaRead.writeCheckpoint(spark, table)
-    }
+    // checkpoint of the DV-LIVE version: descriptors ride in the add
+    // struct (PROTOCOL.md §Checkpoints) — bootstrap from the parquet
+    // alone equals the full JSON replay
+    val ck = DeltaRead.writeCheckpoint(spark, table)
+    assert(ck === 1L)
+    val viaLog = DeltaRead.read(spark, table).collect().map(_.getLong(0)).toSet
+    // delete the JSON commits the checkpoint covers: replay must enter
+    // at the checkpoint and still mask 3/7/9/100
+    (0L to 1L).foreach(v => f.delete(new org.apache.hadoop.fs.Path(
+      f"$table/_delta_log/$v%020d.json"), false))
+    val viaCkpt = DeltaRead.read(spark, table).collect().map(_.getLong(0)).toSet
+    assert(viaCkpt === viaLog, "checkpoint bootstrap != full-log replay")
+    assert(viaCkpt.size === 196 && !viaCkpt.contains(9L))
     // CRC tamper detection
     // tamper every vector file (only the CURRENT add's is read)
     f.listStatus(new org.apache.hadoop.fs.Path(table))
@@ -361,6 +370,49 @@ class DeltaReadSpec extends SparkSuite {
     assert(viaCdf.filter($"__commit_version" === 4).count() === 0L)
     assert(viaCdf.filter($"__commit_version" === 5 &&
       $"__change_type" === "insert").count() === 20L)
+  }
+
+  test("CDF write side, PARTITIONED: change files drop partition columns; cdc actions carry real partitionValues") {
+    import graft.sources.{DeltaExport, Lake}
+    val table = java.nio.file.Files.createTempDirectory("graft-dcdfpw").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Lake.write(spark.range(0, 300).select($"id".as("k"),
+      ($"id" % 3).cast("string").as("p"),
+      ($"id" * 2).cast("double").as("x")).repartition(2),
+      table, Seq("p"))                                               // v1
+    Lake.deleteMor(spark, table, $"k" >= 250)                        // v2
+    Lake.mergeMor(spark, table, spark.range(0, 10).select($"id".as("k"),
+      ($"id" % 3).cast("string").as("p"), lit(-7.0).as("x")), Seq("k")) // v3
+    DeltaExport.exportDeltaLog(spark, table, withCdf = true)
+    // every cdc parquet: NO partition column in-file (protocol: change
+    // files store data + _change_type only; partition comes from the
+    // action), and its action records the real partition tuple
+    val logTxt = {
+      val in = f.open(new org.apache.hadoop.fs.Path(f"$table/_delta_log/${1L}%020d.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cdcActs = logTxt.linesIterator.filter(_.nonEmpty)
+      .map(mapper.readTree).filter(_.has("cdc")).toSeq
+    assert(cdcActs.nonEmpty, "MoR delete commit must carry cdc actions")
+    cdcActs.foreach { n =>
+      val pv = n.get("cdc").get("partitionValues")
+      assert(pv.has("p") && !pv.get("p").isNull,
+        s"cdc action missing real partitionValues: $n")
+      val file = spark.read.parquet(s"$table/" + n.get("cdc").get("path").asText())
+      assert(!file.columns.contains("p"),
+        "change file must not embed the partition column")
+      assert(file.columns.contains("_change_type"))
+    }
+    // roundtrip: cdc replay == manifest-derived feed, partition column
+    // restored as a typed literal from the action
+    val viaCdf = DeltaRead.changesCdf(spark, table, 0L, 2L)
+      .withColumn("__commit_version", $"__commit_version" + 1)
+    val viaLake = Lake.changes(spark, table, 1, 3)
+    assert(viaCdf.columns.toSet === viaLake.columns.toSet)
+    val a = viaCdf.select(viaLake.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    assert(a.exceptAll(viaLake).isEmpty && viaLake.exceptAll(a).isEmpty,
+      "partitioned CDF replay != manifest-derived feed")
   }
 
   test("foreign CDF commits: update_preimage/postimage map onto the retraction contract") {

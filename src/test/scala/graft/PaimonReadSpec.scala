@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.PaimonRead
+
+/** Paimon layout replay: snapshot chain, manifest add/delete fold,
+  * append scans, primary-key LSM merge, compaction. */
+class PaimonReadSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_pai_$tag").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("append-only: snapshot chain, time travel, LATEST hint") {
+    val dir = freshTable("append")
+    val s1 = PaimonRead.commitAppend(
+      spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v")), dir)
+    val s2 = PaimonRead.commitAppend(
+      spark.range(100, 150).select($"id".as("k"), ($"id" * 2).as("v")), dir)
+    assert((s1, s2) === ((1L, 2L)))
+    assert(PaimonRead.latestSnapshotId(spark, dir) === 2L)
+    assert(PaimonRead.read(spark, dir).count() === 150)
+    assert(PaimonRead.read(spark, dir, Some(1L)).count() === 100)
+    assert(PaimonRead.read(spark, dir).agg(sum($"v")).head.getLong(0) ===
+      (0L until 150L).map(_ * 2).sum)
+    intercept[IllegalArgumentException] {
+      PaimonRead.read(spark,
+        java.nio.file.Files.createTempDirectory("np").toString)
+    }
+  }
+
+  test("append-only partitioned: typed partition restore + static branch pruning") {
+    val dir = freshTable("appart")
+    PaimonRead.commitAppend(
+      spark.range(0, 300).select($"id".as("k"),
+        ($"id" % 3).cast("int").as("p"), ($"id" * 2).as("v")), dir, Seq("p"))
+    val df = PaimonRead.read(spark, dir)
+    assert(df.schema("p").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(df.count() === 300)
+    assert(df.filter($"p" === 1).count() === 100)
+    assert(df.filter($"p" === 1).select($"k").collect()
+      .forall(_.getLong(0) % 3 === 1))
+    // partition filter constant-folds the other partitions' branches
+    // out of the plan — no scan of their files
+    val plan = df.filter($"p" === 1).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union") || plan.split("Relation").length <= 3,
+      s"partition filter left sibling branches in the plan:\n$plan")
+  }
+
+  test("primary-key LSM: upsert, delete, re-insert resolve to the newest image") {
+    val dir = freshTable("pk")
+    PaimonRead.commitPk(spark.range(0, 100).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x")), dir, Seq("k"))
+    // overwrite k<10, delete 90..94, then re-insert 92
+    PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"),
+      lit(-1.0).as("x")), dir, Seq("k"))
+    PaimonRead.commitPk((90L until 95L).toDF("k"), dir, Seq("k"),
+      deletes = true)
+    PaimonRead.commitPk(Seq((92L, 555.0)).toDF("k", "x"), dir, Seq("k"))
+    val got = PaimonRead.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 96, s"expected 96 live keys, got ${got.size}")
+    assert((0L until 10L).forall(k => got(k) === -1.0))
+    assert(got(92L) === 555.0 && !got.contains(90L) && !got.contains(94L))
+    assert(got(50L) === 100.0)
+    // time travel reads the pre-delete state
+    assert(PaimonRead.read(spark, dir, Some(1L)).count() === 100)
+    assert(PaimonRead.read(spark, dir, Some(2L))
+      .filter($"k" === 0L).head.getDouble(1) === -1.0)
+    // key-unique batches enforced (sequence ties are undefined)
+    intercept[IllegalArgumentException] {
+      PaimonRead.commitPk(Seq((1L, 1.0), (1L, 2.0)).toDF("k", "x"),
+        dir, Seq("k"))
+    }
+  }
+
+  test("primary-key partitioned + compaction retires absorbed runs") {
+    val dir = freshTable("pkpart")
+    PaimonRead.commitPk(spark.range(0, 200).select($"id".as("k"),
+      ($"id" % 2).cast("string").as("p"), ($"id" * 2).cast("double").as("x")),
+      dir, Seq("k"), Seq("p"), numBuckets = 2)
+    PaimonRead.commitPk(spark.range(0, 5).select($"id".as("k"),
+      ($"id" % 2).cast("string").as("p"), lit(-9.0).as("x")),
+      dir, Seq("k"), Seq("p"))
+    // deletes carry the partition column (the tombstone lands in the
+    // key's partition — enforced, or compaction could resurrect rows)
+    PaimonRead.commitPk(spark.range(190, 200).select($"id".as("k"),
+      ($"id" % 2).cast("string").as("p")), dir, Seq("k"), deletes = true)
+    intercept[IllegalArgumentException] {
+      PaimonRead.commitPk(Seq(5L).toDF("k"), dir, Seq("k"), deletes = true)
+    }
+    def state() = PaimonRead.read(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"),
+        (r.getAs[Double]("x"), r.getAs[String]("p")))).toMap
+    val before = state()
+    assert(before.size === 190)
+    assert(!before.contains(195L), "partitioned delete lost")
+    assert(before(3L) === ((-9.0, "1")) && before(100L) === ((200.0, "0")))
+    val preFiles = PaimonRead.liveFiles(spark, dir).size
+    val cid = PaimonRead.compact(spark, dir)
+    assert(state() === before, "compaction changed the table's content")
+    val postFiles = PaimonRead.liveFiles(spark, dir)
+    assert(postFiles.size < preFiles,
+      s"compact kept $postFiles of $preFiles files")
+    assert(postFiles.forall(_.level > 0), "compacted files must move levels")
+    // the pre-compact snapshot still reads the original runs
+    assert(PaimonRead.read(spark, dir, Some(cid - 1))
+      .collect().map(r => (r.getAs[Long]("k"),
+        (r.getAs[Double]("x"), r.getAs[String]("p")))).toMap === before)
+    // further upserts after compaction keep merging
+    PaimonRead.commitPk(Seq((100L, "0", 1.5)).toDF("k", "p", "x"),
+      dir, Seq("k"))
+    assert(state()(100L) === ((1.5, "0")))
+  }
+}
