@@ -541,11 +541,32 @@ object VectorIndex {
         sqrt((0 until m).map(s =>
           element_at(element_at(col("__lut"), s + 1),
             element_at(col("codes"), s + 1) + 1)).reduce(_ + _)).as("approx_l2"))
-    val scored = if (model.spill <= 1) scored0
-      else scored0.groupBy(col(queryId), col(corpusId))
+    // Per-query top-rerank via the BOUNDED-HEAP min_n aggregate, not a
+    // global (queryId, corpusId) pre-shuffle: spill>1 duplicates a
+    // vector's code row across `spill` cells, and the old dedup
+    // groupBy shuffled EVERY scored row on a near-unique key (a
+    // vector's copies land in different cells, so map-side combine
+    // never fired — at 20M×100 queries that was a ~500M-row exchange,
+    // the whole SCALING cell's wall). Instead: a heap of
+    // spill×rerank per query per PARTITION map-side — exact, because
+    // an id in the global deduped top-rerank has < rerank distinct
+    // ids ahead of it, hence < spill×rerank structs ahead of it in
+    // ANY partition — then dedupe only the survivors
+    // (≤ partitions×queries×spill×rerank structs cross the wire).
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+    val heapK = rerank * math.max(model.spill, 1)
+    val topAgg = C(graft.functions.agg.MinMaxNAgg(
+      E(struct(col("approx_l2"), col(corpusId).as("__cid"))),
+      heapK, isMax = false).toAggregateExpression())
+    val survivors = scored0.groupBy(col(queryId)).agg(topAgg.as("__top"))
+      .select(col(queryId), explode(col("__top")).as("__t"))
+      .select(col(queryId), col("__t").getField("__cid").as(corpusId),
+        col("__t").getField("approx_l2").as("approx_l2"))
+    val deduped = if (model.spill <= 1) survivors
+      else survivors.groupBy(col(queryId), col(corpusId))
         .agg(min(col("approx_l2")).as("approx_l2"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("approx_l2"), col(corpusId))
-    scored.withColumn("__rr", row_number().over(w))
+    deduped.withColumn("__rr", row_number().over(w))
       .filter(col("__rr") <= rerank)
       .select(col(queryId), col(corpusId))
   }

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, Session}
+import graft.sources.PaimonRead
+
+/** Dev tool: Paimon primary-key MERGE-ON-READ cost across a decade of
+  * base sizes. The claim under test: the LSM merge is ONE
+  * hash-partitioned window keyed by the primary key over live-run rows
+  * — wall follows the data volume (≤ linear per decade), and
+  * compaction returns the read to plain-scan shape. A fixed-size
+  * upsert+delete batch rides on each base so the merge always has
+  * multi-run keys to resolve.
+  *
+  * args: rowCounts...  (default 1000000 4000000 16000000)
+  */
+object PaimonScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(1000000L, 4000000L, 16000000L)
+
+    val spark = Engine.session()
+    spark.sparkContext.setLogLevel("ERROR")
+    Session.prepare(spark)
+    import spark.implicits._
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    println("| base rows | ingest s (3 commits) | MoR read s | compact s | post-compact read s |")
+    println("|---|---|---|---|---|")
+    for (n <- sizes) {
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_paimon_probe_$n"
+      graft.sources.Formats.deleteDir(spark, table)
+      val base = spark.range(0, n).select($"id".as("k"),
+        ($"id" % 7).cast("string").as("p"),
+        ($"id" * 31 % 100000).cast("double").as("price"))
+      val ingest = time {
+        PaimonRead.commitPk(base, table, Seq("k"), Seq("p"), numBuckets = 4)
+        // fixed-size delta: 20k upserts + 5k deletes
+        PaimonRead.commitPk(spark.range(0, 20000).select($"id".as("k"),
+          ($"id" % 7).cast("string").as("p"), lit(-1.0).as("price")),
+          table, Seq("k"))
+        PaimonRead.commitPk(spark.range(20000, 25000).select($"id".as("k"),
+          ($"id" % 7).cast("string").as("p")), table, Seq("k"), deletes = true)
+      }
+      def readWall(): Double = time(PaimonRead.read(spark, table)
+        .agg(count(lit(1)), sum($"price")).collect())
+      val mor = readWall()
+      val comp = time(PaimonRead.compact(spark, table))
+      val post = readWall()
+      println(f"| $n | $ingest%.1f | $mor%.2f | $comp%.1f | $post%.2f |")
+      graft.sources.Formats.deleteDir(spark, table)
+    }
+    spark.stop()
+  }
+}
