@@ -541,34 +541,31 @@ object VectorIndex {
         sqrt((0 until m).map(s =>
           element_at(element_at(col("__lut"), s + 1),
             element_at(col("codes"), s + 1) + 1)).reduce(_ + _)).as("approx_l2"))
-    // Per-query top-rerank via the BOUNDED-HEAP min_n aggregate, not a
-    // global (queryId, corpusId) pre-shuffle: spill>1 duplicates a
-    // vector's code row across `spill` cells, and the old dedup
-    // groupBy shuffled EVERY scored row on a near-unique key (a
-    // vector's copies land in different cells, so map-side combine
-    // never fired — at 20M×100 queries that was a ~500M-row exchange,
-    // the whole SCALING cell's wall). Instead: a heap of
-    // spill×rerank per query per PARTITION map-side — exact, because
-    // an id in the global deduped top-rerank has < rerank distinct
-    // ids ahead of it, hence < spill×rerank structs ahead of it in
-    // ANY partition — then dedupe only the survivors
-    // (≤ partitions×queries×spill×rerank structs cross the wire).
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+    // spill>1 dedup happens AFTER the top-k window, not before:
+    // the old (queryId, corpusId) dedup groupBy shuffled EVERY scored
+    // row on a near-unique key — a vector's spill copies land in
+    // different CELLS, so map-side combine never fired, and at
+    // 20M×100 queries that ~500M-row exchange was the whole SCALING
+    // cell's wall. The window's own rank-filter pushes a PARTIAL
+    // WindowGroupLimit below its exchange (codegen'd local top-k per
+    // partition), so widening the limit to spill×rerank keeps it
+    // EXACT with duplicates still present: an id in the global
+    // deduped top-rerank has < rerank distinct ids ahead of it, hence
+    // < spill×rerank rows ahead of it in ANY partition. Only
+    // partitions×queries×spill×rerank rows cross the wire; the
+    // post-dedup re-rank reuses the same exchange/sort (same key).
     val heapK = rerank * math.max(model.spill, 1)
-    val topAgg = C(graft.functions.agg.MinMaxNAgg(
-      E(struct(col("approx_l2"), col(corpusId).as("__cid"))),
-      heapK, isMax = false).toAggregateExpression())
-    val survivors = scored0.groupBy(col(queryId)).agg(topAgg.as("__top"))
-      .select(col(queryId), explode(col("__top")).as("__t"))
-      .select(col(queryId), col("__t").getField("__cid").as(corpusId),
-        col("__t").getField("approx_l2").as("approx_l2"))
-    val deduped = if (model.spill <= 1) survivors
-      else survivors.groupBy(col(queryId), col(corpusId))
-        .agg(min(col("approx_l2")).as("approx_l2"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("approx_l2"), col(corpusId))
-    deduped.withColumn("__rr", row_number().over(w))
-      .filter(col("__rr") <= rerank)
-      .select(col(queryId), col(corpusId))
+    val pruned = scored0.withColumn("__rr", row_number().over(w))
+      .filter(col("__rr") <= heapK).drop("__rr")
+    if (model.spill <= 1) pruned.select(col(queryId), col(corpusId))
+    else {
+      val deduped = pruned.groupBy(col(queryId), col(corpusId))
+        .agg(min(col("approx_l2")).as("approx_l2"))
+      deduped.withColumn("__rr", row_number().over(w))
+        .filter(col("__rr") <= rerank)
+        .select(col(queryId), col(corpusId))
+    }
   }
 
   /** Build-if-absent standing index under the JVM tmpdir, keyed on
