@@ -269,6 +269,18 @@ object PaimonRead {
     live.values.toSeq
   }
 
+  /** Row count from the parquet FOOTER — a driver-side metadata read;
+    * a `spark.read.parquet(file).count()` per staged file would spend
+    * a full Spark job on each (measured ~80 s/commit of pure overhead
+    * in PaimonScaleProbe before this). */
+  private def footerRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   private def partitionDir(partition: Map[String, String],
       partitionKeys: Seq[String]): String =
     partitionKeys.map { k =>
@@ -487,9 +499,7 @@ object PaimonRead {
       f.delete(new Path(dest), false)
       f.rename(part, new Path(dest))
       val st = f.getFileStatus(new Path(dest))
-      // rowCount from the staged frame is not tracked per file; record
-      // the file-level count via a cheap parquet footer read
-      val rc = spark.read.parquet(dest).count()
+      val rc = footerRowCount(spark, dest)
       FileEntry(0, partition, bucket, fileName, st.getLen, rc, seq, seq, level)
     }.toSeq
     f.delete(new Path(staging), true)
@@ -618,7 +628,7 @@ object PaimonRead {
         val maxSeq = group.map(_.maxSeq).foldLeft(0L)(math.max)
         adds += FileEntry(0, pvals, bucket, fileName,
           f.getFileStatus(new Path(dest)).getLen,
-          spark.read.parquet(dest).count(), 0L, maxSeq, maxLevel)
+          footerRowCount(spark, dest), 0L, maxSeq, maxLevel)
       }
       f.delete(new Path(staging), true)
     }
