@@ -917,6 +917,31 @@ object SourcesQ extends graft.QueryArea {
       val compacted = agg(graft.sources.PaimonRead.read(spark, table), 2)
       merged.unionByName(compacted).orderBy(col("phase"), col("p"))
     }),
+    // Paimon row-level CHANGE FEED: the Lake.changes retraction
+    // contract derived from the snapshot chain's delta manifests — an
+    // update emits delete(old)+insert(new), deletes emit prior images
+    // only (found by a touched-key-bounded merge of the prior runs),
+    // a re-insert of a tombstoned key emits insert only.
+    "src_paimon_changes" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_chg")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(0.0)),
+        table, Seq("o_orderkey"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")),
+        table, Seq("o_orderkey"), deletes = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 20 === 4).withColumn("o_totalprice", lit(-1.0)),
+        table, Seq("o_orderkey"))
+      graft.sources.PaimonRead.changes(spark, table, 1L, 4L)
+        .groupBy(col("__change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
     "src_hudi_read" -> ((spark, dir) => {
       val table = tmpDir(dir, "hudi_ext")
       graft.sources.Formats.deleteDir(spark, table)
@@ -1940,6 +1965,21 @@ object SourcesQ extends graft.QueryArea {
         |UNION ALL
         |SELECT 2, p, n, total FROM agg
         |ORDER BY phase, p""".stripMargin,
+    "src_paimon_changes" ->
+      """WITH del AS (
+        |  SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 4),
+        |ins AS (
+        |  SELECT 0.0 AS price FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT -1.0 FROM orders WHERE o_orderkey % 20 = 4)
+        |SELECT 'delete' AS change_type, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total FROM del
+        |UNION ALL
+        |SELECT 'insert', count(*),
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) FROM ins
+        |ORDER BY change_type""".stripMargin,
     "src_hudi_read" ->
       """SELECT 1 AS snap, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -298,20 +298,11 @@ object PaimonRead {
 
   // ---- read -----------------------------------------------------------
 
-  /** Snapshot scan (default latest). Append tables scan plain; PK
-    * tables resolve the newest image per key and drop retractions.
-    * Partition columns attach per manifest tuple as literals CAST to
-    * the schema type, so `read(..).filter($"p" === x)` constant-folds
-    * the other partitions' branches away at optimization time. */
-  def read(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, row_number}
-    val id = snapshotId.getOrElse(latestSnapshotId(spark, table))
-    val snap = snapshotOf(spark, table, id)
-    val schema = schemaById(spark, table, snap.schemaId)
-    val files = liveFiles(spark, table, Some(id))
-    val valueCols = schema.fields.map(_.name)
-      .filterNot(schema.partitionKeys.contains)
+  /** Scan a file group (parquet/orc by extension) with the
+    * partition-tuple literals attached, typed by the schema. */
+  private def partitionScans(spark: SparkSession, table: String,
+      schema: TableSchema, files: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     def scanGroup(group: Seq[FileEntry]): DataFrame = {
       val (orc, parq) = group.partition(_.fileName.endsWith(".orc"))
       val dfs = Seq(
@@ -322,39 +313,146 @@ object PaimonRead {
       ).flatten
       dfs.reduce(_ unionByName _)
     }
-    if (files.isEmpty) {
-      // an empty table still answers with the schema
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
-    }
-    val byPartition = files.groupBy(_.partition)
-    val scans = byPartition.toSeq.map { case (pvals, group) =>
+    files.groupBy(_.partition).toSeq.map { case (pvals, group) =>
       val base = scanGroup(group)
       schema.partitionKeys.foldLeft(base) { (df, k) =>
         val dt = schema.fields.find(_.name == k).map(_.dataType)
           .getOrElse(StringType)
         df.withColumn(k, lit(pvals.getOrElse(k, null)).cast(dt))
       }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The _KEY_-prefixed column when the scan carries it (the spec's
+    * PK file shape), else the value column. */
+  private def keyColsOf(schema: TableSchema, df: DataFrame): Seq[String] =
+    schema.primaryKeys.map { k =>
+      if (df.columns.contains(s"$KeyPrefix$k")) s"$KeyPrefix$k" else k
     }
-    val all = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** LSM merge: newest sequence per key wins. `keepRetractions` keeps
+    * the winning -U/-D rows (compaction needs them); the read path
+    * drops them. `restrictTo(df)` filters BELOW the window (e.g. a
+    * broadcast semi-join on touched keys) so the merge shuffle is
+    * bounded by the matched rows, not the table. */
+  private def mergedImages(spark: SparkSession, table: String,
+      schema: TableSchema, all0: DataFrame,
+      restrictTo: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val all = restrictTo(all0)
+    val keyCols = keyColsOf(schema, all)
+    require(all.columns.contains(SeqCol) && all.columns.contains(KindCol),
+      s"$table: primary-key table data files lack $SeqCol/$KindCol")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 &&
+        (col(KindCol) === 0 || col(KindCol) === 2))
+      .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Snapshot scan (default latest). Append tables scan plain; PK
+    * tables resolve the newest image per key and drop retractions.
+    * Partition columns attach per manifest tuple as literals CAST to
+    * the schema type, so `read(..).filter($"p" === x)` constant-folds
+    * the other partitions' branches away at optimization time. */
+  def read(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val id = snapshotId.getOrElse(latestSnapshotId(spark, table))
+    val snap = snapshotOf(spark, table, id)
+    val schema = schemaById(spark, table, snap.schemaId)
+    val files = liveFiles(spark, table, Some(id))
+    if (files.isEmpty) {
+      // an empty table still answers with the schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
+    }
+    val all = partitionScans(spark, table, schema, files)
     if (schema.primaryKeys.isEmpty)
       all.select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
-    else {
-      // LSM merge: newest sequence per key wins; -U/-D retract. Key
-      // identity comes from the _KEY_ system columns when the file
-      // carries them (the spec's PK file shape), else the value cols.
-      val keyCols = schema.primaryKeys.map { k =>
-        if (all.columns.contains(s"$KeyPrefix$k")) s"$KeyPrefix$k" else k
+    else mergedImages(spark, table, schema, all)
+  }
+
+  /** Row-level change feed between two snapshots — the
+    * [[graft.sources.Lake.changes]] retraction contract
+    * (`__change_type` insert/delete + `__commit_version`; an update is
+    * delete(old) + insert(new), consumers fold by key). Per snapshot:
+    * COMPACT commits are physical rewrites and emit nothing; append
+    * tables emit the delta files' rows as inserts; PK tables emit the
+    * batch's final images (kinds +I/+U) as inserts, and one delete per
+    * touched key that held a LIVE image at the PRIOR snapshot — found
+    * by merging the prior live runs RESTRICTED to the touched keys
+    * (broadcast semi-join below the window: scan I/O is the prior
+    * file set, but the merge shuffle is O(touched keys)). */
+  def changes(spark: SparkSession, table: String,
+      fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    require(fromSnapshot >= 0 && toSnapshot > fromSnapshot,
+      s"bad change range $fromSnapshot..$toSnapshot")
+    val steps = ((fromSnapshot + 1) to toSnapshot).flatMap { v =>
+      val snap = snapshotOf(spark, table, v)
+      val schema = schemaById(spark, table, snap.schemaId)
+      val fieldCols = schema.fields.map(f => col(f.name)).toIndexedSeq
+      if (snap.commitKind == "COMPACT") None
+      else {
+        val adds = entriesOf(spark, table, snap.deltaManifestList)
+          .filter(_.kind == 0)
+        if (adds.isEmpty) None
+        else {
+          val raw = partitionScans(spark, table, schema, adds)
+          if (schema.primaryKeys.isEmpty)
+            Some(raw.select(fieldCols: _*)
+              .withColumn("__change_type", lit("insert"))
+              .withColumn("__commit_version", lit(v)))
+          else {
+            val keyCols = keyColsOf(schema, raw)
+            // the batch's final image per key (several rows of one key
+            // in one commit resolve by sequence, then write order)
+            val wb = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+            val finals = raw.withColumn("__rn", row_number().over(wb))
+              .filter(col("__rn") === 1)
+            val inserts = finals
+              .filter(col(KindCol) === 0 || col(KindCol) === 2)
+              .select(fieldCols: _*)
+              .withColumn("__change_type", lit("insert"))
+            // touched keys under the VALUE column names (semi-join key)
+            val touched = finals.select(keyCols.zip(schema.primaryKeys)
+              .map { case (kc, pk) => col(kc).as(pk) }: _*).distinct()
+            val deletes =
+              if (v == 1) None
+              else {
+                val prior = liveFiles(spark, table, Some(v - 1))
+                if (prior.isEmpty) None
+                else {
+                  val prevSchema = schemaById(spark, table,
+                    snapshotOf(spark, table, v - 1).schemaId)
+                  val all0 = partitionScans(spark, table, prevSchema, prior)
+                  val pkc = keyColsOf(prevSchema, all0)
+                  val images = mergedImages(spark, table, prevSchema, all0,
+                    restrictTo = df => df.join(broadcast(touched),
+                      pkc.zip(prevSchema.primaryKeys).map { case (kc, pk) =>
+                        df(kc) === touched(pk) }.reduce(_ && _), "left_semi"))
+                  Some(images.withColumn("__change_type", lit("delete")))
+                }
+              }
+            Some((deletes.toSeq :+ inserts)
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+              .withColumn("__commit_version", lit(v)))
+          }
+        }
       }
-      require(all.columns.contains(SeqCol) && all.columns.contains(KindCol),
-        s"$table: primary-key table data files lack $SeqCol/$KindCol")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
-      all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 &&
-          (col(KindCol) === 0 || col(KindCol) === 2))
-        .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
     }
+    steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val schema = schemaById(spark, table,
+          snapshotOf(spark, table, toSnapshot).schemaId)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
+          .withColumn("__change_type", lit("insert"))
+          .withColumn("__commit_version", lit(toSnapshot))
+      }
   }
 
   // ---- minimal spec-shaped layout writer (tests + gates) -------------

@@ -100,4 +100,23 @@ object ChangeFeed {
     commitCursor(spark, ledgerPath, cur)
     Some((cursor, cur))
   }
+
+  /** [[poll]] against a PAIMON table: the same ledger discipline over
+    * [[graft.sources.PaimonRead.changes]] (PK tables emit the
+    * retraction contract; COMPACT commits contribute nothing). The
+    * cursor stores the last applied SNAPSHOT id — seed
+    * `initialVersion = 1` to treat snapshot 1 as the baseline. */
+  def pollPaimon(spark: SparkSession, table: String, ledgerPath: String,
+      initialVersion: Int = 1, failBeforeCommit: Boolean = false)(
+      apply: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
+    val cursor = readCursor(spark, ledgerPath).getOrElse(initialVersion)
+    val cur = graft.sources.PaimonRead.latestSnapshotId(spark, table).toInt
+    if (cur <= cursor) return None
+    apply(graft.sources.PaimonRead.changes(spark, table, cursor.toLong,
+      cur.toLong), cursor, cur)
+    if (failBeforeCommit)
+      throw new IllegalStateException("simulated crash before cursor commit")
+    commitCursor(spark, ledgerPath, cur)
+    Some((cursor, cur))
+  }
 }

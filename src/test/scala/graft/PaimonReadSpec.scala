@@ -115,4 +115,47 @@ class PaimonReadSpec extends SparkSuite {
       dir, Seq("k"))
     assert(state()(100L) === ((1.5, "0")))
   }
+
+  test("changes: retraction contract over PK snapshots; COMPACT emits nothing; poll subscribes") {
+    import graft.streaming.ChangeFeed
+    val dir = freshTable("chg")
+    PaimonRead.commitPk(spark.range(0, 100).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x")), dir, Seq("k"))          // s1
+    PaimonRead.commitPk(spark.range(0, 5).select($"id".as("k"),
+      lit(-1.0).as("x")), dir, Seq("k"))                           // s2: update 0..4
+    PaimonRead.commitPk((90L until 95L).toDF("k"), dir, Seq("k"),
+      deletes = true)                                              // s3: delete 90..94
+    PaimonRead.compact(spark, dir)                                 // s4: physical only
+    PaimonRead.commitPk(Seq((92L, 7.0)).toDF("k", "x"), dir, Seq("k")) // s5: re-insert
+    def rows(from: Long, to: Long) = PaimonRead.changes(spark, dir, from, to)
+      .collect().map(r => (r.getAs[String]("__change_type"),
+        r.getAs[Long]("__commit_version"), r.getAs[Long]("k"),
+        Option(r.getAs[java.lang.Double]("x")).map(_.toDouble).getOrElse(-999.0)))
+      .toSet
+    val w2 = rows(1, 2)
+    // update = delete(old) + insert(new) per key
+    assert(w2 === (0L until 5L).flatMap(k => Seq(
+      ("delete", 2L, k, k * 2.0), ("insert", 2L, k, -1.0))).toSet)
+    // deletes emit only the prior images; tombstones insert nothing
+    val w3 = rows(2, 3)
+    assert(w3 === (90L until 95L).map(k => ("delete", 3L, k, k * 2.0)).toSet)
+    // COMPACT is a physical rewrite: no logical change
+    assert(rows(3, 4).isEmpty)
+    // re-insert of a tombstoned key: insert only (no live prior image)
+    assert(rows(4, 5) === Set(("insert", 5L, 92L, 7.0)))
+    // exactly-once subscription with crash replay
+    val ledger = dir + "/../chg_cursor"
+    var seen = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
+    def poll(fail: Boolean = false) =
+      ChangeFeed.pollPaimon(spark, dir, ledger, failBeforeCommit = fail) {
+        (c, from, to) => seen += ((from, to, c.count()))
+      }
+    assert(poll().contains((1, 5)))
+    assert(seen.last === ((1, 5, 16L)), s"got ${seen.last}") // 10 + 5 + 0 + 1
+    PaimonRead.commitPk(Seq((1L, 9.0)).toDF("k", "x"), dir, Seq("k")) // s6
+    intercept[IllegalStateException] { poll(fail = true) }
+    assert(poll().contains((5, 6)))
+    assert(seen.count(w => w._1 == 5 && w._2 == 6) === 2, "crash must replay")
+    assert(poll() === None, "quiet table must no-op")
+  }
 }
