@@ -502,10 +502,15 @@ object VectorIndex {
     val qsubs = (0 until m).map(s =>
       slice(col(queryVec).cast("array<double>"), s * dsub + 1, dsub).as(s"__qsub$s"))
     val qsliced = qs0.select(col(queryId) +: col(queryVec) +: qsubs: _*)
-    val lut = array((0 until m).map { s =>
-      array(model.codebooks(s).map { ct =>
+    // FLAT LUT (length Σ ks per subquantizer, s-major): one array
+    // deref per scored term instead of two nested ones — the ADC
+    // scoring expression runs once per (probed code row × query), so
+    // the per-term constant factor is the hot loop's
+    val lutOffsets = model.codebooks.scanLeft(0)(_ + _.length)
+    val lut = array((0 until m).flatMap { s =>
+      model.codebooks(s).map { ct =>
         val d = l2_distance(col(s"__qsub$s"), typedlit(ct)); d * d
-      }: _*)
+      }
     }: _*)
     val qlut = qsliced
       .select(Similarity.probeCells(col(queryVec), model.centroids, nprobe).as("__probe"),
@@ -539,8 +544,9 @@ object VectorIndex {
     val scored0 = codes.join(broadcast(qlut), Seq("cell"))
       .select(col(queryId), col("id").as(corpusId),
         sqrt((0 until m).map(s =>
-          element_at(element_at(col("__lut"), s + 1),
-            element_at(col("codes"), s + 1) + 1)).reduce(_ + _)).as("approx_l2"))
+          element_at(col("__lut"),
+            element_at(col("codes"), s + 1) + (lutOffsets(s) + 1))
+          ).reduce(_ + _)).as("approx_l2"))
     // spill>1 dedup happens AFTER the top-k window, not before:
     // the old (queryId, corpusId) dedup groupBy shuffled EVERY scored
     // row on a near-unique key — a vector's spill copies land in

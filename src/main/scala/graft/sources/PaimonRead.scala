@@ -141,7 +141,7 @@ object PaimonRead {
   // ---- snapshots (snapshot/snapshot-<id> JSON + LATEST hint) --------
 
   final case class Snap(id: Long, schemaId: Long, baseManifestList: String,
-      deltaManifestList: String, commitKind: String)
+      deltaManifestList: String, commitKind: String, timeMillis: Long)
 
   /** Latest snapshot id: the LATEST hint when present and valid, else
     * max over snapshot-<id> names (hints are advisory per the spec). */
@@ -172,7 +172,25 @@ object PaimonRead {
     val n = new ObjectMapper().readTree(text)
     Snap(n.get("id").asLong, n.get("schemaId").asLong,
       n.get("baseManifestList").asText(), n.get("deltaManifestList").asText(),
-      Option(n.get("commitKind")).map(_.asText()).getOrElse("APPEND"))
+      Option(n.get("commitKind")).map(_.asText()).getOrElse("APPEND"),
+      Option(n.get("timeMillis")).map(_.asLong).getOrElse(0L))
+  }
+
+  /** Newest snapshot committed at or before `epochMillis` — the
+    * reference's timestamp time travel (`PaimonMetadata`'s
+    * `earlierOrEqualTimeMills`). None when every snapshot is newer. */
+  def snapshotAsOfTime(spark: SparkSession, table: String,
+      epochMillis: Long): Option[Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/snapshot")
+    if (!f.exists(dir)) throw new IllegalArgumentException(
+      s"not a paimon table (no snapshot/): $table")
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("snapshot-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption)
+      .map(id => snapshotOf(spark, table, id))
+      .filter(_.timeMillis <= epochMillis)
+      .sortBy(_.id).lastOption.map(_.id)
   }
 
   // ---- manifests (Avro) ---------------------------------------------

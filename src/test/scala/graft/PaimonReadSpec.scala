@@ -30,6 +30,20 @@ class PaimonReadSpec extends SparkSuite {
       PaimonRead.read(spark,
         java.nio.file.Files.createTempDirectory("np").toString)
     }
+    // timestamp time travel: earlier-or-equal snapshot resolution
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def tOf(id: Long): Long = {
+      val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/snapshot/snapshot-$id"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt).get("timeMillis").asLong
+    }
+    // same-millisecond commits collapse to the newer id — tolerate
+    val atFirst = if (tOf(2) <= tOf(1)) 2L else 1L
+    assert(PaimonRead.snapshotAsOfTime(spark, dir, tOf(1)) === Some(atFirst))
+    assert(PaimonRead.snapshotAsOfTime(spark, dir, tOf(2) + 10) === Some(2L))
+    assert(PaimonRead.snapshotAsOfTime(spark, dir, tOf(1) - 1) === None)
   }
 
   test("append-only partitioned: typed partition restore + static branch pruning") {
@@ -144,7 +158,7 @@ class PaimonReadSpec extends SparkSuite {
     // re-insert of a tombstoned key: insert only (no live prior image)
     assert(rows(4, 5) === Set(("insert", 5L, 92L, 7.0)))
     // exactly-once subscription with crash replay
-    val ledger = dir + "/../chg_cursor"
+    val ledger = dir + "_cursor"
     var seen = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
     def poll(fail: Boolean = false) =
       ChangeFeed.pollPaimon(spark, dir, ledger, failBeforeCommit = fail) {
