@@ -908,14 +908,35 @@ object SourcesQ extends graft.QueryArea {
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 20 === 4).withColumn("o_totalprice", lit(-1.0)),
         table, Seq("o_orderkey"))
-      def agg(df: org.apache.spark.sql.DataFrame, tag: Int) =
-        df.groupBy(col("p")).agg(count(lit(1)).as("n"),
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy(col("p")).agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
-          .select(lit(tag).as("phase"), col("p"), col("n"), col("total"))
-      val merged = agg(graft.sources.PaimonRead.read(spark, table), 1)
+        .orderBy(col("p"))
+    }),
+    // Same construction, COMPACTED: the persisted merge (delete
+    // entries retire the runs, winning tombstones kept) must serve
+    // the identical oracle rows the merge-on-read phase does.
+    "src_paimon_pk_compact" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_pkc")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 3).cast("string").as("p"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(0.0)),
+        table, Seq("o_orderkey"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey"), col("p")),
+        table, Seq("o_orderkey"), deletes = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 20 === 4).withColumn("o_totalprice", lit(-1.0)),
+        table, Seq("o_orderkey"))
       graft.sources.PaimonRead.compact(spark, table)
-      val compacted = agg(graft.sources.PaimonRead.read(spark, table), 2)
-      merged.unionByName(compacted).orderBy(col("phase"), col("p"))
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy(col("p")).agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("p"))
     }),
     // Paimon row-level CHANGE FEED: the Lake.changes retraction
     // contract derived from the snapshot chain's delta manifests — an
@@ -1956,15 +1977,22 @@ object SourcesQ extends graft.QueryArea {
         |         ELSE o_totalprice END AS price,
         |    CAST(o_orderkey % 3 AS VARCHAR) AS p
         |  FROM orders
-        |  WHERE o_orderkey % 10 <> 4 OR o_orderkey % 20 = 4),
-        |agg AS (
-        |  SELECT p, count(*) AS n,
-        |    CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
-        |  FROM merged GROUP BY p)
-        |SELECT 1 AS phase, p, n, total FROM agg
-        |UNION ALL
-        |SELECT 2, p, n, total FROM agg
-        |ORDER BY phase, p""".stripMargin,
+        |  WHERE o_orderkey % 10 <> 4 OR o_orderkey % 20 = 4)
+        |SELECT p, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM merged GROUP BY p ORDER BY p""".stripMargin,
+    "src_paimon_pk_compact" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 20 = 4 THEN -1.0
+        |         WHEN o_orderkey % 10 = 0 THEN 0.0
+        |         ELSE o_totalprice END AS price,
+        |    CAST(o_orderkey % 3 AS VARCHAR) AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <> 4 OR o_orderkey % 20 = 4)
+        |SELECT p, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM merged GROUP BY p ORDER BY p""".stripMargin,
     "src_paimon_changes" ->
       """WITH del AS (
         |  SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 10 = 0
