@@ -130,6 +130,16 @@ class PaimonReadSpec extends SparkSuite {
     assert(state()(100L) === ((1.5, "0")))
   }
 
+  test("changes: append-only snapshots emit pure inserts per window") {
+    val dir = freshTable("achg")
+    PaimonRead.commitAppend(spark.range(0, 50).select($"id".as("k")), dir)
+    PaimonRead.commitAppend(spark.range(50, 70).select($"id".as("k")), dir)
+    val w = PaimonRead.changes(spark, dir, 1, 2)
+      .collect().map(r => (r.getAs[String]("__change_type"), r.getAs[Long]("k")))
+    assert(w.forall(_._1 == "insert") && w.map(_._2).toSet === (50L until 70L).toSet)
+    assert(PaimonRead.changes(spark, dir, 0, 2).count() === 70)
+  }
+
   test("changes: retraction contract over PK snapshots; COMPACT emits nothing; poll subscribes") {
     import graft.streaming.ChangeFeed
     val dir = freshTable("chg")
