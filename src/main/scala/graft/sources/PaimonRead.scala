@@ -71,7 +71,7 @@ object PaimonRead {
   }
 
   /** Spark type → Paimon SQL type string (spec's DataType rendering). */
-  private[sources] def paimonType(dt: DataType): String = dt match {
+  private[graft] def paimonType(dt: DataType): String = dt match {
     case BooleanType => "BOOLEAN"
     case ByteType => "TINYINT"
     case ShortType => "SMALLINT"
@@ -93,7 +93,7 @@ object PaimonRead {
   private val VarcharRe = "(?:VARCHAR|CHAR)\\((\\d+)\\)".r
 
   /** Paimon SQL type string → Spark type; `NOT NULL` suffixes strip. */
-  private[sources] def sparkType(s: String): DataType =
+  private[graft] def sparkType(s: String): DataType =
     s.trim.stripSuffix(" NOT NULL").toUpperCase match {
       case "BOOLEAN" => BooleanType
       case "TINYINT" => ByteType

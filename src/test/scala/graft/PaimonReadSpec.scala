@@ -130,6 +130,43 @@ class PaimonReadSpec extends SparkSuite {
     assert(state()(100L) === ((1.5, "0")))
   }
 
+  test("type mapping round-trips date/timestamp/decimal/boolean through schema JSON") {
+    import org.apache.spark.sql.types._
+    // mapping is bijective for every supported type
+    Seq(BooleanType, ByteType, ShortType, IntegerType, LongType,
+      FloatType, DoubleType, StringType, BinaryType, DateType,
+      TimestampType, DecimalType(12, 3)).foreach { dt =>
+      assert(PaimonRead.sparkType(PaimonRead.paimonType(dt)) === dt, s"$dt")
+    }
+    // foreign spellings tolerated
+    assert(PaimonRead.sparkType("VARCHAR(32)") ===
+      org.apache.spark.sql.types.StringType)
+    assert(PaimonRead.sparkType("INT NOT NULL") ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(PaimonRead.sparkType("TIMESTAMP") ===
+      org.apache.spark.sql.types.TimestampType)
+    // data round-trip: temporal/decimal columns survive commit + read
+    val dir = freshTable("types")
+    val df = spark.range(0, 40).selectExpr("id AS k",
+      "date_add(date '2024-03-01', cast(id % 5 as int)) AS d",
+      "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+      "cast(id AS decimal(12,3)) / 7 AS dec",
+      "id % 2 = 0 AS flag")
+    PaimonRead.commitAppend(df, dir)
+    val back = PaimonRead.read(spark, dir)
+    assert(back.schema("d").dataType === org.apache.spark.sql.types.DateType)
+    assert(back.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("dec").dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // and as a PARTITION column: date literals restore typed
+    val dir2 = freshTable("typespart")
+    PaimonRead.commitAppend(df, dir2, Seq("d"))
+    val back2 = PaimonRead.read(spark, dir2)
+    assert(back2.schema("d").dataType === org.apache.spark.sql.types.DateType)
+    assert(back2.select("k", "d").exceptAll(df.select("k", "d")).isEmpty)
+    assert(back2.filter($"d" === java.sql.Date.valueOf("2024-03-03")).count() === 8)
+  }
+
   test("changes: append-only snapshots emit pure inserts per window") {
     val dir = freshTable("achg")
     PaimonRead.commitAppend(spark.range(0, 50).select($"id".as("k")), dir)
