@@ -171,7 +171,9 @@ object DeltaExport {
               .write.mode("overwrite").parquet(staging)
             else changed.write.partitionBy(partCols: _*)
               .mode("overwrite").parquet(staging)
-            def unescape(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+            // %XX-only decode: Spark's dir-name escaping leaves '+'
+            // literal, URLDecoder would turn it into a space
+            def unescape(s: String) = PathNames.unescapePathName(s)
             val found = scala.collection.mutable.ArrayBuffer[(Path, Map[String, String])]()
             def walk(p: Path, vals: Map[String, String]): Unit =
               f.listStatus(p).foreach { st =>

@@ -145,7 +145,7 @@ object HudiRead {
       val i = seg.indexOf('=')
       if (i <= 0) return None
       seg.substring(0, i) ->
-        java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        PathNames.unescapePathName(seg.substring(i + 1))
     }
     Some(segs)
   }
@@ -212,8 +212,10 @@ object HudiRead {
     * DISTRIBUTED fold (log paths shipped to executors, per-key window
     * over timeline order) — a table whose compaction lags thousands of
     * deltacommits must never accumulate every pending record in
-    * driver memory. `private[graft] var` so specs can force the path. */
-  private[graft] var morInlineLogBytesCap: Long = 64L << 20
+    * driver memory. This is only the DEFAULT — callers (specs, the
+    * probe) thread an override through [[readMor]]'s parameter, so
+    * nothing mutates shared state under a concurrent read. */
+  private[graft] val morInlineLogBytesCap: Long = 64L << 20
 
   /** MERGE-ON-READ snapshot: per file group, fold the pending log
     * blocks in timeline order onto a key → final-image map (upsert
@@ -232,7 +234,8 @@ object HudiRead {
     * — the [[readIndexed]] typing). Only groups whose partitionPath
     * is UNPARSEABLE (values-only layouts) still refuse. */
   def readMor(spark: SparkSession, table: String,
-      instantAsOf: Option[String] = None): DataFrame = {
+      instantAsOf: Option[String] = None,
+      inlineLogBytesCap: Long = morInlineLogBytesCap): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val groups = liveGroups(spark, table, instantAsOf)
     if (groups.isEmpty)
@@ -274,7 +277,7 @@ object HudiRead {
       .map(rel => f.getFileStatus(new Path(s"$table/$rel")).getLen).sum
     // (touched keys, final upsert images w/ partition cols, broadcastable?)
     val (touchedDf, upsertDf, logSideSmall) =
-      if (totalLogBytes <= morInlineLogBytesCap)
+      if (totalLogBytes <= inlineLogBytesCap)
         driverFold(spark, table, dirtyP, keyField, dataSchema, withParts)
       else
         distributedFold(spark, table, dirtyP, keyField, dataSchema, partCols)
@@ -355,10 +358,15 @@ object HudiRead {
       dataSchema.fields)
     val nData = dataSchema.size
     val schemaB = dataSchema // serialized into the closure
+    // the SESSION's Hadoop configuration must ride to the executors —
+    // a bare `new Configuration()` would drop s3a credentials / custom
+    // fs impls exactly on the production-scale (over-cap) path
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext
       .parallelize(logMeta, math.max(1, math.min(logMeta.size, 256)))
       .flatMap { case (gid, ord, path) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confB.value
         val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
         var seq = ord.toLong << 32 // per-group timeline order
         HudiLog.readLogFile(conf, path).foreach {

@@ -81,7 +81,9 @@ object IcebergExport {
     staged.write.partitionBy(ptCols: _*).mode("overwrite").parquet(staging)
     // walk the hive layout: each data file sits under
     // __pt0=<v>/.../__ptN=<v>; dir values are hive-escaped
-    def unescape(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+    // %XX-only decode: Spark's dir-name escaping leaves '+' literal,
+    // URLDecoder would turn it into a space
+    def unescape(s: String): String = PathNames.unescapePathName(s)
     val found = scala.collection.mutable.ArrayBuffer[(Path, Seq[String])]()
     def walk(p: Path, vals: List[String]): Unit =
       f.listStatus(p).foreach { st =>

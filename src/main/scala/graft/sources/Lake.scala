@@ -1308,13 +1308,19 @@ object Lake {
 
   /** Identifier-boundary column-reference check for generated-spec
     * expressions: `a` matches the IDENTIFIER a (bare or backquoted),
-    * never the letter inside `abc` or a string literal's text —
-    * substring matching would let a one-char column name invalidate
-    * every spec table-wide. */
-  private[sources] def referencesColumn(expr: String, c: String): Boolean =
-    "`([^`]+)`|[A-Za-z_][A-Za-z0-9_]*".r.findAllMatchIn(expr).exists { m =>
-      (if (m.group(1) != null) m.group(1) else m.matched) == c
-    }
+    * never the letter inside `abc`, and single-quoted STRING LITERAL
+    * spans (with the SQL `''` escape) are lexed and skipped, so
+    * `concat(x, 'a')` does not read as a reference to column a.
+    * Substring matching would let a one-char column name invalidate
+    * every spec table-wide; pathological quoting that defeats this
+    * lexer can only OVER-invalidate (a dropped spec, never wrong
+    * rows). */
+  private[graft] def referencesColumn(expr: String, c: String): Boolean =
+    "`([^`]+)`|'(?:''|[^'])*'|[A-Za-z_][A-Za-z0-9_]*".r
+      .findAllMatchIn(expr).exists { m =>
+        !m.matched.startsWith("'") &&
+          (if (m.group(1) != null) m.group(1) else m.matched) == c
+      }
 
   /** `generated.<c>` specs invalidated by a DML writing `assigned`
     * columns are dropped from the committed props: once the target

@@ -592,7 +592,9 @@ object PaimonRead {
     val layoutCols = partitionKeys ++ bucketCol.toSeq
     if (layoutCols.isEmpty) df.coalesce(1).write.mode("overwrite").parquet(staging)
     else df.write.partitionBy(layoutCols: _*).mode("overwrite").parquet(staging)
-    def unescape(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    // %XX-only decode: Spark's dir-name escaping leaves '+' literal,
+    // URLDecoder would turn it into a space
+    def unescape(s: String) = PathNames.unescapePathName(s)
     val found = scala.collection.mutable.ArrayBuffer[(Path, Map[String, String])]()
     def walk(p: Path, vals: Map[String, String]): Unit =
       f.listStatus(p).foreach { st =>
@@ -635,8 +637,13 @@ object PaimonRead {
         Nil, Map("file.format" -> "parquet"))
       0L
     }
+    // the SCHEMA governs the layout on later commits: a caller passing
+    // different keys would stage files the read path cannot locate
+    val schKeys = schemaById(spark, table, schemaId).partitionKeys
+    require(partitionKeys.isEmpty || partitionKeys == schKeys,
+      s"table partition keys are $schKeys, not $partitionKeys")
     val id = nextSnapshotId(f, table)
-    val entries = stageDataFiles(df, table, id, partitionKeys, None, id, 0)
+    val entries = stageDataFiles(df, table, id, schKeys, None, id, 0)
     commitEntries(spark, table, id, schemaId, entries, "APPEND")
   }
 
@@ -658,6 +665,8 @@ object PaimonRead {
         val sch = schemaById(spark, table, sid)
         require(sch.primaryKeys == primaryKeys,
           s"table primary keys are ${sch.primaryKeys}, not $primaryKeys")
+        require(partitionKeys.isEmpty || partitionKeys == sch.partitionKeys,
+          s"table partition keys are ${sch.partitionKeys}, not $partitionKeys")
         sid
       case None =>
         require(!deletes, "cannot open a table with a delete batch")

@@ -35,19 +35,19 @@ object ChangeFeed {
     * the fully-written `.tmp` — recover from it rather than falling
     * back to `initialVersion` and replaying all history (or failing
     * on vacuumed versions). */
-  def readCursor(spark: SparkSession, ledgerPath: String): Option[Int] = {
+  def readCursor(spark: SparkSession, ledgerPath: String): Option[Long] = {
     val f = fs(spark, ledgerPath)
-    def slurp(p: Path): Option[Int] =
+    def slurp(p: Path): Option[Long] =
       if (!f.exists(p)) None
       else {
         val in = f.open(p)
         val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-        Some(new String(bytes, "UTF-8").trim.toInt)
+        Some(new String(bytes, "UTF-8").trim.toLong)
       }
     slurp(new Path(ledgerPath)).orElse(slurp(new Path(ledgerPath + ".tmp")))
   }
 
-  def commitCursor(spark: SparkSession, ledgerPath: String, v: Int): Unit = {
+  def commitCursor(spark: SparkSession, ledgerPath: String, v: Long): Unit = {
     val f = fs(spark, ledgerPath)
     val tmp = new Path(ledgerPath + ".tmp")
     // the tmp file is COMPLETE before the live file is deleted, so
@@ -69,7 +69,8 @@ object ChangeFeed {
   def poll(spark: SparkSession, table: String, ledgerPath: String,
       initialVersion: Int = 1, failBeforeCommit: Boolean = false)(
       apply: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
-    val cursor = readCursor(spark, ledgerPath).getOrElse(initialVersion)
+    val cursor = readCursor(spark, ledgerPath)
+      .map(_.toInt).getOrElse(initialVersion)
     val cur = Lake.currentVersion(spark, table)
     if (cur <= cursor) return None
     apply(Lake.changes(spark, table, cursor, cur), cursor, cur)
@@ -90,7 +91,8 @@ object ChangeFeed {
   def pollDelta(spark: SparkSession, table: String, ledgerPath: String,
       initialVersion: Int = 0, failBeforeCommit: Boolean = false)(
       apply: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
-    val cursor = readCursor(spark, ledgerPath).getOrElse(initialVersion)
+    val cursor = readCursor(spark, ledgerPath)
+      .map(_.toInt).getOrElse(initialVersion)
     val cur = graft.sources.DeltaRead.versions(spark, table).last.toInt
     if (cur <= cursor) return None
     apply(graft.sources.DeltaRead.changesCdf(spark, table, cursor.toLong,
@@ -107,13 +109,14 @@ object ChangeFeed {
     * cursor stores the last applied SNAPSHOT id — seed
     * `initialVersion = 1` to treat snapshot 1 as the baseline. */
   def pollPaimon(spark: SparkSession, table: String, ledgerPath: String,
-      initialVersion: Int = 1, failBeforeCommit: Boolean = false)(
-      apply: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
+      initialVersion: Long = 1L, failBeforeCommit: Boolean = false)(
+      apply: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val cursor = readCursor(spark, ledgerPath).getOrElse(initialVersion)
-    val cur = graft.sources.PaimonRead.latestSnapshotId(spark, table).toInt
+    // snapshot ids are Long end to end — a long-lived table outgrows Int
+    val cur = graft.sources.PaimonRead.latestSnapshotId(spark, table)
     if (cur <= cursor) return None
-    apply(graft.sources.PaimonRead.changes(spark, table, cursor.toLong,
-      cur.toLong), cursor, cur)
+    apply(graft.sources.PaimonRead.changes(spark, table, cursor, cur),
+      cursor, cur)
     if (failBeforeCommit)
       throw new IllegalStateException("simulated crash before cursor commit")
     commitCursor(spark, ledgerPath, cur)

@@ -19,7 +19,7 @@ import graft.sources.HudiRead
   * args: rowCounts...  (default 1000000 4000000 16000000);
   * `deep` appends the DEEP-BACKLOG section: 100 uncompacted
   * deltacommits against one base, driver fold vs the distributed fold
-  * ([[HudiRead.morInlineLogBytesCap]] forced to 0) — the guard that
+  * (`inlineLogBytesCap = 0`) — the guard that
   * keeps a compaction-lagging table from accumulating every pending
   * record in driver memory.
   */
@@ -83,9 +83,8 @@ object HudiMorProbe {
       def readWall(): Double = time(HudiRead.read(spark, table)
         .agg(count(lit(1)), sum($"price")).collect())
       val driver = readWall()
-      val cap = HudiRead.morInlineLogBytesCap
-      HudiRead.morInlineLogBytesCap = 0L
-      val dist = try readWall() finally HudiRead.morInlineLogBytesCap = cap
+      val dist = time(HudiRead.readMor(spark, table, inlineLogBytesCap = 0L)
+        .agg(count(lit(1)), sum($"price")).collect())
       println(s"\nDEEP BACKLOG: $batches uncompacted deltacommits × $perBatch rows on a $n-row base")
       println("| ingest s | driver-fold read s | distributed-fold read s |")
       println(f"| $ingest%.1f | $driver%.2f | $dist%.2f |")

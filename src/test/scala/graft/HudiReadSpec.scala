@@ -127,13 +127,9 @@ class HudiReadSpec extends SparkSuite {
     assert(got.size === 195)
     // the DISTRIBUTED fold resolves the same block order (delete vs
     // re-insert of the same key across deltacommits)
-    val cap = HudiRead.morInlineLogBytesCap
-    try {
-      HudiRead.morInlineLogBytesCap = 0L
-      assert(HudiRead.read(spark, table)
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap === got,
-        "distributed fold != driver fold")
-    } finally HudiRead.morInlineLogBytesCap = cap
+    assert(HudiRead.readMor(spark, table, inlineLogBytesCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap === got,
+      "distributed fold != driver fold")
     assert((0L until 10L).filterNot(_ == 3L).forall(k => got(k) === -1.0),
       "delta-1 upserts lost")
     assert(!got.contains(3L), "delta-2 delete of an updated key lost")
@@ -186,11 +182,10 @@ class HudiReadSpec extends SparkSuite {
     // partition filters stay correct through the merge
     assert(HudiRead.read(spark, table).filter($"p" === "2").count() === 100L)
     // deep-backlog path: force the DISTRIBUTED fold, bit-equal result
-    val cap = HudiRead.morInlineLogBytesCap
-    try {
-      HudiRead.morInlineLogBytesCap = 0L
-      assert(readAll() === got, "distributed fold != driver fold")
-    } finally HudiRead.morInlineLogBytesCap = cap
+    assert(HudiRead.readMor(spark, table, inlineLogBytesCap = 0L)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Double]("x"), r.getAs[String]("p")))).toMap === got,
+      "distributed fold != driver fold")
   }
 
   test("merge-on-read guards: stale-silent reads impossible, key required") {

@@ -120,4 +120,29 @@ class LakeAlterSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Lake.addColumn(spark, dir, "k",
       org.apache.spark.sql.types.StringType) }
   }
+
+  test("referencesColumn: identifiers yes, string-literal text no") {
+    assert(Lake.referencesColumn("a + b", "a"))
+    assert(Lake.referencesColumn("`a` + 1", "a"))
+    assert(!Lake.referencesColumn("abc + 1", "a"))
+    // literal text must not read as a reference...
+    assert(!Lake.referencesColumn("concat(x, 'a')", "a"))
+    assert(!Lake.referencesColumn("concat(x, 'it''s a day')", "a"))
+    // ...but identifiers AROUND literals still do
+    assert(Lake.referencesColumn("concat(a, 'x')", "a"))
+    assert(Lake.referencesColumn("concat('x', a)", "a"))
+    // unbalanced quoting degrades to over-matching (fail-safe)
+    assert(Lake.referencesColumn("x || 'unterminated a", "a"))
+  }
+
+  test("unescapePathName: %XX decodes, '+' stays literal, UTF-8 runs") {
+    import graft.sources.PathNames.unescapePathName
+    assert(unescapePathName("a+b") === "a+b")
+    assert(unescapePathName("a%20b") === "a b")
+    assert(unescapePathName("a%2Bb") === "a+b")
+    assert(unescapePathName("%C3%A9t%C3%A9") === "été")
+    assert(unescapePathName("100%") === "100%")
+    assert(unescapePathName("%zz") === "%zz")
+    assert(unescapePathName("plain") === "plain")
+  }
 }

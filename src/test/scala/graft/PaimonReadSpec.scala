@@ -167,6 +167,24 @@ class PaimonReadSpec extends SparkSuite {
     assert(back2.filter($"d" === java.sql.Date.valueOf("2024-03-03")).count() === 8)
   }
 
+  test("partition values with '+' and '%' round-trip; later commits validate keys") {
+    val dir = freshTable("pluspart")
+    val df = Seq((1L, "a+b"), (2L, "c d"), (3L, "50%"), (4L, "a+b"))
+      .toDF("k", "p")
+    PaimonRead.commitAppend(df, dir, Seq("p"))
+    // second commit: default Nil inherits the schema's partition keys
+    PaimonRead.commitAppend(Seq((5L, "a+b")).toDF("k", "p"), dir)
+    val back = PaimonRead.read(spark, dir)
+    assert(back.filter($"p" === "a+b").select("k").as[Long].collect().sorted
+      === Array(1L, 4L, 5L), "literal '+' must survive the dir round-trip")
+    assert(back.filter($"p" === "c d").count() === 1)
+    assert(back.filter($"p" === "50%").count() === 1)
+    // mismatched keys on a later commit refuse instead of mis-staging
+    intercept[IllegalArgumentException] {
+      PaimonRead.commitAppend(Seq((6L, "x")).toDF("k", "p"), dir, Seq("k"))
+    }
+  }
+
   test("changes: append-only snapshots emit pure inserts per window") {
     val dir = freshTable("achg")
     PaimonRead.commitAppend(spark.range(0, 50).select($"id".as("k")), dir)
@@ -206,7 +224,7 @@ class PaimonReadSpec extends SparkSuite {
     assert(rows(4, 5) === Set(("insert", 5L, 92L, 7.0)))
     // exactly-once subscription with crash replay
     val ledger = dir + "_cursor"
-    var seen = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
+    var seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     def poll(fail: Boolean = false) =
       ChangeFeed.pollPaimon(spark, dir, ledger, failBeforeCommit = fail) {
         (c, from, to) => seen += ((from, to, c.count()))
