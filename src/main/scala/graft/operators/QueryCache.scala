@@ -155,43 +155,69 @@ object QueryCache {
     }
     stats.hits += entries.count(_._3)
     stats.misses += entries.count(!_._3)
-    // Each miss is its own small Spark job (scan one partition dir,
-    // partial-agg, cache write) — submitted CONCURRENTLY so a
-    // cold-range query pays ~one job's wall time, not misses x floor.
-    // The jobs touch disjoint partition/cache dirs, so there is no
-    // shared state beyond the thread-safe scheduler.
+    // ALL misses fill in ONE Spark job: a multi-path scan over the
+    // missing partition dirs (the partition value recovered per row
+    // from the file path — `value` throughout this object is the raw
+    // dir segment, so no unescaping anywhere), one partial-agg keyed
+    // by (partition, group), a partitionBy staging write, then a
+    // driver-metadata rename of each staged dir to its versioned
+    // cache entry. A cold range over a thousand partitions costs one
+    // job's wall, not a thousand driver-dispatched jobs.
     val misses = entries.filterNot(_._3)
     if (misses.nonEmpty) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, misses.size))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
-        val futures = misses.map { case (value, entry, _) =>
-          scala.concurrent.Future {
-            val partial = spark.read.parquet(s"$srcDir/$pcol=$value")
-              .groupBy(groupCols.map(col): _*)
-              .agg(partialExprs(specs).head, partialExprs(specs).tail: _*)
-            // drop superseded versions of this partition, then cache
-            val pdir = new Path(s"$cacheDir/$dig/p=$value")
-            if (fs.exists(pdir)) fs.listStatus(pdir).foreach(s => fs.delete(s.getPath, true))
-            partial.coalesce(1).write.mode("overwrite").parquet(entry.toString)
-          }
+      val staged = s"$cacheDir/$dig/_stage"
+      // greedy prefix anchors to the LAST /<pcol>=…/ segment, so a
+      // source root that itself contains one doesn't shadow it
+      val pvRe = ".*/" + java.util.regex.Pattern.quote(s"$pcol=") + "([^/]+)/"
+      spark.read.parquet(misses.map(m => s"$srcDir/$pcol=${m._1}"): _*)
+        .withColumn("__pv",
+          regexp_extract(col("_metadata.file_path"), pvRe, 1))
+        .groupBy((col("__pv") +: groupCols.map(col)): _*)
+        .agg(partialExprs(specs).head, partialExprs(specs).tail: _*)
+        .repartition(col("__pv")) // one file per partition entry
+        .write.partitionBy("__pv").mode("overwrite").parquet(staged)
+      val stagedDirs = fs.listStatus(new Path(staged)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pv="))
+        .map(st => graft.sources.PathNames.unescapePathName(
+          st.getPath.getName.stripPrefix("__pv=")) -> st.getPath).toMap
+      // a _metadata.file_path rendering that differs from the listed
+      // dir segment must FAIL here, not silently cache empty partials
+      val unknown = stagedDirs.keySet -- misses.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"cache staging produced unrecognized partition renderings: $unknown")
+      misses.foreach { case (value, entry, _) =>
+        stagedDirs.get(value).foreach { dir =>
+          // drop superseded versions of this partition, then install
+          val pdir = entry.getParent
+          if (fs.exists(pdir)) fs.listStatus(pdir).foreach(s => fs.delete(s.getPath, true))
+          fs.mkdirs(pdir)
+          if (!fs.rename(dir, entry))
+            throw new IllegalStateException(s"cache install failed at $entry")
+          fs.create(new Path(entry, "_SUCCESS"), true).close()
         }
-        futures.foreach(f => scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration(10, "min")))
-      } finally pool.shutdown()
+      }
+      fs.delete(new Path(staged), true)
+      // a partition dir scanning to ZERO rows stages nothing — cache
+      // an empty partial so the next query hits instead of rescanning
+      misses.filterNot(m => stagedDirs.contains(m._1)).foreach {
+        case (value, entry, _) =>
+          spark.read.parquet(s"$srcDir/$pcol=$value").limit(0)
+            .groupBy(groupCols.map(col): _*)
+            .agg(partialExprs(specs).head, partialExprs(specs).tail: _*)
+            .coalesce(1).write.mode("overwrite").parquet(entry.toString)
+      }
     }
-    val parts = entries.map { case (_, entry, _) => spark.read.parquet(entry.toString) }
 
-    if (parts.isEmpty) {
+    if (entries.isEmpty) {
       // empty range: empty result with the right schema
       val schema = spark.read.parquet(srcDir).limit(0)
         .groupBy(groupCols.map(col): _*)
         .agg(partialExprs(specs).head, partialExprs(specs).tail: _*)
       schema.groupBy(groupCols.map(col): _*).agg(mergeExprs(specs).head, mergeExprs(specs).tail: _*)
     } else {
-      parts.reduce(_ unionByName _)
+      // ONE multi-path scan over every cached partial — a union of N
+      // separate relations costs O(N) analysis and N scan nodes
+      spark.read.parquet(entries.map(_._2.toString): _*)
         .groupBy(groupCols.map(col): _*)
         .agg(mergeExprs(specs).head, mergeExprs(specs).tail: _*)
     }

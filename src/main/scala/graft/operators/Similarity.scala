@@ -339,7 +339,6 @@ object Similarity {
       spill: Int = 1): DataFrame = {
     val cents = trainIvfCentroids(corpus, corpusVec, c, iters, seed = seed)
     val cb = trainPqCodebooks(corpus, corpusVec, m, ks, seed = seed)
-    val dsub = cb(0)(0).length
     // corpus: PQ codes + cell id(s) (both scan-side; joined on the id
     // — in a deployed index this pair is the stored, encoded table).
     // spill > 1 multi-assigns rows to their top-spill cells (see
@@ -354,24 +353,18 @@ object Similarity {
           .select(col(corpusId), col("__probe.i").as("__cell"))
     val encoded = pqEncode(corpus, corpusId, corpusVec, cb)
       .join(cellOf, Seq(corpusId))
-    // queries: probed cells × ADC LUT
-    val qsubs = (0 until m).map(s =>
-      slice(col(queryVec).cast("array<double>"), s * dsub + 1, dsub).as(s"__qsub$s"))
-    val qsliced = queries.select(col(queryId) +: col(queryVec) +: qsubs: _*)
-    val lut = array((0 until m).map { s =>
-      array(cb(s).map { ct =>
-        val d = l2_distance(col(s"__qsub$s"), typedlit(ct)); d * d
-      }: _*)
-    }: _*)
-    val qlut = qsliced
+    // queries: probed cells × flat s-major ADC LUT (one compiled
+    // kernel, one deref per scored term)
+    val qlut = queries
       .select(probeCells(col(queryVec), cents, nprobe).as("__probe"),
-        col(queryId), lut.as("__lut"))
+        col(queryId),
+        graft.functions.PqFunctions.pq_adc_lut(col(queryVec), cb).as("__lut"))
       .select(col("__probe.i").as("__cell"), col(queryId), col("__lut"))
     val scored0 = encoded.join(broadcast(qlut), Seq("__cell"))
       .select(col(queryId), col(corpusId),
         sqrt((0 until m).map(s =>
-          element_at(element_at(col("__lut"), s + 1),
-            element_at(col("codes"), s + 1) + 1)).reduce(_ + _)).as("approx_l2"))
+          element_at(col("__lut"),
+            element_at(col("codes"), s + 1) + (s * ks + 1))).reduce(_ + _)).as("approx_l2"))
     val scored = if (spill <= 1) scored0
       else scored0.groupBy(col(queryId), col(corpusId))
         .agg(min(col("approx_l2")).as("approx_l2"))
@@ -458,19 +451,14 @@ object Similarity {
     * the lever that lets an ANN sweep over 100 TB of raw vectors
     * read TBs instead. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val subCols = (0 until m).map(s =>
-      slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as(s"__sub$s"))
-    val sliced = corpus.select(col(idCol) +: subCols: _*)
-    val codeCols = (0 until m).map { s =>
-      val d2 = codebooks(s).map(ct => l2_distance(col(s"__sub$s"), typedlit(ct)))
-      val arr = array(d2: _*)
-      (array_position(arr, array_min(arr)) - 1).cast("int")
-    }
-    sliced.select(col(idCol), array(codeCols: _*).as("codes"))
-  }
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    // ONE compiled argmin loop over the referenced codebook
+    // ([[graft.functions.PqEncodeCodes]]) — the compositional m×ks
+    // l2_distance expansion cost seconds of Catalyst/codegen time per
+    // query at m=8, ks=64; values are bit-identical (same kernel
+    // arithmetic, same first-tie argmin)
+    corpus.select(col(idCol),
+      graft.functions.PqFunctions.pq_encode(col(vecCol), codebooks).as("codes"))
 
   /** PQ ANN top-k via asymmetric distance computation (ADC): the
     * corpus is encoded ONCE to m-byte codes (scan-side, no shuffle);
@@ -503,23 +491,15 @@ object Similarity {
       k: Int, m: Int = 4, ks: Int = 16, iters: Int = 8,
       seed: Long = 42L, rerank: Int = 0): DataFrame = {
     val cb = trainPqCodebooks(corpus, corpusVec, m, ks, iters, seed = seed)
-    val dsub = cb(0)(0).length
     val encoded = pqEncode(corpus, corpusId, corpusVec, cb)
-    // query side: slice to attributes, then the LUT of squared sub-distances
-    val qsubs = (0 until m).map(s =>
-      slice(col(queryVec).cast("array<double>"), s * dsub + 1, dsub).as(s"__qsub$s"))
-    val qsliced = queries.select(col(queryId) +: qsubs: _*)
-    val lut = array((0 until m).map { s =>
-      array(cb(s).map { ct =>
-        val d = l2_distance(col(s"__qsub$s"), typedlit(ct)); d * d
-      }: _*)
-    }: _*)
-    val qlut = qsliced.select(col(queryId), lut.as("__lut"))
+    // query side: flat s-major ADC LUT — one compiled kernel
+    val qlut = queries.select(col(queryId),
+      graft.functions.PqFunctions.pq_adc_lut(col(queryVec), cb).as("__lut"))
     val scored = encoded.crossJoin(broadcast(qlut))
       .select(col(queryId), col(corpusId),
         sqrt((0 until m).map(s =>
-          element_at(element_at(col("__lut"), s + 1),
-            element_at(col("codes"), s + 1) + 1)).reduce(_ + _)).as("approx_l2"))
+          element_at(col("__lut"),
+            element_at(col("codes"), s + 1) + (s * ks + 1))).reduce(_ + _)).as("approx_l2"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("approx_l2"), col(corpusId))
     if (rerank <= 0) {
       scored.withColumn("rk", row_number().over(w))

@@ -302,23 +302,13 @@ object VectorIndex {
       .files.filterNot(f => prevFiles(f.path)).map(_.rowCount).sum / model.spill
   }
 
-  /** (id, codes, cell) rows — `spill` rows per input row. Staged
-    * projections keep each step an attribute before the next consumes
-    * it (a Generate re-evaluates carried expressions per OUTPUT row,
-    * and an interpreted HOF re-evaluates closed-over subtrees per
-    * element — both documented traps in [[Similarity]]). */
+  /** (id, codes, cell) rows — `spill` rows per input row. Codes come
+    * from the single-kernel [[graft.functions.PqEncodeCodes]] argmin
+    * (bit-identical to the old m×ks expansion, O(1) plan nodes). */
   private def encode(corpus: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame = {
-    val m = model.m; val dsub = model.dsub
-    val subCols = (0 until m).map(s =>
-      slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as(s"__sub$s"))
-    val sliced = corpus.select(col(idCol).as("id") +: col(vecCol).as("__v") +: subCols: _*)
-    val codeCols = (0 until m).map { s =>
-      val d2 = model.codebooks(s).map(ct => l2_distance(col(s"__sub$s"), typedlit(ct)))
-      val arr = array(d2: _*)
-      (array_position(arr, array_min(arr)) - 1).cast("int")
-    }
-    val coded = sliced.select(col("id"), col("__v"), array(codeCols: _*).as("codes"))
+    val coded = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      graft.functions.PqFunctions.pq_encode(col(vecCol), model.codebooks).as("codes"))
     if (model.spill <= 1)
       coded.select(col("id"), col("codes"),
         Similarity.nearestCell(col("__v"), model.centroids).as("cell"))
@@ -494,27 +484,20 @@ object VectorIndex {
       path: String, corpusId: String,
       queries: DataFrame, queryId: String, queryVec: String,
       nprobe: Int, rerank: Int): DataFrame = {
-    val m = model.m; val dsub = model.dsub
+    val m = model.m
     // query side: probed cells + ADC lookup table (broadcast KBs);
     // cosine probes in the same unit-normed space the codes live in
     val qs0 = if (model.metric == "cosine")
       queries.withColumn(queryVec, unitNorm(col(queryVec))) else queries
-    val qsubs = (0 until m).map(s =>
-      slice(col(queryVec).cast("array<double>"), s * dsub + 1, dsub).as(s"__qsub$s"))
-    val qsliced = qs0.select(col(queryId) +: col(queryVec) +: qsubs: _*)
-    // FLAT LUT (length Σ ks per subquantizer, s-major): one array
-    // deref per scored term instead of two nested ones — the ADC
-    // scoring expression runs once per (probed code row × query), so
-    // the per-term constant factor is the hot loop's
+    // FLAT s-major LUT as ONE compiled kernel
+    // ([[graft.functions.PqAdcLut]]): one array deref per scored term,
+    // and O(1) plan nodes instead of the m×ks l2_distance expansion
+    // whose Catalyst/codegen cost dominated small-corpus queries
     val lutOffsets = model.codebooks.scanLeft(0)(_ + _.length)
-    val lut = array((0 until m).flatMap { s =>
-      model.codebooks(s).map { ct =>
-        val d = l2_distance(col(s"__qsub$s"), typedlit(ct)); d * d
-      }
-    }: _*)
-    val qlut = qsliced
+    val qlut = qs0
       .select(Similarity.probeCells(col(queryVec), model.centroids, nprobe).as("__probe"),
-        col(queryId), lut.as("__lut"))
+        col(queryId),
+        graft.functions.PqFunctions.pq_adc_lut(col(queryVec), model.codebooks).as("__lut"))
       .select(col("__probe.i").as("cell"), col(queryId), col("__lut"))
     // the union of all probed cells, pushed into the Lake scan for
     // partition pruning (queries are few; the set is driver-tiny)

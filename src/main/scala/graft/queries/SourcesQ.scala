@@ -898,16 +898,17 @@ object SourcesQ extends graft.QueryArea {
       val o = t(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           (col("o_orderkey") % 3).cast("string").as("p"))
-      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"),
+        assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(0.0)),
-        table, Seq("o_orderkey"))
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey"), col("p")),
-        table, Seq("o_orderkey"), deletes = true)
+        table, Seq("o_orderkey"), deletes = true, assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 20 === 4).withColumn("o_totalprice", lit(-1.0)),
-        table, Seq("o_orderkey"))
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.read(spark, table)
         .groupBy(col("p")).agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
@@ -922,16 +923,17 @@ object SourcesQ extends graft.QueryArea {
       val o = t(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           (col("o_orderkey") % 3).cast("string").as("p"))
-      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"),
+        assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(0.0)),
-        table, Seq("o_orderkey"))
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey"), col("p")),
-        table, Seq("o_orderkey"), deletes = true)
+        table, Seq("o_orderkey"), deletes = true, assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 20 === 4).withColumn("o_totalprice", lit(-1.0)),
-        table, Seq("o_orderkey"))
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.compact(spark, table)
       graft.sources.PaimonRead.read(spark, table)
         .groupBy(col("p")).agg(count(lit(1)).as("n"),
@@ -947,16 +949,16 @@ object SourcesQ extends graft.QueryArea {
       val table = tmpDir(dir, "paimon_chg")
       graft.sources.Formats.deleteDir(spark, table)
       val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
-      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(0.0)),
-        table, Seq("o_orderkey"))
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")),
-        table, Seq("o_orderkey"), deletes = true)
+        table, Seq("o_orderkey"), deletes = true, assumeKeyUnique = true)
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 20 === 4).withColumn("o_totalprice", lit(-1.0)),
-        table, Seq("o_orderkey"))
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.changes(spark, table, 1L, 4L)
         .groupBy(col("__change_type").as("change_type"))
         .agg(count(lit(1)).as("n"),

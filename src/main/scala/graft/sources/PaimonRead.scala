@@ -582,10 +582,13 @@ object PaimonRead {
 
   /** Stage `df` partitioned by (partition dirs, bucket), walk the hive
     * layout, move each part under `<p=v>/bucket-<n>/` and return its
-    * manifest entries. */
+    * manifest entries. `seqRangeOf` overrides the recorded
+    * (minSeq, maxSeq) per (partition, bucket) group — compaction
+    * stamps each rewritten run with the seq range it absorbed. */
   private def stageDataFiles(df: DataFrame, table: String, id: Long,
       partitionKeys: Seq[String], bucketCol: Option[String],
-      seq: Long, level: Int): Seq[FileEntry] = {
+      seq: Long, level: Int,
+      seqRangeOf: Option[(Map[String, String], Int) => (Long, Long)] = None): Seq[FileEntry] = {
     val spark = df.sparkSession
     val f = fs(spark, table)
     val staging = s"$table/_staging_$id"
@@ -618,7 +621,8 @@ object PaimonRead {
       f.rename(part, new Path(dest))
       val st = f.getFileStatus(new Path(dest))
       val rc = footerRowCount(spark, dest)
-      FileEntry(0, partition, bucket, fileName, st.getLen, rc, seq, seq, level)
+      val (mn, mx) = seqRangeOf.map(_(partition, bucket)).getOrElse((seq, seq))
+      FileEntry(0, partition, bucket, fileName, st.getLen, rc, mn, mx, level)
     }.toSeq
     f.delete(new Path(staging), true)
     entries
@@ -651,11 +655,14 @@ object PaimonRead {
     * schema (pk + optional partition keys + fixed `numBuckets`); every
     * call writes one sorted run per (partition, bucket) carrying the
     * spec's system columns, at sequence = snapshot id (this writer
-    * commits key-unique batches, enforced below). `deletes` rows need
-    * only the key columns — they land as -D retractions. */
+    * commits key-unique batches, enforced below — pass
+    * `assumeKeyUnique = true` to skip the check's extra Spark job when
+    * the caller guarantees uniqueness, e.g. the batch keys on a source
+    * table's primary key). `deletes` rows need only the key columns —
+    * they land as -D retractions. */
   def commitPk(df: DataFrame, table: String, primaryKeys: Seq[String],
       partitionKeys: Seq[String] = Nil, numBuckets: Int = 2,
-      deletes: Boolean = false): Long = {
+      deletes: Boolean = false, assumeKeyUnique: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{abs => fabs, col, hash, lit, pmod}
     val spark = df.sparkSession
     val f = fs(spark, table)
@@ -679,7 +686,7 @@ object PaimonRead {
     val buckets = sch.options.get("bucket").map(_.toInt).getOrElse(numBuckets)
     primaryKeys.foreach(k => require(df.columns.contains(k),
       s"batch missing key column $k"))
-    require(df.groupBy(primaryKeys.map(col): _*).count()
+    require(assumeKeyUnique || df.groupBy(primaryKeys.map(col): _*).count()
       .filter(col("count") > 1).isEmpty,
       "paimon PK batch must be key-unique (sequence ties are undefined)")
     val id = nextSnapshotId(f, table)
@@ -710,12 +717,23 @@ object PaimonRead {
     commitEntries(spark, table, id, schemaId, entries, "APPEND")
   }
 
-  /** Materialize the merged PK state: per (partition, bucket) rewrite
-    * live runs into one max-level file and RETIRE them with delete
-    * entries — commitKind COMPACT, the LSM compaction shape. Readers
-    * at older snapshots still see the original runs. */
+  /** Materialize the merged PK state: rewrite every (partition, bucket)
+    * group's live runs into one max-level file each and RETIRE the
+    * absorbed runs with delete entries — commitKind COMPACT, the LSM
+    * compaction shape. Readers at older snapshots still see the
+    * original runs.
+    *
+    * ONE Spark job for the whole table (a thousand-partition table
+    * must not dispatch a thousand sequential driver jobs): a single
+    * parquet scan over every live run, each row's (partition, bucket)
+    * re-attached through a broadcast fileName → group join (file names
+    * are snapshot-unique, so the name is the key regardless of URI
+    * rendering), one window keyed by (partition, bucket, pk), a
+    * repartition on the group columns so each group lands in one task,
+    * and one `partitionBy` staging write; the rename + manifest walk
+    * is driver metadata, O(groups). */
   def compact(spark: SparkSession, table: String): Long = {
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, row_number, split}
     val f = fs(spark, table)
     val cur = latestSnapshotId(spark, table)
     val sch = schemaById(spark, table, snapshotOf(spark, table, cur).schemaId)
@@ -723,42 +741,54 @@ object PaimonRead {
     val files = liveFiles(spark, table, Some(cur))
     val id = nextSnapshotId(f, table)
     val maxLevel = files.map(_.level).foldLeft(0)(math.max) + 1
-    val adds = scala.collection.mutable.ArrayBuffer[FileEntry]()
-    files.groupBy(e => (e.partition, e.bucket)).foreach { case ((pvals, bucket), group) =>
-      val paths = group.map(e => dataPath(table, e, sch.partitionKeys))
-      val all = spark.read.parquet(paths: _*)
+    val adds: Seq[FileEntry] = if (files.isEmpty) Nil else {
+      val all = spark.read.parquet(
+          files.map(e => dataPath(table, e, sch.partitionKeys)): _*)
+        .withColumn("__fname",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+      // fileName → (partition values, bucket): driver metadata the
+      // manifests already hold, broadcast back onto the scan
+      val groupRows = files.map { e =>
+        org.apache.spark.sql.Row.fromSeq(
+          e.fileName +: e.bucket +: sch.partitionKeys.map(e.partition.getOrElse(_, null)))
+      }
+      val groupSchema = StructType(
+        StructField("__fname", StringType) ::
+          StructField("__bucket", IntegerType) ::
+          sch.partitionKeys.map(k => StructField(s"__p_$k", StringType)).toList)
+      val groupDf = spark.createDataFrame(
+        java.util.Arrays.asList(groupRows: _*), groupSchema)
+      val typed = sch.partitionKeys.foldLeft(
+          all.join(broadcast(groupDf), Seq("__fname"))) { (df, k) =>
+        val dt = sch.fields.find(_.name == k).map(_.dataType).getOrElse(StringType)
+        df.withColumn(k, col(s"__p_$k").cast(dt)).drop(s"__p_$k")
+      }
       val keyCols = sch.primaryKeys.map(k =>
         if (all.columns.contains(s"$KeyPrefix$k")) s"$KeyPrefix$k" else k)
+      val groupCols = sch.partitionKeys ++ Seq("__bucket")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+        .partitionBy((groupCols ++ keyCols).map(col): _*).orderBy(col(SeqCol).desc)
       // winning TOMBSTONES are KEPT as rows (read() filters kinds):
       // the group-local merge cannot prove no other group holds an
       // older image of the key, so dropping a -D here could resurrect
       // one — retention is O(deleted keys), reclaimed when a later
       // compaction's group holds only the tombstone... which is this
       // same rule, so they persist; correctness over bytes
-      val merged = all.withColumn("__rn", row_number().over(w))
+      val merged = typed.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .drop("__rn")
-      val staging = s"$table/_compact_$id-$bucket"
-      merged.coalesce(1).write.mode("overwrite").parquet(staging)
-      val parts = f.listStatus(new Path(staging))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      parts.zipWithIndex.foreach { case (part, i) =>
-        val fileName = f"data-$id%05d-c$bucket-$i.parquet"
-        val pd = partitionDir(pvals, sch.partitionKeys)
-        val destDir = (if (pd.isEmpty) table else s"$table/$pd") + s"/bucket-$bucket"
-        val dest = s"$destDir/$fileName"
-        f.rename(part, new Path(dest))
-        val maxSeq = group.map(_.maxSeq).foldLeft(0L)(math.max)
-        adds += FileEntry(0, pvals, bucket, fileName,
-          f.getFileStatus(new Path(dest)).getLen,
-          footerRowCount(spark, dest), 0L, maxSeq, maxLevel)
-      }
-      f.delete(new Path(staging), true)
+        .drop("__rn", "__fname")
+        .repartition(groupCols.map(col): _*) // one file per group
+      val groupMaxSeq = files.groupBy(e => (e.partition, e.bucket))
+        .map { case (g, es) => g -> es.map(_.maxSeq).foldLeft(0L)(math.max) }
+      val tableMaxSeq = files.map(_.maxSeq).foldLeft(0L)(math.max)
+      // a typed→dir→string round-trip that renders differently than the
+      // manifest keeps the table-wide bound rather than throwing
+      stageDataFiles(merged, table, id, sch.partitionKeys, Some("__bucket"),
+        0L, maxLevel,
+        seqRangeOf = Some((p, b) => (0L, groupMaxSeq.getOrElse((p, b), tableMaxSeq))))
     }
     val retires = files.map(_.copy(kind = 1))
     commitEntries(spark, table, id,
-      snapshotOf(spark, table, cur).schemaId, retires ++ adds.toSeq, "COMPACT")
+      snapshotOf(spark, table, cur).schemaId, retires ++ adds, "COMPACT")
   }
 }
