@@ -920,7 +920,12 @@ object SourcesQ extends graft.QueryArea {
     "src_paimon_pk_compact" -> ((spark, dir) => {
       val table = tmpDir(dir, "paimon_pkc")
       graft.sources.Formats.deleteDir(spark, table)
+      // half the key space: the gate proves the compaction CONTRACT
+      // (absorbed runs retired, tombstones kept, identical oracle rows
+      // as the merge-on-read twin) — pk_read carries the full-size
+      // merge; doubling the data here only doubled the staging wall
       val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"),
           (col("o_orderkey") % 3).cast("string").as("p"))
       graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"),
@@ -945,6 +950,19 @@ object SourcesQ extends graft.QueryArea {
     // update emits delete(old)+insert(new), deletes emit prior images
     // only (found by a touched-key-bounded merge of the prior runs),
     // a re-insert of a tombstoned key emits insert only.
+    // FOREIGN-table interop: read a REAL paimon-written table (the
+    // reference's pinned paimon-0.4 fixture — BinaryRow partition
+    // tuples, the full ~15-field _FILE manifest struct, hive-escaped
+    // partition dirs, ORC data files with the PK system columns).
+    // Oracle is the fixture's literal content.
+    "src_paimon_foreign_read" -> ((spark, dir) => {
+      val fixture = "/root/reference/java-extensions/paimon-reader/src/test/" +
+        "resources/test_paimon_reader/paimon_test.db/" +
+        "spark_sql_created_hive_catalog_paimon_partitioned"
+      graft.sources.PaimonRead.read(spark, fixture)
+        .select(col("uuid"), col("name"), col("price"))
+        .orderBy(col("uuid"))
+    }),
     "src_paimon_changes" -> ((spark, dir) => {
       val table = tmpDir(dir, "paimon_chg")
       graft.sources.Formats.deleteDir(spark, table)
@@ -1164,9 +1182,12 @@ object SourcesQ extends graft.QueryArea {
     // STANDING min/max MV maintained through the exactly-once
     // change-feed subscription (maintainMinMaxMv = applyDeltaMinMax ∘
     // ChangeFeed.poll, versioned state + pointer swap): bootstrap at
-    // v1, two polls apply a delete wave (extreme retraction →
-    // group-bounded rescan), an upsert wave, and a MoR update — the
-    // final state must equal a full recompute
+    // v1, then ONE poll applies a mixed (1,4] window — a delete wave
+    // (extreme retraction → group-bounded rescan), an upsert wave, and
+    // a MoR update — and the final state must equal a full recompute.
+    // (Window-by-window chaining + crash replay are spec'd in
+    // StreamingSpec/LakeMorLoadSpec; this gate proves the mixed-feed
+    // apply against the oracle.)
     "mv_minmax_poll" -> ((spark, dir) => {
       val table = tmpDir(dir, "mv_mxp_t")
       val mvDir = tmpDir(dir, "mv_mxp_s")
@@ -1187,11 +1208,10 @@ object SourcesQ extends graft.QueryArea {
         o.filter(col("o_orderkey") % 11 === 1)
           .withColumn("o_totalprice", col("o_totalprice") + 50000),
         Seq("o_orderkey"))                                        // v3
-      poll()                                                      // applies (1,3]
       graft.sources.Lake.updateMor(spark, table,
         col("o_orderkey") % 10 === 9,
         Map("o_totalprice" -> (col("o_totalprice") * 0.5)))       // v4
-      poll()                                                      // applies (3,4]
+      poll()                                                      // applies (1,4]
       graft.operators.MaterializedViews.readMinMaxMv(spark, mvDir)
         .select(col("g"), col("n"), col("s").cast("double").as("total"),
           col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
@@ -1991,10 +2011,17 @@ object SourcesQ extends graft.QueryArea {
         |         ELSE o_totalprice END AS price,
         |    CAST(o_orderkey % 3 AS VARCHAR) AS p
         |  FROM orders
-        |  WHERE o_orderkey % 10 <> 4 OR o_orderkey % 20 = 4)
+        |  WHERE o_orderkey % 2 = 0
+        |    AND (o_orderkey % 10 <> 4 OR o_orderkey % 20 = 4))
         |SELECT p, count(*) AS n,
         |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM merged GROUP BY p ORDER BY p""".stripMargin,
+    "src_paimon_foreign_read" ->
+      """SELECT uuid, name, price FROM (VALUES
+        |  (CAST(1 AS INTEGER), 'apple',  CAST(3.5 AS DOUBLE)),
+        |  (2, 'banana', 4.0),
+        |  (3, 'cherry', 20.5)) t(uuid, name, price)
+        |ORDER BY uuid""".stripMargin,
     "src_paimon_changes" ->
       """WITH del AS (
         |  SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 10 = 0

@@ -40,13 +40,16 @@ import org.apache.spark.sql.types._
   * adds a file, 1 deletes it). Time travel = read `snapshot-<id>`
   * directly; `snapshot/LATEST` is the hint file.
   *
-  * Documented deviation: real Paimon serializes each manifest entry's
-  * partition tuple as a BinaryRow; this layout renders it as a JSON
-  * object of column → string (the information content the spec
-  * requires, minus an internal binary codec no public document
-  * specifies byte-for-byte). Readers of FOREIGN Paimon tables would
-  * need that codec; everything else (layout, naming, replay, merge
-  * semantics) follows the published spec.
+  * TWO manifest flavors read interchangeably (per record, so mixed
+  * tables — e.g. a foreign table this writer compacted — replay fine):
+  * real Paimon manifests (`org.apache.paimon.avro.generated.record`,
+  * BinaryRow partition tuples decoded by [[PaimonBinaryRow]], the full
+  * `_FILE` struct with unknown fields tolerated, hive-escaped
+  * partition dirs) and this writer's simplified rendering
+  * (`_PARTITION` as JSON column → string, URL-encoded dirs). The
+  * WRITER still emits only the simplified flavor — a real
+  * paimon/Flink reader of tables this repo writes would need the
+  * simplified schema, which is the remaining documented deviation.
   *
   * 100 TB: manifests are O(files) driver metadata; the PK merge is one
   * hash-partitioned window keyed by the primary key (the LSM
@@ -66,8 +69,13 @@ object PaimonRead {
 
   final case class TableSchema(id: Long, fields: Seq[StructField],
       partitionKeys: Seq[String], primaryKeys: Seq[String],
-      options: Map[String, String]) {
+      options: Map[String, String], rawTypes: Seq[String] = Nil) {
     def struct: StructType = StructType(fields)
+    /** Paimon type string of a field (BinaryRow decode needs e.g. the
+      * timestamp precision that the Spark type erases). */
+    def rawTypeOf(name: String): Option[String] =
+      fields.zipWithIndex.find(_._1.name == name)
+        .flatMap { case (_, i) => rawTypes.lift(i) }
   }
 
   /** Spark type → Paimon SQL type string (spec's DataType rendering). */
@@ -120,9 +128,11 @@ object PaimonRead {
       finally in.close()
     val node = new ObjectMapper().readTree(text)
     val fields = scala.collection.mutable.ArrayBuffer[StructField]()
+    val raws = scala.collection.mutable.ArrayBuffer[String]()
     node.get("fields").forEach { fn =>
       fields += StructField(fn.get("name").asText(),
         sparkType(fn.get("type").asText()))
+      raws += fn.get("type").asText()
     }
     def strSeq(k: String): Seq[String] = {
       val n = node.get(k)
@@ -135,7 +145,7 @@ object PaimonRead {
     if (on != null) on.fields().forEachRemaining(e =>
       opts += e.getKey -> e.getValue.asText())
     TableSchema(id, fields.toSeq, strSeq("partitionKeys"),
-      strSeq("primaryKeys"), opts.toMap)
+      strSeq("primaryKeys"), opts.toMap, raws.toSeq)
   }
 
   // ---- snapshots (snapshot/snapshot-<id> JSON + LATEST hint) --------
@@ -196,10 +206,13 @@ object PaimonRead {
   // ---- manifests (Avro) ---------------------------------------------
 
   /** One manifest entry: _KIND 0 add / 1 delete of `fileName` in
-    * (`partition`, `bucket`); stats + LSM metadata from _FILE. */
+    * (`partition`, `bucket`); stats + LSM metadata from _FILE.
+    * `hiveDirs` marks entries parsed from REAL paimon manifests, whose
+    * partition dirs use hive path escaping rather than this writer's
+    * URL-encoded rendering. */
   final case class FileEntry(kind: Int, partition: Map[String, String],
       bucket: Int, fileName: String, sizeBytes: Long, rowCount: Long,
-      minSeq: Long, maxSeq: Long, level: Int)
+      minSeq: Long, maxSeq: Long, level: Int, hiveDirs: Boolean = false)
 
   private[sources] val manifestEntrySchema: org.apache.avro.Schema =
     SchemaBuilder.record("manifest_entry").fields()
@@ -253,23 +266,63 @@ object PaimonRead {
     m.toMap
   }
 
+  /** Parse one manifest entry, dispatching on the record's FLAVOR:
+    * this writer's simplified rendering carries `_PARTITION` as a JSON
+    * string; REAL paimon manifests (`org.apache.paimon.avro.generated
+    * .record`) carry a serialized BinaryRow plus the full ~15-field
+    * `_FILE` struct — the known metadata fields are read, unknown ones
+    * (key bounds, stats, extra files, creation time, …) are tolerated
+    * and ignored. `schemaOf` resolves the entry's own `_SCHEMA_ID` so
+    * the partition tuple decodes against the schema it was written
+    * under. */
+  private def parseEntry(e: GenericRecord,
+      schemaOf: Long => TableSchema): FileEntry = {
+    val fileRec = e.get("_FILE").asInstanceOf[GenericRecord]
+    def fld(name: String, dflt: Long): Long =
+      if (fileRec.getSchema.getField(name) == null) dflt
+      else fileRec.get(name) match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case _ => dflt
+      }
+    val kind = e.get("_KIND").asInstanceOf[Int]
+    val bucket = e.get("_BUCKET").asInstanceOf[Int]
+    val fileName = fileRec.get("_FILE_NAME").toString
+    val size = fld("_FILE_SIZE", 0L)
+    val rows = fld("_ROW_COUNT", 0L)
+    val minSeq = fld("_MIN_SEQUENCE_NUMBER", 0L)
+    val maxSeq = fld("_MAX_SEQUENCE_NUMBER", 0L)
+    val level = fld("_LEVEL", 0L).toInt
+    e.get("_PARTITION") match {
+      case bb: java.nio.ByteBuffer => // REAL paimon: BinaryRow bytes
+        val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+        val sch = schemaOf(fld("_SCHEMA_ID", 0L))
+        val pTypes = sch.partitionKeys.map(k =>
+          sch.fields.find(_.name == k).map(_.dataType).getOrElse(StringType))
+        val pPrec = sch.partitionKeys.map(k =>
+          sch.rawTypeOf(k).collect { case TimestampRe(p) => p.toInt }.getOrElse(6))
+        val values =
+          if (sch.partitionKeys.isEmpty) Nil
+          else PaimonBinaryRow.decode(bytes, pTypes,
+            (i: Int) => pPrec.lift(i).getOrElse(6))
+        FileEntry(kind, sch.partitionKeys.zip(values).toMap, bucket,
+          fileName, size, rows, minSeq, maxSeq, level, hiveDirs = true)
+      case other => // this writer's rendering: JSON col → value
+        FileEntry(kind, parsePartitionJson(other.toString), bucket,
+          fileName, size, rows, minSeq, maxSeq, level)
+    }
+  }
+
   private def entriesOf(spark: SparkSession, table: String,
-      manifestList: String): Seq[FileEntry] =
+      manifestList: String): Seq[FileEntry] = {
+    val schemaCache = scala.collection.mutable.Map[Long, TableSchema]()
+    def schemaOf(sid: Long): TableSchema =
+      schemaCache.getOrElseUpdate(sid, schemaById(spark, table, sid))
     readAvro(spark, s"$table/manifest/$manifestList").flatMap { lm =>
       val mf = lm.get("_FILE_NAME").toString
-      readAvro(spark, s"$table/manifest/$mf").map { e =>
-        val fileRec = e.get("_FILE").asInstanceOf[GenericRecord]
-        FileEntry(e.get("_KIND").asInstanceOf[Int],
-          parsePartitionJson(e.get("_PARTITION").toString),
-          e.get("_BUCKET").asInstanceOf[Int],
-          fileRec.get("_FILE_NAME").toString,
-          fileRec.get("_FILE_SIZE").asInstanceOf[Long],
-          fileRec.get("_ROW_COUNT").asInstanceOf[Long],
-          fileRec.get("_MIN_SEQUENCE_NUMBER").asInstanceOf[Long],
-          fileRec.get("_MAX_SEQUENCE_NUMBER").asInstanceOf[Long],
-          fileRec.get("_LEVEL").asInstanceOf[Int])
-      }
+      readAvro(spark, s"$table/manifest/$mf").map(parseEntry(_, schemaOf))
     }
+  }
 
   /** Live data files at a snapshot: base-list then delta-list entries
     * folded in order — _KIND 1 retires the (partition, bucket, name)
@@ -300,16 +353,26 @@ object PaimonRead {
   }
 
   private def partitionDir(partition: Map[String, String],
-      partitionKeys: Seq[String]): String =
+      partitionKeys: Seq[String], hiveDirs: Boolean = false): String =
     partitionKeys.map { k =>
       val v = partition.getOrElse(k, null)
       s"$k=${if (v == null) "__DEFAULT__" else
-        java.net.URLEncoder.encode(v, "UTF-8").replace("+", "%20")}"
+        if (hiveDirs) hiveEscapePathName(v)
+        else java.net.URLEncoder.encode(v, "UTF-8").replace("+", "%20")}"
     }.mkString("/")
+
+  /** Hive's partition-dir escaping (what real paimon uses): only the
+    * chars hive's `FileUtils.escapePathName` names get `%XX`-escaped —
+    * notably NOT '+', ',', or space beyond the listed set. */
+  private val HiveEscaped: Set[Char] =
+    (0.toChar to 31.toChar).toSet + 127.toChar ++ Set('"', '#', '%',
+      '\'', '*', '/', ':', '=', '?', '\\', '{', '[', ']', '^')
+  private def hiveEscapePathName(s: String): String =
+    s.flatMap(c => if (HiveEscaped(c)) f"%%${c.toInt}%02X" else c.toString)
 
   private def dataPath(table: String, e: FileEntry,
       partitionKeys: Seq[String]): String = {
-    val pd = partitionDir(e.partition, partitionKeys)
+    val pd = partitionDir(e.partition, partitionKeys, e.hiveDirs)
     val prefix = if (pd.isEmpty) table else s"$table/$pd"
     s"$prefix/bucket-${e.bucket}/${e.fileName}"
   }

@@ -167,6 +167,59 @@ class PaimonReadSpec extends SparkSuite {
     assert(back2.filter($"d" === java.sql.Date.valueOf("2024-03-03")).count() === 8)
   }
 
+  test("FOREIGN interop: a real paimon-written table reads (BinaryRow partitions, full _FILE struct)") {
+    // pinned real-table fixture: written by paimon 0.4 via Spark SQL
+    // (shipped in the reference's paimon-reader tests — read-only here)
+    val fixture = "/root/reference/java-extensions/paimon-reader/src/test/resources/" +
+      "test_paimon_reader/paimon_test.db/spark_sql_created_hive_catalog_paimon_partitioned"
+    assume(new java.io.File(fixture).isDirectory, "reference fixture not present")
+    val df = PaimonRead.read(spark, fixture)
+    assert(df.columns.toSeq === Seq("uuid", "name", "price"))
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1, "apple", 3.5), (2, "banana", 4.0), (3, "cherry", 20.5)))
+    // partition filter constant-folds the other branches away
+    assert(df.filter($"name" === "banana").count() === 1)
+    // manifest metadata decoded: 3 live orc files, one per partition
+    val files = PaimonRead.liveFiles(spark, fixture)
+    assert(files.size === 3 && files.forall(_.rowCount === 1L))
+    assert(files.map(_.partition("name")).toSet === Set("apple", "banana", "cherry"))
+  }
+
+  test("BinaryRow decode: nulls, compact + variable strings, fixed widths") {
+    import org.apache.spark.sql.types._
+    // hand-built arity-3 row: (int 7, NULL, "hello world!") — field 1's
+    // null bit is bit 9 (byte 1, bit 1) after the row-kind header byte
+    val varData = "hello world!".getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 24 + varData.length)
+    bb.putInt(3) // BIG-endian arity prefix
+    bb.put(Array[Byte](0, 2, 0, 0, 0, 0, 0, 0)) // null bits
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(7L) // int 7 (low 4 bytes of the slot)
+    bb.putLong(0L) // null slot
+    bb.putLong((32L << 32) | varData.length) // offset 32 from row start
+    bb.put(varData)
+    val got = graft.sources.PaimonBinaryRow.decode(bb.array(),
+      Seq(IntegerType, StringType, StringType))
+    assert(got === Seq("7", null, "hello world!"))
+    // compact string (≤ 7 bytes): data inline, high byte 0x80 | len
+    val bc = java.nio.ByteBuffer.allocate(4 + 8 + 16)
+    bc.putInt(2)
+    bc.put(Array.fill[Byte](8)(0))
+    bc.put("abc".getBytes("UTF-8")); bc.put(Array[Byte](0, 0, 0, 0, 0x83.toByte))
+    bc.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bc.putLong(java.lang.Double.doubleToLongBits(2.5))
+    assert(graft.sources.PaimonBinaryRow.decode(bc.array(),
+      Seq(StringType, DoubleType)) === Seq("abc", "2.5"))
+    // date renders ISO (castable back to DATE)
+    val bd = java.nio.ByteBuffer.allocate(4 + 8 + 8)
+    bd.putInt(1); bd.put(Array.fill[Byte](8)(0))
+    bd.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bd.putLong(19874L) // 2024-06-01 ... epoch day
+    assert(graft.sources.PaimonBinaryRow.decode(bd.array(), Seq(DateType))
+      === Seq(java.time.LocalDate.ofEpochDay(19874L).toString))
+  }
+
   test("partition values with '+' and '%' round-trip; later commits validate keys") {
     val dir = freshTable("pluspart")
     val df = Seq((1L, "a+b"), (2L, "c d"), (3L, "50%"), (4L, "a+b"))
