@@ -983,6 +983,33 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("change_type"))
     }),
+    // Same construction with changelog-producer = lookup: the writer
+    // emits ready-made change files per commit (pre-images derived at
+    // write time via the bucket-pruned lookup merge), and changes()
+    // serves THEM — a pure O(changelog) scan, no prior-snapshot
+    // derivation. The oracle is identical to src_paimon_changes on a
+    // half-size slice, so the feed equivalence is oracle-proven.
+    "src_paimon_changelog" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_clg")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        assumeKeyUnique = true,
+        options = Map("changelog-producer" -> "lookup"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 5 === 0).withColumn("o_totalprice", lit(0.0)),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 9 === 4).select(col("o_orderkey")),
+        table, Seq("o_orderkey"), deletes = true, assumeKeyUnique = true)
+      graft.sources.PaimonRead.changes(spark, table, 1L, 3L)
+        .groupBy(col("__change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
     "src_hudi_read" -> ((spark, dir) => {
       val table = tmpDir(dir, "hudi_ext")
       graft.sources.Formats.deleteDir(spark, table)
@@ -2022,6 +2049,22 @@ object SourcesQ extends graft.QueryArea {
         |  (2, 'banana', 4.0),
         |  (3, 'cherry', 20.5)) t(uuid, name, price)
         |ORDER BY uuid""".stripMargin,
+    "src_paimon_changelog" ->
+      """WITH odd AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1),
+        |del AS (
+        |  SELECT o_totalprice AS price FROM odd WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 0.0 ELSE o_totalprice END
+        |  FROM odd WHERE o_orderkey % 9 = 4),
+        |ins AS (
+        |  SELECT 0.0 AS price FROM odd WHERE o_orderkey % 5 = 0)
+        |SELECT 'delete' AS change_type, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total FROM del
+        |UNION ALL
+        |SELECT 'insert', count(*),
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) FROM ins
+        |ORDER BY change_type""".stripMargin,
     "src_paimon_changes" ->
       """WITH del AS (
         |  SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 10 = 0

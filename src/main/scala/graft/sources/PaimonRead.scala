@@ -151,7 +151,8 @@ object PaimonRead {
   // ---- snapshots (snapshot/snapshot-<id> JSON + LATEST hint) --------
 
   final case class Snap(id: Long, schemaId: Long, baseManifestList: String,
-      deltaManifestList: String, commitKind: String, timeMillis: Long)
+      deltaManifestList: String, commitKind: String, timeMillis: Long,
+      changelogManifestList: Option[String] = None)
 
   /** Latest snapshot id: the LATEST hint when present and valid, else
     * max over snapshot-<id> names (hints are advisory per the spec). */
@@ -183,7 +184,8 @@ object PaimonRead {
     Snap(n.get("id").asLong, n.get("schemaId").asLong,
       n.get("baseManifestList").asText(), n.get("deltaManifestList").asText(),
       Option(n.get("commitKind")).map(_.asText()).getOrElse("APPEND"),
-      Option(n.get("timeMillis")).map(_.asLong).getOrElse(0L))
+      Option(n.get("timeMillis")).map(_.asLong).getOrElse(0L),
+      Option(n.get("changelogManifestList")).filterNot(_.isNull).map(_.asText()))
   }
 
   /** Newest snapshot committed at or before `epochMillis` — the
@@ -466,6 +468,22 @@ object PaimonRead {
     * by merging the prior live runs RESTRICTED to the touched keys
     * (broadcast semi-join below the window: scan I/O is the prior
     * file set, but the merge shuffle is O(touched keys)). */
+  /** Prune a prior live set to the buckets a commit's ADD entries
+    * touched — zero extra Spark jobs (the staged batch's entries name
+    * the buckets). Valid for any FIXED-bucket PK table (this writer's
+    * and real paimon's): a key's bucket is a pure function of the key,
+    * so every older image of a touched key lives in one of the touched
+    * buckets (across all partitions — partition is deliberately NOT
+    * pruned, since this reader's merge does not require pk ⊇ partition
+    * keys). Entries with bucket < 0 (paimon's dynamic-bucket mode)
+    * keep the full set. */
+  private[graft] def prunePriorToTouchedBuckets(prior: Seq[FileEntry],
+      adds: Seq[FileEntry]): Seq[FileEntry] = {
+    if (adds.exists(_.bucket < 0) || prior.exists(_.bucket < 0)) return prior
+    val touched = adds.map(_.bucket).toSet
+    prior.filter(e => touched.contains(e.bucket))
+  }
+
   def changes(spark: SparkSession, table: String,
       fromSnapshot: Long, toSnapshot: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
@@ -476,6 +494,22 @@ object PaimonRead {
       val schema = schemaById(spark, table, snap.schemaId)
       val fieldCols = schema.fields.map(f => col(f.name)).toIndexedSeq
       if (snap.commitKind == "COMPACT") None
+      else if (snap.changelogManifestList.nonEmpty) {
+        // ready-made change files (changelog-producer tables): rows
+        // carry their _VALUE_KIND, so the feed is a pure O(changelog)
+        // scan — no prior-snapshot derivation at all
+        import org.apache.spark.sql.functions.when
+        val clAdds = entriesOf(spark, table, snap.changelogManifestList.get)
+          .filter(_.kind == 0)
+        if (clAdds.isEmpty) None
+        else {
+          val raw = partitionScans(spark, table, schema, clAdds)
+          Some(raw.select((fieldCols :+
+            when(col(KindCol) === 0 || col(KindCol) === 2, lit("insert"))
+              .otherwise(lit("delete")).as("__change_type")): _*)
+            .withColumn("__commit_version", lit(v)))
+        }
+      }
       else {
         val adds = entriesOf(spark, table, snap.deltaManifestList)
           .filter(_.kind == 0)
@@ -504,7 +538,8 @@ object PaimonRead {
             val deletes =
               if (v == 1) None
               else {
-                val prior = liveFiles(spark, table, Some(v - 1))
+                val prior = prunePriorToTouchedBuckets(
+                  liveFiles(spark, table, Some(v - 1)), adds)
                 if (prior.isEmpty) None
                 else {
                   val prevSchema = schemaById(spark, table,
@@ -602,7 +637,8 @@ object PaimonRead {
     * list referencing every PRIOR manifest (the spec's reuse — base
     * state is the fold of earlier manifests, never rewritten). */
   private def commitEntries(spark: SparkSession, table: String, id: Long,
-      schemaId: Long, entries: Seq[FileEntry], commitKind: String): Long = {
+      schemaId: Long, entries: Seq[FileEntry], commitKind: String,
+      changelogEntries: Seq[FileEntry] = Nil): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/manifest"))
     f.mkdirs(new Path(s"$table/snapshot"))
@@ -633,9 +669,20 @@ object PaimonRead {
       prior.map(listRec))
     writeAvro(spark, s"$table/manifest/$deltaList", manifestListSchema,
       Seq(listRec(manifestName)))
+    // the spec's changelog chain: a separate manifest + list, named in
+    // the snapshot, NEVER folded into the live data state
+    val changelogJson = if (changelogEntries.isEmpty) "null" else {
+      val clManifest = f"manifest-$id%05d-cl"
+      writeAvro(spark, s"$table/manifest/$clManifest", manifestEntrySchema,
+        changelogEntries.map(entryRecord))
+      val clList = f"manifest-list-$id%05d-changelog"
+      writeAvro(spark, s"$table/manifest/$clList", manifestListSchema,
+        Seq(listRec(clManifest)))
+      "\"" + clList + "\""
+    }
     val rows = entries.filter(_.kind == 0).map(_.rowCount).sum
     val json =
-      s"""{"version":3,"id":$id,"schemaId":$schemaId,"baseManifestList":"$baseList","deltaManifestList":"$deltaList","commitKind":"$commitKind","timeMillis":${System.currentTimeMillis()},"deltaRecordCount":$rows}"""
+      s"""{"version":3,"id":$id,"schemaId":$schemaId,"baseManifestList":"$baseList","deltaManifestList":"$deltaList","changelogManifestList":$changelogJson,"commitKind":"$commitKind","timeMillis":${System.currentTimeMillis()},"deltaRecordCount":$rows}"""
     val out = f.create(new Path(s"$table/snapshot/snapshot-$id"), false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val hint = f.create(new Path(s"$table/snapshot/LATEST"), true)
@@ -651,10 +698,11 @@ object PaimonRead {
   private def stageDataFiles(df: DataFrame, table: String, id: Long,
       partitionKeys: Seq[String], bucketCol: Option[String],
       seq: Long, level: Int,
-      seqRangeOf: Option[(Map[String, String], Int) => (Long, Long)] = None): Seq[FileEntry] = {
+      seqRangeOf: Option[(Map[String, String], Int) => (Long, Long)] = None,
+      namePrefix: String = "data"): Seq[FileEntry] = {
     val spark = df.sparkSession
     val f = fs(spark, table)
-    val staging = s"$table/_staging_$id"
+    val staging = s"$table/_staging_${namePrefix}_$id"
     val layoutCols = partitionKeys ++ bucketCol.toSeq
     if (layoutCols.isEmpty) df.coalesce(1).write.mode("overwrite").parquet(staging)
     else df.write.partitionBy(layoutCols: _*).mode("overwrite").parquet(staging)
@@ -675,7 +723,7 @@ object PaimonRead {
       val partition = partitionKeys.map(k => k ->
         vals.get(k).filter(_ != "__HIVE_DEFAULT_PARTITION__").orNull).toMap
       val bucket = bucketCol.flatMap(vals.get).map(_.toInt).getOrElse(0)
-      val fileName = f"data-$id%05d-$i.parquet"
+      val fileName = f"$namePrefix-$id%05d-$i.parquet"
       val pd = partitionDir(partition, partitionKeys)
       val destDir = (if (pd.isEmpty) table else s"$table/$pd") + s"/bucket-$bucket"
       f.mkdirs(new Path(destDir))
@@ -725,7 +773,8 @@ object PaimonRead {
     * they land as -D retractions. */
   def commitPk(df: DataFrame, table: String, primaryKeys: Seq[String],
       partitionKeys: Seq[String] = Nil, numBuckets: Int = 2,
-      deletes: Boolean = false, assumeKeyUnique: Boolean = false): Long = {
+      deletes: Boolean = false, assumeKeyUnique: Boolean = false,
+      options: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{abs => fabs, col, hash, lit, pmod}
     val spark = df.sparkSession
     val f = fs(spark, table)
@@ -742,7 +791,8 @@ object PaimonRead {
         require(!deletes, "cannot open a table with a delete batch")
         writeSchemaFile(spark, table, 0, df.schema.fields.toSeq,
           partitionKeys, primaryKeys,
-          Map("file.format" -> "parquet", "bucket" -> numBuckets.toString))
+          Map("file.format" -> "parquet",
+            "bucket" -> numBuckets.toString) ++ options)
         0L
     }
     val sch = schemaById(spark, table, schemaId)
@@ -777,7 +827,74 @@ object PaimonRead {
         pmod(fabs(hash(primaryKeys.map(col): _*)), lit(buckets)))
     val entries = stageDataFiles(sys, table, id, sch.partitionKeys,
       Some("__bucket"), id, 0)
-    commitEntries(spark, table, id, schemaId, entries, "APPEND")
+    // changelog-producer = lookup: derive the retraction rows for THIS
+    // commit at WRITE time (the paimon lookup producer's deal: the
+    // writer pays one touched-key-restricted merge so every subscriber
+    // reads ready-made change files at O(changelog) — no prior-set
+    // scan per poll)
+    val clEntries =
+      if (sch.options.get("changelog-producer").contains("lookup"))
+        changelogEntriesFor(spark, table, sch, df, primaryKeys, buckets,
+          deletes, id, entries)
+      else Nil
+    commitEntries(spark, table, id, schemaId, entries, "APPEND", clEntries)
+  }
+
+  /** Lookup-producer changelog for one [[commitPk]] batch: pre-images
+    * of touched keys (kind 1 -U for upserts, 3 -D for deletes, full
+    * prior values via the bucket-pruned, key-restricted merge) plus
+    * the batch's new images (kind 0 +I when no prior existed, 2 +U
+    * otherwise), staged as `changelog-*` files in the same
+    * (partition, bucket) layout and listed in the snapshot's
+    * changelogManifestList. */
+  private def changelogEntriesFor(spark: SparkSession, table: String,
+      sch: TableSchema, batch: DataFrame, primaryKeys: Seq[String],
+      buckets: Int, deletes: Boolean, id: Long,
+      stagedAdds: Seq[FileEntry]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{abs => fabs, broadcast, col, hash, lit, pmod, when}
+    val fieldCols = sch.fields.map(f => col(f.name))
+    val touched = batch.select(primaryKeys.map(col): _*).distinct()
+    val priorFiles =
+      if (id == 1) Nil
+      else prunePriorToTouchedBuckets(
+        liveFiles(spark, table, Some(id - 1)), stagedAdds)
+    val pre: Option[DataFrame] =
+      if (priorFiles.isEmpty) None
+      else {
+        val all0 = partitionScans(spark, table, sch, priorFiles)
+        val pkc = keyColsOf(sch, all0)
+        val images = mergedImages(spark, table, sch, all0,
+          restrictTo = d => d.join(broadcast(touched),
+            pkc.zip(primaryKeys).map { case (kc, pk) =>
+              d(kc) === touched(pk) }.reduce(_ && _), "left_semi"))
+        Some(images.withColumn(KindCol,
+          lit(if (deletes) 3 else 1).cast("tinyint")))
+      }
+    val post: Option[DataFrame] =
+      if (deletes) None
+      else pre match {
+        case None =>
+          Some(batch.withColumn(KindCol, lit(0).cast("tinyint"))
+            .select((fieldCols :+ col(KindCol)): _*))
+        case Some(p) =>
+          val priorKeys = p.select(primaryKeys.map(col): _*)
+            .withColumn("__had", lit(1))
+          Some(batch.join(broadcast(priorKeys), primaryKeys, "left")
+            .withColumn(KindCol, when(col("__had").isNull, lit(0))
+              .otherwise(lit(2)).cast("tinyint"))
+            .select((fieldCols :+ col(KindCol)): _*))
+      }
+    (pre.toSeq ++ post.toSeq)
+      .reduceOption(_ unionByName _)
+      .map { rows =>
+        val sys = primaryKeys.foldLeft(rows) { (d, k) =>
+          d.withColumn(s"$KeyPrefix$k", col(k)) }
+          .withColumn(SeqCol, lit(id))
+          .withColumn("__bucket",
+            pmod(fabs(hash(primaryKeys.map(col): _*)), lit(buckets)))
+        stageDataFiles(sys, table, id, sch.partitionKeys, Some("__bucket"),
+          id, 0, namePrefix = "changelog")
+      }.getOrElse(Nil)
   }
 
   /** Materialize the merged PK state: rewrite every (partition, bucket)
