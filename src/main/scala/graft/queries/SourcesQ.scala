@@ -1010,6 +1010,45 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("change_type"))
     }),
+    // VALUES-ONLY foreign partition layout: data dirs carry bare
+    // values ('0/', '1/', '2/'), the column name lives only in
+    // hoodie.properties' hoodie.table.partition.fields — the most
+    // common real-Hudi layout. The read must restore the column and
+    // prune on it.
+    "src_hudi_values_only" -> ((spark, dir) => {
+      val table = tmpDir(dir, "hudi_vo")
+      graft.sources.Formats.deleteDir(spark, table)
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+      f.mkdirs(hp(s"$table/.hoodie"))
+      val props = new java.util.Properties()
+      props.setProperty("hoodie.table.recordkey.fields", "o_orderkey")
+      props.setProperty("hoodie.table.partition.fields", "p")
+      val pout = f.create(hp(s"$table/.hoodie/hoodie.properties"), false)
+      try props.store(pout, null) finally pout.close()
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val stats = (0 to 2).map { m =>
+        val staging = s"$table/_st_$m"
+        o.filter(col("o_orderkey") % 3 === m).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = f.listStatus(hp(staging))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        f.mkdirs(hp(s"$table/$m"))
+        val rel = s"$m/g${m}_0-0-0_001.parquet"
+        f.rename(part, hp(s"$table/$rel"))
+        f.delete(hp(staging), true)
+        s"""{"fileId":"g$m","path":"$rel"}"""
+      }
+      val json = s"""{"partitionToWriteStats":{${
+        stats.zipWithIndex.map { case (st, m) => s""""$m":[$st]""" }.mkString(",")}}}"""
+      val oc = f.create(hp(s"$table/.hoodie/00000000000001.commit"), false)
+      try oc.write(json.getBytes("UTF-8")) finally oc.close()
+      graft.sources.HudiRead.read(spark, table)
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("p"))
+    }),
     "src_hudi_read" -> ((spark, dir) => {
       val table = tmpDir(dir, "hudi_ext")
       graft.sources.Formats.deleteDir(spark, table)
@@ -2080,6 +2119,10 @@ object SourcesQ extends graft.QueryArea {
         |SELECT 'insert', count(*),
         |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) FROM ins
         |ORDER BY change_type""".stripMargin,
+    "src_hudi_values_only" ->
+      """SELECT CAST(o_orderkey % 3 AS VARCHAR) AS p, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY p""".stripMargin,
     "src_hudi_read" ->
       """SELECT 1 AS snap, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

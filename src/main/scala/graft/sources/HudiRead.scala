@@ -150,17 +150,56 @@ object HudiRead {
     Some(segs)
   }
 
+  /** Partition fields declared in `hoodie.properties`
+    * (`hoodie.table.partition.fields`) — how real Hudi tables name
+    * the columns of a VALUES-ONLY partitionPath layout
+    * (`americas/brazil/sao_paulo`). */
+  def partitionFields(spark: SparkSession, table: String): Seq[String] =
+    hoodieProps(spark, table)
+      .flatMap(p => Option(p.getProperty("hoodie.table.partition.fields")))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private def hoodieProps(spark: SparkSession, table: String): Option[java.util.Properties] = {
+    val p = new Path(s"$table/.hoodie/hoodie.properties")
+    val f = fs(spark, table)
+    if (!f.exists(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = f.open(p)
+      try props.load(in) finally in.close()
+      Some(props)
+    }
+  }
+
+  /** [[parseHivePath]] with the VALUES-ONLY fallback: when no segment
+    * carries `=` and the segment count matches the table's declared
+    * partition fields, segments map positionally onto those names —
+    * the most common foreign Hudi layout. */
+  private def parsePartitionPath(pp: String,
+      fields: Seq[String]): Option[Seq[(String, String)]] =
+    parseHivePath(pp).orElse {
+      val segs = pp.split('/').toSeq.filter(_.nonEmpty)
+      if (fields.nonEmpty && segs.length == fields.length &&
+          !segs.exists(_.contains('=')))
+        Some(fields.zip(segs.map(PathNames.unescapePathName)))
+      else None
+    }
+
   def readIndexed(spark: SparkSession, table: String,
       instantAsOf: Option[String] = None): (DataFrame, Option[Lake.LakeFileIndex]) = {
     val slices = liveSliceDetails(spark, table, instantAsOf).values.toSeq
     if (slices.isEmpty)
       throw new IllegalArgumentException(s"no live slices at $table")
-    def parsePath(pp: String): Option[Seq[(String, String)]] = parseHivePath(pp)
-    // the timeline-indexed path needs EVERY slice to carry a hive-style
-    // col=val partitionPath over one consistent column set; foreign
-    // Hudi tables often use values-only paths ('americas/brazil/…') or
-    // mix partitioned and unpartitioned stats — those keep the plain
-    // basePath read, which handles any directory layout
+    val pFields = partitionFields(spark, table)
+    def parsePath(pp: String): Option[Seq[(String, String)]] =
+      parsePartitionPath(pp, pFields)
+    // the timeline-indexed path needs EVERY slice to carry a
+    // partitionPath naming its columns — hive `col=val` segments, or
+    // values-only segments mapped onto hoodie.properties' declared
+    // partition fields — over one consistent column set; layouts that
+    // mix partitioned and unpartitioned stats keep the plain basePath
+    // read, which handles any directory shape
     val parsed = slices.map(s => parsePath(s.partitionPath))
     val colSets = parsed.map(_.map(_.map(_._1)))
     val uniform = colSets.forall(_.isDefined) &&
@@ -196,16 +235,10 @@ object HudiRead {
   /** The table's record-key field from `.hoodie/hoodie.properties`
     * (`hoodie.table.recordkey.fields`) — how real Hudi tables declare
     * the merge key; required for any MoR read. */
-  def recordKeyField(spark: SparkSession, table: String): Option[String] = {
-    val p = new Path(s"$table/.hoodie/hoodie.properties")
-    val f = fs(spark, table)
-    if (!f.exists(p)) return None
-    val props = new java.util.Properties()
-    val in = f.open(p)
-    try props.load(in) finally in.close()
-    Option(props.getProperty("hoodie.table.recordkey.fields"))
+  def recordKeyField(spark: SparkSession, table: String): Option[String] =
+    hoodieProps(spark, table)
+      .flatMap(p => Option(p.getProperty("hoodie.table.recordkey.fields")))
       .map(_.trim).filter(_.nonEmpty)
-  }
 
   /** Pending-log volume cap for the DRIVER-side MoR fold: dirty
     * groups whose total log bytes exceed this switch to the
@@ -249,25 +282,31 @@ object HudiRead {
         s"$table has MoR log files but no hoodie.table.recordkey.fields — " +
           "cannot merge without the record key"))
     // partition columns live in DIRECTORY names; restore them from the
-    // timeline's partitionPath per group. Values-only layouts (no k=v)
-    // can't name the columns — refuse loudly, compaction restores the
-    // timeline-indexed CoW path.
+    // timeline's partitionPath per group — hive `col=val` segments, or
+    // values-only segments mapped onto hoodie.properties' declared
+    // partition fields. Only layouts naming columns NEITHER way refuse
+    // loudly; compaction restores the timeline-indexed CoW path.
+    val pFields = partitionFields(spark, table)
+    def parsePP(pp: String): Option[Seq[(String, String)]] =
+      parsePartitionPath(pp, pFields)
     val allG = dirty ++ clean
     val unpartitioned = allG.forall(_.base.partitionPath.isEmpty)
     val partCols: Seq[String] =
       if (unpartitioned) Nil
       else {
-        val parsed = allG.map(g => parseHivePath(g.base.partitionPath))
+        val parsed = allG.map(g => parsePP(g.base.partitionPath))
         require(parsed.forall(_.exists(_.nonEmpty)) &&
             parsed.flatten.map(_.map(_._1).toSet).distinct.size == 1,
-          s"$table has pending logs under a non-hive partitionPath layout — " +
-            "the merge cannot name the directory-encoded partition columns; " +
-            "compact (rewrite the base) and use the timeline-indexed read")
+          s"$table has pending logs under a partitionPath layout that " +
+            "names no columns (neither hive col=val nor " +
+            "hoodie.table.partition.fields) — the merge cannot restore " +
+            "the directory-encoded partition columns; compact (rewrite " +
+            "the base) and use the timeline-indexed read")
         parsed.head.get.map(_._1)
       }
     def withParts(df: DataFrame, pp: String): DataFrame =
       if (partCols.isEmpty) df
-      else parseHivePath(pp).get.foldLeft(df) { case (d, (k, v)) =>
+      else parsePP(pp).get.foldLeft(df) { case (d, (k, v)) =>
         d.withColumn(k, lit(v)) }
     val f = fs(spark, table)
     val dataSchema = spark.read.parquet(s"$table/${dirty.head.base.path}").schema
@@ -280,7 +319,8 @@ object HudiRead {
       if (totalLogBytes <= inlineLogBytesCap)
         driverFold(spark, table, dirtyP, keyField, dataSchema, withParts)
       else
-        distributedFold(spark, table, dirtyP, keyField, dataSchema, partCols)
+        distributedFold(spark, table, dirtyP, keyField, dataSchema, partCols,
+          parsePP)
     // dirty bases per partition tuple, partition columns attached
     val dirtyBase = dirty.groupBy(_.base.partitionPath).map { case (pp, gs) =>
       withParts(spark.read.parquet(gs.map(g => s"$table/${g.base.path}"): _*), pp)
@@ -346,7 +386,8 @@ object HudiRead {
   private def distributedFold(spark: SparkSession, table: String,
       dirtyP: Seq[(String, GroupState)], keyField: String,
       dataSchema: org.apache.spark.sql.types.StructType,
-      partCols: Seq[String]): (DataFrame, DataFrame, Boolean) = {
+      partCols: Seq[String],
+      parsePP: String => Option[Seq[(String, String)]]): (DataFrame, DataFrame, Boolean) = {
     import org.apache.spark.sql.functions.{broadcast, col, row_number}
     import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
     val logMeta: Seq[(String, Int, String)] = dirtyP.flatMap { case (gid, g) =>
@@ -398,7 +439,7 @@ object HudiRead {
         // gid → partition tuple: #dirty groups rows, broadcast-scale
         val gidRows = dirtyP.map { case (gid, g) =>
           org.apache.spark.sql.Row.fromSeq(
-            gid +: partCols.map(c => parseHivePath(g.base.partitionPath)
+            gid +: partCols.map(c => parsePP(g.base.partitionPath)
               .flatMap(_.find(_._1 == c)).map(_._2).orNull))
         }
         val gidSchema = StructType(StructField("__gid", StringType) +:

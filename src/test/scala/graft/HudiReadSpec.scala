@@ -188,6 +188,63 @@ class HudiReadSpec extends SparkSuite {
       "distributed fold != driver fold")
   }
 
+  test("VALUES-ONLY partitionPath maps onto hoodie.table.partition.fields (indexed + MoR)") {
+    // hand-authored foreign layout: data under americas/brazil etc.
+    // (no col=val anywhere), columns declared only in hoodie.properties
+    val table = java.nio.file.Files.createTempDirectory("graft-hvo").toString
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    f.mkdirs(hp(s"$table/.hoodie"))
+    val props = new java.util.Properties()
+    props.setProperty("hoodie.table.recordkey.fields", "k")
+    props.setProperty("hoodie.table.partition.fields", "region,country")
+    props.setProperty("hoodie.table.type", "MERGE_ON_READ")
+    val out = f.create(hp(s"$table/.hoodie/hoodie.properties"), false)
+    try props.store(out, null) finally out.close()
+    def writeGroup(rel: String, fileId: String, df: org.apache.spark.sql.DataFrame): String = {
+      val staging = s"$table/_st_$fileId"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = f.listStatus(hp(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      f.mkdirs(hp(s"$table/$rel"))
+      val dest = s"$rel/${fileId}_0-0-0_001.parquet"
+      f.rename(part, hp(s"$table/$dest"))
+      f.delete(hp(staging), true)
+      dest
+    }
+    val pA = writeGroup("americas/brazil", "gA",
+      spark.range(0, 50).select($"id".as("k"), ($"id" * 2.0).as("x")))
+    val pB = writeGroup("asia/india", "gB",
+      spark.range(50, 80).select($"id".as("k"), ($"id" * 2.0).as("x")))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val json = s"""{"partitionToWriteStats":{
+      "americas/brazil":[{"fileId":"gA","path":${mapper.writeValueAsString(pA)}}],
+      "asia/india":[{"fileId":"gB","path":${mapper.writeValueAsString(pB)}}]}}"""
+    val oc = f.create(hp(s"$table/.hoodie/00000000000001.commit"), false)
+    try oc.write(json.getBytes("UTF-8")) finally oc.close()
+    // indexed (CoW) read: partition columns restored + prunable
+    val (df, idx) = HudiRead.readIndexed(spark, table)
+    assert(df.columns.toSet === Set("k", "x", "region", "country"))
+    assert(idx.nonEmpty, "values-only layout must take the indexed path")
+    assert(df.count() === 80L)
+    assert(df.filter($"country" === "india").count() === 30L)
+    // MoR: pending logs on one group — merge restores the same columns
+    HudiRead.deltaCommit(table, "gA", "k",
+      Some(Seq((0L, -1.0), (99L, 5.0)).toDF("k", "x")), Seq("3"))
+    val got = HudiRead.read(spark, table)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Double]("x"), r.getAs[String]("region"), r.getAs[String]("country")))).toMap
+    assert(got.size === 80) // 80 - 1 delete + 1 fresh insert
+    assert(got(0L) === ((-1.0, "americas", "brazil")))
+    assert(got(99L) === ((5.0, "americas", "brazil")))
+    assert(!got.contains(3L))
+    assert(got(60L) === ((120.0, "asia", "india")), "clean group disturbed")
+    // distributed fold path, bit-equal
+    assert(HudiRead.readMor(spark, table, inlineLogBytesCap = 0L)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Double]("x"), r.getAs[String]("region"), r.getAs[String]("country")))).toMap === got)
+  }
+
   test("merge-on-read guards: stale-silent reads impossible, key required") {
     val table = java.nio.file.Files.createTempDirectory("graft-hmorg").toString
     HudiRead.commit(table, Map("g0" ->
