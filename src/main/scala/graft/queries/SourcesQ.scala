@@ -963,6 +963,28 @@ object SourcesQ extends graft.QueryArea {
         .select(col("uuid"), col("name"), col("price"))
         .orderBy(col("uuid"))
     }),
+    // WRITE interop: manifest.flavor=paimon emits the REAL paimon
+    // manifest schemas (BinaryRow partitions, footer key bounds, full
+    // snapshot JSON) — the layout a real paimon reader replays; our
+    // read of it goes through the same real-flavor parse path as the
+    // foreign fixture.
+    "src_paimon_write_real" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_wrl")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 3).cast("string").as("p"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"),
+        assumeKeyUnique = true, options = Map("manifest.flavor" -> "paimon"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 7 === 1).withColumn("o_totalprice", lit(0.0)),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy(col("p")).agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("p"))
+    }),
     "src_paimon_changes" -> ((spark, dir) => {
       val table = tmpDir(dir, "paimon_chg")
       graft.sources.Formats.deleteDir(spark, table)
@@ -2104,6 +2126,15 @@ object SourcesQ extends graft.QueryArea {
         |SELECT 'insert', count(*),
         |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) FROM ins
         |ORDER BY change_type""".stripMargin,
+    "src_paimon_write_real" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 1 THEN 0.0 ELSE o_totalprice END AS price,
+        |    CAST(o_orderkey % 3 AS VARCHAR) AS p
+        |  FROM orders WHERE o_orderkey % 4 = 1)
+        |SELECT p, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM merged GROUP BY p ORDER BY p""".stripMargin,
     "src_paimon_changes" ->
       """WITH del AS (
         |  SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 10 = 0

@@ -121,4 +121,97 @@ object PaimonBinaryRow {
       }
     }
   }
+
+  /** Encode typed values into the serialized BinaryRow form —
+    * the exact inverse of [[decode]], byte-pinned in PaimonReadSpec
+    * against the real fixture's partition and stats rows. Values
+    * arrive as the JVM types the reader renders from (String, Int,
+    * Long, Short, Byte, Boolean, Float, Double, java.time.LocalDate,
+    * java.time.Instant, java.math.BigDecimal, Array[Byte]); null
+    * encodes as a set null bit + zero slot. */
+  def encode(values: Seq[Any], types: Seq[DataType],
+      timestampPrecision: Int => Int = _ => 6): Array[Byte] = {
+    require(values.length == types.length, "values/types arity mismatch")
+    val arity = values.length
+    val nb = nullBitsBytes(arity)
+    val fixedLen = nb + 8 * arity
+    val varBuf = new java.io.ByteArrayOutputStream()
+    val fixed = new Array[Byte](fixedLen)
+    def setNull(i: Int): Unit = {
+      val bit = 8 + i
+      fixed(bit >>> 3) = (fixed(bit >>> 3) | (1 << (bit & 7))).toByte
+    }
+    def putLe(off: Int, v: Long, bytes: Int): Unit = {
+      var i = 0
+      while (i < bytes) { fixed(off + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    def putVarOrCompact(slot: Int, data: Array[Byte]): Unit =
+      if (data.length <= 7) {
+        System.arraycopy(data, 0, fixed, slot, data.length)
+        fixed(slot + 7) = (0x80 | data.length).toByte
+      } else {
+        val off = fixedLen + varBuf.size() // relative to row start
+        varBuf.write(data, 0, data.length)
+        putLe(slot, (off.toLong << 32) | (data.length.toLong & 0xffffffffL), 8)
+      }
+    types.zipWithIndex.foreach { case (dt, i) =>
+      val slot = nb + 8 * i
+      val v = values(i)
+      if (v == null) setNull(i)
+      else dt match {
+        case BooleanType => fixed(slot) = if (v.asInstanceOf[Boolean]) 1 else 0
+        case ByteType => fixed(slot) = v.asInstanceOf[Byte]
+        case ShortType => putLe(slot, v.asInstanceOf[Short].toLong, 2)
+        case IntegerType => putLe(slot, v.asInstanceOf[Int].toLong, 4)
+        case LongType => putLe(slot, v.asInstanceOf[Long], 8)
+        case FloatType =>
+          putLe(slot, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong, 4)
+        case DoubleType =>
+          putLe(slot, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+        case StringType =>
+          putVarOrCompact(slot, v.toString.getBytes("UTF-8"))
+        case BinaryType => putVarOrCompact(slot, v.asInstanceOf[Array[Byte]])
+        case DateType =>
+          val days = v match {
+            case d: java.time.LocalDate => d.toEpochDay
+            case d: java.sql.Date => d.toLocalDate.toEpochDay
+            case n: Number => n.longValue()
+          }
+          putLe(slot, days, 4)
+        case TimestampType =>
+          val (millis, nanoOfMilli) = v match {
+            case t: java.time.Instant =>
+              (t.toEpochMilli, (t.getNano % 1000000))
+            case t: java.sql.Timestamp =>
+              (t.getTime, t.getNanos % 1000000)
+            case n: Number => (n.longValue(), 0)
+          }
+          if (timestampPrecision(i) <= 3) putLe(slot, millis, 8)
+          else {
+            val off = fixedLen + varBuf.size()
+            var j = 0
+            while (j < 8) { varBuf.write(((millis >>> (8 * j)) & 0xff).toInt); j += 1 }
+            putLe(slot, (off.toLong << 32) | (nanoOfMilli.toLong & 0xffffffffL), 8)
+          }
+        case d: DecimalType =>
+          val bd = (v match {
+            case b: java.math.BigDecimal => b
+            case b: BigDecimal => b.bigDecimal
+            case s: String => new java.math.BigDecimal(s)
+          }).setScale(d.scale)
+          if (d.precision <= 18) putLe(slot, bd.unscaledValue().longValueExact(), 8)
+          else putVarOrCompact(slot, bd.unscaledValue().toByteArray)
+        case other => throw new IllegalArgumentException(
+          s"unsupported paimon partition type $other")
+      }
+    }
+    val out = new Array[Byte](4 + fixedLen + varBuf.size())
+    out(0) = ((arity >>> 24) & 0xff).toByte
+    out(1) = ((arity >>> 16) & 0xff).toByte
+    out(2) = ((arity >>> 8) & 0xff).toByte
+    out(3) = (arity & 0xff).toByte
+    System.arraycopy(fixed, 0, out, 4, fixedLen)
+    System.arraycopy(varBuf.toByteArray, 0, out, 4 + fixedLen, varBuf.size())
+    out
+  }
 }

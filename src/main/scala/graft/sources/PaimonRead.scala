@@ -237,6 +237,61 @@ object PaimonRead {
       .requiredLong("_FILE_SIZE")
       .endRecord()
 
+  // ---- REAL paimon manifest schemas (the published rendering a
+  // paimon-0.4+ reader/writer produces; field-for-field the schema a
+  // real fixture carries). Tables created with the option
+  // `manifest.flavor = paimon` write THESE, so foreign paimon readers
+  // can replay tables this repo writes. -------------------------------
+
+  private val simpleStatsJson = (name: String) => s"""
+    {"type":"record","name":"$name","fields":[
+      {"name":"_MIN_VALUES","type":"bytes"},
+      {"name":"_MAX_VALUES","type":"bytes"},
+      {"name":"_NULL_COUNTS","type":["null",{"type":"array","items":["null","long"]}],"default":null}]}"""
+
+  private[sources] val realManifestEntrySchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(s"""
+    {"type":"record","name":"record","namespace":"org.apache.paimon.avro.generated","fields":[
+      {"name":"_VERSION","type":"int"},
+      {"name":"_KIND","type":"int"},
+      {"name":"_PARTITION","type":"bytes"},
+      {"name":"_BUCKET","type":"int"},
+      {"name":"_TOTAL_BUCKETS","type":"int"},
+      {"name":"_FILE","type":["null",{"type":"record","name":"record__FILE","fields":[
+        {"name":"_FILE_NAME","type":"string"},
+        {"name":"_FILE_SIZE","type":"long"},
+        {"name":"_ROW_COUNT","type":"long"},
+        {"name":"_MIN_KEY","type":"bytes"},
+        {"name":"_MAX_KEY","type":"bytes"},
+        {"name":"_KEY_STATS","type":["null",${simpleStatsJson("record__FILE__KEY_STATS")}],"default":null},
+        {"name":"_VALUE_STATS","type":["null",${simpleStatsJson("record__FILE__VALUE_STATS")}],"default":null},
+        {"name":"_MIN_SEQUENCE_NUMBER","type":"long"},
+        {"name":"_MAX_SEQUENCE_NUMBER","type":"long"},
+        {"name":"_SCHEMA_ID","type":"long"},
+        {"name":"_LEVEL","type":"int"},
+        {"name":"_EXTRA_FILES","type":{"type":"array","items":"string"}},
+        {"name":"_CREATION_TIME","type":["null",{"type":"long","logicalType":"timestamp-millis"}],"default":null}
+      ]}],"default":null}]}""")
+
+  private[sources] val realManifestListSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(s"""
+    {"type":"record","name":"record","namespace":"org.apache.paimon.avro.generated","fields":[
+      {"name":"_VERSION","type":"int"},
+      {"name":"_FILE_NAME","type":"string"},
+      {"name":"_FILE_SIZE","type":"long"},
+      {"name":"_NUM_ADDED_FILES","type":"long"},
+      {"name":"_NUM_DELETED_FILES","type":"long"},
+      {"name":"_PARTITION_STATS","type":["null",${simpleStatsJson("record__PARTITION_STATS")}],"default":null},
+      {"name":"_SCHEMA_ID","type":"long"}]}""")
+
+  // real paimon wraps the manifest record in a NULLABLE UNION as the
+  // avro FILE schema — byte-pinned against the fixture's header
+  private def nullableUnion(s: org.apache.avro.Schema): org.apache.avro.Schema =
+    org.apache.avro.Schema.createUnion(
+      org.apache.avro.Schema.create(org.apache.avro.Schema.Type.NULL), s)
+  private[sources] val realManifestEntryFileSchema = nullableUnion(realManifestEntrySchema)
+  private[sources] val realManifestListFileSchema = nullableUnion(realManifestListSchema)
+
   private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
     val f = fs(spark, path)
     val in = f.open(new Path(path))
@@ -613,6 +668,121 @@ object PaimonRead {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Rendered string → the JVM value [[PaimonBinaryRow.encode]] takes. */
+  private def coerce(s: String, dt: DataType): Any =
+    if (s == null) null else dt match {
+      case StringType => s
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case DateType => java.time.LocalDate.parse(s)
+      case TimestampType =>
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+      case _: DecimalType => new java.math.BigDecimal(s)
+      case other => throw new IllegalArgumentException(
+        s"cannot coerce partition value to $other")
+    }
+
+  /** Per-column (min, max) across a parquet file's row groups, from
+    * FOOTER statistics — a driver metadata read, no Spark job. */
+  private def footerColumnBounds(spark: SparkSession, path: String,
+      cols: Seq[String]): (Seq[Any], Seq[Any]) = {
+    if (cols.isEmpty) return (Nil, Nil)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      def toJvm(v: Any): Any = v match {
+        case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+        case other => other
+      }
+      val perCol = cols.map { c =>
+        val stats = r.getFooter.getBlocks.asScala.flatMap { blk =>
+          blk.getColumns.asScala.find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+        }.filter(s => s != null && s.hasNonNullValue)
+        require(stats.nonEmpty,
+          s"no footer statistics for key column $c in $path — " +
+            "manifest.flavor=paimon needs stats-bearing key types")
+        val mins = stats.map(s => toJvm(s.genericGetMin)).toSeq
+        val maxs = stats.map(s => toJvm(s.genericGetMax)).toSeq
+        def pick(xs: Seq[Any], takeMin: Boolean): Any = xs.reduce { (a, b) =>
+          val cmp = (a, b) match {
+            case (x: Comparable[_], y) =>
+              x.asInstanceOf[Comparable[Any]].compareTo(y)
+            case _ => 0
+          }
+          if ((cmp <= 0) == takeMin) a else b
+        }
+        (pick(mins, takeMin = true), pick(maxs, takeMin = false))
+      }
+      (perCol.map(_._1), perCol.map(_._2))
+    } finally r.close()
+  }
+
+  /** One REAL-flavor manifest entry record: BinaryRow partition tuple,
+    * trimmed-key bounds from the data file's footer stats (per-column
+    * min/max is a sound — possibly loose — lexicographic bound),
+    * _KEY_STATS carrying the same bounds, _VALUE_STATS honestly null. */
+  private def realEntryRecord(spark: SparkSession, table: String,
+      sch: TableSchema, e: FileEntry, totalBuckets: Int): GenericRecord = {
+    val pTypes = sch.partitionKeys.map(k =>
+      sch.fields.find(_.name == k).map(_.dataType).getOrElse(StringType))
+    val pPrec = sch.partitionKeys.map(k =>
+      sch.rawTypeOf(k).collect { case TimestampRe(p) => p.toInt }.getOrElse(6))
+    val pVals = sch.partitionKeys.zip(pTypes).map { case (k, dt) =>
+      coerce(e.partition.getOrElse(k, null), dt) }
+    val partBytes = PaimonBinaryRow.encode(pVals, pTypes,
+      (i: Int) => pPrec.lift(i).getOrElse(6))
+    val keyNames = sch.primaryKeys // disjoint from partition keys (validated)
+    val keyTypes = keyNames.map(k =>
+      sch.fields.find(_.name == k).map(_.dataType).getOrElse(StringType))
+    val (minK, maxK) =
+      if (keyNames.isEmpty) (Nil, Nil)
+      else footerColumnBounds(spark,
+        dataPath(table, e, sch.partitionKeys),
+        keyNames.map(k => s"$KeyPrefix$k"))
+    val minKey = PaimonBinaryRow.encode(minK, keyTypes)
+    val maxKey = PaimonBinaryRow.encode(maxK, keyTypes)
+    val fileSchema = realManifestEntrySchema.getField("_FILE").schema()
+      .getTypes.get(1)
+    val statsSchema = fileSchema.getField("_KEY_STATS").schema().getTypes.get(1)
+    val keyStats = new GenericData.Record(statsSchema)
+    keyStats.put("_MIN_VALUES", java.nio.ByteBuffer.wrap(minKey))
+    keyStats.put("_MAX_VALUES", java.nio.ByteBuffer.wrap(maxKey))
+    keyStats.put("_NULL_COUNTS",
+      java.util.Arrays.asList(keyNames.map(_ => java.lang.Long.valueOf(0L)): _*))
+    val fileRec = new GenericData.Record(fileSchema)
+    fileRec.put("_FILE_NAME", e.fileName)
+    fileRec.put("_FILE_SIZE", e.sizeBytes)
+    fileRec.put("_ROW_COUNT", e.rowCount)
+    fileRec.put("_MIN_KEY", java.nio.ByteBuffer.wrap(minKey))
+    fileRec.put("_MAX_KEY", java.nio.ByteBuffer.wrap(maxKey))
+    fileRec.put("_KEY_STATS", keyStats)
+    fileRec.put("_VALUE_STATS", null)
+    fileRec.put("_MIN_SEQUENCE_NUMBER", e.minSeq)
+    fileRec.put("_MAX_SEQUENCE_NUMBER", e.maxSeq)
+    fileRec.put("_SCHEMA_ID", sch.id)
+    fileRec.put("_LEVEL", e.level)
+    fileRec.put("_EXTRA_FILES", java.util.Collections.emptyList[String]())
+    fileRec.put("_CREATION_TIME", System.currentTimeMillis())
+    val r = new GenericData.Record(realManifestEntrySchema)
+    r.put("_VERSION", 2)
+    r.put("_KIND", e.kind)
+    r.put("_PARTITION", java.nio.ByteBuffer.wrap(partBytes))
+    r.put("_BUCKET", e.bucket)
+    r.put("_TOTAL_BUCKETS", totalBuckets)
+    r.put("_FILE", fileRec)
+    r
+  }
+
   private def entryRecord(e: FileEntry): GenericRecord = {
     val mapper = graft.functions.JsonKernel.mapper
     val fileRec = new GenericData.Record(
@@ -635,54 +805,89 @@ object PaimonRead {
 
   /** Commit `entries` as snapshot `id`: one delta manifest, a base
     * list referencing every PRIOR manifest (the spec's reuse — base
-    * state is the fold of earlier manifests, never rewritten). */
+    * state is the fold of earlier manifests, never rewritten). Tables
+    * created with `manifest.flavor = paimon` write the REAL paimon
+    * manifest schemas (BinaryRow partitions, footer-derived key
+    * bounds, carried-forward list counts, the full snapshot JSON field
+    * set) so a real paimon reader can replay them. */
   private def commitEntries(spark: SparkSession, table: String, id: Long,
       schemaId: Long, entries: Seq[FileEntry], commitKind: String,
       changelogEntries: Seq[FileEntry] = Nil): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/manifest"))
     f.mkdirs(new Path(s"$table/snapshot"))
+    val sch = schemaById(spark, table, schemaId)
+    val realFlavor = sch.options.get("manifest.flavor").contains("paimon")
+    val totalBuckets = sch.options.get("bucket").map(_.toInt).getOrElse(1)
+    def entryRec(e: FileEntry): GenericRecord =
+      if (realFlavor) realEntryRecord(spark, table, sch, e, totalBuckets)
+      else entryRecord(e)
+    val entrySchema =
+      if (realFlavor) realManifestEntryFileSchema else manifestEntrySchema
+    val listSchema =
+      if (realFlavor) realManifestListFileSchema else manifestListSchema
     val manifestName = f"manifest-$id%05d-0"
-    writeAvro(spark, s"$table/manifest/$manifestName", manifestEntrySchema,
-      entries.map(entryRecord))
-    def listRec(name: String): GenericRecord = {
-      val r = new GenericData.Record(manifestListSchema)
+    writeAvro(spark, s"$table/manifest/$manifestName", entrySchema,
+      entries.map(entryRec))
+    def listRec(name: String, nAdded: Long, nDeleted: Long): GenericRecord = {
+      val r = new GenericData.Record(
+        if (realFlavor) realManifestListSchema else manifestListSchema)
+      if (realFlavor) {
+        r.put("_VERSION", 2)
+        r.put("_NUM_ADDED_FILES", nAdded)
+        r.put("_NUM_DELETED_FILES", nDeleted)
+        r.put("_PARTITION_STATS", null)
+        r.put("_SCHEMA_ID", schemaId)
+      }
       r.put("_FILE_NAME", name)
       r.put("_FILE_SIZE",
         f.getFileStatus(new Path(s"$table/manifest/$name")).getLen)
       r
     }
-    // prior manifests in commit order = the base state
-    val prior: Seq[String] =
+    // prior manifests in commit order = the base state; real flavor
+    // carries each prior list record's counts forward verbatim
+    val prior: Seq[GenericRecord] =
       if (id == 1) Nil
       else {
         val prevSnap = snapshotOf(spark, table, id - 1)
-        val prevBase = readAvro(spark, s"$table/manifest/${prevSnap.baseManifestList}")
-          .map(_.get("_FILE_NAME").toString)
-        val prevDelta = readAvro(spark, s"$table/manifest/${prevSnap.deltaManifestList}")
-          .map(_.get("_FILE_NAME").toString)
-        prevBase ++ prevDelta
+        val prevRecs =
+          readAvro(spark, s"$table/manifest/${prevSnap.baseManifestList}") ++
+          readAvro(spark, s"$table/manifest/${prevSnap.deltaManifestList}")
+        if (realFlavor) prevRecs
+        else prevRecs.map(p => listRec(p.get("_FILE_NAME").toString, 0L, 0L))
       }
     val baseList = f"manifest-list-$id%05d-base"
     val deltaList = f"manifest-list-$id%05d-delta"
-    writeAvro(spark, s"$table/manifest/$baseList", manifestListSchema,
-      prior.map(listRec))
-    writeAvro(spark, s"$table/manifest/$deltaList", manifestListSchema,
-      Seq(listRec(manifestName)))
+    writeAvro(spark, s"$table/manifest/$baseList", listSchema, prior)
+    writeAvro(spark, s"$table/manifest/$deltaList", listSchema,
+      Seq(listRec(manifestName,
+        entries.count(_.kind == 0).toLong, entries.count(_.kind == 1).toLong)))
     // the spec's changelog chain: a separate manifest + list, named in
     // the snapshot, NEVER folded into the live data state
     val changelogJson = if (changelogEntries.isEmpty) "null" else {
       val clManifest = f"manifest-$id%05d-cl"
-      writeAvro(spark, s"$table/manifest/$clManifest", manifestEntrySchema,
-        changelogEntries.map(entryRecord))
+      writeAvro(spark, s"$table/manifest/$clManifest", entrySchema,
+        changelogEntries.map(entryRec))
       val clList = f"manifest-list-$id%05d-changelog"
-      writeAvro(spark, s"$table/manifest/$clList", manifestListSchema,
-        Seq(listRec(clManifest)))
+      writeAvro(spark, s"$table/manifest/$clList", listSchema,
+        Seq(listRec(clManifest, changelogEntries.size.toLong, 0L)))
       "\"" + clList + "\""
     }
     val rows = entries.filter(_.kind == 0).map(_.rowCount).sum
+    val extraFields = if (!realFlavor) "" else {
+      // the full real-snapshot field set a paimon reader expects
+      val live = scala.collection.mutable.LinkedHashMap[(String, Int, String), FileEntry]()
+      val prev = if (id == 1) Nil else liveFiles(spark, table, Some(id - 1))
+      (prev ++ entries).foreach { e =>
+        val key = (e.partition.toSeq.sorted.mkString(","), e.bucket, e.fileName)
+        if (e.kind == 0) live(key) = e else live.remove(key)
+      }
+      val total = live.values.map(_.rowCount).sum
+      val clRows = changelogEntries.filter(_.kind == 0).map(_.rowCount).sum
+      s""","commitUser":"${java.util.UUID.randomUUID()}","commitIdentifier":9223372036854775807,"logOffsets":{},"totalRecordCount":$total,"changelogRecordCount":$clRows,"watermark":null"""
+    }
     val json =
-      s"""{"version":3,"id":$id,"schemaId":$schemaId,"baseManifestList":"$baseList","deltaManifestList":"$deltaList","changelogManifestList":$changelogJson,"commitKind":"$commitKind","timeMillis":${System.currentTimeMillis()},"deltaRecordCount":$rows}"""
+      s"""{"version":3,"id":$id,"schemaId":$schemaId,"baseManifestList":"$baseList","deltaManifestList":"$deltaList","changelogManifestList":$changelogJson,"commitKind":"$commitKind","timeMillis":${System.currentTimeMillis()},"deltaRecordCount":$rows$extraFields}"""
     val out = f.create(new Path(s"$table/snapshot/snapshot-$id"), false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val hint = f.create(new Path(s"$table/snapshot/LATEST"), true)
@@ -699,7 +904,7 @@ object PaimonRead {
       partitionKeys: Seq[String], bucketCol: Option[String],
       seq: Long, level: Int,
       seqRangeOf: Option[(Map[String, String], Int) => (Long, Long)] = None,
-      namePrefix: String = "data"): Seq[FileEntry] = {
+      namePrefix: String = "data", hiveDirs: Boolean = false): Seq[FileEntry] = {
     val spark = df.sparkSession
     val f = fs(spark, table)
     val staging = s"$table/_staging_${namePrefix}_$id"
@@ -724,7 +929,7 @@ object PaimonRead {
         vals.get(k).filter(_ != "__HIVE_DEFAULT_PARTITION__").orNull).toMap
       val bucket = bucketCol.flatMap(vals.get).map(_.toInt).getOrElse(0)
       val fileName = f"$namePrefix-$id%05d-$i.parquet"
-      val pd = partitionDir(partition, partitionKeys)
+      val pd = partitionDir(partition, partitionKeys, hiveDirs)
       val destDir = (if (pd.isEmpty) table else s"$table/$pd") + s"/bucket-$bucket"
       f.mkdirs(new Path(destDir))
       val dest = s"$destDir/$fileName"
@@ -733,7 +938,8 @@ object PaimonRead {
       val st = f.getFileStatus(new Path(dest))
       val rc = footerRowCount(spark, dest)
       val (mn, mx) = seqRangeOf.map(_(partition, bucket)).getOrElse((seq, seq))
-      FileEntry(0, partition, bucket, fileName, st.getLen, rc, mn, mx, level)
+      FileEntry(0, partition, bucket, fileName, st.getLen, rc, mn, mx, level,
+        hiveDirs = hiveDirs)
     }.toSeq
     f.delete(new Path(staging), true)
     entries
@@ -742,23 +948,26 @@ object PaimonRead {
   /** First commit of an APPEND-ONLY table (schema-0 + snapshot-1);
     * later calls append a snapshot. */
   def commitAppend(df: DataFrame, table: String,
-      partitionKeys: Seq[String] = Nil): Long = {
+      partitionKeys: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val f = fs(spark, table)
     partitionKeys.foreach(k => require(df.columns.contains(k),
       s"unknown partition column $k"))
     val schemaId = latestSchemaId(f, table).getOrElse {
       writeSchemaFile(spark, table, 0, df.schema.fields.toSeq, partitionKeys,
-        Nil, Map("file.format" -> "parquet"))
+        Nil, Map("file.format" -> "parquet") ++ options)
       0L
     }
     // the SCHEMA governs the layout on later commits: a caller passing
     // different keys would stage files the read path cannot locate
-    val schKeys = schemaById(spark, table, schemaId).partitionKeys
+    val sch = schemaById(spark, table, schemaId)
+    val schKeys = sch.partitionKeys
     require(partitionKeys.isEmpty || partitionKeys == schKeys,
       s"table partition keys are $schKeys, not $partitionKeys")
     val id = nextSnapshotId(f, table)
-    val entries = stageDataFiles(df, table, id, schKeys, None, id, 0)
+    val entries = stageDataFiles(df, table, id, schKeys, None, id, 0,
+      hiveDirs = sch.options.get("manifest.flavor").contains("paimon"))
     commitEntries(spark, table, id, schemaId, entries, "APPEND")
   }
 
@@ -797,6 +1006,24 @@ object PaimonRead {
     }
     val sch = schemaById(spark, table, schemaId)
     val buckets = sch.options.get("bucket").map(_.toInt).getOrElse(numBuckets)
+    val realFlavor = sch.options.get("manifest.flavor").contains("paimon")
+    if (realFlavor) {
+      // real paimon's file key = pk trimmed of partition keys; this
+      // writer's _KEY_ columns are the FULL pk, so the two only agree
+      // when they're disjoint — and key bounds need footer stats
+      require(primaryKeys.intersect(sch.partitionKeys).isEmpty,
+        "manifest.flavor=paimon requires primary keys disjoint from " +
+          "partition keys (trimmed-key file schema)")
+      primaryKeys.foreach { k =>
+        val dt = sch.fields.find(_.name == k).map(_.dataType)
+        require(dt.exists {
+          case IntegerType | LongType | ShortType | ByteType | StringType |
+               DateType | DoubleType | FloatType | BooleanType => true
+          case _ => false
+        }, s"manifest.flavor=paimon: key column $k type $dt has no " +
+          "footer-stats bound encoding")
+      }
+    }
     primaryKeys.foreach(k => require(df.columns.contains(k),
       s"batch missing key column $k"))
     require(assumeKeyUnique || df.groupBy(primaryKeys.map(col): _*).count()
@@ -826,7 +1053,7 @@ object PaimonRead {
       .withColumn("__bucket",
         pmod(fabs(hash(primaryKeys.map(col): _*)), lit(buckets)))
     val entries = stageDataFiles(sys, table, id, sch.partitionKeys,
-      Some("__bucket"), id, 0)
+      Some("__bucket"), id, 0, hiveDirs = realFlavor)
     // changelog-producer = lookup: derive the retraction rows for THIS
     // commit at WRITE time (the paimon lookup producer's deal: the
     // writer pays one touched-key-restricted merge so every subscriber
@@ -893,7 +1120,8 @@ object PaimonRead {
           .withColumn("__bucket",
             pmod(fabs(hash(primaryKeys.map(col): _*)), lit(buckets)))
         stageDataFiles(sys, table, id, sch.partitionKeys, Some("__bucket"),
-          id, 0, namePrefix = "changelog")
+          id, 0, namePrefix = "changelog",
+          hiveDirs = sch.options.get("manifest.flavor").contains("paimon"))
       }.getOrElse(Nil)
   }
 
@@ -965,7 +1193,8 @@ object PaimonRead {
       // manifest keeps the table-wide bound rather than throwing
       stageDataFiles(merged, table, id, sch.partitionKeys, Some("__bucket"),
         0L, maxLevel,
-        seqRangeOf = Some((p, b) => (0L, groupMaxSeq.getOrElse((p, b), tableMaxSeq))))
+        seqRangeOf = Some((p, b) => (0L, groupMaxSeq.getOrElse((p, b), tableMaxSeq))),
+        hiveDirs = sch.options.get("manifest.flavor").contains("paimon"))
     }
     val retires = files.map(_.copy(kind = 1))
     commitEntries(spark, table, id,

@@ -29,8 +29,8 @@ object PaimonScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    println("| base rows | ingest s (3 commits) | MoR read s | compact s | post-compact read s |")
-    println("|---|---|---|---|---|")
+    println("| base rows | ingest s (3 commits) | MoR read s | chg full s | chg 1-key s | compact s | post-compact read s |")
+    println("|---|---|---|---|---|---|---|")
     for (n <- sizes) {
       val table = s"${System.getProperty("java.io.tmpdir")}/graft_paimon_probe_$n"
       graft.sources.Formats.deleteDir(spark, table)
@@ -49,9 +49,17 @@ object PaimonScaleProbe {
       def readWall(): Double = time(PaimonRead.read(spark, table)
         .agg(count(lit(1)), sum($"price")).collect())
       val mor = readWall()
+      // CDC feed cost: full multi-bucket window vs a single-key commit
+      // whose prior scan prunes to the ONE touched bucket's files
+      val chgFull = time(PaimonRead.changes(spark, table, 1, 3)
+        .agg(count(lit(1))).collect())
+      PaimonRead.commitPk(Seq((42L, "0", -9.0)).toDF("k", "p", "price"),
+        table, Seq("k"), assumeKeyUnique = true)
+      val chgOne = time(PaimonRead.changes(spark, table, 3, 4)
+        .agg(count(lit(1))).collect())
       val comp = time(PaimonRead.compact(spark, table))
       val post = readWall()
-      println(f"| $n | $ingest%.1f | $mor%.2f | $comp%.1f | $post%.2f |")
+      println(f"| $n | $ingest%.1f | $mor%.2f | $chgFull%.2f | $chgOne%.2f | $comp%.1f | $post%.2f |")
       graft.sources.Formats.deleteDir(spark, table)
     }
     spark.stop()
