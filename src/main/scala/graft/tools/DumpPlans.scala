@@ -49,7 +49,10 @@ object DumpPlans {
       "src_hudi_mor_read" -> "Hudi MoR read: dirty-group base anti-join on touched keys ∪ upsert LocalRelation ∪ clean-group full-speed scan",
       "src_hudi_mor_read_part" -> "Hudi MoR read, PARTITIONED: per-partition dirty base scans with timeline-restored partition literals, one anti-join, clean partition full-speed",
       "src_paimon_pk_read" -> "Paimon primary-key read: live LSM runs per partition, ONE window keyed by _KEY_* over _SEQUENCE_NUMBER (partial+final WindowGroupLimit around the exchange), retractions filtered",
-      "src_delta_checkpoint_dv" -> "Delta checkpoint bootstrap with live DVs: add set + descriptors from ONE parquet read, dirty files anti-joined on (file, row_index)")
+      "src_delta_checkpoint_dv" -> "Delta checkpoint bootstrap with live DVs: add set + descriptors from ONE parquet read, dirty files anti-joined on (file, row_index)",
+      "src_paimon_foreign_read" -> "FOREIGN paimon table (real manifests, BinaryRow partitions, ORC + PK system columns): per-partition scans with decoded literals, one merge window — same shape as own-layout reads",
+      "src_paimon_changelog" -> "Paimon changelog-producer feed: ready-made changelog files scanned per version — NO prior-snapshot derivation, no merge window on the read path",
+      "src_hudi_values_only" -> "Hudi values-only partitionPath: positional columns from hoodie.properties through the manifest-backed index — partition filters prune files before the scan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
