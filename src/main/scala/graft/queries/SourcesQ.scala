@@ -1071,6 +1071,20 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("p"))
     }),
+    // FOREIGN MoR interop: a REAL hudi-0.12-written table (real log
+    // framing with 8-byte block sizes, three AVRO blocks appended to
+    // one log file across three commits, overwrite-with-latest
+    // payload). Oracle is the fixture's literal merged content.
+    "src_hudi_foreign_mor" -> ((spark, dir) => {
+      val table = "/root/reference/java-extensions/hudi-reader/src/test/" +
+        "resources/test_hudi_mor"
+      graft.sources.HudiRead.read(spark, table)
+        .select(col("uuid"), col("ts"), col("a"), col("b"),
+          element_at(col("c"), 2).as("c2"),
+          element_at(col("d"), "key1").as("d1"),
+          col("e.b").as("eb"))
+        .orderBy(col("uuid"))
+    }),
     "src_hudi_read" -> ((spark, dir) => {
       val table = tmpDir(dir, "hudi_ext")
       graft.sources.Formats.deleteDir(spark, table)
@@ -2154,6 +2168,12 @@ object SourcesQ extends graft.QueryArea {
       """SELECT CAST(o_orderkey % 3 AS VARCHAR) AS p, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY p""".stripMargin,
+    "src_hudi_foreign_mor" ->
+      """SELECT * FROM (VALUES ('AA0', CAST(20 AS INTEGER),
+        |  CAST(1 AS INTEGER), 'hello', CAST(20 AS INTEGER),
+        |  CAST(1 AS INTEGER), 'world'))
+        |  t(uuid, ts, a, b, c2, d1, eb)
+        |ORDER BY uuid""".stripMargin,
     "src_hudi_read" ->
       """SELECT 1 AS snap, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

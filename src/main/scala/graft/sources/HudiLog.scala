@@ -99,24 +99,46 @@ object HudiLog {
     rec
   }
 
-  def avroToRow(st: StructType, rec: GenericRecord): Row = {
-    val vals = st.fields.map { fd =>
-      val v = if (rec.getSchema.getField(fd.name) == null) null else rec.get(fd.name)
-      if (v == null) null
-      else fd.dataType match {
-        case TimestampType =>
-          val micros = v.asInstanceOf[Long]
-          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-          ts
-        case DateType =>
-          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-        case StringType => v.toString
-        case _ => v
+  /** One avro value → the JVM value Spark's Row encoder takes, typed
+    * by the Spark field type — recursive, so real tables' array/map/
+    * struct columns convert too. */
+  private def avroValue(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case TimestampType =>
+        val micros = v.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case StringType => v.toString
+      case BinaryType => v match {
+        case bb: java.nio.ByteBuffer =>
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+        case a: Array[Byte] => a
       }
+      case at: ArrayType =>
+        import scala.jdk.CollectionConverters._
+        v.asInstanceOf[java.util.Collection[_]].asScala
+          .map(avroValue(at.elementType, _)).toSeq
+      case mt: MapType =>
+        import scala.jdk.CollectionConverters._
+        v.asInstanceOf[java.util.Map[_, _]].asScala
+          .map { case (k, x) => k.toString -> avroValue(mt.valueType, x) }.toMap
+      case st: StructType =>
+        val r = v.asInstanceOf[GenericRecord]
+        Row(st.fields.map(f => avroValue(f.dataType,
+          if (r.getSchema.getField(f.name) == null) null
+          else r.get(f.name))).toIndexedSeq: _*)
+      case _ => v
     }
-    Row(vals.toIndexedSeq: _*)
-  }
+
+  def avroToRow(st: StructType, rec: GenericRecord): Row =
+    Row(st.fields.map { fd =>
+      avroValue(fd.dataType,
+        if (rec.getSchema.getField(fd.name) == null) null else rec.get(fd.name))
+    }.toIndexedSeq: _*)
 
   // ---- block wire codec ----
 
@@ -221,7 +243,13 @@ object HudiLog {
       in.readFully(magic)
       require(java.util.Arrays.equals(magic, Magic),
         s"corrupt log block magic in $path")
-      val ver = in.readInt()
+      // TWO framings: this writer's (u32 version=1 right after the
+      // magic) and REAL hudi's (u64 block size first, then version) —
+      // disambiguated by the first u32: a real block's size high word
+      // is 0 for any block under 4 GB, ours is the version 1.
+      val first = in.readInt()
+      val realFraming = first == 0
+      val ver = if (realFraming) { in.readInt(); in.readInt() } else first
       require(ver == 1, s"unsupported log format version $ver in $path")
       val blockType = in.readInt()
       val headers = readHeaders(in)
@@ -235,27 +263,35 @@ object HudiLog {
       in.readLong() // total length trailer
       val instant = headers.getOrElse(HInstantTime, "")
       val cin = new java.io.DataInputStream(new java.io.ByteArrayInputStream(content))
-      blockType match {
-        case DataBlock =>
-          val schema = new Schema.Parser().parse(headers(HSchema))
-          val reader = new GenericDatumReader[GenericRecord](schema)
-          val n = cin.readInt()
-          val recs = (0 until n).map { _ =>
-            val len = cin.readInt()
-            val b = new Array[Byte](len); cin.readFully(b)
-            reader.read(null, DecoderFactory.get().binaryDecoder(b, null))
-          }
-          blocks += Data(instant, headers(HSchema), recs)
-        case DeleteBlock =>
-          val n = cin.readInt()
-          val keys = (0 until n).map { _ =>
-            val len = cin.readInt()
-            val b = new Array[Byte](len); cin.readFully(b)
-            new String(b, "UTF-8")
-          }
-          blocks += Delete(instant, keys)
-        case _ => // command/unknown: recorded length already consumed
-      }
+      // real hudi block-type ordinals: COMMAND=0, DELETE=1, CORRUPT=2,
+      // AVRO=3; this writer's: DATA=1, DELETE=2
+      val isData = if (realFraming) blockType == 3 else blockType == DataBlock
+      val isDelete = if (realFraming) blockType == 1 else blockType == DeleteBlock
+      if (isData) {
+        val schema = new Schema.Parser().parse(headers(HSchema))
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        // real avro-block content leads with its own format version
+        if (realFraming) cin.readInt()
+        val n = cin.readInt()
+        val recs = (0 until n).map { _ =>
+          val len = cin.readInt()
+          val b = new Array[Byte](len); cin.readFully(b)
+          reader.read(null, DecoderFactory.get().binaryDecoder(b, null))
+        }
+        blocks += Data(instant, headers(HSchema), recs)
+      } else if (isDelete) {
+        if (realFraming) throw new IllegalArgumentException(
+          s"real-format hudi DELETE block in $path: its kryo-serialized " +
+            "DeleteRecord payload has no public byte spec — compact the " +
+            "table (rewrite the base) and use the timeline-indexed read")
+        val n = cin.readInt()
+        val keys = (0 until n).map { _ =>
+          val len = cin.readInt()
+          val b = new Array[Byte](len); cin.readFully(b)
+          new String(b, "UTF-8")
+        }
+        blocks += Delete(instant, keys)
+      } // else command/corrupt/unknown: recorded length already consumed
     }
     blocks.toSeq
   }

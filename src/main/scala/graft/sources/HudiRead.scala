@@ -109,7 +109,11 @@ object HudiRead {
             if (path.contains(".log.")) {
               val g = live.getOrElse(fileId, throw new IllegalArgumentException(
                 s"deltacommit $i logs to unknown file group $fileId"))
-              live(fileId) = g.copy(logs = g.logs :+ path)
+              // real hudi APPENDS blocks to an open log file, so later
+              // deltacommits re-list the same path — fold it once (the
+              // per-block instant headers carry the commit attribution)
+              if (!g.logs.contains(path))
+                live(fileId) = g.copy(logs = g.logs :+ path)
             } else
               // a fresh base slice absorbs/retires the group's logs
               live(fileId) = GroupState(Slice(path, partitionPath,
@@ -317,10 +321,11 @@ object HudiRead {
     // (touched keys, final upsert images w/ partition cols, broadcastable?)
     val (touchedDf, upsertDf, logSideSmall) =
       if (totalLogBytes <= inlineLogBytesCap)
-        driverFold(spark, table, dirtyP, keyField, dataSchema, withParts)
+        driverFold(spark, table, dirtyP, keyField, dataSchema, withParts,
+          instantAsOf)
       else
         distributedFold(spark, table, dirtyP, keyField, dataSchema, partCols,
-          parsePP)
+          parsePP, instantAsOf)
     // dirty bases per partition tuple, partition columns attached
     val dirtyBase = dirty.groupBy(_.base.partitionPath).map { case (pp, gs) =>
       withParts(spark.read.parquet(gs.map(g => s"$table/${g.base.path}"): _*), pp)
@@ -344,7 +349,8 @@ object HudiRead {
   private def driverFold(spark: SparkSession, table: String,
       dirtyP: Seq[(String, GroupState)], keyField: String,
       dataSchema: org.apache.spark.sql.types.StructType,
-      withParts: (DataFrame, String) => DataFrame): (DataFrame, DataFrame, Boolean) = {
+      withParts: (DataFrame, String) => DataFrame,
+      instantAsOf: Option[String]): (DataFrame, DataFrame, Boolean) = {
     import spark.implicits._
     // (partitionPath, final image) per surviving key
     val upserts = scala.collection.mutable.ArrayBuffer[(String, org.apache.spark.sql.Row)]()
@@ -352,7 +358,10 @@ object HudiRead {
     dirtyP.foreach { case (_, g) =>
       val state = scala.collection.mutable.LinkedHashMap[String, Option[org.apache.spark.sql.Row]]()
       g.logs.foreach { rel =>
-        HudiLog.readLogFile(spark, s"$table/$rel").foreach {
+        // blocks NEWER than the as-of instant don't apply (real hudi
+        // appends blocks for several commits into one log file)
+        HudiLog.readLogFile(spark, s"$table/$rel")
+          .filter(b => instantAsOf.forall(b.instantTime <= _)).foreach {
           case HudiLog.Data(_, _, recs) => recs.foreach { r =>
             val k = Option(r.get(keyField)).map(_.toString).getOrElse(
               throw new IllegalArgumentException(s"log record with NULL key in $rel"))
@@ -387,7 +396,8 @@ object HudiRead {
       dirtyP: Seq[(String, GroupState)], keyField: String,
       dataSchema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String],
-      parsePP: String => Option[Seq[(String, String)]]): (DataFrame, DataFrame, Boolean) = {
+      parsePP: String => Option[Seq[(String, String)]],
+      instantAsOf: Option[String]): (DataFrame, DataFrame, Boolean) = {
     import org.apache.spark.sql.functions.{broadcast, col, row_number}
     import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
     val logMeta: Seq[(String, Int, String)] = dirtyP.flatMap { case (gid, g) =>
@@ -410,7 +420,8 @@ object HudiRead {
         val conf = confB.value
         val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
         var seq = ord.toLong << 32 // per-group timeline order
-        HudiLog.readLogFile(conf, path).foreach {
+        HudiLog.readLogFile(conf, path)
+          .filter(b => instantAsOf.forall(b.instantTime <= _)).foreach {
           case HudiLog.Data(_, _, recs) => recs.foreach { r =>
             seq += 1
             val k = Option(r.get(keyField)).map(_.toString).getOrElse(

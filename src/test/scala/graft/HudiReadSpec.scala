@@ -245,6 +245,44 @@ class HudiReadSpec extends SparkSuite {
         ((r.getAs[Double]("x"), r.getAs[String]("region"), r.getAs[String]("country")))).toMap === got)
   }
 
+  test("FOREIGN interop: a real hudi-0.12 MoR table reads (real log framing, appended blocks, nested types)") {
+    // pinned real-table fixture from the reference's hudi-reader tests:
+    // one base parquet committed by a deltacommit, then THREE real
+    // AVRO log blocks appended to ONE log file across three commits
+    val table = "/root/reference/java-extensions/hudi-reader/src/test/resources/test_hudi_mor"
+    assume(new java.io.File(table).isDirectory, "reference fixture not present")
+    assert(HudiRead.instants(spark, table).size === 4)
+    val groups = HudiRead.liveGroups(spark, table)
+    assert(groups.size === 1)
+    // the re-listed appended log file folds ONCE
+    assert(groups.head._2.logs.size === 1)
+    val got = HudiRead.read(spark, table).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("uuid") === "AA0")
+    // overwrite-with-latest across the three appended blocks
+    assert(r.getAs[Int]("ts") === 20 && r.getAs[Int]("a") === 1)
+    assert(r.getAs[String]("b") === "hello")
+    // nested columns convert: array / map / struct
+    assert(r.getAs[Seq[Int]]("c") === Seq(10, 20, 30))
+    assert(r.getAs[Map[String, Int]]("d") === Map("key1" -> 1, "key2" -> 2))
+    val e = r.getAs[org.apache.spark.sql.Row]("e")
+    assert(e.getAs[Int]("a") === 10 && e.getAs[String]("b") === "world")
+    // as-of the FIRST instant: later blocks in the shared log file
+    // must NOT apply (per-block instant headers gate the fold)
+    val first = HudiRead.instants(spark, table).head
+    val asOf = HudiRead.read(spark, table, Some(first)).collect().head
+    assert(asOf.getAs[Int]("ts") === 10 && asOf.getAs[Int]("a") === 0)
+    // the distributed fold decodes the real framing identically
+    val dist = HudiRead.readMor(spark, table, inlineLogBytesCap = 0L)
+      .collect().head
+    assert(dist.getAs[Int]("ts") === 20 && dist.getAs[Int]("a") === 1)
+    // second fixture: base-only MoR table reads clean
+    val t2 = "/root/reference/java-extensions/hudi-reader/src/test/resources/test_hudi_mor2"
+    if (new java.io.File(t2).isDirectory)
+      assert(HudiRead.read(spark, t2).count() >= 1)
+  }
+
   test("merge-on-read guards: stale-silent reads impossible, key required") {
     val table = java.nio.file.Files.createTempDirectory("graft-hmorg").toString
     HudiRead.commit(table, Map("g0" ->
