@@ -950,6 +950,58 @@ object SourcesQ extends graft.QueryArea {
     // update emits delete(old)+insert(new), deletes emit prior images
     // only (found by a touched-key-bounded merge of the prior runs),
     // a re-insert of a tombstoned key emits insert only.
+    // MERGE-ENGINE partial-update: per key each column resolves to its
+    // last NON-NULL write (null = "no update"); one hash aggregation.
+    "src_paimon_partial_update" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_pu")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        assumeKeyUnique = true,
+        options = Map("merge-engine" -> "partial-update"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), lit(1.0).as("o_totalprice")),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit("0-RUSH").as("o_orderpriority")),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // MERGE-ENGINE aggregation: per-field aggregate functions fold
+    // every write of a key (sum here) — the reference's paimon catalog
+    // reads such tables via the paimon API; this resolves them with
+    // one key-grouped hash aggregation.
+    "src_paimon_agg_engine" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_ae")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"), col("o_totalprice").as("total"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        assumeKeyUnique = true,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.total.aggregate-function" -> "sum"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 2 === 1), table, Seq("o_orderkey"),
+        assumeKeyUnique = true)
+      graft.sources.PaimonRead.compact(spark, table)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 6 === 3), table, Seq("o_orderkey"),
+        assumeKeyUnique = true)
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy((col("o_orderkey") % 3).cast("int").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("total").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("g"))
+    }),
     // FOREIGN-table interop: read a REAL paimon-written table (the
     // reference's pinned paimon-0.4 fixture — BinaryRow partition
     // tuples, the full ~15-field _FILE manifest struct, hive-escaped
@@ -2118,6 +2170,24 @@ object SourcesQ extends graft.QueryArea {
         |SELECT p, count(*) AS n,
         |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM merged GROUP BY p ORDER BY p""".stripMargin,
+    "src_paimon_partial_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN '0-RUSH' ELSE o_orderpriority END AS prio
+        |  FROM orders WHERE o_orderkey % 4 = 2)
+        |SELECT prio AS o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM base GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "src_paimon_agg_engine" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice *
+        |    (1 + CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END
+        |       + CASE WHEN o_orderkey % 6 = 3 THEN 1 ELSE 0 END) AS total
+        |  FROM orders WHERE o_orderkey % 4 = 3)
+        |SELECT CAST(o_orderkey % 3 AS INT) AS g, count(*) AS n,
+        |  CAST(SUM(CAST(total AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM base GROUP BY 1 ORDER BY g""".stripMargin,
     "src_paimon_foreign_read" ->
       """SELECT uuid, name, price FROM (VALUES
         |  (CAST(1 AS INTEGER), 'apple',  CAST(3.5 AS DOUBLE)),

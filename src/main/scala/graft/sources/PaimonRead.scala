@@ -476,17 +476,88 @@ object PaimonRead {
   private def mergedImages(spark: SparkSession, table: String,
       schema: TableSchema, all0: DataFrame,
       restrictTo: DataFrame => DataFrame = identity): DataFrame = {
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.{col, last, max_by, min_by, row_number, sum, max, min, when, lit}
     val all = restrictTo(all0)
     val keyCols = keyColsOf(schema, all)
     require(all.columns.contains(SeqCol) && all.columns.contains(KindCol),
       s"$table: primary-key table data files lack $SeqCol/$KindCol")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
-    all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 &&
-        (col(KindCol) === 0 || col(KindCol) === 2))
-      .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    val fieldCols = schema.fields.map(f => col(f.name)).toIndexedSeq
+    val valueFields = schema.fields.map(_.name)
+      .filterNot(schema.primaryKeys.contains)
+      .filterNot(schema.partitionKeys.contains)
+    schema.options.getOrElse("merge-engine", "deduplicate") match {
+      case "deduplicate" =>
+        // newest image per key wins; winning -U/-D retracts the key
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 &&
+            (col(KindCol) === 0 || col(KindCol) === 2))
+          .select(fieldCols: _*)
+      case "first-row" =>
+        // the FIRST image per key wins, later writes ignored (paimon's
+        // dedup-by-arrival engine; deletes are refused at write)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).asc)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(fieldCols: _*)
+      case "partial-update" =>
+        // per key, each value column resolves to its LAST NON-NULL
+        // write in sequence order (null = "no update" — the
+        // partial-update contract; deletes are refused at write).
+        // max_by skips rows whose ordering value is null, so gating
+        // the seq on non-nullness IS the last-non-null fold — one
+        // hash aggregation, no window.
+        val keyAgg = keyCols.zip(schema.primaryKeys)
+        val partAgg = schema.partitionKeys.map(p =>
+          max_by(col(p), col(SeqCol)).as(p))
+        val valAgg = valueFields.map(v =>
+          max_by(col(v), when(col(v).isNotNull, col(SeqCol))).as(v))
+        all.groupBy(keyCols.map(col): _*)
+          .agg((partAgg ++ valAgg).head, (partAgg ++ valAgg).tail: _*)
+          .select(keyAgg.map { case (kc, pk) => col(kc).as(pk) } ++
+            schema.fields.filterNot(f => schema.primaryKeys.contains(f.name))
+              .map(f => col(f.name)): _*)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case "aggregation" =>
+        // per-field aggregate from `fields.<name>.aggregate-function`
+        // (default last_non_null_value); key-grouped hash aggregation
+        val valAgg = valueFields.map { v =>
+          schema.options.getOrElse(s"fields.$v.aggregate-function",
+            "last_non_null_value") match {
+            case "sum" => sum(col(v)).as(v)
+            case "max" => max(col(v)).as(v)
+            case "min" => min(col(v)).as(v)
+            case "count" => sum(when(col(v).isNotNull, lit(1L))).as(v)
+            case "last_value" => max_by(col(v), col(SeqCol)).as(v)
+            case "first_value" => min_by(col(v), col(SeqCol)).as(v)
+            case "first_non_null_value" =>
+              min_by(col(v), when(col(v).isNotNull, col(SeqCol))).as(v)
+            case "last_non_null_value" =>
+              max_by(col(v), when(col(v).isNotNull, col(SeqCol))).as(v)
+            case "listagg" => org.apache.spark.sql.functions
+              .concat_ws(",", org.apache.spark.sql.functions
+                .array_sort(org.apache.spark.sql.functions
+                  .collect_list(col(v)))).as(v)
+            case other => throw new IllegalArgumentException(
+              s"unsupported paimon aggregate-function $other for field $v")
+          }
+        }
+        val partAgg = schema.partitionKeys.map(p =>
+          max_by(col(p), col(SeqCol)).as(p))
+        val keyAgg = keyCols.zip(schema.primaryKeys)
+        all.groupBy(keyCols.map(col): _*)
+          .agg((partAgg ++ valAgg).head, (partAgg ++ valAgg).tail: _*)
+          .select(keyAgg.map { case (kc, pk) => col(kc).as(pk) } ++
+            schema.fields.filterNot(f => schema.primaryKeys.contains(f.name))
+              .map(f => col(f.name)): _*)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case other => throw new IllegalArgumentException(
+        s"unsupported paimon merge-engine $other")
+    }
   }
 
   /** Snapshot scan (default latest). Append tables scan plain; PK
@@ -576,6 +647,14 @@ object PaimonRead {
               .withColumn("__change_type", lit("insert"))
               .withColumn("__commit_version", lit(v)))
           else {
+            // the derivation below assumes deduplicate semantics (the
+            // batch row IS the new image); other engines need
+            // ready-made changelog files for correct old/new images
+            require(schema.options.getOrElse("merge-engine", "deduplicate")
+                == "deduplicate",
+              s"changes() on a ${schema.options("merge-engine")} table " +
+                "requires changelog files — the derived feed cannot " +
+                "reconstruct resolved images")
             val keyCols = keyColsOf(schema, raw)
             // the batch's final image per key (several rows of one key
             // in one commit resolve by sequence, then write order)
@@ -1006,6 +1085,14 @@ object PaimonRead {
     }
     val sch = schemaById(spark, table, schemaId)
     val buckets = sch.options.get("bucket").map(_.toInt).getOrElse(numBuckets)
+    val engine = sch.options.getOrElse("merge-engine", "deduplicate")
+    // paimon's own contract: these engines accept no delete records
+    require(!deletes || engine == "deduplicate",
+      s"merge-engine $engine does not accept delete records")
+    require(engine == "deduplicate" ||
+        !sch.options.contains("changelog-producer"),
+      s"changelog-producer is supported for the deduplicate engine " +
+        s"(a $engine changelog needs old/new RESOLVED images, not batch rows)")
     val realFlavor = sch.options.get("manifest.flavor").contains("paimon")
     if (realFlavor) {
       // real paimon's file key = pk trimmed of partition keys; this
@@ -1030,6 +1117,11 @@ object PaimonRead {
       .filter(col("count") > 1).isEmpty,
       "paimon PK batch must be key-unique (sequence ties are undefined)")
     val id = nextSnapshotId(f, table)
+    // partial updates land in the key's partition — the batch must
+    // say which one (null partition cols would mis-stage the row)
+    if (engine == "partial-update") sch.partitionKeys.foreach(k =>
+      require(df.columns.contains(k),
+        s"partial-update batch must carry partition column $k"))
     // delete batches must carry the PARTITION columns too: the
     // tombstone has to land in the same (partition, bucket) group as
     // the rows it kills, or a per-group compaction would drop the
@@ -1042,7 +1134,9 @@ object PaimonRead {
     val valued = sch.fields.foldLeft(df) { (d, fd) =>
       if (d.columns.contains(fd.name)) d
       else {
-        require(deletes, s"upsert batch missing column ${fd.name}")
+        // partial-update batches may omit columns — null = "no update"
+        require(deletes || engine == "partial-update",
+          s"upsert batch missing column ${fd.name}")
         d.withColumn(fd.name, lit(null).cast(fd.dataType))
       }
     }
@@ -1174,17 +1268,37 @@ object PaimonRead {
       val keyCols = sch.primaryKeys.map(k =>
         if (all.columns.contains(s"$KeyPrefix$k")) s"$KeyPrefix$k" else k)
       val groupCols = sch.partitionKeys ++ Seq("__bucket")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy((groupCols ++ keyCols).map(col): _*).orderBy(col(SeqCol).desc)
-      // winning TOMBSTONES are KEPT as rows (read() filters kinds):
-      // the group-local merge cannot prove no other group holds an
-      // older image of the key, so dropping a -D here could resurrect
-      // one — retention is O(deleted keys), reclaimed when a later
-      // compaction's group holds only the tombstone... which is this
-      // same rule, so they persist; correctness over bytes
-      val merged = typed.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "__fname")
+      val engine = sch.options.getOrElse("merge-engine", "deduplicate")
+      val merged0 =
+        if (engine == "deduplicate") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy((groupCols ++ keyCols).map(col): _*).orderBy(col(SeqCol).desc)
+          // winning TOMBSTONES are KEPT as rows (read() filters kinds):
+          // the group-local merge cannot prove no other group holds an
+          // older image of the key, so dropping a -D here could resurrect
+          // one — retention is O(deleted keys), reclaimed when a later
+          // compaction's group holds only the tombstone... which is this
+          // same rule, so they persist; correctness over bytes
+          typed.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn", "__fname")
+        } else {
+          // non-deduplicate engines accept no deletes, so compaction =
+          // the engine's RESOLVED image per key (partial-update
+          // overlay / per-field aggregates / first row), re-stamped
+          // with fresh system columns at the absorbed seq ceiling
+          import org.apache.spark.sql.functions.{abs => fabs, hash, lit, pmod}
+          val buckets = sch.options.get("bucket").map(_.toInt).getOrElse(1)
+          val resolved = mergedImages(spark, table, sch,
+            typed.drop("__fname", "__bucket"))
+          sch.primaryKeys.foldLeft(resolved) { (d, k) =>
+              d.withColumn(s"$KeyPrefix$k", col(k)) }
+            .withColumn(SeqCol, lit(files.map(_.maxSeq).foldLeft(0L)(math.max)))
+            .withColumn(KindCol, lit(2).cast("tinyint"))
+            .withColumn("__bucket",
+              pmod(fabs(hash(sch.primaryKeys.map(col): _*)), lit(buckets)))
+        }
+      val merged = merged0
         .repartition(groupCols.map(col): _*) // one file per group
       val groupMaxSeq = files.groupBy(e => (e.partition, e.bucket))
         .map { case (g, es) => g -> es.map(_.maxSeq).foldLeft(0L)(math.max) }

@@ -318,6 +318,83 @@ class PaimonReadSpec extends SparkSuite {
     }
   }
 
+  test("merge-engine partial-update: last non-null per column; compaction resolves") {
+    val dir = freshTable("mepu")
+    val opts = Map("merge-engine" -> "partial-update")
+    PaimonRead.commitPk(spark.range(0, 20).select($"id".as("k"),
+      ($"id" % 2).cast("string").as("p"), ($"id" * 1.0).as("a"), lit("init").as("b")),
+      dir, Seq("k"), Seq("p"), options = opts)
+    // update a ONLY for 0-9 (b omitted -> null -> "no update")
+    PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"),
+      ($"id" % 2).cast("string").as("p"), lit(-1.0).as("a")), dir, Seq("k"))
+    // update b ONLY for 5-14
+    PaimonRead.commitPk(spark.range(5, 15).select($"id".as("k"),
+      ($"id" % 2).cast("string").as("p"), lit("upd").as("b")), dir, Seq("k"))
+    def state() = PaimonRead.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Double]("a"), r.getAs[String]("b"), r.getAs[String]("p")))).toMap
+    val got = state()
+    assert(got.size === 20)
+    assert(got(3L) === ((-1.0, "init", "1")), "a updated, b kept")
+    assert(got(7L) === ((-1.0, "upd", "1")), "both updated")
+    assert(got(12L) === ((12.0, "upd", "0")), "b updated, a kept")
+    assert(got(17L) === ((17.0, "init", "1")), "untouched")
+    // deletes refuse on this engine
+    intercept[IllegalArgumentException] {
+      PaimonRead.commitPk(Seq((1L, "1")).toDF("k", "p"), dir, Seq("k"),
+        deletes = true)
+    }
+    // compaction materializes the SAME resolution
+    PaimonRead.compact(spark, dir)
+    assert(state() === got, "post-compact read differs")
+    // a later partial update overlays the compacted image
+    PaimonRead.commitPk(Seq((3L, "1", 9.5)).toDF("k", "p", "a"), dir, Seq("k"))
+    assert(state()(3L) === ((9.5, "init", "1")))
+  }
+
+  test("merge-engine aggregation: per-field functions; compaction accumulates") {
+    val dir = freshTable("meagg")
+    val opts = Map("merge-engine" -> "aggregation",
+      "fields.total.aggregate-function" -> "sum",
+      "fields.hi.aggregate-function" -> "max",
+      "fields.tag.aggregate-function" -> "last_non_null_value")
+    def batch(n: Int, tag: Option[String]) =
+      spark.range(0, 10).select($"id".as("k"),
+        lit(n * 1.0).as("total"), lit(n).as("hi"),
+        tag.map(lit(_)).getOrElse(lit(null).cast("string")).as("tag"))
+    PaimonRead.commitPk(batch(1, Some("t1")), dir, Seq("k"), options = opts)
+    PaimonRead.commitPk(batch(5, None), dir, Seq("k"))
+    PaimonRead.commitPk(batch(3, Some("t3")), dir, Seq("k"))
+    def state() = PaimonRead.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Double]("total"), r.getAs[Int]("hi"), r.getAs[String]("tag")))).toMap
+    val got = state()
+    assert(got(4L) === ((9.0, 5, "t3")), "sum/max/last_non_null")
+    PaimonRead.compact(spark, dir)
+    assert(state() === got, "post-compact read differs")
+    // accumulation continues on top of the compacted value
+    PaimonRead.commitPk(batch(2, None), dir, Seq("k"))
+    assert(state()(4L) === ((11.0, 5, "t3")))
+    // changes() without changelog files refuses (derived feed would
+    // emit batch deltas, not resolved images)
+    intercept[IllegalArgumentException] {
+      PaimonRead.changes(spark, dir, 1, 3).collect()
+    }
+  }
+
+  test("merge-engine first-row: first image per key wins") {
+    val dir = freshTable("mefr")
+    PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"), lit("v1").as("v")),
+      dir, Seq("k"), options = Map("merge-engine" -> "first-row"))
+    PaimonRead.commitPk(spark.range(5, 15).select($"id".as("k"), lit("v2").as("v")),
+      dir, Seq("k"))
+    val got = PaimonRead.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got.size === 15)
+    assert((0L to 9L).forall(got(_) == "v1"), "first write must win")
+    assert((10L to 14L).forall(got(_) == "v2"))
+  }
+
   test("changes: append-only snapshots emit pure inserts per window") {
     val dir = freshTable("achg")
     PaimonRead.commitAppend(spark.range(0, 50).select($"id".as("k")), dir)
