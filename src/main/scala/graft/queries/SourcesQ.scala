@@ -1084,6 +1084,34 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("change_type"))
     }),
+    // DELETION VECTORS (`deletion-vectors.enabled`): deletes mask
+    // positions in per-file RoaringBitmap sidecars (the `.dv` format
+    // the reference BE reads) instead of rewriting data files. The
+    // boost in v2 makes the value-predicate delete key on the CURRENT
+    // image — a reader that masked only winning rows (or resolved
+    // against unmasked runs) would resurrect the pre-boost images and
+    // hash-mismatch. Second delete unions into the existing vectors.
+    "src_paimon_dv_delete" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_dvd")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        assumeKeyUnique = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 11 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 10000000),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.deleteWhereDv(spark, table,
+        col("o_totalprice") > 5000000)
+      graft.sources.PaimonRead.deleteWhereDv(spark, table,
+        col("o_orderkey") % 6 === 2)
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy((col("o_orderkey") % 4).cast("int").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("g"))
+    }),
     // VALUES-ONLY foreign partition layout: data dirs carry bare
     // values ('0/', '1/', '2/'), the column name lives only in
     // hoodie.properties' hoodie.table.partition.fields — the most
@@ -2210,6 +2238,12 @@ object SourcesQ extends graft.QueryArea {
         |SELECT 'insert', count(*),
         |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) FROM ins
         |ORDER BY change_type""".stripMargin,
+    "src_paimon_dv_delete" ->
+      """SELECT CAST(o_orderkey % 4 AS INT) AS g, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey % 11 <> 1 AND o_orderkey % 6 <> 2
+        |GROUP BY 1 ORDER BY g""".stripMargin,
     "src_paimon_write_real" ->
       """WITH merged AS (
         |  SELECT o_orderkey,

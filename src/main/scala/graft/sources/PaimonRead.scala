@@ -64,6 +64,8 @@ object PaimonRead {
   private val SeqCol = "_SEQUENCE_NUMBER"
   private val KindCol = "_VALUE_KIND"
   private val KeyPrefix = "_KEY_"
+  private val PosFileCol = "__graft_dv_fn"
+  private val PosIdxCol = "__graft_dv_pos"
 
   // ---- schema (schema/schema-<id> JSON) -----------------------------
 
@@ -152,7 +154,8 @@ object PaimonRead {
 
   final case class Snap(id: Long, schemaId: Long, baseManifestList: String,
       deltaManifestList: String, commitKind: String, timeMillis: Long,
-      changelogManifestList: Option[String] = None)
+      changelogManifestList: Option[String] = None,
+      indexManifest: Option[String] = None)
 
   /** Latest snapshot id: the LATEST hint when present and valid, else
     * max over snapshot-<id> names (hints are advisory per the spec). */
@@ -185,7 +188,8 @@ object PaimonRead {
       n.get("baseManifestList").asText(), n.get("deltaManifestList").asText(),
       Option(n.get("commitKind")).map(_.asText()).getOrElse("APPEND"),
       Option(n.get("timeMillis")).map(_.asLong).getOrElse(0L),
-      Option(n.get("changelogManifestList")).filterNot(_.isNull).map(_.asText()))
+      Option(n.get("changelogManifestList")).filterNot(_.isNull).map(_.asText()),
+      Option(n.get("indexManifest")).filterNot(_.isNull).map(_.asText()))
   }
 
   /** Newest snapshot committed at or before `epochMillis` — the
@@ -291,6 +295,12 @@ object PaimonRead {
       org.apache.avro.Schema.create(org.apache.avro.Schema.Type.NULL), s)
   private[sources] val realManifestEntryFileSchema = nullableUnion(realManifestEntrySchema)
   private[sources] val realManifestListFileSchema = nullableUnion(realManifestListSchema)
+
+  private[graft] def readAvroFile(spark: SparkSession,
+      path: String): Seq[GenericRecord] = readAvro(spark, path)
+  private[graft] def writeAvroFile(spark: SparkSession, path: String,
+      schema: org.apache.avro.Schema, records: Seq[GenericRecord]): Unit =
+    writeAvro(spark, path, schema, records)
 
   private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
     val f = fs(spark, path)
@@ -437,18 +447,42 @@ object PaimonRead {
   // ---- read -----------------------------------------------------------
 
   /** Scan a file group (parquet/orc by extension) with the
-    * partition-tuple literals attached, typed by the schema. */
+    * partition-tuple literals attached, typed by the schema. Files
+    * present in `dv` (the snapshot's deletion-vector state) scan with
+    * their masked positions dropped; DV-free files keep the plain
+    * whole-stage-codegen path. */
   private def partitionScans(spark: SparkSession, table: String,
-      schema: TableSchema, files: Seq[FileEntry]): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+      schema: TableSchema, files: Seq[FileEntry],
+      dv: Map[String, PaimonDv.Desc] = Map.empty,
+      withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, split}
+    lazy val deleted = PaimonDv.deletedColumn(spark, dv) _
+    def posCols(df: DataFrame): DataFrame = df
+      .withColumn(PosFileCol,
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(PosIdxCol, col("_metadata.row_index"))
+    def mask(df: DataFrame): DataFrame = {
+      val t = posCols(df).filter(!deleted(col(PosFileCol), col(PosIdxCol)))
+      if (withPos) t else t.drop(PosFileCol, PosIdxCol)
+    }
     def scanGroup(group: Seq[FileEntry]): DataFrame = {
+      def scan(es: Seq[FileEntry], read: Seq[String] => DataFrame)
+          : Option[DataFrame] = {
+        if (es.isEmpty) return None
+        val (dvd, clean) = es.partition(e => dv.contains(e.fileName))
+        def paths(xs: Seq[FileEntry]) =
+          xs.map(e => dataPath(table, e, schema.partitionKeys))
+        val parts = Seq(
+          if (clean.nonEmpty) Some(
+            if (withPos) posCols(read(paths(clean))) else read(paths(clean)))
+          else None,
+          if (dvd.nonEmpty) Some(mask(read(paths(dvd)))) else None).flatten
+        Some(parts.reduce(_ unionByName _))
+      }
       val (orc, parq) = group.partition(_.fileName.endsWith(".orc"))
       val dfs = Seq(
-        if (parq.nonEmpty) Some(spark.read.parquet(
-          parq.map(e => dataPath(table, e, schema.partitionKeys)): _*)) else None,
-        if (orc.nonEmpty) Some(spark.read.orc(
-          orc.map(e => dataPath(table, e, schema.partitionKeys)): _*)) else None
-      ).flatten
+        scan(parq, ps => spark.read.parquet(ps: _*)),
+        scan(orc, ps => spark.read.orc(ps: _*))).flatten
       dfs.reduce(_ unionByName _)
     }
     files.groupBy(_.partition).toSeq.map { case (pvals, group) =>
@@ -577,7 +611,8 @@ object PaimonRead {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
     }
-    val all = partitionScans(spark, table, schema, files)
+    val all = partitionScans(spark, table, schema, files,
+      PaimonDv.index(spark, table, snap.indexManifest))
     if (schema.primaryKeys.isEmpty)
       all.select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
     else mergedImages(spark, table, schema, all)
@@ -639,13 +674,62 @@ object PaimonRead {
       else {
         val adds = entriesOf(spark, table, snap.deltaManifestList)
           .filter(_.kind == 0)
-        if (adds.isEmpty) None
+        val prevDv: Map[String, PaimonDv.Desc] =
+          if (v == 1) Map.empty
+          else PaimonDv.index(spark, table,
+            snapshotOf(spark, table, v - 1).indexManifest)
+        val curDv = PaimonDv.index(spark, table, snap.indexManifest)
+        // a deletion-vector commit: vectors whose DESCRIPTOR changed
+        // (carried-forward entries keep identical (path, offset,
+        // length), so descriptor inequality finds the touched files
+        // with zero byte reads); the newly masked rows retract
+        val dvChanged = curDv.filter { case (df, d) =>
+          !prevDv.get(df).contains(d) }
+        val dvDeletes: Option[DataFrame] =
+          if (dvChanged.isEmpty || v == 1) None
+          else {
+            val prevSnap = snapshotOf(spark, table, v - 1)
+            val prevSchema = schemaById(spark, table, prevSnap.schemaId)
+            val prevLive = liveFiles(spark, table, Some(v - 1))
+            val changed = prevLive.filter(e => dvChanged.contains(e.fileName))
+            if (changed.isEmpty) None else {
+              val deletedCur = PaimonDv.deletedColumn(spark, dvChanged) _
+              val deletedPrev = PaimonDv.deletedColumn(spark, prevDv) _
+              val newly = partitionScans(spark, table, prevSchema, changed,
+                  withPos = true)
+                .filter(deletedCur(col(PosFileCol), col(PosIdxCol)) &&
+                  !deletedPrev(col(PosFileCol), col(PosIdxCol)))
+              if (prevSchema.primaryKeys.isEmpty)
+                Some(newly.select(prevSchema.fields.map(f =>
+                    col(f.name)).toIndexedSeq: _*)
+                  .withColumn("__change_type", lit("delete")))
+              else {
+                // every image of a deleted key is masked together; the
+                // retraction row is the key's prior WINNING image
+                val kcN = keyColsOf(prevSchema, newly)
+                val touchedK = newly.select(kcN.zip(prevSchema.primaryKeys)
+                  .map { case (kc, pk) => col(kc).as(pk) }: _*).distinct()
+                val touchedBuckets = changed.map(_.bucket).toSet
+                val prior =
+                  if (changed.exists(_.bucket < 0)) prevLive
+                  else prevLive.filter(e => touchedBuckets.contains(e.bucket))
+                val all0 = partitionScans(spark, table, prevSchema, prior,
+                  prevDv)
+                val pkc = keyColsOf(prevSchema, all0)
+                val images = mergedImages(spark, table, prevSchema, all0,
+                  restrictTo = d => d.join(broadcast(touchedK),
+                    pkc.zip(prevSchema.primaryKeys).map { case (kc, pk) =>
+                      d(kc) === touchedK(pk) }.reduce(_ && _), "left_semi"))
+                Some(images.withColumn("__change_type", lit("delete")))
+              }
+            }
+          }
+        val addStep: Option[DataFrame] = if (adds.isEmpty) None
         else {
-          val raw = partitionScans(spark, table, schema, adds)
+          val raw = partitionScans(spark, table, schema, adds, curDv)
           if (schema.primaryKeys.isEmpty)
             Some(raw.select(fieldCols: _*)
-              .withColumn("__change_type", lit("insert"))
-              .withColumn("__commit_version", lit(v)))
+              .withColumn("__change_type", lit("insert")))
           else {
             // the derivation below assumes deduplicate semantics (the
             // batch row IS the new image); other engines need
@@ -678,7 +762,8 @@ object PaimonRead {
                 else {
                   val prevSchema = schemaById(spark, table,
                     snapshotOf(spark, table, v - 1).schemaId)
-                  val all0 = partitionScans(spark, table, prevSchema, prior)
+                  val all0 = partitionScans(spark, table, prevSchema, prior,
+                    prevDv)
                   val pkc = keyColsOf(prevSchema, all0)
                   val images = mergedImages(spark, table, prevSchema, all0,
                     restrictTo = df => df.join(broadcast(touched),
@@ -688,10 +773,12 @@ object PaimonRead {
                 }
               }
             Some((deletes.toSeq :+ inserts)
-              .reduce(_.unionByName(_, allowMissingColumns = true))
-              .withColumn("__commit_version", lit(v)))
+              .reduce(_.unionByName(_, allowMissingColumns = true)))
           }
         }
+        (dvDeletes.toSeq ++ addStep.toSeq)
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+          .map(_.withColumn("__commit_version", lit(v)))
       }
     }
     steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
@@ -891,7 +978,11 @@ object PaimonRead {
     * set) so a real paimon reader can replay them. */
   private def commitEntries(spark: SparkSession, table: String, id: Long,
       schemaId: Long, entries: Seq[FileEntry], commitKind: String,
-      changelogEntries: Seq[FileEntry] = Nil): Long = {
+      changelogEntries: Seq[FileEntry] = Nil,
+      // None = inherit the prior snapshot's indexManifest (deletion
+      // vectors survive unrelated commits); Some(x) sets it (a DV
+      // commit names its new manifest, compaction clears with Some(None))
+      indexManifest: Option[Option[String]] = None): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/manifest"))
     f.mkdirs(new Path(s"$table/snapshot"))
@@ -965,8 +1056,11 @@ object PaimonRead {
       val clRows = changelogEntries.filter(_.kind == 0).map(_.rowCount).sum
       s""","commitUser":"${java.util.UUID.randomUUID()}","commitIdentifier":9223372036854775807,"logOffsets":{},"totalRecordCount":$total,"changelogRecordCount":$clRows,"watermark":null"""
     }
+    val effIndex: Option[String] = indexManifest.getOrElse(
+      if (id == 1) None else snapshotOf(spark, table, id - 1).indexManifest)
+    val indexJson = effIndex.map("\"" + _ + "\"").getOrElse("null")
     val json =
-      s"""{"version":3,"id":$id,"schemaId":$schemaId,"baseManifestList":"$baseList","deltaManifestList":"$deltaList","changelogManifestList":$changelogJson,"commitKind":"$commitKind","timeMillis":${System.currentTimeMillis()},"deltaRecordCount":$rows$extraFields}"""
+      s"""{"version":3,"id":$id,"schemaId":$schemaId,"baseManifestList":"$baseList","deltaManifestList":"$deltaList","changelogManifestList":$changelogJson,"indexManifest":$indexJson,"commitKind":"$commitKind","timeMillis":${System.currentTimeMillis()},"deltaRecordCount":$rows$extraFields}"""
     val out = f.create(new Path(s"$table/snapshot/snapshot-$id"), false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val hint = f.create(new Path(s"$table/snapshot/LATEST"), true)
@@ -1182,7 +1276,9 @@ object PaimonRead {
     val pre: Option[DataFrame] =
       if (priorFiles.isEmpty) None
       else {
-        val all0 = partitionScans(spark, table, sch, priorFiles)
+        val priorDv = PaimonDv.index(spark, table,
+          snapshotOf(spark, table, id - 1).indexManifest)
+        val all0 = partitionScans(spark, table, sch, priorFiles, priorDv)
         val pkc = keyColsOf(sch, all0)
         val images = mergedImages(spark, table, sch, all0,
           restrictTo = d => d.join(broadcast(touched),
@@ -1219,6 +1315,126 @@ object PaimonRead {
       }.getOrElse(Nil)
   }
 
+  /** DELETE via DELETION VECTORS — the `deletion-vectors.enabled`
+    * write path: no data file is rewritten; the matched rows' positions
+    * are masked by per-file RoaringBitmap32 vectors in a `.dv` index
+    * file (format pinned from the reference BE,
+    * `be/src/formats/paimon/paimon_delete_file_builder.h:40`), named by
+    * a FULL-state index manifest on the new snapshot.
+    *
+    * PK tables delete by KEY: every live image of a key whose CURRENT
+    * (merged) image matches `predicate` is masked together — masking
+    * only the winning row would resurrect an older image. Append
+    * tables mask exactly the matching positions.
+    *
+    * Scale shape: one scan to find targets, one shuffle keyed by file
+    * name to build bitmaps ON EXECUTORS; the driver collects one
+    * serialized bitmap per TOUCHED file (never row-scale), unions it
+    * with that file's existing vector, and writes one `.dv` per
+    * touched (partition, bucket) group. Untouched files' manifest
+    * entries carry forward verbatim (their ranges still point into the
+    * old index files). Returns the new snapshot id, or the current one
+    * when nothing matched. */
+  def deleteWhereDv(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(spark, table)
+    val cur = latestSnapshotId(spark, table)
+    val snap = snapshotOf(spark, table, cur)
+    val sch = schemaById(spark, table, snap.schemaId)
+    val files = liveFiles(spark, table, Some(cur))
+    if (files.isEmpty) return cur
+    val oldDv = PaimonDv.index(spark, table, snap.indexManifest)
+    val pairs: DataFrame =
+      if (sch.primaryKeys.isEmpty)
+        partitionScans(spark, table, sch, files, oldDv, withPos = true)
+          .filter(predicate)
+          .select(col(PosFileCol), col(PosIdxCol))
+      else {
+        val visible = read(spark, table, Some(cur))
+        val targetKeys = visible.filter(predicate)
+          .select(sch.primaryKeys.map(col): _*).distinct()
+        val allRows = partitionScans(spark, table, sch, files, oldDv,
+          withPos = true)
+        val kc = keyColsOf(sch, allRows)
+        allRows.join(broadcast(targetKeys),
+            kc.zip(sch.primaryKeys).map { case (k, pk) =>
+              allRows(k) === targetKeys(pk) }.reduce(_ && _), "left_semi")
+          .select(col(PosFileCol), col(PosIdxCol))
+      }
+    // one serialized bitmap + cardinality per touched file, built on
+    // executors; the driver never holds positions row-by-row
+    import spark.implicits._
+    val newBitmaps: Array[(String, Array[Byte])] = pairs
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fn, it) =>
+        val rb = new org.roaringbitmap.RoaringBitmap()
+        it.foreach { case (_, pos) =>
+          require(pos <= Int.MaxValue, s"row index $pos in $fn exceeds " +
+            "the 32-bit deletion-vector position space")
+          rb.add(pos.toInt)
+        }
+        (fn, PaimonDv.serialize(rb))
+      }.collect()
+    if (newBitmaps.isEmpty) return cur
+    val conf = spark.sparkContext.hadoopConfiguration
+    val merged: Seq[(String, Array[Byte], Long)] =
+      newBitmaps.toSeq.map { case (fn, bytes) =>
+        val rb = new org.roaringbitmap.RoaringBitmap()
+        rb.deserialize(java.nio.ByteBuffer.wrap(bytes))
+        oldDv.get(fn).foreach(d => rb.or(PaimonDv.readBitmap(conf, d)))
+        (fn, PaimonDv.serialize(rb), rb.getLongCardinality)
+      }
+    val id = nextSnapshotId(f, table)
+    val byFile = files.map(e => e.fileName -> e).toMap
+    val realFlavor = sch.options.get("manifest.flavor").contains("paimon")
+    def partBytes(p: Map[String, String]): Array[Byte] =
+      if (!realFlavor) {
+        val m = new java.util.LinkedHashMap[String, String]()
+        p.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+        graft.functions.JsonKernel.mapper.writeValueAsBytes(m)
+      } else {
+        val pTypes = sch.partitionKeys.map(k =>
+          sch.fields.find(_.name == k).map(_.dataType).getOrElse(StringType))
+        val pPrec = sch.partitionKeys.map(k =>
+          sch.rawTypeOf(k).collect { case TimestampRe(pr) => pr.toInt }
+            .getOrElse(6))
+        PaimonBinaryRow.encode(
+          sch.partitionKeys.zip(pTypes).map { case (k, dt) =>
+            coerce(p.getOrElse(k, null), dt) }, pTypes,
+          (i: Int) => pPrec.lift(i).getOrElse(6))
+      }
+    f.mkdirs(new Path(s"$table/index"))
+    val newEntries = merged
+      .groupBy { case (fn, _, _) =>
+        val e = byFile(fn); (e.partition, e.bucket) }
+      .toSeq.sortBy(_._1.toString).zipWithIndex
+      .map { case (((part, bucket), bms), i) =>
+        val name = f"index-$id%05d-$i.dv"
+        val ranges = PaimonDv.writeDvFile(f,
+          new Path(s"$table/index/$name"),
+          bms.sortBy(_._1).map { case (fn, bytes, _) => (fn, bytes) })
+        PaimonDv.IndexEntry(0, partBytes(part), bucket, PaimonDv.IndexType,
+          name, f.getFileStatus(new Path(s"$table/index/$name")).getLen,
+          bms.map(_._3).sum, ranges)
+      }
+    val touched = merged.map(_._1).toSet
+    val oldEntries = snap.indexManifest
+      .map(n => PaimonDv.readIndexManifest(spark, table, n)).getOrElse(Nil)
+    val carried = oldEntries.filter(_.indexType == PaimonDv.IndexType)
+      .flatMap { e =>
+        val keep = e.ranges.filterNot { case (df, _, _) => touched(df) }
+        if (keep.isEmpty) None else Some(e.copy(kind = 0, ranges = keep))
+      }
+    val carriedOther = oldEntries.filterNot(_.indexType == PaimonDv.IndexType)
+    val manifestName = f"index-manifest-$id%05d"
+    PaimonDv.writeIndexManifest(spark, table, manifestName,
+      carriedOther ++ carried ++ newEntries)
+    commitEntries(spark, table, id, snap.schemaId, Nil, "APPEND",
+      indexManifest = Some(Some(manifestName)))
+  }
+
   /** Materialize the merged PK state: rewrite every (partition, bucket)
     * group's live runs into one max-level file each and RETIRE the
     * absorbed runs with delete entries — commitKind COMPACT, the LSM
@@ -1243,11 +1459,23 @@ object PaimonRead {
     val files = liveFiles(spark, table, Some(cur))
     val id = nextSnapshotId(f, table)
     val maxLevel = files.map(_.level).foldLeft(0)(math.max) + 1
+    val dv = PaimonDv.index(spark, table,
+      snapshotOf(spark, table, cur).indexManifest)
     val adds: Seq[FileEntry] = if (files.isEmpty) Nil else {
-      val all = spark.read.parquet(
+      val all0 = spark.read.parquet(
           files.map(e => dataPath(table, e, sch.partitionKeys)): _*)
         .withColumn("__fname",
           element_at(split(col("_metadata.file_path"), "/"), -1))
+      // compaction APPLIES the deletion vectors (masked rows die with
+      // their runs) and the COMPACT snapshot clears the index manifest
+      val all =
+        if (dv.isEmpty) all0
+        else {
+          val deleted = PaimonDv.deletedColumn(spark, dv) _
+          all0.withColumn("__fpos", col("_metadata.row_index"))
+            .filter(!deleted(col("__fname"), col("__fpos")))
+            .drop("__fpos")
+        }
       // fileName → (partition values, bucket): driver metadata the
       // manifests already hold, broadcast back onto the scan
       val groupRows = files.map { e =>
@@ -1312,6 +1540,7 @@ object PaimonRead {
     }
     val retires = files.map(_.copy(kind = 1))
     commitEntries(spark, table, id,
-      snapshotOf(spark, table, cur).schemaId, retires ++ adds, "COMPACT")
+      snapshotOf(spark, table, cur).schemaId, retires ++ adds, "COMPACT",
+      indexManifest = Some(None))
   }
 }
