@@ -524,6 +524,29 @@ object SourcesQ extends graft.QueryArea {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
     }),
+    // V2 CHECKPOINT (PROTOCOL.md §V2 Spec — how large real tables
+    // checkpoint): add actions live in a parquet SIDECAR under
+    // _delta_log/_sidecars/, a UUID-named JSON manifest carries
+    // checkpointMetadata + metaData + protocol(v2Checkpoint) + sidecar
+    // actions. Covered JSON commits are deleted, so the read MUST
+    // bootstrap manifest → sidecar → DV mask.
+    "src_delta_checkpoint_v2" -> ((spark, dir) => {
+      val table = tmpDir(dir, "delta_ck2")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o, table, Nil)
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 9 === 2)
+      graft.sources.DeltaExport.exportDeltaLog(spark, table)
+      val ck = graft.sources.DeltaRead.writeCheckpointV2(spark, table)
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      (0L to ck).foreach(v => f.delete(new org.apache.hadoop.fs.Path(
+        f"$table/_delta_log/$v%020d.json"), false))
+      graft.sources.DeltaRead.read(spark, table)
+        .groupBy((col("o_orderkey") % 3).cast("int").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("g"))
+    }),
     // Delta DELETION VECTORS (how modern writers delete without
     // rewriting): a foreign-shaped table whose add carries a u-stored
     // roaring-bitmap descriptor; the read must mask exactly the
@@ -1881,6 +1904,11 @@ object SourcesQ extends graft.QueryArea {
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+    "src_delta_checkpoint_v2" ->
+      """SELECT CAST(o_orderkey % 3 AS INT) AS g, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 9 <> 2
+        |GROUP BY 1 ORDER BY g""".stripMargin,
     "src_delta_dv_read" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_totalprice, o_orderpriority,

@@ -292,6 +292,38 @@ object StreamingQ extends graft.QueryArea {
         .select(col("b"), col("n"), col("s").cast("double").as("total"))
         .orderBy(col("b"))
     }),
+    // STRUCTURED STREAMING over the lake change feed: the
+    // `graft-lake-cdc` v1 source — offsets are LAKE VERSIONS, a
+    // micro-batch plans `Lake.changes` over its (start, end] window,
+    // the runtime's checkpointed offset log replaces any side ledger
+    // (LakeCdcStreamSpec proves restart exactly-once). One real
+    // streaming query drains three pre-made commits (initial snapshot
+    // as v1 inserts, a MoR delete, a MoR update = delete+insert) into
+    // a parquet sink; the sink's fold must match DuckDB.
+    "stream_lake_cdc_source" -> ((spark, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdcsrc_${dir.replaceAll("[^0-9a-z]", "_")}"
+      graft.sources.Formats.deleteDir(spark, root)
+      val table = s"$root/tbl"
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Lake.write(o.filter(col("o_orderkey") % 4 =!= 2), table, Nil)
+      graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 8 === 3)
+      graft.sources.Lake.updateMor(spark, table, col("o_orderkey") % 8 === 1,
+        Map("o_totalprice" -> (col("o_totalprice") + 7)))
+      val q = spark.readStream.format("graft-lake-cdc")
+        .option("table", table).load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$root/sink")
+        .groupBy(col("__change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("change_type"))
+    }),
     // Stream-stream inner join through the REAL micro-batch path: the
     // metadata side (value > 100) joins the full stream on event_id
     // inside a ±1 h event-time band; both sides carry watermarks so
@@ -487,6 +519,24 @@ object StreamingQ extends graft.QueryArea {
         |SELECT CAST(o_orderkey % 5 AS INT) AS b, count(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM final GROUP BY b ORDER BY b""".stripMargin,
+    "stream_lake_cdc_source" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 <> 2),
+        |ins AS (
+        |  SELECT o_totalprice AS price FROM base
+        |  UNION ALL
+        |  SELECT o_totalprice + 7 FROM base WHERE o_orderkey % 8 = 1),
+        |del AS (
+        |  SELECT o_totalprice AS price FROM base WHERE o_orderkey % 8 = 3
+        |  UNION ALL
+        |  SELECT o_totalprice FROM base WHERE o_orderkey % 8 = 1)
+        |SELECT 'delete' AS change_type, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total FROM del
+        |UNION ALL
+        |SELECT 'insert', count(*),
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) FROM ins
+        |ORDER BY change_type""".stripMargin,
     "stream_lake_mor_sink" ->
       """WITH latest AS (
         |  SELECT user_id, max(event_id) AS event_id

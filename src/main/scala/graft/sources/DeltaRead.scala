@@ -32,9 +32,13 @@ object DeltaRead {
     val f = fs(spark, table)
     if (!f.exists(logDir)) throw new IllegalArgumentException(
       s"not a delta table (no _delta_log): $table")
-    f.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).sorted.toSeq
+    // strictly <version>.json — V2 checkpoint manifests are ALSO .json
+    // (`<v>.checkpoint.<uuid>.json`) and must not parse as commits
+    f.listStatus(logDir).map(_.getPath.getName).collect {
+      case n if n.endsWith(".json") &&
+        n.stripSuffix(".json").forall(_.isDigit) =>
+        n.stripSuffix(".json").toLong
+    }.sorted.toSeq
   }
 
   /** Delta `path` fields are URL-encoded (percent-escaped) relative
@@ -54,13 +58,29 @@ object DeltaRead {
     * commits, a `<version>.checkpoint.parquet` snapshot of the live
     * action set lets readers skip the JSON replay — and is the ONLY
     * entry point once old JSON commits are cleaned). */
-  def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
+  def checkpointVersions(spark: SparkSession, table: String): Seq[Long] =
+    checkpointsByVersion(spark, table).keys.toSeq.sorted
+
+  private val ClassicCkpt = "(\\d{20})\\.checkpoint\\.parquet".r
+  private val MultiPartCkpt = "(\\d{20})\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet".r
+  private val V2Ckpt = "(\\d{20})\\.checkpoint\\.[0-9a-zA-Z-]+\\.(json|parquet)".r
+
+  /** Checkpoint FILES per version — all three published namings:
+    * classic single-file `<v>.checkpoint.parquet`, multi-part
+    * `<v>.checkpoint.<i>.<n>.parquet`, and V2 UUID-named
+    * `<v>.checkpoint.<uuid>.{json,parquet}` (PROTOCOL.md §V2 Spec —
+    * the manifest carries `sidecar` actions pointing into
+    * `_delta_log/_sidecars/`). */
+  private def checkpointsByVersion(spark: SparkSession,
+      table: String): Map[Long, Seq[String]] = {
     val logDir = new Path(s"$table/_delta_log")
     val f = fs(spark, table)
-    if (!f.exists(logDir)) return Nil
-    f.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint.parquet"))
-      .map(_.stripSuffix(".checkpoint.parquet").toLong).sorted.toSeq
+    if (!f.exists(logDir)) return Map.empty
+    f.listStatus(logDir).map(_.getPath.getName).collect {
+      case n @ ClassicCkpt(v) => v.toLong -> n
+      case n @ MultiPartCkpt(v) => v.toLong -> n
+      case n @ V2Ckpt(v, _) => v.toLong -> n
+    }.toSeq.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sorted }
   }
 
   /** A live add after replay: decoded path, partition values, the
@@ -71,6 +91,33 @@ object DeltaRead {
     * the previous descriptor, the protocol's DV-upgrade shape). */
   private case class LiveAdd(path: String, pvals: Map[String, String],
       size: Long, modTime: Long, dv: Option[DeltaDv.Descriptor] = None)
+
+  /** One JSON `add` action into the live map — shared by commit-tail
+    * replay and V2 json checkpoint manifests. */
+  private def ingestAddNode(add: com.fasterxml.jackson.databind.JsonNode,
+      live: scala.collection.mutable.LinkedHashMap[String, LiveAdd]): Unit = {
+    val pvals = scala.collection.mutable.Map[String, String]()
+    if (add.has("partitionValues"))
+      add.get("partitionValues").fields().forEachRemaining(e =>
+        if (!e.getValue.isNull) pvals(e.getKey) = e.getValue.asText())
+    val p = decodePath(add.get("path").asText())
+    val dv = if (!add.has("deletionVector") ||
+        add.get("deletionVector").isNull) None
+      else {
+        val d = add.get("deletionVector")
+        Some(DeltaDv.Descriptor(
+          d.get("storageType").asText(),
+          d.get("pathOrInlineDv").asText(),
+          if (d.has("offset") && !d.get("offset").isNull)
+            d.get("offset").asInt() else 0,
+          d.get("sizeInBytes").asInt(),
+          d.get("cardinality").asLong()))
+      }
+    live(p) = LiveAdd(p, pvals.toMap,
+      if (add.has("size")) add.get("size").asLong(0L) else 0L,
+      if (add.has("modificationTime")) add.get("modificationTime").asLong(0L) else 0L,
+      dv)
+  }
 
   /** One replay pass: (live adds, partition columns, schema json or
     * null). Starts from the newest checkpoint at or below
@@ -87,9 +134,9 @@ object DeltaRead {
     var partCols: Seq[String] = Nil
     var schemaJson: String = null
 
-    val ckpt = checkpointVersions(spark, table).filter(_ <= upTo).lastOption
-    ckpt.foreach { cv =>
-      val rows = spark.read.parquet(f"$table/_delta_log/$cv%020d.checkpoint.parquet")
+    // ---- shared action ingestion (checkpoint parquet rows / json
+    // lines / sidecar rows all funnel through these) ------------------
+    def ingestParquetRows(rows: org.apache.spark.sql.DataFrame): Unit = {
       val cols = rows.columns.toSet
       if (cols.contains("metaData")) {
         rows.select("metaData").filter("metaData is not null").collect().foreach { r =>
@@ -135,6 +182,52 @@ object DeltaRead {
           }
       }
     }
+    def sidecarNames(rows: org.apache.spark.sql.DataFrame): Seq[String] =
+      if (!rows.columns.contains("sidecar")) Nil
+      else rows.select("sidecar.path")
+        .filter("sidecar is not null and sidecar.path is not null")
+        .collect().map(_.getString(0)).toSeq
+
+    // V2 checkpoints (PROTOCOL.md §V2 Spec): the UUID-named manifest
+    // (json or parquet) carries metaData/protocol + `sidecar` actions;
+    // the add actions live in `_delta_log/_sidecars/` parquet. A
+    // checkpoint's remove actions are vacuum tombstones — not replayed.
+    val ckptFiles = checkpointsByVersion(spark, table)
+    val ckpt = ckptFiles.keys.filter(_ <= upTo).toSeq.sorted.lastOption
+    ckpt.foreach { cv =>
+      val names = ckptFiles(cv)
+      val (jsonNames, parqNames) = names.partition(_.endsWith(".json"))
+      val sidecars = scala.collection.mutable.ArrayBuffer[String]()
+      jsonNames.foreach { n =>
+        val in = f.open(new Path(s"$table/_delta_log/$n"))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.linesIterator.filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("metaData")) {
+            val md = node.get("metaData")
+            if (md.has("schemaString")) schemaJson = md.get("schemaString").asText()
+            if (md.has("partitionColumns")) {
+              val b = scala.collection.mutable.ArrayBuffer[String]()
+              md.get("partitionColumns").forEach(c => b += c.asText())
+              partCols = b.toSeq
+            }
+          }
+          if (node.has("add")) ingestAddNode(node.get("add"), live)
+          if (node.has("sidecar") && node.get("sidecar").has("path"))
+            sidecars += node.get("sidecar").get("path").asText()
+        }
+      }
+      if (parqNames.nonEmpty) {
+        val rows = spark.read.parquet(
+          parqNames.map(n => s"$table/_delta_log/$n"): _*)
+        ingestParquetRows(rows)
+        sidecars ++= sidecarNames(rows)
+      }
+      if (sidecars.nonEmpty)
+        ingestParquetRows(spark.read.parquet(
+          sidecars.toSeq.map(n => s"$table/_delta_log/_sidecars/$n"): _*))
+    }
     val replayFrom = ckpt.map(_ + 1).getOrElse(0L)
     val missing = (replayFrom to upTo).filterNot(v =>
       jsonVersions.contains(v))
@@ -157,30 +250,7 @@ object DeltaRead {
             partCols = b.toSeq
           }
         }
-        if (node.has("add")) {
-          val add = node.get("add")
-          val pvals = scala.collection.mutable.Map[String, String]()
-          if (add.has("partitionValues"))
-            add.get("partitionValues").fields().forEachRemaining(e =>
-              if (!e.getValue.isNull) pvals(e.getKey) = e.getValue.asText())
-          val p = decodePath(add.get("path").asText())
-          val dv = if (!add.has("deletionVector") ||
-              add.get("deletionVector").isNull) None
-            else {
-              val d = add.get("deletionVector")
-              Some(DeltaDv.Descriptor(
-                d.get("storageType").asText(),
-                d.get("pathOrInlineDv").asText(),
-                if (d.has("offset") && !d.get("offset").isNull)
-                  d.get("offset").asInt() else 0,
-                d.get("sizeInBytes").asInt(),
-                d.get("cardinality").asLong()))
-            }
-          live(p) = LiveAdd(p, pvals.toMap,
-            if (add.has("size")) add.get("size").asLong(0L) else 0L,
-            if (add.has("modificationTime")) add.get("modificationTime").asLong(0L) else 0L,
-            dv)
-        }
+        if (node.has("add")) ingestAddNode(node.get("add"), live)
         if (node.has("remove")) live -= decodePath(node.get("remove").get("path").asText())
       }
     }
@@ -533,29 +603,36 @@ object DeltaRead {
     * commits ≤ version are no longer needed to reconstruct the table
     * — the reader enters at the checkpoint and replays only the tail,
     * which is how real Delta tables survive log cleanup. */
-  def writeCheckpoint(spark: SparkSession, table: String,
-      version: Option[Long] = None): Long = {
-    import org.apache.spark.sql.Row
+  private lazy val dvT = {
     import org.apache.spark.sql.types._
-    val v = version.getOrElse(versions(spark, table).last)
-    val (adds, partCols, schemaJson) = replay(spark, table, Some(v))
-    val dvT = StructType(Seq(
+    StructType(Seq(
       StructField("storageType", StringType),
       StructField("pathOrInlineDv", StringType),
       StructField("offset", IntegerType),
       StructField("sizeInBytes", IntegerType),
       StructField("cardinality", LongType)))
-    // add actions carry their deletionVector descriptor per
-    // PROTOCOL.md §Checkpoints — a DV-live version checkpoints
-    // losslessly (pre-r9 this refused; a reader bootstrapping a
-    // DV-bearing export had to replay the full JSON log)
-    val addT = StructType(Seq(
+  }
+  // add actions carry their deletionVector descriptor per
+  // PROTOCOL.md §Checkpoints — a DV-live version checkpoints
+  // losslessly (pre-r9 this refused; a reader bootstrapping a
+  // DV-bearing export had to replay the full JSON log)
+  private lazy val addT = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("deletionVector", dvT)))
+  }
+
+  def writeCheckpoint(spark: SparkSession, table: String,
+      version: Option[Long] = None): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v = version.getOrElse(versions(spark, table).last)
+    val (adds, partCols, schemaJson) = replay(spark, table, Some(v))
     val mdT = StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
@@ -600,6 +677,69 @@ object DeltaRead {
     f.delete(new Path(staging), true)
     val lp = f.create(new Path(s"$table/_delta_log/_last_checkpoint"), true)
     try lp.write(s"""{"version":$v,"size":${rows.size}}""".getBytes("UTF-8"))
+    finally lp.close()
+    v
+  }
+
+  /** Write a V2 CHECKPOINT at `version` (PROTOCOL.md §V2 Spec): the
+    * add actions land in ONE parquet SIDECAR under
+    * `_delta_log/_sidecars/`, and a UUID-named JSON manifest
+    * (`<v>.checkpoint.<uuid>.json`) carries `checkpointMetadata`,
+    * `metaData`, a protocol with the `v2Checkpoint` table feature, and
+    * one `sidecar` action per sidecar file. V2 is how large real
+    * tables checkpoint incrementally — sidecars can be reused across
+    * checkpoints, so the manifest stays O(sidecars) while classic
+    * checkpoints rewrite every add row each time. */
+  def writeCheckpointV2(spark: SparkSession, table: String,
+      version: Option[Long] = None): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v = version.getOrElse(versions(spark, table).last)
+    val (adds, partCols, schemaJson) = replay(spark, table, Some(v))
+    val hasDv = adds.exists(_.dv.exists(_.cardinality > 0))
+    def reencode(p: String): String =
+      if (p.contains(":/")) p else DeltaExport.encodePath(p)
+    def dvRow(a: LiveAdd): Row = a.dv.filter(_.cardinality > 0).map(d =>
+      Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+        d.cardinality)).orNull
+    val f = fs(spark, table)
+    val uuid = java.util.UUID.randomUUID().toString
+    // sidecar parquet: top-level `add` struct rows (the sidecar file
+    // schema — readers select add.* exactly as from a classic file)
+    val sidecarSchema = StructType(Seq(StructField("add", addT)))
+    val sidecarRows = adds.map(a => Row(
+      Row(reencode(a.path), a.pvals, a.size, a.modTime, true, dvRow(a))))
+    val staging = s"$table/_delta_log/.ckpt2_stage_$v"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(sidecarRows, 1), sidecarSchema)
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = f.listStatus(new Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val sidecarName = s"$uuid.parquet"
+    f.mkdirs(new Path(s"$table/_delta_log/_sidecars"))
+    val sidecarPath = new Path(s"$table/_delta_log/_sidecars/$sidecarName")
+    f.delete(sidecarPath, false)
+    f.rename(part, sidecarPath)
+    f.delete(new Path(staging), true)
+    val sidecarLen = f.getFileStatus(sidecarPath).getLen
+    // JSON manifest
+    val mapper = new ObjectMapper()
+    def js(s: String) = mapper.writeValueAsString(s)
+    val feats = (Seq("v2Checkpoint") ++ (if (hasDv) Seq("deletionVectors")
+      else Nil)).map(js).mkString("[", ",", "]")
+    val lines = Seq(
+      s"""{"checkpointMetadata":{"version":$v}}""",
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$feats,"writerFeatures":$feats}}""",
+      s"""{"metaData":{"id":${js(s"graft-${Integer.toHexString(table.hashCode)}")},"schemaString":${js(schemaJson)},"partitionColumns":${partCols.map(js).mkString("[", ",", "]")},"format":{"provider":"parquet","options":{}},"configuration":{}}}""",
+      s"""{"sidecar":{"path":${js(sidecarName)},"sizeInBytes":$sidecarLen,"modificationTime":${System.currentTimeMillis()}}}""")
+    val manifest = f.create(
+      new Path(f"$table/_delta_log/$v%020d.checkpoint.$uuid.json"), true)
+    try manifest.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally manifest.close()
+    val lp = f.create(new Path(s"$table/_delta_log/_last_checkpoint"), true)
+    try lp.write(
+      s"""{"version":$v,"size":${adds.size + 3},"sizeInBytes":$sidecarLen,"checkpointSchema":null}"""
+        .getBytes("UTF-8"))
     finally lp.close()
     v
   }

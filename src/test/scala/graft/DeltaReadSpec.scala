@@ -542,4 +542,72 @@ class DeltaReadSpec extends SparkSuite {
       """{"remove":{"path":"part 0.snappy.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n")
     assert(DeltaRead.liveFiles(spark, table).isEmpty)
   }
+
+  test("V2 checkpoint: sidecar parquet + json manifest bootstrap; parquet-flavor manifest too") {
+    import graft.sources.{DeltaExport, Lake}
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("graft-dck2").toString + "/t"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Lake.write(spark.range(0, 200).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("v")), table, Nil)
+    Lake.deleteMor(spark, table, col("k") % 10 === 0) // DV-live version
+    DeltaExport.exportDeltaLog(spark, table)
+    val viaLog = DeltaRead.read(spark, table).collect()
+      .map(_.getAs[Long]("k")).toSet
+    val ck = DeltaRead.writeCheckpointV2(spark, table)
+    // layout: UUID-named json manifest + one sidecar parquet
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(s"$table/_delta_log"))
+      .map(_.getPath.getName)
+    val manifestName = names.find(n =>
+      n.contains(".checkpoint.") && n.endsWith(".json")).get
+    assert(manifestName.startsWith(f"$ck%020d.checkpoint."))
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(
+      s"$table/_delta_log/_sidecars")).length === 1)
+    // covered JSON commits deleted: replay must enter at the manifest,
+    // read the sidecar, and still mask the delete vectors
+    (0L to ck).foreach(v => f.delete(new org.apache.hadoop.fs.Path(
+      f"$table/_delta_log/$v%020d.json"), false))
+    val viaCkpt = DeltaRead.read(spark, table).collect()
+      .map(_.getAs[Long]("k")).toSet
+    assert(viaCkpt === viaLog)
+    assert(viaCkpt.size === 180 && !viaCkpt.contains(10L))
+    // PARQUET-flavor manifest (what real writers emit): metaData +
+    // sidecar as parquet rows — replace the json manifest with it
+    val in = f.open(new org.apache.hadoop.fs.Path(
+      s"$table/_delta_log/$manifestName"))
+    val mtext = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var schemaString: String = null; var sidecarPath: String = null
+    mtext.linesIterator.filter(_.nonEmpty).foreach { l =>
+      val n = om.readTree(l)
+      if (n.has("metaData")) schemaString = n.get("metaData").get("schemaString").asText()
+      if (n.has("sidecar")) sidecarPath = n.get("sidecar").get("path").asText()
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mdT = StructType(Seq(StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val scT = StructType(Seq(StructField("path", StringType),
+      StructField("sizeInBytes", LongType)))
+    val pm = StructType(Seq(StructField("metaData", mdT),
+      StructField("sidecar", scT)))
+    val rows = Seq(
+      Row(Row("t2", schemaString, Seq.empty[String]), null),
+      Row(null, Row(sidecarPath, 1L)))
+    val staging = s"$table/_delta_log/.pqm_stage"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), pm)
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    f.rename(part, new org.apache.hadoop.fs.Path(
+      f"$table/_delta_log/$ck%020d.checkpoint.aaaa0000-pq.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$table/_delta_log/$manifestName"), false)
+    val viaPq = DeltaRead.read(spark, table).collect()
+      .map(_.getAs[Long]("k")).toSet
+    assert(viaPq === viaLog)
+  }
 }
