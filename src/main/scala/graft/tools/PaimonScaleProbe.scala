@@ -29,8 +29,8 @@ object PaimonScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    println("| base rows | ingest s (3 commits) | MoR read s | chg full s | chg 1-key s | compact s | post-compact read s |")
-    println("|---|---|---|---|---|---|---|")
+    println("| base rows | ingest s (3 commits) | MoR read s | chg full s | chg 1-key s | compact s | post-compact read s | dv delete s | post-dv read s |")
+    println("|---|---|---|---|---|---|---|---|---|")
     for (n <- sizes) {
       val table = s"${System.getProperty("java.io.tmpdir")}/graft_paimon_probe_$n"
       graft.sources.Formats.deleteDir(spark, table)
@@ -59,7 +59,13 @@ object PaimonScaleProbe {
         .agg(count(lit(1))).collect())
       val comp = time(PaimonRead.compact(spark, table))
       val post = readWall()
-      println(f"| $n | $ingest%.1f | $mor%.2f | $chgFull%.2f | $chgOne%.2f | $comp%.1f | $post%.2f |")
+      // deletion vectors on the compacted table: mask a FIXED 10k-key
+      // band (k in [30k, 40k)) — cost must track the touched rows +
+      // one table scan, not grow super-linearly with base size
+      val dvDel = time(PaimonRead.deleteWhereDv(spark, table,
+        $"k" >= 30000L && $"k" < 40000L))
+      val postDv = readWall()
+      println(f"| $n | $ingest%.1f | $mor%.2f | $chgFull%.2f | $chgOne%.2f | $comp%.1f | $post%.2f | $dvDel%.2f | $postDv%.2f |")
       graft.sources.Formats.deleteDir(spark, table)
     }
     spark.stop()

@@ -112,4 +112,67 @@ class LakeCdcStreamSpec extends SparkSuite {
     assert(counts("insert") === 50)
     assert(counts("delete") === 6)
   }
+
+  test("graft-paimon-cdc: snapshot-id offsets, LSM retraction feed, restart resumes") {
+    import graft.sources.PaimonRead
+    val table = fresh("pai")
+    val ckpt = fresh("pckpt")
+    val out = fresh("pout")
+    PaimonRead.commitPk(spark.range(0, 60).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("x")), table, Seq("k"), numBuckets = 2)
+    PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"),
+      ($"id" + 900).cast("double").as("x")), table, Seq("k"), numBuckets = 2)
+    def run(): org.apache.spark.sql.DataFrame = {
+      val q = spark.readStream.format("graft-paimon-cdc")
+        .option("table", table).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out)
+    }
+    val first = run().collect()
+    // s1: 60 inserts; s2: 10 upserts = 10 deletes (old images) + 10 inserts
+    assert(first.count(_.getAs[String]("__change_type") == "insert") === 70)
+    assert(first.count(_.getAs[String]("__change_type") == "delete") === 10)
+    // a DV delete commits s3; restart emits ONLY its retractions
+    PaimonRead.deleteWhereDv(spark, table, col("k") >= 55)
+    val total = run().collect()
+    val s3 = total.filter(_.getAs[Long]("__commit_version") == 3L)
+    assert(total.length === first.length + s3.length,
+      "restart replayed already-committed snapshots")
+    assert(s3.length === 5)
+    assert(s3.forall(_.getAs[String]("__change_type") == "delete"))
+  }
+
+  test("graft-delta-cdc: version offsets from the v0 snapshot, CDF tail, restart resumes") {
+    import graft.sources.{DeltaExport, Lake}
+    val table = fresh("del")
+    val ckpt = fresh("dckpt")
+    val out = fresh("dout")
+    Lake.write(spark.range(0, 80).select($"id".as("k"),
+      ($"id" * 3).cast("double").as("v")), table, Nil)
+    Lake.deleteMor(spark, table, col("k") % 8 === 0)
+    DeltaExport.exportDeltaLog(spark, table)
+    def run(): org.apache.spark.sql.DataFrame = {
+      val q = spark.readStream.format("graft-delta-cdc")
+        .option("table", table).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out)
+    }
+    val first = run().collect()
+    assert(first.count(_.getAs[String]("__change_type") == "insert") === 80)
+    assert(first.count(_.getAs[String]("__change_type") == "delete") === 10)
+    // another delta commit directly on the exported log; restart tails it
+    val lastV = graft.sources.DeltaRead.versions(spark, table).last
+    graft.sources.Lake.deleteMor(spark, table, col("k") === 33)
+    DeltaExport.exportDeltaLog(spark, table)
+    val total = run().collect()
+    val tail = total.filter(_.getAs[Long]("__commit_version") > lastV)
+    assert(total.length === first.length + tail.length,
+      "restart replayed already-committed versions")
+    assert(tail.map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("__change_type"))).toSeq === Seq((33L, "delete")))
+  }
 }
