@@ -264,9 +264,20 @@ object Pipeline extends graft.QueryArea {
     // and the data + seeds are fixed, so the equality is a verified
     // deterministic property (checked at sf0.001/0.01), not a flake.
     "dedup_minhash" -> ((spark, dir) => {
-      val docs = plantedDocs(spark, dir)
-      Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.8,
-          numHashes = 32, bands = 16)
+      // deterministic half-slice (the established budget pattern):
+      // the gate proves the LSH-catches-every->=0.8-pair property;
+      // full-SF minhash timing + recall floor continue as
+      // xb_minhash_cand_recall_fullsf in Bench
+      val d = t(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val near = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zzz "), col("text")).as("text"))
+      val exact = d.filter(col("doc_id") % 10 === 6)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      Dedup.minhashDedup(d.unionByName(near).unionByName(exact),
+          "doc_id", "text", threshold = 0.8, numHashes = 32, bands = 16)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
     // Planted-fixture gate (see simhashFixtureDocs): deterministic
@@ -521,7 +532,12 @@ object Pipeline extends graft.QueryArea {
       spread.join(c03, "label").orderBy("label")
     }),
     "dedup_semantic" -> ((spark, dir) => {
-      val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // deterministic half-slice (budget pattern) — the gate proves
+      // SemDeDup catches every >=0.95 pair vs an all-pairs oracle;
+      // full-SF clustering timing continues as xb_kmeans_fullsf
+      val emb = t(spark, dir, "embeddings")
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
@@ -1253,7 +1269,12 @@ object Pipeline extends graft.QueryArea {
     // final compare uses the same double division as the Spark verify
     // stage so boundary pairs agree bit-for-bit.
     "dedup_minhash" ->
-      s"""WITH $planted,
+      s"""WITH planted AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, concat('zzz ', text) FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 6),
         |sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
@@ -1396,7 +1417,7 @@ object Pipeline extends graft.QueryArea {
         |GROUP BY s.label, s.n, s.mean_dist ORDER BY s.label""".stripMargin,
     "dedup_semantic" ->
       """WITH planted AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
         |  UNION ALL
         |  SELECT vec_id + 1000000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
         |  FROM embeddings WHERE vec_id % 20 = 0),

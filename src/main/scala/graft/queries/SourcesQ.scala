@@ -1135,6 +1135,57 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("g"))
     }),
+    // SYSTEM TABLES (tbl$snapshots & co — the reference routes paimon
+    // system-table identifiers, PaimonMetadata.java:613): snapshot ids,
+    // commit kinds and delta row counts are fully determined by the
+    // gate's own commits, so the oracle recomputes them from orders.
+    "src_paimon_sys_tables" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_sys")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        assumeKeyUnique = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 15 === 0).withColumn("o_totalprice", lit(0.0)),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.compact(spark, table)
+      val snaps = graft.sources.PaimonRead.systemTable(spark, table, "snapshots")
+        .select(col("snapshot_id"), col("commit_kind"),
+          col("delta_record_count").as("delta_rows"))
+      val filesRows = graft.sources.PaimonRead.systemTable(spark, table, "files")
+        .agg(sum(col("row_count")).as("delta_rows"))
+        .select(lit(99L).as("snapshot_id"), lit("FILES_TOTAL").as("commit_kind"),
+          col("delta_rows"))
+      snaps.unionByName(filesRows).orderBy(col("snapshot_id"))
+    }),
+    // SNAPSHOT EXPIRATION (paimon expire_snapshots): after compaction,
+    // expiring all but the last two snapshots must physically drop the
+    // retired runs + old manifests while the retained read serves the
+    // identical oracle rows; expired ids must refuse.
+    "src_paimon_expire" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_exp")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        assumeKeyUnique = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 7 === 2).withColumn("o_totalprice", lit(0.0)),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.compact(spark, table)
+      val expired = graft.sources.PaimonRead.expireSnapshots(spark, table, 2)
+      require(expired == Seq(1L), s"expected to expire snapshot 1, got $expired")
+      try { graft.sources.PaimonRead.read(spark, table, Some(1L)); require(false) }
+      catch { case _: IllegalArgumentException => }
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy((col("o_orderkey") % 4).cast("int").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("g"))
+    }),
     // VALUES-ONLY foreign partition layout: data dirs carry bare
     // values ('0/', '1/', '2/'), the column name lives only in
     // hoodie.properties' hoodie.table.partition.fields — the most
@@ -1399,7 +1450,13 @@ object SourcesQ extends graft.QueryArea {
       graft.sources.Formats.deleteDir(spark, table)
       graft.sources.Formats.deleteDir(spark, mvDir)
       val ledger = s"$mvDir/cursor"
-      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      // deterministic half-slice (the established budget pattern):
+      // every %5/%6/%10/%11 class stays populated, the gate proves the
+      // bootstrap/delta/extreme-retraction machinery; full-SF change
+      // throughput is CdcScaleProbe's job
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
       graft.sources.Lake.write(o, table, Nil)                     // v1
       val gv = (df: org.apache.spark.sql.DataFrame) =>
         ((col("o_orderkey") % 5).cast("int"),
@@ -1407,8 +1464,10 @@ object SourcesQ extends graft.QueryArea {
       def poll() = graft.operators.MaterializedViews
         .maintainMinMaxMv(spark, table, mvDir, ledger, gv)
       poll()                                                      // bootstrap @ v1
+      // %6==3 — an ODD residue class, so the half-slice still
+      // exercises the extreme-retraction path (%6==0 would be empty)
       graft.sources.Lake.deleteMor(spark, table,
-        col("o_orderkey") % 6 === 0)                              // v2
+        col("o_orderkey") % 6 === 3)                              // v2
       graft.sources.Lake.mergeMor(spark, table,
         o.filter(col("o_orderkey") % 11 === 1)
           .withColumn("o_totalprice", col("o_totalprice") + 50000),
@@ -1941,7 +2000,8 @@ object SourcesQ extends graft.QueryArea {
         |    CASE WHEN o_orderkey % 11 = 1 THEN o_totalprice + 50000
         |         ELSE o_totalprice END AS p0
         |  FROM orders
-        |  WHERE o_orderkey % 6 <> 0 OR o_orderkey % 11 = 1),
+        |  WHERE o_orderkey % 2 = 1
+        |    AND (o_orderkey % 6 <> 3 OR o_orderkey % 11 = 1)),
         |final AS (
         |  SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 10 = 9 THEN p0 * 0.5 ELSE p0 END AS p
@@ -2272,6 +2332,24 @@ object SourcesQ extends graft.QueryArea {
         |FROM orders
         |WHERE o_orderkey % 11 <> 1 AND o_orderkey % 6 <> 2
         |GROUP BY 1 ORDER BY g""".stripMargin,
+    "src_paimon_sys_tables" ->
+      """WITH n1 AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 3 = 0),
+        |n2 AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 15 = 0)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS snapshot_id, 'APPEND' AS commit_kind,
+        |    (SELECT c FROM n1) AS delta_rows
+        |  UNION ALL SELECT 2, 'APPEND', (SELECT c FROM n2)
+        |  UNION ALL SELECT 3, 'COMPACT', (SELECT c FROM n1)
+        |  UNION ALL SELECT 99, 'FILES_TOTAL', (SELECT c FROM n1))
+        |ORDER BY snapshot_id""".stripMargin,
+    "src_paimon_expire" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 2 THEN 0.0 ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT CAST(o_orderkey % 4 AS INT) AS g, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY g""".stripMargin,
     "src_paimon_write_real" ->
       """WITH merged AS (
         |  SELECT o_orderkey,

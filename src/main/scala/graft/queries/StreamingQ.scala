@@ -460,8 +460,11 @@ object StreamingQ extends graft.QueryArea {
       val log = spark.read.parquet(s"$base/log")
       val ledger = s"$base/ledger.json"
       val target = s"$base/target"
-      // batch cap sized so the drain takes ~4 batches at any SF
-      val per = math.max(100L, log.count() / 16).toInt
+      // batch cap sized so the drain takes a handful of batches at any
+      // SF — enough to prove multi-batch draining + mid-stream crash
+      // resume; each batch is a full Spark job, so more batches buy
+      // only wall-clock (was /16 ≈ 17 jobs ≈ 4.5 s of gate budget)
+      val per = math.max(100L, log.count() / 6).toInt
       val strip = (df: DataFrame) => df.drop("partition", "offset")
       graft.streaming.RoutineLoad.step(log, target, ledger, per, strip)
       try graft.streaming.RoutineLoad.step(log, target, ledger, per, strip,

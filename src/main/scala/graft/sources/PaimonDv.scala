@@ -111,13 +111,20 @@ object PaimonDv {
   // ---- executor-side lazy vector cache --------------------------------
 
   // per-JVM: each executor caches only the vectors its tasks consult;
-  // bounded — a full clear past the cap beats an unbounded map
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), RoaringBitmap]()
+  // bounded — a full clear past the cap beats an unbounded map. Keyed
+  // by (path, MODIFICATION TIME, offset): a table recreated at the
+  // same path reuses deterministic index names and offsets, so a
+  // (path, offset) key would serve a STALE bitmap from the previous
+  // incarnation. The mtimes are captured ON THE DRIVER at mask-column
+  // creation (one getFileStatus per distinct index file) and ride in
+  // the closure — executors pay no extra RPC.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), RoaringBitmap]()
   private val CacheCap = 1024
 
-  private def cached(conf: Configuration, d: Desc): RoaringBitmap = {
-    val k = (d.indexPath, d.offset)
+  private def cached(conf: Configuration, d: Desc,
+      mtime: Long): RoaringBitmap = {
+    val k = (d.indexPath, mtime, d.offset)
     val hit = cache.get(k)
     if (hit != null) return hit
     val rb = readBitmap(conf, d)
@@ -135,13 +142,19 @@ object PaimonDv {
     val confB: Broadcast[SerializableConfiguration] =
       spark.sparkContext.broadcast(
         new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val mtimes: Map[String, Long] = dv.values.map(_.indexPath).toSet.map {
+      (p: String) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        p -> hp.getFileSystem(hconf).getFileStatus(hp).getModificationTime
+    }.toMap
     val f = org.apache.spark.sql.functions.udf {
       (fname: String, pos: Long) =>
         dv.get(fname) match {
           case None => false
           case Some(d) =>
-            pos <= Int.MaxValue && cached(confB.value.value, d)
-              .contains(pos.toInt)
+            pos <= Int.MaxValue && cached(confB.value.value, d,
+              mtimes.getOrElse(d.indexPath, 0L)).contains(pos.toInt)
         }
     }
     f(fileNameCol, posCol)

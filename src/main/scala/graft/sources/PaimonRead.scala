@@ -1315,6 +1315,128 @@ object PaimonRead {
       }.getOrElse(Nil)
   }
 
+  /** Paimon SYSTEM TABLES (`tbl$snapshots`, `tbl$schemas`, `tbl$files`,
+    * `tbl$manifests`, `tbl$options`) — the metadata relations the
+    * reference exposes through the paimon connector
+    * (`PaimonMetadata.java:90` imports `system.SnapshotsTable`; `:613`
+    * routes system-table identifiers). All driver-side metadata reads
+    * rendered as DataFrames; columns follow the published system-table
+    * schemas (subset: fields this layout records — absent real-paimon
+    * extras render null). */
+  def systemTable(spark: SparkSession, table: String,
+      name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, table)
+    def df(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    val mapper = graft.functions.JsonKernel.mapper
+    name match {
+      case "snapshots" =>
+        val dir = new Path(s"$table/snapshot")
+        require(f.exists(dir), s"not a paimon table (no snapshot/): $table")
+        val ids = f.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("snapshot-"))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("snapshot-").toLong).toOption).sorted.toSeq
+        val rows = ids.map { id =>
+          val in = f.open(new Path(s"$table/snapshot/snapshot-$id"))
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val n = new ObjectMapper().readTree(text)
+          def optLong(k: String): Any = Option(n.get(k))
+            .filterNot(_.isNull).map(v => java.lang.Long.valueOf(v.asLong))
+            .orNull
+          Row(id, n.get("schemaId").asLong,
+            Option(n.get("commitUser")).filterNot(_.isNull)
+              .map(_.asText()).orNull,
+            optLong("commitIdentifier"),
+            Option(n.get("commitKind")).map(_.asText()).getOrElse("APPEND"),
+            new java.sql.Timestamp(
+              Option(n.get("timeMillis")).map(_.asLong).getOrElse(0L)),
+            optLong("totalRecordCount"), optLong("deltaRecordCount"),
+            optLong("changelogRecordCount"), optLong("watermark"))
+        }
+        df(StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("schema_id", LongType, nullable = false),
+          StructField("commit_user", StringType),
+          StructField("commit_identifier", LongType),
+          StructField("commit_kind", StringType, nullable = false),
+          StructField("commit_time", org.apache.spark.sql.types.TimestampType),
+          StructField("total_record_count", LongType),
+          StructField("delta_record_count", LongType),
+          StructField("changelog_record_count", LongType),
+          StructField("watermark", LongType))), rows)
+      case "schemas" =>
+        val dir = new Path(s"$table/schema")
+        require(f.exists(dir), s"no schema/ under $table")
+        val ids = f.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("schema-"))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("schema-").toLong).toOption).sorted.toSeq
+        val rows = ids.map { id =>
+          val sch = schemaById(spark, table, id)
+          Row(id,
+            mapper.writeValueAsString(sch.fields.map(fd => Map(
+              "name" -> fd.name, "type" -> paimonType(fd.dataType)).asJava).asJava),
+            mapper.writeValueAsString(sch.partitionKeys.asJava),
+            mapper.writeValueAsString(sch.primaryKeys.asJava),
+            mapper.writeValueAsString(
+              sch.options.toSeq.sortBy(_._1).toMap.asJava))
+        }
+        df(StructType(Seq(
+          StructField("schema_id", LongType, nullable = false),
+          StructField("fields", StringType, nullable = false),
+          StructField("partition_keys", StringType, nullable = false),
+          StructField("primary_keys", StringType, nullable = false),
+          StructField("options", StringType, nullable = false))), rows)
+      case "files" =>
+        val rows = liveFiles(spark, table).map { e =>
+          Row(mapper.writeValueAsString(
+              e.partition.toSeq.sortBy(_._1).toMap.asJava),
+            e.bucket, e.fileName, e.sizeBytes, e.rowCount,
+            e.minSeq, e.maxSeq, e.level)
+        }
+        df(StructType(Seq(
+          StructField("partition", StringType, nullable = false),
+          StructField("bucket", IntegerType, nullable = false),
+          StructField("file_name", StringType, nullable = false),
+          StructField("file_size_in_bytes", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false),
+          StructField("min_sequence_number", LongType, nullable = false),
+          StructField("max_sequence_number", LongType, nullable = false),
+          StructField("level", IntegerType, nullable = false))), rows)
+      case "manifests" =>
+        val snap = snapshotOf(spark, table, latestSnapshotId(spark, table))
+        val rows = Seq(snap.baseManifestList, snap.deltaManifestList)
+          .flatMap(l => readAvro(spark, s"$table/manifest/$l")).map { r =>
+            def num(k: String): Long =
+              if (r.getSchema.getField(k) == null) 0L
+              else r.get(k) match {
+                case l: java.lang.Long => l.longValue(); case _ => 0L }
+            Row(r.get("_FILE_NAME").toString, num("_FILE_SIZE"),
+              num("_NUM_ADDED_FILES"), num("_NUM_DELETED_FILES"))
+          }
+        df(StructType(Seq(
+          StructField("file_name", StringType, nullable = false),
+          StructField("file_size", LongType, nullable = false),
+          StructField("num_added_files", LongType, nullable = false),
+          StructField("num_deleted_files", LongType, nullable = false))), rows)
+      case "options" =>
+        val sid = latestSchemaId(f, table).getOrElse(
+          throw new IllegalArgumentException(s"no schema under $table"))
+        val sch = schemaById(spark, table, sid)
+        df(StructType(Seq(
+          StructField("key", StringType, nullable = false),
+          StructField("value", StringType, nullable = false))),
+          sch.options.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) })
+      case other => throw new IllegalArgumentException(
+        s"unknown paimon system table $other — supported: snapshots, " +
+          "schemas, files, manifests, options")
+    }
+  }
+
   /** DELETE via DELETION VECTORS — the `deletion-vectors.enabled`
     * write path: no data file is rewritten; the matched rows' positions
     * are masked by per-file RoaringBitmap32 vectors in a `.dv` index
@@ -1433,6 +1555,81 @@ object PaimonRead {
       carriedOther ++ carried ++ newEntries)
     commitEntries(spark, table, id, snap.schemaId, Nil, "APPEND",
       indexManifest = Some(Some(manifestName)))
+  }
+
+  /** EXPIRE old snapshots (paimon's `expire_snapshots` maintenance):
+    * keep the newest `retainLast`, delete the expired snapshot files,
+    * and garbage-collect every manifest list / manifest / data file /
+    * changelog file / index file no RETAINED snapshot references.
+    * Manifests a retained snapshot's base list still names survive
+    * (the spec's manifest reuse — base state is the fold of earlier
+    * manifests), so only truly unreachable metadata dies. Time travel
+    * to an expired id refuses with "has no snapshot"; the latest read
+    * is untouched. Driver-side metadata walk, O(snapshots + files);
+    * returns the expired ids. */
+  def expireSnapshots(spark: SparkSession, table: String,
+      retainLast: Int): Seq[Long] = {
+    require(retainLast >= 1, "must retain at least the latest snapshot")
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/snapshot")
+    require(f.exists(dir), s"not a paimon table (no snapshot/): $table")
+    val ids = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("snapshot-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption)
+      .sorted.toSeq
+    val expire = ids.dropRight(retainLast)
+    if (expire.isEmpty) return Nil
+    val keep = ids.takeRight(retainLast)
+    def listsOf(s: Snap): Seq[String] =
+      Seq(s.baseManifestList, s.deltaManifestList) ++ s.changelogManifestList
+    val keepManifests = scala.collection.mutable.Set[String]()
+    val keepData = scala.collection.mutable.Set[String]()
+    val keepIndex = scala.collection.mutable.Set[String]()
+    keep.foreach { id =>
+      val s = snapshotOf(spark, table, id)
+      val pKeys = schemaById(spark, table, s.schemaId).partitionKeys
+      listsOf(s).foreach { l =>
+        keepManifests += l
+        readAvro(spark, s"$table/manifest/$l").foreach(lm =>
+          keepManifests += lm.get("_FILE_NAME").toString)
+      }
+      s.indexManifest.foreach { im =>
+        keepManifests += im
+        PaimonDv.readIndexManifest(spark, table, im)
+          .foreach(e => keepIndex += e.fileName)
+      }
+      // every file this snapshot's view can touch: its live fold plus
+      // its changelog files
+      liveFiles(spark, table, Some(id)).foreach(e =>
+        keepData += dataPath(table, e, pKeys))
+      s.changelogManifestList.foreach { cl =>
+        entriesOf(spark, table, cl).filter(_.kind == 0).foreach(e =>
+          keepData += dataPath(table, e, pKeys))
+      }
+    }
+    // candidate data files = everything any EXPIRED snapshot's
+    // manifests ever added (adds later retired by compaction included)
+    val candidates = scala.collection.mutable.Set[String]()
+    expire.foreach { id =>
+      val s = snapshotOf(spark, table, id)
+      val pKeys = schemaById(spark, table, s.schemaId).partitionKeys
+      listsOf(s).foreach { l =>
+        entriesOf(spark, table, l).filter(_.kind == 0).foreach(e =>
+          candidates += dataPath(table, e, pKeys))
+      }
+    }
+    (candidates -- keepData).foreach(p => f.delete(new Path(p), false))
+    val mDir = new Path(s"$table/manifest")
+    if (f.exists(mDir)) f.listStatus(mDir).map(_.getPath)
+      .filterNot(p => keepManifests.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+    val iDir = new Path(s"$table/index")
+    if (f.exists(iDir)) f.listStatus(iDir).map(_.getPath)
+      .filterNot(p => keepIndex.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+    expire.foreach(id =>
+      f.delete(new Path(s"$table/snapshot/snapshot-$id"), false))
+    expire
   }
 
   /** Materialize the merged PK state: rewrite every (partition, bucket)
