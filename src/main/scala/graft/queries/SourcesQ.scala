@@ -1160,6 +1160,32 @@ object SourcesQ extends graft.QueryArea {
           col("delta_rows"))
       snaps.unionByName(filesRows).orderBy(col("snapshot_id"))
     }),
+    // SCHEMA EVOLUTION (ALTER TABLE ADD COLUMN): the evolved read must
+    // merge MIXED-schema runs — rows from pre-ALTER files null-fill the
+    // added column through the PK merge, post-ALTER upserts carry it.
+    "src_paimon_add_column" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_evo")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        assumeKeyUnique = true)
+      graft.sources.PaimonRead.addColumn(spark, table,
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 6 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("tag", lit("boost")),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy(coalesce(col("tag"), lit("none")).as("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("tag"))
+    }),
     // SNAPSHOT EXPIRATION (paimon expire_snapshots): after compaction,
     // expiring all but the last two snapshots must physically drop the
     // retired runs + old manifests while the retained read serves the
@@ -2342,6 +2368,17 @@ object SourcesQ extends graft.QueryArea {
         |  UNION ALL SELECT 3, 'COMPACT', (SELECT c FROM n1)
         |  UNION ALL SELECT 99, 'FILES_TOTAL', (SELECT c FROM n1))
         |ORDER BY snapshot_id""".stripMargin,
+    "src_paimon_add_column" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS tag FROM orders
+        |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 6 <> 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, 'boost' FROM orders
+        |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 6 = 1)
+        |SELECT coalesce(tag, 'none') AS tag, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY coalesce(tag, 'none') ORDER BY tag""".stripMargin,
     "src_paimon_expire" ->
       """WITH merged AS (
         |  SELECT o_orderkey,

@@ -180,6 +180,11 @@ object PaimonRead {
     val f = fs(spark, table)
     val p = new Path(s"$table/snapshot/snapshot-$id")
     require(f.exists(p), s"$table has no snapshot $id")
+    snapFromFile(f, p)
+  }
+
+  private def snapFromFile(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Snap = {
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -395,9 +400,12 @@ object PaimonRead {
     * folded in order — _KIND 1 retires the (partition, bucket, name)
     * key an earlier add introduced (the compaction shape). */
   def liveFiles(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): Seq[FileEntry] = {
-    val id = snapshotId.getOrElse(latestSnapshotId(spark, table))
-    val snap = snapshotOf(spark, table, id)
+      snapshotId: Option[Long] = None): Seq[FileEntry] =
+    liveFilesOf(spark, table, snapshotOf(spark, table,
+      snapshotId.getOrElse(latestSnapshotId(spark, table))))
+
+  private def liveFilesOf(spark: SparkSession, table: String,
+      snap: Snap): Seq[FileEntry] = {
     val live = scala.collection.mutable.LinkedHashMap[(String, Int, String), FileEntry]()
     (entriesOf(spark, table, snap.baseManifestList) ++
       entriesOf(spark, table, snap.deltaManifestList)).foreach { e =>
@@ -454,7 +462,11 @@ object PaimonRead {
   private def partitionScans(spark: SparkSession, table: String,
       schema: TableSchema, files: Seq[FileEntry],
       dv: Map[String, PaimonDv.Desc] = Map.empty,
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false,
+      // evolved tables: one group may mix files written under several
+      // schemas — parquet must union their footers or the first file's
+      // schema silently drops later-added columns
+      mergeSchemas: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, lit, split}
     lazy val deleted = PaimonDv.deletedColumn(spark, dv) _
     def posCols(df: DataFrame): DataFrame = df
@@ -477,13 +489,16 @@ object PaimonRead {
             if (withPos) posCols(read(paths(clean))) else read(paths(clean)))
           else None,
           if (dvd.nonEmpty) Some(mask(read(paths(dvd)))) else None).flatten
-        Some(parts.reduce(_ unionByName _))
+        Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
       }
       val (orc, parq) = group.partition(_.fileName.endsWith(".orc"))
+      val reader =
+        if (mergeSchemas) spark.read.option("mergeSchema", "true")
+        else spark.read
       val dfs = Seq(
-        scan(parq, ps => spark.read.parquet(ps: _*)),
-        scan(orc, ps => spark.read.orc(ps: _*))).flatten
-      dfs.reduce(_ unionByName _)
+        scan(parq, ps => reader.parquet(ps: _*)),
+        scan(orc, ps => reader.orc(ps: _*))).flatten
+      dfs.reduce(_.unionByName(_, allowMissingColumns = true))
     }
     files.groupBy(_.partition).toSeq.map { case (pvals, group) =>
       val base = scanGroup(group)
@@ -599,23 +614,105 @@ object PaimonRead {
     * Partition columns attach per manifest tuple as literals CAST to
     * the schema type, so `read(..).filter($"p" === x)` constant-folds
     * the other partitions' branches away at optimization time. */
+  /** Null-fill columns the scan lacks (files written under an earlier
+    * schema don't carry later-added columns — the paimon ALTER TABLE
+    * ADD COLUMN read contract). */
+  private def conform(df: DataFrame, schema: TableSchema): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    schema.fields.foldLeft(df) { (d, fd) =>
+      if (d.columns.contains(fd.name)) d
+      else d.withColumn(fd.name, lit(null).cast(fd.dataType))
+    }
+  }
+
   def read(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val id = snapshotId.getOrElse(latestSnapshotId(spark, table))
     val snap = snapshotOf(spark, table, id)
-    val schema = schemaById(spark, table, snap.schemaId)
-    val files = liveFiles(spark, table, Some(id))
+    // the LATEST read serves the CURRENT table schema (an ALTER that
+    // added a column shows it null-filled before any new commit);
+    // explicit time travel serves the snapshot's recorded schema
+    val schema = schemaById(spark, table,
+      if (snapshotId.isDefined) snap.schemaId
+      else latestSchemaId(fs(spark, table), table).getOrElse(snap.schemaId))
+    readFrom(spark, table, snap, schema)
+  }
+
+  private def readFrom(spark: SparkSession, table: String, snap: Snap,
+      schema: TableSchema): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = liveFilesOf(spark, table, snap)
     if (files.isEmpty) {
       // an empty table still answers with the schema
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.struct)
     }
-    val all = partitionScans(spark, table, schema, files,
-      PaimonDv.index(spark, table, snap.indexManifest))
+    val all = conform(partitionScans(spark, table, schema, files,
+      PaimonDv.index(spark, table, snap.indexManifest),
+      mergeSchemas = schema.id > 0), schema)
     if (schema.primaryKeys.isEmpty)
       all.select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
     else mergedImages(spark, table, schema, all)
+  }
+
+  // ---- tags (tag/tag-<name> — a full snapshot JSON copy, the paimon
+  // tag contract: a named, expiration-proof snapshot reference) -------
+
+  def createTag(spark: SparkSession, table: String, name: String,
+      snapshotId: Option[Long] = None): Long = {
+    require(name.nonEmpty && !name.contains('/'), s"bad tag name $name")
+    val f = fs(spark, table)
+    val id = snapshotId.getOrElse(latestSnapshotId(spark, table))
+    val src = new Path(s"$table/snapshot/snapshot-$id")
+    require(f.exists(src), s"$table has no snapshot $id")
+    val dst = new Path(s"$table/tag/tag-$name")
+    require(!f.exists(dst), s"tag $name already exists")
+    f.mkdirs(new Path(s"$table/tag"))
+    org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    id
+  }
+
+  def deleteTag(spark: SparkSession, table: String, name: String): Unit = {
+    val f = fs(spark, table)
+    require(f.delete(new Path(s"$table/tag/tag-$name"), false),
+      s"$table has no tag $name")
+  }
+
+  def tags(spark: SparkSession, table: String): Seq[(String, Long)] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/tag")
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath).filter(_.getName.startsWith("tag-"))
+      .map(p => p.getName.stripPrefix("tag-") -> snapFromFile(f, p).id)
+      .sortBy(_._1).toSeq
+  }
+
+  /** Read a TAGGED snapshot — served from the tag's own JSON copy, so
+    * it survives [[expireSnapshots]] dropping the snapshot file. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val f = fs(spark, table)
+    val p = new Path(s"$table/tag/tag-$name")
+    require(f.exists(p), s"$table has no tag $name")
+    val snap = snapFromFile(f, p)
+    readFrom(spark, table, snap, schemaById(spark, table, snap.schemaId))
+  }
+
+  /** ALTER TABLE ADD COLUMN: a new schema file (id+1) with the field
+    * appended — no data rewrite; files written earlier read as null
+    * for the new column, compaction rewrites under the new schema. */
+  def addColumn(spark: SparkSession, table: String,
+      field: StructField): Long = {
+    val f = fs(spark, table)
+    val sid = latestSchemaId(f, table).getOrElse(
+      throw new IllegalArgumentException(s"no schema under $table"))
+    val sch = schemaById(spark, table, sid)
+    require(!sch.fields.exists(_.name == field.name),
+      s"column ${field.name} already exists")
+    val next = sid + 1
+    writeSchemaFile(spark, table, next, sch.fields :+ field,
+      sch.partitionKeys, sch.primaryKeys, sch.options)
+    next
   }
 
   /** Row-level change feed between two snapshots — the
@@ -1431,9 +1528,21 @@ object PaimonRead {
           StructField("key", StringType, nullable = false),
           StructField("value", StringType, nullable = false))),
           sch.options.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) })
+      case "tags" =>
+        val rows = tags(spark, table).map { case (tagName, id) =>
+          val snap = snapFromFile(f, new Path(s"$table/tag/tag-$tagName"))
+          Row(tagName, id, snap.schemaId,
+            new java.sql.Timestamp(snap.timeMillis))
+        }
+        df(StructType(Seq(
+          StructField("tag_name", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("schema_id", LongType, nullable = false),
+          StructField("commit_time",
+            org.apache.spark.sql.types.TimestampType))), rows)
       case other => throw new IllegalArgumentException(
         s"unknown paimon system table $other — supported: snapshots, " +
-          "schemas, files, manifests, options")
+          "schemas, files, manifests, options, tags")
     }
   }
 
@@ -1463,21 +1572,26 @@ object PaimonRead {
     val f = fs(spark, table)
     val cur = latestSnapshotId(spark, table)
     val snap = snapshotOf(spark, table, cur)
-    val sch = schemaById(spark, table, snap.schemaId)
+    // the predicate evaluates against the CURRENT table schema (it may
+    // reference a column added after the latest commit)
+    val sch = schemaById(spark, table,
+      latestSchemaId(f, table).getOrElse(snap.schemaId))
     val files = liveFiles(spark, table, Some(cur))
     if (files.isEmpty) return cur
     val oldDv = PaimonDv.index(spark, table, snap.indexManifest)
+    val evolved = sch.id > 0
     val pairs: DataFrame =
       if (sch.primaryKeys.isEmpty)
-        partitionScans(spark, table, sch, files, oldDv, withPos = true)
+        conform(partitionScans(spark, table, sch, files, oldDv,
+            withPos = true, mergeSchemas = evolved), sch)
           .filter(predicate)
           .select(col(PosFileCol), col(PosIdxCol))
       else {
-        val visible = read(spark, table, Some(cur))
+        val visible = read(spark, table)
         val targetKeys = visible.filter(predicate)
           .select(sch.primaryKeys.map(col): _*).distinct()
         val allRows = partitionScans(spark, table, sch, files, oldDv,
-          withPos = true)
+          withPos = true, mergeSchemas = evolved)
         val kc = keyColsOf(sch, allRows)
         allRows.join(broadcast(targetKeys),
             kc.zip(sch.primaryKeys).map { case (k, pk) =>
@@ -1585,8 +1699,18 @@ object PaimonRead {
     val keepManifests = scala.collection.mutable.Set[String]()
     val keepData = scala.collection.mutable.Set[String]()
     val keepIndex = scala.collection.mutable.Set[String]()
-    keep.foreach { id =>
-      val s = snapshotOf(spark, table, id)
+    // retention roots: the newest `retainLast` snapshots plus every
+    // TAGGED snapshot (tags carry their own JSON copy; their files
+    // must survive expiry — the paimon tag contract)
+    val tagDir = new Path(s"$table/tag")
+    val tagSnaps =
+      if (!f.exists(tagDir)) Nil
+      else f.listStatus(tagDir).map(_.getPath)
+        .filter(_.getName.startsWith("tag-"))
+        .map(p => snapFromFile(f, p)).toSeq
+    val roots: Seq[Snap] =
+      keep.map(id => snapshotOf(spark, table, id)) ++ tagSnaps
+    roots.foreach { s =>
       val pKeys = schemaById(spark, table, s.schemaId).partitionKeys
       listsOf(s).foreach { l =>
         keepManifests += l
@@ -1600,7 +1724,7 @@ object PaimonRead {
       }
       // every file this snapshot's view can touch: its live fold plus
       // its changelog files
-      liveFiles(spark, table, Some(id)).foreach(e =>
+      liveFilesOf(spark, table, s).foreach(e =>
         keepData += dataPath(table, e, pKeys))
       s.changelogManifestList.foreach { cl =>
         entriesOf(spark, table, cl).filter(_.kind == 0).foreach(e =>
@@ -1651,7 +1775,12 @@ object PaimonRead {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, row_number, split}
     val f = fs(spark, table)
     val cur = latestSnapshotId(spark, table)
-    val sch = schemaById(spark, table, snapshotOf(spark, table, cur).schemaId)
+    // rewrite under the CURRENT table schema — an evolved table's
+    // compaction materializes the added columns (null-filled for rows
+    // whose runs predate the ALTER)
+    val sch = schemaById(spark, table,
+      latestSchemaId(f, table).getOrElse(
+        snapshotOf(spark, table, cur).schemaId))
     require(sch.primaryKeys.nonEmpty, "compact targets primary-key tables")
     val files = liveFiles(spark, table, Some(cur))
     val id = nextSnapshotId(f, table)
@@ -1659,8 +1788,11 @@ object PaimonRead {
     val dv = PaimonDv.index(spark, table,
       snapshotOf(spark, table, cur).indexManifest)
     val adds: Seq[FileEntry] = if (files.isEmpty) Nil else {
-      val all0 = spark.read.parquet(
-          files.map(e => dataPath(table, e, sch.partitionKeys)): _*)
+      val reader =
+        if (sch.id > 0) spark.read.option("mergeSchema", "true")
+        else spark.read
+      val all0 = conform(reader.parquet(
+          files.map(e => dataPath(table, e, sch.partitionKeys)): _*), sch)
         .withColumn("__fname",
           element_at(split(col("_metadata.file_path"), "/"), -1))
       // compaction APPLIES the deletion vectors (masked rows die with
@@ -1736,8 +1868,7 @@ object PaimonRead {
         hiveDirs = sch.options.get("manifest.flavor").contains("paimon"))
     }
     val retires = files.map(_.copy(kind = 1))
-    commitEntries(spark, table, id,
-      snapshotOf(spark, table, cur).schemaId, retires ++ adds, "COMPACT",
+    commitEntries(spark, table, id, sch.id, retires ++ adds, "COMPACT",
       indexManifest = Some(None))
   }
 }

@@ -58,6 +58,86 @@ class PaimonMaintSpec extends SparkSuite {
     }
   }
 
+  test("tags: named snapshots survive expiry and read from their own copy") {
+    val dir = fresh("tag")
+    PaimonRead.commitPk(spark.range(0, 60).select($"id".as("k"),
+      $"id".cast("double").as("x")), dir, Seq("k"), numBuckets = 2)
+    PaimonRead.commitPk(spark.range(0, 20).select($"id".as("k"),
+      lit(-5.0).as("x")), dir, Seq("k"), assumeKeyUnique = true)
+    val tagged = PaimonRead.createTag(spark, dir, "v1-release", Some(1L))
+    assert(tagged === 1L)
+    intercept[IllegalArgumentException] { // duplicate refuses
+      PaimonRead.createTag(spark, dir, "v1-release")
+    }
+    PaimonRead.compact(spark, dir)
+    PaimonRead.commitPk(spark.range(100, 110).select($"id".as("k"),
+      $"id".cast("double").as("x")), dir, Seq("k"), assumeKeyUnique = true)
+    // expire everything but the last snapshot — the tagged s1 must
+    // still read from its own copy, with its ORIGINAL rows (untouched
+    // by s2's overwrite), even though snapshot-1 is gone
+    val expired = PaimonRead.expireSnapshots(spark, dir, retainLast = 1)
+    assert(expired === Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      PaimonRead.read(spark, dir, Some(1L))
+    }
+    val atTag = PaimonRead.readTag(spark, dir, "v1-release")
+    assert(atTag.count() === 60)
+    assert(atTag.filter($"x" < 0).count() === 0)
+    assert(PaimonRead.read(spark, dir).count() === 70)
+    // tbl$tags lists it
+    val sys = PaimonRead.systemTable(spark, dir, "tags").collect()
+    assert(sys.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("v1-release", 1L)))
+    // delete the tag: the tag file dies now; its exclusive data files
+    // are reclaimed by the NEXT expiry that actually drops snapshots
+    // (no snapshots left to expire here, so the call is a no-op)
+    PaimonRead.deleteTag(spark, dir, "v1-release")
+    assert(PaimonRead.expireSnapshots(spark, dir, retainLast = 1) === Nil)
+    intercept[IllegalArgumentException] {
+      PaimonRead.readTag(spark, dir, "v1-release")
+    }
+  }
+
+  test("addColumn: ALTER TABLE ADD COLUMN — null-fill on old runs, evolved compaction, time travel keeps the old shape") {
+    val dir = fresh("evo")
+    PaimonRead.commitPk(spark.range(0, 50).select($"id".as("k"),
+      $"id".cast("double").as("x")), dir, Seq("k"), numBuckets = 2)
+    val sid = PaimonRead.addColumn(spark, dir,
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType))
+    assert(sid === 1L)
+    // ALTER-then-SELECT: new column visible, null-filled, BEFORE any commit
+    val altered = PaimonRead.read(spark, dir)
+    assert(altered.columns.toSeq === Seq("k", "x", "tag"))
+    assert(altered.filter($"tag".isNotNull).count() === 0)
+    // new-schema upsert: 10 keys get a tag; merge resolves across
+    // mixed-schema runs (old file lacks the column entirely)
+    PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"),
+      ($"id" + 100).cast("double").as("x"), lit("hot").as("tag")),
+      dir, Seq("k"), assumeKeyUnique = true)
+    val merged = PaimonRead.read(spark, dir).orderBy($"k")
+    assert(merged.count() === 50)
+    assert(merged.filter($"tag" === "hot").count() === 10)
+    assert(merged.filter($"k" >= 10 && $"tag".isNotNull).count() === 0)
+    // a DV delete with a predicate over the ADDED column
+    PaimonRead.deleteWhereDv(spark, dir, $"tag" === "hot" && $"k" < 5)
+    assert(PaimonRead.read(spark, dir).count() === 45)
+    // compaction rewrites under the evolved schema
+    PaimonRead.compact(spark, dir)
+    val post = PaimonRead.read(spark, dir)
+    assert(post.columns.toSeq === Seq("k", "x", "tag"))
+    assert(post.count() === 45)
+    assert(post.filter($"tag" === "hot").count() === 5)
+    // time travel to snapshot 1 serves the PRE-ALTER shape
+    assert(PaimonRead.read(spark, dir, Some(1L)).columns.toSeq === Seq("k", "x"))
+    // duplicate column refuses
+    intercept[IllegalArgumentException] {
+      PaimonRead.addColumn(spark, dir,
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.StringType))
+    }
+  }
+
   test("expireSnapshots: old metadata and unreachable files die, retained reads unchanged") {
     val dir = fresh("exp")
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
