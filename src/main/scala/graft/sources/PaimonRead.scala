@@ -1671,6 +1671,65 @@ object PaimonRead {
       indexManifest = Some(Some(manifestName)))
   }
 
+  /** ROLLBACK to an earlier snapshot (paimon's `rollback_to`): delete
+    * every newer snapshot file, restore the LATEST hint, and reclaim
+    * the files ONLY the rolled-back commits added (tagged snapshots
+    * stay retention roots — a tag pointing past the rollback target
+    * keeps its files readable). The next commit continues from the
+    * target. */
+  def rollbackTo(spark: SparkSession, table: String,
+      snapshotId: Long): Seq[Long] = {
+    val f = fs(spark, table)
+    require(f.exists(new Path(s"$table/snapshot/snapshot-$snapshotId")),
+      s"$table has no snapshot $snapshotId")
+    val ids = f.listStatus(new Path(s"$table/snapshot"))
+      .map(_.getPath.getName).filter(_.startsWith("snapshot-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption)
+      .sorted.toSeq
+    val rolled = ids.filter(_ > snapshotId)
+    if (rolled.isEmpty) return Nil
+    // reachable from the target view and from tags
+    val tagDir = new Path(s"$table/tag")
+    val roots: Seq[Snap] = snapshotOf(spark, table, snapshotId) +:
+      (if (!f.exists(tagDir)) Nil
+       else f.listStatus(tagDir).map(_.getPath)
+         .filter(_.getName.startsWith("tag-"))
+         .map(p => snapFromFile(f, p)).toSeq)
+    val keepData = scala.collection.mutable.Set[String]()
+    val keepIndex = scala.collection.mutable.Set[String]()
+    roots.foreach { s =>
+      val pKeys = schemaById(spark, table, s.schemaId).partitionKeys
+      liveFilesOf(spark, table, s).foreach(e =>
+        keepData += dataPath(table, e, pKeys))
+      s.changelogManifestList.foreach(cl =>
+        entriesOf(spark, table, cl).filter(_.kind == 0).foreach(e =>
+          keepData += dataPath(table, e, pKeys)))
+      s.indexManifest.foreach(im =>
+        PaimonDv.readIndexManifest(spark, table, im)
+          .foreach(e => keepIndex += e.fileName))
+    }
+    rolled.foreach { id =>
+      val s = snapshotOf(spark, table, id)
+      val pKeys = schemaById(spark, table, s.schemaId).partitionKeys
+      (Seq(s.deltaManifestList) ++ s.changelogManifestList).foreach { l =>
+        entriesOf(spark, table, l).filter(_.kind == 0).foreach { e =>
+          val p = dataPath(table, e, pKeys)
+          if (!keepData.contains(p)) f.delete(new Path(p), false)
+        }
+      }
+      s.indexManifest.foreach(im =>
+        PaimonDv.readIndexManifest(spark, table, im).foreach { e =>
+          if (!keepIndex.contains(e.fileName))
+            f.delete(new Path(s"$table/index/${e.fileName}"), false)
+        })
+      f.delete(new Path(s"$table/snapshot/snapshot-$id"), false)
+    }
+    val hint = f.create(new Path(s"$table/snapshot/LATEST"), true)
+    try hint.write(snapshotId.toString.getBytes("UTF-8"))
+    finally hint.close()
+    rolled
+  }
+
   /** EXPIRE old snapshots (paimon's `expire_snapshots` maintenance):
     * keep the newest `retainLast`, delete the expired snapshot files,
     * and garbage-collect every manifest list / manifest / data file /

@@ -58,6 +58,33 @@ class PaimonMaintSpec extends SparkSuite {
     }
   }
 
+  test("rollbackTo: newer snapshots die, their exclusive files reclaimed, next commit continues") {
+    val dir = fresh("rb")
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    PaimonRead.commitPk(spark.range(0, 50).select($"id".as("k"),
+      $"id".cast("double").as("x")), dir, Seq("k"), numBuckets = 2)
+    PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"),
+      lit(-1.0).as("x")), dir, Seq("k"), assumeKeyUnique = true)
+    PaimonRead.deleteWhereDv(spark, dir, $"k" >= 45)         // s3 (DV)
+    PaimonRead.commitPk(spark.range(200, 220).select($"id".as("k"),
+      $"id".cast("double").as("x")), dir, Seq("k"), assumeKeyUnique = true) // s4
+    val rolled = PaimonRead.rollbackTo(spark, dir, 2L)
+    assert(rolled === Seq(3L, 4L))
+    assert(PaimonRead.latestSnapshotId(spark, dir) === 2L)
+    val back = PaimonRead.read(spark, dir)
+    assert(back.count() === 50)                 // DV delete undone
+    assert(back.filter($"k" >= 200).count() === 0)
+    assert(back.filter($"x" < 0).count() === 10)
+    // s3's .dv and s4's data files are gone
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/index")) ||
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/index")).isEmpty)
+    // the next commit continues from the target
+    PaimonRead.commitPk(spark.range(300, 305).select($"id".as("k"),
+      $"id".cast("double").as("x")), dir, Seq("k"), assumeKeyUnique = true)
+    assert(PaimonRead.latestSnapshotId(spark, dir) === 3L)
+    assert(PaimonRead.read(spark, dir).count() === 55)
+  }
+
   test("tags: named snapshots survive expiry and read from their own copy") {
     val dir = fresh("tag")
     PaimonRead.commitPk(spark.range(0, 60).select($"id".as("k"),
