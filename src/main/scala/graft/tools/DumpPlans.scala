@@ -52,7 +52,10 @@ object DumpPlans {
       "src_delta_checkpoint_dv" -> "Delta checkpoint bootstrap with live DVs: add set + descriptors from ONE parquet read, dirty files anti-joined on (file, row_index)",
       "src_paimon_foreign_read" -> "FOREIGN paimon table (real manifests, BinaryRow partitions, ORC + PK system columns): per-partition scans with decoded literals, one merge window — same shape as own-layout reads",
       "src_paimon_changelog" -> "Paimon changelog-producer feed: ready-made changelog files scanned per version — NO prior-snapshot derivation, no merge window on the read path",
-      "src_hudi_values_only" -> "Hudi values-only partitionPath: positional columns from hoodie.properties through the manifest-backed index — partition filters prune files before the scan")
+      "src_hudi_values_only" -> "Hudi values-only partitionPath: positional columns from hoodie.properties through the manifest-backed index — partition filters prune files before the scan",
+      "src_paimon_dv_delete" -> "Paimon deletion-vector read: DV'd files masked by a (file, row_index) filter BELOW the merge window, DV-free files kept on the clean whole-stage-codegen scan",
+      "src_delta_checkpoint_v2" -> "Delta V2 checkpoint bootstrap: UUID manifest → one sidecar add-parquet scan → DV mask — no JSON commit replay",
+      "src_paimon_add_column" -> "Paimon evolved read: mixed-schema runs union under mergeSchema, the added column null-fills below the PK merge window")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
