@@ -1815,6 +1815,85 @@ object PaimonRead {
     expire
   }
 
+  /** REMOVE ORPHAN FILES (paimon's `remove_orphan_files`): delete every
+    * data / changelog / index / manifest file that NO existing snapshot
+    * or tag reaches — the debris a deleted tag or an interrupted commit
+    * leaves behind ([[expireSnapshots]] only collects what expired
+    * snapshots referenced). Walks the table tree once, driver-side
+    * metadata only. Returns the deleted paths. */
+  def removeOrphanFiles(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val snapDir = new Path(s"$table/snapshot")
+    require(f.exists(snapDir), s"not a paimon table (no snapshot/): $table")
+    val roots: Seq[Snap] =
+      f.listStatus(snapDir).map(_.getPath).toSeq
+        .filter(_.getName.startsWith("snapshot-"))
+        .map(p => snapFromFile(f, p)) ++ {
+        val tagDir = new Path(s"$table/tag")
+        if (!f.exists(tagDir)) Nil
+        else f.listStatus(tagDir).map(_.getPath).toSeq
+          .filter(_.getName.startsWith("tag-")).map(p => snapFromFile(f, p))
+      }
+    val keepManifests = scala.collection.mutable.Set[String]()
+    val keepData = scala.collection.mutable.Set[String]()
+    val keepIndex = scala.collection.mutable.Set[String]()
+    roots.foreach { s =>
+      val pKeys = schemaById(spark, table, s.schemaId).partitionKeys
+      (Seq(s.baseManifestList, s.deltaManifestList) ++
+        s.changelogManifestList).foreach { l =>
+        keepManifests += l
+        readAvro(spark, s"$table/manifest/$l").foreach(lm =>
+          keepManifests += lm.get("_FILE_NAME").toString)
+      }
+      s.indexManifest.foreach { im =>
+        keepManifests += im
+        PaimonDv.readIndexManifest(spark, table, im)
+          .foreach(e => keepIndex += e.fileName)
+      }
+      // every file any root's manifests mention — adds AND deletes
+      // (a file a later snapshot retires is still read by this one)
+      (Seq(s.baseManifestList, s.deltaManifestList) ++
+        s.changelogManifestList).foreach { l =>
+        entriesOf(spark, table, l).foreach(e =>
+          keepData += dataPath(table, e, pKeys))
+      }
+    }
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    def sweep(dir: Path, keep: String => Boolean): Unit =
+      if (f.exists(dir)) f.listStatus(dir).map(_.getPath).foreach { p =>
+        if (!p.getName.startsWith(".") && f.getFileStatus(p).isFile &&
+            !keep(p.getName)) {
+          f.delete(p, false); deleted += p.toString
+        }
+      }
+    sweep(new Path(s"$table/manifest"), keepManifests.contains)
+    sweep(new Path(s"$table/index"), keepIndex.contains)
+    // data files live under <partition dirs>/bucket-<n>/
+    val qualified = (p: String) => keepData.contains(p)
+    def walkBuckets(p: Path): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("bucket-"))
+          f.listStatus(st.getPath).filter(_.isFile).map(_.getPath)
+            .foreach { dp =>
+              // reconstruct the table-relative rendering dataPath uses
+              val rel = dp.toString.stripPrefix(
+                f.makeQualified(new Path(table)).toString).stripPrefix("/")
+              val asRef = s"$table/$rel"
+              if (!qualified(asRef) && !qualified(dp.toString)) {
+                f.delete(dp, false); deleted += dp.toString
+              }
+            }
+        else if (st.isDirectory &&
+            !Set("snapshot", "schema", "manifest", "index", "tag")
+              .contains(name) && !name.startsWith("_") &&
+            !name.startsWith("."))
+          walkBuckets(st.getPath)
+      }
+    walkBuckets(new Path(table))
+    deleted.toSeq
+  }
+
   /** Materialize the merged PK state: rewrite every (partition, bucket)
     * group's live runs into one max-level file each and RETIRE the
     * absorbed runs with delete entries — commitKind COMPACT, the LSM

@@ -115,14 +115,20 @@ class PaimonMaintSpec extends SparkSuite {
     val sys = PaimonRead.systemTable(spark, dir, "tags").collect()
     assert(sys.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("v1-release", 1L)))
-    // delete the tag: the tag file dies now; its exclusive data files
-    // are reclaimed by the NEXT expiry that actually drops snapshots
-    // (no snapshots left to expire here, so the call is a no-op)
+    // delete the tag: its exclusive files are now true orphans (no
+    // snapshot reaches them) — remove_orphan_files reclaims them
     PaimonRead.deleteTag(spark, dir, "v1-release")
     assert(PaimonRead.expireSnapshots(spark, dir, retainLast = 1) === Nil)
     intercept[IllegalArgumentException] {
       PaimonRead.readTag(spark, dir, "v1-release")
     }
+    val before = PaimonRead.read(spark, dir).orderBy($"k").collect()
+    val orphans = PaimonRead.removeOrphanFiles(spark, dir)
+    assert(orphans.nonEmpty, "the dropped tag's exclusive runs were orphans")
+    assert(PaimonRead.read(spark, dir).orderBy($"k").collect().toSeq ===
+      before.toSeq)
+    // a second sweep finds nothing
+    assert(PaimonRead.removeOrphanFiles(spark, dir) === Nil)
   }
 
   test("addColumn: ALTER TABLE ADD COLUMN — null-fill on old runs, evolved compaction, time travel keeps the old shape") {
