@@ -198,9 +198,14 @@ object QueryCache {
       }
       fs.delete(new Path(staged), true)
       // a partition dir scanning to ZERO rows stages nothing — cache
-      // an empty partial so the next query hits instead of rescanning
+      // an empty partial so the next query hits instead of rescanning.
+      // Purge superseded versions FIRST, exactly like the staged-install
+      // path: a partition that churned from rows to empty would
+      // otherwise leave its old version dir on disk forever
       misses.filterNot(m => stagedDirs.contains(m._1)).foreach {
         case (value, entry, _) =>
+          val pdir = entry.getParent
+          if (fs.exists(pdir)) fs.listStatus(pdir).foreach(s => fs.delete(s.getPath, true))
           spark.read.parquet(s"$srcDir/$pcol=$value").limit(0)
             .groupBy(groupCols.map(col): _*)
             .agg(partialExprs(specs).head, partialExprs(specs).tail: _*)

@@ -155,7 +155,8 @@ object PaimonRead {
   final case class Snap(id: Long, schemaId: Long, baseManifestList: String,
       deltaManifestList: String, commitKind: String, timeMillis: Long,
       changelogManifestList: Option[String] = None,
-      indexManifest: Option[String] = None)
+      indexManifest: Option[String] = None,
+      totalRecordCount: Option[Long] = None)
 
   /** Latest snapshot id: the LATEST hint when present and valid, else
     * max over snapshot-<id> names (hints are advisory per the spec). */
@@ -194,7 +195,8 @@ object PaimonRead {
       Option(n.get("commitKind")).map(_.asText()).getOrElse("APPEND"),
       Option(n.get("timeMillis")).map(_.asLong).getOrElse(0L),
       Option(n.get("changelogManifestList")).filterNot(_.isNull).map(_.asText()),
-      Option(n.get("indexManifest")).filterNot(_.isNull).map(_.asText()))
+      Option(n.get("indexManifest")).filterNot(_.isNull).map(_.asText()),
+      Option(n.get("totalRecordCount")).filterNot(_.isNull).map(_.asLong))
   }
 
   /** Newest snapshot committed at or before `epochMillis` — the
@@ -563,8 +565,15 @@ object PaimonRead {
           max_by(col(p), col(SeqCol)).as(p))
         val valAgg = valueFields.map(v =>
           max_by(col(v), when(col(v).isNotNull, col(SeqCol))).as(v))
-        all.groupBy(keyCols.map(col): _*)
-          .agg((partAgg ++ valAgg).head, (partAgg ++ valAgg).tail: _*)
+        val aggs = partAgg ++ valAgg
+        // a key-only table has nothing to fold — the image is the key set
+        if (aggs.isEmpty)
+          all.select(keyAgg.map { case (kc, pk) => col(kc).as(pk) }: _*)
+            .distinct()
+            .select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        else all.groupBy(keyCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
           .select(keyAgg.map { case (kc, pk) => col(kc).as(pk) } ++
             schema.fields.filterNot(f => schema.primaryKeys.contains(f.name))
               .map(f => col(f.name)): _*)
@@ -597,8 +606,14 @@ object PaimonRead {
         val partAgg = schema.partitionKeys.map(p =>
           max_by(col(p), col(SeqCol)).as(p))
         val keyAgg = keyCols.zip(schema.primaryKeys)
-        all.groupBy(keyCols.map(col): _*)
-          .agg((partAgg ++ valAgg).head, (partAgg ++ valAgg).tail: _*)
+        val aggs = partAgg ++ valAgg
+        if (aggs.isEmpty) // key-only table: the image is the key set
+          all.select(keyAgg.map { case (kc, pk) => col(kc).as(pk) }: _*)
+            .distinct()
+            .select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        else all.groupBy(keyCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
           .select(keyAgg.map { case (kc, pk) => col(kc).as(pk) } ++
             schema.fields.filterNot(f => schema.primaryKeys.contains(f.name))
               .map(f => col(f.name)): _*)
@@ -747,6 +762,13 @@ object PaimonRead {
     import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
     require(fromSnapshot >= 0 && toSnapshot > fromSnapshot,
       s"bad change range $fromSnapshot..$toSnapshot")
+    // one Avro read per DISTINCT index manifest across the whole walk
+    // (step v's prev state is step v-1's cur state; carried-forward
+    // manifests share the name across many snapshots)
+    val dvCache =
+      scala.collection.mutable.Map[Option[String], Map[String, PaimonDv.Desc]]()
+    def dvOf(im: Option[String]): Map[String, PaimonDv.Desc] =
+      dvCache.getOrElseUpdate(im, PaimonDv.index(spark, table, im))
     val steps = ((fromSnapshot + 1) to toSnapshot).flatMap { v =>
       val snap = snapshotOf(spark, table, v)
       val schema = schemaById(spark, table, snap.schemaId)
@@ -773,9 +795,8 @@ object PaimonRead {
           .filter(_.kind == 0)
         val prevDv: Map[String, PaimonDv.Desc] =
           if (v == 1) Map.empty
-          else PaimonDv.index(spark, table,
-            snapshotOf(spark, table, v - 1).indexManifest)
-        val curDv = PaimonDv.index(spark, table, snap.indexManifest)
+          else dvOf(snapshotOf(spark, table, v - 1).indexManifest)
+        val curDv = dvOf(snap.indexManifest)
         // a deletion-vector commit: vectors whose DESCRIPTOR changed
         // (carried-forward entries keep identical (path, offset,
         // length), so descriptor inequality finds the touched files
@@ -1007,13 +1028,18 @@ object PaimonRead {
     val keyNames = sch.primaryKeys // disjoint from partition keys (validated)
     val keyTypes = keyNames.map(k =>
       sch.fields.find(_.name == k).map(_.dataType).getOrElse(StringType))
+    // RETIRE entries (kind 1) skip the footer read: readers fold
+    // deletes by (partition, bucket, name) identity, and recomputing
+    // bounds for every retired file made compaction pay N sequential
+    // footer opens for files it is about to drop
     val (minK, maxK) =
-      if (keyNames.isEmpty) (Nil, Nil)
+      if (keyNames.isEmpty || e.kind == 1) (Nil, Nil)
       else footerColumnBounds(spark,
         dataPath(table, e, sch.partitionKeys),
         keyNames.map(k => s"$KeyPrefix$k"))
-    val minKey = PaimonBinaryRow.encode(minK, keyTypes)
-    val maxKey = PaimonBinaryRow.encode(maxK, keyTypes)
+    val boundTypes = if (minK.isEmpty) Nil else keyTypes
+    val minKey = PaimonBinaryRow.encode(minK, boundTypes)
+    val maxKey = PaimonBinaryRow.encode(maxK, boundTypes)
     val fileSchema = realManifestEntrySchema.getField("_FILE").schema()
       .getTypes.get(1)
     val statsSchema = fileSchema.getField("_KEY_STATS").schema().getTypes.get(1)
@@ -1142,14 +1168,25 @@ object PaimonRead {
     }
     val rows = entries.filter(_.kind == 0).map(_.rowCount).sum
     val extraFields = if (!realFlavor) "" else {
-      // the full real-snapshot field set a paimon reader expects
-      val live = scala.collection.mutable.LinkedHashMap[(String, Int, String), FileEntry]()
-      val prev = if (id == 1) Nil else liveFiles(spark, table, Some(id - 1))
-      (prev ++ entries).foreach { e =>
-        val key = (e.partition.toSeq.sorted.mkString(","), e.bucket, e.fileName)
-        if (e.kind == 0) live(key) = e else live.remove(key)
+      // the full real-snapshot field set a paimon reader expects.
+      // totalRecordCount is INCREMENTAL — prior total + this commit's
+      // adds − retires — so commit cost stays O(this commit), not a
+      // full live-fold per commit (O(table files), quadratic over the
+      // table's life). A prior snapshot without the field (a table
+      // converted to real flavor mid-life) pays the fold once.
+      val total = (if (id == 1) Some(0L)
+        else snapshotOf(spark, table, id - 1).totalRecordCount) match {
+        case Some(prevTotal) =>
+          prevTotal + entries.filter(_.kind == 0).map(_.rowCount).sum -
+            entries.filter(_.kind == 1).map(_.rowCount).sum
+        case None =>
+          val live = scala.collection.mutable.LinkedHashMap[(String, Int, String), FileEntry]()
+          (liveFiles(spark, table, Some(id - 1)) ++ entries).foreach { e =>
+            val key = (e.partition.toSeq.sorted.mkString(","), e.bucket, e.fileName)
+            if (e.kind == 0) live(key) = e else live.remove(key)
+          }
+          live.values.map(_.rowCount).sum
       }
-      val total = live.values.map(_.rowCount).sum
       val clRows = changelogEntries.filter(_.kind == 0).map(_.rowCount).sum
       s""","commitUser":"${java.util.UUID.randomUUID()}","commitIdentifier":9223372036854775807,"logOffsets":{},"totalRecordCount":$total,"changelogRecordCount":$clRows,"watermark":null"""
     }
@@ -1204,7 +1241,9 @@ object PaimonRead {
       f.mkdirs(new Path(destDir))
       val dest = s"$destDir/$fileName"
       f.delete(new Path(dest), false)
-      f.rename(part, new Path(dest))
+      require(f.rename(part, new Path(dest)),
+        s"staging rename $part -> $dest failed — refusing to commit a " +
+          "manifest entry over whatever file sits at the destination")
       val st = f.getFileStatus(new Path(dest))
       val rc = footerRowCount(spark, dest)
       val (mn, mx) = seqRangeOf.map(_(partition, bucket)).getOrElse((seq, seq))
@@ -1673,15 +1712,23 @@ object PaimonRead {
 
   /** ROLLBACK to an earlier snapshot (paimon's `rollback_to`): delete
     * every newer snapshot file, restore the LATEST hint, and reclaim
-    * the files ONLY the rolled-back commits added (tagged snapshots
-    * stay retention roots — a tag pointing past the rollback target
-    * keeps its files readable). The next commit continues from the
+    * the files ONLY the rolled-back commits added. Tags at or before
+    * the target stay retention roots; a tag PAST the target REFUSES
+    * the rollback — the next commit reuses the rolled snapshot ids,
+    * and this writer's deterministic file names (`data-<id>-<i>`,
+    * `manifest-<id>-…`) would silently overwrite the tag's retained
+    * files. Delete such tags first. The next commit continues from the
     * target. */
   def rollbackTo(spark: SparkSession, table: String,
       snapshotId: Long): Seq[Long] = {
     val f = fs(spark, table)
     require(f.exists(new Path(s"$table/snapshot/snapshot-$snapshotId")),
       s"$table has no snapshot $snapshotId")
+    val blocking = tags(spark, table).filter(_._2 > snapshotId)
+    require(blocking.isEmpty,
+      s"cannot roll back past tagged snapshots ${blocking.map(t =>
+        s"${t._1}@${t._2}").mkString(", ")} — reused snapshot ids would " +
+        "overwrite the tags' retained files; delete those tags first")
     val ids = f.listStatus(new Path(s"$table/snapshot"))
       .map(_.getPath.getName).filter(_.startsWith("snapshot-"))
       .flatMap(n => scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption)

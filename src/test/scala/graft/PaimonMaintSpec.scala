@@ -85,6 +85,48 @@ class PaimonMaintSpec extends SparkSuite {
     assert(PaimonRead.read(spark, dir).count() === 55)
   }
 
+  test("rollback refuses past a tag; key-only merge engines read; real-flavor totals stay incremental") {
+    // rollback past a tag would reuse snapshot ids and overwrite the
+    // tag's retained deterministically-named files — must refuse
+    val dir = fresh("rbtag")
+    PaimonRead.commitPk(spark.range(0, 20).select($"id".as("k"),
+      $"id".cast("double").as("x")), dir, Seq("k"))
+    PaimonRead.commitPk(spark.range(0, 5).select($"id".as("k"),
+      lit(9.0).as("x")), dir, Seq("k"), assumeKeyUnique = true)
+    PaimonRead.createTag(spark, dir, "keepme", Some(2L))
+    intercept[IllegalArgumentException] {
+      PaimonRead.rollbackTo(spark, dir, 1L)
+    }
+    PaimonRead.deleteTag(spark, dir, "keepme")
+    assert(PaimonRead.rollbackTo(spark, dir, 1L) === Seq(2L))
+    assert(PaimonRead.read(spark, dir).count() === 20)
+
+    // a key-only partial-update table (no value columns) reads as the
+    // key set instead of crashing on an empty aggregate list
+    val dir2 = fresh("keyonly")
+    PaimonRead.commitPk(spark.range(0, 30).select($"id".as("k")),
+      dir2, Seq("k"), options = Map("merge-engine" -> "partial-update"))
+    PaimonRead.commitPk(spark.range(25, 40).select($"id".as("k")),
+      dir2, Seq("k"), assumeKeyUnique = true)
+    assert(PaimonRead.read(spark, dir2).count() === 40)
+
+    // real-flavor totalRecordCount is computed incrementally per
+    // commit — adds minus retires must still equal the live row count
+    val dir3 = fresh("totals")
+    PaimonRead.commitPk(spark.range(0, 60).select($"id".as("k"),
+      $"id".cast("double").as("x")), dir3, Seq("k"),
+      options = Map("manifest.flavor" -> "paimon"))
+    PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"),
+      lit(1.5).as("x")), dir3, Seq("k"), assumeKeyUnique = true)
+    PaimonRead.compact(spark, dir3)
+    val totals = PaimonRead.systemTable(spark, dir3, "snapshots")
+      .orderBy($"snapshot_id")
+      .select($"total_record_count").collect().map(_.getLong(0)).toSeq
+    assert(totals === Seq(60L, 70L, 60L),
+      "incremental totals diverged from adds-minus-retires")
+    assert(PaimonRead.read(spark, dir3).count() === 60)
+  }
+
   test("tags: named snapshots survive expiry and read from their own copy") {
     val dir = fresh("tag")
     PaimonRead.commitPk(spark.range(0, 60).select($"id".as("k"),
