@@ -530,6 +530,21 @@ object SourcesQ extends graft.QueryArea {
     // checkpointMetadata + metaData + protocol(v2Checkpoint) + sidecar
     // actions. Covered JSON commits are deleted, so the read MUST
     // bootstrap manifest → sidecar → DV mask.
+    // FOREIGN-log interop: a REAL Delta-Lake 3.1.0 `_delta_log`
+    // (classic checkpoint parquet at v30 + JSON commit v31 +
+    // `_last_checkpoint`, from the reference's fe test resources —
+    // vendored, metadata-only). The read bootstraps from the real
+    // checkpoint's add rows (map-typed partitionValues, stats JSON)
+    // and replays the JSON tail on top; oracle is the log's literal
+    // per-partition file inventory.
+    "src_delta_foreign_read" -> ((spark, dir) => {
+      val table = graft.sources.Fixtures.dir(spark, "delta_foreign")
+      graft.sources.DeltaRead.inventory(spark, table)
+        .groupBy(col("col_date"))
+        .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"),
+          sum(col("num_records")).as("records"))
+        .orderBy(col("col_date"))
+    }),
     "src_delta_checkpoint_v2" -> ((spark, dir) => {
       val table = tmpDir(dir, "delta_ck2")
       graft.sources.Formats.deleteDir(spark, table)
@@ -1031,9 +1046,9 @@ object SourcesQ extends graft.QueryArea {
     // partition dirs, ORC data files with the PK system columns).
     // Oracle is the fixture's literal content.
     "src_paimon_foreign_read" -> ((spark, dir) => {
-      val fixture = "/root/reference/java-extensions/paimon-reader/src/test/" +
-        "resources/test_paimon_reader/paimon_test.db/" +
-        "spark_sql_created_hive_catalog_paimon_partitioned"
+      val fixture = graft.sources.Fixtures.dir(spark,
+        "test_paimon_reader/paimon_test.db/" +
+          "spark_sql_created_hive_catalog_paimon_partitioned")
       graft.sources.PaimonRead.read(spark, fixture)
         .select(col("uuid"), col("name"), col("price"))
         .orderBy(col("uuid"))
@@ -1256,8 +1271,7 @@ object SourcesQ extends graft.QueryArea {
     // one log file across three commits, overwrite-with-latest
     // payload). Oracle is the fixture's literal merged content.
     "src_hudi_foreign_mor" -> ((spark, dir) => {
-      val table = "/root/reference/java-extensions/hudi-reader/src/test/" +
-        "resources/test_hudi_mor"
+      val table = graft.sources.Fixtures.dir(spark, "test_hudi_mor")
       graft.sources.HudiRead.read(spark, table)
         .select(col("uuid"), col("ts"), col("a"), col("b"),
           element_at(col("c"), 2).as("c2"),
@@ -1989,6 +2003,21 @@ object SourcesQ extends graft.QueryArea {
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+    "src_delta_foreign_read" ->
+      """SELECT col_date, CAST(n AS BIGINT) AS n,
+        |  CAST(bytes AS BIGINT) AS bytes,
+        |  CAST(records AS BIGINT) AS records FROM (VALUES
+        |  ('2023-01-01', 1, 724, 1),  ('2023-01-02', 1, 724, 1),
+        |  ('2023-01-03', 1, 724, 1),  ('2023-01-04', 1, 724, 1),
+        |  ('2023-01-05', 1, 724, 1),  ('2023-01-06', 1, 724, 1),
+        |  ('2023-01-07', 1, 724, 1),  ('2023-01-08', 1, 724, 1),
+        |  ('2023-01-09', 1, 724, 1),  ('2023-01-10', 1, 724, 1),
+        |  ('2023-01-11', 1, 724, 1),  ('2023-01-12', 1, 724, 1),
+        |  ('2024-01-01', 1, 724, 1),  ('2024-01-02', 1, 724, 1),
+        |  ('2024-01-03', 4, 2896, 4), ('2024-01-04', 1, 724, 1),
+        |  ('2024-01-05', 4, 2896, 4), ('2024-01-06', 8, 5792, 8))
+        |  t(col_date, n, bytes, records)
+        |ORDER BY col_date""".stripMargin,
     "src_delta_checkpoint_v2" ->
       """SELECT CAST(o_orderkey % 3 AS INT) AS g, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

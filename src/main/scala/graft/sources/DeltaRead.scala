@@ -90,7 +90,8 @@ object DeltaRead {
     * when the writer attached one (a re-add of the same path replaces
     * the previous descriptor, the protocol's DV-upgrade shape). */
   private case class LiveAdd(path: String, pvals: Map[String, String],
-      size: Long, modTime: Long, dv: Option[DeltaDv.Descriptor] = None)
+      size: Long, modTime: Long, dv: Option[DeltaDv.Descriptor] = None,
+      stats: Option[String] = None)
 
   /** One JSON `add` action into the live map — shared by commit-tail
     * replay and V2 json checkpoint manifests. */
@@ -116,7 +117,9 @@ object DeltaRead {
     live(p) = LiveAdd(p, pvals.toMap,
       if (add.has("size")) add.get("size").asLong(0L) else 0L,
       if (add.has("modificationTime")) add.get("modificationTime").asLong(0L) else 0L,
-      dv)
+      dv,
+      if (add.has("stats") && !add.get("stats").isNull)
+        Some(add.get("stats").asText()) else None)
   }
 
   /** One replay pass: (live adds, partition columns, schema json or
@@ -158,8 +161,12 @@ object DeltaRead {
         val addSchema = rows.schema("add").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val withDv = addSchema.fieldNames.contains("deletionVector")
+        val withStats = addSchema.fieldNames.contains("stats")
         val sel = Seq("add.path", "add.partitionValues", "add.size",
-          "add.modificationTime") ++ (if (withDv) Seq("add.deletionVector") else Nil)
+          "add.modificationTime") ++
+          (if (withDv) Seq("add.deletionVector") else Nil) ++
+          (if (withStats) Seq("add.stats") else Nil)
+        val statsIdx = if (withDv) 5 else 4
         rows.select(sel.head, sel.tail: _*)
           .filter("add is not null and add.path is not null").collect().foreach { r =>
             val pvals = Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty)
@@ -175,10 +182,12 @@ object DeltaRead {
                 d.getAs[Int]("sizeInBytes"),
                 d.getAs[Long]("cardinality")))
             }
+            val stats = if (!withStats || r.isNullAt(statsIdx)) None
+              else Some(r.getString(statsIdx))
             live(p) = LiveAdd(p, pvals,
               if (r.isNullAt(2)) 0L else r.getLong(2),
               if (r.isNullAt(3)) 0L else r.getLong(3),
-              dv)
+              dv, stats)
           }
       }
     }
@@ -262,6 +271,35 @@ object DeltaRead {
   def liveFiles(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): Seq[String] =
     replay(spark, table, versionAsOf)._1.map(_.path)
+
+  /** The snapshot's LIVE FILE inventory as a DataFrame — the metadata
+    * surface a planner plans from: decoded path, one string column per
+    * partition column, the recorded file size, and `num_records`
+    * parsed from the add's stats JSON (null when the writer recorded
+    * none). This is the layer the FOREIGN Delta fixture gate pins: a
+    * real Delta-Lake 3.1.0 `_delta_log` (classic checkpoint parquet +
+    * JSON commit tail) that ships no data parquets, so checkpoint
+    * bootstrap + tail replay are proven against real-engine bytes. */
+  def inventory(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val (adds, partCols, _) = replay(spark, table, versionAsOf)
+    val schema = StructType(
+      (StructField("path", StringType) +:
+        partCols.map(pc => StructField(pc, StringType))) ++
+        Seq(StructField("size", LongType),
+          StructField("stats", StringType, nullable = true)))
+    val rows = adds.map(a => Row.fromSeq(
+      (a.path +: partCols.map(pc => a.pvals.get(pc).orNull)) ++
+        Seq(a.size, a.stats.orNull)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .withColumn("num_records",
+        get_json_object(col("stats"), "$.numRecords").cast("long"))
+      .drop("stats")
+  }
 
   /** Scan the table at a version — a plain parquet read over the live
     * file set, so pushdown/pruning behave exactly as on native data.
@@ -673,7 +711,10 @@ object DeltaRead {
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     val part = f.listStatus(new Path(staging))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-    f.rename(part, new Path(f"$table/_delta_log/$v%020d.checkpoint.parquet"))
+    val ckptPath = new Path(f"$table/_delta_log/$v%020d.checkpoint.parquet")
+    f.delete(ckptPath, false)
+    require(f.rename(part, ckptPath),
+      s"failed to install checkpoint $part -> $ckptPath")
     f.delete(new Path(staging), true)
     val lp = f.create(new Path(s"$table/_delta_log/_last_checkpoint"), true)
     try lp.write(s"""{"version":$v,"size":${rows.size}}""".getBytes("UTF-8"))
@@ -719,7 +760,8 @@ object DeltaRead {
     f.mkdirs(new Path(s"$table/_delta_log/_sidecars"))
     val sidecarPath = new Path(s"$table/_delta_log/_sidecars/$sidecarName")
     f.delete(sidecarPath, false)
-    f.rename(part, sidecarPath)
+    require(f.rename(part, sidecarPath),
+      s"failed to install checkpoint sidecar $part -> $sidecarPath")
     f.delete(new Path(staging), true)
     val sidecarLen = f.getFileStatus(sidecarPath).getLen
     // JSON manifest

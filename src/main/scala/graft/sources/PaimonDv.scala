@@ -65,7 +65,12 @@ object PaimonDv {
         out.writeInt(len)
         out.writeInt(Magic)
         out.write(bytes)
-        val crc = new CRC32(); crc.update(bytes)
+        // paimon's DeletionVectorsIndexFile checksums the FULL vector
+        // payload — the 4 magic bytes then the bitmap (the reference
+        // BE skips CRC entirely, so only real-paimon interop sees it)
+        val crc = new CRC32()
+        crc.update(ByteBuffer.allocate(4).putInt(Magic).array())
+        crc.update(bytes)
         out.writeInt(crc.getValue.toInt)
         ranges += ((dataFile, offset, len.toLong))
         offset += 4L + len + 4L // length field + payload + crc
@@ -92,7 +97,9 @@ object PaimonDv {
       val bytes = new Array[Byte](len - 4)
       in.readFully(bytes)
       val crcRead = in.readInt()
-      val crc = new CRC32(); crc.update(bytes)
+      val crc = new CRC32()
+      crc.update(ByteBuffer.allocate(4).putInt(Magic).array())
+      crc.update(bytes)
       require(crcRead == crc.getValue.toInt,
         s"deletion-vector CRC mismatch at ${desc.indexPath}:${desc.offset}")
       val rb = new RoaringBitmap()

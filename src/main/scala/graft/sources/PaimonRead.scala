@@ -1848,27 +1848,68 @@ object PaimonRead {
           candidates += dataPath(table, e, pKeys))
       }
     }
-    (candidates -- keepData).foreach(p => f.delete(new Path(p), false))
+    deletePaths(spark, (candidates -- keepData).toSeq)
     val mDir = new Path(s"$table/manifest")
-    if (f.exists(mDir)) f.listStatus(mDir).map(_.getPath)
-      .filterNot(p => keepManifests.contains(p.getName))
-      .foreach(p => f.delete(p, false))
+    if (f.exists(mDir)) deletePaths(spark,
+      f.listStatus(mDir).map(_.getPath)
+        .filterNot(p => keepManifests.contains(p.getName))
+        .map(_.toString).toSeq)
     val iDir = new Path(s"$table/index")
-    if (f.exists(iDir)) f.listStatus(iDir).map(_.getPath)
-      .filterNot(p => keepIndex.contains(p.getName))
-      .foreach(p => f.delete(p, false))
+    if (f.exists(iDir)) deletePaths(spark,
+      f.listStatus(iDir).map(_.getPath)
+        .filterNot(p => keepIndex.contains(p.getName))
+        .map(_.toString).toSeq)
     expire.foreach(id =>
       f.delete(new Path(s"$table/snapshot/snapshot-$id"), false))
     expire
   }
 
+  /** Delete a known file set: driver-serial under the threshold, ONE
+    * Spark job past it — a real table's expiry can retire millions of
+    * files, hours of serial driver delete RPCs otherwise. */
+  private def deletePaths(spark: SparkSession, paths: Seq[String],
+      distributeOver: Int = 1024): Unit =
+    if (paths.isEmpty) ()
+    else if (paths.size <= distributeOver) {
+      val f = fs(spark, paths.head)
+      paths.foreach(p => f.delete(new Path(p), false))
+    } else {
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      spark.sparkContext.parallelize(paths, 64).foreachPartition { it =>
+        var lf: org.apache.hadoop.fs.FileSystem = null
+        it.foreach { p =>
+          val hp = new Path(p)
+          if (lf == null) lf = hp.getFileSystem(confB.value.value)
+          lf.delete(hp, false)
+        }
+      }
+    }
+
   /** REMOVE ORPHAN FILES (paimon's `remove_orphan_files`): delete every
     * data / changelog / index / manifest file that NO existing snapshot
     * or tag reaches — the debris a deleted tag or an interrupted commit
     * leaves behind ([[expireSnapshots]] only collects what expired
-    * snapshots referenced). Walks the table tree once, driver-side
-    * metadata only. Returns the deleted paths. */
-  def removeOrphanFiles(spark: SparkSession, table: String): Seq[String] = {
+    * snapshots referenced).
+    *
+    * Files younger than `olderThanMillis` are NEVER swept: a concurrent
+    * writer's staged-but-not-yet-committed data or manifest files
+    * (between the staging rename and the snapshot-JSON create) must
+    * survive the sweep — real paimon gates `remove_orphan_files` on an
+    * `older_than` timestamp for exactly this race. Pass 0 only when the
+    * table provably has a single writer (the specs do).
+    *
+    * 100 TB: the reachability roots are driver metadata (O(snapshots +
+    * manifests)); the per-FILE listing and deletes run as ONE Spark job
+    * over the leaf directories (`manifest/`, `index/`, every
+    * `bucket-*`), so a million-file table pays parallel executor I/O,
+    * not hours of serial driver delete RPCs. Data files are keyed by
+    * NAME (paimon file names are table-unique UUIDs — the same identity
+    * [[compact]] relies on), keeping the broadcast keep-set compact.
+    * Returns the deleted paths. */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+      olderThanMillis: Long = 3600L * 1000L): Seq[String] = {
     val f = fs(spark, table)
     val snapDir = new Path(s"$table/snapshot")
     require(f.exists(snapDir), s"not a paimon table (no snapshot/): $table")
@@ -1885,60 +1926,65 @@ object PaimonRead {
     val keepData = scala.collection.mutable.Set[String]()
     val keepIndex = scala.collection.mutable.Set[String]()
     roots.foreach { s =>
-      val pKeys = schemaById(spark, table, s.schemaId).partitionKeys
       (Seq(s.baseManifestList, s.deltaManifestList) ++
         s.changelogManifestList).foreach { l =>
         keepManifests += l
         readAvro(spark, s"$table/manifest/$l").foreach(lm =>
           keepManifests += lm.get("_FILE_NAME").toString)
+        // every file any root's manifests mention — adds AND deletes
+        // (a file a later snapshot retires is still read by this one)
+        entriesOf(spark, table, l).foreach(e => keepData += e.fileName)
       }
       s.indexManifest.foreach { im =>
         keepManifests += im
         PaimonDv.readIndexManifest(spark, table, im)
           .foreach(e => keepIndex += e.fileName)
       }
-      // every file any root's manifests mention — adds AND deletes
-      // (a file a later snapshot retires is still read by this one)
-      (Seq(s.baseManifestList, s.deltaManifestList) ++
-        s.changelogManifestList).foreach { l =>
-        entriesOf(spark, table, l).foreach(e =>
-          keepData += dataPath(table, e, pKeys))
-      }
     }
-    val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    def sweep(dir: Path, keep: String => Boolean): Unit =
-      if (f.exists(dir)) f.listStatus(dir).map(_.getPath).foreach { p =>
-        if (!p.getName.startsWith(".") && f.getFileStatus(p).isFile &&
-            !keep(p.getName)) {
-          f.delete(p, false); deleted += p.toString
-        }
-      }
-    sweep(new Path(s"$table/manifest"), keepManifests.contains)
-    sweep(new Path(s"$table/index"), keepIndex.contains)
-    // data files live under <partition dirs>/bucket-<n>/
-    val qualified = (p: String) => keepData.contains(p)
-    def walkBuckets(p: Path): Unit =
-      f.listStatus(p).foreach { st =>
+    // leaf dirs to sweep — the driver walks DIRECTORIES only,
+    // O(partitions × buckets) RPCs
+    val leaves = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    if (f.exists(new Path(s"$table/manifest")))
+      leaves += (("manifest", s"$table/manifest"))
+    if (f.exists(new Path(s"$table/index")))
+      leaves += (("index", s"$table/index"))
+    def walkDirs(p: Path): Unit =
+      f.listStatus(p).filter(_.isDirectory).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory && name.startsWith("bucket-"))
-          f.listStatus(st.getPath).filter(_.isFile).map(_.getPath)
-            .foreach { dp =>
-              // reconstruct the table-relative rendering dataPath uses
-              val rel = dp.toString.stripPrefix(
-                f.makeQualified(new Path(table)).toString).stripPrefix("/")
-              val asRef = s"$table/$rel"
-              if (!qualified(asRef) && !qualified(dp.toString)) {
-                f.delete(dp, false); deleted += dp.toString
-              }
-            }
-        else if (st.isDirectory &&
-            !Set("snapshot", "schema", "manifest", "index", "tag")
-              .contains(name) && !name.startsWith("_") &&
+        if (name.startsWith("bucket-"))
+          leaves += (("data", st.getPath.toString))
+        else if (!Set("snapshot", "schema", "manifest", "index", "tag")
+            .contains(name) && !name.startsWith("_") &&
             !name.startsWith("."))
-          walkBuckets(st.getPath)
+          walkDirs(st.getPath)
       }
-    walkBuckets(new Path(table))
-    deleted.toSeq
+    walkDirs(new Path(table))
+    if (leaves.isEmpty) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val keepB = spark.sparkContext.broadcast(
+      (keepManifests.toSet, keepIndex.toSet, keepData.toSet))
+    spark.sparkContext
+      .parallelize(leaves.toSeq, math.min(leaves.size, 64))
+      .flatMap { case (kind, dirStr) =>
+        val p = new Path(dirStr)
+        val lf = p.getFileSystem(confB.value.value)
+        val (km, ki, kd) = keepB.value
+        lf.listStatus(p).iterator.filter(_.isFile).flatMap { st =>
+          val name = st.getPath.getName
+          val kept = name.startsWith(".") ||
+            st.getModificationTime > cutoff ||
+            (kind match {
+              case "manifest" => km.contains(name)
+              case "index" => ki.contains(name)
+              case _ => kd.contains(name)
+            })
+          if (kept) None
+          else { lf.delete(st.getPath, false); Some(st.getPath.toString) }
+        }
+      }.collect().toSeq.sorted
   }
 
   /** Materialize the merged PK state: rewrite every (partition, bucket)

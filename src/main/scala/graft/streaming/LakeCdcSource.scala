@@ -187,8 +187,16 @@ class DeltaCdcSource(spark: SparkSession, table: String,
 
   override val schema: StructType = DeltaCdcSource.cdcSchema(spark, table)
 
-  override protected def currentVersion(): Long =
-    DeltaRead.versions(spark, table).last
+  override protected def currentVersion(): Long = {
+    // a checkpoint-only log (all covered JSON commits vacuumed —
+    // exactly what writeCheckpointV2 leaves behind) has no JSON
+    // versions; the newest checkpoint IS the table version then,
+    // mirroring replay()'s upTo resolution.
+    val vs = DeltaRead.versions(spark, table) ++
+      DeltaRead.checkpointVersions(spark, table)
+    require(vs.nonEmpty, s"no delta commits or checkpoints under $table")
+    vs.max
+  }
 
   override protected def batchDf(from: Long, to: Long): DataFrame = {
     val cols = schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq

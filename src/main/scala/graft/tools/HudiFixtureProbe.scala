@@ -9,8 +9,7 @@ import graft.sources.HudiRead
 object HudiFixtureProbe {
   def main(args: Array[String]): Unit = {
     val table = args.headOption.getOrElse(
-      "/root/reference/java-extensions/hudi-reader/src/test/resources/" +
-        "test_hudi_mor")
+      "src/test/resources/fixtures/test_hudi_mor")
     val spark = Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
     println("instants: " + HudiRead.instants(spark, table))

@@ -10,8 +10,8 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 object PaimonFixtureProbe {
   def main(args: Array[String]): Unit = {
     val table = args.headOption.getOrElse(
-      "/root/reference/java-extensions/paimon-reader/src/test/resources/" +
-        "test_paimon_reader/paimon_test.db/spark_sql_created_hive_catalog_paimon_partitioned")
+      "src/test/resources/fixtures/test_paimon_reader/paimon_test.db/" +
+        "spark_sql_created_hive_catalog_paimon_partitioned")
     def dump(path: String): Unit = {
       println(s"== $path")
       val in = new java.io.FileInputStream(path)

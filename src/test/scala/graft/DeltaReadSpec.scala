@@ -610,4 +610,24 @@ class DeltaReadSpec extends SparkSuite {
       .map(_.getAs[Long]("k")).toSet
     assert(viaPq === viaLog)
   }
+
+  test("FOREIGN interop: a real Delta-Lake 3.1.0 checkpoint bootstraps (map partitionValues, stats, tail replay)") {
+    // vendored real-engine fixture (metadata-only _delta_log): classic
+    // checkpoint parquet at v30 + JSON commit v31 + _last_checkpoint;
+    // every covered JSON commit is absent, so this IS the
+    // checkpoint-bootstrap path against bytes this repo never wrote
+    val table = graft.sources.Fixtures.dir(spark, "delta_foreign")
+    val inv = DeltaRead.inventory(spark, table).collect()
+    assert(inv.length === 31) // 30 checkpoint adds + 1 from the v31 tail
+    assert(inv.forall(_.getAs[Long]("num_records") === 1L))
+    val v31 = inv.filter(_.getAs[String]("path").contains("3c9a556a"))
+    assert(v31.length === 1 &&
+      v31.head.getAs[String]("col_date") === "2024-01-06")
+    // time travel to the checkpoint version excludes the tail add
+    assert(DeltaRead.inventory(spark, table, Some(30L)).count() === 30)
+    // the checkpoint-only version list resolves (ADVICE r10: a
+    // vacuumed log must still report a current version)
+    assert(DeltaRead.versions(spark, table) === Seq(31L))
+    assert(DeltaRead.checkpointVersions(spark, table) === Seq(30L))
+  }
 }

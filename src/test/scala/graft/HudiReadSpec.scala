@@ -249,8 +249,7 @@ class HudiReadSpec extends SparkSuite {
     // pinned real-table fixture from the reference's hudi-reader tests:
     // one base parquet committed by a deltacommit, then THREE real
     // AVRO log blocks appended to ONE log file across three commits
-    val table = "/root/reference/java-extensions/hudi-reader/src/test/resources/test_hudi_mor"
-    assume(new java.io.File(table).isDirectory, "reference fixture not present")
+    val table = graft.sources.Fixtures.dir(spark, "test_hudi_mor")
     assert(HudiRead.instants(spark, table).size === 4)
     val groups = HudiRead.liveGroups(spark, table)
     assert(groups.size === 1)
@@ -278,9 +277,8 @@ class HudiReadSpec extends SparkSuite {
       .collect().head
     assert(dist.getAs[Int]("ts") === 20 && dist.getAs[Int]("a") === 1)
     // second fixture: base-only MoR table reads clean
-    val t2 = "/root/reference/java-extensions/hudi-reader/src/test/resources/test_hudi_mor2"
-    if (new java.io.File(t2).isDirectory)
-      assert(HudiRead.read(spark, t2).count() >= 1)
+    val t2 = graft.sources.Fixtures.dir(spark, "test_hudi_mor2")
+    assert(HudiRead.read(spark, t2).count() >= 1)
   }
 
   test("merge-on-read guards: stale-silent reads impossible, key required") {

@@ -165,12 +165,18 @@ class PaimonMaintSpec extends SparkSuite {
       PaimonRead.readTag(spark, dir, "v1-release")
     }
     val before = PaimonRead.read(spark, dir).orderBy($"k").collect()
-    val orphans = PaimonRead.removeOrphanFiles(spark, dir)
+    // the default 1h olderThan guard protects fresh files — a
+    // concurrent writer's staged-not-yet-committed output looks
+    // exactly like these seconds-old orphans
+    assert(PaimonRead.removeOrphanFiles(spark, dir) === Nil)
+    // olderThanMillis = 0: this spec is the single writer, so the
+    // concurrent-commit guard may be disabled to sweep fresh debris
+    val orphans = PaimonRead.removeOrphanFiles(spark, dir, olderThanMillis = 0L)
     assert(orphans.nonEmpty, "the dropped tag's exclusive runs were orphans")
     assert(PaimonRead.read(spark, dir).orderBy($"k").collect().toSeq ===
       before.toSeq)
     // a second sweep finds nothing
-    assert(PaimonRead.removeOrphanFiles(spark, dir) === Nil)
+    assert(PaimonRead.removeOrphanFiles(spark, dir, olderThanMillis = 0L) === Nil)
   }
 
   test("addColumn: ALTER TABLE ADD COLUMN — null-fill on old runs, evolved compaction, time travel keeps the old shape") {

@@ -169,10 +169,10 @@ class PaimonReadSpec extends SparkSuite {
 
   test("FOREIGN interop: a real paimon-written table reads (BinaryRow partitions, full _FILE struct)") {
     // pinned real-table fixture: written by paimon 0.4 via Spark SQL
-    // (shipped in the reference's paimon-reader tests — read-only here)
-    val fixture = "/root/reference/java-extensions/paimon-reader/src/test/resources/" +
-      "test_paimon_reader/paimon_test.db/spark_sql_created_hive_catalog_paimon_partitioned"
-    assume(new java.io.File(fixture).isDirectory, "reference fixture not present")
+    // (vendored from the reference's paimon-reader tests — read-only)
+    val fixture = graft.sources.Fixtures.dir(spark,
+      "test_paimon_reader/paimon_test.db/" +
+        "spark_sql_created_hive_catalog_paimon_partitioned")
     val df = PaimonRead.read(spark, fixture)
     assert(df.columns.toSeq === Seq("uuid", "name", "price"))
     val got = df.collect()
@@ -246,10 +246,10 @@ class PaimonReadSpec extends SparkSuite {
   }
 
   test("manifest.flavor=paimon: real manifest schemas, byte-identical to the fixture's; reads equal the simplified twin") {
-    val fixtureManifest = "/root/reference/java-extensions/paimon-reader/src/test/" +
-      "resources/test_paimon_reader/paimon_test.db/" +
-      "spark_sql_created_hive_catalog_paimon_partitioned/manifest/" +
-      "manifest-4e7bd2da-30b4-4003-9818-dd61d15c3157-0"
+    val fixtureManifest = graft.sources.Fixtures.dir(spark,
+      "test_paimon_reader/paimon_test.db/" +
+        "spark_sql_created_hive_catalog_paimon_partitioned/manifest/" +
+        "manifest-4e7bd2da-30b4-4003-9818-dd61d15c3157-0")
     val (dReal, dTwin) = (freshTable("realfl"), freshTable("realtw"))
     def build(dir: String, opts: Map[String, String]): Unit = {
       val base = spark.range(0, 60).select($"id".as("k"),
