@@ -627,6 +627,31 @@ object SourcesQ extends graft.QueryArea {
     // reference ICEBERG_TABLE_SINK): Lake commits export spec-shaped
     // Iceberg metadata over the SAME data files (no copies); the
     // protocol reader replays latest + snapshot-id time travel.
+    // REAL-SPEC Iceberg v2 interop (IcebergReal): manifests with the
+    // Java implementation's exact Avro schemas — field-ids 500-519 /
+    // 0-4 / 100-142, ["null",T] optionals, typed r102 partition
+    // records (date = logicalType-date day ordinals), k*_v* bounds
+    // maps, full 15-field manifest_file list entries, and the complete
+    // v2 metadata.json (table-uuid, refs, sort-orders, snapshot-log).
+    // Two commits, carried-forward manifest list; IcebergRead serves
+    // it through the transform index (identity sources live IN the
+    // data files — the ecosystem norm). Oracle is plain orders.
+    "src_iceberg_foreign_read" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_real")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          trunc(to_date(col("o_orderdate")), "year").as("o_year"))
+      graft.sources.IcebergReal.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), table, Seq("o_year"))
+      graft.sources.IcebergReal.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), table, Seq("o_year"))
+      graft.sources.IcebergRead.read(spark, table)
+        .groupBy(year(col("o_year")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("y"))
+    }),
     "src_iceberg_write_read" -> ((spark, dir) => {
       val table = tmpDir(dir, "iceberg_exp")
       graft.sources.Formats.deleteDir(spark, table)
@@ -2477,6 +2502,10 @@ object SourcesQ extends graft.QueryArea {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 1
         |ORDER BY version""".stripMargin,
+    "src_iceberg_foreign_read" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
     "src_iceberg_write_read" ->
       """SELECT 1 AS version, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -64,7 +64,7 @@ object IcebergRead {
       .foldLeft(0L)(math.max) + 1
   }
 
-  private def readAvroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
+  private[graft] def readAvroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
     val f = fs(spark, path)
     val in = f.open(new Path(path))
     val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
@@ -442,6 +442,18 @@ object IcebergRead {
         spark.read.parquet(es.map(_.path): _*)), None)
     val f = fs(spark, table)
     val dataSchema = spark.read.parquet(entries.head.path).schema
+    // the Iceberg NORM keeps identity source columns IN the data files
+    // (partition values are derivable metadata) — real-engine tables
+    // and [[IcebergReal]] look like this; attaching manifest values on
+    // top would duplicate the columns. Prune through the transform
+    // index (identity is a transform) instead of re-attaching; the
+    // attach path below remains for the Lake export's stripped layout.
+    if (specFields.forall { case (c, _) => dataSchema.fieldNames.contains(c) }) {
+      if (deleteFiles.isEmpty && eqDels.isEmpty)
+        return (readTransformIndexed(spark, table, snapshotId)._1, None)
+      return (maskedScan(spark, entries, deleteFiles, eqDels)(es =>
+        spark.read.parquet(es.map(_.path): _*)), None)
+    }
     val partFields = specFields.map { case (c, t) =>
       org.apache.spark.sql.types.StructField(c, sparkTypeOf(t)) }
     val fullSchema = org.apache.spark.sql.types.StructType(
@@ -531,8 +543,11 @@ object IcebergRead {
     val entries = dataFileEntries(spark, table, snapshotId)
     require(entries.nonEmpty, s"snapshot has no data files: $table")
     val spec = partitionSpecFull(spark, table)
-    require(spec.exists(_.transform.kind != "identity"),
-      s"$table has no transform partition fields — use readIndexed")
+    // identity-only specs are served here too when the data files
+    // carry the source columns (the Iceberg norm — [[readIndexed]]
+    // routes them): identity is just the trivial transform
+    require(spec.nonEmpty,
+      s"$table has no partition spec — use readIndexed")
     require(positionDeleteFiles(spark, table, snapshotId).isEmpty &&
       equalityDeleteFiles(spark, table, snapshotId).isEmpty,
       s"$table carries row-level deletes — the masked scan serves it")

@@ -1,0 +1,396 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** REAL-SPEC Iceberg format-v2 writer: emits the exact Avro manifest /
+  * manifest-list schemas and full metadata.json shape the Apache
+  * Iceberg Java implementation writes (spec:
+  * iceberg.apache.org/spec — "Manifests" and "Manifest Lists" tables),
+  * so [[IcebergRead]] is proven against the real on-disk contract, not
+  * just this repo's simplified rendering (the same move
+  * `manifest.flavor=paimon` made for [[PaimonRead]]; the reference
+  * consumes these same files through its iceberg connector,
+  * `fe/fe-core/.../connector/iceberg/IcebergMetadata.java`, and its
+  * metadata scanner reads the identical field names —
+  * `java-extensions/iceberg-metadata-reader/.../IcebergManifestsTableScanner.java:88`
+  * `added_data_files_count` et al.).
+  *
+  * Fidelity points vs the simplified writer:
+  *  - every Avro field carries its spec `field-id` (manifest_file
+  *    500-519, manifest_entry 0-4, data_file 100-142, partition
+  *    fields 1000+); optional fields are `["null", T]` unions;
+  *  - `data_file` is the full v2 struct: content / file_path /
+  *    file_format / typed `r102` partition record (date values as
+  *    `{"type":"int","logicalType":"date"}` day ordinals) /
+  *    record_count / file_size_in_bytes / split_offsets / bounds maps
+  *    in the avro key-value (`k126_v127`, logicalType map) rendering;
+  *  - the manifest list carries all 15 v2 `manifest_file` fields
+  *    including min/sequence numbers, add/exist/delete counts and the
+  *    `r508` partition-summary array with typed bound bytes
+  *    (single-value serialization, little-endian);
+  *  - file-level Avro metadata (`schema`, `partition-spec`,
+  *    `partition-spec-id`, `format-version`, `content`) matches the
+  *    Java writer's keys;
+  *  - metadata.json is the full v2 document: table-uuid, location,
+  *    last-sequence-number, schemas (with field ids), partition-specs,
+  *    sort-orders, refs, snapshot summaries, snapshot-log,
+  *    metadata-log, plus HadoopCatalog's `version-hint.text`.
+  *
+  * Data files keep EVERY source column (the Iceberg norm — partition
+  * values are derivable metadata, not storage), unlike the Lake
+  * export's re-attached layout; [[IcebergRead.readIndexed]] detects
+  * that and prunes through the transform index instead of
+  * re-attaching. Scale: one `partitionBy` staging write (shuffle-free)
+  * + O(files) driver metadata per commit. */
+object IcebergReal {
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def icebergType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType | ShortType | ByteType => "int"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case _ => "string"
+  }
+
+  /** Avro type JSON for a partition-struct field of the given source
+    * type — the typed rendering real manifests carry. */
+  private def avroPartitionType(dt: DataType): String = dt match {
+    case LongType => "\"long\""
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case DoubleType => "\"double\""
+    case FloatType => "\"float\""
+    case BooleanType => "\"boolean\""
+    case _ => "\"string\""
+  }
+
+  /** The typed Avro value for a partition dir-name string. */
+  private def partitionValue(dt: DataType, s: String): AnyRef = dt match {
+    case null => s
+    case LongType => java.lang.Long.valueOf(s)
+    case IntegerType | ShortType | ByteType => Integer.valueOf(s)
+    case DateType => Integer.valueOf(java.time.LocalDate.parse(s)
+      .toEpochDay.toInt)
+    case DoubleType => java.lang.Double.valueOf(s)
+    case FloatType => java.lang.Float.valueOf(s)
+    case BooleanType => java.lang.Boolean.valueOf(s)
+    case _ => s
+  }
+
+  /** Single-value serialization (spec Appendix D) of a partition bound
+    * for the field summaries: little-endian fixed width for numerics /
+    * date, UTF-8 for strings. */
+  private def boundBytes(dt: DataType, v: AnyRef): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    v match {
+      case i: Integer => bb.putInt(i); java.util.Arrays.copyOf(bb.array(), 4)
+      case l: java.lang.Long => bb.putLong(l); bb.array()
+      case d: java.lang.Double => bb.putDouble(d); bb.array()
+      case f: java.lang.Float => bb.putFloat(f); java.util.Arrays.copyOf(bb.array(), 4)
+      case b: java.lang.Boolean => Array[Byte](if (b) 1 else 0)
+      case s => s.toString.getBytes("UTF-8")
+    }
+  }
+
+  private def kvMapSchema(name: String, kId: Int, vId: Int,
+      vType: String): String =
+    s"""["null",{"type":"array","items":{"type":"record","name":"$name","fields":[
+       {"name":"key","type":"int","field-id":$kId},
+       {"name":"value","type":"$vType","field-id":$vId}]},
+       "logicalType":"map"}]"""
+
+  /** The v2 `manifest_entry` Avro schema for a table partitioned by
+    * the given (name, sourceType) identity fields. */
+  private[sources] def manifestEntrySchema(
+      partition: Seq[(String, DataType)]): Schema = {
+    val pFields = partition.zipWithIndex.map { case ((n, dt), i) =>
+      s"""{"name":"$n","type":["null",${avroPartitionType(dt)}],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(s"""
+      {"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","field-id":134},
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"partition","type":{"type":"record","name":"r102","fields":[$pFields]},"field-id":102},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"column_sizes","type":${kvMapSchema("k117_v118", 117, 118, "long")},"default":null,"field-id":108},
+          {"name":"value_counts","type":${kvMapSchema("k119_v120", 119, 120, "long")},"default":null,"field-id":109},
+          {"name":"null_value_counts","type":${kvMapSchema("k121_v122", 121, 122, "long")},"default":null,"field-id":110},
+          {"name":"nan_value_counts","type":${kvMapSchema("k138_v139", 138, 139, "long")},"default":null,"field-id":137},
+          {"name":"lower_bounds","type":${kvMapSchema("k126_v127", 126, 127, "bytes")},"default":null,"field-id":125},
+          {"name":"upper_bounds","type":${kvMapSchema("k129_v130", 129, 130, "bytes")},"default":null,"field-id":128},
+          {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
+          {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+          {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+        ]},"field-id":2}
+      ]}""")
+  }
+
+  /** The v2 `manifest_file` (manifest-list entry) Avro schema. */
+  private[sources] val manifestFileSchema: Schema = new Schema.Parser().parse("""
+    {"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_data_files_count","type":"int","field-id":504},
+      {"name":"existing_data_files_count","type":"int","field-id":505},
+      {"name":"deleted_data_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+        {"name":"contains_null","type":"boolean","field-id":509},
+        {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+        {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+        {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      ]},"element-id":508}],"default":null,"field-id":507},
+      {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":519}
+    ]}""")
+
+  private def writeAvro(spark: SparkSession, path: String, schema: Schema,
+      meta: Seq[(String, String)], records: Seq[GenericRecord]): Long = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(path), true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, out)
+    try records.foreach(w.append) finally w.close()
+    f.getFileStatus(new Path(path)).getLen
+  }
+
+  private def footerRowCount(spark: SparkSession, path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(path), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Iceberg schema JSON (the `schemas` entry / manifest `schema`
+    * metadata) with field ids 1..n in dataframe order. */
+  private def schemaJson(schema: StructType): String = {
+    val mapper = new ObjectMapper()
+    val fields = schema.fields.zipWithIndex.map { case (fl, i) =>
+      s"""{"id":${i + 1},"name":${mapper.writeValueAsString(fl.name)},"required":false,"type":"${icebergType(fl.dataType)}"}"""
+    }.mkString(",")
+    s"""{"type":"struct","schema-id":0,"fields":[$fields]}"""
+  }
+
+  /** APPEND a DataFrame as one real-spec v2 snapshot; identity
+    * partitioning on `partitionCols` (source columns STAY in the data
+    * files). Returns the snapshot id (= sequence number = metadata
+    * version). */
+  def commitAppend(df: DataFrame, table: String,
+      partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val mapper = new ObjectMapper()
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"unknown partition column $c"))
+    val v = IcebergRead.nextVersion(f, table)
+    val snapId = v
+    val seq = v
+    val nowMs = System.currentTimeMillis()
+    f.mkdirs(new Path(s"$table/data"))
+    f.mkdirs(new Path(s"$table/metadata"))
+    val pTypes: Seq[(String, DataType)] =
+      partitionCols.map(c => c -> df.schema(c).dataType)
+
+    // ---- data files: partitionBy on COPIES so sources stay in files
+    val ptAlias = partitionCols.zipWithIndex.map { case (c, i) => s"__pt$i" }
+    val staged = partitionCols.zip(ptAlias).foldLeft(df) {
+      case (d, (c, a)) => d.withColumn(a, col(c))
+    }
+    val staging = s"$table/_staging_real$v"
+    if (ptAlias.isEmpty) staged.write.mode("overwrite").parquet(staging)
+    else staged.write.partitionBy(ptAlias: _*).mode("overwrite")
+      .parquet(staging)
+    // move each part file under data/, capturing its partition values
+    val found = scala.collection.mutable.ArrayBuffer[(String, Seq[String], Long)]()
+    def walk(p: Path, vals: List[String]): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          walk(st.getPath, vals :+ PathNames.unescapePathName(
+            name.substring(name.indexOf('=') + 1)))
+        else if (st.isFile && name.endsWith(".parquet")) {
+          val sub = if (vals.isEmpty) "" else
+            partitionCols.zip(vals).map { case (c, x) => s"$c=$x" }
+              .mkString("", "/", "/")
+          val dest = s"$table/data/$sub${java.util.UUID.randomUUID()}.parquet"
+          f.mkdirs(new Path(dest).getParent)
+          require(f.rename(st.getPath, new Path(dest)),
+            s"failed to install data file $dest")
+          found += ((dest, vals, f.getFileStatus(new Path(dest)).getLen))
+        }
+      }
+    walk(new Path(staging), Nil)
+    f.delete(new Path(staging), true)
+    require(found.nonEmpty, "append produced no data files")
+
+    // ---- manifest avro
+    val entrySchema = manifestEntrySchema(pTypes)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val pSchema = dfSchema.getField("partition").schema()
+    val sj = schemaJson(df.schema)
+    val specFieldsJson = pTypes.zipWithIndex.map { case ((c, _), i) =>
+      val srcId = df.schema.fieldNames.indexOf(c) + 1
+      s"""{"name":${mapper.writeValueAsString(c)},"transform":"identity","source-id":$srcId,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    var totalRows = 0L
+    val entries = found.map { case (path, vals, size) =>
+      val p = new GenericData.Record(pSchema)
+      pTypes.zip(vals).foreach { case ((c, dt), s) =>
+        p.put(c, partitionValue(dt, s)) }
+      val rc = footerRowCount(spark, path)
+      totalRows += rc
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", Int.box(0))
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("partition", p)
+      d.put("record_count", Long.box(rc))
+      d.put("file_size_in_bytes", Long.box(size))
+      val splits = new java.util.ArrayList[java.lang.Long]()
+      splits.add(4L)
+      d.put("split_offsets", splits)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Int.box(1)) // ADDED
+      e.put("snapshot_id", Long.box(snapId))
+      e.put("sequence_number", Long.box(seq))
+      e.put("file_sequence_number", Long.box(seq))
+      e.put("data_file", d)
+      e: GenericRecord
+    }.toSeq
+    val manifestPath =
+      s"$table/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, Seq(
+      "schema" -> sj,
+      "partition-spec" -> s"[$specFieldsJson]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "data"), entries)
+
+    // ---- manifest list: new manifest + carried-forward priors
+    val prior: Seq[GenericRecord] =
+      if (v == 1) Nil
+      else {
+        val prevList = currentManifestList(spark, table)
+        IcebergRead.readAvroRecords(spark, prevList)
+      }
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", manifestPath)
+    mf.put("manifest_length", Long.box(manifestLen))
+    mf.put("partition_spec_id", Int.box(0))
+    mf.put("content", Int.box(0))
+    mf.put("sequence_number", Long.box(seq))
+    mf.put("min_sequence_number", Long.box(seq))
+    mf.put("added_snapshot_id", Long.box(snapId))
+    mf.put("added_data_files_count", Int.box(found.size))
+    mf.put("existing_data_files_count", Int.box(0))
+    mf.put("deleted_data_files_count", Int.box(0))
+    mf.put("added_rows_count", Long.box(totalRows))
+    mf.put("existing_rows_count", Long.box(0L))
+    mf.put("deleted_rows_count", Long.box(0L))
+    if (pTypes.nonEmpty) {
+      val sumSchema = manifestFileSchema.getField("partitions").schema()
+        .getTypes.get(1).getElementType
+      val sums = new java.util.ArrayList[GenericRecord]()
+      pTypes.zipWithIndex.foreach { case ((c, dt), i) =>
+        val typed = found.map(x => partitionValue(dt, x._2(i)))
+        val r = new GenericData.Record(sumSchema)
+        r.put("contains_null", java.lang.Boolean.FALSE)
+        r.put("contains_nan", java.lang.Boolean.FALSE)
+        val ordered = typed.sortBy(_.toString)
+        r.put("lower_bound",
+          java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.head)))
+        r.put("upper_bound",
+          java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.last)))
+        sums.add(r)
+      }
+      mf.put("partitions", sums)
+    }
+    val listPath =
+      s"$table/metadata/snap-$snapId-1-${java.util.UUID.randomUUID()}.avro"
+    writeAvro(spark, listPath, manifestFileSchema, Seq(
+      "format-version" -> "2",
+      "snapshot-id" -> snapId.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> (if (v == 1) "null" else (v - 1).toString)),
+      (mf: GenericRecord) +: prior)
+
+    // ---- metadata.json (full v2 document) + version hint
+    val priorSnaps =
+      if (v == 1) ""
+      else {
+        val node = readMetaNode(spark, table)
+        val sb = new StringBuilder
+        node.get("snapshots").forEach(s => sb.append(s.toString).append(","))
+        sb.toString
+      }
+    val uuid = java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8"))
+    val summary = s"""{"operation":"append","added-data-files":"${found.size}","added-records":"$totalRows","total-records":"$totalRows"}"""
+    val json =
+      s"""{"format-version":2,"table-uuid":"$uuid","location":${mapper.writeValueAsString(table)},
+         |"last-sequence-number":$seq,"last-updated-ms":$nowMs,"last-column-id":${df.schema.size},
+         |"current-schema-id":0,"schemas":[$sj],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],
+         |"last-partition-id":${999 + pTypes.size},
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":{"write.format.default":"parquet"},
+         |"current-snapshot-id":$snapId,
+         |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
+         |"snapshots":[$priorSnaps{"sequence-number":$seq,"snapshot-id":$snapId,"timestamp-ms":$nowMs,"summary":$summary,"manifest-list":${mapper.writeValueAsString(listPath)},"schema-id":0}],
+         |"snapshot-log":[{"timestamp-ms":$nowMs,"snapshot-id":$snapId}],
+         |"metadata-log":[]}""".stripMargin.replace("\n", "")
+    val out = f.create(new Path(s"$table/metadata/v$v.metadata.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val hint = f.create(new Path(s"$table/metadata/version-hint.text"), true)
+    try hint.write(v.toString.getBytes("UTF-8")) finally hint.close()
+    snapId
+  }
+
+  private def currentManifestList(spark: SparkSession,
+      table: String): String = {
+    val node = readMetaNode(spark, table)
+    val cur = node.get("current-snapshot-id").asLong
+    var list: String = null
+    node.get("snapshots").forEach(s =>
+      if (s.get("snapshot-id").asLong == cur)
+        list = s.get("manifest-list").asText())
+    require(list != null, s"current snapshot $cur not in metadata")
+    list
+  }
+
+  private def readMetaNode(spark: SparkSession, table: String) = {
+    val f = fs(spark, table)
+    val in = f.open(IcebergRead.latestMetadata(spark, table))
+    try new ObjectMapper().readTree(in) finally in.close()
+  }
+}

@@ -508,4 +508,54 @@ class IcebergReadSpec extends SparkSuite {
     assert(s2 === 2L)
     assert(IcebergRead.read(spark, table).count() === 2)
   }
+
+  test("REAL-SPEC pinned fixture: full-schema manifests replay; identity prune through the transform index") {
+    import org.apache.spark.sql.functions.col
+    val table = graft.sources.Fixtures.dir(spark, "iceberg_foreign")
+    // replay: 6 rows across 2 commits, 3 date partitions
+    val df = IcebergRead.read(spark, table)
+    val got = df.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("category"), r.getAs[Double]("price"),
+      r.getAs[java.sql.Date]("event_date").toString)).toSet
+    assert(got === Set(
+      (1L, "fruit", 3.5, "2024-01-01"), (2L, "fruit", 4.0, "2024-01-01"),
+      (3L, "tool", 20.5, "2024-01-02"), (4L, "tool", 9.25, "2024-01-02"),
+      (5L, "book", 12.0, "2024-01-03"), (6L, "book", 7.75, "2024-01-03")))
+    // time travel: snapshot 1 sees only the first commit
+    assert(IcebergRead.read(spark, table, Some(1L)).count() === 3)
+    // identity prune: a date equality keeps only that partition's file
+    val (pruned, idx) = IcebergRead.readTransformIndexed(spark, table)
+    assert(pruned.filter(col("event_date") === "2024-01-03")
+      .collect().map(_.getAs[Long]("id")).toSet === Set(5L, 6L))
+    assert(idx.lastSelectedFileCount === 1 && idx.totalFileCount === 4)
+    // the on-disk Avro carries the spec's REAL field-ids and names —
+    // pin the contract so writer/reader drift breaks loudly
+    val lists = IcebergRead.readAvroRecords(spark,
+      s"$table/metadata/snap-2-1-d7e155ca-13fe-4ada-a063-ef3e173b1f96.avro")
+    assert(lists.size === 2) // new manifest + carried-forward prior
+    val listSchema = lists.head.getSchema
+    assert(listSchema.getName === "manifest_file")
+    assert(listSchema.getField("manifest_path").getObjectProp("field-id") === 500)
+    assert(listSchema.getField("min_sequence_number").getObjectProp("field-id") === 516)
+    assert(listSchema.getField("added_data_files_count").getObjectProp("field-id") === 504)
+    assert(lists.map(_.get("sequence_number").asInstanceOf[Long]).toSet === Set(1L, 2L))
+    val manifest = lists.find(_.get("sequence_number") == 2L).get
+      .get("manifest_path").toString
+    val entries = IcebergRead.readAvroRecords(spark, manifest)
+    val entrySchema = entries.head.getSchema
+    assert(entrySchema.getName === "manifest_entry")
+    assert(entrySchema.getField("status").getObjectProp("field-id") === 0)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    assert(dfSchema.getName === "r2")
+    assert(dfSchema.getField("file_path").getObjectProp("field-id") === 100)
+    assert(dfSchema.getField("content").getObjectProp("field-id") === 134)
+    val pSchema = dfSchema.getField("partition").schema()
+    assert(pSchema.getName === "r102")
+    assert(pSchema.getField("event_date").getObjectProp("field-id") === 1000)
+    // the partition value is a TYPED day ordinal, not a string
+    val part = entries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(part.get("event_date").isInstanceOf[Integer])
+  }
 }
