@@ -1126,6 +1126,48 @@ object SourcesQ extends graft.QueryArea {
     // serves THEM — a pure O(changelog) scan, no prior-snapshot
     // derivation. The oracle is identical to src_paimon_changes on a
     // half-size slice, so the feed equivalence is oracle-proven.
+    // changelog-producer = input: the batch rows land directly as
+    // change files (no lookup derivation — the cheap config when the
+    // input already carries complete change semantics). Three
+    // key-disjoint commits, so the input feed equals the derived one;
+    // changes() serves a pure changelog scan.
+    "src_paimon_changelog_input" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_cli")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      (0 to 2).foreach(m => graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 3 === m), table, Seq("o_orderkey"),
+        assumeKeyUnique = true,
+        options = Map("changelog-producer" -> "input")))
+      graft.sources.PaimonRead.changes(spark, table, 0L, 3L)
+        .groupBy(col("__commit_version").as("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("v"))
+    }),
+    // DYNAMIC-BUCKET ('bucket' = '-1') PK table: sticky HASH-index
+    // routing (PaimonHashIndex), buckets filling to the target row
+    // count, CDC derivation still bucket-pruned (stickiness keeps a
+    // touched key's older images in the touched bucket).
+    "src_paimon_dynamic_bucket" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_dyn")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        numBuckets = -1, assumeKeyUnique = true,
+        options = Map("dynamic-bucket.target-row-num" -> "4000"))
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 5 === 2).withColumn("o_totalprice", lit(0.0)),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 10 === 7), table, Seq("o_orderkey"),
+        deletes = true, assumeKeyUnique = true)
+      graft.sources.PaimonRead.read(spark, table)
+        .groupBy((col("o_orderkey") % 4).cast("int").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("g"))
+    }),
     "src_paimon_changelog" -> ((spark, dir) => {
       val table = tmpDir(dir, "paimon_clg")
       graft.sources.Formats.deleteDir(spark, table)
@@ -2390,6 +2432,16 @@ object SourcesQ extends graft.QueryArea {
         |  (2, 'banana', 4.0),
         |  (3, 'cherry', 20.5)) t(uuid, name, price)
         |ORDER BY uuid""".stripMargin,
+    "src_paimon_changelog_input" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) + 1 AS v, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY v""".stripMargin,
+    "src_paimon_dynamic_bucket" ->
+      """SELECT CAST(o_orderkey % 4 AS INT) AS g, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 2 THEN 0.0
+        |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 10 <> 7
+        |GROUP BY 1 ORDER BY g""".stripMargin,
     "src_paimon_changelog" ->
       """WITH odd AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1),

@@ -1,0 +1,184 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Apache Paimon DYNAMIC-BUCKET index (`'bucket' = '-1'` PK tables):
+  * the writer assigns each NEW key to a bucket (filling the last
+  * bucket to `dynamic-bucket.target-row-num`, then opening the next)
+  * and records the assignment in per-(partition, bucket) HASH index
+  * files under `index/` — a raw sequence of 4-byte big-endian ints,
+  * one murmur key-hash per key (paimon's `HashIndexFile` layout). The
+  * snapshot's index manifest lists them with `_INDEX_TYPE = "HASH"`,
+  * beside any deletion-vector entries. Stickiness is the contract: a
+  * key, once assigned, always routes to its bucket, which is what
+  * keeps [[PaimonRead.changes]]'s touched-bucket pruning VALID on
+  * dynamic tables — bucket(key) is no longer a pure hash, but every
+  * older image of a touched key still lives in the bucket the new
+  * write touched.
+  *
+  * 100 TB stance: the existing-key lookup is a distributed join of the
+  * batch's distinct key hashes against the index files (read on
+  * executors, O(index) scan but no driver materialization); only NEW
+  * keys (batch-bounded) and the CHANGED buckets' hash lists (≤
+  * target-row-num ints each, 4 bytes apiece) pass through the driver
+  * for the sequential fill decision — the same shape as paimon's
+  * HashBucketAssigner state. */
+object PaimonHashIndex {
+
+  val IndexType = "HASH"
+
+  final case class HashEntry(partitionJson: String, bucket: Int,
+      fileName: String, rowCount: Long)
+
+  /** The partition rendering used as the index grouping key: sorted-key
+    * JSON of the partition column string values ("{}" unpartitioned) —
+    * self-consistent across commits, which is all the grouping needs. */
+  def partitionJson(p: Map[String, String]): String = {
+    val m = new java.util.LinkedHashMap[String, String]()
+    p.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+    graft.functions.JsonKernel.mapper.writeValueAsString(m)
+  }
+
+  // ---- hash index file io ---------------------------------------------
+
+  def writeHashFile(f: FileSystem, path: Path, hashes: Seq[Int]): Unit = {
+    val out = f.create(path, true)
+    try hashes.foreach(out.writeInt) finally out.close()
+  }
+
+  def readHashFile(f: FileSystem, path: Path): Array[Int] = {
+    val len = f.getFileStatus(path).getLen
+    require(len % 4 == 0, s"hash index $path length $len not 4-aligned")
+    val in = f.open(path)
+    try {
+      val out = new Array[Int]((len / 4).toInt)
+      var i = 0
+      while (i < out.length) { out(i) = in.readInt(); i += 1 }
+      out
+    } finally in.close()
+  }
+
+  /** HASH index entries at a snapshot (empty when none). */
+  def entriesAt(spark: SparkSession, table: String,
+      indexManifest: Option[String]): Seq[HashEntry] =
+    indexManifest.map(n => PaimonDv.readIndexManifest(spark, table, n))
+      .getOrElse(Nil)
+      .filter(_.indexType == IndexType)
+      .map(e => HashEntry(new String(e.partitionBytes, "UTF-8"), e.bucket,
+        e.fileName, e.rowCount))
+
+  /** Assign a bucket to every row of `sys` (the system-column-staged
+    * batch) per the dynamic-bucket contract, and return the pending
+    * index delta: per changed (partitionJson, bucket), the NEW key
+    * hashes. Call [[writeIndex]] with it after the data files stage. */
+  def assignBuckets(spark: SparkSession, table: String,
+      partitionKeys: Seq[String], sys: DataFrame, primaryKeys: Seq[String],
+      targetRows: Long, snapshotIdPrior: Option[Long]):
+      (DataFrame, Map[(String, Int), Seq[Int]]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, hash, lit, map_from_arrays, array, to_json, udf}
+    val pjCol =
+      if (partitionKeys.isEmpty) lit("{}")
+      else to_json(map_from_arrays(
+        array(partitionKeys.sorted.map(lit): _*),
+        array(partitionKeys.sorted.map(k => col(k).cast("string")): _*)))
+    val khash = hash(primaryKeys.map(col): _*)
+    val withKey = sys.withColumn("__pj", pjCol).withColumn("__khash", khash)
+    val prior: Seq[HashEntry] = snapshotIdPrior
+      .map(v => entriesAt(spark, table,
+        PaimonRead.snapshotIndexManifest(spark, table, v)))
+      .getOrElse(Nil)
+    import spark.implicits._
+    // (pj, khash) -> bucket from the index, read on executors
+    val priorAssign: DataFrame =
+      if (prior.isEmpty)
+        Seq.empty[(String, Int, Int)].toDF("__pj", "__khash", "__bucket")
+      else {
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        spark.sparkContext.parallelize(
+            prior.map(e => (e.partitionJson, e.bucket, e.fileName)),
+            math.min(prior.size, 32))
+          .flatMap { case (pj, b, file) =>
+            val p = new Path(s"$table/index/$file")
+            readHashFile(p.getFileSystem(confB.value.value), p)
+              .iterator.map(h => (pj, h, b))
+          }.toDF("__pj", "__khash", "__bucket")
+      }
+    val batchKeys = withKey.select(col("__pj"), col("__khash")).distinct()
+    // defensive: the full-state manifest holds one bucket per hash,
+    // but a duplicate would otherwise FAN OUT the data join below
+    val looked = batchKeys.join(
+      priorAssign.dropDuplicates("__pj", "__khash"),
+      Seq("__pj", "__khash"), "left")
+    // NEW keys: batch-bounded driver collect for the sequential fill
+    val newKeys: Seq[(String, Int)] = looked.filter(col("__bucket").isNull)
+      .select("__pj", "__khash").as[(String, Int)].collect().toSeq
+      .sortBy(identity) // deterministic assignment order
+    val counts = scala.collection.mutable.Map[(String, Int), Long]()
+    prior.foreach(e => counts((e.partitionJson, e.bucket)) =
+      counts.getOrElse((e.partitionJson, e.bucket), 0L) + e.rowCount)
+    val maxBucket = scala.collection.mutable.Map[String, Int]()
+    prior.foreach(e => maxBucket(e.partitionJson) =
+      math.max(maxBucket.getOrElse(e.partitionJson, -1), e.bucket))
+    val newAssign = scala.collection.mutable.LinkedHashMap[(String, Int), Int]()
+    newKeys.foreach { case (pj, h) =>
+      val mb = maxBucket.getOrElse(pj, -1)
+      val b =
+        if (mb >= 0 && counts.getOrElse((pj, mb), 0L) < targetRows) mb
+        else { maxBucket(pj) = mb + 1; mb + 1 }
+      counts((pj, b)) = counts.getOrElse((pj, b), 0L) + 1
+      newAssign((pj, h)) = b
+    }
+    val newB = spark.sparkContext.broadcast(newAssign.toMap)
+    val newLookup = udf((pj: String, h: Int) =>
+      newB.value.get((pj, h)).map(Int.box).orNull)
+    val assigned = looked.withColumn("__bucket",
+      coalesce(col("__bucket"), newLookup(col("__pj"), col("__khash"))))
+    val out = withKey.join(assigned, Seq("__pj", "__khash"))
+    val delta: Map[(String, Int), Seq[Int]] = newAssign.toSeq
+      .groupBy { case ((pj, _), b) => (pj, b) }
+      .map { case (k, xs) => k -> xs.map(_._1._2) }
+    (out, delta)
+  }
+
+  /** Write the post-commit index files + FULL-STATE index manifest:
+    * changed (partition, bucket) groups get a rewritten hash file
+    * (old ∪ new hashes), unchanged HASH entries and every non-HASH
+    * entry (deletion vectors) carry forward verbatim. Returns the
+    * manifest name. */
+  def writeIndex(spark: SparkSession, table: String, id: Long,
+      priorManifest: Option[String],
+      delta: Map[(String, Int), Seq[Int]]): String = {
+    val f = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(s"$table/index"))
+    val old = priorManifest
+      .map(n => PaimonDv.readIndexManifest(spark, table, n)).getOrElse(Nil)
+    val oldHash = old.filter(_.indexType == IndexType)
+    val others = old.filterNot(_.indexType == IndexType)
+    val oldByKey = oldHash.map(e =>
+      (new String(e.partitionBytes, "UTF-8"), e.bucket) -> e).toMap
+    val changedKeys = delta.keySet
+    val kept = oldHash.filterNot(e => changedKeys.contains(
+      (new String(e.partitionBytes, "UTF-8"), e.bucket)))
+    val rewritten = delta.toSeq.sortBy(_._1.toString).zipWithIndex.map {
+      case (((pj, bucket), newHashes), i) =>
+        val oldHashes: Seq[Int] = oldByKey.get((pj, bucket))
+          .map(e => readHashFile(f,
+            new Path(s"$table/index/${e.fileName}")).toSeq)
+          .getOrElse(Nil)
+        val all = oldHashes ++ newHashes
+        val name = f"index-$id%05d-$i"
+        writeHashFile(f, new Path(s"$table/index/$name"), all)
+        PaimonDv.IndexEntry(0, pj.getBytes("UTF-8"), bucket, IndexType,
+          name, f.getFileStatus(new Path(s"$table/index/$name")).getLen,
+          all.size.toLong, Nil)
+    }
+    val manifestName = f"index-manifest-$id%05d"
+    PaimonDv.writeIndexManifest(spark, table, manifestName,
+      others ++ kept ++ rewritten)
+    manifestName
+  }
+}

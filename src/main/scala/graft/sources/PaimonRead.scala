@@ -741,15 +741,22 @@ object PaimonRead {
     * by merging the prior live runs RESTRICTED to the touched keys
     * (broadcast semi-join below the window: scan I/O is the prior
     * file set, but the merge shuffle is O(touched keys)). */
+  private[graft] def snapshotIndexManifest(spark: SparkSession,
+      table: String, id: Long): Option[String] =
+    snapshotOf(spark, table, id).indexManifest
+
   /** Prune a prior live set to the buckets a commit's ADD entries
     * touched — zero extra Spark jobs (the staged batch's entries name
-    * the buckets). Valid for any FIXED-bucket PK table (this writer's
-    * and real paimon's): a key's bucket is a pure function of the key,
-    * so every older image of a touched key lives in one of the touched
-    * buckets (across all partitions — partition is deliberately NOT
-    * pruned, since this reader's merge does not require pk ⊇ partition
-    * keys). Entries with bucket < 0 (paimon's dynamic-bucket mode)
-    * keep the full set. */
+    * the buckets). Valid for FIXED-bucket PK tables (a key's bucket is
+    * a pure hash) AND for DYNAMIC-bucket tables ('bucket' = '-1'):
+    * there the bucket is no longer hash-derivable, but the HASH index
+    * ([[PaimonHashIndex]]) makes assignment STICKY — the writer routed
+    * each touched key to its recorded bucket, so every older image of
+    * a touched key still lives in a touched bucket, and manifest
+    * entries carry the real assigned bucket either way. Partition is
+    * deliberately NOT pruned (this reader's merge does not require
+    * pk ⊇ partition keys). Entries with bucket < 0 (a foreign layout
+    * that records no bucket) keep the full set — nothing to key on. */
   private[graft] def prunePriorToTouchedBuckets(prior: Seq[FileEntry],
       adds: Seq[FileEntry]): Seq[FileEntry] = {
     if (adds.exists(_.bucket < 0) || prior.exists(_.bucket < 0)) return prior
@@ -1374,21 +1381,60 @@ object PaimonRead {
       d.withColumn(s"$KeyPrefix$k", col(k)) }
       .withColumn(SeqCol, lit(id))
       .withColumn(KindCol, lit(if (deletes) 3 else 2).cast("tinyint"))
-      .withColumn("__bucket",
-        pmod(fabs(hash(primaryKeys.map(col): _*)), lit(buckets)))
-    val entries = stageDataFiles(sys, table, id, sch.partitionKeys,
+    // bucket routing: fixed tables hash-mod; DYNAMIC tables
+    // ('bucket' = '-1') route through the sticky HASH index
+    // ([[PaimonHashIndex]]) — existing keys keep their bucket, new
+    // keys fill toward dynamic-bucket.target-row-num
+    val dynamic = buckets == -1
+    val (sysB, idxDelta) =
+      if (!dynamic)
+        (sys.withColumn("__bucket",
+          pmod(fabs(hash(primaryKeys.map(col): _*)), lit(buckets))),
+          Map.empty[(String, Int), Seq[Int]])
+      else {
+        val target = sch.options.get("dynamic-bucket.target-row-num")
+          .map(_.toLong).getOrElse(2000000L)
+        val (assigned, delta) = PaimonHashIndex.assignBuckets(spark, table,
+          sch.partitionKeys, sys, primaryKeys, target,
+          if (id == 1) None else Some(id - 1))
+        (assigned.drop("__pj", "__khash"), delta)
+      }
+    val entries = stageDataFiles(sysB, table, id, sch.partitionKeys,
       Some("__bucket"), id, 0, hiveDirs = realFlavor)
+    // dynamic commits with NEW keys publish a rewritten full-state
+    // index manifest (changed buckets' hash files rewritten, unchanged
+    // HASH + all DV entries carried forward); otherwise inherit
+    val idxManifest: Option[Option[String]] =
+      if (!dynamic || idxDelta.isEmpty) None
+      else Some(Some(PaimonHashIndex.writeIndex(spark, table, id,
+        if (id == 1) None else snapshotIndexManifest(spark, table, id - 1),
+        idxDelta)))
     // changelog-producer = lookup: derive the retraction rows for THIS
     // commit at WRITE time (the paimon lookup producer's deal: the
     // writer pays one touched-key-restricted merge so every subscriber
     // reads ready-made change files at O(changelog) — no prior-set
     // scan per poll)
-    val clEntries =
-      if (sch.options.get("changelog-producer").contains("lookup"))
-        changelogEntriesFor(spark, table, sch, df, primaryKeys, buckets,
-          deletes, id, entries)
-      else Nil
-    commitEntries(spark, table, id, schemaId, entries, "APPEND", clEntries)
+    val clEntries = sch.options.get("changelog-producer") match {
+      case Some("lookup") =>
+        // dynamic tables stage changelog files in one group (bucket
+        // layout of changelog files is cosmetic — changes() scans the
+        // changelog manifest wholesale)
+        changelogEntriesFor(spark, table, sch, df, primaryKeys,
+          math.max(buckets, 1), deletes, id, entries)
+      case Some("input") =>
+        // INPUT producer (paimon's cheap config for append-heavy CDC):
+        // the batch rows ARE the changelog — copied verbatim with
+        // their own row kinds, NO pre-image derivation. Correct when
+        // the input stream already carries complete change semantics
+        // (disjoint-key appends, or upstream CDC with retractions);
+        // an update emits only its new image (+U) here, where lookup
+        // would also emit the -U pre-image.
+        stageDataFiles(sysB, table, id, sch.partitionKeys, Some("__bucket"),
+          id, 0, namePrefix = "changelog", hiveDirs = realFlavor)
+      case _ => Nil
+    }
+    commitEntries(spark, table, id, schemaId, entries, "APPEND", clEntries,
+      indexManifest = idxManifest)
   }
 
   /** Lookup-producer changelog for one [[commitPk]] batch: pre-images
@@ -2099,7 +2145,22 @@ object PaimonRead {
         hiveDirs = sch.options.get("manifest.flavor").contains("paimon"))
     }
     val retires = files.map(_.copy(kind = 1))
+    // the COMPACT snapshot clears the DELETION VECTORS (it applied
+    // them) but must KEEP the dynamic-bucket HASH index — bucket
+    // assignments survive compaction (groups are rewritten in place),
+    // and dropping them would let later commits re-route keys
+    val keptIdx: Option[String] = snapshotOf(spark, table, cur).indexManifest
+      .flatMap { im =>
+        val hash = PaimonDv.readIndexManifest(spark, table, im)
+          .filter(_.indexType == PaimonHashIndex.IndexType)
+        if (hash.isEmpty) None
+        else {
+          val name = f"index-manifest-$id%05d"
+          PaimonDv.writeIndexManifest(spark, table, name, hash)
+          Some(name)
+        }
+      }
     commitEntries(spark, table, id, sch.id, retires ++ adds, "COMPACT",
-      indexManifest = Some(None))
+      indexManifest = Some(keptIdx))
   }
 }

@@ -460,6 +460,44 @@ class PaimonReadSpec extends SparkSuite {
     assert(PaimonRead.read(spark, dcl).count() === PaimonRead.read(spark, ddr).count())
   }
 
+  test("changelog-producer=input: batch rows ARE the changelog; equals derived feed on disjoint appends; updates emit post-image only") {
+    val (din, ddr) = (freshTable("clin"), freshTable("clinref"))
+    def build(dir: String, opts: Map[String, String]): Unit = {
+      PaimonRead.commitPk(spark.range(0, 20).select($"id".as("k"),
+        ($"id" * 2.0).as("x")), dir, Seq("k"), numBuckets = 2,
+        options = opts)                                            // s1
+      PaimonRead.commitPk(spark.range(20, 30).select($"id".as("k"),
+        ($"id" * 3.0).as("x")), dir, Seq("k"), assumeKeyUnique = true) // s2
+      PaimonRead.commitPk(spark.range(30, 35).select($"id".as("k"),
+        lit(0.0).as("x")), dir, Seq("k"), assumeKeyUnique = true)  // s3
+    }
+    build(din, Map("changelog-producer" -> "input"))
+    build(ddr, Map.empty)
+    def feed(dir: String) = PaimonRead.changes(spark, dir, 0, 3).collect()
+      .map(r => (r.getAs[Long]("__commit_version"),
+        r.getAs[String]("__change_type"), r.getAs[Long]("k"),
+        r.getAs[Double]("x"))).toSet
+    // disjoint-key appends: the input changelog IS the derived feed
+    assert(feed(din) === feed(ddr))
+    // the input path wrote real change files (no derivation window)
+    val snapText = {
+      val src = scala.io.Source.fromFile(s"$din/snapshot/snapshot-2")
+      try src.mkString finally src.close()
+    }
+    assert(snapText.contains("\"changelogManifestList\":\"manifest-list-"))
+    // an UPDATE emits only its post-image under input (the documented
+    // cheap-config contract), where derivation emits delete+insert
+    PaimonRead.commitPk(Seq((3L, -9.0)).toDF("k", "x"), din, Seq("k"),
+      assumeKeyUnique = true)                                      // s4
+    val upd = PaimonRead.changes(spark, din, 3, 4).collect()
+      .map(r => (r.getAs[String]("__change_type"), r.getAs[Long]("k")))
+    assert(upd.toSeq === Seq(("insert", 3L)))
+    // snapshot reads unaffected
+    assert(PaimonRead.read(spark, din).count() === 35)
+    assert(PaimonRead.read(spark, din).filter($"k" === 3L)
+      .head().getDouble(1) === -9.0)
+  }
+
   test("changes: retraction contract over PK snapshots; COMPACT emits nothing; poll subscribes") {
     import graft.streaming.ChangeFeed
     val dir = freshTable("chg")
