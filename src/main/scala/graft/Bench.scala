@@ -91,9 +91,17 @@ object Bench {
 
     // optional arg (local dev only): comma-separated query-name filter
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
-    val results = all.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
-      .map(n => n -> warmAvg(n))
+    // EXECUTION order: warmed (baseline-comparable) families first,
+    // then the gate queries. Alphabetical execution put tpcds_*/xb_*
+    // LAST, so once the growing flight crossed the in-run budget those
+    // exact families lost their warm-up and read 1.6-2x inflated —
+    // the r10 "flight drift" was mostly this, not box load. Warmed
+    // families total well under the budget, so they now always warm;
+    // the unwarmed tail is deadline-insensitive by construction.
+    val names = all.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+    val (warmedNames, coldNames) = names.partition(warmed.matches(_))
+    val results0 = (warmedNames ++ coldNames).map(n => n -> warmAvg(n))
+    val results = results0.sortBy(_._1)
 
     def r3(v: Double): String = // Locale.ROOT: a comma decimal mark would break the JSON
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -30,7 +30,7 @@ object Aggregates extends graft.QueryArea {
         |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sqp,
         |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sqd,
         |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS spd
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey % 2 = 0)
         |SELECT pair, round(num / sqrt(dx * dy), 6) AS corr FROM (
         |  SELECT pair,
         |    CASE pair WHEN 'quantity_price' THEN n * sqp - sq * sp

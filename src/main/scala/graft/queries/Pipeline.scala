@@ -269,7 +269,7 @@ object Pipeline extends graft.QueryArea {
       // full-SF minhash timing + recall floor continue as
       // xb_minhash_cand_recall_fullsf in Bench
       val d = t(spark, dir, "documents")
-        .filter(col("doc_id") % 2 === 0)
+        .filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
       val near = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -1270,11 +1270,11 @@ object Pipeline extends graft.QueryArea {
     // stage so boundary pairs agree bit-for-bit.
     "dedup_minhash" ->
       s"""WITH planted AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 100000, concat('zzz ', text) FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 100000, concat('zzz ', text) FROM documents WHERE doc_id % 30 = 0
         |  UNION ALL
-        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 6),
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 30 = 6),
         |sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(

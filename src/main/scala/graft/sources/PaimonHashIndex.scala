@@ -72,10 +72,15 @@ object PaimonHashIndex {
     * batch) per the dynamic-bucket contract, and return the pending
     * index delta: per changed (partitionJson, bucket), the NEW key
     * hashes. Call [[writeIndex]] with it after the data files stage. */
+  /** Returns (bucketed rows, index delta, cached lookup frame). The
+    * caller MUST unpersist the third element once the bucketed rows
+    * are materialized — the lookup (one distributed index join) is
+    * consumed by three downstream branches and would otherwise
+    * re-read and re-join the whole index per branch. */
   def assignBuckets(spark: SparkSession, table: String,
       partitionKeys: Seq[String], sys: DataFrame, primaryKeys: Seq[String],
       targetRows: Long, snapshotIdPrior: Option[Long]):
-      (DataFrame, Map[(String, Int), Seq[Int]]) = {
+      (DataFrame, Map[(String, Int), Seq[Int]], DataFrame) = {
     import org.apache.spark.sql.functions.{coalesce, col, hash, lit, map_from_arrays, array, to_json, udf}
     val pjCol =
       if (partitionKeys.isEmpty) lit("{}")
@@ -107,40 +112,60 @@ object PaimonHashIndex {
           }.toDF("__pj", "__khash", "__bucket")
       }
     val batchKeys = withKey.select(col("__pj"), col("__khash")).distinct()
-    // defensive: the full-state manifest holds one bucket per hash,
-    // but a duplicate would otherwise FAN OUT the data join below
-    val looked = batchKeys.join(
-      priorAssign.dropDuplicates("__pj", "__khash"),
-      Seq("__pj", "__khash"), "left")
-    // NEW keys: batch-bounded driver collect for the sequential fill
-    val newKeys: Seq[(String, Int)] = looked.filter(col("__bucket").isNull)
-      .select("__pj", "__khash").as[(String, Int)].collect().toSeq
-      .sortBy(identity) // deterministic assignment order
-    val counts = scala.collection.mutable.Map[(String, Int), Long]()
-    prior.foreach(e => counts((e.partitionJson, e.bucket)) =
-      counts.getOrElse((e.partitionJson, e.bucket), 0L) + e.rowCount)
-    val maxBucket = scala.collection.mutable.Map[String, Int]()
-    prior.foreach(e => maxBucket(e.partitionJson) =
-      math.max(maxBucket.getOrElse(e.partitionJson, -1), e.bucket))
-    val newAssign = scala.collection.mutable.LinkedHashMap[(String, Int), Int]()
-    newKeys.foreach { case (pj, h) =>
-      val mb = maxBucket.getOrElse(pj, -1)
-      val b =
-        if (mb >= 0 && counts.getOrElse((pj, mb), 0L) < targetRows) mb
-        else { maxBucket(pj) = mb + 1; mb + 1 }
-      counts((pj, b)) = counts.getOrElse((pj, b), 0L) + 1
-      newAssign((pj, h)) = b
-    }
-    val newB = spark.sparkContext.broadcast(newAssign.toMap)
-    val newLookup = udf((pj: String, h: Int) =>
-      newB.value.get((pj, h)).map(Int.box).orNull)
-    val assigned = looked.withColumn("__bucket",
-      coalesce(col("__bucket"), newLookup(col("__pj"), col("__khash"))))
+    // join SHAPE matters at scale: the index is O(table keys), the
+    // batch is O(batch) — broadcast the batch keys and stream the
+    // index ONCE through a broadcast-hash join (no index shuffle),
+    // leaving batch-scale frames for everything downstream.
+    // dropDuplicates is defensive (the full-state manifest holds one
+    // bucket per hash; a duplicate would fan out the data join).
+    import org.apache.spark.sql.functions.broadcast
+    val hit = priorAssign
+      .join(broadcast(batchKeys), Seq("__pj", "__khash"), "left_semi")
+      .dropDuplicates("__pj", "__khash")
+    val looked = batchKeys.join(hit, Seq("__pj", "__khash"), "left")
+      .persist()
+    looked.count() // ONE index read, shared by every branch below
+    // NEW keys assign DISTRIBUTED: rank within partition by hash (one
+    // window shuffle — deterministic), ranks fill the partition's tail
+    // bucket to target, then open `target`-sized buckets. The driver
+    // holds only O(partitions) tail state; a 16M-key base ingest never
+    // materializes keys driver-side.
+    val tailState: Map[String, (Int, Long)] = prior
+      .groupBy(_.partitionJson).map { case (pj, es) =>
+        val counts = es.groupBy(_.bucket).view
+          .mapValues(_.map(_.rowCount).sum).toMap
+        val mb = counts.keys.max
+        pj -> (mb, counts(mb))
+      }
+    val stB = spark.sparkContext.broadcast(tailState)
+    val tgt = targetRows
+    val assignNew = udf((pj: String, r: Long) => {
+      val (mb, tc) = stB.value.getOrElse(pj, (-1, 0L))
+      val cap = if (mb >= 0 && tc < tgt) tgt - tc else 0L
+      if (mb >= 0 && r < cap) mb
+      else (mb + 1 + (r - cap) / tgt).toInt
+    })
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pj")).orderBy(col("__khash"))
+    val newAssigned = looked.filter(col("__bucket").isNull)
+      .select(col("__pj"), col("__khash"))
+      .withColumn("__r",
+        org.apache.spark.sql.functions.row_number().over(wnd)
+          .cast("long") - 1)
+      .withColumn("__bucket", assignNew(col("__pj"), col("__r")))
+      .drop("__r")
+    val assigned = looked.filter(col("__bucket").isNotNull)
+      .unionByName(newAssigned)
     val out = withKey.join(assigned, Seq("__pj", "__khash"))
-    val delta: Map[(String, Int), Seq[Int]] = newAssign.toSeq
-      .groupBy { case ((pj, _), b) => (pj, b) }
-      .map { case (k, xs) => k -> xs.map(_._1._2) }
-    (out, delta)
+    // index delta: the new hashes per changed bucket — O(new keys)
+    // ints through the driver, the same order as the manifest write
+    import org.apache.spark.sql.functions.collect_list
+    val delta: Map[(String, Int), Seq[Int]] = newAssigned
+      .groupBy(col("__pj"), col("__bucket"))
+      .agg(collect_list(col("__khash")).as("hs"))
+      .as[(String, Int, Seq[Int])].collect()
+      .map { case (pj, b, hs) => (pj, b) -> hs }.toMap
+    (out, delta, looked)
   }
 
   /** Write the post-commit index files + FULL-STATE index manifest:

@@ -1386,21 +1386,24 @@ object PaimonRead {
     // ([[PaimonHashIndex]]) — existing keys keep their bucket, new
     // keys fill toward dynamic-bucket.target-row-num
     val dynamic = buckets == -1
-    val (sysB, idxDelta) =
+    val (sysB, idxDelta, lookupCache) =
       if (!dynamic)
         (sys.withColumn("__bucket",
           pmod(fabs(hash(primaryKeys.map(col): _*)), lit(buckets))),
-          Map.empty[(String, Int), Seq[Int]])
+          Map.empty[(String, Int), Seq[Int]],
+          None: Option[DataFrame])
       else {
         val target = sch.options.get("dynamic-bucket.target-row-num")
           .map(_.toLong).getOrElse(2000000L)
-        val (assigned, delta) = PaimonHashIndex.assignBuckets(spark, table,
-          sch.partitionKeys, sys, primaryKeys, target,
+        val (assigned, delta, cache) = PaimonHashIndex.assignBuckets(spark,
+          table, sch.partitionKeys, sys, primaryKeys, target,
           if (id == 1) None else Some(id - 1))
-        (assigned.drop("__pj", "__khash"), delta)
+        (assigned.drop("__pj", "__khash"), delta, Some(cache))
       }
-    val entries = stageDataFiles(sysB, table, id, sch.partitionKeys,
-      Some("__bucket"), id, 0, hiveDirs = realFlavor)
+    val entries =
+      try stageDataFiles(sysB, table, id, sch.partitionKeys,
+        Some("__bucket"), id, 0, hiveDirs = realFlavor)
+      finally lookupCache.foreach(_.unpersist())
     // dynamic commits with NEW keys publish a rewritten full-state
     // index manifest (changed buckets' hash files rewritten, unchanged
     // HASH + all DV entries carried forward); otherwise inherit

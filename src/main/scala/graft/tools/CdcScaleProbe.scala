@@ -35,8 +35,8 @@ object CdcScaleProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    println("| rows | files | changed rows | changes() s | snapshotDiff s |")
-    println("|---|---|---|---|---|")
+    println("| rows | files | changed rows | changes() s | snapshotDiff s | stream drain s |")
+    println("|---|---|---|---|---|---|")
     for (n <- sizes) {
       val nFiles = math.max(8, (n / 500000L).toInt)
       val dir = java.nio.file.Files.createTempDirectory("cdc_probe").toString
@@ -51,8 +51,21 @@ object CdcScaleProbe {
         .groupBy($"__change_type").count().collect().map(_.getLong(1)).sum)
       val (_, tDiff) = time(Lake.snapshotDiff(spark, dir, "k", 1, 2)
         .filter($"status" =!= "unchanged").count())
+      // STREAMING source drain of the same commit delta: one
+      // micro-batch over (1, 2] via graft-lake-cdc — its wall must
+      // track the COMMIT DELTA (changes() above), not the base size;
+      // the gap over tChanges is the fixed micro-batch + checkpoint
+      // machinery cost per poll
+      val (_, tStream) = time {
+        val q = spark.readStream.format("graft-lake-cdc")
+          .option("table", dir).option("startingVersion", "1").load()
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$dir/_probe_ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
 
-      println(f"| ${n}%d | $nFiles%d | $c1%d | $tChanges%.1f | $tDiff%.1f |")
+      println(f"| ${n}%d | $nFiles%d | $c1%d | $tChanges%.1f | $tDiff%.1f | $tStream%.1f |")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
     spark.stop()

@@ -55,7 +55,11 @@ object DumpPlans {
       "src_hudi_values_only" -> "Hudi values-only partitionPath: positional columns from hoodie.properties through the manifest-backed index — partition filters prune files before the scan",
       "src_paimon_dv_delete" -> "Paimon deletion-vector read: DV'd files masked by a (file, row_index) filter BELOW the merge window, DV-free files kept on the clean whole-stage-codegen scan",
       "src_delta_checkpoint_v2" -> "Delta V2 checkpoint bootstrap: UUID manifest → one sidecar add-parquet scan → DV mask — no JSON commit replay",
-      "src_paimon_add_column" -> "Paimon evolved read: mixed-schema runs union under mergeSchema, the added column null-fills below the PK merge window")
+      "src_paimon_add_column" -> "Paimon evolved read: mixed-schema runs union under mergeSchema, the added column null-fills below the PK merge window",
+      "src_delta_foreign_read" -> "FOREIGN Delta 3.1.0 log (real classic checkpoint + JSON tail, metadata-only): inventory is a LocalRelation of the replayed adds — stats parse + per-partition rollup, no data scan by construction",
+      "src_iceberg_foreign_read" -> "REAL-SPEC Iceberg v2 read (full-schema Avro manifests, typed r102 partition values): identity sources live IN the data files, scan routes through the transform FileIndex — no column re-attachment, prune at listFiles",
+      "src_paimon_dynamic_bucket" -> "Paimon dynamic-bucket read: sticky HASH-index routed buckets scan exactly like fixed ones — live runs per bucket, ONE merge window; CDC derivation still prunes prior files to touched buckets",
+      "src_paimon_changelog_input" -> "Paimon changelog-producer=input feed: batch rows ARE the change files — pure changelog scan per version, no lookup derivation, no merge window")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -29,8 +29,8 @@ object PaimonScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    println("| base rows | ingest s (3 commits) | MoR read s | chg full s | chg 1-key s | compact s | post-compact read s | dv delete s | post-dv read s |")
-    println("|---|---|---|---|---|---|---|---|---|")
+    println("| base rows | ingest s (3 commits) | MoR read s | chg full s | chg 1-key s | compact s | post-compact read s | dv delete s | post-dv read s | gc s | post-gc read s |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|")
     for (n <- sizes) {
       val table = s"${System.getProperty("java.io.tmpdir")}/graft_paimon_probe_$n"
       graft.sources.Formats.deleteDir(spark, table)
@@ -65,7 +65,16 @@ object PaimonScaleProbe {
       val dvDel = time(PaimonRead.deleteWhereDv(spark, table,
         $"k" >= 30000L && $"k" < 40000L))
       val postDv = readWall()
-      println(f"| $n | $ingest%.1f | $mor%.2f | $chgFull%.2f | $chgOne%.2f | $comp%.1f | $post%.2f | $dvDel%.2f | $postDv%.2f |")
+      // GC: expire everything but the latest snapshot, then the orphan
+      // sweep (r11: reachability roots on the driver, per-file listing
+      // + deletes as ONE Spark job over the leaf dirs) — wall must be
+      // ≤ linear per decade, not driver-RPC-serial
+      val gc = time {
+        PaimonRead.expireSnapshots(spark, table, retainLast = 1)
+        PaimonRead.removeOrphanFiles(spark, table, olderThanMillis = 0L)
+      }
+      val postGc = readWall()
+      println(f"| $n | $ingest%.1f | $mor%.2f | $chgFull%.2f | $chgOne%.2f | $comp%.1f | $post%.2f | $dvDel%.2f | $postDv%.2f | $gc%.1f | $postGc%.2f |")
       graft.sources.Formats.deleteDir(spark, table)
     }
     spark.stop()
