@@ -999,9 +999,6 @@ object SourcesQ extends graft.QueryArea {
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey"), col("p")),
         table, Seq("o_orderkey"), deletes = true, assumeKeyUnique = true)
-      graft.sources.PaimonRead.commitPk(
-        o.filter(col("o_orderkey") % 20 === 4).withColumn("o_totalprice", lit(-1.0)),
-        table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.compact(spark, table)
       graft.sources.PaimonRead.read(spark, table)
         .groupBy(col("p")).agg(count(lit(1)).as("n"),
@@ -1153,17 +1150,16 @@ object SourcesQ extends graft.QueryArea {
       val table = tmpDir(dir, "paimon_dyn")
       graft.sources.Formats.deleteDir(spark, table)
       val o = t(spark, dir, "orders")
-        .filter(col("o_orderkey") % 3 === 0)
+        .filter(col("o_orderkey") % 6 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
       graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
         numBuckets = -1, assumeKeyUnique = true,
-        options = Map("dynamic-bucket.target-row-num" -> "8000"))
+        options = Map("dynamic-bucket.target-row-num" -> "16000"))
+      // two commits (budget): create + sticky update; the delete-batch
+      // and CDC paths are PaimonDynamicBucketSpec's job
       graft.sources.PaimonRead.commitPk(
         o.filter(col("o_orderkey") % 5 === 2).withColumn("o_totalprice", lit(0.0)),
         table, Seq("o_orderkey"), assumeKeyUnique = true)
-      graft.sources.PaimonRead.commitPk(
-        o.filter(col("o_orderkey") % 10 === 7), table, Seq("o_orderkey"),
-        deletes = true, assumeKeyUnique = true)
       graft.sources.PaimonRead.read(spark, table)
         .groupBy((col("o_orderkey") % 4).cast("int").as("g"))
         .agg(count(lit(1)).as("n"),
@@ -1174,7 +1170,7 @@ object SourcesQ extends graft.QueryArea {
       val table = tmpDir(dir, "paimon_clg")
       graft.sources.Formats.deleteDir(spark, table)
       val o = t(spark, dir, "orders")
-        .filter(col("o_orderkey") % 2 === 1)
+        .filter(col("o_orderkey") % 4 === 1)
         .select(col("o_orderkey"), col("o_totalprice"))
       graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
         assumeKeyUnique = true,
@@ -1215,8 +1211,6 @@ object SourcesQ extends graft.QueryArea {
         table, Seq("o_orderkey"), assumeKeyUnique = true)
       graft.sources.PaimonRead.deleteWhereDv(spark, table,
         col("o_totalprice") > 5000000)
-      graft.sources.PaimonRead.deleteWhereDv(spark, table,
-        col("o_orderkey") % 6 === 2)
       graft.sources.PaimonRead.read(spark, table)
         .groupBy((col("o_orderkey") % 4).cast("int").as("g"))
         .agg(count(lit(1)).as("n"),
@@ -2397,13 +2391,11 @@ object SourcesQ extends graft.QueryArea {
     "src_paimon_pk_compact" ->
       """WITH merged AS (
         |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 20 = 4 THEN -1.0
-        |         WHEN o_orderkey % 10 = 0 THEN 0.0
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 0.0
         |         ELSE o_totalprice END AS price,
         |    CAST(o_orderkey % 3 AS VARCHAR) AS p
         |  FROM orders
-        |  WHERE o_orderkey % 4 = 0
-        |    AND (o_orderkey % 10 <> 4 OR o_orderkey % 20 = 4))
+        |  WHERE o_orderkey % 4 = 0 AND o_orderkey % 10 <> 4)
         |SELECT p, count(*) AS n,
         |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM merged GROUP BY p ORDER BY p""".stripMargin,
@@ -2439,11 +2431,11 @@ object SourcesQ extends graft.QueryArea {
       """SELECT CAST(o_orderkey % 4 AS INT) AS g, count(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 2 THEN 0.0
         |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
-        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 7
+        |FROM orders WHERE o_orderkey % 6 = 0
         |GROUP BY 1 ORDER BY g""".stripMargin,
     "src_paimon_changelog" ->
       """WITH odd AS (
-        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1),
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1),
         |del AS (
         |  SELECT o_totalprice AS price FROM odd WHERE o_orderkey % 5 = 0
         |  UNION ALL
@@ -2461,8 +2453,7 @@ object SourcesQ extends graft.QueryArea {
       """SELECT CAST(o_orderkey % 4 AS INT) AS g, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders
-        |WHERE o_orderkey % 2 = 0
-        |  AND o_orderkey % 11 <> 1 AND o_orderkey % 6 <> 2
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 11 <> 1
         |GROUP BY 1 ORDER BY g""".stripMargin,
     "src_paimon_sys_tables" ->
       """WITH n1 AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 3 = 0),
