@@ -1166,6 +1166,39 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("g"))
     }),
+    // BRANCHES (the reference routes `tbl$branch_xxx` identifiers —
+    // PaimonMetadata.java:610-616): fork metadata at snapshot 1,
+    // commit divergent data to the branch, read both sides — the
+    // branch resolves fork-point manifests from the main tree (no
+    // copies) and stages its own data in the shared tree.
+    "src_paimon_branch" -> ((spark, dir) => {
+      val table = tmpDir(dir, "paimon_br")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.PaimonRead.commitPk(o, table, Seq("o_orderkey"),
+        assumeKeyUnique = true)
+      graft.sources.PaimonRead.createBranch(spark, table, "dev", Some(1L))
+      // main moves on; the branch zeroes a slice instead
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 8 === 2)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        table, Seq("o_orderkey"), assumeKeyUnique = true)
+      graft.sources.PaimonRead.commitPk(
+        o.filter(col("o_orderkey") % 8 === 6).withColumn("o_totalprice", lit(0.0)),
+        graft.sources.PaimonRead.branchRoot(table, "dev"), Seq("o_orderkey"),
+        assumeKeyUnique = true)
+      val main = graft.sources.PaimonRead.read(spark, table)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .select(lit("main").as("side"), col("n"), col("total"))
+      val branch = graft.sources.PaimonRead.readBranch(spark, table, "dev")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .select(lit("branch").as("side"), col("n"), col("total"))
+      branch.unionByName(main).orderBy(col("side"))
+    }),
     "src_paimon_changelog" -> ((spark, dir) => {
       val table = tmpDir(dir, "paimon_clg")
       graft.sources.Formats.deleteDir(spark, table)
@@ -2433,6 +2466,20 @@ object SourcesQ extends graft.QueryArea {
         |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 6 = 0
         |GROUP BY 1 ORDER BY g""".stripMargin,
+    "src_paimon_branch" ->
+      """WITH s AS (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_orderkey % 4 = 2)
+        |SELECT 'branch' AS side, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 8 = 6 THEN 0.0
+        |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM s
+        |UNION ALL
+        |SELECT 'main', count(*),
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 8 = 2
+        |    THEN o_totalprice + 1000
+        |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM s
+        |ORDER BY side""".stripMargin,
     "src_paimon_changelog" ->
       """WITH odd AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1),

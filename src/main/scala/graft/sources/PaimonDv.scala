@@ -226,7 +226,8 @@ object PaimonDv {
   def readIndexManifest(spark: SparkSession, table: String,
       name: String): Seq[IndexEntry] = {
     import scala.jdk.CollectionConverters._
-    PaimonRead.readAvroFile(spark, s"$table/manifest/$name").map { r =>
+    PaimonRead.readAvroFile(spark,
+      PaimonRead.manifestPath(spark, table, name)).map { r =>
       def num(v: Any, dflt: Long): Long = v match {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()
@@ -285,7 +286,7 @@ object PaimonDv {
           }
         live.values.flatMap { e =>
           e.ranges.map { case (df, off, len) =>
-            df -> Desc(s"$table/index/${e.fileName}", off, len)
+            df -> Desc(s"${PaimonRead.dataRoot(table)}/index/${e.fileName}", off, len)
           }
         }.toMap
     }

@@ -106,7 +106,7 @@ object PaimonHashIndex {
             prior.map(e => (e.partitionJson, e.bucket, e.fileName)),
             math.min(prior.size, 32))
           .flatMap { case (pj, b, file) =>
-            val p = new Path(s"$table/index/$file")
+            val p = new Path(s"${PaimonRead.dataRoot(table)}/index/$file")
             readHashFile(p.getFileSystem(confB.value.value), p)
               .iterator.map(h => (pj, h, b))
           }.toDF("__pj", "__khash", "__bucket")
@@ -178,7 +178,7 @@ object PaimonHashIndex {
       delta: Map[(String, Int), Seq[Int]]): String = {
     val f = new Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    f.mkdirs(new Path(s"$table/index"))
+    f.mkdirs(new Path(s"${PaimonRead.dataRoot(table)}/index"))
     val old = priorManifest
       .map(n => PaimonDv.readIndexManifest(spark, table, n)).getOrElse(Nil)
     val oldHash = old.filter(_.indexType == IndexType)
@@ -192,13 +192,13 @@ object PaimonHashIndex {
       case (((pj, bucket), newHashes), i) =>
         val oldHashes: Seq[Int] = oldByKey.get((pj, bucket))
           .map(e => readHashFile(f,
-            new Path(s"$table/index/${e.fileName}")).toSeq)
+            new Path(s"${PaimonRead.dataRoot(table)}/index/${e.fileName}")).toSeq)
           .getOrElse(Nil)
         val all = oldHashes ++ newHashes
         val name = f"index-$id%05d-$i"
-        writeHashFile(f, new Path(s"$table/index/$name"), all)
+        writeHashFile(f, new Path(s"${PaimonRead.dataRoot(table)}/index/$name"), all)
         PaimonDv.IndexEntry(0, pj.getBytes("UTF-8"), bucket, IndexType,
-          name, f.getFileStatus(new Path(s"$table/index/$name")).getLen,
+          name, f.getFileStatus(new Path(s"${PaimonRead.dataRoot(table)}/index/$name")).getLen,
           all.size.toLong, Nil)
     }
     val manifestName = f"index-manifest-$id%05d"

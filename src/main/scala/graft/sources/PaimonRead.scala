@@ -61,6 +61,39 @@ object PaimonRead {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- branches (paimon's branch/branch-<name>/ metadata trees) ------
+  // A branch is a full METADATA root (snapshot/schema/manifest/tag)
+  // forked from a snapshot or tag; DATA files (and the DV / hash index
+  // files beside them) are SHARED under the MAIN table root — branch
+  // manifests reference them by the same partition/bucket paths, and
+  // branch commits stage new data there too, with branch-prefixed file
+  // names so the deterministic-name contract stays collision-free
+  // across main and branches. Manifest names resolve branch-first with
+  // main fallback, so a fresh branch reads its fork point without
+  // copying manifests. (The reference routes `table$branch_xxx`
+  // identifiers — fe/.../connector/paimon/PaimonMetadata.java:610-616.)
+  def branchRoot(table: String, name: String): String =
+    s"$table/branch/branch-$name"
+  private[sources] def dataRoot(table: String): String = {
+    val i = table.indexOf("/branch/branch-")
+    if (i < 0) table else table.substring(0, i)
+  }
+  private def branchNameOf(table: String): Option[String] = {
+    val i = table.indexOf("/branch/branch-")
+    if (i < 0) None
+    else Some(table.substring(i + "/branch/branch-".length)
+      .takeWhile(_ != '/'))
+  }
+  /** Resolve a manifest FILE name: branch-local when present, else the
+    * main tree (the fork point's manifests are never copied). */
+  private[sources] def manifestPath(spark: SparkSession, table: String,
+      name: String): String = {
+    val local = s"$table/manifest/$name"
+    if (dataRoot(table) == table) local
+    else if (fs(spark, table).exists(new Path(local))) local
+    else s"${dataRoot(table)}/manifest/$name"
+  }
+
   private val SeqCol = "_SEQUENCE_NUMBER"
   private val KindCol = "_VALUE_KIND"
   private val KeyPrefix = "_KEY_"
@@ -392,9 +425,9 @@ object PaimonRead {
     val schemaCache = scala.collection.mutable.Map[Long, TableSchema]()
     def schemaOf(sid: Long): TableSchema =
       schemaCache.getOrElseUpdate(sid, schemaById(spark, table, sid))
-    readAvro(spark, s"$table/manifest/$manifestList").flatMap { lm =>
+    readAvro(spark, manifestPath(spark, table, manifestList)).flatMap { lm =>
       val mf = lm.get("_FILE_NAME").toString
-      readAvro(spark, s"$table/manifest/$mf").map(parseEntry(_, schemaOf))
+      readAvro(spark, manifestPath(spark, table, mf)).map(parseEntry(_, schemaOf))
     }
   }
 
@@ -449,8 +482,9 @@ object PaimonRead {
 
   private def dataPath(table: String, e: FileEntry,
       partitionKeys: Seq[String]): String = {
+    val root = dataRoot(table) // branch data lives in the shared tree
     val pd = partitionDir(e.partition, partitionKeys, e.hiveDirs)
-    val prefix = if (pd.isEmpty) table else s"$table/$pd"
+    val prefix = if (pd.isEmpty) root else s"$root/$pd"
     s"$prefix/bucket-${e.bucket}/${e.fileName}"
   }
 
@@ -686,6 +720,78 @@ object PaimonRead {
     org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
       spark.sparkContext.hadoopConfiguration)
     id
+  }
+
+  /** CREATE BRANCH (paimon's `create_branch`): fork the table's
+    * metadata at a snapshot (default: latest) or a tag into
+    * `branch/branch-<name>/` — its own snapshot/schema/manifest tree.
+    * Copies the fork snapshot JSON and every schema file; manifests
+    * are NOT copied (branch reads resolve them branch-first with main
+    * fallback), and data files are shared. Branch commits go through
+    * the normal writers with `branchRoot(table, name)` as the table;
+    * [[readBranch]] reads it. Returns the fork snapshot id. */
+  def createBranch(spark: SparkSession, table: String, name: String,
+      snapshotId: Option[Long] = None,
+      fromTag: Option[String] = None): Long = {
+    require(name.nonEmpty && !name.contains('/'), s"bad branch name $name")
+    require(dataRoot(table) == table, "branches fork from the MAIN table")
+    val f = fs(spark, table)
+    val br = branchRoot(table, name)
+    require(!f.exists(new Path(br)), s"branch $name already exists")
+    val src = fromTag match {
+      case Some(t) =>
+        val p = new Path(s"$table/tag/tag-$t")
+        require(f.exists(p), s"$table has no tag $t"); p
+      case None =>
+        val id = snapshotId.getOrElse(latestSnapshotId(spark, table))
+        val p = new Path(s"$table/snapshot/snapshot-$id")
+        require(f.exists(p), s"$table has no snapshot $id"); p
+    }
+    val snap = snapFromFile(f, src)
+    f.mkdirs(new Path(s"$br/snapshot"))
+    f.mkdirs(new Path(s"$br/schema"))
+    f.mkdirs(new Path(s"$br/manifest"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.hadoop.fs.FileUtil.copy(f, src, f,
+      new Path(s"$br/snapshot/snapshot-${snap.id}"), false, conf)
+    val schemaDir = new Path(s"$table/schema")
+    f.listStatus(schemaDir).map(_.getPath)
+      .filter(_.getName.startsWith("schema-"))
+      .foreach(p => org.apache.hadoop.fs.FileUtil.copy(f, p, f,
+        new Path(s"$br/schema/${p.getName}"), false, conf))
+    val hint = f.create(new Path(s"$br/snapshot/LATEST"), true)
+    try hint.write(snap.id.toString.getBytes("UTF-8"))
+    finally hint.close()
+    snap.id
+  }
+
+  /** Branch names of a table (empty when none). */
+  def branches(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"${dataRoot(table)}/branch")
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("branch-"))
+      .map(_.stripPrefix("branch-")).sorted.toSeq
+  }
+
+  /** Read a branch's current snapshot (time travel via the id arg of
+    * [[read]] against [[branchRoot]] works the same way). */
+  def readBranch(spark: SparkSession, table: String, name: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val f = fs(spark, table)
+    require(f.exists(new Path(branchRoot(table, name))),
+      s"$table has no branch $name")
+    read(spark, branchRoot(table, name), snapshotId)
+  }
+
+  /** DROP BRANCH: deletes the branch metadata tree. Data files the
+    * branch added stay until [[removeOrphanFiles]] (they are now
+    * unreachable debris — the same lifecycle as a dropped tag). */
+  def deleteBranch(spark: SparkSession, table: String, name: String): Unit = {
+    val f = fs(spark, table)
+    require(f.delete(new Path(branchRoot(table, name)), true),
+      s"$table has no branch $name")
   }
 
   def deleteTag(spark: SparkSession, table: String, name: String): Unit = {
@@ -1141,7 +1247,7 @@ object PaimonRead {
       }
       r.put("_FILE_NAME", name)
       r.put("_FILE_SIZE",
-        f.getFileStatus(new Path(s"$table/manifest/$name")).getLen)
+        f.getFileStatus(new Path(manifestPath(spark, table, name))).getLen)
       r
     }
     // prior manifests in commit order = the base state; real flavor
@@ -1151,8 +1257,8 @@ object PaimonRead {
       else {
         val prevSnap = snapshotOf(spark, table, id - 1)
         val prevRecs =
-          readAvro(spark, s"$table/manifest/${prevSnap.baseManifestList}") ++
-          readAvro(spark, s"$table/manifest/${prevSnap.deltaManifestList}")
+          readAvro(spark, manifestPath(spark, table, prevSnap.baseManifestList)) ++
+          readAvro(spark, manifestPath(spark, table, prevSnap.deltaManifestList))
         if (realFlavor) prevRecs
         else prevRecs.map(p => listRec(p.get("_FILE_NAME").toString, 0L, 0L))
       }
@@ -1242,9 +1348,11 @@ object PaimonRead {
       val partition = partitionKeys.map(k => k ->
         vals.get(k).filter(_ != "__HIVE_DEFAULT_PARTITION__").orNull).toMap
       val bucket = bucketCol.flatMap(vals.get).map(_.toInt).getOrElse(0)
-      val fileName = f"$namePrefix-$id%05d-$i.parquet"
+      val branchTag = branchNameOf(table).map(b => s"b$b-").getOrElse("")
+      val fileName = f"$namePrefix-$branchTag$id%05d-$i.parquet"
+      val root = dataRoot(table)
       val pd = partitionDir(partition, partitionKeys, hiveDirs)
-      val destDir = (if (pd.isEmpty) table else s"$table/$pd") + s"/bucket-$bucket"
+      val destDir = (if (pd.isEmpty) root else s"$root/$pd") + s"/bucket-$bucket"
       f.mkdirs(new Path(destDir))
       val dest = s"$destDir/$fileName"
       f.delete(new Path(dest), false)
@@ -1595,7 +1703,7 @@ object PaimonRead {
       case "manifests" =>
         val snap = snapshotOf(spark, table, latestSnapshotId(spark, table))
         val rows = Seq(snap.baseManifestList, snap.deltaManifestList)
-          .flatMap(l => readAvro(spark, s"$table/manifest/$l")).map { r =>
+          .flatMap(l => readAvro(spark, manifestPath(spark, table, l))).map { r =>
             def num(k: String): Long =
               if (r.getSchema.getField(k) == null) 0L
               else r.get(k) match {
@@ -1729,18 +1837,18 @@ object PaimonRead {
             coerce(p.getOrElse(k, null), dt) }, pTypes,
           (i: Int) => pPrec.lift(i).getOrElse(6))
       }
-    f.mkdirs(new Path(s"$table/index"))
+    f.mkdirs(new Path(s"${dataRoot(table)}/index"))
     val newEntries = merged
       .groupBy { case (fn, _, _) =>
         val e = byFile(fn); (e.partition, e.bucket) }
       .toSeq.sortBy(_._1.toString).zipWithIndex
       .map { case (((part, bucket), bms), i) =>
-        val name = f"index-$id%05d-$i.dv"
+        val name = f"index-${branchNameOf(table).map(b => s"b$b-").getOrElse("")}$id%05d-$i.dv"
         val ranges = PaimonDv.writeDvFile(f,
-          new Path(s"$table/index/$name"),
+          new Path(s"${dataRoot(table)}/index/$name"),
           bms.sortBy(_._1).map { case (fn, bytes, _) => (fn, bytes) })
         PaimonDv.IndexEntry(0, partBytes(part), bucket, PaimonDv.IndexType,
-          name, f.getFileStatus(new Path(s"$table/index/$name")).getLen,
+          name, f.getFileStatus(new Path(s"${dataRoot(table)}/index/$name")).getLen,
           bms.map(_._3).sum, ranges)
       }
     val touched = merged.map(_._1).toSet
@@ -1816,7 +1924,7 @@ object PaimonRead {
       s.indexManifest.foreach(im =>
         PaimonDv.readIndexManifest(spark, table, im).foreach { e =>
           if (!keepIndex.contains(e.fileName))
-            f.delete(new Path(s"$table/index/${e.fileName}"), false)
+            f.delete(new Path(s"${dataRoot(table)}/index/${e.fileName}"), false)
         })
       f.delete(new Path(s"$table/snapshot/snapshot-$id"), false)
     }
@@ -1857,32 +1965,48 @@ object PaimonRead {
     // retention roots: the newest `retainLast` snapshots plus every
     // TAGGED snapshot (tags carry their own JSON copy; their files
     // must survive expiry — the paimon tag contract)
-    val tagDir = new Path(s"$table/tag")
-    val tagSnaps =
+    def tagSnapsOf(root: String): Seq[(String, Snap)] = {
+      val tagDir = new Path(s"$root/tag")
       if (!f.exists(tagDir)) Nil
       else f.listStatus(tagDir).map(_.getPath)
         .filter(_.getName.startsWith("tag-"))
-        .map(p => snapFromFile(f, p)).toSeq
-    val roots: Seq[Snap] =
-      keep.map(id => snapshotOf(spark, table, id)) ++ tagSnaps
-    roots.foreach { s =>
-      val pKeys = schemaById(spark, table, s.schemaId).partitionKeys
+        .map(p => root -> snapFromFile(f, p)).toSeq
+    }
+    def branchSnapsOf(root: String): Seq[(String, Snap)] = {
+      val sd = new Path(s"$root/snapshot")
+      if (!f.exists(sd)) Nil
+      else f.listStatus(sd).map(_.getPath)
+        .filter(_.getName.startsWith("snapshot-"))
+        .map(p => root -> snapFromFile(f, p)).toSeq
+    }
+    // retention roots: kept snapshots + tags + EVERY branch's
+    // snapshots and tags (branch metadata is its own tree; the data
+    // files it references live in the shared tree expiry collects)
+    val roots: Seq[(String, Snap)] =
+      keep.map(id => table -> snapshotOf(spark, table, id)) ++
+        tagSnapsOf(table) ++
+        branches(spark, table).flatMap { b =>
+          val br = branchRoot(table, b)
+          branchSnapsOf(br) ++ tagSnapsOf(br)
+        }
+    roots.foreach { case (root, s) =>
+      val pKeys = schemaById(spark, root, s.schemaId).partitionKeys
       listsOf(s).foreach { l =>
         keepManifests += l
-        readAvro(spark, s"$table/manifest/$l").foreach(lm =>
+        readAvro(spark, manifestPath(spark, root, l)).foreach(lm =>
           keepManifests += lm.get("_FILE_NAME").toString)
       }
       s.indexManifest.foreach { im =>
         keepManifests += im
-        PaimonDv.readIndexManifest(spark, table, im)
+        PaimonDv.readIndexManifest(spark, root, im)
           .foreach(e => keepIndex += e.fileName)
       }
       // every file this snapshot's view can touch: its live fold plus
       // its changelog files
-      liveFilesOf(spark, table, s).foreach(e =>
+      liveFilesOf(spark, root, s).foreach(e =>
         keepData += dataPath(table, e, pKeys))
       s.changelogManifestList.foreach { cl =>
-        entriesOf(spark, table, cl).filter(_.kind == 0).foreach(e =>
+        entriesOf(spark, root, cl).filter(_.kind == 0).foreach(e =>
           keepData += dataPath(table, e, pKeys))
       }
     }
@@ -1962,31 +2086,41 @@ object PaimonRead {
     val f = fs(spark, table)
     val snapDir = new Path(s"$table/snapshot")
     require(f.exists(snapDir), s"not a paimon table (no snapshot/): $table")
-    val roots: Seq[Snap] =
-      f.listStatus(snapDir).map(_.getPath).toSeq
-        .filter(_.getName.startsWith("snapshot-"))
-        .map(p => snapFromFile(f, p)) ++ {
-        val tagDir = new Path(s"$table/tag")
-        if (!f.exists(tagDir)) Nil
+    def rootsOf(root: String): Seq[(String, Snap)] = {
+      val sd = new Path(s"$root/snapshot")
+      val snaps = if (!f.exists(sd)) Nil
+        else f.listStatus(sd).map(_.getPath).toSeq
+          .filter(_.getName.startsWith("snapshot-"))
+          .map(p => root -> snapFromFile(f, p))
+      val tagDir = new Path(s"$root/tag")
+      val tags = if (!f.exists(tagDir)) Nil
         else f.listStatus(tagDir).map(_.getPath).toSeq
-          .filter(_.getName.startsWith("tag-")).map(p => snapFromFile(f, p))
-      }
+          .filter(_.getName.startsWith("tag-"))
+          .map(p => root -> snapFromFile(f, p))
+      snaps ++ tags
+    }
+    // BRANCHES are retention roots too: their metadata lives in their
+    // own trees (never swept here), but the DATA files they reference
+    // live in the shared tree this sweep covers
+    val roots: Seq[(String, Snap)] =
+      rootsOf(table) ++ branches(spark, table)
+        .flatMap(b => rootsOf(branchRoot(table, b)))
     val keepManifests = scala.collection.mutable.Set[String]()
     val keepData = scala.collection.mutable.Set[String]()
     val keepIndex = scala.collection.mutable.Set[String]()
-    roots.foreach { s =>
+    roots.foreach { case (root, s) =>
       (Seq(s.baseManifestList, s.deltaManifestList) ++
         s.changelogManifestList).foreach { l =>
         keepManifests += l
-        readAvro(spark, s"$table/manifest/$l").foreach(lm =>
+        readAvro(spark, manifestPath(spark, root, l)).foreach(lm =>
           keepManifests += lm.get("_FILE_NAME").toString)
         // every file any root's manifests mention — adds AND deletes
         // (a file a later snapshot retires is still read by this one)
-        entriesOf(spark, table, l).foreach(e => keepData += e.fileName)
+        entriesOf(spark, root, l).foreach(e => keepData += e.fileName)
       }
       s.indexManifest.foreach { im =>
         keepManifests += im
-        PaimonDv.readIndexManifest(spark, table, im)
+        PaimonDv.readIndexManifest(spark, root, im)
           .foreach(e => keepIndex += e.fileName)
       }
     }
@@ -2002,8 +2136,8 @@ object PaimonRead {
         val name = st.getPath.getName
         if (name.startsWith("bucket-"))
           leaves += (("data", st.getPath.toString))
-        else if (!Set("snapshot", "schema", "manifest", "index", "tag")
-            .contains(name) && !name.startsWith("_") &&
+        else if (!Set("snapshot", "schema", "manifest", "index", "tag",
+            "branch").contains(name) && !name.startsWith("_") &&
             !name.startsWith("."))
           walkDirs(st.getPath)
       }
