@@ -77,17 +77,29 @@ object IcebergReal {
     case _ => "\"string\""
   }
 
-  /** The typed Avro value for a partition dir-name string. */
-  private def partitionValue(dt: DataType, s: String): AnyRef = dt match {
-    case null => s
-    case LongType => java.lang.Long.valueOf(s)
-    case IntegerType | ShortType | ByteType => Integer.valueOf(s)
-    case DateType => Integer.valueOf(java.time.LocalDate.parse(s)
-      .toEpochDay.toInt)
-    case DoubleType => java.lang.Double.valueOf(s)
-    case FloatType => java.lang.Float.valueOf(s)
-    case BooleanType => java.lang.Boolean.valueOf(s)
-    case _ => s
+  /** The typed Avro value for a partition dir-name string; null for
+    * the hive null-partition sentinel. */
+  private def partitionValue(dt: DataType, s: String): AnyRef =
+    if (s == null || s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case null => s
+      case LongType => java.lang.Long.valueOf(s)
+      case IntegerType | ShortType | ByteType => Integer.valueOf(s)
+      case DateType => Integer.valueOf(java.time.LocalDate.parse(s)
+        .toEpochDay.toInt)
+      case DoubleType => java.lang.Double.valueOf(s)
+      case FloatType => java.lang.Float.valueOf(s)
+      case BooleanType => java.lang.Boolean.valueOf(s)
+      case _ => s
+    }
+
+  /** Natural ordering of a typed partition value — bounds must sort by
+    * VALUE, not by toString (lexicographic "10" < "9" would invert
+    * numeric and date bounds and mislead a pruning reader). */
+  private def boundOrder(v: AnyRef): (Double, String) = v match {
+    case n: java.lang.Number => (n.doubleValue(), "")
+    case b: java.lang.Boolean => (if (b) 1.0 else 0.0, "")
+    case s => (0.0, s.toString)
   }
 
   /** Single-value serialization (spec Appendix D) of a partition bound
@@ -325,13 +337,17 @@ object IcebergReal {
       pTypes.zipWithIndex.foreach { case ((c, dt), i) =>
         val typed = found.map(x => partitionValue(dt, x._2(i)))
         val r = new GenericData.Record(sumSchema)
-        r.put("contains_null", java.lang.Boolean.FALSE)
+        r.put("contains_null",
+          java.lang.Boolean.valueOf(typed.exists(_ == null)))
         r.put("contains_nan", java.lang.Boolean.FALSE)
-        val ordered = typed.sortBy(_.toString)
-        r.put("lower_bound",
-          java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.head)))
-        r.put("upper_bound",
-          java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.last)))
+        val present = typed.filter(_ != null)
+        if (present.nonEmpty) {
+          val ordered = present.sortBy(boundOrder)
+          r.put("lower_bound",
+            java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.head)))
+          r.put("upper_bound",
+            java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.last)))
+        }
         sums.add(r)
       }
       mf.put("partitions", sums)

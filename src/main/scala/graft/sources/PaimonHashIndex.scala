@@ -31,15 +31,6 @@ object PaimonHashIndex {
   final case class HashEntry(partitionJson: String, bucket: Int,
       fileName: String, rowCount: Long)
 
-  /** The partition rendering used as the index grouping key: sorted-key
-    * JSON of the partition column string values ("{}" unpartitioned) —
-    * self-consistent across commits, which is all the grouping needs. */
-  def partitionJson(p: Map[String, String]): String = {
-    val m = new java.util.LinkedHashMap[String, String]()
-    p.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
-    graft.functions.JsonKernel.mapper.writeValueAsString(m)
-  }
-
   // ---- hash index file io ---------------------------------------------
 
   def writeHashFile(f: FileSystem, path: Path, hashes: Seq[Int]): Unit = {
@@ -195,7 +186,12 @@ object PaimonHashIndex {
             new Path(s"${PaimonRead.dataRoot(table)}/index/${e.fileName}")).toSeq)
           .getOrElse(Nil)
         val all = oldHashes ++ newHashes
-        val name = f"index-$id%05d-$i"
+        // branch-tag the file name — a branch commit and a main commit
+        // share snapshot ids AND the shared index/ dir (the same
+        // collision data and DV files already avoid)
+        val branchTag = PaimonRead.branchNameOf(table)
+          .map(b => s"b$b-").getOrElse("")
+        val name = f"index-$branchTag$id%05d-$i"
         writeHashFile(f, new Path(s"${PaimonRead.dataRoot(table)}/index/$name"), all)
         PaimonDv.IndexEntry(0, pj.getBytes("UTF-8"), bucket, IndexType,
           name, f.getFileStatus(new Path(s"${PaimonRead.dataRoot(table)}/index/$name")).getLen,

@@ -78,7 +78,7 @@ object PaimonRead {
     val i = table.indexOf("/branch/branch-")
     if (i < 0) table else table.substring(0, i)
   }
-  private def branchNameOf(table: String): Option[String] = {
+  private[sources] def branchNameOf(table: String): Option[String] = {
     val i = table.indexOf("/branch/branch-")
     if (i < 0) None
     else Some(table.substring(i + "/branch/branch-".length)
@@ -1508,10 +1508,8 @@ object PaimonRead {
           if (id == 1) None else Some(id - 1))
         (assigned.drop("__pj", "__khash"), delta, Some(cache))
       }
-    val entries =
-      try stageDataFiles(sysB, table, id, sch.partitionKeys,
-        Some("__bucket"), id, 0, hiveDirs = realFlavor)
-      finally lookupCache.foreach(_.unpersist())
+    val entries = stageDataFiles(sysB, table, id, sch.partitionKeys,
+      Some("__bucket"), id, 0, hiveDirs = realFlavor)
     // dynamic commits with NEW keys publish a rewritten full-state
     // index manifest (changed buckets' hash files rewritten, unchanged
     // HASH + all DV entries carried forward); otherwise inherit
@@ -1544,6 +1542,10 @@ object PaimonRead {
           id, 0, namePrefix = "changelog", hiveDirs = realFlavor)
       case _ => Nil
     }
+    // after BOTH consumers of sysB (data staging and an input-producer
+    // changelog staging) — unpersisting between them would re-run the
+    // whole index join for the second
+    lookupCache.foreach(_.unpersist())
     commitEntries(spark, table, id, schemaId, entries, "APPEND", clEntries,
       indexManifest = idxManifest)
   }
@@ -1886,6 +1888,25 @@ object PaimonRead {
       s"cannot roll back past tagged snapshots ${blocking.map(t =>
         s"${t._1}@${t._2}").mkString(", ")} — reused snapshot ids would " +
         "overwrite the tags' retained files; delete those tags first")
+    // branches are retention roots too: one forked PAST the target
+    // references rolled-back data files this reclaim would delete
+    // (and reused main ids would overwrite). Branches forked at or
+    // before the target only reference surviving snapshots' files —
+    // and their own branch-tagged files are untouchable by main names.
+    val blockingBranches = branches(spark, table).filter { b =>
+      val sd = new Path(s"${branchRoot(table, b)}/snapshot")
+      val fork = f.listStatus(sd).map(_.getPath.getName)
+        .filter(_.startsWith("snapshot-"))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix("snapshot-").toLong).toOption)
+        .foldLeft(Long.MaxValue)(math.min)
+      fork > snapshotId
+    }
+    require(blockingBranches.isEmpty,
+      s"cannot roll back past branches forked after snapshot " +
+        s"$snapshotId: ${blockingBranches.mkString(", ")} — their fork " +
+        "points reference files this rollback would reclaim; delete " +
+        "those branches first")
     val ids = f.listStatus(new Path(s"$table/snapshot"))
       .map(_.getPath.getName).filter(_.startsWith("snapshot-"))
       .flatMap(n => scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption)
@@ -1947,6 +1968,10 @@ object PaimonRead {
   def expireSnapshots(spark: SparkSession, table: String,
       retainLast: Int): Seq[Long] = {
     require(retainLast >= 1, "must retain at least the latest snapshot")
+    require(dataRoot(table) == table,
+      "maintenance runs on the MAIN table (a branch-root expiry would " +
+        "sweep shared data files without counting main's snapshots as " +
+        "retention roots)")
     val f = fs(spark, table)
     val dir = new Path(s"$table/snapshot")
     require(f.exists(dir), s"not a paimon table (no snapshot/): $table")
@@ -2083,6 +2108,9 @@ object PaimonRead {
     * Returns the deleted paths. */
   def removeOrphanFiles(spark: SparkSession, table: String,
       olderThanMillis: Long = 3600L * 1000L): Seq[String] = {
+    require(dataRoot(table) == table,
+      "maintenance runs on the MAIN table (branches share its data " +
+        "tree and are counted as retention roots here)")
     val f = fs(spark, table)
     val snapDir = new Path(s"$table/snapshot")
     require(f.exists(snapDir), s"not a paimon table (no snapshot/): $table")

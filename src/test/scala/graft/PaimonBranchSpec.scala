@@ -49,6 +49,54 @@ class PaimonBranchSpec extends SparkSuite {
       .filter($"x" < 0).count() === 0)
   }
 
+  test("dynamic-bucket branch: index files branch-tagged (no shared-dir collision); rollback refuses branches forked past the target") {
+    val dir = fresh("dynbr")
+    val opts = Map("dynamic-bucket.target-row-num" -> "16")
+    PaimonRead.commitPk(spark.range(0, 20).select($"id".as("k"),
+      ($"id" * 2.0).as("x")), dir, Seq("k"), numBuckets = -1,
+      options = opts)                                                 // s1
+    PaimonRead.createBranch(spark, dir, "dev", Some(1L))
+    val br = PaimonRead.branchRoot(dir, "dev")
+    // branch commit id 2 and main commit id 2 BOTH write new index
+    // files into the shared index/ dir — the branch tag keeps them
+    // apart (an untagged name would let one overwrite the other)
+    PaimonRead.commitPk(spark.range(100, 110).select($"id".as("k"),
+      lit(-1.0).as("x")), br, Seq("k"), assumeKeyUnique = true)       // branch s2
+    PaimonRead.commitPk(spark.range(200, 230).select($"id".as("k"),
+      lit(7.0).as("x")), dir, Seq("k"), assumeKeyUnique = true)       // main s2
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val idxFiles = f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/index"))
+      .map(_.getPath.getName).toSet
+    assert(idxFiles.exists(_.startsWith("index-bdev-")),
+      s"branch index files must be branch-tagged, got $idxFiles")
+    // both sides read their own state through their own indexes
+    assert(PaimonRead.read(spark, dir).count() === 50)
+    assert(PaimonRead.readBranch(spark, dir, "dev").count() === 30)
+    // sticky follow-ups on both sides stay correct
+    PaimonRead.commitPk(spark.range(0, 5).select($"id".as("k"),
+      lit(99.0).as("x")), dir, Seq("k"), assumeKeyUnique = true)
+    PaimonRead.commitPk(spark.range(100, 105).select($"id".as("k"),
+      lit(50.0).as("x")), br, Seq("k"), assumeKeyUnique = true)
+    assert(PaimonRead.read(spark, dir).filter($"x" === 99.0).count() === 5)
+    assert(PaimonRead.readBranch(spark, dir, "dev")
+      .filter($"x" === 50.0).count() === 5)
+    // rollback guard: a branch forked at s1 allows rolling to 1... but
+    // main is AT-or-past its own commits; forked-past-target refusal:
+    val dir2 = fresh("rbguard")
+    PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"),
+      ($"id" * 1.0).as("x")), dir2, Seq("k"), numBuckets = 2)         // s1
+    PaimonRead.commitPk(spark.range(10, 20).select($"id".as("k"),
+      ($"id" * 1.0).as("x")), dir2, Seq("k"), assumeKeyUnique = true) // s2
+    PaimonRead.createBranch(spark, dir2, "late") // forks at s2
+    intercept[IllegalArgumentException] {
+      PaimonRead.rollbackTo(spark, dir2, 1L) // would reclaim s2's files
+    }
+    PaimonRead.deleteBranch(spark, dir2, "late")
+    assert(PaimonRead.rollbackTo(spark, dir2, 1L) === Seq(2L))
+    assert(PaimonRead.read(spark, dir2).count() === 10)
+  }
+
   test("create from tag; branch survives main expiry; drop-branch debris becomes orphans") {
     val dir = fresh("tag")
     PaimonRead.commitPk(spark.range(0, 30).select($"id".as("k"),
