@@ -86,8 +86,15 @@ object Bench {
       if (times.exists(_ < 0)) -1.0 else times.sum / times.length
     }
 
-    // global warm-up: JVM, shuffle machinery
+    // global warm-up: JVM, shuffle machinery. The r11 warm-order fix
+    // moved the q* family FIRST, i.e. onto the coldest JVM, and TPC-H
+    // read ~20% high in every r11 flight — one scan-agg statement does
+    // not warm the join/window codegen infrastructure the per-query
+    // single warm-up then pays for. Warm one statement of each plan
+    // SHAPE (scan-agg, multi-join, window) before any timed family.
     run("q1_pricing_summary")
+    run("q5_local_supplier_volume")
+    run("win_running_sum")
 
     // optional arg (local dev only): comma-separated query-name filter
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)

@@ -103,19 +103,39 @@ object PaimonHashIndex {
           }.toDF("__pj", "__khash", "__bucket")
       }
     val batchKeys = withKey.select(col("__pj"), col("__khash")).distinct()
-    // join SHAPE matters at scale: the index is O(table keys), the
-    // batch is O(batch) — broadcast the batch keys and stream the
-    // index ONCE through a broadcast-hash join (no index shuffle),
-    // leaving batch-scale frames for everything downstream.
+      .persist()
+    val batchKeyCount = batchKeys.count() // also materializes the cache
+    // join SHAPE matters at scale: the steady-state upsert has a batch
+    // ≪ index, so broadcast the batch keys and stream the index ONCE
+    // through a broadcast-hash join (no index shuffle), leaving
+    // batch-scale frames for everything downstream. Two guards keep
+    // the INITIAL-ingest shape sane: an EMPTY prior index means every
+    // key is new — skip the lookup join entirely (the "batch" there is
+    // the whole table, and broadcasting it buys nothing); past
+    // `broadcastKeyLimit` distinct keys (a bulk backfill, not an
+    // upsert) fall back to a shuffle join — a billion-key batch must
+    // never ride the driver as a broadcast.
     // dropDuplicates is defensive (the full-state manifest holds one
     // bucket per hash; a duplicate would fan out the data join).
     import org.apache.spark.sql.functions.broadcast
-    val hit = priorAssign
-      .join(broadcast(batchKeys), Seq("__pj", "__khash"), "left_semi")
-      .dropDuplicates("__pj", "__khash")
-    val looked = batchKeys.join(hit, Seq("__pj", "__khash"), "left")
-      .persist()
+    val broadcastKeyLimit = spark.conf
+      .getOption("spark.graft.paimon.dynamicBucket.broadcastKeyLimit")
+      .map(_.toLong).getOrElse(1000000L)
+    val looked =
+      if (prior.isEmpty)
+        batchKeys.withColumn("__bucket", lit(null).cast("integer"))
+          .persist()
+      else {
+        val probe =
+          if (batchKeyCount <= broadcastKeyLimit) broadcast(batchKeys)
+          else batchKeys
+        val hit = priorAssign
+          .join(probe, Seq("__pj", "__khash"), "left_semi")
+          .dropDuplicates("__pj", "__khash")
+        batchKeys.join(hit, Seq("__pj", "__khash"), "left").persist()
+      }
     looked.count() // ONE index read, shared by every branch below
+    batchKeys.unpersist() // everything downstream reads `looked`
     // NEW keys assign DISTRIBUTED: rank within partition by hash (one
     // window shuffle — deterministic), ranks fill the partition's tail
     // bucket to target, then open `target`-sized buckets. The driver

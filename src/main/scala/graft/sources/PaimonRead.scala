@@ -156,7 +156,7 @@ object PaimonRead {
         s"unsupported paimon type $other")
     }
 
-  private def schemaById(spark: SparkSession, table: String, id: Long): TableSchema = {
+  private[graft] def schemaById(spark: SparkSession, table: String, id: Long): TableSchema = {
     val f = fs(spark, table)
     val in = f.open(new Path(s"$table/schema/schema-$id"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -854,20 +854,34 @@ object PaimonRead {
   /** Prune a prior live set to the buckets a commit's ADD entries
     * touched — zero extra Spark jobs (the staged batch's entries name
     * the buckets). Valid for FIXED-bucket PK tables (a key's bucket is
-    * a pure hash) AND for DYNAMIC-bucket tables ('bucket' = '-1'):
-    * there the bucket is no longer hash-derivable, but the HASH index
-    * ([[PaimonHashIndex]]) makes assignment STICKY — the writer routed
-    * each touched key to its recorded bucket, so every older image of
-    * a touched key still lives in a touched bucket, and manifest
-    * entries carry the real assigned bucket either way. Partition is
-    * deliberately NOT pruned (this reader's merge does not require
-    * pk ⊇ partition keys). Entries with bucket < 0 (a foreign layout
-    * that records no bucket) keep the full set — nothing to key on. */
+    * a pure hash, partition-independent, so bucket-NUMBER pruning
+    * holds across partitions) AND for DYNAMIC-bucket tables
+    * ('bucket' = '-1'): there the bucket is no longer hash-derivable,
+    * but the HASH index ([[PaimonHashIndex]]) makes assignment STICKY
+    * *per (partition, key)* — within a touched partition every older
+    * image of a touched key still lives in a touched bucket. Across
+    * partitions stickiness does NOT hold for dynamic tables (this
+    * writer allows pk ⊉ partition keys, so a key re-committed under a
+    * NEW partition value is assigned a fresh bucket there while its
+    * old image sits in the old partition under an unrelated bucket
+    * number) — so for dynamic+partitioned tables the prune keeps
+    * every entry of an UNTOUCHED partition and prunes touched
+    * partitions to their touched (partition, bucket) pairs. Entries
+    * with bucket < 0 (a foreign layout that records no bucket) keep
+    * the full set — nothing to key on. */
   private[graft] def prunePriorToTouchedBuckets(prior: Seq[FileEntry],
-      adds: Seq[FileEntry]): Seq[FileEntry] = {
+      adds: Seq[FileEntry], sch: TableSchema): Seq[FileEntry] = {
     if (adds.exists(_.bucket < 0) || prior.exists(_.bucket < 0)) return prior
-    val touched = adds.map(_.bucket).toSet
-    prior.filter(e => touched.contains(e.bucket))
+    val dynamic = sch.options.get("bucket").contains("-1")
+    if (dynamic && sch.partitionKeys.nonEmpty) {
+      val touchedPB = adds.map(e => (e.partition, e.bucket)).toSet
+      val touchedP = adds.map(_.partition).toSet
+      prior.filter(e => !touchedP.contains(e.partition) ||
+        touchedPB.contains((e.partition, e.bucket)))
+    } else {
+      val touched = adds.map(_.bucket).toSet
+      prior.filter(e => touched.contains(e.bucket))
+    }
   }
 
   def changes(spark: SparkSession, table: String,
@@ -940,10 +954,8 @@ object PaimonRead {
                 val kcN = keyColsOf(prevSchema, newly)
                 val touchedK = newly.select(kcN.zip(prevSchema.primaryKeys)
                   .map { case (kc, pk) => col(kc).as(pk) }: _*).distinct()
-                val touchedBuckets = changed.map(_.bucket).toSet
                 val prior =
-                  if (changed.exists(_.bucket < 0)) prevLive
-                  else prevLive.filter(e => touchedBuckets.contains(e.bucket))
+                  prunePriorToTouchedBuckets(prevLive, changed, prevSchema)
                 val all0 = partitionScans(spark, table, prevSchema, prior,
                   prevDv)
                 val pkc = keyColsOf(prevSchema, all0)
@@ -988,7 +1000,7 @@ object PaimonRead {
               if (v == 1) None
               else {
                 val prior = prunePriorToTouchedBuckets(
-                  liveFiles(spark, table, Some(v - 1)), adds)
+                  liveFiles(spark, table, Some(v - 1)), adds, schema)
                 if (prior.isEmpty) None
                 else {
                   val prevSchema = schemaById(spark, table,
@@ -1567,7 +1579,7 @@ object PaimonRead {
     val priorFiles =
       if (id == 1) Nil
       else prunePriorToTouchedBuckets(
-        liveFiles(spark, table, Some(id - 1)), stagedAdds)
+        liveFiles(spark, table, Some(id - 1)), stagedAdds, sch)
     val pre: Option[DataFrame] =
       if (priorFiles.isEmpty) None
       else {
@@ -2285,17 +2297,33 @@ object PaimonRead {
           // non-deduplicate engines accept no deletes, so compaction =
           // the engine's RESOLVED image per key (partial-update
           // overlay / per-field aggregates / first row), re-stamped
-          // with fresh system columns at the absorbed seq ceiling
-          import org.apache.spark.sql.functions.{abs => fabs, hash, lit, pmod}
+          // with fresh system columns at the absorbed seq ceiling.
+          // FIXED tables re-derive the bucket (hash mod — the same
+          // routing commitPk uses); DYNAMIC tables ('bucket' = '-1')
+          // must NOT: pmod(h, -1) collapses every key into bucket 0
+          // while the carried-forward HASH index (keptIdx below) still
+          // asserts the old sticky assignments — so each resolved key
+          // keeps its RECORDED bucket (max-seq group, matching
+          // mergedImages' partition resolution) via a key-join on the
+          // pre-merge rows.
+          import org.apache.spark.sql.functions.{abs => fabs, hash, lit, max_by, pmod}
           val buckets = sch.options.get("bucket").map(_.toInt).getOrElse(1)
           val resolved = mergedImages(spark, table, sch,
             typed.drop("__fname", "__bucket"))
-          sch.primaryKeys.foldLeft(resolved) { (d, k) =>
+          val imaged = sch.primaryKeys.foldLeft(resolved) { (d, k) =>
               d.withColumn(s"$KeyPrefix$k", col(k)) }
             .withColumn(SeqCol, lit(files.map(_.maxSeq).foldLeft(0L)(math.max)))
             .withColumn(KindCol, lit(2).cast("tinyint"))
-            .withColumn("__bucket",
+          if (buckets != -1)
+            imaged.withColumn("__bucket",
               pmod(fabs(hash(sch.primaryKeys.map(col): _*)), lit(buckets)))
+          else {
+            val recorded = typed.groupBy(keyCols.map(col): _*)
+              .agg(max_by(col("__bucket"), col(SeqCol)).as("__bucket"))
+              .select(keyCols.zip(sch.primaryKeys).map { case (kc, pk) =>
+                col(kc).as(pk) } :+ col("__bucket"): _*)
+            imaged.join(recorded, sch.primaryKeys)
+          }
         }
       val merged = merged0
         .repartition(groupCols.map(col): _*) // one file per group

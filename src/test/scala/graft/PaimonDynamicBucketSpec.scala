@@ -93,7 +93,8 @@ class PaimonDynamicBucketSpec extends SparkSuite {
     assert(prior.map(_.bucket).toSet === Set(0, 1, 2)) // 16 keys / target 6
     val adds2 = PaimonRead.liveFiles(spark, dirD, Some(2L))
       .filter(_.minSeq == 2L)
-    val pruned = PaimonRead.prunePriorToTouchedBuckets(prior, adds2)
+    val sch = PaimonRead.schemaById(spark, dirD, 0L)
+    val pruned = PaimonRead.prunePriorToTouchedBuckets(prior, adds2, sch)
     assert(pruned.size < prior.size,
       s"expected pruning, got ${pruned.size}/${prior.size}")
     assert(pruned.map(_.bucket).toSet === adds2.map(_.bucket).toSet)
@@ -125,7 +126,111 @@ class PaimonDynamicBucketSpec extends SparkSuite {
     val adds = PaimonRead.liveFiles(spark, dir, Some(cid + 1))
       .filter(_.minSeq == cid + 1)
     assert(adds.map(_.bucket).toSet.size === 1)
-    val pruned = PaimonRead.prunePriorToTouchedBuckets(prior, adds)
+    val pruned = PaimonRead.prunePriorToTouchedBuckets(prior, adds,
+      PaimonRead.schemaById(spark, dir, 0L))
     assert(pruned.map(_.bucket).toSet === adds.map(_.bucket).toSet)
+  }
+
+  private def assignmentOf(dir: String, id: Long): Map[Int, Int] = {
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    PaimonHashIndex.entriesAt(spark, dir,
+        PaimonRead.snapshotIndexManifest(spark, dir, id)).flatMap { e =>
+      PaimonHashIndex.readHashFile(f,
+          new org.apache.hadoop.fs.Path(s"$dir/index/${e.fileName}"))
+        .map(_ -> e.bucket)
+    }.toMap
+  }
+
+  test("cross-partition recommit: the old partition's image is NOT pruned and its retraction survives") {
+    val dir = fresh("xpart")
+    // pk does NOT contain the partition key — the hazard case: a key
+    // re-committed under a new partition gets a FRESH bucket there,
+    // its old image lives in the old partition under an unrelated
+    // bucket number
+    val b1 = (0L until 8L).toDF("k")
+      .withColumn("p", lit("a")).withColumn("x", col("k") * 1.0)
+    PaimonRead.commitPk(b1, dir, Seq("k"), partitionKeys = Seq("p"),
+      numBuckets = -1,
+      options = Map("dynamic-bucket.target-row-num" -> "4"))
+    // pick a key assigned OUTSIDE bucket 0 of partition a, so the new
+    // partition's bucket-0 write would have pruned it pre-fix
+    val keyHash = (0L until 8L).toDF("k")
+      .select(col("k"), hash(col("k")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val assign1 = assignmentOf(dir, 1L)
+    val moved = (0L until 8L).find(k => assign1(keyHash(k)) != 0).get
+    val b2 = Seq(moved).toDF("k")
+      .withColumn("p", lit("b")).withColumn("x", lit(500.0))
+    PaimonRead.commitPk(b2, dir, Seq("k"), assumeKeyUnique = true)
+    val adds2 = PaimonRead.liveFiles(spark, dir, Some(2L))
+      .filter(_.minSeq == 2L)
+    assert(adds2.map(e => (e.partition("p"), e.bucket)).toSet ===
+      Set(("b", 0))) // fresh bucket in the new partition
+    // prune keeps EVERY old-partition entry (untouched partition)
+    val prior = PaimonRead.liveFiles(spark, dir, Some(1L))
+    val pruned = PaimonRead.prunePriorToTouchedBuckets(prior, adds2,
+      PaimonRead.schemaById(spark, dir, 0L))
+    assert(pruned.toSet === prior.toSet,
+      "dynamic+partitioned prune must keep untouched partitions whole")
+    // and the feed emits the old image's retraction + the new insert
+    val ch = PaimonRead.changes(spark, dir, 1L, 2L)
+      .select($"k", $"p", $"x", $"__change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(ch === Set(
+      (moved, "a", moved * 1.0, "delete"),
+      (moved, "b", 500.0, "insert")))
+  }
+
+  test("compact on dynamic + non-deduplicate keeps each key's RECORDED bucket (no collapse into bucket 0)") {
+    val dir = fresh("pu-compact")
+    PaimonRead.commitPk(batch(0L until 10L, 0.0), dir, Seq("k"),
+      numBuckets = -1,
+      options = Map("dynamic-bucket.target-row-num" -> "4",
+        "merge-engine" -> "partial-update"))
+    PaimonRead.commitPk(batch(Seq(2L, 7L), 30.0), dir, Seq("k"),
+      assumeKeyUnique = true)
+    val assignBefore = assignmentOf(dir, 2L)
+    val cid = PaimonRead.compact(spark, dir)
+    // the rewritten data files live in the index's buckets, not all-0
+    val files = PaimonRead.liveFiles(spark, dir, Some(cid))
+    assert(files.map(_.bucket).toSet === assignBefore.values.toSet)
+    assert(files.map(_.bucket).toSet.size > 1,
+      "compaction collapsed the dynamic buckets")
+    assert(assignmentOf(dir, cid) === assignBefore)
+    // observable consequence: a post-compact update's changelog-free
+    // feed derives the retraction from the PRUNED prior — only correct
+    // when rows actually live where the index says
+    val probe = assignBefore.collect {
+      case (h, b) if b == assignBefore.values.max => h }.head
+    val probeKey = (0L until 10L).find(k =>
+      Seq(k).toDF("k").select(hash(col("k"))).head().getInt(0) == probe).get
+    PaimonRead.commitPk(batch(Seq(probeKey), 900.0), dir, Seq("k"),
+      assumeKeyUnique = true)
+    val merged = PaimonRead.read(spark, dir)
+      .filter($"k" === probeKey).collect()
+    assert(merged.length === 1 && merged.head.getDouble(1) === 900.0 + probeKey)
+    assert(PaimonRead.read(spark, dir).count() === 10)
+  }
+
+  test("forced paths: empty-prior skip and over-threshold shuffle join assign bit-identically to the broadcast path") {
+    val dirA = fresh("force-a"); val dirB = fresh("force-b")
+    def ingest(dir: String) = {
+      PaimonRead.commitPk(batch(0L until 15L, 0.0), dir, Seq("k"),
+        numBuckets = -1,
+        options = Map("dynamic-bucket.target-row-num" -> "6"))
+      PaimonRead.commitPk(batch(Seq(3L, 8L) ++ (15L until 19L), 70.0), dir,
+        Seq("k"), assumeKeyUnique = true)
+    }
+    ingest(dirA) // default: empty-prior skip on c1, broadcast join on c2
+    spark.conf.set("spark.graft.paimon.dynamicBucket.broadcastKeyLimit", "0")
+    try ingest(dirB) // forced: shuffle join on c2
+    finally spark.conf
+      .unset("spark.graft.paimon.dynamicBucket.broadcastKeyLimit")
+    assert(assignmentOf(dirA, 2L) === assignmentOf(dirB, 2L))
+    val a = PaimonRead.read(spark, dirA).orderBy($"k").collect().toSeq
+    val b = PaimonRead.read(spark, dirB).orderBy($"k").collect().toSeq
+    assert(a === b)
   }
 }

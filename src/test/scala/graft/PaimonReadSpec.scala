@@ -406,15 +406,29 @@ class PaimonReadSpec extends SparkSuite {
   }
 
   test("changes: prior-image scan prunes to the commit's touched buckets") {
-    import graft.sources.PaimonRead.FileEntry
-    // unit: only buckets the adds touched survive; dynamic (-1) keeps all
+    import graft.sources.PaimonRead.{FileEntry, TableSchema}
+    // unit: only buckets the adds touched survive; a bucket-less
+    // foreign entry (-1) keeps all
     def e(b: Int, name: String) =
       FileEntry(0, Map.empty, b, name, 1L, 1L, 0L, 0L, 0)
+    val fixedSch = TableSchema(0, Nil, Nil, Seq("k"), Map.empty)
     val prior = Seq(e(0, "a"), e(1, "b"), e(2, "c"), e(1, "d"))
-    assert(PaimonRead.prunePriorToTouchedBuckets(prior, Seq(e(1, "x")))
-      .map(_.fileName) === Seq("b", "d"))
-    assert(PaimonRead.prunePriorToTouchedBuckets(prior, Seq(e(-1, "x")))
-      === prior)
+    assert(PaimonRead.prunePriorToTouchedBuckets(prior, Seq(e(1, "x")),
+      fixedSch).map(_.fileName) === Seq("b", "d"))
+    assert(PaimonRead.prunePriorToTouchedBuckets(prior, Seq(e(-1, "x")),
+      fixedSch) === prior)
+    // dynamic + partitioned: untouched partitions survive whole;
+    // touched partitions prune to their touched (partition, bucket)
+    def ep(p: String, b: Int, name: String) =
+      FileEntry(0, Map("p" -> p), b, name, 1L, 1L, 0L, 0L, 0)
+    val dynSch = TableSchema(0, Nil, Seq("p"), Seq("k"),
+      Map("bucket" -> "-1"))
+    val prior2 = Seq(ep("a", 0, "a0"), ep("a", 1, "a1"), ep("b", 0, "b0"))
+    assert(PaimonRead.prunePriorToTouchedBuckets(prior2,
+      Seq(ep("a", 0, "x")), dynSch).map(_.fileName) === Seq("a0", "b0"))
+    // same shape on a FIXED table prunes by bucket number alone
+    assert(PaimonRead.prunePriorToTouchedBuckets(prior2,
+      Seq(ep("a", 0, "x")), fixedSch).map(_.fileName) === Seq("a0", "b0"))
     // end-to-end: an 8-bucket table where commit 2 touches ONE key —
     // the touched bucket holds 1/8 of the prior files, and the feed is
     // bit-equal to what the full derivation produced before pruning
