@@ -352,19 +352,49 @@ object Dedup {
     * [[embeddingDupPairs]], but driven by learned structure, so
     * semantically-close pairs that straddle random hyperplanes are
     * still co-clustered. Scale-invariant vectors (exact copies,
-    * rescales) always share a cluster: cosine argmax ignores norm. */
+    * rescales) always share a cluster: cosine argmax ignores norm.
+    *
+    * SUPER-CELL guard (`cellCap`): the within-cell self-join is
+    * quadratic in cell size, and k-means has no size contract — a
+    * corpus whose embeddings collapse onto one mode (boilerplate,
+    * near-constant vectors) lands most rows in ONE cell and the
+    * "bounded" join degenerates toward all-pairs (the same failure
+    * minhash buckets had before round 8's star fix). Cells above the
+    * cap switch to STAR pairing: each member scores against the
+    * cell's MIN-id representative only — O(|cell|) pairs. Under the
+    * keep-lowest-id dedup contract the star preserves genuine
+    * semantic clusters (every member verifies against the id
+    * [[semanticDedup]] would keep); what it forgoes is member↔member
+    * pairs inside an over-cap cell whose members are close to each
+    * other but NOT to the representative — the accepted LSH-style
+    * trade. Below the cap the exact all-pairs join runs unchanged. */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double = 0.95, iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, cellCap: Int = 1024): DataFrame = {
+    require(cellCap >= 2, s"cellCap=$cellCap cannot form pairs")
     val assigned = Similarity.kMeans(df, idCol, vecCol, k, iters, seed)
       .select(col("cell"), col(idCol), col(vecCol))
-    val l = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__v_a"))
-    val r = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__v_b"))
-    l.join(r, Seq("cell"))
+    // one window pass tags cell size + the cell representative —
+    // same shuffle key as the join, no extra exchange shape
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val tagged = assigned
+      .withColumn("__cn", count(lit(1)).over(w))
+      .withColumn("__crep", min(col(idCol)).over(w))
+    val cos = graft.functions.VectorFunctions.cosine_similarity _
+    val small = tagged.filter(col("__cn") <= cellCap)
+    val l = small.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__v_a"))
+    val r = small.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__v_b"))
+    val exact = l.join(r, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.VectorFunctions.cosine_similarity(col("__v_a"), col("__v_b")).as("cos"))
-      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), cos(col("__v_a"), col("__v_b")).as("cos"))
+    val fat = tagged.filter(col("__cn") > cellCap)
+    val reps = fat.filter(col(idCol) === col("__crep"))
+      .select(col("cell"), col(vecCol).as("__v_rep"))
+    val starred = fat.filter(col(idCol) =!= col("__crep"))
+      .join(reps, Seq("cell"))
+      .select(col("__crep").as("id_a"), col(idCol).as("id_b"),
+        cos(col("__v_rep"), col(vecCol)).as("cos"))
+    exact.unionByName(starred).filter(col("cos") >= threshold)
   }
 
   /** Semantic dedup: SemDeDup pairs → connected components → keep the
@@ -372,8 +402,9 @@ object Dedup {
     * rows). The corpus-curation form of [[semanticDupPairs]]. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double = 0.95, iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val pairs = semanticDupPairs(df, idCol, vecCol, k, threshold, iters, seed)
+      seed: Long = 42L, cellCap: Int = 1024): DataFrame = {
+    val pairs = semanticDupPairs(df, idCol, vecCol, k, threshold, iters,
+      seed, cellCap)
     dedupByPairs(df, idCol, pairs, "id_a", "id_b")
   }
 

@@ -114,8 +114,11 @@ object KeysModels {
     val dst = new org.apache.hadoop.fs.Path(dir)
     recoverFromBackup(fs, dst)
     val bak = new org.apache.hadoop.fs.Path(dir + ".bak-" + System.nanoTime())
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // a FALSE here must abort: renaming tmp onto a still-existing dst
+    // DIRECTORY would nest it inside instead of replacing it
+    if (fs.exists(dst)) require(fs.rename(dst, bak), s"failed to back up $dst")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"failed to install $dst")
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
@@ -131,6 +134,7 @@ object KeysModels {
     val prefix = dst.getName + ".bak-"
     val baks = fs.listStatus(parent).map(_.getPath)
       .filter(_.getName.startsWith(prefix))
-    if (baks.nonEmpty) fs.rename(baks.maxBy(_.getName), dst)
+    if (baks.nonEmpty) require(fs.rename(baks.maxBy(_.getName), dst),
+      s"failed to restore $dst from backup")
   }
 }

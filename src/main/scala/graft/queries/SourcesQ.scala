@@ -424,7 +424,9 @@ object SourcesQ extends graft.QueryArea {
       o.coalesce(1).write.mode("overwrite").parquet(staging)
       val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      f.rename(part, new org.apache.hadoop.fs.Path(s"$table/d1.parquet"))
+      require(f.rename(part,
+        new org.apache.hadoop.fs.Path(s"$table/d1.parquet")),
+        s"failed to install $table/d1.parquet")
       f.delete(new org.apache.hadoop.fs.Path(staging), true)
       import org.apache.spark.sql.types._
       def mapped(lg: String, ph: String, dt: DataType) =
@@ -580,7 +582,9 @@ object SourcesQ extends graft.QueryArea {
       o.coalesce(1).write.mode("overwrite").parquet(staging)
       val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      f.rename(part, new org.apache.hadoop.fs.Path(s"$table/d1.parquet"))
+      require(f.rename(part,
+        new org.apache.hadoop.fs.Path(s"$table/d1.parquet")),
+        s"failed to install $table/d1.parquet")
       f.delete(new org.apache.hadoop.fs.Path(staging), true)
       val n = o.count()
       val positions = (3L until n by 10L).toArray
@@ -646,6 +650,36 @@ object SourcesQ extends graft.QueryArea {
         o.filter(col("o_orderkey") % 2 === 0), table, Seq("o_year"))
       graft.sources.IcebergReal.commitAppend(
         o.filter(col("o_orderkey") % 2 === 1), table, Seq("o_year"))
+      graft.sources.IcebergRead.read(spark, table)
+        .groupBy(year(col("o_year")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("y"))
+    }),
+    // REAL-SPEC Iceberg v2 MERGE-ON-READ (IcebergReal
+    // .commitPositionDeletes): content=1 DELETE manifests whose
+    // entries are full v2 data_file structs (content=1, typed
+    // partition records), position-delete parquet with the spec's
+    // reserved field-ids, sequence-number scoping — a LATER append's
+    // rows survive a predicate the earlier delete matched (commit 4
+    // re-adds the %5=2 odd keys AFTER the %3 delete; path-targeted
+    // deletes never reach them). IcebergRead's clean/dirty split
+    // masks only touched files.
+    "src_iceberg_foreign_mor" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_real_mor")
+      graft.sources.Formats.deleteDir(spark, table)
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          trunc(to_date(col("o_orderdate")), "year").as("o_year"))
+      val late = col("o_orderkey") % 2 === 1 && col("o_orderkey") % 5 === 2
+      graft.sources.IcebergReal.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), table, Seq("o_year"))
+      graft.sources.IcebergReal.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1 && !late), table, Seq("o_year"))
+      graft.sources.IcebergReal.commitPositionDeletes(spark, table,
+        col("o_orderkey") % 3 === 0)
+      graft.sources.IcebergReal.commitAppend(
+        o.filter(late), table, Seq("o_year"))
       graft.sources.IcebergRead.read(spark, table)
         .groupBy(year(col("o_year")).cast("int").as("y"))
         .agg(count(lit(1)).as("n"),
@@ -1352,7 +1386,8 @@ object SourcesQ extends graft.QueryArea {
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
         f.mkdirs(hp(s"$table/$m"))
         val rel = s"$m/g${m}_0-0-0_001.parquet"
-        f.rename(part, hp(s"$table/$rel"))
+        require(f.rename(part, hp(s"$table/$rel")),
+          s"failed to install $table/$rel")
         f.delete(hp(staging), true)
         s"""{"fileId":"g$m","path":"$rel"}"""
       }
@@ -2596,6 +2631,13 @@ object SourcesQ extends graft.QueryArea {
       """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
+    "src_iceberg_foreign_mor" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0
+        |   OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 2)
+        |GROUP BY 1 ORDER BY y""".stripMargin,
     "src_iceberg_write_read" ->
       """SELECT 1 AS version, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

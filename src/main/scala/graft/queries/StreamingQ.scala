@@ -165,7 +165,9 @@ object StreamingQ extends graft.QueryArea {
           .write.mode("overwrite").parquet(staging)
         val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-        f.rename(part, new org.apache.hadoop.fs.Path(s"$base/in/wave$i.parquet"))
+        require(f.rename(part,
+          new org.apache.hadoop.fs.Path(s"$base/in/wave$i.parquet")),
+          s"failed to install wave$i")
         f.delete(new org.apache.hadoop.fs.Path(staging), true)
       }
       val stream = spark.readStream.schema(e.schema)
@@ -202,7 +204,9 @@ object StreamingQ extends graft.QueryArea {
           .write.mode("overwrite").parquet(staging)
         val part = f.listStatus(new org.apache.hadoop.fs.Path(staging))
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-        f.rename(part, new org.apache.hadoop.fs.Path(s"$base/in/wave$i.parquet"))
+        require(f.rename(part,
+          new org.apache.hadoop.fs.Path(s"$base/in/wave$i.parquet")),
+          s"failed to install wave$i")
         f.delete(new org.apache.hadoop.fs.Path(staging), true)
       }
       val stream = spark.readStream.schema(e.schema)

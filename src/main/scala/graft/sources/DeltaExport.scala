@@ -196,7 +196,8 @@ object DeltaExport {
             found.zipWithIndex.foreach { case ((part, vals), i) =>
               val relCdc = s"_change_data/cdc-$dv-$i.parquet"
               f.delete(new Path(s"$table/$relCdc"), false)
-              f.rename(part, new Path(s"$table/$relCdc"))
+              require(f.rename(part, new Path(s"$table/$relCdc")),
+                s"failed to install $relCdc")
               val size = f.getFileStatus(new Path(s"$table/$relCdc")).getLen
               val pj = {
                 import scala.jdk.CollectionConverters._

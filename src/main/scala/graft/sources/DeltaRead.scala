@@ -803,7 +803,8 @@ object DeltaRead {
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val dest = s"part-$version-$i.snappy.parquet"
-      f.rename(p, new Path(s"$table/$dest")); dest
+      require(f.rename(p, new Path(s"$table/$dest")),
+        s"failed to install data file $dest"); dest
     }
     f.delete(new Path(staging), true)
     val mapper = new ObjectMapper()

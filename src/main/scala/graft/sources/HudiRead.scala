@@ -526,7 +526,8 @@ object HudiRead {
       val part = f.listStatus(new Path(staging))
         .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
       val dest = s"${fileId}_0-0-0_$instant.parquet"
-      f.rename(part, new Path(s"$table/$dest"))
+      require(f.rename(part, new Path(s"$table/$dest")),
+        s"failed to install $table/$dest")
       f.delete(new Path(staging), true)
       s"""{"fileId":${mapper.writeValueAsString(fileId)},"path":${mapper.writeValueAsString(dest)}}"""
     }

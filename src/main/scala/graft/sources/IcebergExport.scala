@@ -101,7 +101,8 @@ object IcebergExport {
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val entries = found.zipWithIndex.map { case ((p, vals), i) =>
       val dest = s"$table/data/t$version-$i.parquet"
-      f.rename(p, new Path(dest))
+      require(f.rename(p, new Path(dest)),
+        s"failed to install $dest")
       val dfRec = new GenericData.Record(dataFileSchema)
       dfRec.put("file_path", dest)
       dfRec.put("file_size_in_bytes",
@@ -230,7 +231,8 @@ object IcebergExport {
           val part = f.listStatus(new Path(staging))
             .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
           f.delete(new Path(delPath), false)
-          f.rename(part, new Path(delPath))
+          require(f.rename(part, new Path(delPath)),
+            s"failed to install $delPath")
           f.delete(new Path(staging), true)
           val delEntrySchema = IcebergRead.manifestEntrySchemaFor(Nil)
           val dfRec = new GenericData.Record(

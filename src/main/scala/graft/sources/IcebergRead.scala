@@ -815,7 +815,8 @@ object IcebergRead {
       df.coalesce(1).write.mode("overwrite").parquet(staging)
       val part = f.listStatus(new Path(staging))
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      f.rename(part, new Path(dest))
+      require(f.rename(part, new Path(dest)),
+        s"failed to install $dest")
       f.delete(new Path(staging), true); dest
     }
     val dataPath = onefile(upserts, s"$table/data/cdc-$version.parquet")
@@ -893,7 +894,8 @@ object IcebergRead {
     val dataPaths = parts.zipWithIndex.map { case (p, i) =>
       val dest = s"$table/data/f$version-$i.parquet"
       f.mkdirs(new Path(s"$table/data"))
-      f.rename(p, new Path(dest)); dest
+      require(f.rename(p, new Path(dest)),
+        s"failed to install $dest"); dest
     }.toSeq
     f.delete(new Path(staging), true)
     // the new manifest lists ONLY this commit's files; carried state

@@ -252,8 +252,13 @@ object IcebergReal {
           walk(st.getPath, vals :+ PathNames.unescapePathName(
             name.substring(name.indexOf('=') + 1)))
         else if (st.isFile && name.endsWith(".parquet")) {
+          // re-ESCAPE when rebuilding the destination dir — `vals` are
+          // unescaped for the typed manifest partition record, but a
+          // raw '/', '=', or ':' in a string value would break the
+          // path or diverge from the Hive dir a reader reconstructs
           val sub = if (vals.isEmpty) "" else
-            partitionCols.zip(vals).map { case (c, x) => s"$c=$x" }
+            partitionCols.zip(vals).map { case (c, x) =>
+              s"$c=${PathNames.escapePathName(x)}" }
               .mkString("", "/", "/")
           val dest = s"$table/data/$sub${java.util.UUID.randomUUID()}.parquet"
           f.mkdirs(new Path(dest).getParent)
@@ -362,33 +367,287 @@ object IcebergReal {
       (mf: GenericRecord) +: prior)
 
     // ---- metadata.json (full v2 document) + version hint
-    val priorSnaps =
-      if (v == 1) ""
-      else {
-        val node = readMetaNode(spark, table)
+    val ps = priorState(spark, table, v)
+    val summary = s"""{"operation":"append","added-data-files":"${found.size}","added-records":"$totalRows","total-records":"${ps.totalRecords + totalRows}","total-position-deletes":"${ps.totalPosDeletes}"}"""
+    writeMetadata(spark, table, v, nowMs, ps, summary, listPath,
+      sj, specFieldsJson, df.schema.size, 999 + pTypes.size)
+    snapId
+  }
+
+  /** Prior-metadata state a new commit must CARRY FORWARD to stay
+    * spec-faithful (a real reader time-travels via snapshot-log,
+    * audits via metadata-log, and trusts the summary's cumulative
+    * totals): prior snapshots / snapshot-log / metadata-log entries
+    * as raw JSON (trailing commas included), the cumulative
+    * total-records / total-position-deletes from the current
+    * snapshot's summary, and the prior schemas/spec document pieces
+    * for commits that change neither. */
+  private final case class PriorState(snapshotsJson: String,
+      snapshotLogJson: String, metadataLogJson: String,
+      totalRecords: Long, totalPosDeletes: Long,
+      schemasJson: String, specsJson: String,
+      lastColumnId: Int, lastPartitionId: Int)
+
+  private def priorState(spark: SparkSession, table: String,
+      v: Long): PriorState =
+    if (v == 1) PriorState("", "", "", 0L, 0L, "", "", 0, 999)
+    else {
+      val f = fs(spark, table)
+      val path = IcebergRead.latestMetadata(spark, table)
+      val in = f.open(path)
+      val node = try new ObjectMapper().readTree(in) finally in.close()
+      def joined(field: String): String = {
         val sb = new StringBuilder
-        node.get("snapshots").forEach(s => sb.append(s.toString).append(","))
+        Option(node.get(field)).foreach(_.forEach(s =>
+          sb.append(s.toString).append(",")))
         sb.toString
       }
+      // the PREVIOUS metadata file becomes a metadata-log entry
+      // (spec: "previous metadata file locations"), appended after
+      // any entries it already carried — rendered under the caller's
+      // table location (like every other path in the document), not
+      // the filesystem-qualified form, so a relocated table's log
+      // stays resolvable alongside its manifests
+      val mlb = new StringBuilder(joined("metadata-log"))
+      mlb.append(s"""{"timestamp-ms":${node.get("last-updated-ms").asLong},"metadata-file":${new ObjectMapper().writeValueAsString(s"$table/metadata/${path.getName}")}},""")
+      val cur = node.get("current-snapshot-id").asLong
+      var total = 0L; var posD = 0L
+      node.get("snapshots").forEach { s =>
+        if (s.get("snapshot-id").asLong == cur) {
+          val sum = s.get("summary")
+          total = Option(sum.get("total-records"))
+            .map(_.asText.toLong).getOrElse(0L)
+          posD = Option(sum.get("total-position-deletes"))
+            .map(_.asText.toLong).getOrElse(0L)
+        }
+      }
+      def stripArr(field: String): String = {
+        val sb = new StringBuilder
+        Option(node.get(field)).foreach(_.forEach(s =>
+          sb.append(s.toString).append(",")))
+        sb.toString.stripSuffix(",")
+      }
+      PriorState(joined("snapshots"), joined("snapshot-log"),
+        mlb.toString, total, posD,
+        stripArr("schemas"), stripArr("partition-specs"),
+        Option(node.get("last-column-id")).map(_.asInt).getOrElse(0),
+        Option(node.get("last-partition-id")).map(_.asInt).getOrElse(999))
+    }
+
+  /** Write `v<N>.metadata.json` + `version-hint.text` with every
+    * carried-forward section populated: snapshots, snapshot-log (all
+    * prior entries + this snapshot), metadata-log (prior entries +
+    * the previous metadata file). */
+  private def writeMetadata(spark: SparkSession, table: String, v: Long,
+      nowMs: Long, ps: PriorState, summaryJson: String, listPath: String,
+      schemaJson: String, specFieldsJson: String, lastColumnId: Int,
+      lastPartitionId: Int): Unit = {
+    val f = fs(spark, table)
+    val mapper = new ObjectMapper()
+    val snapId = v; val seq = v
     val uuid = java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8"))
-    val summary = s"""{"operation":"append","added-data-files":"${found.size}","added-records":"$totalRows","total-records":"$totalRows"}"""
     val json =
       s"""{"format-version":2,"table-uuid":"$uuid","location":${mapper.writeValueAsString(table)},
-         |"last-sequence-number":$seq,"last-updated-ms":$nowMs,"last-column-id":${df.schema.size},
-         |"current-schema-id":0,"schemas":[$sj],
+         |"last-sequence-number":$seq,"last-updated-ms":$nowMs,"last-column-id":$lastColumnId,
+         |"current-schema-id":0,"schemas":[$schemaJson],
          |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],
-         |"last-partition-id":${999 + pTypes.size},
+         |"last-partition-id":$lastPartitionId,
          |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{"write.format.default":"parquet"},
          |"current-snapshot-id":$snapId,
          |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
-         |"snapshots":[$priorSnaps{"sequence-number":$seq,"snapshot-id":$snapId,"timestamp-ms":$nowMs,"summary":$summary,"manifest-list":${mapper.writeValueAsString(listPath)},"schema-id":0}],
-         |"snapshot-log":[{"timestamp-ms":$nowMs,"snapshot-id":$snapId}],
-         |"metadata-log":[]}""".stripMargin.replace("\n", "")
+         |"snapshots":[${ps.snapshotsJson}{"sequence-number":$seq,"snapshot-id":$snapId,"timestamp-ms":$nowMs,"summary":$summaryJson,"manifest-list":${mapper.writeValueAsString(listPath)},"schema-id":0}],
+         |"snapshot-log":[${ps.snapshotLogJson}{"timestamp-ms":$nowMs,"snapshot-id":$snapId}],
+         |"metadata-log":[${ps.metadataLogJson.stripSuffix(",")}]}""".stripMargin.replace("\n", "")
     val out = f.create(new Path(s"$table/metadata/v$v.metadata.json"), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val hint = f.create(new Path(s"$table/metadata/version-hint.text"), true)
     try hint.write(v.toString.getBytes("UTF-8")) finally hint.close()
+  }
+
+  /** MERGE-ON-READ delete: one real-spec v2 snapshot marking every row
+    * matching `predicate` deleted via POSITION DELETE files — parquet
+    * files of (`file_path`, `pos`) rows carrying the spec's reserved
+    * parquet field-ids (2147483546 / 2147483545), sorted by
+    * (file_path, pos), one file per touched partition (written in ONE
+    * distributed staging job), listed by a `content=1` DELETE manifest
+    * whose entries are the full v2 `data_file` struct with
+    * `content=1` (POSITION_DELETES) and typed partition records, and a
+    * manifest-list entry with `content=1` and this commit's sequence
+    * number — the spec's scoping: position deletes apply to data files
+    * with a data sequence number ≤ the delete's (path-targeted rows
+    * make that implicit for THIS writer's UUID paths, but the numbers
+    * are real so a foreign reader scopes correctly). Prior manifests
+    * (data and delete) carry forward verbatim; later appends carry
+    * this delete manifest forward the same way. Reference consumes
+    * such tables via its iceberg connector
+    * (`fe/fe-core/.../connector/iceberg/IcebergMetadata.java`).
+    * Returns the snapshot id. */
+  def commitPositionDeletes(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(spark, table)
+    val v = IcebergRead.nextVersion(f, table)
+    val snapId = v
+    val seq = v
+    val nowMs = System.currentTimeMillis()
+    val entries = IcebergRead.dataFileEntries(spark, table, None)
+    require(entries.nonEmpty, s"$table has no data files")
+    val dataSchema = spark.read.parquet(entries.head.path).schema
+    val specNames = IcebergRead.partitionSpecFields(spark, table).map(_._1)
+    val pTypes: Seq[(String, DataType)] =
+      specNames.map(n => n -> dataSchema(n).dataType)
+    // rendered-path → (manifest path, partition sub-dir) translation,
+    // driver-bounded by #files
+    def subOf(p: String): String = {
+      val marker = "/data/"
+      val i = p.lastIndexOf(marker)
+      val rel = p.substring(i + marker.length)
+      val j = rel.lastIndexOf('/')
+      if (j < 0) "" else rel.substring(0, j + 1)
+    }
+    import spark.implicits._
+    val trans = entries.map(e =>
+      (IcebergRead.metaRendering(spark, e.path), e.path, subOf(e.path)))
+      .toDF("__if", "__raw", "__sub")
+    val scan = spark.read.parquet(entries.map(_.path): _*)
+      .withColumn("__if", col("_metadata.file_path"))
+      .withColumn("__ip", col("_metadata.row_index"))
+    // the spec's reserved field-ids ride the parquet schema
+    val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
+    val doomed = scan.filter(predicate)
+      .join(broadcast(trans), Seq("__if"))
+      .select(col("__raw").as("file_path", fpMeta),
+        col("__ip").as("pos", posMeta), col("__sub"))
+    val staging = s"$table/_staging_del$v"
+    val sorted = doomed.repartition(col("__sub"))
+      .sortWithinPartitions("file_path", "pos")
+    if (specNames.isEmpty)
+      sorted.drop("__sub").write.mode("overwrite").parquet(staging)
+    else sorted.write.partitionBy("__sub").mode("overwrite").parquet(staging)
+    val found = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    def walk(p: Path, sub: String): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("__sub="))
+          walk(st.getPath, PathNames.unescapePathName(
+            name.substring("__sub=".length)))
+        else if (st.isFile && name.endsWith(".parquet")) {
+          val dest =
+            s"$table/data/$sub${java.util.UUID.randomUUID()}-deletes.parquet"
+          f.mkdirs(new Path(dest).getParent)
+          require(f.rename(st.getPath, new Path(dest)),
+            s"failed to install delete file $dest")
+          found += ((dest, sub, f.getFileStatus(new Path(dest)).getLen))
+        }
+      }
+    walk(new Path(staging), "")
+    f.delete(new Path(staging), true)
+    require(found.nonEmpty, s"$table: delete predicate matched no rows")
+
+    // ---- delete manifest (content=1 list entry, content=1 data_file)
+    val entrySchema = manifestEntrySchema(pTypes)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val pSchema = dfSchema.getField("partition").schema()
+    def valsOf(sub: String): Seq[String] =
+      sub.split('/').filter(_.nonEmpty).toSeq.map(s =>
+        PathNames.unescapePathName(s.substring(s.indexOf('=') + 1)))
+    var delRows = 0L
+    val delEntries = found.map { case (path, sub, size) =>
+      val p = new GenericData.Record(pSchema)
+      pTypes.zip(valsOf(sub)).foreach { case ((c, dt), s) =>
+        p.put(c, partitionValue(dt, s)) }
+      val rc = footerRowCount(spark, path)
+      delRows += rc
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", Int.box(1)) // POSITION_DELETES
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("partition", p)
+      d.put("record_count", Long.box(rc))
+      d.put("file_size_in_bytes", Long.box(size))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Int.box(1)) // ADDED
+      e.put("snapshot_id", Long.box(snapId))
+      e.put("sequence_number", Long.box(seq))
+      e.put("file_sequence_number", Long.box(seq))
+      e.put("data_file", d)
+      e: GenericRecord
+    }.toSeq
+    val mapper = new ObjectMapper()
+    val sj = schemaJson(
+      StructType(dataSchema.fields.map(_.copy(nullable = true))))
+    val specFieldsJson = pTypes.zipWithIndex.map { case ((c, _), i) =>
+      val srcId = dataSchema.fieldNames.indexOf(c) + 1
+      s"""{"name":${mapper.writeValueAsString(c)},"transform":"identity","source-id":$srcId,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    val manifestPath =
+      s"$table/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, Seq(
+      "schema" -> sj,
+      "partition-spec" -> s"[$specFieldsJson]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "deletes"), delEntries)
+
+    // ---- manifest list: the delete manifest + carried-forward priors
+    val prior = IcebergRead.readAvroRecords(spark,
+      currentManifestList(spark, table))
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", manifestPath)
+    mf.put("manifest_length", Long.box(manifestLen))
+    mf.put("partition_spec_id", Int.box(0))
+    mf.put("content", Int.box(1)) // DELETES
+    mf.put("sequence_number", Long.box(seq))
+    mf.put("min_sequence_number", Long.box(seq))
+    mf.put("added_snapshot_id", Long.box(snapId))
+    mf.put("added_data_files_count", Int.box(found.size))
+    mf.put("existing_data_files_count", Int.box(0))
+    mf.put("deleted_data_files_count", Int.box(0))
+    mf.put("added_rows_count", Long.box(delRows))
+    mf.put("existing_rows_count", Long.box(0L))
+    mf.put("deleted_rows_count", Long.box(0L))
+    if (pTypes.nonEmpty) {
+      val sumSchema = manifestFileSchema.getField("partitions").schema()
+        .getTypes.get(1).getElementType
+      val sums = new java.util.ArrayList[GenericRecord]()
+      pTypes.zipWithIndex.foreach { case ((c, dt), i) =>
+        val typed = found.map(x => partitionValue(dt, valsOf(x._2)(i)))
+        val r = new GenericData.Record(sumSchema)
+        r.put("contains_null",
+          java.lang.Boolean.valueOf(typed.exists(_ == null)))
+        r.put("contains_nan", java.lang.Boolean.FALSE)
+        val present = typed.filter(_ != null)
+        if (present.nonEmpty) {
+          val ordered = present.sortBy(boundOrder)
+          r.put("lower_bound",
+            java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.head)))
+          r.put("upper_bound",
+            java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.last)))
+        }
+        sums.add(r)
+      }
+      mf.put("partitions", sums)
+    }
+    val listPath =
+      s"$table/metadata/snap-$snapId-1-${java.util.UUID.randomUUID()}.avro"
+    writeAvro(spark, listPath, manifestFileSchema, Seq(
+      "format-version" -> "2",
+      "snapshot-id" -> snapId.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> (v - 1).toString),
+      (mf: GenericRecord) +: prior)
+
+    // ---- metadata.json: total-records is the DATA-file total (the
+    // Java writer's semantic — position deletes accrue in
+    // total-position-deletes, they do not shrink total-records)
+    val ps = priorState(spark, table, v)
+    val summary = s"""{"operation":"delete","added-delete-files":"${found.size}","added-position-deletes":"$delRows","total-records":"${ps.totalRecords}","total-position-deletes":"${ps.totalPosDeletes + delRows}"}"""
+    writeMetadata(spark, table, v, nowMs, ps, summary, listPath,
+      sj, specFieldsJson, dataSchema.size, 999 + pTypes.size)
     snapId
   }
 

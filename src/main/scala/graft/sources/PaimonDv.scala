@@ -224,10 +224,20 @@ object PaimonDv {
     * (first string = data file; first two numerics = offset, length —
     * newer paimon appends cardinality, which is ignored). */
   def readIndexManifest(spark: SparkSession, table: String,
+      name: String): Seq[IndexEntry] =
+    parseIndexRecords(PaimonRead.readAvroFile(spark,
+      PaimonRead.manifestPath(spark, table, name)), name)
+
+  /** SparkSession-free twin over a RESOLVED path — callable from
+    * executor tasks (the distributed GC root walk). */
+  def readIndexManifestWithConf(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[IndexEntry] =
+    parseIndexRecords(PaimonRead.readAvroWithConf(conf, path), path)
+
+  private def parseIndexRecords(records: Seq[GenericRecord],
       name: String): Seq[IndexEntry] = {
     import scala.jdk.CollectionConverters._
-    PaimonRead.readAvroFile(spark,
-      PaimonRead.manifestPath(spark, table, name)).map { r =>
+    records.map { r =>
       def num(v: Any, dflt: Long): Long = v match {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()

@@ -342,9 +342,16 @@ object PaimonRead {
       schema: org.apache.avro.Schema, records: Seq[GenericRecord]): Unit =
     writeAvro(spark, path, schema, records)
 
-  private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
-    val f = fs(spark, path)
-    val in = f.open(new Path(path))
+  private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] =
+    readAvroWithConf(spark.sparkContext.hadoopConfiguration, path)
+
+  /** SparkSession-free Avro read — callable from EXECUTOR tasks (the
+    * distributed GC root walk) with a broadcast Configuration. */
+  private[sources] def readAvroWithConf(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[GenericRecord] = {
+    val p = new Path(path)
+    val in = p.getFileSystem(conf).open(p)
     val stream = new DataFileStream[GenericRecord](in,
       new GenericDatumReader[GenericRecord]())
     try {
@@ -352,6 +359,19 @@ object PaimonRead {
       while (stream.hasNext) buf += stream.next()
       buf.toSeq
     } finally stream.close()
+  }
+
+  /** [[manifestPath]] without a SparkSession (executor-side twin). */
+  private[sources] def manifestPathWithConf(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: String, name: String): String = {
+    val local = s"$table/manifest/$name"
+    if (dataRoot(table) == table) local
+    else {
+      val p = new Path(local)
+      if (p.getFileSystem(conf).exists(p)) local
+      else s"${dataRoot(table)}/manifest/$name"
+    }
   }
 
   private def writeAvro(spark: SparkSession, path: String,
@@ -2148,20 +2168,72 @@ object PaimonRead {
     val keepManifests = scala.collection.mutable.Set[String]()
     val keepData = scala.collection.mutable.Set[String]()
     val keepIndex = scala.collection.mutable.Set[String]()
-    roots.foreach { case (root, s) =>
+    // DISTINCT (root, name) tasks: carried-forward manifest lists
+    // share their name across many snapshots/tags/branches, so the
+    // walk is O(distinct lists), not O(roots × lists)
+    val listTasks: Seq[(String, String)] = roots.flatMap { case (root, s) =>
       (Seq(s.baseManifestList, s.deltaManifestList) ++
-        s.changelogManifestList).foreach { l =>
-        keepManifests += l
-        readAvro(spark, manifestPath(spark, root, l)).foreach(lm =>
-          keepManifests += lm.get("_FILE_NAME").toString)
-        // every file any root's manifests mention — adds AND deletes
-        // (a file a later snapshot retires is still read by this one)
-        entriesOf(spark, root, l).foreach(e => keepData += e.fileName)
+        s.changelogManifestList).map(root -> _) }.distinct
+    val idxTasks: Seq[(String, String)] = roots
+      .flatMap { case (root, s) => s.indexManifest.map(root -> _) }.distinct
+    keepManifests ++= listTasks.map(_._2)
+    keepManifests ++= idxTasks.map(_._2)
+    // the walk only needs FILE NAMES (no partition/schema decode), so
+    // both paths extract _FILE_NAME fields; past the threshold the
+    // reads run as ONE Spark job (a long-retention table with many
+    // tags/branches would otherwise serialize O(lists) metadata RPCs
+    // through the driver), collecting names bounded by the live file
+    // count — the same names the driver must hold for the sweep anyway
+    val rootWalkThreshold = spark.conf
+      .getOption("spark.graft.paimon.gc.distributedRootWalkThreshold")
+      .map(_.toInt).getOrElse(64)
+    if (listTasks.size + idxTasks.size <= rootWalkThreshold) {
+      listTasks.foreach { case (root, l) =>
+        readAvro(spark, manifestPath(spark, root, l)).foreach { lm =>
+          val mf = lm.get("_FILE_NAME").toString
+          keepManifests += mf
+          // every file any root's manifests mention — adds AND deletes
+          // (a file a later snapshot retires is still read by this one)
+          readAvro(spark, manifestPath(spark, root, mf)).foreach(e =>
+            keepData += e.get("_FILE").asInstanceOf[GenericRecord]
+              .get("_FILE_NAME").toString)
+        }
       }
-      s.indexManifest.foreach { im =>
-        keepManifests += im
+      idxTasks.foreach { case (root, im) =>
         PaimonDv.readIndexManifest(spark, root, im)
           .foreach(e => keepIndex += e.fileName)
+      }
+    } else {
+      val walkConfB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      val tasks = listTasks.map { case (r, n) => (r, n, "list") } ++
+        idxTasks.map { case (r, n) => (r, n, "index") }
+      val names = spark.sparkContext
+        .parallelize(tasks, math.min(tasks.size, 64))
+        .flatMap { case (root, name, kind) =>
+          val conf = walkConfB.value.value
+          kind match {
+            case "list" =>
+              readAvroWithConf(conf,
+                  manifestPathWithConf(conf, root, name)).iterator.flatMap { lm =>
+                val mf = lm.get("_FILE_NAME").toString
+                Iterator(("manifest", mf)) ++
+                  readAvroWithConf(conf,
+                      manifestPathWithConf(conf, root, mf)).iterator.map(e =>
+                    ("data", e.get("_FILE").asInstanceOf[GenericRecord]
+                      .get("_FILE_NAME").toString))
+              }
+            case _ =>
+              PaimonDv.readIndexManifestWithConf(conf,
+                  manifestPathWithConf(conf, root, name)).iterator
+                .map(e => ("index", e.fileName))
+          }
+        }.distinct().collect()
+      names.foreach {
+        case ("manifest", n) => keepManifests += n
+        case ("index", n) => keepIndex += n
+        case (_, n) => keepData += n
       }
     }
     // leaf dirs to sweep — the driver walks DIRECTORIES only,

@@ -37,4 +37,13 @@ object PathNames {
     flush()
     sb.toString
   }
+
+  /** Hive-style escape — delegates to Spark's
+    * `ExternalCatalogUtils.escapePathName` so a value re-rendered into
+    * a partition directory round-trips byte-for-byte with what
+    * `partitionBy` staging wrote (`'/'`, `'='`, `':'` etc. become
+    * `%XX`; `'+'` stays literal, matching [[unescapePathName]]). */
+  private[graft] def escapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(s)
 }

@@ -12,8 +12,10 @@ import graft.Engine
   * drift breaks loudly. */
 object IcebergFixtureGen {
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse(
-      "src/test/resources/fixtures/iceberg_foreign")
+    val mor = args.contains("mor")
+    val out = args.filterNot(_ == "mor").headOption.getOrElse(
+      if (mor) "src/test/resources/fixtures/iceberg_foreign_mor"
+      else "src/test/resources/fixtures/iceberg_foreign")
     val spark = Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -29,6 +31,17 @@ object IcebergFixtureGen {
     graft.sources.IcebergReal.commitAppend(batch(Seq(
       (4L, "tool", 9.25, "2024-01-02"), (5L, "book", 12.0, "2024-01-03"),
       (6L, "book", 7.75, "2024-01-03"))), out, Seq("event_date"))
+    if (mor) {
+      // v3: position deletes (price < 8.0 kills ids 1, 2, 6 across two
+      // partitions); v4: a later append whose id-7 row would ALSO
+      // match the delete predicate but must survive (path-targeted,
+      // sequence-scoped deletes never reach future files)
+      graft.sources.IcebergReal.commitPositionDeletes(spark, out,
+        col("price") < 8.0)
+      graft.sources.IcebergReal.commitAppend(batch(Seq(
+        (7L, "fruit", 2.0, "2024-01-01"),
+        (8L, "tool", 15.0, "2024-01-04"))), out, Seq("event_date"))
+    }
     println(s"wrote $out")
     spark.stop()
   }

@@ -29,8 +29,8 @@ object PaimonScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    println("| base rows | ingest s (3 commits) | MoR read s | chg full s | chg 1-key s | compact s | post-compact read s | dv delete s | post-dv read s | gc s | post-gc read s |")
-    println("|---|---|---|---|---|---|---|---|---|---|---|")
+    println("| base rows | ingest s (3 commits) | MoR read s | chg full s | chg 1-key s | compact s | post-compact read s | dv delete s | post-dv read s | branch s | gc s | post-gc read s |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|")
     for (n <- sizes) {
       val table = s"${System.getProperty("java.io.tmpdir")}/graft_paimon_probe_$n"
       graft.sources.Formats.deleteDir(spark, table)
@@ -65,6 +65,21 @@ object PaimonScaleProbe {
       val dvDel = time(PaimonRead.deleteWhereDv(spark, table,
         $"k" >= 30000L && $"k" < 40000L))
       val postDv = readWall()
+      // BRANCH lifecycle (r12: branches are the newest metadata tree
+      // and their GC interaction the likeliest regression site): fork
+      // at the current snapshot, commit a FIXED 5k-row delta to the
+      // branch, read it back — then leave the branch in place so the
+      // GC below must treat its tree as retention roots. Wall must
+      // track the delta, not the base size.
+      val br = PaimonRead.branchRoot(table, "probe")
+      val mainCount = PaimonRead.read(spark, table).count()
+      val branch = time {
+        PaimonRead.createBranch(spark, table, "probe")
+        PaimonRead.commitPk(spark.range(n, n + 5000).select($"id".as("k"),
+          ($"id" % 7).cast("string").as("p"), lit(7.5).as("price")),
+          br, Seq("k"), assumeKeyUnique = true)
+        PaimonRead.read(spark, br).agg(count(lit(1))).collect()
+      }
       // GC: expire everything but the latest snapshot, then the orphan
       // sweep (r11: reachability roots on the driver, per-file listing
       // + deletes as ONE Spark job over the leaf dirs) — wall must be
@@ -74,7 +89,12 @@ object PaimonScaleProbe {
         PaimonRead.removeOrphanFiles(spark, table, olderThanMillis = 0L)
       }
       val postGc = readWall()
-      println(f"| $n | $ingest%.1f | $mor%.2f | $chgFull%.2f | $chgOne%.2f | $comp%.1f | $post%.2f | $dvDel%.2f | $postDv%.2f | $gc%.1f | $postGc%.2f |")
+      // the GC must have kept every branch-reachable file: the branch
+      // still resolves to fork-point rows + its own 5k delta
+      val brCount = PaimonRead.read(spark, br).count()
+      require(brCount == mainCount + 5000,
+        s"branch lost rows after GC: $brCount vs ${mainCount + 5000}")
+      println(f"| $n | $ingest%.1f | $mor%.2f | $chgFull%.2f | $chgOne%.2f | $comp%.1f | $post%.2f | $dvDel%.2f | $postDv%.2f | $branch%.2f | $gc%.1f | $postGc%.2f |")
       graft.sources.Formats.deleteDir(spark, table)
     }
     spark.stop()

@@ -274,4 +274,38 @@ class DedupSpec extends SparkSuite {
       "text", bucketCap = 256)
     assert(small.count() === (10L * 9) / 2)
   }
+
+  test("super-cells: star pairing bounds a skew-collapsed k-means cell and preserves keep-lowest dedup") {
+    import spark.implicits._
+    // one FAT mutual near-duplicate cluster (scaled copies of one
+    // vector — k-means must co-cluster them) + a few spread vectors:
+    // the within-cell self-join would emit 30·29/2 pairs; the capped
+    // path must emit O(cell) star pairs yet dedup to the same rows
+    val base = Seq(1.0f, 0.0f, 2.0f, -1.0f)
+    val fat = (0L until 30L).map(i =>
+      (100L + i, base.map(x => x * (1.0f + i * 0.001f))))
+    val spread = Seq(
+      (1L, Seq(-5.0f, 4.0f, 0.0f, 3.0f)),
+      (2L, Seq(0.0f, -7.0f, 1.0f, -2.0f)))
+    val df = (fat ++ spread).toDF("vec_id", "embedding")
+    val uncapped = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 3, iters = 2, cellCap = Int.MaxValue)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val capped = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 3, iters = 2, cellCap = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(capped === uncapped, "star pairing changed the dedup result")
+    assert(capped === Set(1L, 2L, 100L), "fat cell must collapse to its min id")
+    // pair volume is linear in the over-cap cell, not quadratic
+    val pairs = Dedup.semanticDupPairs(df, "vec_id", "embedding",
+      k = 3, iters = 2, cellCap = 8)
+    assert(pairs.count() === 29L,
+      s"expected 29 star pairs, got ${pairs.count()}")
+    val pairsUncapped = Dedup.semanticDupPairs(df, "vec_id", "embedding",
+      k = 3, iters = 2, cellCap = Int.MaxValue)
+    assert(pairsUncapped.count() === (30L * 29) / 2)
+    // below the cap the exact all-pairs path is untouched
+    assert(Dedup.semanticDupPairs(df, "vec_id", "embedding",
+      k = 3, iters = 2, cellCap = 64).count() === (30L * 29) / 2)
+  }
 }

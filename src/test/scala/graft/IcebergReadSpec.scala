@@ -558,4 +558,91 @@ class IcebergReadSpec extends SparkSuite {
       .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
     assert(part.get("event_date").isInstanceOf[Integer])
   }
+
+  test("REAL-SPEC MoR pinned fixture: content=1 delete manifests mask; later appends survive; raw field-ids pinned") {
+    import org.apache.spark.sql.functions.col
+    val table = graft.sources.Fixtures.dir(spark, "iceberg_foreign_mor")
+    // replay: v3 position-deleted ids 1/2/6 (price < 8) across two
+    // partitions; v4 appended id 7 (price 2.0 — would match the
+    // delete predicate, but deletes are path-targeted and
+    // sequence-scoped, so a LATER file never loses rows) and id 8
+    val got = IcebergRead.read(spark, table)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got === Set(3L, 4L, 5L, 7L, 8L))
+    // time travel: pre-delete snapshot sees all 6; the delete
+    // snapshot itself masks down to 3
+    assert(IcebergRead.read(spark, table, Some(2L)).count() === 6)
+    assert(IcebergRead.read(spark, table, Some(3L))
+      .collect().map(_.getAs[Long]("id")).toSet === Set(3L, 4L, 5L))
+    // the v4 manifest list carries the delete manifest FORWARD:
+    // content=1 entry with the delete commit's sequence number
+    val metaDir = new java.io.File(s"$table/metadata")
+    val v4list = metaDir.listFiles.map(_.getName)
+      .filter(n => n.startsWith("snap-4-1-") && n.endsWith(".avro")).head
+    val lists = IcebergRead.readAvroRecords(spark, s"$table/metadata/$v4list")
+    assert(lists.size === 4) // 3 append manifests + 1 delete manifest
+    val listSchema = lists.head.getSchema
+    assert(listSchema.getField("content").getObjectProp("field-id") === 517)
+    assert(listSchema.getField("sequence_number").getObjectProp("field-id") === 515)
+    val delLists = lists.filter(_.get("content") == 1)
+    assert(delLists.size === 1)
+    val delList = delLists.head
+    assert(delList.get("sequence_number") === 3L &&
+      delList.get("min_sequence_number") === 3L)
+    assert(delList.get("added_rows_count") === 3L)
+    // the delete MANIFEST's entries: full v2 data_file struct with
+    // content=1 (POSITION_DELETES) and typed partition records
+    val delEntries = IcebergRead.readAvroRecords(spark,
+      delList.get("manifest_path").toString)
+    assert(delEntries.size === 2) // one per touched partition
+    val entrySchema = delEntries.head.getSchema
+    assert(entrySchema.getName === "manifest_entry")
+    assert(entrySchema.getField("sequence_number").getObjectProp("field-id") === 3)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    assert(dfSchema.getField("content").getObjectProp("field-id") === 134)
+    assert(dfSchema.getField("file_path").getObjectProp("field-id") === 100)
+    assert(dfSchema.getField("record_count").getObjectProp("field-id") === 103)
+    delEntries.foreach { e =>
+      val d = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(d.get("content") === 1)
+      assert(d.get("file_path").toString.endsWith("-deletes.parquet"))
+      val p = d.get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(p.get("event_date").isInstanceOf[Integer])
+    }
+    // the delete PARQUET carries the spec's reserved field-ids
+    // (2147483546 file_path / 2147483545 pos) and sorted positions
+    val delPq = delEntries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("file_path").toString
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(delPq),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val pqSchema = r.getFileMetaData.getSchema
+      def idOf(n: String) =
+        pqSchema.getFields.get(pqSchema.getFieldIndex(n)).getId.intValue
+      assert(idOf("file_path") === 2147483546)
+      assert(idOf("pos") === 2147483545)
+    } finally r.close()
+    val delRows = spark.read.parquet(delPq)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(delRows === delRows.sorted)
+    // metadata.json fidelity: snapshot-log carries EVERY snapshot,
+    // metadata-log every prior metadata file, and summary totals are
+    // cumulative (total-records = data rows; position deletes accrue
+    // in total-position-deletes, they don't shrink it)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      new java.io.File(s"$table/metadata/v4.metadata.json"))
+    assert(meta.get("snapshot-log").size === 4)
+    assert(meta.get("metadata-log").size === 3)
+    val sums = (1 to 4).map { i =>
+      var s: com.fasterxml.jackson.databind.JsonNode = null
+      meta.get("snapshots").forEach(n =>
+        if (n.get("snapshot-id").asInt == i) s = n.get("summary"))
+      (s.get("total-records").asText, s.get("total-position-deletes").asText)
+    }
+    assert(sums === Seq(("3", "0"), ("6", "0"), ("6", "3"), ("8", "3")))
+  }
 }

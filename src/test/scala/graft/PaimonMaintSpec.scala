@@ -179,6 +179,45 @@ class PaimonMaintSpec extends SparkSuite {
     assert(PaimonRead.removeOrphanFiles(spark, dir, olderThanMillis = 0L) === Nil)
   }
 
+  test("distributed GC root walk (threshold 0) sweeps the same orphans as the serial walk, branches included") {
+    // twin tables, identical commit history (file names are
+    // deterministic: data-<id>-<i>), one swept serially, one through
+    // the Spark-job root walk — the orphan RELATIVE paths must match
+    def build(dir: String): Unit = {
+      PaimonRead.commitPk(spark.range(0, 40).select($"id".as("k"),
+        $"id".cast("double").as("x")), dir, Seq("k"), numBuckets = 2)
+      PaimonRead.commitPk(spark.range(0, 10).select($"id".as("k"),
+        lit(-1.0).as("x")), dir, Seq("k"), assumeKeyUnique = true)
+      PaimonRead.createTag(spark, dir, "keepme", Some(1L))
+      PaimonRead.createBranch(spark, dir, "dev", Some(2L))
+      PaimonRead.commitPk(spark.range(200, 210).select($"id".as("k"),
+        $"id".cast("double").as("x")),
+        PaimonRead.branchRoot(dir, "dev"), Seq("k"), assumeKeyUnique = true)
+      PaimonRead.compact(spark, dir)
+      // drop the tag so its exclusive copies become orphans
+      PaimonRead.deleteTag(spark, dir, "keepme")
+      PaimonRead.expireSnapshots(spark, dir, retainLast = 1)
+    }
+    val a = fresh("gc-serial"); val b = fresh("gc-dist")
+    build(a); build(b)
+    def rel(root: String)(p: String): String =
+      p.substring(p.indexOf(root) + root.length)
+    val serial = PaimonRead.removeOrphanFiles(spark, a, olderThanMillis = 0L)
+      .map(rel(a)).sorted
+    spark.conf.set("spark.graft.paimon.gc.distributedRootWalkThreshold", "0")
+    val dist =
+      try PaimonRead.removeOrphanFiles(spark, b, olderThanMillis = 0L)
+        .map(rel(b)).sorted
+      finally spark.conf
+        .unset("spark.graft.paimon.gc.distributedRootWalkThreshold")
+    assert(dist === serial, "distributed and serial sweeps diverged")
+    // branch + main still read after the distributed sweep
+    assert(PaimonRead.read(spark, b).count() === 40)
+    assert(PaimonRead.read(spark,
+      PaimonRead.branchRoot(b, "dev")).count() === 50)
+    assert(PaimonRead.removeOrphanFiles(spark, b, olderThanMillis = 0L) === Nil)
+  }
+
   test("addColumn: ALTER TABLE ADD COLUMN — null-fill on old runs, evolved compaction, time travel keeps the old shape") {
     val dir = fresh("evo")
     PaimonRead.commitPk(spark.range(0, 50).select($"id".as("k"),
