@@ -103,8 +103,6 @@ object PaimonHashIndex {
           }.toDF("__pj", "__khash", "__bucket")
       }
     val batchKeys = withKey.select(col("__pj"), col("__khash")).distinct()
-      .persist()
-    val batchKeyCount = batchKeys.count() // also materializes the cache
     // join SHAPE matters at scale: the steady-state upsert has a batch
     // ≪ index, so broadcast the batch keys and stream the index ONCE
     // through a broadcast-hash join (no index shuffle), leaving
@@ -123,19 +121,25 @@ object PaimonHashIndex {
       .map(_.toLong).getOrElse(1000000L)
     val looked =
       if (prior.isEmpty)
+        // no extra count/cache of the key set: the initial ingest is
+        // the LARGEST batch this method ever sees, and its "lookup"
+        // is a constant null column
         batchKeys.withColumn("__bucket", lit(null).cast("integer"))
           .persist()
       else {
+        val bk = batchKeys.persist()
         val probe =
-          if (batchKeyCount <= broadcastKeyLimit) broadcast(batchKeys)
-          else batchKeys
+          if (bk.count() <= broadcastKeyLimit) broadcast(bk)
+          else bk
         val hit = priorAssign
           .join(probe, Seq("__pj", "__khash"), "left_semi")
           .dropDuplicates("__pj", "__khash")
-        batchKeys.join(hit, Seq("__pj", "__khash"), "left").persist()
+        val lk = bk.join(hit, Seq("__pj", "__khash"), "left").persist()
+        lk.count() // materialize before releasing the key cache
+        bk.unpersist()
+        lk
       }
     looked.count() // ONE index read, shared by every branch below
-    batchKeys.unpersist() // everything downstream reads `looked`
     // NEW keys assign DISTRIBUTED: rank within partition by hash (one
     // window shuffle — deterministic), ranks fill the partition's tail
     // bucket to target, then open `target`-sized buckets. The driver

@@ -59,7 +59,8 @@ object DumpPlans {
       "src_delta_foreign_read" -> "FOREIGN Delta 3.1.0 log (real classic checkpoint + JSON tail, metadata-only): inventory is a LocalRelation of the replayed adds — stats parse + per-partition rollup, no data scan by construction",
       "src_iceberg_foreign_read" -> "REAL-SPEC Iceberg v2 read (full-schema Avro manifests, typed r102 partition values): identity sources live IN the data files, scan routes through the transform FileIndex — no column re-attachment, prune at listFiles",
       "src_paimon_dynamic_bucket" -> "Paimon dynamic-bucket read: sticky HASH-index routed buckets scan exactly like fixed ones — live runs per bucket, ONE merge window; CDC derivation still prunes prior files to touched buckets",
-      "src_paimon_changelog_input" -> "Paimon changelog-producer=input feed: batch rows ARE the change files — pure changelog scan per version, no lookup derivation, no merge window")
+      "src_paimon_changelog_input" -> "Paimon changelog-producer=input feed: batch rows ARE the change files — pure changelog scan per version, no lookup derivation, no merge window",
+      "src_iceberg_foreign_mor" -> "REAL-SPEC Iceberg v2 MoR read (content=1 delete manifests, reserved-field-id position-delete parquet): clean/dirty split — untouched files scan at full speed, only DELETE-touched files pay the broadcast anti-join on (_metadata.file_path, row_index)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
