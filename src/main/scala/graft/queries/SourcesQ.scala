@@ -686,6 +686,41 @@ object SourcesQ extends graft.QueryArea {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
         .orderBy(col("y"))
     }),
+    // REAL-SPEC Iceberg v2 EQUALITY deletes (the Flink-CDC encoding;
+    // IcebergReal.commitEqualityDeletes): content=1 DELETE manifest
+    // whose data_file is content=2 with equality_ids naming the
+    // TABLE field-ids; the delete parquet carries exactly the
+    // equality columns under those footer ids. Scoping is STRICT
+    // (dataSeq < deleteSeq): commit 4 RE-INSERTS the %7=3 odd keys —
+    // their %5=0 members were equality-deleted in commit 3 but the
+    // re-inserted images survive their own delete (the CDC upsert
+    // pattern IcebergRead.maskEqualityDeletes exists for).
+    "src_iceberg_foreign_eq" -> ((spark, dir) => {
+      val table = tmpDir(dir, "iceberg_real_eq")
+      graft.sources.Formats.deleteDir(spark, table)
+      // two order-years keep the 4-commit gate inside the 4 s budget —
+      // the masked-read shape is identical at any slice
+      val o = t(spark, dir, "orders")
+        .filter(year(to_date(col("o_orderdate"))).isin(1994, 1995))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          trunc(to_date(col("o_orderdate")), "year").as("o_year"))
+      val upsert = col("o_orderkey") % 2 === 1 && col("o_orderkey") % 7 === 3
+      graft.sources.IcebergReal.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), table, Seq("o_year"))
+      graft.sources.IcebergReal.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1 && !upsert), table, Seq("o_year"))
+      graft.sources.IcebergReal.commitEqualityDeletes(spark, table,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_year")),
+        Seq("o_orderkey", "o_year"))
+      graft.sources.IcebergReal.commitAppend(
+        o.filter(upsert), table, Seq("o_year"))
+      graft.sources.IcebergRead.read(spark, table)
+        .groupBy(year(col("o_year")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("y"))
+    }),
     "src_iceberg_write_read" -> ((spark, dir) => {
       val table = tmpDir(dir, "iceberg_exp")
       graft.sources.Formats.deleteDir(spark, table)
@@ -2637,6 +2672,14 @@ object SourcesQ extends graft.QueryArea {
         |FROM orders
         |WHERE o_orderkey % 3 <> 0
         |   OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 2)
+        |GROUP BY 1 ORDER BY y""".stripMargin,
+    "src_iceberg_foreign_eq" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1994, 1995)
+        |  AND (o_orderkey % 5 <> 0
+        |   OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 3))
         |GROUP BY 1 ORDER BY y""".stripMargin,
     "src_iceberg_write_read" ->
       """SELECT 1 AS version, count(*) AS n,

@@ -368,7 +368,7 @@ object IcebergReal {
 
     // ---- metadata.json (full v2 document) + version hint
     val ps = priorState(spark, table, v)
-    val summary = s"""{"operation":"append","added-data-files":"${found.size}","added-records":"$totalRows","total-records":"${ps.totalRecords + totalRows}","total-position-deletes":"${ps.totalPosDeletes}"}"""
+    val summary = s"""{"operation":"append","added-data-files":"${found.size}","added-records":"$totalRows","total-records":"${ps.totalRecords + totalRows}","total-position-deletes":"${ps.totalPosDeletes}","total-equality-deletes":"${ps.totalEqDeletes}"}"""
     writeMetadata(spark, table, v, nowMs, ps, summary, listPath,
       sj, specFieldsJson, df.schema.size, 999 + pTypes.size)
     snapId
@@ -384,13 +384,13 @@ object IcebergReal {
     * for commits that change neither. */
   private final case class PriorState(snapshotsJson: String,
       snapshotLogJson: String, metadataLogJson: String,
-      totalRecords: Long, totalPosDeletes: Long,
+      totalRecords: Long, totalPosDeletes: Long, totalEqDeletes: Long,
       schemasJson: String, specsJson: String,
       lastColumnId: Int, lastPartitionId: Int)
 
   private def priorState(spark: SparkSession, table: String,
       v: Long): PriorState =
-    if (v == 1) PriorState("", "", "", 0L, 0L, "", "", 0, 999)
+    if (v == 1) PriorState("", "", "", 0L, 0L, 0L, "", "", 0, 999)
     else {
       val f = fs(spark, table)
       val path = IcebergRead.latestMetadata(spark, table)
@@ -411,13 +411,15 @@ object IcebergReal {
       val mlb = new StringBuilder(joined("metadata-log"))
       mlb.append(s"""{"timestamp-ms":${node.get("last-updated-ms").asLong},"metadata-file":${new ObjectMapper().writeValueAsString(s"$table/metadata/${path.getName}")}},""")
       val cur = node.get("current-snapshot-id").asLong
-      var total = 0L; var posD = 0L
+      var total = 0L; var posD = 0L; var eqD = 0L
       node.get("snapshots").forEach { s =>
         if (s.get("snapshot-id").asLong == cur) {
           val sum = s.get("summary")
           total = Option(sum.get("total-records"))
             .map(_.asText.toLong).getOrElse(0L)
           posD = Option(sum.get("total-position-deletes"))
+            .map(_.asText.toLong).getOrElse(0L)
+          eqD = Option(sum.get("total-equality-deletes"))
             .map(_.asText.toLong).getOrElse(0L)
         }
       }
@@ -428,7 +430,7 @@ object IcebergReal {
         sb.toString.stripSuffix(",")
       }
       PriorState(joined("snapshots"), joined("snapshot-log"),
-        mlb.toString, total, posD,
+        mlb.toString, total, posD, eqD,
         stripArr("schemas"), stripArr("partition-specs"),
         Option(node.get("last-column-id")).map(_.asInt).getOrElse(0),
         Option(node.get("last-partition-id")).map(_.asInt).getOrElse(999))
@@ -645,7 +647,185 @@ object IcebergReal {
     // Java writer's semantic — position deletes accrue in
     // total-position-deletes, they do not shrink total-records)
     val ps = priorState(spark, table, v)
-    val summary = s"""{"operation":"delete","added-delete-files":"${found.size}","added-position-deletes":"$delRows","total-records":"${ps.totalRecords}","total-position-deletes":"${ps.totalPosDeletes + delRows}"}"""
+    val summary = s"""{"operation":"delete","added-delete-files":"${found.size}","added-position-deletes":"$delRows","total-records":"${ps.totalRecords}","total-position-deletes":"${ps.totalPosDeletes + delRows}","total-equality-deletes":"${ps.totalEqDeletes}"}"""
+    writeMetadata(spark, table, v, nowMs, ps, summary, listPath,
+      sj, specFieldsJson, dataSchema.size, 999 + pTypes.size)
+    snapId
+  }
+
+  /** MERGE-ON-READ equality delete (the Flink-CDC encoding): one
+    * real-spec v2 snapshot whose `content=1` DELETE manifest lists
+    * EQUALITY-delete files — parquet files containing EXACTLY the
+    * equality columns (each carrying its TABLE-SCHEMA field-id in the
+    * parquet footer, the spec's binding between delete rows and data
+    * columns), `data_file.content = 2` (EQUALITY_DELETES) and
+    * `equality_ids` naming those field-ids. The spec's scoping is
+    * STRICT: an equality delete applies to data files with a data
+    * sequence number strictly BELOW the delete's, so a CDC upsert's
+    * re-inserted row (sequenced at or above) survives its own delete —
+    * [[IcebergRead.maskEqualityDeletes]] implements exactly that
+    * residual. Partitioned tables require the equality columns to
+    * include the partition columns (the delete files then land
+    * partition-scoped like the data, one staging job); global deletes
+    * under a second unpartitioned spec are out of scope. Returns the
+    * snapshot id. */
+  def commitEqualityDeletes(spark: SparkSession, table: String,
+      keys: DataFrame, equalityCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, table)
+    val v = IcebergRead.nextVersion(f, table)
+    val snapId = v
+    val seq = v
+    val nowMs = System.currentTimeMillis()
+    val entries = IcebergRead.dataFileEntries(spark, table, None)
+    require(entries.nonEmpty, s"$table has no data files")
+    val dataSchema = spark.read.parquet(entries.head.path).schema
+    val specNames = IcebergRead.partitionSpecFields(spark, table).map(_._1)
+    val pTypes: Seq[(String, DataType)] =
+      specNames.map(n => n -> dataSchema(n).dataType)
+    require(equalityCols.nonEmpty, "equality delete without key columns")
+    equalityCols.foreach(c => require(
+      dataSchema.fieldNames.contains(c) && keys.columns.contains(c),
+      s"equality column $c missing from table or batch"))
+    specNames.foreach(p => require(equalityCols.contains(p),
+      s"partitioned equality deletes must include partition column $p " +
+        "in the equality key (global unpartitioned-spec deletes are " +
+        "not supported)"))
+    val fieldIdOf: Map[String, Int] =
+      dataSchema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    // delete rows: exactly the equality columns, table field-ids in
+    // the parquet footer, typed as the table schema
+    val typedCols = equalityCols.map { c =>
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", fieldIdOf(c).toLong).build()
+      col(c).cast(dataSchema(c).dataType).as(c, meta)
+    }
+    val ptAlias = specNames.zipWithIndex.map { case (_, i) => s"__pt$i" }
+    val staged0 = keys.select(typedCols: _*)
+    val staged = specNames.zip(ptAlias).foldLeft(staged0) {
+      case (d, (c, a)) => d.withColumn(a, col(c))
+    }
+    val staging = s"$table/_staging_eq$v"
+    if (ptAlias.isEmpty) staged.write.mode("overwrite").parquet(staging)
+    else staged.write.partitionBy(ptAlias: _*).mode("overwrite")
+      .parquet(staging)
+    val found = scala.collection.mutable.ArrayBuffer[(String, Seq[String], Long)]()
+    def walk(p: Path, vals: List[String]): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          walk(st.getPath, vals :+ PathNames.unescapePathName(
+            name.substring(name.indexOf('=') + 1)))
+        else if (st.isFile && name.endsWith(".parquet")) {
+          val sub = if (vals.isEmpty) "" else
+            specNames.zip(vals).map { case (c, x) =>
+              s"$c=${PathNames.escapePathName(x)}" }.mkString("", "/", "/")
+          val dest =
+            s"$table/data/$sub${java.util.UUID.randomUUID()}-eq-deletes.parquet"
+          f.mkdirs(new Path(dest).getParent)
+          require(f.rename(st.getPath, new Path(dest)),
+            s"failed to install delete file $dest")
+          found += ((dest, vals, f.getFileStatus(new Path(dest)).getLen))
+        }
+      }
+    walk(new Path(staging), Nil)
+    f.delete(new Path(staging), true)
+    require(found.nonEmpty, s"$table: equality-delete batch is empty")
+
+    // ---- delete manifest (content=1 list entry, content=2 data_file)
+    val entrySchema = manifestEntrySchema(pTypes)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val pSchema = dfSchema.getField("partition").schema()
+    var delRows = 0L
+    val delEntries = found.map { case (path, vals, size) =>
+      val p = new GenericData.Record(pSchema)
+      pTypes.zip(vals).foreach { case ((c, dt), s) =>
+        p.put(c, partitionValue(dt, s)) }
+      val rc = footerRowCount(spark, path)
+      delRows += rc
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", Int.box(2)) // EQUALITY_DELETES
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("partition", p)
+      d.put("record_count", Long.box(rc))
+      d.put("file_size_in_bytes", Long.box(size))
+      val ids = new java.util.ArrayList[Integer]()
+      equalityCols.foreach(c => ids.add(Int.box(fieldIdOf(c))))
+      d.put("equality_ids", ids)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Int.box(1)) // ADDED
+      e.put("snapshot_id", Long.box(snapId))
+      e.put("sequence_number", Long.box(seq))
+      e.put("file_sequence_number", Long.box(seq))
+      e.put("data_file", d)
+      e: GenericRecord
+    }.toSeq
+    val mapper = new ObjectMapper()
+    val sj = schemaJson(
+      StructType(dataSchema.fields.map(_.copy(nullable = true))))
+    val specFieldsJson = pTypes.zipWithIndex.map { case ((c, _), i) =>
+      s"""{"name":${mapper.writeValueAsString(c)},"transform":"identity","source-id":${fieldIdOf(c)},"field-id":${1000 + i}}"""
+    }.mkString(",")
+    val manifestPath =
+      s"$table/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, Seq(
+      "schema" -> sj,
+      "partition-spec" -> s"[$specFieldsJson]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "deletes"), delEntries)
+
+    // ---- manifest list: the delete manifest + carried-forward priors
+    val prior = IcebergRead.readAvroRecords(spark,
+      currentManifestList(spark, table))
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", manifestPath)
+    mf.put("manifest_length", Long.box(manifestLen))
+    mf.put("partition_spec_id", Int.box(0))
+    mf.put("content", Int.box(1)) // DELETES
+    mf.put("sequence_number", Long.box(seq))
+    mf.put("min_sequence_number", Long.box(seq))
+    mf.put("added_snapshot_id", Long.box(snapId))
+    mf.put("added_data_files_count", Int.box(found.size))
+    mf.put("existing_data_files_count", Int.box(0))
+    mf.put("deleted_data_files_count", Int.box(0))
+    mf.put("added_rows_count", Long.box(delRows))
+    mf.put("existing_rows_count", Long.box(0L))
+    mf.put("deleted_rows_count", Long.box(0L))
+    if (pTypes.nonEmpty) {
+      val sumSchema = manifestFileSchema.getField("partitions").schema()
+        .getTypes.get(1).getElementType
+      val sums = new java.util.ArrayList[GenericRecord]()
+      pTypes.zipWithIndex.foreach { case ((c, dt), i) =>
+        val typed = found.map(x => partitionValue(dt, x._2(i)))
+        val r = new GenericData.Record(sumSchema)
+        r.put("contains_null",
+          java.lang.Boolean.valueOf(typed.exists(_ == null)))
+        r.put("contains_nan", java.lang.Boolean.FALSE)
+        val present = typed.filter(_ != null)
+        if (present.nonEmpty) {
+          val ordered = present.sortBy(boundOrder)
+          r.put("lower_bound",
+            java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.head)))
+          r.put("upper_bound",
+            java.nio.ByteBuffer.wrap(boundBytes(dt, ordered.last)))
+        }
+        sums.add(r)
+      }
+      mf.put("partitions", sums)
+    }
+    val listPath =
+      s"$table/metadata/snap-$snapId-1-${java.util.UUID.randomUUID()}.avro"
+    writeAvro(spark, listPath, manifestFileSchema, Seq(
+      "format-version" -> "2",
+      "snapshot-id" -> snapId.toString,
+      "sequence-number" -> seq.toString,
+      "parent-snapshot-id" -> (v - 1).toString),
+      (mf: GenericRecord) +: prior)
+
+    val ps = priorState(spark, table, v)
+    val summary = s"""{"operation":"delete","added-delete-files":"${found.size}","added-equality-deletes":"$delRows","total-records":"${ps.totalRecords}","total-position-deletes":"${ps.totalPosDeletes}","total-equality-deletes":"${ps.totalEqDeletes + delRows}"}"""
     writeMetadata(spark, table, v, nowMs, ps, summary, listPath,
       sj, specFieldsJson, dataSchema.size, 999 + pTypes.size)
     snapId

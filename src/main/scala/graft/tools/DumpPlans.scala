@@ -60,7 +60,8 @@ object DumpPlans {
       "src_iceberg_foreign_read" -> "REAL-SPEC Iceberg v2 read (full-schema Avro manifests, typed r102 partition values): identity sources live IN the data files, scan routes through the transform FileIndex — no column re-attachment, prune at listFiles",
       "src_paimon_dynamic_bucket" -> "Paimon dynamic-bucket read: sticky HASH-index routed buckets scan exactly like fixed ones — live runs per bucket, ONE merge window; CDC derivation still prunes prior files to touched buckets",
       "src_paimon_changelog_input" -> "Paimon changelog-producer=input feed: batch rows ARE the change files — pure changelog scan per version, no lookup derivation, no merge window",
-      "src_iceberg_foreign_mor" -> "REAL-SPEC Iceberg v2 MoR read (content=1 delete manifests, reserved-field-id position-delete parquet): clean/dirty split — untouched files scan at full speed, only DELETE-touched files pay the broadcast anti-join on (_metadata.file_path, row_index)")
+      "src_iceberg_foreign_mor" -> "REAL-SPEC Iceberg v2 MoR read (content=1 delete manifests, reserved-field-id position-delete parquet): clean/dirty split — untouched files scan at full speed, only DELETE-touched files pay the broadcast anti-join on (_metadata.file_path, row_index)",
+      "src_iceberg_foreign_eq" -> "REAL-SPEC Iceberg v2 EQUALITY deletes (content=2 data_file, equality_ids = table field-ids): sequence-tagged scan null-safe anti-joins the key columns with the STRICT dataSeq < deleteSeq residual — re-inserted CDC rows survive their own delete")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -41,6 +41,17 @@ object IcebergFixtureGen {
       graft.sources.IcebergReal.commitAppend(batch(Seq(
         (7L, "fruit", 2.0, "2024-01-01"),
         (8L, "tool", 15.0, "2024-01-04"))), out, Seq("event_date"))
+      // v5: EQUALITY deletes (Flink-CDC shape) on (id, event_date) —
+      // kills ids 3 and 4; v6: re-insert id 3 with a new price (the
+      // CDC upsert pattern — survives its own delete: equality deletes
+      // scope STRICTLY below their sequence number) + a fresh id 9
+      graft.sources.IcebergReal.commitEqualityDeletes(spark, out,
+        batch(Seq((3L, "tool", 0.0, "2024-01-02"),
+          (4L, "tool", 0.0, "2024-01-02"))).select(col("id"), col("event_date")),
+        Seq("id", "event_date"))
+      graft.sources.IcebergReal.commitAppend(batch(Seq(
+        (3L, "tool", 99.0, "2024-01-02"),
+        (9L, "book", 6.5, "2024-01-03"))), out, Seq("event_date"))
     }
     println(s"wrote $out")
     spark.stop()

@@ -565,15 +565,24 @@ class IcebergReadSpec extends SparkSuite {
     // replay: v3 position-deleted ids 1/2/6 (price < 8) across two
     // partitions; v4 appended id 7 (price 2.0 — would match the
     // delete predicate, but deletes are path-targeted and
-    // sequence-scoped, so a LATER file never loses rows) and id 8
-    val got = IcebergRead.read(spark, table)
-      .collect().map(_.getAs[Long]("id")).toSet
-    assert(got === Set(3L, 4L, 5L, 7L, 8L))
-    // time travel: pre-delete snapshot sees all 6; the delete
-    // snapshot itself masks down to 3
+    // sequence-scoped, so a LATER file never loses rows) and id 8;
+    // v5 EQUALITY-deleted (id, event_date) keys 3 and 4; v6
+    // re-inserted id 3 with a new price (survives its own delete —
+    // equality deletes scope STRICTLY below their sequence) + id 9
+    val latest = IcebergRead.read(spark, table)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("price"))
+      .toMap
+    assert(latest.keySet === Set(3L, 5L, 7L, 8L, 9L))
+    assert(latest(3L) === 99.0) // the RE-INSERTED image, not the original
+    // time travel: pre-delete snapshot sees all 6; the position-delete
+    // snapshot masks to 3; the pre-equality snapshot still has 3/4
     assert(IcebergRead.read(spark, table, Some(2L)).count() === 6)
     assert(IcebergRead.read(spark, table, Some(3L))
       .collect().map(_.getAs[Long]("id")).toSet === Set(3L, 4L, 5L))
+    assert(IcebergRead.read(spark, table, Some(4L))
+      .collect().map(_.getAs[Long]("id")).toSet === Set(3L, 4L, 5L, 7L, 8L))
+    assert(IcebergRead.read(spark, table, Some(5L))
+      .collect().map(_.getAs[Long]("id")).toSet === Set(5L, 7L, 8L))
     // the v4 manifest list carries the delete manifest FORWARD:
     // content=1 entry with the delete commit's sequence number
     val metaDir = new java.io.File(s"$table/metadata")
@@ -628,21 +637,56 @@ class IcebergReadSpec extends SparkSuite {
     val delRows = spark.read.parquet(delPq)
       .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
     assert(delRows === delRows.sorted)
+    // the v6 list carries BOTH delete manifests forward; the equality
+    // one's entries are content=2 with equality_ids naming the TABLE
+    // field-ids, and the delete parquet carries exactly those columns
+    // with those footer ids (the spec's delete-row ↔ data-column bind)
+    val v6list = metaDir.listFiles.map(_.getName)
+      .filter(n => n.startsWith("snap-6-1-") && n.endsWith(".avro")).head
+    val lists6 = IcebergRead.readAvroRecords(spark, s"$table/metadata/$v6list")
+    val dels6 = lists6.filter(_.get("content") == 1)
+    assert(dels6.map(_.get("sequence_number")).toSet === Set(3L, 5L))
+    val eqList = dels6.find(_.get("sequence_number") == 5L).get
+    val eqEntries = IcebergRead.readAvroRecords(spark,
+      eqList.get("manifest_path").toString)
+    assert(eqEntries.size === 1) // one touched partition
+    val eqD = eqEntries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(eqD.get("content") === 2)
+    import scala.jdk.CollectionConverters._
+    assert(eqD.get("equality_ids").asInstanceOf[java.util.List[Integer]]
+      .asScala.map(_.intValue).toSeq === Seq(1, 4)) // id=1, event_date=4
+    val eqPq = eqD.get("file_path").toString
+    assert(eqPq.endsWith("-eq-deletes.parquet"))
+    val eqIn = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(eqPq),
+      spark.sparkContext.hadoopConfiguration)
+    val eqR = org.apache.parquet.hadoop.ParquetFileReader.open(eqIn)
+    try {
+      val s6 = eqR.getFileMetaData.getSchema
+      assert(s6.getFieldCount === 2)
+      def idOf6(n: String) =
+        s6.getFields.get(s6.getFieldIndex(n)).getId.intValue
+      assert(idOf6("id") === 1 && idOf6("event_date") === 4)
+    } finally eqR.close()
     // metadata.json fidelity: snapshot-log carries EVERY snapshot,
     // metadata-log every prior metadata file, and summary totals are
-    // cumulative (total-records = data rows; position deletes accrue
-    // in total-position-deletes, they don't shrink it)
+    // cumulative (total-records = data rows; deletes accrue in
+    // total-position-deletes / total-equality-deletes, never
+    // shrinking total-records)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = mapper.readTree(
-      new java.io.File(s"$table/metadata/v4.metadata.json"))
-    assert(meta.get("snapshot-log").size === 4)
-    assert(meta.get("metadata-log").size === 3)
-    val sums = (1 to 4).map { i =>
+      new java.io.File(s"$table/metadata/v6.metadata.json"))
+    assert(meta.get("snapshot-log").size === 6)
+    assert(meta.get("metadata-log").size === 5)
+    val sums = (1 to 6).map { i =>
       var s: com.fasterxml.jackson.databind.JsonNode = null
       meta.get("snapshots").forEach(n =>
         if (n.get("snapshot-id").asInt == i) s = n.get("summary"))
-      (s.get("total-records").asText, s.get("total-position-deletes").asText)
+      (s.get("total-records").asText, s.get("total-position-deletes").asText,
+        s.get("total-equality-deletes").asText)
     }
-    assert(sums === Seq(("3", "0"), ("6", "0"), ("6", "3"), ("8", "3")))
+    assert(sums === Seq(("3", "0", "0"), ("6", "0", "0"), ("6", "3", "0"),
+      ("8", "3", "0"), ("8", "3", "2"), ("10", "3", "2")))
   }
 }
