@@ -19,7 +19,34 @@ object Tables {
   /** Small dimension tables worth broadcasting in joins at any scale. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
+  // Per-(session, dir) metadata caches. `spark.read.parquet` pays a
+  // driver-side file listing + footer/schema read on EVERY call; at
+  // ~10 tables x ~500 gate invocations per bench flight that is pure
+  // repeated metadata work (the reference keeps table metadata in its
+  // FE catalog and resolves names from memory). Caching the LOGICAL
+  // DataFrame reuses the resolved relation (file index + schema); no
+  // data or results are cached — every action still scans parquet.
+  private val loadCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = loadCache.synchronized {
+      var m = loadCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        loadCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name", _ => loadUncached(spark, dir, name))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long
     // (spark.sql.legacy.parquet.nanosAsLong) — normalize to µs
@@ -34,7 +61,15 @@ object Tables {
     }
   }
 
-  /** Register every table as a temp view named after the table. */
+  /** Register every table as a temp view named after the table.
+    * Idempotent per (session, dir): repeat calls with the same dir are
+    * free (no gate shadows these names — verified by grep; a dir
+    * switch re-registers). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        registeredDir.put(spark, dir)
+      }
+    }
 }

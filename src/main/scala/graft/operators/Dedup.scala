@@ -82,8 +82,11 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("__id"),
-      explode_outer(wordShingles(col(textCol), shingleSize)).as("__s"))
+    // shingling is interpreted-HOF CPU — spread a degenerate
+    // single-split scan before it (no-op with real file splits)
+    val exploded = Ops.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__id"),
+        explode_outer(wordShingles(col(textCol), shingleSize)).as("__s"))
     val mins = (0 until numHashes).map(i =>
       min(when(col("__s").isNotNull, xxhash64(lit(i), col("__s")))).as(s"__m$i"))
     exploded.groupBy(col("__id"))
@@ -274,7 +277,9 @@ object Dedup {
     * verified by Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+    // both self-join sides consume the signatures; pin them (one
+    // 64-bit sig per doc) so tokenize+fold runs once, not twice
+    val sigs = simhashSignatures(df, idCol, textCol).localCheckpoint(true)
     val banded = sigs.select(col("__id"), col("__sig"), posexplode(array(
       (0 until 4).map(b => shiftright(col("__sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")
@@ -293,7 +298,10 @@ object Dedup {
     * (delegates to Similarity.lshBuckets). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    // both self-join sides consume the bucket assignment; pin it so
+    // the hyperplane projections run once (one bucket id per vector)
     val bucketed = Similarity.withLshBucket(df, vecCol, planes, seed)
+      .localCheckpoint(true)
     val l = bucketed.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__v_a"))
     val r = bucketed.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__v_b"))
     l.join(r, Seq("__bucket"))
@@ -323,13 +331,20 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ws = docs.select(col(idCol), TextAnalysis.normWords(col(textCol)).as("__ws"))
+    // tokenize + per-window slice/hash is interpreted-HOF CPU; spread
+    // a degenerate single-split scan first, and PIN the window table —
+    // the duplicate-hash aggregate and the span join both consume it,
+    // so unpinned it is computed twice (window count ≈ token count,
+    // bounded; the shape a 100 TB substring dedup materializes anyway)
+    val ws = Ops.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.normWords(col(textCol)).as("__ws"))
     val wins = ws.filter(size(col("__ws")) >= width)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__ws")) - (width - 1)),
         i => struct(i.as("pos"),
           xxhash64(array_join(slice(col("__ws"), i, lit(width)), " ")).as("h")))).as("w"))
       .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+      .localCheckpoint(true)
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val islands = Window.partitionBy(col(idCol)).orderBy(col("pos"))

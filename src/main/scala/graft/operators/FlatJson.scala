@@ -44,7 +44,10 @@ object FlatJson {
   def profile(df: DataFrame, jsonCol: String): Seq[FieldStat] = {
     val total = df.where(col(jsonCol).isNotNull).count()
     if (total == 0) return Seq.empty
-    val kv = df.select(explode(from_json(col(jsonCol), asMap)).as(Seq("k", "v")))
+    // JSON parse per row is the cost here — spread a degenerate
+    // single-split scan before it (no-op with real file splits)
+    val kv = Ops.fanOut(df.select(col(jsonCol)))
+      .select(explode(from_json(col(jsonCol), asMap)).as(Seq("k", "v")))
     // Integer lexeme check, NOT cast-to-long: Spark's lenient cast turns
     // "1.5" into 1L (non-null), which would misclassify every double as long.
     kv.groupBy(col("k")).agg(
@@ -90,6 +93,8 @@ object FlatJson {
     val remain = to_json(map_filter(from_json(col(jsonCol), asMap),
       (k, _) => !k.isin(keep: _*))).as(s"${jsonCol}_remain")
     val others = df.columns.filterNot(_ == jsonCol).map(col).toSeq
-    df.select(others ++ extracted :+ remain: _*)
+    // the extraction parses the JSON column (fields + 1) times per
+    // row — CPU-bound; spread a degenerate-parallelism input first
+    Ops.fanOut(df).select(others ++ extracted :+ remain: _*)
   }
 }

@@ -28,17 +28,28 @@ object Graph {
 
   /** Damped PageRank after a FIXED number of power iterations
     * (deterministic — no convergence test), rank rounded to 6 dp.
-    * Output: (id, rank). */
+    * Output: (id, rank). Lineage is now truncated every iteration
+    * unconditionally (see the pinning note below); `checkpointEvery`
+    * is retained for source compatibility and ignored. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       damping: Double = 0.85, iters: Int = 5,
       checkpointEvery: Int = Int.MaxValue): DataFrame = {
+    // Pin the loop invariants (edges, node set, out-degrees) and
+    // truncate each iteration's lineage: unpinned, iteration i's lazy
+    // plan re-derives every earlier iteration's join chain, so total
+    // work grows quadratically in `iters` and the edge scan re-runs
+    // per consumer (GraphX/MLlib persist their edge RDDs for exactly
+    // this reason). The node count is a driver scalar, not a per-
+    // iteration broadcast subtree — same doubles, lit instead of col.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val n = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank"))
     for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -47,11 +58,10 @@ object Graph {
         .agg(sum(col("rank") / col("deg")).as("inflow"))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
-        .crossJoin(broadcast(n))
         .select(col("id"),
-          (lit((1.0 - damping)) / col("n") +
+          (lit((1.0 - damping)) / lit(n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = false)
+      if (i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }

@@ -98,9 +98,14 @@ object InvertedIndex {
     * and the corpus itself is never rescanned. The final cut is a
     * TakeOrderedAndProject. Scores are rounded to 4 dp so the
     * DuckDB oracle's independent ln/division reproduces them. */
-  def bm25TopK(postings: DataFrame, terms: Seq[String], k: Int,
+  def bm25TopK(postings0: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val need = terms.distinct
+    // pin the postings: the doc-length table and the term-pruned scan
+    // both consume them — unpinned, the tokenize+explode+count
+    // pipeline runs twice (the "persist it alongside the postings in
+    // production" note above, applied)
+    val postings = postings0.localCheckpoint(true)
     val docLen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("len"))
     val nDocs = docLen.agg(count(lit(1)).as("n"), avg(col("len")).as("avg_len"))
@@ -202,7 +207,12 @@ object InvertedIndex {
     * appearing in more than that fraction of documents BEFORE
     * weighting — the stopword cut that bounds the similarity join's
     * term fanout (a term with df=D generates D² candidate pairs). */
-  def tfidfVectors(postings: DataFrame, maxDfRatio: Double = 1.0): DataFrame = {
+  def tfidfVectors(postings0: DataFrame, maxDfRatio: Double = 1.0): DataFrame = {
+    // pin the postings: N, the per-term dfs, and the weighted rows all
+    // consume them — without pinning each branch re-runs the tokenize+
+    // explode+count pipeline (3 corpus passes; production engines
+    // materialize the inverted index for the same reason)
+    val postings = postings0.localCheckpoint(true)
     val n = postings.agg(countDistinct(col("doc_id")).as("n"))
     val dfs = postings.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -229,7 +239,10 @@ object InvertedIndex {
     * engines order ulp-close sums identically. */
   def similarDocsTopK(postings: DataFrame, k: Int,
       maxDfRatio: Double = 0.5): DataFrame = {
-    val v = tfidfVectors(postings, maxDfRatio)
+    // both sides of the term-keyed self-join read the SAME weighted
+    // vectors; pin them once instead of deriving the TF-IDF pipeline
+    // twice (the pinned set is one row per surviving (doc, term))
+    val v = tfidfVectors(postings, maxDfRatio).localCheckpoint(true)
     val a = v.select(col("doc_id").as("id_a"), col("term"), col("w").as("wa"))
     val b = v.select(col("doc_id").as("id_b"), col("term"), col("w").as("wb"))
     val sims = a.join(b, "term")

@@ -11,6 +11,20 @@ import graft.functions.agg._
   */
 object Ops {
 
+  /** Spread a degenerate-parallelism input across the cluster before
+    * CPU-heavy per-row work (guide §2.5's unsplittable-input case: a
+    * single-row-group parquet file or tiny file set plans as 1-3 scan
+    * tasks, so an expensive expression chain runs on one core while
+    * the rest idle). No-op when the scan already has enough splits —
+    * at production scale file layout supplies parallelism and no
+    * extra exchange is added. Only for order-insensitive consumers
+    * (aggregates, joins); round-robin repartition reorders rows. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val cur = df.queryExecution.toRdd.getNumPartitions
+    if (cur < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
   /** window_funnel: max funnel depth within `windowSeconds` of the
     * first step (reference `be/src/exprs/agg/window_funnel.h`).
     * `step` must evaluate to the 0-based funnel step of the row. */

@@ -27,7 +27,10 @@ object Profile {
         (sum(col(c).cast("decimal(28,6)")).cast("double") / count(col(c)))
           .as(s"${c}__mean"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // multi-distinct plans via Expand (rows x distinct-count); on a
+    // degenerate single-split scan that whole blow-up runs on one
+    // core — spread it first (no-op when the scan has real splits)
+    val one = Ops.fanOut(df.select(cols.map(col): _*)).agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map { c =>
       s"'$c', ${c}__n, ${c}__nnull, ${c}__ndv, ${c}__min, ${c}__max, ${c}__mean"
     }.mkString(", ")

@@ -162,8 +162,15 @@ object Similarity {
   def kMeansTrain(corpus: DataFrame, vecCol: String, k: Int,
       iters: Int = 5, seed: Long = 42L,
       initSampleN: Int = 4096): Array[Array[Double]] = {
+    // persist the projected vectors: the init sample plus every Lloyd
+    // iteration re-consumes the same projection (1 + iters passes);
+    // without pinning each pass re-runs the scan + cast + hash
+    // (MLlib's KMeans requires exactly this persistence for the same
+    // reason). MEMORY_AND_DISK: bounded by the corpus' vector column,
+    // spills instead of OOM at scale.
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample: Array[Array[Double]] = vecs
       .orderBy(col("__h")).limit(initSampleN)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
@@ -201,19 +208,25 @@ object Similarity {
       // carried projections per OUTPUT row, so fusing the k-kernel
       // argmax into the explode select costs dim× the kernels
       // (measured 28 s vs 0.9 s at k=64, dim=12, sf0.1)
+      // ONE shuffle per iteration: the (cell, pos) partial sums are
+      // k x dim rows — bounded, so the final mean assembly runs on the
+      // driver instead of a second exchange + collect_list aggregation
+      // (same s/n division on the same doubles; plan loses one
+      // Exchange per Lloyd iteration)
       val updated = vecs
         .select(nearestCell(col("__v"), centroids).as("__cell"), col("__v"))
         .select(col("__cell"), posexplode(col("__v")))
         .groupBy(col("__cell"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .groupBy(col("__cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))).as("ms"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
-        .toMap
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+        }
       // empty cells keep their previous centroid
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
+    vecs.unpersist(blocking = false)
     centroids
   }
 

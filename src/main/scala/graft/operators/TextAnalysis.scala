@@ -175,8 +175,9 @@ object TextAnalysis {
     * Documents with < 2 words have no bigrams and are absent (callers
     * left-join and coalesce to zero). */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      filter(words(lower(col(textCol))), w => w =!= "").as("__t"))
+    val toks = Ops.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        filter(words(lower(col(textCol))), w => w =!= "").as("__t"))
     val bi = toks.select(col(idCol),
       explode(filter(zip_with(col("__t"),
         slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
@@ -196,7 +197,10 @@ object TextAnalysis {
     * aggregate back — one shuffle total. */
   def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sw = array(stopwords("en").map(lit): _*)
-    val base = df.select(col(idCol),
+    // interpreted-HOF tokenize/filter per row: spread a degenerate
+    // single-split scan first (no-op when the scan has real splits)
+    val base = Ops.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         filter(words(col(textCol)), x => x =!= "").as("__w"), col(textCol))
       .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("mean_word_len",
@@ -236,8 +240,9 @@ object TextAnalysis {
       totalDocs: Option[Long] = None): DataFrame = {
     require(maxDocFrac > 0 && maxDocFrac < 1, "maxDocFrac must be in (0, 1)")
     val nDocs = totalDocs.getOrElse(df.select(col(idCol)).count())
-    val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
+    val lines = Ops.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
     val boiler = lines
       .groupBy(lower(trim(col("__line"))).as("__norm"))
       .agg(countDistinct(col(idCol)).as("__df"))
@@ -432,7 +437,7 @@ object TextAnalysis {
     // a broadcast LEFT probe + conditional count gets hit AND total in
     // ONE pass over the corpus grams (one scan, one explode, one
     // doc-keyed shuffle — not a branch per aggregate)
-    val grams = corpus
+    val grams = Ops.fanOut(corpus.select(col(idCol), col(textCol)))
       .select(col(idCol), normWords(col(textCol)).as("__w"))
       .select(col(idCol), explode(gramsOfWords(col("__w"), n)).as("__g"))
     grams.join(broadcast(evalGrams), Seq("__g"), "left")
@@ -470,9 +475,15 @@ object TextAnalysis {
     def toks(df: DataFrame, cols: Column*): DataFrame = df.select(cols :+
       explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")),
         " ")).as("__w"): _*)
-    val tokens = toks(corpus, col(idCol))
+    val tokens = toks(Ops.fanOut(corpus.select(col(idCol), col(textCol))), col(idCol))
+    // both count tables are vocabulary-bounded and each feeds two
+    // consumers (its total + the log-ratio join): pin them so the
+    // corpus/target tokenize-aggregate runs once per side
     val rcnt = tokens.groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__rc"))
-    val tcnt = toks(target).groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__tc"))
+      .localCheckpoint(true)
+    val tcnt = toks(Ops.fanOut(target.select(col(textCol))))
+      .groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__tc"))
+      .localCheckpoint(true)
     val rn = rcnt.agg(sum(col("__rc")).as("__rn"))
     val tn = tcnt.agg(sum(col("__tc")).as("__tn"))
     val s = lit(smoothing)
@@ -614,8 +625,9 @@ object TextAnalysis {
     * document's distinct lines, scan-bounded at any corpus size. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       sepRegex: String = "\n", sepOut: String = "\n"): DataFrame = {
-    val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
+    val lines = Ops.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
     val firsts = lines.groupBy(col(idCol), col("__line"))
       .agg(min(col("__pos")).as("__first"), count(lit(1)).as("__n"))
     firsts.groupBy(col(idCol)).agg(

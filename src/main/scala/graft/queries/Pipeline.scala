@@ -246,8 +246,12 @@ object Pipeline extends graft.QueryArea {
     }),
     "dedup_fingerprint_pairs" -> ((spark, dir) => {
       // equal-fingerprint pairs == equal normalized-text pairs
+      // pin the fingerprints: both self-join sides consume them, so
+      // unpinned the normalize+hash pipeline runs twice
       val docs = plantedDocs(spark, dir)
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .select(col("fp"), col("doc_id"))
+        .localCheckpoint(true)
       val l = docs.select(col("fp"), col("doc_id").as("id_a"))
       val r = docs.select(col("fp"), col("doc_id").as("id_b"))
       l.join(r, Seq("fp")).filter(col("id_a") < col("id_b"))
@@ -303,9 +307,14 @@ object Pipeline extends graft.QueryArea {
     // candidate pairs from a SQL-expressible blocking key, verified by
     // exact 3-gram Jaccard — fully oracle-checked
     "dedup_ngram_jaccard" -> ((spark, dir) => {
-      val d = t(spark, dir, "documents")
+      // fan out the single-split scan before the HOF shingling, and
+      // pin the shingle arrays — both self-join sides consume them
+      val d = graft.operators.Ops.fanOut(
+          t(spark, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"), col("text")))
         .withColumn("sh", Dedup.wordShingles(col("text"), 3))
         .select(col("doc_id"), col("lang"), col("source"), col("sh"))
+        .localCheckpoint(true)
       val l = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val r = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       l.join(r, Seq("lang", "source"))

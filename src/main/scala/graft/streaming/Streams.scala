@@ -184,9 +184,16 @@ object Streams {
         } else {
           val cur = graft.sources.Lake.read(spark, table)
             .select((keys.map(col) :+ col(versionCol).as("__curv")): _*)
+          // localCheckpoint: the guarded batch (O(batch rows)) is
+          // consumed three times downstream (emptiness probe, merge's
+          // key-set distinct, merge's union into the rewrite) — without
+          // pinning, each consumer re-executes the read+join, tripling
+          // the per-micro-batch work (guide §1/§5: don't recompute what
+          // an action already materialized)
           val newer = deduped.join(cur, keys, "left")
             .filter(col("__curv").isNull || col(versionCol) >= col("__curv"))
             .drop("__curv")
+            .localCheckpoint(true)
           if (!newer.isEmpty)
             graft.sources.Lake.merge(spark, table, newer, keys)
         }
