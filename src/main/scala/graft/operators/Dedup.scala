@@ -82,11 +82,13 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    // shingling is interpreted-HOF CPU — spread a degenerate
-    // single-split scan before it (no-op with real file splits)
-    val exploded = Ops.fanOut(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("__id"),
-        explode_outer(wordShingles(col(textCol), shingleSize)).as("__s"))
+    // NOT fanned out: spreading the HOF shingling would shuffle raw
+    // document text (the guide §8 anti-pattern — move heavy bytes to
+    // spread CPU); measured net-negative on the full-SF minhash gate
+    // (+1.0 s) vs the planted gate's -0.5 s. The explode's output
+    // parallelizes at the groupBy exchange regardless.
+    val exploded = df.select(col(idCol).as("__id"),
+      explode_outer(wordShingles(col(textCol), shingleSize)).as("__s"))
     val mins = (0 until numHashes).map(i =>
       min(when(col("__s").isNotNull, xxhash64(lit(i), col("__s")))).as(s"__m$i"))
     exploded.groupBy(col("__id"))

@@ -69,7 +69,11 @@ object MaterializedViews {
       max(when(ins, col("v"))).as("ins_mx"),
       min(when(!ins, col("v"))).as("del_mn"),
       max(when(!ins, col("v"))).as("del_mx"))
-    val joined = mv.join(deltas, Seq("g"), "full_outer")
+    // pinned: the rescan-key collect AND the delta-only maintenance
+    // both consume this join — unpinned, the MV read + change-feed
+    // aggregation + full-outer join executed twice per poll. Bounded
+    // by (MV groups + changed groups), the MV's own scale contract.
+    val joined = mv.join(deltas, Seq("g"), "full_outer").localCheckpoint(true)
     // a delete at/below the standing min or at/beyond the standing
     // max may retract it; a group with deletes but NO standing row
     // (feed ahead of the MV) also rescans rather than guessing
@@ -273,7 +277,10 @@ object MaterializedViews {
     if (stale.nonEmpty) {
       val src = spark.read.parquet(basePath)
         .where(col(partCol).cast("string").isin(stale: _*))
-      val recomputed = mv.define(src)
+      // pinned: the live-partition distinct AND the overwrite both
+      // consume the recompute — unpinned, the stale-partition
+      // re-aggregation ran twice per refresh (MV output rows, bounded)
+      val recomputed = mv.define(src).localCheckpoint(true)
       // Dynamic partition overwrite only rewrites partitions PRESENT in
       // the output: a stale partition whose recompute now yields zero MV
       // rows would keep its old files while the manifest marks it fresh.

@@ -91,7 +91,41 @@ object Aggregates extends graft.QueryArea {
     // Pairwise correlation matrix over three measures — one scan
     // collects every raw sum (DECIMAL-routed), the three coefficients
     // derive in double; the matrix shape of agg_regression.
-    "agg_corr_matrix" -> ((spark, dir) => sqlq(spark, dir)(corrMatrixSql)),
+    // DataFrame form of corrMatrixSql (still the oracle SQL): the
+    // single-row-group testdata file plans as ONE scan task, so the
+    // nine decimal product-sums ran on one core — fan out first
+    // (guide §2.5; no-op with real file splits). Expressions are the
+    // SQL's own fragments, so the doubles are identical.
+    "agg_corr_matrix" -> ((spark, dir) => {
+      val s = graft.operators.Ops.fanOut(
+          t(spark, dir, "lineitem")
+            .filter(expr("l_orderkey % 2 = 0"))
+            .select(col("l_quantity"), col("l_extendedprice"), col("l_discount")))
+        .agg(
+          expr("count(*)").as("n"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)").as("sq"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)").as("sp"),
+          expr("CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)").as("sd"),
+          expr("CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)").as("sqq"),
+          expr("CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)").as("spp"),
+          expr("CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE)").as("sdd"),
+          expr("CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)").as("sqp"),
+          expr("CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE)").as("sqd"),
+          expr("CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE)").as("spd"))
+      val pairs = spark.sql("SELECT pair FROM (VALUES ('quantity_price'), " +
+        "('quantity_discount'), ('price_discount')) t(pair)")
+      s.crossJoin(pairs)
+        .selectExpr("pair",
+          """CASE pair WHEN 'quantity_price' THEN n * sqp - sq * sp
+             |  WHEN 'quantity_discount' THEN n * sqd - sq * sd
+             |  ELSE n * spd - sp * sd END AS num""".stripMargin,
+          """CASE pair WHEN 'price_discount' THEN n * spp - sp * sp
+             |  ELSE n * sqq - sq * sq END AS dx""".stripMargin,
+          """CASE pair WHEN 'quantity_price' THEN n * spp - sp * sp
+             |  ELSE n * sdd - sd * sd END AS dy""".stripMargin)
+        .selectExpr("pair", "round(num / sqrt(dx * dy), 6) AS corr")
+        .orderBy(col("pair"))
+    }),
     // ROLLUP with grouping() level tags — subtotal rows carry an
     // explicit level id instead of ambiguous NULLs (grouping_id
     // mechanics; NULL keys coalesce to 'ALL' labels)

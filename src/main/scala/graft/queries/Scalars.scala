@@ -230,18 +230,36 @@ object Scalars extends graft.QueryArea {
         |  to_base64(o_orderpriority) AS b64,
         |  CAST(from_base64(to_base64(o_orderstatus)) AS STRING) AS b64rt
         |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin)),
-    "compat_json_agg" -> ((spark, dir) => sqlq(spark, dir)(
-      """SELECT user_id,
-        |  group_concat(DISTINCT_PLACEHOLDER) AS types,
-        |  multi_distinct_count(event_type) AS ndt,
-        |  CAST(multi_distinct_sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sd,
-        |  max(get_json_int(props, '$.k')) AS mk,
-        |  bool_or(json_exists(props, '$.k')) AS has_k,
-        |  bool_or(json_exists(props, '$.nope')) AS has_nope,
-        |  max(json_length(props)) AS jlen,
-        |  min(json_object('t', event_type, 'u', user_id)) AS jobj
-        |FROM events GROUP BY user_id ORDER BY user_id"""
-        .stripMargin.replace("DISTINCT_PLACEHOLDER", "event_type, '|'"))))
+    // DataFrame form of the original SQL (unchanged as the oracle):
+    // the single-row-group events file plans as ONE scan task, so the
+    // per-row JSON parsing + the multi-distinct Expand ran on one
+    // core — project the JSON extracts once, fan out (guide §2.5;
+    // no-op with real file splits), then the same aggregates.
+    // group_concat is array_sort-based (order-independent), the
+    // distinct aggregates and max/min/bool_or are order-free, so the
+    // result is bit-identical.
+    "compat_json_agg" -> ((spark, dir) => {
+      val e = graft.operators.Ops.fanOut(
+          t(spark, dir, "events")
+            .select(col("user_id"), col("event_type"), col("value"), col("props")))
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(value AS DECIMAL(18,6))").as("__dv"),
+          expr("get_json_int(props, '$.k')").as("__jk"),
+          expr("json_exists(props, '$.k')").as("__ek"),
+          expr("json_exists(props, '$.nope')").as("__en"),
+          expr("json_length(props)").as("__jl"),
+          expr("json_object('t', event_type, 'u', user_id)").as("__jo"))
+      e.groupBy(col("user_id"))
+        .agg(expr("group_concat(event_type, '|')").as("types"),
+          expr("multi_distinct_count(event_type)").as("ndt"),
+          expr("CAST(multi_distinct_sum(__dv) AS DOUBLE)").as("sd"),
+          max(col("__jk")).as("mk"),
+          expr("bool_or(__ek)").as("has_k"),
+          expr("bool_or(__en)").as("has_nope"),
+          max(col("__jl")).as("jlen"),
+          min(col("__jo")).as("jobj"))
+        .orderBy(col("user_id"))
+    }))
 
   def oracles: Map[String, String] = Map(
     "compat_datetime_math" ->
