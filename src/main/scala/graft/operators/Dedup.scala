@@ -202,8 +202,12 @@ object Dedup {
     // candidates, not the whole corpus — and not once per join branch.
     val candIds = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
+    // pinned: the verify join consumes the candidate shingles for BOTH
+    // pair sides — unpinned, the semi-join + HOF shingling ran twice
+    // (bounded by candidate ids, a small fraction of the corpus)
     val sh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__vid"), wordShingles(col(textCol), shingleSize).as("__sh"))
+      .localCheckpoint(true)
     val verified = pairs
       .join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))

@@ -103,10 +103,14 @@ object Ops {
     val bucketExpr = cutVals.foldLeft(lit(0)) { (acc, cut) =>
       acc + when(v > lit(cut), 1).otherwise(0)
     }
+    // pinned: the upper-repeats pass and the final join both consume
+    // the per-bucket summary — unpinned, the full scan + aggregation
+    // ran twice (the summary is <= buckets rows)
     val perBucket = df.filter(v.isNotNull)
       .withColumn("bucket", bucketExpr)
       .groupBy(col("bucket"))
       .agg(min(v).as("lower"), max(v).as("upper"), count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // upper_repeats needs the bucket max first: join the per-bucket
     // upper back and count equal rows (broadcast of <= buckets rows)
     val uppers = perBucket.select(col("bucket"), col("upper"))
