@@ -129,9 +129,34 @@ object Bench {
     val gateBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_BUDGET_SEC", "5").toDouble
     val overBudget = results.collect { case (k, v) if v > gateBudget => "\"" + k + "\"" }
 
+    // burst-suspect flag: a gate >3x its previously committed value
+    // (and >1 s absolute, so per-statement floor jitter never fires)
+    // is listed so a reader can separate host-contention bursts from
+    // real regressions INSIDE one flight — round 12's driver run had
+    // five untouched agg_* gates read 3-24x high with identical plans
+    // and a green oracle, and the committed artifact had no way to say
+    // "this number is suspect". Comparison base: the BENCH_FULL.json
+    // committed in the working dir from the previous flight, read
+    // BEFORE this flight overwrites it. Purely additive metadata — no
+    // timing, query, or methodology change.
+    val prevFull: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val burstSuspect = results.collect {
+      case (k, v) if v > 1.0 && prevFull.get(k).exists(p => p > 0 && v > 3 * p) =>
+        "\"" + k + "\""
+    }
+
     // full per-query dump — untruncatable file for the judge
     val fullJson = jline(results.map { case (k, v) => k -> r3(v) } ++ recallRows ++
       Seq("over_budget_gates" -> overBudget.mkString("[", ",", "]"),
+        "burst_suspect_gates" -> burstSuspect.mkString("[", ",", "]"),
         "gate_budget_sec" -> r3(gateBudget)))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes("UTF-8"))

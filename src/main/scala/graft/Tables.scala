@@ -26,24 +26,56 @@ object Tables {
   // FE catalog and resolves names from memory). Caching the LOGICAL
   // DataFrame reuses the resolved relation (file index + schema); no
   // data or results are cached — every action still scans parquet.
+  //
+  // Shape notes (round-13 hardening):
+  //  - bounded LRU over sessions, NOT a WeakHashMap: the cached
+  //    DataFrames strongly reference their SparkSession, so a weak key
+  //    could never be collected (classic WeakHashMap self-reference);
+  //    an 8-session LRU bounds retention of stopped test sessions
+  //    instead.
+  //  - entries carry the table file's mtime and re-validate on every
+  //    hit, so a base-table path regenerated MID-SESSION is seen (new
+  //    file index + schema) rather than served stale. No declared gate
+  //    writes into a base-table path today; the mtime check is the
+  //    guard that keeps that assumption checkable, not a license.
+  private final case class Cached(mtime: Long, df: DataFrame)
+  private val MaxSessions = 8
   private val loadCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    new java.util.LinkedHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, Cached]](MaxSessions, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[String, Cached]]): Boolean =
+        size() > MaxSessions
+    }
   private val registeredDir =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String]())
+    new java.util.LinkedHashMap[SparkSession, (String, Map[String, Long])](MaxSessions, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, (String, Map[String, Long])]): Boolean =
+        size() > MaxSessions
+    }
+
+  private def tableMtime(dir: String, name: String): Long =
+    new java.io.File(s"$dir/$name.parquet").lastModified()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = loadCache.synchronized {
       var m = loadCache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, Cached]()
         loadCache.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent(s"$dir/$name", _ => loadUncached(spark, dir, name))
+    val key = s"$dir/$name"
+    val mt = tableMtime(dir, name)
+    val hit = perSession.get(key)
+    if (hit != null && hit.mtime == mt) hit.df
+    else {
+      val df = loadUncached(spark, dir, name)
+      perSession.put(key, Cached(mt, df))
+      df
+    }
   }
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -62,14 +94,18 @@ object Tables {
   }
 
   /** Register every table as a temp view named after the table.
-    * Idempotent per (session, dir): repeat calls with the same dir are
-    * free (no gate shadows these names — verified by grep; a dir
-    * switch re-registers). */
+    * Idempotent per (session, dir, table mtimes): repeat calls with
+    * the same dir and unchanged files cost 10 stat calls (no gate
+    * shadows these names — verified by grep); a dir switch OR a
+    * regenerated table file re-registers, so an overwritten base
+    * table is visible to the next registerAll. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     registeredDir.synchronized {
-      if (registeredDir.get(spark) != dir) {
+      val mts = names.map(n => n -> tableMtime(dir, n)).toMap
+      val cur = registeredDir.get(spark)
+      if (cur == null || cur._1 != dir || cur._2 != mts) {
         names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-        registeredDir.put(spark, dir)
+        registeredDir.put(spark, (dir, mts))
       }
     }
 }

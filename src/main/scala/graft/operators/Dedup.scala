@@ -459,11 +459,11 @@ object Dedup {
     // lineages (minhash banding, k-means cluster self-joins) — without
     // the checkpoint each round would recompute the whole pair
     //-discovery pipeline (measured 3-8x the total dedup cost)
-    val sym = edges.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
-      .union(edges.select(col(dst).cast("long").as("s"), col(src).cast("long").as("d")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("s").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    val sym = Pins.loopPin(
+      edges.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+        .union(edges.select(col(dst).cast("long").as("s"), col(src).cast("long").as("d"))))
+    var labels = Pins.loopPin(sym.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -474,10 +474,9 @@ object Dedup {
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
       // pointer doubling: follow the label pointer one hop (every label
       // is itself a node id, so label(comp) always exists)
-      val stepped = viaNbr
+      val stepped = Pins.loopPin(viaNbr
         .join(viaNbr.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"))
-        .select(col("id"), col("old"), least(col("comp"), col("comp2")).as("comp"))
-        .localCheckpoint(true)
+        .select(col("id"), col("old"), least(col("comp"), col("comp2")).as("comp")))
       changed = stepped.filter(col("comp") < col("old")).count()
       labels = stepped.select("id", "comp")
       i += 1

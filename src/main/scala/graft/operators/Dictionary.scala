@@ -82,10 +82,9 @@ object Dictionary {
       .filter(col("value").isNotNull).distinct()
     val cur = graft.sources.Lake.currentVersion(spark, dictTable)
     val fresh =
-      if (cur == 0) vals.localCheckpoint(true)
-      else vals.join(graft.sources.Lake.read(spark, dictTable)
-        .select(col("value")), Seq("value"), "left_anti")
-        .localCheckpoint(true)
+      if (cur == 0) Pins.loopPin(vals)
+      else Pins.loopPin(vals.join(graft.sources.Lake.read(spark, dictTable)
+        .select(col("value")), Seq("value"), "left_anti"))
     if (cur > 0 && fresh.isEmpty) return cur
     val parts = math.max(fresh.rdd.getNumPartitions, 1).toLong
     if (cur == 0) {

@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   *
   * Three scans of the fact instead of one is the deliberate trade:
   * scans parallelize; giant single-reducer merges do not.
+  *
+  * The BOUNDED intermediates (stats, the cumulative histogram, the
+  * target ranks, the resolved rank values — each O(groups·buckets) or
+  * O(groups·ps) rows) are pinned with eager localCheckpoint: every
+  * one is consumed by 2+ downstream branches, and unpinned each
+  * branch re-derived its whole upstream pipeline — the single plan
+  * grew to 236 physical nodes with the fact scan duplicated ~10x
+  * (plan-id-normalized count), and PLANNING time alone dominated the
+  * gate. Pinned, exactly the documented three fact scans run (one per
+  * pin that touches the fact), and the final action is a join of
+  * kilobyte ExistingRDDs.
   */
 object ExactPercentile {
 
@@ -51,9 +62,11 @@ object ExactPercentile {
     val v = col(value).cast("double")
     val rows = df.select(kCols :+ v.as("__v"): _*).filter(col("__v").isNotNull)
 
-    // 1. per-group envelope
+    // 1. per-group envelope (pinned: consumed by the bucket join AND
+    //    the target-rank derivation — fact scan #1)
     val stats = rows.groupBy(kCols: _*).agg(
       min("__v").as("__mn"), max("__v").as("__mx"), count("__v").as("__cnt"))
+      .localCheckpoint(true)
 
     // 2. equi-width bucket counts (mn==mx degenerates to bucket 0)
     val width = (col("__mx") - col("__mn")) / lit(buckets)
@@ -67,10 +80,14 @@ object ExactPercentile {
     //    0-based global sort ranks covered by the bucket. ≤B rows per
     //    group — the window is over the tiny histogram, not the fact.
     val wCum = Window.partitionBy(kCols: _*).orderBy(col("__b"))
+    // pinned: ≤ groups×buckets rows; materializing it here is fact
+    // scan #2 (the histogram pass) — its consumer below would
+    // otherwise re-run that scan per reference
     val cum = hist
       .withColumn("__cumEnd", sum(col("__bc")).over(wCum) - 1)
       .withColumn("__cumStart", col("__cumEnd") - col("__bc") + 1)
       .select(kCols ++ Seq(col("__b"), col("__cumStart"), col("__cumEnd")): _*)
+      .localCheckpoint(true)
 
     // target ranks: lo/hi neighbor per requested fraction
     val pStructs = array(ps.map { case (name, p) =>
@@ -83,6 +100,7 @@ object ExactPercentile {
       .withColumn("__hi", ceil(col("__pos")).cast("long"))
       .select(kCols ++ Seq(col("__ps.name").as("__pname"), col("__pos"),
         col("__lo"), col("__hi")): _*)
+      .localCheckpoint(true) // O(groups·ps) rows; consumed by ranks + interp
     val ranks = targets
       .select(kCols :+ explode(array(col("__lo"), col("__hi"))).as("__r"): _*)
       .distinct()
@@ -91,6 +109,7 @@ object ExactPercentile {
     val rankBuckets = ranks.join(broadcast(cum), keys)
       .filter(col("__r").between(col("__cumStart"), col("__cumEnd")))
       .select(kCols ++ Seq(col("__r"), col("__b"), col("__cumStart")): _*)
+      .localCheckpoint(true) // consumed by neededBuckets + the rank join
 
     // 4. candidate rows: only the buckets that contain a target rank
     val neededBuckets = rankBuckets
@@ -102,6 +121,7 @@ object ExactPercentile {
       .join(broadcast(rankBuckets), keys :+ "__b")
       .filter(col("__rn") === col("__r") - col("__cumStart"))
       .select(kCols ++ Seq(col("__r"), col("__v").as("__rv")): _*)
+      .localCheckpoint(true) // fact scan #3 (candidate buckets); consumed 2x (lo/hi)
 
     // interpolate and pivot back to one column per fraction
     val interp = targets
@@ -148,6 +168,10 @@ object ExactPercentile {
     val rows = df.select(kCols ++ Seq(v.as("__v"), w.as("__w")): _*)
       .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") >= 0)
 
+    // NOT pinned (unlike [[percentiles]]): this plan is ~4x smaller
+    // (one ps-set, no lo/hi rank split), AQE's runtime stage cache
+    // already reuses the duplicated scan/agg stages, and the eager
+    // pin barriers measured net-negative (+0.3 s warm) here
     val stats = rows.groupBy(kCols: _*).agg(
       min("__v").as("__mn"), max("__v").as("__mx"), sum("__w").as("__tw"))
 

@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   *  - the edge table is the big side and is scanned once per
   *    iteration — pre-partition it on `src` (bucketing) so the
   *    rank join co-locates and only the (small) rank table moves;
-  *  - iterations extend lineage linearly; for deep runs pass
-  *    `checkpointEvery` so the plan is cut with localCheckpoint
-  *    (RDD-backed, partition-deterministic) instead of growing an
-  *    O(iters) DAG;
+  *  - iterations extend lineage linearly; every iteration's ranks are
+  *    pinned ([[Pins.loopPin]] — localCheckpoint locally, replicated
+  *    persist under `spark.graft.pins.replicated`) so the plan never
+  *    grows an O(iters) DAG;
   *  - dangling nodes (no out-links) leak their mass — the standard
   *    simplification; ranks then sum to < 1 but ordering, the signal
   *    curation needs, is unaffected.
@@ -28,12 +28,13 @@ object Graph {
 
   /** Damped PageRank after a FIXED number of power iterations
     * (deterministic — no convergence test), rank rounded to 6 dp.
-    * Output: (id, rank). Lineage is now truncated every iteration
-    * unconditionally (see the pinning note below); `checkpointEvery`
-    * is retained for source compatibility and ignored. */
+    * Output: (id, rank). Lineage is truncated every iteration
+    * unconditionally (see the pinning note below). The old
+    * `checkpointEvery` cadence knob is REMOVED rather than silently
+    * ignored — call sites tuning it learn at compile time that the
+    * cadence is now unconditional. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      damping: Double = 0.85, iters: Int = 5,
-      checkpointEvery: Int = Int.MaxValue): DataFrame = {
+      damping: Double = 0.85, iters: Int = 5): DataFrame = {
     // Pin the loop invariants (edges, node set, out-degrees) and
     // truncate each iteration's lineage: unpinned, iteration i's lazy
     // plan re-derives every earlier iteration's join chain, so total
@@ -41,13 +42,12 @@ object Graph {
     // per consumer (GraphX/MLlib persist their edge RDDs for exactly
     // this reason). The node count is a driver scalar, not a per-
     // iteration broadcast subtree — same doubles, lit instead of col.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    val e = Pins.loopPin(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nodes = Pins.loopPin(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val deg = Pins.loopPin(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     val n = nodes.count()
     var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank"))
     for (i <- 1 to iters) {
@@ -61,7 +61,7 @@ object Graph {
         .select(col("id"),
           (lit((1.0 - damping)) / lit(n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      if (i < iters) ranks = ranks.localCheckpoint(true)
+      if (i < iters) ranks = Pins.loopPin(ranks)
     }
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }
@@ -127,7 +127,7 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+    canon = Pins.loopPin(canon)
     var done = false
     var it = 0
     while (!done && it < maxIter) {
@@ -135,10 +135,9 @@ object Graph {
         .union(canon.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("id"))
-      val pruned = canon
+      val pruned = Pins.loopPin(canon
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi"))
       val before = canon.count(); val after = pruned.count()
       canon = pruned
       done = after == before
@@ -164,21 +163,21 @@ object Graph {
     val sym = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .union(edges.select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("d")))
       .filter(col("s") =!= col("d")).distinct()
-      .localCheckpoint(true)
-    var visited = Seq((source, 0)).toDF("id", "level").localCheckpoint(true)
+    val symPinned = Pins.loopPin(sym)
+    var visited = Pins.loopPin(Seq((source, 0)).toDF("id", "level"))
     var frontier = visited.select(col("id"))
     var level = 0
     var n = frontier.count()
     while (n > 0 && level < maxIter) {
       level += 1
-      frontier = sym.join(frontier.select(col("id").as("s")), Seq("s"))
-        .select(col("d").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
-        .localCheckpoint(true)
+      frontier = Pins.loopPin(
+        symPinned.join(frontier.select(col("id").as("s")), Seq("s"))
+          .select(col("d").as("id")).distinct()
+          .join(visited.select(col("id")), Seq("id"), "left_anti"))
       n = frontier.count()
       if (n > 0)
-        visited = visited.unionByName(frontier.withColumn("level", lit(level)))
-          .localCheckpoint(true)
+        visited = Pins.loopPin(
+          visited.unionByName(frontier.withColumn("level", lit(level))))
     }
     if (n > 0) throw new IllegalStateException(
       s"bfsLevels did not converge in $maxIter rounds")

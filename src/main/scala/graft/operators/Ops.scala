@@ -21,8 +21,30 @@ object Ops {
     * (aggregates, joins); round-robin repartition reorders rows. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val cur = df.queryExecution.toRdd.getNumPartitions
-    if (cur < math.max(2, target / 2)) df.repartition(target) else df
+    // Probe the PRE-AQE physical plan only. The old probe
+    // (queryExecution.toRdd) returned the FINAL adaptive plan, and
+    // with AQE on that eagerly materializes every upstream shuffle
+    // stage at plan-build time — then the repartition builds a new
+    // QueryExecution and the work re-runs at execution (double
+    // execution of any shuffled input). A plan that already contains
+    // an Exchange (shuffle or broadcast build) gets cluster
+    // parallelism from the shuffle itself, so fan-out is pointless
+    // there anyway: skip both the probe and the repartition. For the
+    // remaining scan/project chains AQE does not wrap the plan
+    // (InsertAdaptiveSparkPlan requires an exchange or a subquery),
+    // so toRdd is pure planning — no job runs. Subquery-bearing plans
+    // are skipped for the same eager-materialization reason.
+    val plan = df.queryExecution.sparkPlan
+    val hasStages = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case node => node.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    }
+    if (hasStages) df
+    else {
+      val cur = df.queryExecution.toRdd.getNumPartitions
+      if (cur < math.max(2, target / 2)) df.repartition(target) else df
+    }
   }
 
   /** window_funnel: max funnel depth within `windowSeconds` of the

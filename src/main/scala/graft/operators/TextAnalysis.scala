@@ -565,7 +565,7 @@ object TextAnalysis {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(symString(col("w")).as("sym"), col("freq"))
-      .localCheckpoint(true)
+    vocab = Pins.loopPin(vocab)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -594,7 +594,7 @@ object TextAnalysis {
           regexp_replace(col("sym"), lit(pattern), lit(replacement)))
         // truncate lineage every few rounds (each eager checkpoint is
         // a job; a handful of stacked regexp_replaces re-run fine)
-        if ((rank + 1) % 4 == 0) vocab = vocab.localCheckpoint(true)
+        if ((rank + 1) % 4 == 0) vocab = Pins.loopPin(vocab)
         learned += ((rank, l, r, merged, freq))
         rank += 1
       }

@@ -54,7 +54,10 @@ object Aggregates extends graft.QueryArea {
         .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
     }),
     "agg_cube" -> ((spark, dir) => {
-      val li = t(spark, dir, "lineitem")
+      // fan out before the CUBE Expand (×4 row multiplier on a
+      // single-task scan; guide §2.5) — dsum is DECIMAL-exact
+      val li = graft.operators.Ops.fanOut(t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
       li.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
           grouping_id().cast("int").as("gid"))
@@ -143,7 +146,12 @@ object Aggregates extends graft.QueryArea {
     // under any partial-agg merge order — the same two-phase shape as
     // any sum, no second pass over the data.
     "agg_regression" -> ((spark, dir) => {
-      val li = t(spark, dir, "lineitem")
+      // fan out before the five DECIMAL product-sums (guide §2.5; the
+      // agg_corr_matrix recipe): the single-row-group testdata file
+      // plans as ONE scan task, so the decimal partial aggs ran on one
+      // core. DECIMAL sums are merge-order-exact — bit-identical.
+      val li = graft.operators.Ops.fanOut(t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
       val d = (c: Column) => c.cast("decimal(28,6)")
       li.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -180,7 +188,10 @@ object Aggregates extends graft.QueryArea {
     // from DECIMAL raw power sums (same bit-stability rationale as
     // agg_regression; reference FunctionSet skew/kurtosis kernels).
     "agg_skew_kurt" -> ((spark, dir) => {
-      val li = t(spark, dir, "lineitem")
+      // fan out before the four DECIMAL power-sums (guide §2.5, the
+      // agg_corr_matrix recipe) — order-exact, see agg_regression
+      val li = graft.operators.Ops.fanOut(t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity")))
       val d = (c: Column) => c.cast("decimal(28,6)")
       val q = col("l_quantity")
       li.groupBy(col("l_returnflag"))

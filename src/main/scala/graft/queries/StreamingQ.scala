@@ -51,9 +51,18 @@ object StreamingQ extends graft.QueryArea {
         .groupBy(window(col("ts"), "1 day"), col("term"))
         .agg(count(lit(1)).as("n"))
       val qn = "strend_out_" + System.nanoTime()
-      val q = stream.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      // 4 state partitions, not the session's 32 (the stream_join_enrich
+      // lesson): a complete-mode agg commits one state store per
+      // partition per batch, and that per-store checkpoint overhead —
+      // not row volume — dominates a one-batch drain. State layout
+      // sized to key cardinality is the durable 100 TB choice too.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("day")).orderBy(col("n").desc, col("term"))
       spark.table(qn)
@@ -134,10 +143,18 @@ object StreamingQ extends graft.QueryArea {
         .write.mode("overwrite").parquet(s"$base/in")
       val stream = spark.readStream.schema(e.schema).parquet(s"$base/in")
       val qn = "sdedup_out_" + System.nanoTime()
-      val q = graft.streaming.Streams.streamingDedup(stream, Seq("event_id"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      // 4 state partitions (see stream_join_enrich): the dedup state
+      // store commits per partition per batch; duplicates are FULL row
+      // copies, so which copy survives is value-identical regardless
+      // of the partition layout
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streams.streamingDedup(stream, Seq("event_id"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.table(qn)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

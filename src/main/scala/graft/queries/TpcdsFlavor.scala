@@ -1417,7 +1417,7 @@ object TpcdsFlavor extends graft.QueryArea {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queriesTranche7 ++ (tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ tranche12 ++ tranche13).map { case (name, sql) =>
       name -> ((spark: SparkSession, dir: String) => sqlq(spark, dir)(sql))
-    } ++ Map(
+    } ++ Map[String, (SparkSession, String) => DataFrame](
     // Q27/Q36: rollup with grouping-level indicator + rank inside level
     "tpcds_rollup_rank" -> ((spark, dir) => sqlq(spark, dir)(
       """WITH agg AS (
@@ -1479,7 +1479,127 @@ object TpcdsFlavor extends graft.QueryArea {
         |  SUM(CASE WHEN a.l_partkey IS NULL AND r.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS rail_only,
         |  SUM(CASE WHEN a.l_partkey IS NOT NULL AND r.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS both_ch
         |FROM air a FULL OUTER JOIN rail r
-        |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin)))
+        |  ON a.l_partkey = r.l_partkey AND a.l_suppkey = r.l_suppkey""".stripMargin))) ++
+    restructuredHeavy
+
+  // DataFrame forms of the two heaviest mega-CTE gates (round-12
+  // verdict item 4). The ORACLE strings are untouched — these produce
+  // the same rows; the agg_corr_matrix recipe. Catalyst inlines a
+  // WITH-CTE per reference, so:
+  //  - q64's cross_sales (8-way dim join + returned_ok HAVING
+  //    subquery) executed TWICE, once per self-join side;
+  //  - q23's frequent_parts and best_cust (each a lineitem mega-join)
+  //    executed TWICE each, once per UNION ALL channel.
+  // Here each CTE computes ONCE, is pinned (bounded grouped/key-set
+  // rows), and the consumers join the pinned result.
+  private def restructuredHeavy: Map[String, (SparkSession, String) => DataFrame] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    Map(
+      "tpcds_q64_sales_chain" -> ((spark, dir) => {
+        // cross_sales for exactly the two referenced years: the outer
+        // self-join fixes cs1.syear = 1995 AND cs2.syear = 1996, and
+        // (product…, syear) groups are independent, so restricting to
+        // those years changes no surviving group's sums. One mega-join
+        // instead of two; the sums are the SQL's own fragments.
+        val cs = sqlq(spark, dir)(
+          """WITH returned_ok AS (
+            |  SELECT l_partkey FROM lineitem
+            |  GROUP BY l_partkey
+            |  HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+            |       > 2 * SUM(CASE WHEN l_returnflag = 'R'
+            |                 THEN CAST(l_extendedprice AS DECIMAL(18,6))
+            |                 ELSE CAST(0 AS DECIMAL(18,6)) END))
+            |SELECT p_name AS product_name, p_partkey AS item_sk,
+            |  s_name AS store_name, n1.n_name AS supp_nation,
+            |  n2.n_name AS cust_nation, year(o_orderdate) AS syear,
+            |  CAST(COUNT(*) AS BIGINT) AS cnt,
+            |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s1,
+            |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s2,
+            |  SUM(CAST(l_discount AS DECIMAL(18,6))) AS s3
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN part ON l_partkey = p_partkey
+            |JOIN supplier ON l_suppkey = s_suppkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            |JOIN region ON n1.n_regionkey = r_regionkey
+            |WHERE l_partkey IN (SELECT l_partkey FROM returned_ok)
+            |  AND p_size BETWEEN 1 AND 40
+            |  AND year(o_orderdate) IN (1995, 1996)
+            |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)
+          // PINNED: an unpinned self-join clones the subtree and
+          // Catalyst pushes each side's syear filter back down below
+          // the aggregate — re-splitting it into two year-sliced
+          // mega-joins (verified: the unpinned after-plan had MORE
+          // lineitem scans than the SQL form, 8 vs 6). The pin is what
+          // makes "compute cross_sales once" real; the pinned rows are
+          // bounded (grouped).
+          .localCheckpoint(true)
+        val cs1 = cs.filter(col("syear") === 1995)
+        val cs2 = cs.filter(col("syear") === 1996).select(
+          col("item_sk").as("item_sk2"), col("store_name").as("store_name2"),
+          col("supp_nation").as("supp_nation2"),
+          col("cust_nation").as("cust_nation_2"),
+          col("cnt").as("cnt_2"), col("s1").as("s1_2"), col("s3").as("s3_2"))
+        cs1.join(cs2,
+            col("item_sk") === col("item_sk2") &&
+              col("store_name") === col("store_name2") &&
+              col("supp_nation") === col("supp_nation2") &&
+              col("cnt_2") <= col("cnt"))
+          .select(col("product_name"), col("item_sk"), col("store_name"),
+            col("supp_nation"), col("cust_nation").as("cust_nation_1"),
+            col("cust_nation_2"),
+            col("cnt").as("cnt_1"), col("cnt_2"),
+            expr("CAST(round(s1, 2) AS DOUBLE)").as("rev_1"),
+            expr("CAST(round(s1_2, 2) AS DOUBLE)").as("rev_2"),
+            expr("CAST(round(s2, 2) AS DOUBLE)").as("qty_1"),
+            expr("CAST(round(s3_2, 2) AS DOUBLE)").as("disc_2"))
+          .orderBy(col("item_sk"), col("store_name"),
+            col("cust_nation_1"), col("cust_nation_2"))
+      }),
+      "tpcds_q23_best_customers" -> ((spark, dir) => {
+        // the two UNION ALL channels differ only in l_linestatus
+        // ('F' vs 'O' — disjoint predicates over the same rows), and
+        // COUNT/SUM over their union equal COUNT/SUM over the single
+        // IN-filtered scan (DECIMAL sums are merge-order-exact); the
+        // IN (...) gates become semi-joins against pinned key sets
+        val frequent = sqlq(spark, dir)(
+          """SELECT substr(p_name, 1, 15) AS pdesc, l_partkey AS item_sk,
+            |  year(l_shipdate) AS soldyear, COUNT(*) AS cnt
+            |FROM lineitem JOIN part ON l_partkey = p_partkey
+            |WHERE year(l_shipdate) IN (1994, 1995, 1996, 1997)
+            |GROUP BY 1, 2, 3 HAVING COUNT(*) > 4""".stripMargin)
+          .select(col("item_sk")).distinct()
+        val best = sqlq(spark, dir)(
+          """WITH max_sales AS (
+            |  SELECT MAX(csales) AS cmax FROM (
+            |    SELECT o_custkey,
+            |      SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS csales
+            |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |    WHERE year(o_orderdate) IN (1994, 1995, 1996, 1997)
+            |    GROUP BY o_custkey) t1)
+            |SELECT o_custkey
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |GROUP BY o_custkey
+            |HAVING 2 * SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)))
+            |     > (SELECT cmax FROM max_sales)""".stripMargin)
+        // each key set appears ONCE in the single final plan (the SQL
+        // form inlined them per UNION channel) — no pin needed, and
+        // skipping it keeps all stages overlapping in one action
+        sqlq(spark, dir)(
+          """SELECT l_partkey, o_custkey,
+            |  CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)) AS sales
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 2
+            |  AND l_linestatus IN ('F', 'O')""".stripMargin)
+          .join(frequent.withColumnRenamed("item_sk", "l_partkey"),
+            Seq("l_partkey"), "left_semi")
+          .join(best, Seq("o_custkey"), "left_semi")
+          .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_sales"),
+            expr("CAST(round(SUM(sales), 2) AS DOUBLE)").as("total_sales"))
+      }))
+  }
 
   def oracles: Map[String, String] = oraclesTranche7 ++ tranche2 ++ tranche9 ++ tranche10 ++ tranche11 ++ tranche12 ++ tranche13 ++ Map(
     "tpcds_rollup_rank" ->

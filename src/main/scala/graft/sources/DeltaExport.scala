@@ -174,7 +174,7 @@ object DeltaExport {
             // %XX-only decode: Spark's dir-name escaping leaves '+'
             // literal, URLDecoder would turn it into a space
             def unescape(s: String) = PathNames.unescapePathName(s)
-            val found = scala.collection.mutable.ArrayBuffer[(Path, Map[String, String])]()
+            val found = scala.collection.mutable.ArrayBuffer[(Path, Long, Map[String, String])]()
             def walk(p: Path, vals: Map[String, String]): Unit =
               f.listStatus(p).foreach { st =>
                 val name = st.getPath.getName
@@ -182,7 +182,7 @@ object DeltaExport {
                   val k = name.substring(0, name.indexOf('='))
                   walk(st.getPath,
                     vals + (k -> unescape(name.substring(name.indexOf('=') + 1))))
-                } else if (name.endsWith(".parquet")) found += ((st.getPath, vals))
+                } else if (name.endsWith(".parquet")) found += ((st.getPath, st.getLen, vals))
               }
             walk(new Path(staging), Map.empty)
             if (found.isEmpty) {
@@ -193,12 +193,12 @@ object DeltaExport {
               walk(new Path(staging), Map.empty)
             }
             f.mkdirs(new Path(s"$table/_change_data"))
-            found.zipWithIndex.foreach { case ((part, vals), i) =>
+            found.zipWithIndex.foreach { case ((part, len, vals), i) =>
               val relCdc = s"_change_data/cdc-$dv-$i.parquet"
               f.delete(new Path(s"$table/$relCdc"), false)
               require(f.rename(part, new Path(s"$table/$relCdc")),
                 s"failed to install $relCdc")
-              val size = f.getFileStatus(new Path(s"$table/$relCdc")).getLen
+              val size = len // rename preserves length — no re-stat
               val pj = {
                 import scala.jdk.CollectionConverters._
                 val m = new java.util.LinkedHashMap[String, String]()

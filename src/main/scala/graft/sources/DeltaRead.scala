@@ -755,15 +755,15 @@ object DeltaRead {
         spark.sparkContext.parallelize(sidecarRows, 1), sidecarSchema)
       .coalesce(1).write.mode("overwrite").parquet(staging)
     val part = f.listStatus(new Path(staging))
-      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      .filter(_.getPath.getName.endsWith(".parquet")).head
     val sidecarName = s"$uuid.parquet"
     f.mkdirs(new Path(s"$table/_delta_log/_sidecars"))
     val sidecarPath = new Path(s"$table/_delta_log/_sidecars/$sidecarName")
     f.delete(sidecarPath, false)
-    require(f.rename(part, sidecarPath),
-      s"failed to install checkpoint sidecar $part -> $sidecarPath")
+    require(f.rename(part.getPath, sidecarPath),
+      s"failed to install checkpoint sidecar ${part.getPath} -> $sidecarPath")
     f.delete(new Path(staging), true)
-    val sidecarLen = f.getFileStatus(sidecarPath).getLen
+    val sidecarLen = part.getLen // rename preserves length — no re-stat
     // JSON manifest
     val mapper = new ObjectMapper()
     def js(s: String) = mapper.writeValueAsString(s)
@@ -800,11 +800,13 @@ object DeltaRead {
     val staging = s"$table/_staging_v$version"
     df.write.mode("overwrite").parquet(staging)
     val parts = f.listStatus(new Path(staging))
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
-    val named = parts.zipWithIndex.map { case (p, i) =>
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val named = parts.zipWithIndex.map { case (st, i) =>
       val dest = s"part-$version-$i.snappy.parquet"
-      require(f.rename(p, new Path(s"$table/$dest")),
-        s"failed to install data file $dest"); dest
+      require(f.rename(st.getPath, new Path(s"$table/$dest")),
+        s"failed to install data file $dest")
+      // rename preserves length and mtime — carry the staging stat
+      (dest, st.getLen, st.getModificationTime)
     }
     f.delete(new Path(staging), true)
     val mapper = new ObjectMapper()
@@ -817,9 +819,8 @@ object DeltaRead {
     removePaths.foreach { p =>
       sb.append(s"""{"remove":{"path":${mapper.writeValueAsString(p)},"deletionTimestamp":0,"dataChange":true}}""").append('\n')
     }
-    named.foreach { p =>
-      val st = f.getFileStatus(new Path(s"$table/$p"))
-      sb.append(s"""{"add":{"path":${mapper.writeValueAsString(p)},"partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}""").append('\n')
+    named.foreach { case (p, len, mtime) =>
+      sb.append(s"""{"add":{"path":${mapper.writeValueAsString(p)},"partitionValues":{},"size":$len,"modificationTime":$mtime,"dataChange":true}}""").append('\n')
     }
     val logPath = new Path(f"$table/_delta_log/$version%020d.json")
     val out = f.create(logPath, false)

@@ -84,14 +84,14 @@ object IcebergExport {
     // %XX-only decode: Spark's dir-name escaping leaves '+' literal,
     // URLDecoder would turn it into a space
     def unescape(s: String): String = PathNames.unescapePathName(s)
-    val found = scala.collection.mutable.ArrayBuffer[(Path, Seq[String])]()
+    val found = scala.collection.mutable.ArrayBuffer[(Path, Long, Seq[String])]()
     def walk(p: Path, vals: List[String]): Unit =
       f.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory && name.contains("="))
           walk(st.getPath, unescape(name.substring(name.indexOf('=') + 1)) :: vals)
         else if (name.endsWith(".parquet"))
-          found += ((st.getPath, vals.reverse))
+          found += ((st.getPath, st.getLen, vals.reverse))
       }
     walk(new Path(staging), Nil)
     require(found.nonEmpty, "transform write produced no data files")
@@ -99,14 +99,13 @@ object IcebergExport {
     val partNames = parsed.map { case (src, t) => IcebergTransforms.fieldName(src, t) }
     val entrySchema = IcebergRead.manifestEntrySchemaFor(partNames)
     val dataFileSchema = entrySchema.getField("data_file").schema()
-    val entries = found.zipWithIndex.map { case ((p, vals), i) =>
+    val entries = found.zipWithIndex.map { case ((p, len, vals), i) =>
       val dest = s"$table/data/t$version-$i.parquet"
       require(f.rename(p, new Path(dest)),
         s"failed to install $dest")
       val dfRec = new GenericData.Record(dataFileSchema)
       dfRec.put("file_path", dest)
-      dfRec.put("file_size_in_bytes",
-        Long.box(f.getFileStatus(new Path(dest)).getLen))
+      dfRec.put("file_size_in_bytes", Long.box(len)) // rename preserves length
       val pRec = new GenericData.Record(dataFileSchema.getField("partition").schema())
       partNames.zip(vals).foreach { case (n, v) =>
         pRec.put(n, if (v == "__HIVE_DEFAULT_PARTITION__") null else v) }
@@ -229,17 +228,16 @@ object IcebergExport {
             .write.mode("overwrite").parquet(staging)
           val delPath = s"$table/metadata/pdel-$v.parquet"
           val part = f.listStatus(new Path(staging))
-            .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+            .filter(_.getPath.getName.endsWith(".parquet")).head
           f.delete(new Path(delPath), false)
-          require(f.rename(part, new Path(delPath)),
+          require(f.rename(part.getPath, new Path(delPath)),
             s"failed to install $delPath")
           f.delete(new Path(staging), true)
           val delEntrySchema = IcebergRead.manifestEntrySchemaFor(Nil)
           val dfRec = new GenericData.Record(
             delEntrySchema.getField("data_file").schema())
           dfRec.put("file_path", delPath)
-          dfRec.put("file_size_in_bytes",
-            Long.box(f.getFileStatus(new Path(delPath)).getLen))
+          dfRec.put("file_size_in_bytes", Long.box(part.getLen)) // rename preserves length
           val e = new GenericData.Record(delEntrySchema)
           e.put("status", 1); e.put("data_file", dfRec)
           val delManifest = s"$table/metadata/dm$v.avro"

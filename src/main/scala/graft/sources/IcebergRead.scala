@@ -810,23 +810,24 @@ object IcebergRead {
     f.mkdirs(new Path(s"$table/metadata"))
     val version = nextVersion(f, table)
     val seq = version
-    def onefile(df: DataFrame, dest: String): String = {
+    def onefile(df: DataFrame, dest: String): (String, Long) = {
       val staging = s"$table/_staging_cdc_$version"
       df.coalesce(1).write.mode("overwrite").parquet(staging)
       val part = f.listStatus(new Path(staging))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      require(f.rename(part, new Path(dest)),
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      require(f.rename(part.getPath, new Path(dest)),
         s"failed to install $dest")
-      f.delete(new Path(staging), true); dest
+      // rename preserves length — carry the staging stat, no re-stat
+      f.delete(new Path(staging), true); (dest, part.getLen)
     }
-    val dataPath = onefile(upserts, s"$table/data/cdc-$version.parquet")
+    val (dataPath, dataLen) = onefile(upserts, s"$table/data/cdc-$version.parquet")
     val delKeys = {
       val fromUpserts = upserts.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
       deleteKeys.fold(fromUpserts)(d =>
         fromUpserts.unionByName(d.select(
           keyCols.map(org.apache.spark.sql.functions.col): _*))).distinct()
     }
-    val delPath = onefile(delKeys, s"$table/data/cdc-eqdel-$version.parquet")
+    val (delPath, delLen) = onefile(delKeys, s"$table/data/cdc-eqdel-$version.parquet")
     // rich v2 schemas: per-entry sequence numbers + data_file content
     val dfSchema = SchemaBuilder.record("data_file").fields()
       .requiredString("file_path").optionalInt("content")
@@ -837,19 +838,18 @@ object IcebergRead {
     val listSchema = SchemaBuilder.record("manifest_file").fields()
       .requiredString("manifest_path").optionalInt("content")
       .optionalLong("sequence_number").endRecord()
-    def entry(file: String, content: Int) = {
+    def entry(file: String, len: Long, content: Int) = {
       val d = new GenericData.Record(dfSchema)
       d.put("file_path", file); d.put("content", Int.box(content))
-      d.put("file_size_in_bytes",
-        Long.box(f.getFileStatus(new Path(file)).getLen))
+      d.put("file_size_in_bytes", Long.box(len))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1); e.put("sequence_number", Long.box(seq))
       e.put("data_file", d); e
     }
     val mData = s"$table/metadata/cdc-m$version.avro"
-    writeAvro(spark, mData, entrySchema, Seq(entry(dataPath, 0)))
+    writeAvro(spark, mData, entrySchema, Seq(entry(dataPath, dataLen, 0)))
     val mDel = s"$table/metadata/cdc-dm$version.avro"
-    writeAvro(spark, mDel, entrySchema, Seq(entry(delPath, 2)))
+    writeAvro(spark, mDel, entrySchema, Seq(entry(delPath, delLen, 2)))
     // carry prior manifests verbatim at their recorded (content, seq)
     val prior: Seq[(String, Int, Long)] =
       if (version == 1) Nil else manifestsOf(spark, table, None)
@@ -890,12 +890,13 @@ object IcebergRead {
     val staging = s"$table/_staging_v$version"
     df.write.mode("overwrite").parquet(staging)
     val parts = f.listStatus(new Path(staging))
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
-    val dataPaths = parts.zipWithIndex.map { case (p, i) =>
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val dataPaths = parts.zipWithIndex.map { case (st, i) =>
       val dest = s"$table/data/f$version-$i.parquet"
       f.mkdirs(new Path(s"$table/data"))
-      require(f.rename(p, new Path(dest)),
-        s"failed to install $dest"); dest
+      require(f.rename(st.getPath, new Path(dest)),
+        s"failed to install $dest")
+      (dest, st.getLen) // rename preserves length — no re-stat
     }.toSeq
     f.delete(new Path(staging), true)
     // the new manifest lists ONLY this commit's files; carried state
@@ -909,12 +910,11 @@ object IcebergRead {
       catch { case _: Exception => Nil }
     val seq = priorManifests.map(_._3).foldLeft(0L)(math.max) + 1
     val entrySchema = manifestEntrySchemaFor(Nil)
-    val entries = dataPaths.map { p =>
+    val entries = dataPaths.map { case (p, len) =>
       val dfRec = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       dfRec.put("file_path", p)
-      dfRec.put("file_size_in_bytes",
-        Long.box(f.getFileStatus(new Path(p)).getLen))
+      dfRec.put("file_size_in_bytes", Long.box(len))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1); e.put("data_file", dfRec); e
     }

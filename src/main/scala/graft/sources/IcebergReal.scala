@@ -203,6 +203,23 @@ object IcebergReal {
     try r.getRecordCount finally r.close()
   }
 
+  /** Footer row counts for a commit's files in ONE bounded-pool pass —
+    * each footer open is an independent metadata round-trip, and the
+    * commit paths used to read them serially per file (minutes of
+    * driver wall at 100k-file commits on an object store; same shape
+    * as Lake.listCommitFiles). */
+  private def footerRowCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
+    if (paths.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, paths.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[(String, Long)]] =
+        paths.map(p => (() => p -> footerRowCount(spark, p)): java.util.concurrent.Callable[(String, Long)])
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+    } finally pool.shutdown()
+  }
+
   /** Iceberg schema JSON (the `schemas` entry / manifest `schema`
     * metadata) with field ids 1..n in dataframe order. */
   private def schemaJson(schema: StructType): String = {
@@ -264,7 +281,7 @@ object IcebergReal {
           f.mkdirs(new Path(dest).getParent)
           require(f.rename(st.getPath, new Path(dest)),
             s"failed to install data file $dest")
-          found += ((dest, vals, f.getFileStatus(new Path(dest)).getLen))
+          found += ((dest, vals, st.getLen)) // rename preserves length — no re-stat
         }
       }
     walk(new Path(staging), Nil)
@@ -281,11 +298,12 @@ object IcebergReal {
       s"""{"name":${mapper.writeValueAsString(c)},"transform":"identity","source-id":$srcId,"field-id":${1000 + i}}"""
     }.mkString(",")
     var totalRows = 0L
+    val rowCounts = footerRowCounts(spark, found.map(_._1).toSeq)
     val entries = found.map { case (path, vals, size) =>
       val p = new GenericData.Record(pSchema)
       pTypes.zip(vals).foreach { case ((c, dt), s) =>
         p.put(c, partitionValue(dt, s)) }
-      val rc = footerRowCount(spark, path)
+      val rc = rowCounts(path)
       totalRows += rc
       val d = new GenericData.Record(dfSchema)
       d.put("content", Int.box(0))
@@ -543,7 +561,7 @@ object IcebergReal {
           f.mkdirs(new Path(dest).getParent)
           require(f.rename(st.getPath, new Path(dest)),
             s"failed to install delete file $dest")
-          found += ((dest, sub, f.getFileStatus(new Path(dest)).getLen))
+          found += ((dest, sub, st.getLen)) // rename preserves length — no re-stat
         }
       }
     walk(new Path(staging), "")
@@ -558,11 +576,12 @@ object IcebergReal {
       sub.split('/').filter(_.nonEmpty).toSeq.map(s =>
         PathNames.unescapePathName(s.substring(s.indexOf('=') + 1)))
     var delRows = 0L
+    val rowCounts = footerRowCounts(spark, found.map(_._1).toSeq)
     val delEntries = found.map { case (path, sub, size) =>
       val p = new GenericData.Record(pSchema)
       pTypes.zip(valsOf(sub)).foreach { case ((c, dt), s) =>
         p.put(c, partitionValue(dt, s)) }
-      val rc = footerRowCount(spark, path)
+      val rc = rowCounts(path)
       delRows += rc
       val d = new GenericData.Record(dfSchema)
       d.put("content", Int.box(1)) // POSITION_DELETES
@@ -725,7 +744,7 @@ object IcebergReal {
           f.mkdirs(new Path(dest).getParent)
           require(f.rename(st.getPath, new Path(dest)),
             s"failed to install delete file $dest")
-          found += ((dest, vals, f.getFileStatus(new Path(dest)).getLen))
+          found += ((dest, vals, st.getLen)) // rename preserves length — no re-stat
         }
       }
     walk(new Path(staging), Nil)
@@ -737,11 +756,12 @@ object IcebergReal {
     val dfSchema = entrySchema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
     var delRows = 0L
+    val rowCounts = footerRowCounts(spark, found.map(_._1).toSeq)
     val delEntries = found.map { case (path, vals, size) =>
       val p = new GenericData.Record(pSchema)
       pTypes.zip(vals).foreach { case ((c, dt), s) =>
         p.put(c, partitionValue(dt, s)) }
-      val rc = footerRowCount(spark, path)
+      val rc = rowCounts(path)
       delRows += rc
       val d = new GenericData.Record(dfSchema)
       d.put("content", Int.box(2)) // EQUALITY_DELETES

@@ -1366,17 +1366,17 @@ object PaimonRead {
     // %XX-only decode: Spark's dir-name escaping leaves '+' literal,
     // URLDecoder would turn it into a space
     def unescape(s: String) = PathNames.unescapePathName(s)
-    val found = scala.collection.mutable.ArrayBuffer[(Path, Map[String, String])]()
+    val found = scala.collection.mutable.ArrayBuffer[(Path, Long, Map[String, String])]()
     def walk(p: Path, vals: Map[String, String]): Unit =
       f.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory && name.contains("="))
           walk(st.getPath, vals + (name.substring(0, name.indexOf('=')) ->
             unescape(name.substring(name.indexOf('=') + 1))))
-        else if (name.endsWith(".parquet")) found += ((st.getPath, vals))
+        else if (name.endsWith(".parquet")) found += ((st.getPath, st.getLen, vals))
       }
     walk(new Path(staging), Map.empty)
-    val entries = found.zipWithIndex.map { case ((part, vals), i) =>
+    val installed = found.zipWithIndex.map { case ((part, len, vals), i) =>
       val partition = partitionKeys.map(k => k ->
         vals.get(k).filter(_ != "__HIVE_DEFAULT_PARTITION__").orNull).toMap
       val bucket = bucketCol.flatMap(vals.get).map(_.toInt).getOrElse(0)
@@ -1391,12 +1391,31 @@ object PaimonRead {
       require(f.rename(part, new Path(dest)),
         s"staging rename $part -> $dest failed — refusing to commit a " +
           "manifest entry over whatever file sits at the destination")
-      val st = f.getFileStatus(new Path(dest))
-      val rc = footerRowCount(spark, dest)
-      val (mn, mx) = seqRangeOf.map(_(partition, bucket)).getOrElse((seq, seq))
-      FileEntry(0, partition, bucket, fileName, st.getLen, rc, mn, mx, level,
-        hiveDirs = hiveDirs)
+      // rename preserves length — the staging stat is the file's stat
+      (dest, len, partition, bucket, fileName)
     }.toSeq
+    // footer row counts in ONE bounded-pool pass (each open is an
+    // independent metadata round-trip; serial per-file reads are
+    // minutes of driver wall at 100k-file commits on an object store)
+    val rowCounts: Map[String, Long] =
+      if (installed.isEmpty) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, installed.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[(String, Long)]] =
+            installed.map { case (dest, _, _, _, _) =>
+              (() => dest -> footerRowCount(spark, dest)): java.util.concurrent.Callable[(String, Long)]
+            }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
+    val entries = installed.map { case (dest, len, partition, bucket, fileName) =>
+      val (mn, mx) = seqRangeOf.map(_(partition, bucket)).getOrElse((seq, seq))
+      FileEntry(0, partition, bucket, fileName, len, rowCounts(dest), mn, mx, level,
+        hiveDirs = hiveDirs)
+    }
     f.delete(new Path(staging), true)
     entries
   }

@@ -18,20 +18,22 @@ object GateJobProfile {
     spark.sparkContext.setLogLevel("ERROR")
     val all = SparkEntry.queries ++ graft.queries.Pipeline.benchOnly
 
-    case class Job(id: Int, desc: String, start: Long, var end: Long = 0L,
-        var tasks: Int = 0, var stages: Int = 0)
+    case class Job(id: Int, desc: String, start: Long, stageIds: Set[Int],
+        var end: Long = 0L, var tasks: Int = 0, var stages: Int = 0)
     val jobs = new scala.collection.mutable.ArrayBuffer[Job]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val d = Option(e.properties.getProperty("spark.job.description")).getOrElse("")
-        jobs += Job(e.jobId, d, System.nanoTime())
+        jobs += Job(e.jobId, d, System.nanoTime(), e.stageIds.toSet)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.find(_.id == e.jobId).foreach(_.end = System.nanoTime())
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = jobs.synchronized {
-        // attribute stages to the most recent unfinished or last job
-        val tgt = jobs.reverseIterator.find(j => e.stageInfo.submissionTime.isDefined)
+        // attribute by stage id (jobs declare their stage ids at start) —
+        // attribution by "most recent job" miscounts when jobs overlap
+        // or a stage completes after its job ends
+        val tgt = jobs.reverseIterator.find(_.stageIds.contains(e.stageInfo.stageId))
         tgt.foreach { j => j.stages += 1; j.tasks += e.stageInfo.numTasks }
       }
     }

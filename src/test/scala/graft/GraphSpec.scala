@@ -69,12 +69,18 @@ class GraphSpec extends SparkSuite {
     assert(r === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
   }
 
-  test("pageRank with checkpointing returns the same ranks") {
+  test("pageRank with replicated loop pins returns the same ranks") {
+    // spark.graft.pins.replicated=true swaps localCheckpoint for a
+    // 2x-replicated persist (fault tolerance at cluster scale); the
+    // arithmetic and the results must be bit-identical either way
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val plain = Graph.pageRank(e, "s", "d", iters = 4)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    val ckpt = Graph.pageRank(e, "s", "d", iters = 4, checkpointEvery = 2)
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    assert(plain === ckpt)
+    spark.conf.set("spark.graft.pins.replicated", "true")
+    val replicated =
+      try Graph.pageRank(e, "s", "d", iters = 4)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      finally spark.conf.unset("spark.graft.pins.replicated")
+    assert(plain === replicated)
   }
 }
