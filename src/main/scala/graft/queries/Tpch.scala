@@ -24,6 +24,11 @@ object Tpch extends graft.QueryArea {
     // TPC-H Q1: pricing summary — scan → filter → two-phase hash agg → sort.
     "q1_pricing_summary" -> ((spark, dir) => {
       val li = Tables.load(spark, dir, "lineitem")
+      // fan-out A/B'd and REJECTED (round 13): repartitioning the
+      // filtered scan to cluster width measured 1.07-1.57 s warm vs
+      // ~0.96-1.12 s single-task — q1's per-row agg work is too cheap
+      // to amortize the keyless repartition's sort-before-shuffle
+      // (unlike agg_regression's five product-sums, which won 1.8x).
       li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(

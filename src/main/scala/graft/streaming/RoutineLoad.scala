@@ -76,20 +76,20 @@ object RoutineLoad {
       failBeforeCommit: Boolean = false): Option[Map[Int, Long]] = {
     val spark = log.sparkSession
     val committed = readLedger(spark, ledgerPath)
-    // seek: committed offsets join-pruned into the scan (tiny broadcast)
-    val led =
-      if (committed.isEmpty) log.select(col("partition")).distinct()
-        .select(col("partition"), lit(-1L).as("__committed"))
+    // seek: the ledger is O(partitions) KBs by contract, so the
+    // committed offsets inline as a literal map evaluated IN the scan
+    // filter — one log scan per step. (The old shape ran a separate
+    // distinct() scan of the log plus a broadcast join per step, i.e.
+    // two extra jobs per micro-batch just to attach a per-partition
+    // scalar; partitions absent from the ledger default to -1.)
+    val tail =
+      if (committed.isEmpty) log
       else {
-        import spark.implicits._
-        val fromLedger = committed.toSeq.toDF("partition", "__committed")
-        // partitions not seen before start at -1
-        log.select(col("partition")).distinct()
-          .join(fromLedger, Seq("partition"), "left_outer")
-          .select(col("partition"), coalesce(col("__committed"), lit(-1L)).as("__committed"))
+        val committedMap = map(committed.toSeq.flatMap {
+          case (p, o) => Seq(lit(p), lit(o)) }: _*)
+        log.filter(col("offset") >
+          coalesce(element_at(committedMap, col("partition")), lit(-1L)))
       }
-    val tail = log.join(broadcast(led), Seq("partition"))
-      .filter(col("offset") > col("__committed"))
     val w = Window.partitionBy(col("partition")).orderBy(col("offset"))
     val batch = tail.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerPartition)
@@ -104,7 +104,7 @@ object RoutineLoad {
     val startTag = committed.toSeq.sortBy(_._1)
       .map { case (p, o) => s"p$p-$o" }.mkString("_")
     val dirTag = if (startTag.isEmpty) "start" else startTag
-    transform(batch.drop("__committed"))
+    transform(batch)
       .write.mode("overwrite").parquet(s"$targetDir/batch-$dirTag")
 
     if (failBeforeCommit)
